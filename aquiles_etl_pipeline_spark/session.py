@@ -1,0 +1,48 @@
+"""SparkSession factory for the engine.
+
+Replaces the reference's connection bootstrap
+(``/root/reference/core/database.py:12-50`` — ODBC engine factory + retry
+probe): Spark owns connections/retries, so the only bootstrap we need is a
+well-configured session. Tuned for local[N] testing but every setting is
+cluster-sane (AQE, broadcast threshold, shuffle partitions sized to cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "aquiles-etl-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Scale posture: AQE on (runtime coalesce + skew-join splitting),
+    shuffle partitions sized to the parallelism actually available
+    locally — on a real cluster leave ``spark.sql.shuffle.partitions``
+    to AQE's coalescing instead of the 200 default.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
