@@ -1,0 +1,43 @@
+"""DuckDB-as-oracle differential tests over the query catalog at
+sf0.001 (fast; the full sf0.01 sweep is `python tools/oracle_diff.py`,
+mirroring the driver's correctness gate)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from aquiles_etl_pipeline_spark.relational import registry  # noqa: E402
+from tools.oracle_diff import TABLES, canon  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir_module):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir_module}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def sf_dir_module() -> str:
+    return "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(registry()))
+def test_query_matches_oracle(spark, oracle, sf_dir_module, name):
+    spec = registry()[name]
+    if spec.sql is None:
+        pytest.skip("no oracle (rows-only check)")
+    got = canon(spec.fn(spark, sf_dir_module).toPandas())
+    want = canon(oracle.execute(spec.sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"rowcount {len(got)} != {len(want)}"
+    assert got.equals(want), "value mismatch"
