@@ -1,0 +1,279 @@
+"""The three MERGE jobs + unit-of-measure auto-create.
+
+Owns the reference's out-of-engine relational logic: the T-SQL procs
+usp_MergeProvidersFromStaging / usp_MergeProductsFromStaging /
+usp_MergeProviderProductsFromStaging invoked at
+/root/reference/core/etl_orchestrator.py:168-189, whose bodies are not
+in the repo.  Contracts reconstructed (SURVEY.md §2.6) from the staging
+shapes, the placeholder-FK comment (etl:151-152), the DescriptionHash
+identity index (core/entities.py:106,116) and docs/ETL_ENHANCEMENTS.md:
+23-29:
+
+  M1 Provider          — insert-if-absent by Name (synonyms resolve to
+                         existing providers and are not re-inserted)
+  M2 Product           — upsert keyed on sha256(Description)
+  U1 UnitOfMeasure     — auto-create unseen acronyms before M2
+  M3 Provider_Product  — upsert keyed on (ProductId, ProviderId) after
+                         resolving FKs from denormalized staging names
+  S11 cleanup          — drop the batch's staging rows
+
+All merges are pure DataFrame joins against the batch's staging
+partition (pruned by BatchGuid) and are idempotent per batch: re-running
+the same batch_guid converges to the same table state — that is this
+engine's substitute for the reference's single cross-table SQL
+transaction (etl:171), which Delta/parquet cannot express.
+
+Scale: staging batches are file-sized (small); every staging-vs-fact
+join broadcasts the staging side.  Fact rewrites become Delta MERGE
+file-level rewrites on a real cluster (see warehouse.py seam).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import scalar
+from .warehouse import Warehouse
+
+
+def _next_ids(existing: DataFrame, new_rows: DataFrame, order_col: str) -> DataFrame:
+    """Assign sequential Ids to new_rows above max(existing.Id).
+
+    New rows per batch are file-sized, so the single-partition
+    row_number window is bounded; Delta GENERATED ALWAYS AS IDENTITY
+    replaces this on a real cluster."""
+    max_id = (existing.agg(F.coalesce(F.max("Id"), F.lit(0)).alias("m")).collect())[0]["m"]
+    w = Window.orderBy(order_col)
+    return new_rows.withColumn("Id", (F.lit(max_id) + F.row_number().over(w)).cast("long"))
+
+
+def _staging_batch(wh: Warehouse, table: str, batch_guid: str) -> DataFrame:
+    # BatchGuid partition pruning: Catalyst pushes this filter to the
+    # partitioned staging parquet, reading only this batch's files.
+    return wh.read(table).where(F.col("BatchGuid") == batch_guid)
+
+
+def merge_providers(wh: Warehouse, batch_guid: str) -> int:
+    """M1: insert staging provider names that match no provider and no synonym."""
+    staging = _staging_batch(wh, "staging_provider", batch_guid).select("Name").distinct()
+    provider = wh.read("provider")
+    synonyms = wh.read("provider_synonym")
+
+    new_names = (
+        staging.join(F.broadcast(provider.select("Name")), "Name", "left_anti")
+        .join(
+            F.broadcast(synonyms.select(F.col("Synonym").alias("Name"))),
+            "Name",
+            "left_anti",
+        )
+    )
+    new_rows = _next_ids(provider, new_names, "Name").select(
+        "Id", "Name", F.current_timestamp().alias("CreateDt")
+    )
+    n = new_rows.count()
+    if n:
+        wh.overwrite("provider", provider.unionByName(new_rows))
+    return n
+
+
+def ensure_units_of_measure(wh: Warehouse, batch_guid: str) -> int:
+    """U1 (docs/ETL_ENHANCEMENTS.md:23): create unseen units before the
+    product merge; acronym aliases (UnitOfMeasureAcronym) resolve to
+    existing units and are not duplicated."""
+    staging = (
+        _staging_batch(wh, "staging_product", batch_guid)
+        .select(F.lower(F.col("UnitOfMeasure")).alias("Acronym"))
+        .where(F.col("Acronym").isNotNull())
+        .distinct()
+    )
+    uom = wh.read("unit_of_measure")
+    alias = wh.read("unit_of_measure_acronym")
+    unseen = (
+        staging.join(F.broadcast(uom.select(F.lower("Acronym").alias("Acronym"))), "Acronym", "left_anti")
+        .join(F.broadcast(alias.select(F.lower("Acronym").alias("Acronym"))), "Acronym", "left_anti")
+    )
+    new_rows = _next_ids(uom, unseen, "Acronym").select(
+        "Id", "Acronym", F.col("Acronym").alias("Name")
+    )
+    n = new_rows.count()
+    if n:
+        wh.overwrite("unit_of_measure", uom.unionByName(new_rows))
+    return n
+
+
+def _resolve_uom(wh: Warehouse, df: DataFrame, unit_col: str) -> DataFrame:
+    """unit string → UnitOfMeasureId via acronym alias then unit table
+    (reference lookup: etl:97-109 + UnitOfMeasureAcronym entities:136-147)."""
+    uom = wh.read("unit_of_measure").select(
+        F.lower("Acronym").alias("_acr"), F.col("Id").alias("_uom_id")
+    )
+    alias = wh.read("unit_of_measure_acronym").select(
+        F.lower("Acronym").alias("_alias_acr"), F.col("UnitOfMeasureId").alias("_alias_uom_id")
+    )
+    return (
+        df.withColumn("_unit_lc", F.lower(F.col(unit_col)))
+        .join(F.broadcast(alias), F.col("_unit_lc") == F.col("_alias_acr"), "left")
+        .join(F.broadcast(uom), F.col("_unit_lc") == F.col("_acr"), "left")
+        .withColumn("UnitOfMeasureId", F.coalesce("_alias_uom_id", "_uom_id"))
+        .drop("_unit_lc", "_alias_acr", "_alias_uom_id", "_acr", "_uom_id")
+    )
+
+
+def merge_products(wh: Warehouse, batch_guid: str) -> dict[str, int]:
+    """M2: upsert keyed on DescriptionHash = sha256(Description)
+    (identity implied by the IX_Product_DescriptionHash index,
+    core/entities.py:106). Matched → update Measure/UnitOfMeasureId/
+    UpdatedDt ('update existing ones with latest data',
+    docs/ETL_ENHANCEMENTS.md:28); not matched → insert."""
+    staging = _staging_batch(wh, "staging_product", batch_guid)
+    # one row per distinct description within the batch (T-SQL MERGE
+    # requires a unique source; keep the first by deterministic order)
+    w = Window.partitionBy("DescriptionHash").orderBy("Description", "Measure", "UnitOfMeasure")
+    src = (
+        staging.withColumn("DescriptionHash", scalar.description_hash(F.col("Description")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    src = _resolve_uom(wh, src, "UnitOfMeasure")
+
+    product = wh.read("product")
+    now = F.current_timestamp()
+
+    matched = product.join(
+        F.broadcast(
+            src.select(
+                "DescriptionHash",
+                F.col("UnitPrice").alias("_new_unit_price"),
+                F.col("Measure").cast("decimal(18,2)").alias("_new_measure"),
+                F.col("UnitOfMeasureId").alias("_new_uom_id"),
+            )
+        ),
+        "DescriptionHash",
+        "left",
+    )
+    updated = matched.select(
+        "Id",
+        F.coalesce("_new_unit_price", "UnitPrice").alias("UnitPrice"),
+        "Description",
+        F.coalesce("_new_measure", "Measure").alias("Measure"),
+        F.coalesce("_new_uom_id", "UnitOfMeasureId").alias("UnitOfMeasureId"),
+        "CreatedDt",
+        F.when(F.col("_new_measure").isNotNull() | F.col("_new_uom_id").isNotNull() | F.col("_new_unit_price").isNotNull(), now)
+        .otherwise(F.col("UpdatedDt"))
+        .alias("UpdatedDt"),
+        "DescriptionHash",
+    )
+
+    inserts_src = src.join(
+        F.broadcast(product.select("DescriptionHash")), "DescriptionHash", "left_anti"
+    )
+    new_rows = _next_ids(product, inserts_src, "DescriptionHash").select(
+        "Id",
+        F.col("UnitPrice"),
+        "Description",
+        F.col("Measure").cast("decimal(18,2)").alias("Measure"),
+        "UnitOfMeasureId",
+        now.alias("CreatedDt"),
+        now.alias("UpdatedDt"),
+        "DescriptionHash",
+    )
+    n_ins = new_rows.count()
+    wh.overwrite("product", updated.unionByName(new_rows))
+    return {"inserted": n_ins, "total_source": src.count()}
+
+
+def merge_provider_products(wh: Warehouse, batch_guid: str) -> dict[str, int]:
+    """M3: resolve placeholder FKs from denormalized staging names
+    (etl:151-152), then upsert keyed on (ProductId, ProviderId) —
+    'insert new relationships, update existing ones'
+    (docs/ETL_ENHANCEMENTS.md:29)."""
+    staging = _staging_batch(wh, "staging_provider_product", batch_guid)
+    product = wh.read("product").select(
+        F.col("Id").alias("_product_id"), "DescriptionHash"
+    )
+    provider = wh.read("provider").select(F.col("Id").alias("_provider_id"), "Name")
+    synonyms = wh.read("provider_synonym").select(
+        "Synonym", F.col("ProviderId").alias("_syn_provider_id")
+    )
+
+    resolved = (
+        staging.withColumn("DescriptionHash", scalar.description_hash(F.col("ProductDescription")))
+        .join(F.broadcast(product), "DescriptionHash", "left")
+        .join(F.broadcast(synonyms), staging.ProviderName == F.col("Synonym"), "left")
+        .join(F.broadcast(provider), staging.ProviderName == provider.Name, "left")
+        .withColumn("ProviderIdResolved", F.coalesce("_syn_provider_id", "_provider_id"))
+        .where(F.col("_product_id").isNotNull() & F.col("ProviderIdResolved").isNotNull())
+    )
+    # one row per (product, provider): keep the latest review date
+    w = Window.partitionBy("_product_id", "ProviderIdResolved").orderBy(
+        F.desc_nulls_last("LastReviewDt"), F.desc_nulls_last("Price")
+    )
+    src = (
+        resolved.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("_product_id").alias("ProductId"),
+            F.col("ProviderIdResolved").alias("ProviderId"),
+            F.col("IsValidated"),
+            F.to_timestamp("LastReviewDt", "yyyy-MM-dd").alias("LastReviewDt"),
+            F.col("PackageUnits").try_cast("int").alias("PackageUnits"),
+            "IVA",
+            "Price",
+        )
+    )
+
+    pp = wh.read("provider_product")
+    matched = pp.alias("t").join(
+        F.broadcast(src.alias("s")),
+        (F.col("t.ProductId") == F.col("s.ProductId"))
+        & (F.col("t.ProviderId") == F.col("s.ProviderId")),
+        "left",
+    )
+    updated = matched.select(
+        F.col("t.Id"),
+        F.col("t.ProductId"),
+        F.col("t.ProviderId"),
+        F.coalesce(F.col("s.IsValidated"), F.col("t.IsValidated")).alias("IsValidated"),
+        F.coalesce(F.col("s.LastReviewDt"), F.col("t.LastReviewDt")).alias("LastReviewDt"),
+        F.coalesce(F.col("s.PackageUnits"), F.col("t.PackageUnits")).alias("PackageUnits"),
+        F.coalesce(F.col("s.IVA"), F.col("t.IVA")).alias("IVA"),
+        F.coalesce(F.col("s.Price"), F.col("t.Price")).alias("Price"),
+    )
+    inserts_src = src.alias("s").join(
+        pp.select("ProductId", "ProviderId").alias("t"),
+        ["ProductId", "ProviderId"],
+        "left_anti",
+    )
+    new_rows = _next_ids(pp, inserts_src, "ProductId").select(
+        "Id", "ProductId", "ProviderId", "IsValidated", "LastReviewDt",
+        "PackageUnits", "IVA", "Price",
+    )
+    n_ins = new_rows.count()
+    wh.overwrite("provider_product", updated.unionByName(new_rows))
+    return {"inserted": n_ins, "total_source": src.count()}
+
+
+def _cleanup_staging(wh: Warehouse, batch_guid: str) -> None:
+    """S11 (etl:182-184): DELETE FROM staging WHERE BatchGuid = batch."""
+    for t in ("staging_provider", "staging_product", "staging_provider_product"):
+        remaining = wh.read(t).where(F.col("BatchGuid") != batch_guid)
+        wh.overwrite(t, remaining, partition_by=["BatchGuid"])
+
+
+def merge_staging_to_fact_tables(wh: Warehouse, batch_guid: str) -> dict[str, object]:
+    """etl:168-189 — the three merges + cleanup, in reference order
+    (providers → products → provider_products), with U1 before M2."""
+    providers = merge_providers(wh, batch_guid)
+    units = ensure_units_of_measure(wh, batch_guid)
+    products = merge_products(wh, batch_guid)
+    provider_products = merge_provider_products(wh, batch_guid)
+    _cleanup_staging(wh, batch_guid)
+    return {
+        "providers_inserted": providers,
+        "units_created": units,
+        "products": products,
+        "provider_products": provider_products,
+    }
