@@ -1,0 +1,248 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four flavors are built from native DataFrame ops (no Python UDFs in
+any hot path):
+
+  exact        — sha256 hash-groupBy (uniform shuffle keys; THE pattern
+                 for exact dedup at 100 TB)
+  minhash LSH  — word-shingles → k minhashes via seeded xxhash64 →
+                 banded bucket join → candidates verified with exact
+                 Jaccard.  Shuffle volume is O(docs × bands), never
+                 O(docs²).
+  simhash      — 64-bit sign-of-weighted-bit-sums fingerprint; near-dups
+                 share fingerprints (or differ in few bits)
+  n-gram Jaccard — exact token-set Jaccard via token-inverted-index
+                 self-join (the verifiable baseline the sketches
+                 approximate)
+
+Design notes for 100 TB: every stage is expression-only (codegen),
+hash keys are uniform so no skew salting is needed, and the LSH band
+join replaces the quadratic pair enumeration that kills naive dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One survivor per distinct text: deterministic min-id winner."""
+    h = F.sha2(F.col(text_col), 256)
+    keep = (
+        df.groupBy(h.alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_h")
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def tokens(text_col: str) -> F.Column:
+    """Lowercased whitespace tokens (the corpus is space-delimited word
+    soup; a BPE-ish regex tokenizer lives in textstats)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def word_shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as an array<string> column."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: F.Column, num_hashes: int = 32) -> list[F.Column]:
+    """k independent minhashes: min over seeded xxhash64 of each shingle.
+    Pure expressions — whole-stage codegen'd, no UDF."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s)))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from banded minhash.
+
+    bands=8 × rows=4 at threshold ~0.5 Jaccard.  Scale: docs are hashed
+    to (band, band_hash) buckets; only same-bucket docs join — the
+    self-join is on uniform 64-bit keys, AQE handles any residual skew.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
+    ).select(
+        id_col, "_sh", *minhash_signature(F.col("_sh"), num_hashes)
+    )
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, "_sh", *band_cols)
+    stacked = banded.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "_sh", "bb.band_id", "bb.band_hash")
+
+    left = stacked.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"), "band_id", "band_hash"
+    )
+    right = stacked.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"), "band_id", "band_hash"
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / F.when(union > 0, union)).alias("jaccard"),
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    **kw,
+) -> DataFrame:
+    """Drop near-duplicates: for every verified pair above threshold the
+    larger id loses.  (Greedy min-id survivorship — transitive chains
+    collapse to their min member after iterating; one pass suffices for
+    the pair-level contract.)"""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, **kw).where(
+        F.col("jaccard") >= threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprints, expression-only.
+
+    token hash → per-bit ±1 votes weighted by token frequency → sign.
+    Implemented as explode + 64 conditional sums (single shuffle on
+    id_col), then bit-reassembly.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok"))
+    h = F.xxhash64("_tok")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2**i if i < 63 else -(2**63)).cast("long")
+        fp = term if fp is None else fp + term
+    return votes.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded like LSH
+    (Manku et al., WWW'07): split the 64 bits into `max_hamming + 1`
+    blocks — by pigeonhole any pair within the radius shares at least
+    one exact block → join per block, verify with popcount.  No O(n²)
+    stage.  Scale note: selectivity is a full block's bits, so small
+    radii (the production setting, ≤3 → 16-bit blocks) stay cheap;
+    large radii shrink blocks and loosen the bucketing — fine for
+    validation runs, not the 100 TB path."""
+    num_blocks = min(64, max_hamming + 1)
+    base, extra = divmod(64, num_blocks)
+    widths = [base + 1 if b < extra else base for b in range(num_blocks)]
+    starts = [sum(widths[:b]) for b in range(num_blocks)]
+    fps = simhash(df, text_col, id_col)
+    blocks = fps.select(
+        id_col,
+        "simhash",
+        *[
+            F.shiftrightunsigned("simhash", starts[b])
+            .bitwiseAND(F.lit((1 << widths[b]) - 1))
+            .alias(f"blk_{b}")
+            for b in range(num_blocks)
+        ],
+    )
+    stacked = blocks.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("blk_id"), F.col(f"blk_{b}").alias("blk_val"))
+                for b in range(num_blocks)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.blk_id", "bb.blk_val")
+    left = stacked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "blk_id", "blk_val")
+    right = stacked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "blk_id", "blk_val")
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        left.join(right, ["blk_id", "blk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard via inverted-index self-join — the
+    verifiable baseline for the sketch methods.  SQL-expressible, so it
+    carries a DuckDB oracle in the catalog.
+
+    Scale: explode to (token, doc) postings, self-join on token, count
+    co-occurrences.  Document-frequency cutoffs would bound hot tokens
+    at 100 TB; at test scale all tokens participate.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
+    a = toks.select(F.col(id_col).alias("id_a"), "tok")
+    b = toks.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
+    j = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", j.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

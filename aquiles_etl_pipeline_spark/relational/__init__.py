@@ -1,3 +1,4 @@
 from .catalog import QuerySpec, load, register, registry
+from . import llm_queries  # noqa: F401 — registers q21+ into the registry
 
 __all__ = ["QuerySpec", "load", "register", "registry"]

@@ -1,0 +1,166 @@
+"""Tests for the LLM-data operators: sketches verified against their
+exact baselines (minhash vs token Jaccard, LSH-ANN vs brute force),
+dedup semantics, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aquiles_etl_pipeline_spark.llmdata import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    out = dedup.exact_dedup(df)
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+
+
+def test_minhash_finds_known_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # near-dup of 1
+            (3, "completely unrelated words about spark catalyst optimizer plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.minhash_lsh_candidates(df, num_hashes=32, bands=8).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert (1, 2) in found and found[(1, 2)] > 0.7
+    assert (1, 3) not in found or found[(1, 3)] < 0.2
+
+    surviving = dedup.minhash_dedup(df, threshold=0.7)
+    assert {r["doc_id"] for r in surviving.collect()} == {1, 3}
+
+
+def test_minhash_recall_against_exact_shingle_jaccard(spark, docs):
+    """Sketch validation against the SAME similarity measure: exact
+    3-word-shingle Jaccard computed by brute-force cross join (feasible
+    at sf0.001) vs the banded-minhash candidate set.  At 8 bands × 4
+    rows, P(candidate | s=0.9) ≈ 0.9998, so recall must be ~1.
+
+    (Note: unigram-token Jaccard — ngram_jaccard_pairs — is a different
+    measure: this word-soup corpus has near-identical token SETS but
+    different sequences, so shingle near-dups are far rarer.)"""
+    sh = docs.select("doc_id", dedup.word_shingles("text", 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(inter.cast("double") / union >= 0.9)
+        .collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs).where(F.col("jaccard") >= 0.9).collect()
+    }
+    # minhash verifies candidates with the same exact shingle Jaccard, so
+    # candidates ∩ exact == candidates; recall is the real assertion
+    assert cand <= exact
+    if exact:
+        recall = len(exact & cand) / len(exact)
+        assert recall >= 0.9, f"minhash recall {recall:.2f} over {len(exact)} exact pairs"
+
+
+def test_simhash_deterministic_and_near_dup_blocks(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota"),
+         (3, "totally different content here nothing shared at all")],
+        ["doc_id", "text"],
+    )
+    fp1 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    fp2 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert fp1 == fp2  # deterministic
+    # 7/8 shared tokens → small hamming distance between 1 and 2
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_near_dups(df, max_hamming=16).collect()}
+    assert (1, 2) in pairs
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, emb):
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    brute = [r["vec_id"] for r in similarity.brute_force_topk(emb, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.lsh_ann_topk(emb, qv, k=10).collect()]
+    # the query vector itself must be its own nearest neighbor
+    assert brute[0] == 0 and approx[0] == 0
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.5, f"LSH recall@10 = {recall}"
+
+
+def test_language_id_beats_chance(spark, docs):
+    """The corpus is word-soup, so the heuristic can't be perfect — but
+    it must be deterministic and structurally sane."""
+    pred = textstats.identify_language(docs)
+    rows = pred.collect()
+    assert len(rows) == docs.count()
+    assert set(r["predicted_lang"] for r in rows) <= set(textstats.STOPWORDS) | {"und"}
+
+
+def test_quality_features_ranges(spark, docs):
+    q = textstats.quality_features(docs).collect()
+    for r in q:
+        assert 0 <= r["punct_ratio"] <= 1
+        assert 0 <= r["quality_score"] <= 1.001
+        assert r["n_tokens"] > 0
+
+
+def test_token_counts_and_fingerprint(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times")], ["doc_id", "text"])
+    tc = textstats.token_counts(df).collect()[0]
+    assert tc["ws_tokens"] == 4
+    # Hello , world ! 4 2 times -> letter runs + single digits + punct
+    assert tc["bpeish_tokens"] == 7
+    fp = textstats.fingerprint(df).collect()[0]
+    assert fp["content_sha256"] is not None and fp["fingerprint64"] is not None
+
+
+def test_multimodal_plumbing(spark, tmp_path):
+    # write fake "images", ingest via binaryFile, extract features
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.png").write_bytes(b"\x89PNG fake image bytes A")
+    (media / "b.jpg").write_bytes(b"\xff\xd8 fake jpeg B")
+    (media / "c.wav").write_bytes(b"RIFF fake audio")
+    df = multimodal.read_media_dir(spark, str(media))
+    rows = {r["path"].split("/")[-1]: r for r in df.collect()}
+    assert rows["a.png"]["media_type"] == "image"
+    assert rows["c.wav"]["media_type"] == "audio"
+    assert rows["b.jpg"]["length"] == len(b"\xff\xd8 fake jpeg B")
+
+    feats = multimodal.extract_image_features(df.where(F.col("media_type") == "image"))
+    out = {r["path"].split("/")[-1]: r for r in feats.collect()}
+    assert len(out) == 2
+    for r in out.values():
+        assert 64 <= r["width"] <= 255 and 64 <= r["height"] <= 255
+        assert r["channels"] == 3 and len(r["sha256"]) == 64
+    # determinism: same bytes → same features
+    feats2 = {r["path"].split("/")[-1]: r["width"]
+              for r in multimodal.extract_image_features(df.where(F.col("media_type") == "image")).collect()}
+    assert feats2 == {k: v["width"] for k, v in out.items()}
+
+
+def test_real_decoder_is_explicit_seam():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"bytes")
