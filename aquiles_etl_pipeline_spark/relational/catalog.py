@@ -35,7 +35,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        # integer `div`, NOT floor(ts/1000): double division of ~1.7e18
+        # nanos is only precise to ~256 ns (53-bit mantissa) and rounds
+        # some micros up by 1 vs DuckDB's exact truncation
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,91 @@
+"""Catalog entries for the event-time window operators (streaming/
+windows.py) run in batch mode over the ``events`` table — the same
+functions drive Structured Streaming in tests/test_streaming.py; here
+they face the DuckDB oracle, which is the batch/streaming-parity
+correctness story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import windows
+from .catalog import load, register
+
+
+@register(
+    "q30_events_tumbling_5min",
+    sql="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 5-minute event-time windows per event_type "
+        "(streaming.windows.tumbling_stats, batch mode). Scale: partial "
+        "agg on uniform (window, type) keys; streaming state bounded by "
+        "watermark.",
+    tags=("streaming", "window", "events"),
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.tumbling_stats(load(spark, sf_dir, "events"), "5 minutes")
+
+
+@register(
+    "q31_events_sliding_10x5",
+    sql="""
+    WITH exploded AS (
+      SELECT event_type, value,
+             UNNEST([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+               AS window_start
+      FROM events
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM exploded
+    GROUP BY 1, 2
+    """,
+    doc="Sliding windows (10-minute span, 5-minute slide): each event "
+        "counts in 2 windows (streaming.windows.sliding_stats).",
+    tags=("streaming", "window", "events"),
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.sliding_stats(load(spark, sf_dir, "events"), "10 minutes", "5 minutes")
+
+
+@register(
+    "q32_events_sessions_30min",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    tagged AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS last_ts,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM tagged
+    GROUP BY user_id, sid
+    """,
+    doc="Per-user session windows, 30-minute inactivity gap "
+        "(streaming.windows.session_stats vs a gaps-and-islands oracle; "
+        "a new session starts when the gap is >= 30 min, matching "
+        "Spark's [ts, ts+gap) window-merge semantics).",
+    tags=("streaming", "window", "events"),
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.session_stats(load(spark, sf_dir, "events"), "30 minutes")

@@ -1,0 +1,12 @@
+from .ingest import stream_ingest_directory, stream_ingest_files
+from .windows import session_stats, sliding_stats, tumbling_stats
+from .stateful import user_running_totals
+
+__all__ = [
+    "stream_ingest_directory",
+    "stream_ingest_files",
+    "tumbling_stats",
+    "sliding_stats",
+    "session_stats",
+    "user_running_totals",
+]

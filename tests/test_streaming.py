@@ -1,0 +1,221 @@
+"""Structured Streaming tests: file-source ingest with exactly-once
+semantics, batch/streaming parity of the event-time window operators,
+watermark late-data handling, and the custom stateful operator."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> datetime:
+    return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+from aquiles_etl_pipeline_spark.merge import Warehouse, bootstrap
+from aquiles_etl_pipeline_spark.relational.catalog import load
+from aquiles_etl_pipeline_spark.streaming import (
+    session_stats,
+    stream_ingest_directory,
+    stream_ingest_files,
+    tumbling_stats,
+    user_running_totals,
+)
+
+SF = "/root/testdata/sf0.001"
+
+CSV_A = (
+    "Producto,Fecha,Provedor,Precio,IVA\n"
+    "Arroz Premium 500g x 12 (G13),15/03/2024,ProveedorUno,2.500,13\n"
+    "Frijol Negro 1kg,16/03/2024,ProveedorUno,3.000,5\n"
+)
+CSV_B = (
+    "Producto,Fecha,Provedor,Precio,IVA\n"
+    "Azucar Blanca 2kg x 6,17/03/2024,ProveedorDos,4.250,13\n"
+)
+CSV_C = (
+    "Producto,Fecha,Provedor,Precio,IVA\n"
+    "Cafe Molido 250g,18/03/2024,ProveedorTres,8.900,13\n"
+)
+
+
+def _memory_query(df, name, output_mode):
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def test_stream_ingest_files_exactly_once(spark, tmp_path):
+    inp, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    inp.mkdir()
+    wh = Warehouse(spark, tmp_path / "wh")
+    bootstrap(wh)
+
+    (inp / "a.csv").write_text(CSV_A)
+    (inp / "b.csv").write_text(CSV_B)
+    stats = stream_ingest_files(spark, wh, str(inp), str(ckpt))
+    assert stats.files_processed == 2 and stats.rows_processed == 3
+    assert {r["Name"] for r in wh.read("provider").collect()} >= {
+        "Proveedor Uno", "Proveedor Dos",
+    }
+    n_products = wh.read("product").count()
+    assert n_products == 3
+
+    # re-run over the same dir: checkpoint yields zero new files
+    stats2 = stream_ingest_files(spark, wh, str(inp), str(ckpt))
+    assert stats2.files_processed == 0 and wh.read("product").count() == n_products
+
+    # a new file is picked up alone; ledger has one success row per file
+    (inp / "c.csv").write_text(CSV_C)
+    stats3 = stream_ingest_files(spark, wh, str(inp), str(ckpt))
+    assert stats3.files_processed == 1
+    led = wh.read("process_file")
+    assert led.where(F.col("StatusId") == 3).count() == 3
+
+
+def test_stream_ingest_directory_single_merge(spark, tmp_path):
+    inp, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    inp.mkdir()
+    wh = Warehouse(spark, tmp_path / "wh")
+    bootstrap(wh)
+    (inp / "a.csv").write_text(CSV_A)
+    (inp / "b.csv").write_text(CSV_B)
+
+    stats = stream_ingest_directory(spark, wh, str(inp), str(ckpt))
+    # one micro-batch, N files -> ONE batch guid / merge
+    assert len(stats.results) == 1 and stats.results[0].success
+    assert stats.rows_processed == 3
+    assert wh.read("product").count() == 3
+    assert wh.read("process_file").where(F.col("StatusId") == 3).count() == 2
+
+
+def test_tumbling_streaming_matches_batch(spark, tmp_path):
+    events = load(spark, SF, "events")
+    src_dir = tmp_path / "events_src"
+    events.write.parquet(str(src_dir))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src_dir))
+    q = _memory_query(tumbling_stats(stream, "15 minutes"), "tumbling_complete", "complete")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.table("tumbling_complete").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_stats(events, "15 minutes").collect()
+    }
+    assert got == want and len(want) > 100
+
+
+def test_session_stats_batch_shape(spark):
+    out = session_stats(load(spark, SF, "events"), "30 minutes")
+    rows = out.collect()
+    assert all(r["last_ts"] >= r["session_start"] for r in rows)
+    # sessions per user partition the user's events exactly
+    assert sum(r["n_events"] for r in rows) == 1000
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    src_dir = tmp_path / "late_src"
+    src_dir.mkdir()
+    schema = "ts timestamp, event_type string, value double"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src_dir / name))
+
+    # phase 1: one event in the 00:00 window, one far ahead at 01:00
+    # (drives the watermark to 00:50 under a 10-minute delay)
+    write_file("f1", [
+        (_ts("2024-01-01 00:01:00"), "click", 1.0),
+        (_ts("2024-01-01 01:00:00"), "click", 1.0),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src_dir / "*"))
+    )
+    agg = tumbling_stats(stream, "5 minutes", watermark="10 minutes")
+    q = _memory_query(agg, "late_events", "update")
+    try:
+        q.processAllAvailable()
+        # phase 2: a late event for the long-closed 00:00 window plus an
+        # on-time one; the late row must be discarded by the watermark
+        write_file("f2", [
+            (_ts("2024-01-01 00:02:00"), "click", 1.0),   # LATE -> dropped
+            (_ts("2024-01-01 01:04:00"), "click", 1.0),   # on time
+        ])
+        q.processAllAvailable()
+        rows = spark.table("late_events").collect()
+    finally:
+        q.stop()
+    counts_0000 = [
+        r["n_events"] for r in rows
+        if r["window_start"].minute == 0 and r["window_start"].hour == 0
+    ]
+    # the 00:00-00:05 window only ever saw the phase-1 event
+    assert counts_0000 and max(counts_0000) == 1
+    # the on-time phase-2 event WAS processed (01:00 window reached 2)
+    counts_0100 = [
+        r["n_events"] for r in rows
+        if r["window_start"].hour == 1 and r["window_start"].minute == 0
+    ]
+    assert max(counts_0100) == 2
+
+
+def test_user_running_totals_accumulates_across_batches(spark, tmp_path):
+    src_dir = tmp_path / "state_src"
+    src_dir.mkdir()
+    schema = "ts timestamp, user_id long, value double"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src_dir / name))
+
+    write_file("f1", [
+        (_ts("2024-01-01 00:00:00"), 1, 10.0),
+        (_ts("2024-01-01 00:01:00"), 1, 5.0),
+        (_ts("2024-01-01 00:02:00"), 2, 7.0),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src_dir / "*"))
+    )
+    q = _memory_query(user_running_totals(stream), "running_totals", "update")
+    try:
+        q.processAllAvailable()
+        write_file("f2", [
+            (_ts("2024-01-01 00:03:00"), 1, 1.0),
+            (_ts("2024-01-01 00:04:00"), 3, 2.0),
+        ])
+        q.processAllAvailable()
+        time.sleep(0.5)
+        rows = spark.table("running_totals").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:  # memory table appends updates in batch order
+        latest[r["user_id"]] = (r["n_events"], r["sum_value"])
+    assert latest[1] == (3, 16.0)  # state carried across micro-batches
+    assert latest[2] == (1, 7.0)
+    assert latest[3] == (1, 2.0)
+
+
+def test_stream_queries_registered():
+    from aquiles_etl_pipeline_spark.relational import registry
+
+    names = set(registry())
+    assert {"q30_events_tumbling_5min", "q31_events_sliding_10x5",
+            "q32_events_sessions_30min"} <= names
