@@ -77,46 +77,48 @@ def minhash_lsh_candidates(
     self-join is on uniform 64-bit keys, AQE handles any residual skew.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
-    ).select(
-        id_col, "_sh", *minhash_signature(F.col("_sh"), num_hashes)
-    )
+    shingled = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+    sig = shingled.select(id_col, *minhash_signature(F.col("_sh"), num_hashes))
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
             f"band_{b}"
         )
         for b in range(bands)
     ]
-    banded = sig.select(id_col, "_sh", *band_cols)
+    # only (id, band_id, band_hash) flows through the explode + self-join;
+    # shingle arrays join back for verification of the (small) candidate
+    # set — shuffling doc-sized arrays x bands is the naive-LSH trap
+    banded = sig.select(id_col, *band_cols)
     stacked = banded.select(
         id_col,
-        "_sh",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "_sh", "bb.band_id", "bb.band_hash")
+    ).select(id_col, "bb.band_id", "bb.band_hash")
 
-    left = stacked.select(
-        F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"), "band_id", "band_hash"
-    )
-    right = stacked.select(
-        F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"), "band_id", "band_hash"
-    )
+    left = stacked.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    right = stacked.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     pairs = (
         left.join(right, ["band_id", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return pairs.select(
-        "id_a",
-        "id_b",
-        (inter.cast("double") / F.when(union > 0, union)).alias("jaccard"),
+    return (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / F.when(union > 0, union)).alias("jaccard"),
+        )
     )
 
 
@@ -136,6 +138,53 @@ def minhash_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def _bitmap_jaccard_pairs(
+    toks: DataFrame, vocab: list[str], id_col: str, threshold: float
+) -> DataFrame:
+    """Dense-regime exact Jaccard: token sets as packed 64-bit words,
+    |a ∩ b| = sum of popcount(word_a & word_b) in a broadcast
+    nested-loop self-join.  Per-pair cost is a handful of AND+popcounts
+    in codegen — no postings shuffle, no array compares."""
+    spark = toks.sparkSession
+    n_words = (len(vocab) + 63) // 64
+    ids = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(vocab)], f"tok: string, _idx: int"
+    )
+    word_aggs = [
+        F.bit_or(
+            F.when(
+                (F.col("_idx") >= w * 64) & (F.col("_idx") < (w + 1) * 64),
+                F.expr(f"shiftleft(1L, _idx - {w * 64})"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias(f"_w{w}")
+        for w in range(n_words)
+    ]
+    masks = (
+        toks.join(F.broadcast(ids), "tok")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tok"), *word_aggs)
+    )
+    a = masks.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_tok").alias("n_a"),
+        *[F.col(f"_w{w}").alias(f"_wa{w}") for w in range(n_words)],
+    )
+    b = masks.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_tok").alias("n_b"),
+        *[F.col(f"_w{w}").alias(f"_wb{w}") for w in range(n_words)],
+    )
+    inter = sum(
+        F.bit_count(F.col(f"_wa{w}").bitwiseAND(F.col(f"_wb{w}"))) for w in range(n_words)
+    )
+    j = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", j.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
@@ -216,33 +265,80 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    bitmap_vocab_limit: int = 256,
 ) -> DataFrame:
-    """Exact token-set Jaccard via inverted-index self-join — the
-    verifiable baseline for the sketch methods.  SQL-expressible, so it
-    carries a DuckDB oracle in the catalog.
+    """Exact token-set Jaccard near-dup pairs — the verifiable baseline
+    for the sketch methods.  SQL-expressible, so it carries a DuckDB
+    oracle in the catalog.  Adaptive physical strategy:
 
-    Scale: explode to (token, doc) postings, self-join on token, count
-    co-occurrences.  Document-frequency cutoffs would bound hot tokens
-    at 100 TB; at test scale all tokens participate.
+    * tiny vocabulary (<= bitmap_vocab_limit distinct tokens): every
+      token set packs into a few 64-bit words; Jaccard becomes popcount
+      bit-math in a broadcast nested-loop self-join.  This is the dense
+      regime — when 30 tokens generate the corpus, a large fraction of
+      ALL pairs qualifies, the output is Theta(n^2), and postings joins
+      only add shuffle on top of that unavoidable quadratic output.
+    * general vocabulary: prefix filtering (Bayardo et al., WWW'07
+      "Scaling Up All Pairs Similarity Search").  A naive postings
+      self-join is quadratic in hot tokens (every pair of docs sharing
+      "the" is enumerated).  Prefix filtering is EXACT, not a heuristic:
+      order every doc's tokens by global rarity (doc-frequency asc); a
+      pair with Jaccard >= t must overlap in >= ceil(t*n) tokens, so
+      each doc need only emit its first n - ceil(t*n) + 1 rarest tokens
+      into the join and no qualifying pair is missed.  Hot tokens almost
+      never land in a prefix, so postings lists stay short — the
+      100 TB-safe formulation.  Candidates are verified with the full
+      exact intersection.
+
+    Both plans compute jaccard with the identical double expression, so
+    the strategy switch is invisible to results.
     """
+    eps = 1e-9  # slack so float ceil/mul never over-prunes a boundary pair
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
-    a = toks.select(F.col(id_col).alias("id_a"), "tok")
-    b = toks.select(F.col(id_col).alias("id_b"), "tok")
-    inter = (
-        a.join(b, "tok")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    vocab = [
+        r["tok"]
+        for r in toks.select("tok").distinct().limit(bitmap_vocab_limit + 1).collect()
+    ]
+    if len(vocab) <= bitmap_vocab_limit:
+        return _bitmap_jaccard_pairs(toks, sorted(vocab), id_col, threshold)
+    doc_freq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
+    docs = (
+        toks.join(doc_freq, "tok")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("_df"), F.col("tok")))).alias("_s"))
+        .select(
+            F.col(id_col),
+            F.transform("_s", lambda s: s["tok"]).alias("_toks"),
+            F.size("_s").alias("n_tok"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
-    j = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    prefix_len = (
+        F.col("n_tok") - F.ceil(F.col("n_tok") * threshold - eps) + 1
+    ).cast("int")
+    posts = docs.select(
+        id_col, "n_tok", F.explode(F.slice("_toks", F.lit(1), prefix_len)).alias("tok")
+    )
+    a = posts.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"), "tok")
+    b = posts.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"), "tok")
+    # length filter: jaccard <= min/max, so qualifying pairs have
+    # min >= t*max — prunes before the dedup shuffle
+    cand = (
+        a.join(b, "tok")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * threshold - eps)
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = docs.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta"), F.col("n_tok").alias("n_a"))
+    tb = docs.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb"), F.col("n_tok").alias("n_b"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    j = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
         .select("id_a", "id_b", j.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

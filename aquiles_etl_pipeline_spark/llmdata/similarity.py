@@ -53,25 +53,33 @@ def brute_force_topk(
     )
 
 
-def _rademacher_projection(vec_col: F.Column, plane: int) -> F.Column:
-    """sign(v · r_plane) with r_plane[j] = ±1 derived from xxhash64 —
-    deterministic, computed inline per element (no broadcast state)."""
-    signed = F.zip_with(
-        vec_col,
-        F.transform(vec_col, lambda _, j: j),
-        lambda x, j: F.when(
-            F.xxhash64(F.concat_ws(":", F.lit(f"hp{plane}"), j.cast("string"))) % 2 == 0,
-            x.cast("double"),
-        ).otherwise(-x.cast("double")),
+def _plane_signs(plane: int, dim: int) -> list[float]:
+    """Deterministic Rademacher (+/-1) hyperplane from sha256 — computed
+    ONCE driver-side and baked into the plan as an array literal, so the
+    per-row work is a 64-element multiply-add, not dim x planes string
+    hashes per vector."""
+    import hashlib
+
+    return [
+        1.0 if hashlib.sha256(f"hp{plane}:{j}".encode()).digest()[0] % 2 == 0 else -1.0
+        for j in range(dim)
+    ]
+
+
+def _rademacher_projection(vec_col: F.Column, plane: int, dim: int) -> F.Column:
+    signs = F.array(*[F.lit(s) for s in _plane_signs(plane, dim)])
+    return F.aggregate(
+        F.zip_with(vec_col, signs, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    return F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def lsh_signature(vec_col: F.Column, num_planes: int = 16) -> F.Column:
+def lsh_signature(vec_col: F.Column, num_planes: int = 16, dim: int = 64) -> F.Column:
     """num_planes-bit sign signature packed into a long."""
     sig = None
     for p in range(num_planes):
-        bit = F.when(_rademacher_projection(vec_col, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bit = F.when(_rademacher_projection(vec_col, p, dim) >= 0, F.lit(1)).otherwise(F.lit(0))
         term = (bit * F.lit(2**p)).cast("long")
         sig = term if sig is None else sig + term
     return sig
@@ -86,12 +94,14 @@ def lsh_ann_topk(
     num_planes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: probe buckets sharing at least one signature
-    band with the query (pigeonhole recall), exact cosine within the
+    """Approximate top-k with multi-probe LSH: probe buckets sharing at
+    least one signature band with the query — including buckets within
+    Hamming distance 1 of each query band (Lv et al., VLDB'07), which
+    buys recall without extra hash tables — then exact cosine within the
     candidate set.  At 100 TB the bucket join prunes the scan to a tiny
     candidate fraction; signatures would be precomputed + bucketed."""
     bits_per_band = num_planes // bands
-    sig = lsh_signature(F.col(vec_col), num_planes)
+    sig = lsh_signature(F.col(vec_col), num_planes, dim=len(query_vec))
     with_sig = df.withColumn("_sig", sig)
     banded = with_sig.select(
         id_col,
@@ -106,7 +116,9 @@ def lsh_ann_topk(
     qdf = banded.sparkSession.createDataFrame([(list(map(float, query_vec)),)], f"{vec_col}: array<double>")
     qrow = qdf.select(
         *[
-            F.shiftrightunsigned(lsh_signature(F.col(vec_col), num_planes), bits_per_band * b)
+            F.shiftrightunsigned(
+                lsh_signature(F.col(vec_col), num_planes, dim=len(query_vec)), bits_per_band * b
+            )
             .bitwiseAND(F.lit((1 << bits_per_band) - 1))
             .alias(f"_band_{b}")
             for b in range(bands)
@@ -114,7 +126,9 @@ def lsh_ann_topk(
     ).collect()[0]
     match_any = None
     for b in range(bands):
-        cond = F.col(f"_band_{b}") == int(qrow[f"_band_{b}"])
+        qband = int(qrow[f"_band_{b}"])
+        probes = [qband] + [qband ^ (1 << i) for i in range(bits_per_band)]
+        cond = F.col(f"_band_{b}").isin(probes)
         match_any = cond if match_any is None else (match_any | cond)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
@@ -135,12 +149,15 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) via banded LSH
     buckets + exact verification — embedding-space analogue of minhash
-    dedup."""
+    dedup.  Only (id, band) flows through the self-join; vectors join
+    back for exact cosine on the small deduped candidate set, so the
+    shuffle never carries dim-sized arrays x bands."""
+    first = df.select(vec_col).first()
+    dim = len(first[0]) if first else 0
     bits_per_band = num_planes // bands
-    with_sig = df.withColumn("_sig", lsh_signature(F.col(vec_col), num_planes))
+    with_sig = df.withColumn("_sig", lsh_signature(F.col(vec_col), num_planes, dim=dim))
     stacked = with_sig.select(
         id_col,
-        vec_col,
         F.explode(
             F.array(*[
                 F.struct(
@@ -152,13 +169,20 @@ def embedding_near_dup_pairs(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, vec_col, "bb.band_id", "bb.band_val")
-    a = stacked.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band_id", "band_val")
-    b = stacked.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "band_id", "band_val")
-    return (
+    ).select(id_col, "bb.band_id", "bb.band_val")
+    a = stacked.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
+    b = stacked.select(F.col(id_col).alias("id_b"), "band_id", "band_val")
+    pairs = (
         a.join(b, ["band_id", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cosine_sim(F.col("va"), F.col("vb")).alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
