@@ -15,13 +15,19 @@ any hot path):
                  self-join (the verifiable baseline the sketches
                  approximate)
 
-Design notes for 100 TB: every stage is expression-only (codegen),
-hash keys are uniform so no skew salting is needed, and the LSH band
-join replaces the quadratic pair enumeration that kills naive dedup.
+Design notes for 100 TB: joins and shuffles carry only ids and 64-bit
+keys (never doc-sized arrays), hash keys are uniform so no skew salting
+is needed, and the LSH band join replaces the quadratic pair
+enumeration that kills naive dedup.  String/regex work stays in native
+expressions; dense numeric kernels (the k-permutation minhash) run as
+Arrow-batched numpy, which beats interpreted higher-order expressions
+by orders of magnitude — per-row Python UDFs appear nowhere.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -51,15 +57,60 @@ def word_shingles(text_col: str, n: int = 3) -> F.Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingles: F.Column, num_hashes: int = 32) -> list[F.Column]:
-    """k independent minhashes: min over seeded xxhash64 of each shingle.
-    Pure expressions — whole-stage codegen'd, no UDF."""
-    return [
-        F.array_min(
-            F.transform(shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s)))
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+def _minhash_multipliers(num_hashes: int) -> np.ndarray:
+    """Deterministic odd uint64 multipliers: each is a bijection on
+    Z_2^64 (multiply-shift hash family, the same two-level scheme Spark
+    MLlib's MinHashLSH uses over one base hash)."""
+    rng = np.random.RandomState(0xA17)
+    return (np.frombuffer(rng.bytes(num_hashes * 8), dtype=np.uint64) | np.uint64(1)).copy()
+
+
+def shingle_codes_and_minhash(
+    text_col: str, shingle_n: int = 3, num_hashes: int = 32
+) -> F.Column:
+    """tokenize -> distinct word n-gram shingles -> 64-bit shingle codes
+    (blake2b-8) -> k minhashes, fused into ONE Arrow-batched UDF pass.
+
+    Returns struct(codes: array<long>, mh: array<long>).  The fused
+    kernel exists because the expression route evaluates higher-order
+    array lambdas interpreted, per element: per-gram slice() makes
+    shingling O(n^2) per doc, and hashing shingle strings k times adds
+    k allocating hashes per gram.  One Python batch pass does the
+    string work in C (str.split / str.join / hashlib) and the k
+    permutations as a numpy broadcast multiply.  Shingle-set Jaccard
+    over the codes equals Jaccard over the strings up to 64-bit
+    collisions (~n^2/2^64)."""
+    from hashlib import blake2b
+
+    from pyspark.sql.functions import pandas_udf
+
+    mult = _minhash_multipliers(num_hashes)
+
+    @pandas_udf("codes: array<long>, mh: array<long>")
+    def _f(texts: pd.Series) -> pd.DataFrame:
+        codes_out, mh_out = [], []
+        for t in texts:
+            toks = (t or "").lower().strip().split()
+            if not toks:
+                toks = [""]  # parity with split('\\s+') on empty text
+            grams = {
+                " ".join(toks[i : i + shingle_n])
+                for i in range(max(len(toks) - shingle_n + 1, 1))
+            }
+            codes = np.fromiter(
+                (
+                    int.from_bytes(blake2b(g.encode(), digest_size=8).digest(), "little")
+                    for g in grams
+                ),
+                dtype=np.uint64,
+                count=len(grams),
+            )
+            m = (mult[:, None] * codes[None, :]).min(axis=1)
+            codes_out.append(codes.view(np.int64))
+            mh_out.append(m.view(np.int64))
+        return pd.DataFrame({"codes": codes_out, "mh": mh_out})
+
+    return _f(F.col(text_col))
 
 
 def minhash_lsh_candidates(
@@ -77,18 +128,38 @@ def minhash_lsh_candidates(
     self-join is on uniform 64-bit keys, AQE handles any residual skew.
     """
     rows_per_band = num_hashes // bands
-    shingled = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
-    sig = shingled.select(id_col, *minhash_signature(F.col("_sh"), num_hashes))
+    # repartition first: a small corpus read from one file arrives as a
+    # single partition, serializing the CPU-bound shingle+minhash work
+    # onto one core.  At 100 TB inputs are thousands of partitions and
+    # this is a no-op-sized shuffle of (id, text).
+    # persisted: both sides of the band self-join AND the verification
+    # join-backs reuse these; without pinning, Spark recomputes the
+    # scan+shingle+minhash lineage once per branch (4x the work).  Both
+    # are doc-count-sized (no pair blowup), so memory is bounded.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    shingled = (
+        df.repartition(par)
+        .select(
+            F.col(id_col),
+            shingle_codes_and_minhash(text_col, shingle_n, num_hashes).alias("_sm"),
+        )
+        .select(id_col, F.col("_sm.codes").alias("_sh"), F.col("_sm.mh").alias("_mh"))
+        .persist()
+    )
+    # eager: without this, BOTH sides of the band self-join race the
+    # cold cache inside one job and each recomputes the UDF lineage
+    shingled.count()
     band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+        F.xxhash64(*[F.col("_mh")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
             f"band_{b}"
         )
         for b in range(bands)
     ]
     # only (id, band_id, band_hash) flows through the explode + self-join;
-    # shingle arrays join back for verification of the (small) candidate
-    # set — shuffling doc-sized arrays x bands is the naive-LSH trap
-    banded = sig.select(id_col, *band_cols)
+    # shingle-code arrays join back for verification of the (small)
+    # candidate set — shuffling doc-sized arrays x bands is the
+    # naive-LSH trap
+    banded = shingled.select(id_col, *band_cols)
     stacked = banded.select(
         id_col,
         F.explode(
@@ -97,7 +168,7 @@ def minhash_lsh_candidates(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "bb.band_id", "bb.band_hash")
+    ).select(id_col, "bb.band_id", "bb.band_hash").persist()
 
     left = stacked.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     right = stacked.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")

@@ -16,6 +16,8 @@ No UDFs anywhere; everything is Catalyst expressions over arrays.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +36,24 @@ def _norm(a: F.Column) -> F.Column:
 
 def cosine_sim(a: F.Column, b: F.Column) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_sim_batch(a: F.Column, b: F.Column) -> F.Column:
+    """Arrow-batched cosine for row-pair verification: higher-order
+    array expressions evaluate interpreted per element, so on hundreds
+    of thousands of candidate pairs one numpy batch per Arrow chunk is
+    the 10-100x path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = np.asarray(va.tolist(), dtype=np.float64)
+        mb = np.asarray(vb.tolist(), dtype=np.float64)
+        num = (ma * mb).sum(axis=1)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    return _cos(a, b)
 
 
 def brute_force_topk(
@@ -66,23 +86,31 @@ def _plane_signs(plane: int, dim: int) -> list[float]:
     ]
 
 
-def _rademacher_projection(vec_col: F.Column, plane: int, dim: int) -> F.Column:
-    signs = F.array(*[F.lit(s) for s in _plane_signs(plane, dim)])
-    return F.aggregate(
-        F.zip_with(vec_col, signs, lambda x, s: x.cast("double") * s),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def lsh_signature(vec_col: F.Column, num_planes: int = 16, dim: int = 64) -> F.Column:
-    """num_planes-bit sign signature packed into a long."""
-    sig = None
-    for p in range(num_planes):
-        bit = F.when(_rademacher_projection(vec_col, p, dim) >= 0, F.lit(1)).otherwise(F.lit(0))
-        term = (bit * F.lit(2**p)).cast("long")
-        sig = term if sig is None else sig + term
-    return sig
+    """num_planes-bit sign signature packed into a long.
+
+    Dense matrix-times-matrix is the one place the Catalyst expression
+    route loses: higher-order array functions evaluate interpreted,
+    per-row, per-element (~ms/row for 16x64 planes), while an
+    Arrow-batched Pandas UDF does the whole batch in one numpy matmul.
+    Signatures stay deterministic — the plane matrix is sha256-derived
+    (see _plane_signs), identical on every executor."""
+    from pyspark.sql.functions import pandas_udf
+
+    assert num_planes <= 64
+    planes = np.array(
+        [_plane_signs(p, dim) for p in range(num_planes)], dtype=np.float64
+    ).T  # (dim, num_planes)
+    weights = 1 << np.arange(num_planes, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (m @ planes) >= 0.0
+        packed = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        return pd.Series(packed.view(np.int64))
+
+    return _sig(vec_col)
 
 
 def lsh_ann_topk(
@@ -144,17 +172,26 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    num_planes: int = 16,
-    bands: int = 4,
+    num_planes: int = 64,
+    bands: int = 8,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) via banded LSH
     buckets + exact verification — embedding-space analogue of minhash
     dedup.  Only (id, band) flows through the self-join; vectors join
     back for exact cosine on the small deduped candidate set, so the
-    shuffle never carries dim-sized arrays x bands."""
+    shuffle never carries dim-sized arrays x bands.
+
+    Defaults (64 planes = 8 bands x 8 bits, one packed long): for
+    cosine >= 0.9 pairs (p_bit ~ 0.856) recall is ~93%, while random
+    pairs collide per band at 2^-8 — narrow bands are what make LSH
+    prune; 4-bit bands pass ~1/16 of ALL pairs per band and drown the
+    verifier."""
     first = df.select(vec_col).first()
     dim = len(first[0]) if first else 0
     bits_per_band = num_planes // bands
+    # fan out: one input file = one partition = one core for the
+    # signature matmul; at scale inputs are already many partitions
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     with_sig = df.withColumn("_sig", lsh_signature(F.col(vec_col), num_planes, dim=dim))
     stacked = with_sig.select(
         id_col,
@@ -169,7 +206,9 @@ def embedding_near_dup_pairs(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "bb.band_id", "bb.band_val")
+    ).select(id_col, "bb.band_id", "bb.band_val").persist()
+    # eager: both self-join branches would otherwise race the cold cache
+    stacked.count()
     a = stacked.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
     b = stacked.select(F.col(id_col).alias("id_b"), "band_id", "band_val")
     pairs = (
@@ -183,6 +222,6 @@ def embedding_near_dup_pairs(
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine_sim(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .select("id_a", "id_b", cosine_sim_batch(F.col("va"), F.col("vb")).alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )

@@ -105,11 +105,14 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Global top-k word bigrams (corpus n-gram statistics)."""
     toks = tokens(text_col)
-    idx = F.sequence(F.lit(0), F.size(toks) - 2)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
-    ).otherwise(F.array().cast("array<string>"))
+    # zip the array with its own tail: O(n) per doc, vs per-index
+    # slice() which re-copies and is O(n^2) on long documents
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
     return (
         df.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
