@@ -167,6 +167,115 @@ def lsh_ann_topk(
     )
 
 
+def exact_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine similarity >= threshold — the verifiable
+    brute-force baseline the LSH/IVF paths approximate.
+
+    Physical shape: one side is collected, L2-normalized, and broadcast
+    as a dense numpy matrix; mapInPandas then computes a blocked GEMM
+    (batch x broadcast.T) per Arrow batch and emits only qualifying
+    pairs.  No pair ever hits a shuffle — the quadratic work happens
+    inside BLAS, the quadratic *data* never materializes beyond matches.
+    Scale: valid while one side fits an executor (~1e6 x 64 floats =
+    256 MB); past that, block the broadcast side too (outer loop over
+    broadcast chunks), same kernel."""
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    m = np.asarray([r[1] for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((ids, mn))
+
+    def gen(batches):
+        b_ids, b_mn = bc.value
+        for pdf in batches:
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            s = vn @ b_mn.T
+            vid = pdf[id_col].to_numpy(dtype=np.int64)
+            ii, jj = np.nonzero((s >= threshold) & (vid[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": vid[ii], "id_b": b_ids[jj], "cosine_sim": s[ii, jj]}
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par).mapInPandas(
+        gen, "id_a: long, id_b: long, cosine_sim: double"
+    )
+
+
+def _spherical_kmeans(x: np.ndarray, n_cells: int, seed: int, iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means (unit centroids, cosine
+    assignment) — the IVF coarse quantizer."""
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    c = xn[rng.choice(len(xn), size=min(n_cells, len(xn)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(xn @ c.T, axis=1)
+        for j in range(len(c)):
+            members = xn[assign == j]
+            if len(members):
+                mean = members.mean(axis=0)
+                norm = np.linalg.norm(mean)
+                if norm > 0:
+                    c[j] = mean / norm
+    return c
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: a spherical
+    k-means coarse quantizer partitions vectors into cells; a query
+    probes only its n_probe nearest cells and reranks exactly inside
+    them.  The complementary ANN design to lsh_ann_topk: IVF adapts to
+    the data distribution (centroids live where vectors are) where LSH
+    is data-oblivious.
+
+    Scale: the quantizer trains on a bounded driver-side sample (that
+    is how FAISS-style IVF trains too); assignment is one batched
+    matmul per Arrow chunk; at 100 TB the cell id becomes a partition/
+    bucket key so a probe prunes file scans instead of filtering rows.
+    """
+    sample = df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    x = np.asarray([r[0] for r in sample], dtype=np.float64)
+    cents = _spherical_kmeans(x, n_cells, seed)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _cell(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        return pd.Series(np.argmax(vn @ cents.T, axis=1).astype(np.int32))
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probes = [int(p) for p in np.argsort(-(cents @ qn))[:n_probe]]
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(par)
+        .withColumn("_cell", _cell(F.col(vec_col)))
+        .where(F.col("_cell").isin(probes))
+        .select(id_col, cosine_sim_batch(F.col(vec_col), qcol).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

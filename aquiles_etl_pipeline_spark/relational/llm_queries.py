@@ -166,6 +166,55 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q33_cosine_pairs_exact",
+    sql="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])), 4)
+                AS DECIMAL(10,4)) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
+    doc="Exact all-pairs cosine >= 0.3 (blocked GEMM against a "
+        "broadcast normalized matrix, mapInPandas) — the oracle-backed "
+        "brute-force baseline for the LSH/IVF approximate paths.",
+    tags=("similarity", "embeddings"),
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.exact_cosine_pairs(e, threshold=0.3).select(
+        "id_a", "id_b", F.round("cosine_sim", 4).cast("decimal(10,4)").alias("cosine_sim")
+    )
+
+
+@register(
+    "q34_ann_ivf_topk",
+    sql=None,  # approximate (probes n_probe of n_cells); recall vs q20 in tests
+    doc="IVF approximate top-k: spherical-kmeans coarse quantizer, "
+        "probe 4 of 16 cells, exact rerank inside probed cells.",
+    tags=("similarity", "embeddings", "topk"),
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_topk(e.where(F.col("vec_id") != 0), qv, k=10).select(
+        "vec_id", F.round("cosine_sim", 4).cast("decimal(10,4)").alias("cosine_sim")
+    )
+
+
+@register(
+    "q35_simhash_near_dup_pairs",
+    sql=None,  # 64-bit xxhash fingerprints have no DuckDB twin
+    doc="SimHash near-dup pairs within Hamming radius 3 via pigeonhole "
+        "block join (Manku et al. WWW'07) — no O(n^2) stage.",
+    tags=("dedup", "documents"),
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
     "q29_etl_wide_record",
     sql="""
     WITH tagged AS (

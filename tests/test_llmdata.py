@@ -164,3 +164,30 @@ def test_multimodal_plumbing(spark, tmp_path):
 def test_real_decoder_is_explicit_seam():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"bytes")
+
+
+def test_exact_cosine_pairs_matches_crossjoin(spark, emb):
+    """Blocked-GEMM exact pairs == naive crossJoin pairs (same threshold)."""
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.exact_cosine_pairs(emb, threshold=0.3).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(similarity.cosine_sim(F.col("va"), F.col("vb")) >= 0.3)
+        .collect()
+    }
+    assert got == want
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, emb):
+    qv = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.where(F.col("vec_id") != 0)
+    brute = [r["vec_id"] for r in similarity.brute_force_topk(rest, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.ivf_topk(rest, qv, k=10).collect()]
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall@10 = {recall}"
