@@ -1,0 +1,71 @@
+"""Catalog entries for the temporal join operators (relational/joins.py)
+over the events table, each with a DuckDB oracle (ASOF JOIN is native
+DuckDB SQL; the interval join is a plain range predicate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load, register
+from .joins import asof_join, interval_count_join
+
+
+@register(
+    "q36_asof_click_to_error",
+    sql="""
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         errors AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+    SELECT c.event_id, c.user_id, c.ts,
+           e.ts AS asof_error_ts,
+           CAST(e.value AS DECIMAL(18,2)) AS asof_error_value
+    FROM clicks c
+    ASOF LEFT JOIN errors e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+    doc="As-of join: every click joined to the user's most recent error "
+        "at-or-before it.  Union-then-window merge formulation: ONE "
+        "shuffle on user_id, linear in rows — the naive theta-join "
+        "formulation explodes to the per-user cross product.",
+    tags=("join", "temporal", "events"),
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "ts", "value")
+    out = asof_join(clicks, errors, on="user_id", right_cols=("ts", "value"))
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("asof_error_ts"),
+        F.col("asof_value").cast("decimal(18,2)").alias("asof_error_value"),
+    )
+
+
+@register(
+    "q37_errors_followed_by_clicks",
+    sql="""
+    WITH errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, e.ts, COUNT(c.user_id) AS n_in_window
+    FROM errors e
+    LEFT JOIN clicks c
+      ON c.user_id = e.user_id
+     AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 1 HOUR
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+    doc="Interval join: clicks within 1h after each error, per user. "
+        "Equi-join on user_id with the range as a filter — blowup "
+        "bounded by rows-per-key; bucket the key by coarse time at "
+        "100 TB.",
+    tags=("join", "temporal", "events"),
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    return interval_count_join(
+        errors, clicks, on="user_id", window_seconds=3600
+    ).select("event_id", "user_id", "ts", "n_in_window")

@@ -1,0 +1,92 @@
+"""Temporal join operators Spark lacks as primitives: as-of join and
+interval (range) join, built as compositions of existing DataFrame ops
+so Catalyst keeps optimizing them.
+
+The reference has no temporal joins (SURVEY.md §2.4 "absent"); these
+are part of the engine's native analytics surface over the events
+table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    right_ts <= left_ts within the same `on` key (left outer).
+
+    Physical strategy: union-then-window, the merge-join formulation —
+    tag both sides, sort each key's rows by time once, and carry the
+    most recent right values forward with last(ignorenulls) over an
+    unbounded-preceding window.  ONE shuffle on the join key, linear in
+    rows; the naive formulation (theta-join on ts <= ts, then max())
+    explodes to the full key-pair cross product.  Ties (equal ts) sort
+    the right row first, so an exactly-simultaneous right row is
+    visible to the left row.
+    """
+    lt = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        carried.where(F.col("_side") == 1)
+        .drop("_t", "_side", *[f"_r_{c}" for c in right_cols])
+    )
+
+
+def interval_count_join(
+    anchors: DataFrame,
+    others: DataFrame,
+    on: str,
+    anchor_ts: str = "ts",
+    other_ts: str = "ts",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Count `others` rows landing in (anchor_ts, anchor_ts + window]
+    per anchor row, same `on` key — an interval/range join.
+
+    Equi-join on the key + range predicate: Catalyst plans a hash join
+    on `on` with the range as a post-filter, so the blowup is bounded
+    by rows-per-key, not table sizes.  At 100 TB add a coarse time-
+    bucket to the equi-key (bucket join) so a key's history doesn't
+    need to co-reside."""
+    a = anchors.withColumn("_a_ts", F.col(anchor_ts))
+    o = others.select(F.col(on).alias("_o_key"), F.col(other_ts).alias("_o_ts"))
+    cond = (
+        (F.col(on) == F.col("_o_key"))
+        & (F.col("_o_ts") > F.col("_a_ts"))
+        & (F.col("_o_ts") <= F.col("_a_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS"))
+    )
+    return (
+        a.join(o, cond, "left")
+        .groupBy(*[F.col(c) for c in a.columns])
+        .agg(F.count("_o_key").alias("n_in_window"))
+        .drop("_a_ts")
+    )
