@@ -259,28 +259,45 @@ def _bitmap_jaccard_pairs(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash fingerprints, expression-only.
+    """64-bit SimHash fingerprints: token hash → per-bit ±1 votes
+    weighted by token frequency → sign, packed two's-complement.
 
-    token hash → per-bit ±1 votes weighted by token frequency → sign.
-    Implemented as explode + 64 conditional sums (single shuffle on
-    id_col), then bit-reassembly.
-    """
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok"))
-    h = F.xxhash64("_tok")
-    votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(bits)
-        ]
+    One fused Arrow-batch kernel per doc (hashlib token codes + a numpy
+    bit-matrix vote), replacing the explode-shuffle + 64 aggregate
+    expressions formulation: the shuffle carried every token occurrence
+    and the 64-way conditional sum dominated the profile while the
+    actual math is a (tokens x 64) matmul-shaped reduction."""
+    assert bits == 64
+    from hashlib import blake2b
+
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
+
+    @pandas_udf("long")
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().strip().split() or [""]
+            uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            codes = np.fromiter(
+                (
+                    int.from_bytes(blake2b(g.encode(), digest_size=8).digest(), "little")
+                    for g in uniq
+                ),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            bitm = (codes[:, None] >> shifts[None, :]) & np.uint64(1)
+            votes = ((2 * bitm.astype(np.int64) - 1) * cnt[:, None]).sum(axis=0)
+            out[i] = (weights * (votes > 0).astype(np.uint64)).sum()
+        return pd.Series(out.view(np.int64))
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par).select(
+        F.col(id_col), _fp(F.col(text_col)).alias("simhash")
     )
-    fp = None
-    for i in range(bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(2**i if i < 63 else -(2**63)).cast("long")
-        fp = term if fp is None else fp + term
-    return votes.select(id_col, fp.alias("simhash"))
 
 
 def simhash_near_dups(
@@ -298,7 +315,10 @@ def simhash_near_dups(
     base, extra = divmod(64, num_blocks)
     widths = [base + 1 if b < extra else base for b in range(num_blocks)]
     starts = [sum(widths[:b]) for b in range(num_blocks)]
-    fps = simhash(df, text_col, id_col)
+    # persist + eager: both block self-join branches reuse fingerprints
+    # instead of re-running the hashing kernel per branch
+    fps = simhash(df, text_col, id_col).persist()
+    fps.count()
     blocks = fps.select(
         id_col,
         "simhash",

@@ -45,6 +45,45 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q38_cube_status_priority",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over (status, priority): all 4 grouping sets in one "
+        "map-side expansion, one shuffle.",
+    tags=("cube", "agg"),
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("total_price"),
+    )
+
+
+@register(
+    "q39_approx_distinct_users",
+    sql=None,  # HLL sketch differs by implementation; tolerance vs exact in tests
+    doc="approx_count_distinct (HyperLogLog++) users per event_type — "
+        "the mergeable-sketch path for distinct counts at 100 TB; "
+        "rsd 0.01.  tests/test_relational_oracle.py pins <=5% error "
+        "vs the exact distinct count.",
+    tags=("agg", "approx", "events"),
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@register(
     "q37_errors_followed_by_clicks",
     sql="""
     WITH errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),

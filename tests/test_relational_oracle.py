@@ -41,3 +41,27 @@ def test_query_matches_oracle(spark, oracle, sf_dir_module, name):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want), f"rowcount {len(got)} != {len(want)}"
     assert got.equals(want), "value mismatch"
+
+
+def test_q39_approx_distinct_within_tolerance(spark):
+    """HLL++ at rsd=0.01 must land within 5% of the exact distinct
+    count (it has no DuckDB oracle — sketches differ by engine)."""
+    from pyspark.sql import functions as F
+
+    from aquiles_etl_pipeline_spark.relational import registry
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in registry()["q39_approx_distinct_users"].fn(spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.05 * n, 1), (k, approx[k], n)
