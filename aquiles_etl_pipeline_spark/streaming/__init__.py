@@ -1,8 +1,9 @@
 from .ingest import stream_ingest_directory, stream_ingest_files
-from .windows import session_stats, sliding_stats, tumbling_stats
+from .windows import dedup_events, session_stats, sliding_stats, tumbling_stats
 from .stateful import user_running_totals
 
 __all__ = [
+    "dedup_events",
     "stream_ingest_directory",
     "stream_ingest_files",
     "tumbling_stats",

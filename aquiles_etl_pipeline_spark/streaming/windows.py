@@ -39,6 +39,26 @@ def _with_watermark(events: DataFrame, watermark: str | None) -> DataFrame:
     return events
 
 
+def dedup_events(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once event dedup, dual-mode.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — state holds only keys
+    younger than the watermark, so memory is bounded by (arrival rate x
+    watermark), not stream length; a duplicate arriving later than the
+    watermark is by definition outside the lateness contract.
+    Batch: plain ``dropDuplicates`` over the same keys.
+    """
+    keys = list(keys)
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 def tumbling_stats(
     events: DataFrame, duration: str = "5 minutes", watermark: str | None = None
 ) -> DataFrame:

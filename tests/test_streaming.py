@@ -219,3 +219,32 @@ def test_stream_queries_registered():
     names = set(registry())
     assert {"q30_events_tumbling_5min", "q31_events_sliding_10x5",
             "q32_events_sessions_30min"} <= names
+
+
+def test_dedup_events_streaming_drops_replayed_rows(spark, tmp_path):
+    """The same event_id delivered twice (file replayed with new name)
+    must survive exactly once downstream."""
+    from aquiles_etl_pipeline_spark.streaming import dedup_events
+
+    events = load(spark, SF, "events").limit(50).cache()
+    src_dir = tmp_path / "dup_src"
+    events.write.parquet(str(src_dir))
+    # replay the same rows as a second set of files
+    events.write.mode("append").parquet(str(src_dir))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src_dir))
+    q = _memory_query(
+        dedup_events(stream, keys=["event_id"], watermark="1 hour"),
+        "dedup_out",
+        "append",
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("dedup_out").groupBy("event_id").count().collect()
+    finally:
+        q.stop()
+    assert len(got) == 50
+    assert all(r["count"] == 1 for r in got)
+    # batch mode: same contract via dropDuplicates
+    doubled = events.unionByName(events)
+    assert dedup_events(doubled, keys=["event_id"]).count() == 50
