@@ -115,6 +115,77 @@ def extract_image_features(df: DataFrame, batch_size: int = 64) -> DataFrame:
             df.sparkSession.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
 
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("length", LongType()),
+    StructField("duration_s", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("sha256", StringType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("frame_index", IntegerType()),
+    StructField("ts_offset_s", IntegerType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Audio analogue of extract_image_features: same Arrow-batched
+    mapInPandas contract; duration/rate come from the deterministic
+    fake until a real decoder (soundfile/ffmpeg) replaces the seam."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                h = hashlib.sha256(content).digest()
+                out.append(
+                    (row["path"], int(row["length"]), 1 + h[2] % 600,
+                     (8, 16, 22, 44)[h[3] % 4] * 1000, 1 + h[4] % 2,
+                     hashlib.sha256(content).hexdigest())
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["path", "length", "duration_s", "sample_rate", "channels", "sha256"],
+            )
+
+    return df.select("path", "length", "content").mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(df: DataFrame, every_n_seconds: int = 10) -> DataFrame:
+    """Video frame sampling: ONE input row fans out to one row per
+    sampled frame — the mapInPandas iterator contract handles the 1->N
+    expansion without ever holding a whole video's frames in memory
+    (yield per input batch, frames bounded by duration/interval).  The
+    frame bytes are a deterministic per-frame stub until an ffmpeg
+    decoder replaces the seam; schema, fan-out, and batch shape are the
+    real production plumbing."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                h = hashlib.sha256(content).digest()
+                duration = 1 + h[5] % 120
+                for i, ts in enumerate(range(0, duration, every_n_seconds)):
+                    out.append(
+                        (row["path"], i, ts,
+                         hashlib.sha256(content + ts.to_bytes(4, "little")).digest())
+                    )
+            yield pd.DataFrame(out, columns=["path", "frame_index", "ts_offset_s", "frame"])
+
+    return df.select("path", "content").mapInPandas(batches, FRAME_SCHEMA)
+
+
 def decode_image_real(content: bytes):  # pragma: no cover - seam
     """Real decoder seam: PIL/opencv are not in this container."""
     raise NotImplementedError(

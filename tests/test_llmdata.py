@@ -191,3 +191,26 @@ def test_ivf_topk_recall_vs_brute_force(spark, emb):
     approx = [r["vec_id"] for r in similarity.ivf_topk(rest, qv, k=10).collect()]
     recall = len(set(brute) & set(approx)) / 10
     assert recall >= 0.5, f"IVF recall@10 = {recall}"
+
+
+def test_multimodal_audio_and_frame_sampling(spark, tmp_path):
+    media = tmp_path / "media2"
+    media.mkdir()
+    (media / "a.wav").write_bytes(b"RIFF fake audio A" * 10)
+    (media / "v.mp4").write_bytes(b"\x00\x00ftyp fake video" * 20)
+    df = multimodal.read_media_dir(spark, str(media))
+
+    audio = multimodal.extract_audio_features(df.where(F.col("media_type") == "audio"))
+    arow = audio.collect()[0]
+    assert arow["duration_s"] >= 1 and arow["sample_rate"] in (8000, 16000, 22000, 44000)
+
+    frames = multimodal.sample_frames(df.where(F.col("media_type") == "video"), every_n_seconds=5)
+    rows = frames.orderBy("frame_index").collect()
+    assert len(rows) >= 1
+    assert [r["frame_index"] for r in rows] == list(range(len(rows)))
+    assert all(r["ts_offset_s"] == i * 5 for i, r in enumerate(rows))
+    # deterministic: same input -> same frames
+    again = multimodal.sample_frames(df.where(F.col("media_type") == "video"), every_n_seconds=5)
+    assert [bytes(r["frame"]) for r in again.orderBy("frame_index").collect()] == [
+        bytes(r["frame"]) for r in rows
+    ]
