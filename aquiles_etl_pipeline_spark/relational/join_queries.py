@@ -68,6 +68,32 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q40_event_value_percentiles",
+    sql="""
+    SELECT event_type,
+           CAST(ROUND(quantile_cont(value, 0.5), 6) AS DECIMAL(18,6)) AS p50,
+           CAST(ROUND(quantile_cont(value, 0.95), 6) AS DECIMAL(18,6)) AS p95,
+           CAST(ROUND(quantile_cont(value, 0.99), 6) AS DECIMAL(18,6)) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact percentiles per event_type: Spark `percentile` and DuckDB "
+        "quantile_cont share linear-interpolation semantics.  Scale: "
+        "exact percentile sorts per group; swap to approx_percentile "
+        "(t-digest, mergeable) past memory-per-group limits.",
+    tags=("agg", "events"),
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pct = lambda p, a: F.round(F.expr(f"percentile(value, {p})"), 6).cast(
+        "decimal(18,6)"
+    ).alias(a)
+    return ev.groupBy("event_type").agg(
+        pct(0.5, "p50"), pct(0.95, "p95"), pct(0.99, "p99")
+    )
+
+
+@register(
     "q39_approx_distinct_users",
     sql=None,  # HLL sketch differs by implementation; tolerance vs exact in tests
     doc="approx_count_distinct (HyperLogLog++) users per event_type — "
