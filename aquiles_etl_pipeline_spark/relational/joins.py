@@ -61,6 +61,31 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with salted keys for pathological key skew.
+
+    AQE's skew-join splitting handles most skew by splitting oversized
+    partitions, but it cannot split a SINGLE hot key's hash bucket on
+    the build side.  Salting can: the left (large, skewed) side gets a
+    random salt in [0, salt); the right side is exploded `salt` times so
+    every (key, salt) pair finds its match.  One hot key's rows now
+    spread over `salt` tasks.  Cost: right side replicated salt-fold —
+    use for large-large joins where the right side is modest but too
+    big to broadcast and the left has degenerate keys.
+    """
+    lsalted = left.withColumn("_salt", (F.rand(seed=7) * salt).cast("int"))
+    rsalted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return lsalted.join(rsalted, [on, "_salt"], how).drop("_salt")
+
+
 def interval_count_join(
     anchors: DataFrame,
     others: DataFrame,

@@ -65,3 +65,23 @@ def test_q39_approx_distinct_within_tolerance(spark):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(0.05 * n, 1), (k, approx[k], n)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted equi-join must be result-identical to the plain join —
+    salting only changes the physical row distribution."""
+    from pyspark.sql import functions as F
+
+    from aquiles_etl_pipeline_spark.relational.joins import salted_join
+
+    # degenerate skew: 90% of left rows share one key
+    left = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(0, 500).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    got = salted_join(left, right, on="k", salt=8).groupBy("k").count().collect()
+    want = left.join(right, "k").groupBy("k").count().collect()
+    assert sorted((r["k"], r["count"]) for r in got) == sorted(
+        (r["k"], r["count"]) for r in want
+    )
