@@ -85,3 +85,24 @@ def test_sketch_queries_shuffle_only_ids_and_hashes(plans):
     for block in p.split("\n\n"):
         if block.startswith("(") and "Exchange" in block.splitlines()[0]:
             assert "_sh" not in block, "band join shuffles shingle arrays"
+
+
+def test_copartitioned_join_reuses_distribution(spark):
+    """Pre-partitioning both join sides on the key must satisfy the
+    join's distribution requirement — Catalyst plans NO additional
+    Exchange beyond the two explicit repartitions.  This is the
+    co-located (bucketed) join pattern: at 100 TB the repartition is
+    replaced by bucketed table layout and the join is shuffle-free."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(1).alias("x"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(2).alias("y"))
+    # hint("merge") pins sort-merge so auto-broadcast (these are tiny
+    # test tables) doesn't mask the distribution question
+    joined = a.repartition(32, "k").hint("merge").join(b.repartition(32, "k"), "k")
+    p = plan_of(joined)
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert "SortMergeJoin" in p
+    assert n_exchanges == 2, f"expected only the 2 explicit repartitions:\n{p}"
