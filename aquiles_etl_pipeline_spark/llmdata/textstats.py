@@ -113,8 +113,12 @@ def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda x, y: F.concat(x, F.lit(" "), y),
     )
+    # single-file corpora arrive as one partition; fan the CPU-bound
+    # tokenize+explode across cores (no-op at scale)
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(F.explode(bigrams).alias("bigram"))
+        df.repartition(par)
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("bigram"))
