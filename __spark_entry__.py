@@ -21,8 +21,9 @@ from aquiles_etl_pipeline_spark.relational import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    spec = registry()["q01_pricing_summary"]
+    """Flagship: the end-to-end ETL star-schema pipeline (canonicalize →
+    transform → staging → MERGE×3 → fact readback) at sf0.001."""
+    spec = registry()["q41_etl_star_pipeline"]
     return spec.fn(spark, "/root/testdata/sf0.001")
 
 

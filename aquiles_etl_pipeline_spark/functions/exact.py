@@ -42,8 +42,12 @@ def _fuzzy_date_pd(s: pd.Series) -> pd.Series:
     from dateutil.parser import parse as du_parse
 
     trimmed = s.astype("string")
-    fast = pd.to_datetime(trimmed, dayfirst=True, errors="coerce", format="mixed")
-    out = fast.dt.strftime("%Y-%m-%d")
+    # dictionary-encode: real price-list files carry a handful of
+    # distinct date strings across thousands of rows — parse each
+    # distinct value once, then map
+    uniq = pd.Series(trimmed.dropna().unique(), dtype="string")
+    fast = pd.to_datetime(uniq, dayfirst=True, errors="coerce", format="mixed")
+    vals = fast.dt.strftime("%Y-%m-%d")
 
     def slow(v: str | None) -> str | None:
         if v is None or v is pd.NA:
@@ -53,9 +57,11 @@ def _fuzzy_date_pd(s: pd.Series) -> pd.Series:
         except Exception:
             return None
 
-    missing = out.isna() & trimmed.notna()
+    missing = vals.isna()
     if missing.any():
-        out[missing] = trimmed[missing].map(slow)
+        vals[missing] = uniq[missing].map(slow)
+    mapping = dict(zip(uniq, vals.astype(object).where(vals.notna(), None)))
+    out = trimmed.map(mapping)
     return out.astype(object).where(out.notna(), None)
 
 

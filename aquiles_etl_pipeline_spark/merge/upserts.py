@@ -121,7 +121,7 @@ def _resolve_uom(wh: Warehouse, df: DataFrame, unit_col: str) -> DataFrame:
     )
 
 
-def merge_products(wh: Warehouse, batch_guid: str) -> dict[str, int]:
+def merge_products(wh: Warehouse, batch_guid: str, collect_stats: bool = True) -> dict[str, int]:
     """M2: upsert keyed on DescriptionHash = sha256(Description)
     (identity implied by the IX_Product_DescriptionHash index,
     core/entities.py:106). Matched → update Measure/UnitOfMeasureId/
@@ -180,12 +180,12 @@ def merge_products(wh: Warehouse, batch_guid: str) -> dict[str, int]:
         now.alias("UpdatedDt"),
         "DescriptionHash",
     )
-    n_ins = new_rows.count()
+    n_ins = new_rows.count() if collect_stats else -1
     wh.overwrite("product", updated.unionByName(new_rows))
-    return {"inserted": n_ins, "total_source": src.count()}
+    return {"inserted": n_ins, "total_source": src.count() if collect_stats else -1}
 
 
-def merge_provider_products(wh: Warehouse, batch_guid: str) -> dict[str, int]:
+def merge_provider_products(wh: Warehouse, batch_guid: str, collect_stats: bool = True) -> dict[str, int]:
     """M3: resolve placeholder FKs from denormalized staging names
     (etl:151-152), then upsert keyed on (ProductId, ProviderId) —
     'insert new relationships, update existing ones'
@@ -251,9 +251,9 @@ def merge_provider_products(wh: Warehouse, batch_guid: str) -> dict[str, int]:
         "Id", "ProductId", "ProviderId", "IsValidated", "LastReviewDt",
         "PackageUnits", "IVA", "Price",
     )
-    n_ins = new_rows.count()
+    n_ins = new_rows.count() if collect_stats else -1
     wh.overwrite("provider_product", updated.unionByName(new_rows))
-    return {"inserted": n_ins, "total_source": src.count()}
+    return {"inserted": n_ins, "total_source": src.count() if collect_stats else -1}
 
 
 def _cleanup_staging(wh: Warehouse, batch_guid: str) -> None:
@@ -263,13 +263,17 @@ def _cleanup_staging(wh: Warehouse, batch_guid: str) -> None:
         wh.overwrite(t, remaining, partition_by=["BatchGuid"])
 
 
-def merge_staging_to_fact_tables(wh: Warehouse, batch_guid: str) -> dict[str, object]:
+def merge_staging_to_fact_tables(
+    wh: Warehouse, batch_guid: str, collect_stats: bool = True
+) -> dict[str, object]:
     """etl:168-189 — the three merges + cleanup, in reference order
-    (providers → products → provider_products), with U1 before M2."""
+    (providers → products → provider_products), with U1 before M2.
+    ``collect_stats=False`` skips the stats-only count jobs (the counts
+    that gate empty writes still run)."""
     providers = merge_providers(wh, batch_guid)
     units = ensure_units_of_measure(wh, batch_guid)
-    products = merge_products(wh, batch_guid)
-    provider_products = merge_provider_products(wh, batch_guid)
+    products = merge_products(wh, batch_guid, collect_stats)
+    provider_products = merge_provider_products(wh, batch_guid, collect_stats)
     _cleanup_staging(wh, batch_guid)
     return {
         "providers_inserted": providers,

@@ -21,8 +21,12 @@ from ..merge.schemas import DEC
 from ..merge.warehouse import Warehouse
 
 
-def load_data_to_staging_tables(wh: Warehouse, df: DataFrame, batch_guid: str) -> dict[str, int]:
-    """Returns inserted-row counts per staging table (reference logs the same)."""
+def load_data_to_staging_tables(
+    wh: Warehouse, df: DataFrame, batch_guid: str, collect_counts: bool = True
+) -> dict[str, int]:
+    """Returns inserted-row counts per staging table (reference logs the
+    same); ``collect_counts=False`` skips the three count jobs for
+    callers that don't report them."""
     if df.isEmpty():  # etl:63-66
         return {"providers": 0, "products": 0, "provider_products": 0}
 
@@ -62,6 +66,8 @@ def load_data_to_staging_tables(wh: Warehouse, df: DataFrame, batch_guid: str) -
     wh.append("staging_provider", providers, partition_by=["BatchGuid"])
     wh.append("staging_product", products, partition_by=["BatchGuid"])
     wh.append("staging_provider_product", provider_products, partition_by=["BatchGuid"])
+    if not collect_counts:
+        return {"providers": -1, "products": -1, "provider_products": -1}
     return {
         "providers": providers.count(),
         "products": products.count(),
