@@ -39,14 +39,40 @@ from .warehouse import Warehouse
 
 
 def _next_ids(existing: DataFrame, new_rows: DataFrame, order_col: str) -> DataFrame:
-    """Assign sequential Ids to new_rows above max(existing.Id).
+    """Assign sequential Ids to new_rows above max(existing.Id),
+    ordered by order_col.
 
-    New rows per batch are file-sized, so the single-partition
-    row_number window is bounded; Delta GENERATED ALWAYS AS IDENTITY
-    replaces this on a real cluster."""
+    Scalable two-phase numbering — no global single-partition window:
+    range-repartition by order_col so partitions are globally ordered
+    key ranges, row_number within each partition, then shift by
+    per-partition offsets (a running sum over the partition-count
+    frame, which has at most #partitions rows).  Delta GENERATED
+    ALWAYS AS IDENTITY replaces this on a real cluster."""
     max_id = (existing.agg(F.coalesce(F.max("Id"), F.lit(0)).alias("m")).collect())[0]["m"]
-    w = Window.orderBy(order_col)
-    return new_rows.withColumn("Id", (F.lit(max_id) + F.row_number().over(w)).cast("long"))
+    local = (
+        new_rows.repartitionByRange(F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(order_col)))
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.max("_rn").alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("Id", (F.lit(max_id) + F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
 
 
 def _staging_batch(wh: Warehouse, table: str, batch_guid: str) -> DataFrame:

@@ -14,16 +14,22 @@ keep the container dependency-free (no delta-spark available here).
 
 Scale posture: staging tables are written partitioned by batch_guid so
 merge jobs prune to one partition; fact-table rewrite is the local-mode
-stand-in for Delta MERGE's file-level rewrite.
+stand-in for Delta MERGE's file-level rewrite.  Empty snapshots are a
+schema marker file, not a Spark write job — bootstrapping a warehouse
+launches zero jobs, and reading an empty table yields a local relation
+(which Catalyst folds into trivially-broadcast join sides).
 """
 
 from __future__ import annotations
 
+import json
 import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+_EMPTY_MARKER = "_EMPTY_SCHEMA.json"
 
 
 class Warehouse:
@@ -48,28 +54,49 @@ class Warehouse:
         cur = self._current(name)
         if cur is None:
             raise FileNotFoundError(f"table {name} does not exist in {self.root}")
+        marker = cur / _EMPTY_MARKER
+        if marker.exists():
+            schema = StructType.fromJson(json.loads(marker.read_text()))
+            return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(str(cur))
 
-    def create_if_absent(self, name: str, schema: StructType) -> None:
-        if not self.exists(name):
-            self.overwrite(name, self.spark.createDataFrame([], schema))
-
-    def overwrite(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
-        """Write a new snapshot generation and flip the pointer."""
+    def _new_gen(self, name: str) -> tuple[Path, list[int]]:
         tdir = self._table_dir(name)
         tdir.mkdir(parents=True, exist_ok=True)
         gens = [int(p.name[1:]) for p in tdir.glob("g*") if p.name[1:].isdigit()]
-        gen = f"g{max(gens, default=-1) + 1}"
-        writer = df.write.mode("overwrite")
-        # a partitioned write of an empty frame produces no footer at all
-        # → unreadable snapshot; write empties unpartitioned (schema-only)
-        if partition_by and not df.isEmpty():
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(str(tdir / gen))
-        (tdir / "_CURRENT").write_text(gen)
+        return tdir / f"g{max(gens, default=-1) + 1}", gens
+
+    def _flip(self, name: str, gen: Path, old_gens: list[int]) -> None:
+        (self._table_dir(name) / "_CURRENT").write_text(gen.name)
         # retire old generations (keep previous one for in-flight readers)
-        for old in sorted(gens)[:-1]:
-            shutil.rmtree(tdir / f"g{old}", ignore_errors=True)
+        for old in sorted(old_gens)[:-1]:
+            shutil.rmtree(self._table_dir(name) / f"g{old}", ignore_errors=True)
+
+    def _write_empty(self, name: str, schema: StructType) -> None:
+        gen, old = self._new_gen(name)
+        gen.mkdir(parents=True, exist_ok=True)
+        (gen / _EMPTY_MARKER).write_text(json.dumps(schema.jsonValue()))
+        self._flip(name, gen, old)
+
+    def create_if_absent(self, name: str, schema: StructType) -> None:
+        if not self.exists(name):
+            self._write_empty(name, schema)
+
+    def overwrite(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        """Write a new snapshot generation and flip the pointer."""
+        gen, old = self._new_gen(name)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(gen))
+        # a partitioned write of an empty frame produces no footer at
+        # all → unreadable snapshot; demote it to an empty-schema marker
+        # (checked on the filesystem, not with a Spark job)
+        if not any(gen.rglob("part-*")):
+            shutil.rmtree(gen, ignore_errors=True)
+            gen.mkdir(parents=True, exist_ok=True)
+            (gen / _EMPTY_MARKER).write_text(json.dumps(df.schema.jsonValue()))
+        self._flip(name, gen, old)
 
     def append(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """Append = union with current snapshot, rewrite.  On Delta this
