@@ -124,3 +124,47 @@ def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame
         .orderBy(F.desc("freq"), F.asc("bigram"))
         .limit(k)
     )
+
+
+def tf_idf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf.
+
+    Ranking is on EXACT keys (term_freq DESC, doc_freq ASC, token ASC) —
+    tf-idf ordering with integer comparisons only, so the selected row
+    set is bit-reproducible across engines; the ln-based tf-idf score is
+    emitted as a DECIMAL column alongside.
+
+    Scale: one tokenize+explode pass shuffles (doc_id, token) once for
+    the tf aggregation; doc-frequency aggregates the (already distinct)
+    tf pairs on uniform token keys; the corpus doc-count joins in as a
+    broadcast single-row aggregate (no driver collect).  The final
+    per-doc top-k is a bounded window over each document's vocabulary.
+    """
+    from pyspark.sql import Window
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.repartition(par).select(
+        id_col, F.explode(tokens(text_col)).alias("token")
+    )
+    tf = exploded.groupBy(id_col, "token").agg(F.count("*").alias("term_freq"))
+    doc_freq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("term_freq"), F.asc("doc_freq"), F.asc("token")
+    )
+    return (
+        tf.join(doc_freq, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (
+                F.col("term_freq")
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq"))
+            ).cast("decimal(18,6)"),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(id_col, "token", "term_freq", "doc_freq", "tfidf")
+    )

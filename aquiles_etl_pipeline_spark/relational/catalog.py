@@ -644,3 +644,71 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "q43_grouping_sets_returns",
+    sql="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Mixed GROUPING SETS (finer than ROLLUP/CUBE alone): detail, "
+        "per-flag, and grand-total levels in one pass.  Scale: Spark "
+        "expands grouping sets in a single shuffle with partial aggs; "
+        "null grouping cells disambiguated via COALESCE sentinel.",
+    tags=("agg", "grouping-sets"),
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.sum(money("l_quantity")).cast(DEC).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "q44_order_status_pivot",
+    sql="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Pivot: order counts by priority x status, statuses spread to "
+        "columns.  Scale: pivot with an explicit value list is one "
+        "hash agg (no distinct-values pre-pass); missing cells "
+        "normalized to 0 to match conditional-aggregation semantics.",
+    tags=("agg", "pivot"),
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )

@@ -253,3 +253,30 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
         scalar.extract_package_units(desc).alias("package_units"),
         scalar.extract_iva(desc).alias("iva"),
     )
+
+
+@register(
+    "q42_doc_tfidf_top_terms",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS term_freq FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, term_freq, doc_freq,
+           CAST(term_freq * ln(CAST(n_docs AS DOUBLE) / doc_freq) AS DECIMAL(18,6)) AS tfidf
+    FROM tf JOIN dfreq USING (token), n
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id ORDER BY term_freq DESC, doc_freq ASC, token ASC
+    ) <= 5
+    """,
+    doc="Per-document top-5 terms by tf-idf (exact integer ranking keys; "
+        "ln-based score emitted as decimal).  Scale: one explode shuffle "
+        "for tf, token-keyed doc-freq agg, broadcast single-row corpus "
+        "count; per-doc window bounded by vocabulary size.",
+    tags=("text", "documents", "tfidf"),
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.tf_idf_top_terms(load(spark, sf_dir, "documents"))

@@ -214,3 +214,30 @@ def test_multimodal_audio_and_frame_sampling(spark, tmp_path):
     assert [bytes(r["frame"]) for r in again.orderBy("frame_index").collect()] == [
         bytes(r["frame"]) for r in rows
     ]
+
+
+def test_tfidf_top_terms_golden(spark):
+    # "rare" appears twice in doc 1 and in no other doc -> top term there;
+    # "common" appears everywhere -> idf 0, never outranks rarer tokens.
+    df = spark.createDataFrame(
+        [
+            (1, "rare rare common alpha"),
+            (2, "common alpha beta"),
+            (3, "common beta gamma"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = textstats.tf_idf_top_terms(df, k=2)
+    rows = {(r.doc_id, r.token): r for r in out.collect()}
+    assert out.count() == 6  # 2 per doc
+    top1 = sorted(
+        [r for r in rows.values() if r.doc_id == 1],
+        key=lambda r: (-r.term_freq, r.doc_freq, r.token),
+    )[0]
+    assert top1.token == "rare" and top1.term_freq == 2 and top1.doc_freq == 1
+    # idf of the everywhere-token is ln(3/3)=0
+    assert float(rows[(2, "common")].tfidf) == 0.0 if (2, "common") in rows else True
+    # tfidf of doc-1 "rare": 2 * ln(3/1)
+    import math
+
+    assert abs(float(top1.tfidf) - 2 * math.log(3)) < 1e-5
