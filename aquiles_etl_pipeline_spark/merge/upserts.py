@@ -95,12 +95,17 @@ def merge_providers(wh: Warehouse, batch_guid: str) -> int:
             "left_anti",
         )
     )
-    new_rows = _next_ids(provider, new_names, "Name").select(
-        "Id", "Name", F.current_timestamp().alias("CreateDt")
+    # batch-sized: persist so the count gate and the write share one
+    # materialization instead of re-running the anti-join chain
+    new_rows = (
+        _next_ids(provider, new_names, "Name")
+        .select("Id", "Name", F.current_timestamp().alias("CreateDt"))
+        .persist()
     )
     n = new_rows.count()
     if n:
         wh.overwrite("provider", provider.unionByName(new_rows))
+    new_rows.unpersist()
     return n
 
 
@@ -120,12 +125,15 @@ def ensure_units_of_measure(wh: Warehouse, batch_guid: str) -> int:
         staging.join(F.broadcast(uom.select(F.lower("Acronym").alias("Acronym"))), "Acronym", "left_anti")
         .join(F.broadcast(alias.select(F.lower("Acronym").alias("Acronym"))), "Acronym", "left_anti")
     )
-    new_rows = _next_ids(uom, unseen, "Acronym").select(
-        "Id", "Acronym", F.col("Acronym").alias("Name")
+    new_rows = (
+        _next_ids(uom, unseen, "Acronym")
+        .select("Id", "Acronym", F.col("Acronym").alias("Name"))
+        .persist()
     )
     n = new_rows.count()
     if n:
         wh.overwrite("unit_of_measure", uom.unionByName(new_rows))
+    new_rows.unpersist()
     return n
 
 
@@ -163,7 +171,9 @@ def merge_products(wh: Warehouse, batch_guid: str, collect_stats: bool = True) -
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    src = _resolve_uom(wh, src, "UnitOfMeasure")
+    # batch-sized; consumed by the matched join, the insert anti-join,
+    # and the final write — persist so those actions share one pass
+    src = _resolve_uom(wh, src, "UnitOfMeasure").persist()
 
     product = wh.read("product")
     now = F.current_timestamp()
@@ -208,7 +218,9 @@ def merge_products(wh: Warehouse, batch_guid: str, collect_stats: bool = True) -
     )
     n_ins = new_rows.count() if collect_stats else -1
     wh.overwrite("product", updated.unionByName(new_rows))
-    return {"inserted": n_ins, "total_source": src.count() if collect_stats else -1}
+    n_src = src.count() if collect_stats else -1
+    src.unpersist()
+    return {"inserted": n_ins, "total_source": n_src}
 
 
 def merge_provider_products(wh: Warehouse, batch_guid: str, collect_stats: bool = True) -> dict[str, int]:
@@ -249,6 +261,7 @@ def merge_provider_products(wh: Warehouse, batch_guid: str, collect_stats: bool 
             "IVA",
             "Price",
         )
+        .persist()  # batch-sized; shared by matched join + anti-join + write
     )
 
     pp = wh.read("provider_product")
@@ -279,14 +292,16 @@ def merge_provider_products(wh: Warehouse, batch_guid: str, collect_stats: bool 
     )
     n_ins = new_rows.count() if collect_stats else -1
     wh.overwrite("provider_product", updated.unionByName(new_rows))
-    return {"inserted": n_ins, "total_source": src.count() if collect_stats else -1}
+    n_src = src.count() if collect_stats else -1
+    src.unpersist()
+    return {"inserted": n_ins, "total_source": n_src}
 
 
 def _cleanup_staging(wh: Warehouse, batch_guid: str) -> None:
-    """S11 (etl:182-184): DELETE FROM staging WHERE BatchGuid = batch."""
+    """S11 (etl:182-184): DELETE FROM staging WHERE BatchGuid = batch.
+    Partition-aligned delete → metadata-only DROP PARTITION, no scan."""
     for t in ("staging_provider", "staging_product", "staging_provider_product"):
-        remaining = wh.read(t).where(F.col("BatchGuid") != batch_guid)
-        wh.overwrite(t, remaining, partition_by=["BatchGuid"])
+        wh.delete_partition(t, "BatchGuid", batch_guid)
 
 
 def merge_staging_to_fact_tables(

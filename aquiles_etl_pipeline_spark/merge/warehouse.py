@@ -23,6 +23,7 @@ launches zero jobs, and reading an empty table yields a local relation
 from __future__ import annotations
 
 import json
+import os
 import shutil
 from pathlib import Path
 
@@ -98,15 +99,69 @@ class Warehouse:
             (gen / _EMPTY_MARKER).write_text(json.dumps(df.schema.jsonValue()))
         self._flip(name, gen, old)
 
+    def _link_files(self, src: Path, dest: Path, skip_top: str | None = None) -> bool:
+        """Hardlink src's data files into dest, preserving partition
+        paths.  Returns True if any file was linked."""
+        linked = False
+        for f in src.rglob("part-*"):
+            rel = f.relative_to(src)
+            if skip_top is not None and rel.parts[0] == skip_top:
+                continue
+            target = dest / rel
+            target.parent.mkdir(parents=True, exist_ok=True)
+            os.link(f, target)
+            linked = True
+        return linked
+
     def append(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
-        """Append = union with current snapshot, rewrite.  On Delta this
-        is a true file append; here batches are small per-file batches,
-        and staging tables are cleared per-batch, so the rewrite is
-        bounded."""
-        if self.exists(name):
-            cur = self.read(name)
-            df = cur.unionByName(df, allowMissingColumns=True)
-        self.overwrite(name, df, partition_by=partition_by)
+        """True file-level append: write ONLY the new rows as parquet,
+        hardlink the previous generation's data files into the new one
+        (file names are UUID-unique, so partition dirs merge cleanly).
+
+        This is the local stand-in for a Delta transaction-log append:
+        cost is O(new data), never O(table history) — the difference
+        between a staging table that scales and one that rewrites its
+        whole past on every batch.  Falls back to union+rewrite if the
+        incoming schema diverges from the snapshot's."""
+        cur = self._current(name) if self.exists(name) else None
+        cur_empty = cur is None or (cur / _EMPTY_MARKER).exists()
+        if not cur_empty:
+            # footer-only schema read (driver-side, no job)
+            cur_cols = set(self.spark.read.parquet(str(cur)).schema.names)
+            if cur_cols != set(df.schema.names):
+                self.overwrite(
+                    name,
+                    self.read(name).unionByName(df, allowMissingColumns=True),
+                    partition_by=partition_by,
+                )
+                return
+        gen, old = self._new_gen(name)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(gen))
+        wrote_new = any(gen.rglob("part-*"))
+        linked = False if cur_empty else self._link_files(cur, gen)
+        if not wrote_new and not linked:
+            shutil.rmtree(gen, ignore_errors=True)
+            gen.mkdir(parents=True, exist_ok=True)
+            (gen / _EMPTY_MARKER).write_text(json.dumps(df.schema.jsonValue()))
+        self._flip(name, gen, old)
+
+    def delete_partition(self, name: str, col: str, value: str) -> None:
+        """Drop one partition directory from the current snapshot — a
+        metadata-only operation (Hive/Delta DROP PARTITION): the new
+        generation hardlinks every data file except the dropped
+        partition's.  No Spark job runs."""
+        cur = self._current(name)
+        if cur is None or (cur / _EMPTY_MARKER).exists():
+            return
+        schema = self.spark.read.parquet(str(cur)).schema
+        gen, old = self._new_gen(name)
+        gen.mkdir(parents=True, exist_ok=True)
+        if not self._link_files(cur, gen, skip_top=f"{col}={value}"):
+            (gen / _EMPTY_MARKER).write_text(json.dumps(schema.jsonValue()))
+        self._flip(name, gen, old)
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)
