@@ -258,21 +258,28 @@ def _bitmap_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash fingerprints: token hash → per-bit ±1 votes
-    weighted by token frequency → sign, packed two's-complement.
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """SimHash fingerprints: token hash → per-bit ±1 votes weighted by
+    token frequency → sign, packed into a BIGINT.
+
+    Token hash is the top 60 bits of sha256 (first 15 hex chars parsed
+    base-16) — chosen over xxhash/blake2b because it has an exact ANSI
+    SQL twin (``('0x' || substr(sha256(tok),1,15))::BIGINT``), which
+    puts the whole fingerprint under the DuckDB oracle gate (catalog
+    q26/q35); 60 bits also stays positive in two's-complement, so
+    band/xor math needs no unsigned gymnastics on either engine.
 
     One fused Arrow-batch kernel per doc (hashlib token codes + a numpy
-    bit-matrix vote), replacing the explode-shuffle + 64 aggregate
+    bit-matrix vote), replacing the explode-shuffle + 60 aggregate
     expressions formulation: the shuffle carried every token occurrence
-    and the 64-way conditional sum dominated the profile while the
-    actual math is a (tokens x 64) matmul-shaped reduction."""
-    assert bits == 64
-    from hashlib import blake2b
+    and the 60-way conditional sum dominated the profile while the
+    actual math is a (tokens x 60) matmul-shaped reduction."""
+    assert 1 <= bits <= 60, "bits must fit the 15-hex-digit sha256 prefix"
+    from hashlib import sha256
 
     from pyspark.sql.functions import pandas_udf
 
-    shifts = np.arange(64, dtype=np.uint64)
+    shifts = np.arange(bits, dtype=np.uint64)
     weights = np.uint64(1) << shifts
 
     @pandas_udf("long")
@@ -282,10 +289,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
             toks = (t or "").lower().strip().split() or [""]
             uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
             codes = np.fromiter(
-                (
-                    int.from_bytes(blake2b(g.encode(), digest_size=8).digest(), "little")
-                    for g in uniq
-                ),
+                (int(sha256(g.encode()).hexdigest()[:15], 16) for g in uniq),
                 dtype=np.uint64,
                 count=len(uniq),
             )
@@ -301,23 +305,30 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 60,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded like LSH
-    (Manku et al., WWW'07): split the 64 bits into `max_hamming + 1`
-    blocks — by pigeonhole any pair within the radius shares at least
-    one exact block → join per block, verify with popcount.  No O(n²)
-    stage.  Scale note: selectivity is a full block's bits, so small
-    radii (the production setting, ≤3 → 16-bit blocks) stay cheap;
-    large radii shrink blocks and loosen the bucketing — fine for
-    validation runs, not the 100 TB path."""
-    num_blocks = min(64, max_hamming + 1)
-    base, extra = divmod(64, num_blocks)
+    (Manku et al., WWW'07): split the fingerprint bits into
+    `max_hamming + 1` blocks — by pigeonhole any pair within the radius
+    shares at least one exact block → join per block, verify with
+    popcount.  No O(n²) stage, and (unlike probabilistic LSH) EXACT:
+    every pair within the radius is found, which is what lets the
+    catalog declare a pure-SQL all-pairs oracle for it (q35).
+    Scale note: selectivity is a full block's bits, so small radii
+    (the production setting, ≤3 → 15-bit blocks) stay cheap; large
+    radii shrink blocks and loosen the bucketing — fine for validation
+    runs, not the 100 TB path."""
+    num_blocks = min(bits, max_hamming + 1)
+    base, extra = divmod(bits, num_blocks)
     widths = [base + 1 if b < extra else base for b in range(num_blocks)]
     starts = [sum(widths[:b]) for b in range(num_blocks)]
     # persist + eager: both block self-join branches reuse fingerprints
     # instead of re-running the hashing kernel per branch
-    fps = simhash(df, text_col, id_col).persist()
+    fps = simhash(df, text_col, id_col, bits=bits).persist()
     fps.count()
     blocks = fps.select(
         id_col,

@@ -172,39 +172,74 @@ def exact_cosine_pairs(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rows_per_block: int = 8192,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine similarity >= threshold — the verifiable
     brute-force baseline the LSH/IVF paths approximate.
 
-    Physical shape: one side is collected, L2-normalized, and broadcast
-    as a dense numpy matrix; mapInPandas then computes a blocked GEMM
-    (batch x broadcast.T) per Arrow batch and emits only qualifying
-    pairs.  No pair ever hits a shuffle — the quadratic work happens
-    inside BLAS, the quadratic *data* never materializes beyond matches.
-    Scale: valid while one side fits an executor (~1e6 x 64 floats =
-    256 MB); past that, block the broadcast side too (outer loop over
-    broadcast chunks), same kernel."""
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    m = np.asarray([r[1] for r in rows], dtype=np.float64)
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    bc = df.sparkSession.sparkContext.broadcast((ids, mn))
+    Physical shape: a fully distributed block-pair (triangle) join — no
+    driver-side collect of the vector table anywhere.  Each vector gets
+    a block id (hash mod B); every row is replicated to the B block
+    PAIRS it participates in ((min(b,j), max(b,j)) for all j), and an
+    ``applyInPandas`` over the (bi, bj) groups runs one dense GEMM per
+    tile, emitting only qualifying (id_a < id_b) pairs.  The quadratic
+    work happens inside BLAS; the quadratic pair *data* never hits a
+    shuffle — only the n*B replicated input rows do.
 
-    def gen(batches):
-        b_ids, b_mn = bc.value
-        for pdf in batches:
-            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
-            s = vn @ b_mn.T
-            vid = pdf[id_col].to_numpy(dtype=np.int64)
-            ii, jj = np.nonzero((s >= threshold) & (vid[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": vid[ii], "id_b": b_ids[jj], "cosine_sim": s[ii, jj]}
-            )
+    Scale: shuffle volume is n*B rows; per-task memory is two
+    (n/B x dim) tiles; parallelism is B(B+1)/2 tiles.  B defaults to
+    ceil(n/rows_per_block) (one distributed count to size it), so tiles
+    stay ~rows_per_block² pairs regardless of n — at 1e6 x 64-dim
+    vectors that's B=123, 3.9 GB replicated shuffle, 7.6k tiles, and no
+    single machine ever holds the table.  The LSH/IVF paths remain the
+    sub-quadratic 100 TB answer; this is the exact baseline that stays
+    runnable."""
+    spark = df.sparkSession
+    if n_blocks is None:
+        n = df.count()  # distributed action, sizes the tiling; no data moves
+        n_blocks = max(1, -(-n // rows_per_block))
+    blocked = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    pair_structs = F.array(*[
+        F.struct(
+            F.least(F.col("_blk"), F.lit(j)).alias("bi"),
+            F.greatest(F.col("_blk"), F.lit(j)).alias("bj"),
+        )
+        for j in range(n_blocks)
+    ])
+    replicated = blocked.select(
+        "_id", "_vec", "_blk", F.explode(F.array_distinct(pair_structs)).alias("_bp")
+    ).select("_id", "_vec", "_blk", F.col("_bp.bi").alias("_bi"), F.col("_bp.bj").alias("_bj"))
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par).mapInPandas(
-        gen, "id_a: long, id_b: long, cosine_sim: double"
+    thr = float(threshold)
+
+    def tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        m = np.asarray(pdf["_vec"].tolist(), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        if bi == bj:  # diagonal tile: upper triangle of one block
+            s = mn @ mn.T
+            ii, jj = np.nonzero((s >= thr) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "cosine_sim": s[ii, jj]})
+        a = pdf["_blk"].to_numpy() == bi
+        ids_a, ids_b = ids[a], ids[~a]
+        s = mn[a] @ mn[~a].T
+        ii, jj = np.nonzero((s >= thr) & (ids_a[:, None] != ids_b[None, :]))
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids_a[ii], ids_b[jj]),
+                "id_b": np.maximum(ids_a[ii], ids_b[jj]),
+                "cosine_sim": s[ii, jj],
+            }
+        )
+
+    return replicated.groupBy("_bi", "_bj").applyInPandas(
+        tile, "id_a: long, id_b: long, cosine_sim: double"
     )
 
 
@@ -229,7 +264,7 @@ def _spherical_kmeans(x: np.ndarray, n_cells: int, seed: int, iters: int = 8) ->
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
-    k: int = 10,
+    k: int | None = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_cells: int = 16,
@@ -266,14 +301,15 @@ def ivf_topk(
     probes = [int(p) for p in np.argsort(-(cents @ qn))[:n_probe]]
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
     par = df.sparkSession.sparkContext.defaultParallelism
-    return (
+    scored = (
         df.repartition(par)
         .withColumn("_cell", _cell(F.col(vec_col)))
         .where(F.col("_cell").isin(probes))
         .select(id_col, cosine_sim_batch(F.col(vec_col), qcol).alias("cosine_sim"))
-        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
-        .limit(k)
     )
+    if k is None:  # probe-all/exact grading mode: caller ranks the scores
+        return scored
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
 def embedding_near_dup_pairs(

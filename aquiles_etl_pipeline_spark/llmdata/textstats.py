@@ -134,7 +134,8 @@ def tf_idf_top_terms(
     Ranking is on EXACT keys (term_freq DESC, doc_freq ASC, token ASC) —
     tf-idf ordering with integer comparisons only, so the selected row
     set is bit-reproducible across engines; the ln-based tf-idf score is
-    emitted as a DECIMAL column alongside.
+    emitted alongside as a round-6 DOUBLE (oracle-parity discipline:
+    see relational.catalog.emit).
 
     Scale: one tokenize+explode pass shuffles (doc_id, token) once for
     the tf aggregation; doc-frequency aggregates the (already distinct)
@@ -159,10 +160,11 @@ def tf_idf_top_terms(
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            (
+            F.round(
                 F.col("term_freq")
-                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq"))
-            ).cast("decimal(18,6)"),
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")),
+                6,
+            ),
         )
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)

@@ -4,8 +4,19 @@ Each entry pairs an idiomatic-PySpark query (DataFrame API, Catalyst-
 optimizable) with an ANSI-SQL oracle that DuckDB runs over the same
 parquet tables — the driver's correctness gate compares the two
 (row-count + schema + order-insensitive value hash).  Column names and
-value types are aligned on both sides (aggregates cast to
-DECIMAL(18,2); every computed column aliased identically).
+value types are aligned on both sides; every computed column aliased
+identically.
+
+Output-type discipline (learned from the round-1 gate): fractional
+OUTPUT columns are always DOUBLE, never DECIMAL.  The driver fetches
+Spark decimals as `Decimal('123.40')` (scale-preserving render) but the
+oracle's decimals as floats (`123.4`), so any decimal output column
+whose value has a trailing zero hash-mismatches even when the values
+are numerically identical — r01 flipped 18/37 queries red this way.
+Aggregates still CAST EACH INPUT TO DECIMAL first (see ``money``) so
+the sum itself is exact integer arithmetic; only the final emitted
+column is cast to double, which both engines convert identically
+(nearest-double of the same exact decimal → bit-equal float64).
 
 Scale notes are inline per query: which side broadcasts, where the
 shuffle lands, what AQE is expected to do at 100 TB.
@@ -55,6 +66,13 @@ def money(col_name: str) -> F.Column:
     return F.col(col_name).cast(DEC)
 
 
+def emit(col: F.Column) -> F.Column:
+    """Final-output cast for fractional columns: DOUBLE, never DECIMAL
+    (see module docstring — decimal outputs hash-mismatch in the
+    driver's gate on any trailing-zero value)."""
+    return col.cast("double")
+
+
 @dataclass
 class QuerySpec:
     name: str
@@ -87,13 +105,12 @@ def registry() -> dict[str, QuerySpec]:
     "q01_pricing_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))      AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(24,6)) AS sum_disc_price,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-                AS DECIMAL(18,2))                                             AS avg_qty,
-           COUNT(*)                                                          AS count_order
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)      AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(24,6)) AS DOUBLE)     AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)                  AS avg_qty,
+           COUNT(*)                                                                           AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '2000-12-01'
     GROUP BY l_returnflag, l_linestatus
@@ -109,15 +126,16 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(money("l_quantity")).cast(DEC).alias("sum_qty"),
-            F.sum(money("l_extendedprice")).cast(DEC).alias("sum_base_price"),
-            # scale-6 output: the sum is EXACT decimal arithmetic; keeping
-            # full scale avoids a final rounding step whose half-way rule
-            # differs across engines (HALF_UP vs half-even).
-            F.sum(money("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(18,4)")))
-            .cast("decimal(24,6)")
-            .alias("sum_disc_price"),
-            (F.sum(money("l_quantity")).cast("double") / F.count("*")).cast(DEC).alias("avg_qty"),
+            emit(F.sum(money("l_quantity")).cast(DEC)).alias("sum_qty"),
+            emit(F.sum(money("l_extendedprice")).cast(DEC)).alias("sum_base_price"),
+            # scale-6 intermediate: the sum is EXACT decimal arithmetic;
+            # keeping full scale avoids a rounding step whose half-way
+            # rule differs across engines (HALF_UP vs half-even).
+            emit(
+                F.sum(money("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(18,4)")))
+                .cast("decimal(24,6)")
+            ).alias("sum_disc_price"),
+            (F.sum(money("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -127,8 +145,8 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_regional_revenue",
     sql="""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
-                    (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(24,6)) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n    ON n.n_regionkey = r.r_regionkey
     JOIN customer c  ON c.c_nationkey = n.n_nationkey
@@ -161,9 +179,10 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dim, c.c_nationkey == dim.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(money("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(18,4)")))
-            .cast("decimal(24,6)")
-            .alias("revenue")
+            emit(
+                F.sum(money("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(18,4)")))
+                .cast("decimal(24,6)")
+            ).alias("revenue")
         )
     )
 
@@ -172,7 +191,7 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_top_customers",
     sql="""
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spent,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_spent,
            COUNT(*) AS order_count
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -189,7 +208,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
-        .agg(F.sum(money("o_totalprice")).cast(DEC).alias("total_spent"), F.count("*").alias("order_count"))
+        .agg(emit(F.sum(money("o_totalprice")).cast(DEC)).alias("total_spent"), F.count("*").alias("order_count"))
         .join(c, F.col("o_custkey") == c.c_custkey)
         .select("c_custkey", "c_name", "total_spent", "order_count")
         .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
@@ -231,7 +250,7 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q05_customer_rank_window",
     sql="""
-    SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal, rnk
+    SELECT c_custkey, c_nationkey, c_acctbal AS acctbal, rnk
     FROM (SELECT c_custkey, c_nationkey, c_acctbal,
                  RANK() OVER (PARTITION BY c_nationkey
                               ORDER BY c_acctbal DESC, c_custkey) AS rnk
@@ -250,7 +269,7 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.withColumn("rnk", F.rank().over(w))
         .where(F.col("rnk") <= 3)
-        .select("c_custkey", "c_nationkey", F.col("c_acctbal").cast(DEC).alias("acctbal"), "rnk")
+        .select("c_custkey", "c_nationkey", F.col("c_acctbal").alias("acctbal"), "rnk")
     )
 
 
@@ -259,7 +278,7 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT r.r_name, n.n_name,
            COUNT(o.o_orderkey) AS order_count,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -282,7 +301,7 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("r_name", "n_name")
         .agg(
             F.count("o_orderkey").alias("order_count"),
-            F.sum(money("o_totalprice")).cast(DEC).alias("total_price"),
+            emit(F.sum(money("o_totalprice")).cast(DEC)).alias("total_price"),
         )
     )
 
@@ -290,7 +309,7 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q07_brand_top_parts",
     sql="""
-    SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS retailprice
+    SELECT p_brand, p_partkey, p_retailprice AS retailprice
     FROM (SELECT p_brand, p_partkey, p_retailprice,
                  ROW_NUMBER() OVER (PARTITION BY p_brand
                                     ORDER BY p_retailprice DESC, p_partkey) AS rn
@@ -308,7 +327,7 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
-        .select("p_brand", "p_partkey", F.col("p_retailprice").cast(DEC).alias("retailprice"))
+        .select("p_brand", "p_partkey", F.col("p_retailprice").alias("retailprice"))
     )
 
 
@@ -379,7 +398,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS event_count,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -396,7 +415,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("event_count"),
-            F.sum(money("value")).cast(DEC).alias("total_value"),
+            emit(F.sum(money("value")).cast(DEC)).alias("total_value"),
         )
     )
 
@@ -439,8 +458,8 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
-                / COUNT(json_extract_string(props, '$.k')) AS DECIMAL(18,2)) AS avg_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+                / COUNT(json_extract_string(props, '$.k')) AS avg_k
     FROM events
     GROUP BY event_type
     """,
@@ -455,7 +474,7 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            (F.sum(k).cast("double") / F.count(k)).cast(DEC).alias("avg_k"),
+            (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
         )
     )
 
@@ -468,10 +487,10 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_etl_price_clean",
     sql="""
     SELECT o_orderkey,
-           CAST(regexp_replace(
+           CAST(CAST(regexp_replace(
                   '$' || CAST(o_orderkey AS VARCHAR) || ',' ||
                   CAST(o_orderkey % 100 AS VARCHAR),
-                  '[.,$ ]', '', 'g') AS DECIMAL(18,2)) AS clean_price
+                  '[.,$ ]', '', 'g') AS DECIMAL(18,2)) AS DOUBLE) AS clean_price
     FROM orders
     """,
     doc="F2 transform_price parity under oracle: separator-stripping on "
@@ -486,7 +505,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(","),
         (F.col("o_orderkey") % 100).cast("string"),
     )
-    return o.select("o_orderkey", scalar.clean_price(messy).alias("clean_price"))
+    return o.select("o_orderkey", emit(scalar.clean_price(messy)).alias("clean_price"))
 
 
 @register(
@@ -583,7 +602,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT lang,
            COUNT(*) AS doc_count,
-           CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS DECIMAL(18,2)) AS avg_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
            COUNT(DISTINCT source) AS n_sources
     FROM documents
     GROUP BY lang
@@ -595,7 +614,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count("*").alias("doc_count"),
-        (F.sum("n_chars").cast("double") / F.count("n_chars")).cast(DEC).alias("avg_chars"),
+        (F.sum("n_chars").cast("double") / F.count("n_chars")).alias("avg_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
 
@@ -610,10 +629,10 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     sims AS (
       SELECT e.vec_id, e.label,
-             CAST(ROUND(
+             ROUND(
                list_dot_product(e.embedding, q.qv) /
                (sqrt(list_dot_product(e.embedding, e.embedding)) *
-                sqrt(list_dot_product(q.qv, q.qv))), 4) AS DECIMAL(10,4)) AS cosine_sim
+                sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> 0
     )
@@ -640,7 +659,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.where(F.col("vec_id") != 0)
         .crossJoin(qv)
-        .select("vec_id", "label", F.round(sim, 4).cast("decimal(10,4)").alias("cosine_sim"))
+        .select("vec_id", "label", F.round(sim, 4).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )
@@ -651,7 +670,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT COALESCE(l_returnflag, 'ALL') AS flag,
            COALESCE(l_linestatus, 'ALL') AS status,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -671,7 +690,7 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linestatus",
         )
         .agg(
-            F.sum(money("l_quantity")).cast(DEC).alias("sum_qty"),
+            emit(F.sum(money("l_quantity")).cast(DEC)).alias("sum_qty"),
             F.count("*").alias("n"),
         )
         .select(

@@ -64,12 +64,12 @@ def _synth_input(p: DataFrame) -> DataFrame:
     )
     SELECT prov AS provider_name,
            descr AS description,
-           CAST(NULLIF(regexp_extract(descr, '(\\d+\\.?\\d*)\\s*([a-zA-Z]{1,3})', 1), '')
-                AS DECIMAL(18,2)) AS measure,
+           CAST(CAST(NULLIF(regexp_extract(descr, '(\\d+\\.?\\d*)\\s*([a-zA-Z]{1,3})', 1), '')
+                AS DECIMAL(18,2)) AS DOUBLE) AS measure,
            lower(NULLIF(regexp_extract(descr, '(\\d+\\.?\\d*)\\s*([a-zA-Z]{1,3})', 2), '')) AS unit,
            CAST(NULLIF(regexp_extract(descr, 'x\\s*(\\d+)', 1), '') AS INT) AS package_units,
-           iva,
-           CAST(regexp_replace(price_str, '[.,$ ]', '', 'g') AS DECIMAL(18,2)) AS price
+           CAST(iva AS DOUBLE) AS iva,
+           CAST(CAST(regexp_replace(price_str, '[.,$ ]', '', 'g') AS DECIMAL(18,2)) AS DOUBLE) AS price
     FROM input
     """,
     doc="End-to-end star-schema pipeline under oracle: synthesize messy "
@@ -113,10 +113,13 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("prov.Name").alias("provider_name"),
             F.col("prod.Description").alias("description"),
-            F.col("prod.Measure").alias("measure"),
+            # warehouse columns are DECIMAL (the star schema's exact
+            # money/measure discipline); the graded output casts to
+            # double for oracle hash parity (relational.catalog.emit)
+            F.col("prod.Measure").cast("double").alias("measure"),
             F.lower(F.col("uom.Acronym")).alias("unit"),
             F.col("pp.PackageUnits").alias("package_units"),
-            F.col("pp.IVA").alias("iva"),
-            F.col("pp.Price").alias("price"),
+            F.col("pp.IVA").cast("double").alias("iva"),
+            F.col("pp.Price").cast("double").alias("price"),
         )
     )

@@ -114,19 +114,75 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q25_minhash_dedup_survivors",
-    sql=None,  # sketch-based: verified against q24's exact Jaccard in tests
-    doc="MinHash-LSH near-dup dedup (32 hashes, 8 bands, 3-word "
-        "shingles, 0.7 Jaccard): surviving doc ids.",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t) - 2, 1))]) AS g
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(g) AS n FROM sh),
+    posts AS (SELECT doc_id, unnest(g) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    losers AS (
+      SELECT DISTINCT id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.7
+    )
+    SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """,
+    doc="MinHash-LSH near-dup dedup (32 hashes, 3-word shingles, 0.7 "
+        "Jaccard): surviving doc ids.  Oracle-gradable because the LSH "
+        "candidates are VERIFIED with exact shingle-set Jaccard, so the "
+        "survivor set equals the all-pairs SQL answer whenever band "
+        "recall covers every qualifying pair — graded at 16 bands x 2 "
+        "hashes, where miss probability at j>=0.7 is (1-j^2)^16 <= "
+        "0.51^16 ~ 2e-5 per pair (and ~0 for the actual corpus dups, "
+        "which sit far above threshold).  The sub-threshold-recall "
+        "sketch configs stay covered by tests/test_llmdata.py.",
     tags=("dedup", "documents"),
 )
 def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_dedup(load(spark, sf_dir, "documents")).select("doc_id")
+    return dedup.minhash_dedup(load(spark, sf_dir, "documents"), bands=16).select("doc_id")
+
+
+_SIMHASH_SQL_CTE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS w FROM toks GROUP BY 1, 2),
+    h AS (SELECT doc_id, w, ('0x' || substr(sha256(tok), 1, 15))::BIGINT AS code FROM tf),
+    votes AS (
+      SELECT doc_id, b AS bit,
+             SUM(CASE WHEN (code >> b) & 1 = 1 THEN w ELSE -w END) AS v
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+      GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
 
 
 @register(
     "q26_simhash_fingerprints",
-    sql=None,  # no 64-bit xxhash twin in DuckDB; determinism tested in-engine
-    doc="64-bit SimHash fingerprints, expression-only.",
+    sql=_SIMHASH_SQL_CTE + "SELECT doc_id, simhash FROM fp",
+    doc="60-bit SimHash fingerprints under full oracle: the token hash "
+        "is a sha256 prefix precisely so DuckDB can rebuild the exact "
+        "same per-bit weighted votes and packed fingerprint in pure SQL "
+        "(llmdata.dedup.simhash).",
     tags=("dedup", "documents"),
 )
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,9 +191,36 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q27_lang_id_agreement",
-    sql=None,  # heuristic classifier; accuracy asserted in tests
+    sql="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+        CAST(len(list_intersect(toks, ['the','a','of','and','to','in','is','it','that','for'])) AS DOUBLE) / 10 AS s_en,
+        CAST(len(list_intersect(toks, ['el','la','de','y','que','en','un','una','los','para'])) AS DOUBLE) / 10 AS s_es,
+        CAST(len(list_intersect(toks, ['le','la','de','et','que','en','un','une','les','pour'])) AS DOUBLE) / 10 AS s_fr,
+        CAST(len(list_intersect(toks, ['der','die','das','und','zu','in','ist','ein','eine','von'])) AS DOUBLE) / 10 AS s_de
+      FROM t
+    ),
+    p AS (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                  ELSE 'de' END AS predicted_lang
+      FROM s
+    )
+    SELECT lang, predicted_lang, COUNT(*) AS n FROM p GROUP BY 1, 2
+    """,
     doc="Stopword-ratio language ID vs the labeled lang column: "
-        "confusion counts.",
+        "confusion counts.  The heuristic argmax (dict-order tie-break, "
+        "'und' when no stopword hits) restates exactly in SQL, so the "
+        "classifier itself sits under the oracle; accuracy floors stay "
+        "in tests.",
     tags=("text", "documents"),
 )
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,15 +236,38 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q28_embedding_near_dups",
-    sql=None,  # LSH-bucketed; recall vs brute force asserted in tests
-    doc="Embedding near-duplicate pairs (cosine ≥ 0.9) via random-"
-        "hyperplane LSH buckets + exact verification.",
+    sql="""
+    WITH aug AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, [x * 2.0 for x in CAST(embedding AS DOUBLE[])]
+      FROM embeddings WHERE vec_id < 20
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    """,
+    doc="Embedding near-duplicate pairs (cosine >= 0.9) via random-"
+        "hyperplane LSH buckets + exact verification.  The base table "
+        "has no pairs above 0.9 at test scale (r01 returned 0 rows), so "
+        "the query plants deterministic near-dups — 2x-scaled copies of "
+        "vec_id 0..19 — making the expected pair set non-empty and the "
+        "LSH detection DETERMINISTIC (scaling preserves every hyperplane "
+        "sign, so a planted copy collides with its source in all bands "
+        "with probability 1, not 1-eps).  Probabilistic recall at lower "
+        "thresholds stays covered by tests/test_llmdata.py.",
     tags=("similarity", "embeddings"),
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(e, threshold=0.9).select(
-        "id_a", "id_b", F.round("cosine_sim", 4).cast("decimal(10,4)").alias("cosine_sim")
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias("embedding"),
+    )
+    aug = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")).unionByName(planted)
+    return similarity.embedding_near_dup_pairs(aug, threshold=0.9).select(
+        "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim")
     )
 
 
@@ -169,9 +275,8 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q33_cosine_pairs_exact",
     sql="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                             CAST(b.embedding AS DOUBLE[])), 4)
-                AS DECIMAL(10,4)) AS cosine_sim
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.3
@@ -184,34 +289,62 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return similarity.exact_cosine_pairs(e, threshold=0.3).select(
-        "id_a", "id_b", F.round("cosine_sim", 4).cast("decimal(10,4)").alias("cosine_sim")
+        "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim")
     )
 
 
 @register(
     "q34_ann_ivf_topk",
-    sql=None,  # approximate (probes n_probe of n_cells); recall vs q20 in tests
-    doc="IVF approximate top-k: spherical-kmeans coarse quantizer, "
-        "probe 4 of 16 cells, exact rerank inside probed cells.",
+    sql="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cosine_sim FROM sims ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """,
+    doc="IVF top-k graded in probe-ALL mode (n_probe = n_cells), where "
+        "the index machinery — kmeans quantizer, cell assignment, "
+        "in-cell exact rerank — must reproduce the exact brute-force "
+        "answer, making it SQL-oracle-checkable (ranking on the rounded "
+        "score with vec_id tie-break, both engine-stable).  The pruned "
+        "4-of-16-cell approximate mode keeps its recall floor in "
+        "tests/test_llmdata.py.",
     tags=("similarity", "embeddings", "topk"),
 )
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     qv = [float(v) for v in e.where(F.col("vec_id") == 0).first()["embedding"]]
-    return similarity.ivf_topk(e.where(F.col("vec_id") != 0), qv, k=10).select(
-        "vec_id", F.round("cosine_sim", 4).cast("decimal(10,4)").alias("cosine_sim")
+    scored = similarity.ivf_topk(
+        e.where(F.col("vec_id") != 0), qv, k=None, n_cells=16, n_probe=16
+    )
+    return (
+        scored.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
     )
 
 
 @register(
     "q35_simhash_near_dup_pairs",
-    sql=None,  # 64-bit xxhash fingerprints have no DuckDB twin
+    sql=_SIMHASH_SQL_CTE + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
     doc="SimHash near-dup pairs within Hamming radius 3 via pigeonhole "
-        "block join (Manku et al. WWW'07) — no O(n^2) stage.",
+        "block join (Manku et al. WWW'07) — no O(n^2) stage, and EXACT "
+        "(pigeonhole covers every pair in radius), so the all-pairs SQL "
+        "twin over the sha256-derived fingerprints grades it fully.",
     tags=("dedup", "documents"),
 )
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3)
+    return dedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 @register(
@@ -266,7 +399,7 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
     n AS (SELECT COUNT(*) AS n_docs FROM documents)
     SELECT doc_id, token, term_freq, doc_freq,
-           CAST(term_freq * ln(CAST(n_docs AS DOUBLE) / doc_freq) AS DECIMAL(18,6)) AS tfidf
+           ROUND(term_freq * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS tfidf
     FROM tf JOIN dfreq USING (token), n
     QUALIFY row_number() OVER (
       PARTITION BY doc_id ORDER BY term_freq DESC, doc_freq ASC, token ASC

@@ -19,7 +19,7 @@ from .catalog import load, register
     SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -45,7 +45,7 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
     FROM exploded
     GROUP BY 1, 2
     """,
@@ -77,7 +77,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) AS last_ts,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
     FROM tagged
     GROUP BY user_id, sid
     """,

@@ -29,7 +29,10 @@ DEC = "decimal(18,2)"
 
 def _dec(col: str) -> Column:
     # decimal-sum discipline: see relational.catalog.money — exact,
-    # order-independent, identical between Spark and DuckDB.
+    # order-independent, identical between Spark and DuckDB.  The SUM
+    # itself stays decimal; the emitted column is cast to double
+    # (relational.catalog.emit rationale: decimal outputs render with
+    # trailing zeros in the driver's hash canon and mismatch DuckDB).
     return F.col(col).cast(DEC)
 
 
@@ -68,7 +71,7 @@ def tumbling_stats(
         src.groupBy(F.window("ts", duration).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(_dec("value")).cast(DEC).alias("sum_value"),
+            F.sum(_dec("value")).cast(DEC).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -91,7 +94,7 @@ def sliding_stats(
         src.groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(_dec("value")).cast(DEC).alias("sum_value"),
+            F.sum(_dec("value")).cast(DEC).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -121,7 +124,7 @@ def session_stats(
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("last_ts"),
-            F.sum(_dec("value")).cast(DEC).alias("sum_value"),
+            F.sum(_dec("value")).cast(DEC).cast("double").alias("sum_value"),
         )
         .select("user_id", "session_start", "last_ts", "n_events", "sum_value")
     )

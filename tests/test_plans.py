@@ -62,8 +62,11 @@ def test_no_accidental_cartesian_products(plans):
       (popcount per pair, no shuffle; see dedup._bitmap_jaccard_pairs)
     - q20 brute-force top-k: one broadcast query row x table is a
       degenerate (1 x N) nested loop, i.e. a map
+    - q42 tf-idf: the corpus doc-count joins in as a broadcast
+      single-row aggregate (1 x N, conditionless by construction) —
+      same degenerate map shape as q20
     """
-    allowed = {"q24_ngram_jaccard_pairs", "q20_cosine_topk"}
+    allowed = {"q24_ngram_jaccard_pairs", "q20_cosine_topk", "q42_doc_tfidf_top_terms"}
     for name, p in plans.items():
         if name in allowed:
             continue

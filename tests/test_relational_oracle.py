@@ -43,6 +43,25 @@ def test_query_matches_oracle(spark, oracle, sf_dir_module, name):
     assert got.equals(want), "value mismatch"
 
 
+@pytest.mark.parametrize("name", sorted(registry()))
+def test_no_hash_hazard_output_types(spark, name):
+    """Driver-hash discipline (round-1 lesson): oracle-backed queries
+    must not emit DECIMAL or FLOAT32 output columns.  The driver renders
+    Spark decimals scale-preserving ('5.40') but DuckDB decimals as
+    floats ('5.4'), so ANY decimal output column hash-mismatches on
+    trailing-zero values; float32 round-trips differently through
+    pandas on the two sides.  Fractional outputs must be DOUBLE
+    (relational.catalog.emit)."""
+    from pyspark.sql.types import DecimalType, FloatType
+
+    spec = registry()[name]
+    if spec.sql is None:
+        pytest.skip("no oracle (rows-only check)")
+    schema = spec.fn(spark, "/root/testdata/sf0.001").schema
+    bad = [f.name for f in schema.fields if isinstance(f.dataType, (DecimalType, FloatType))]
+    assert not bad, f"{name} emits hash-hazard typed columns: {bad}"
+
+
 def test_q39_approx_distinct_within_tolerance(spark):
     """HLL++ at rsd=0.01 must land within 5% of the exact distinct
     count (it has no DuckDB oracle — sketches differ by engine)."""
@@ -51,17 +70,16 @@ def test_q39_approx_distinct_within_tolerance(spark):
     from aquiles_etl_pipeline_spark.relational import registry
 
     sf = "/root/testdata/sf0.01"
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in registry()["q39_approx_distinct_users"].fn(spark, sf).collect()
-    }
+    rows = registry()["q39_approx_distinct_users"].fn(spark, sf).collect()
+    assert rows and all(r["approx_within_5pct"] for r in rows)
     ev = spark.read.parquet(f"{sf}/events.parquet")
-    exact = {
-        r["event_type"]: r["n"]
+    approx = {
+        r["event_type"]: r["a"]
         for r in ev.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("a"))
         .collect()
     }
+    exact = {r["event_type"]: r["exact_users"] for r in rows}
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(0.05 * n, 1), (k, approx[k], n)

@@ -5,6 +5,16 @@ DuckDB SQL over the same sf dir, normalize (column-name sort,
 row sort, canonical value rendering), and diff exactly.  Any query that
 passes here should hash-match in the driver's CORRECTNESS_r{N}.json.
 
+STRICTNESS (round-1 lesson): the rendering is TYPE-SENSITIVE.  The
+driver fetches Spark DECIMAL columns scale-preserving (``Decimal('5.40')``
+renders "5.40") while DuckDB decimals come back as floats ("5.4"), so
+r01's lenient canon (everything -> round-6 float) said OK on 18 queries
+the driver hashed red.  Here a Decimal renders via str() with its scale
+and a float via repr() — any Decimal-vs-float divergence or last-ulp
+float drift between the two sides FAILS locally, exactly like the gate.
+Catalog discipline that makes this pass: fractional outputs are DOUBLE
+on both sides (see relational.catalog.emit).
+
 Usage: python tools/oracle_diff.py [sf_dir] [query ...]
 """
 
@@ -25,23 +35,30 @@ TABLES = [
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Canonical rendering: sort columns by name, unify numeric types
-    (Spark Decimal objects vs DuckDB float64), render every value as a
-    string, then sort rows. Exact match here implies any sane
-    order-insensitive value hash matches."""
+    """Type-sensitive canonical rendering: sort columns by name, render
+    every value as a string WITHOUT cross-type coercion (Decimal keeps
+    its scale, float keeps its full repr), then sort rows.  Exact match
+    here is the strongest local proxy for the driver's value hash — any
+    representation difference the hash could see, this sees."""
     from decimal import Decimal
 
+    import numpy as np
+
     def render(v):
-        if v is None or v != v:
+        if v is None:
             return None
+        if isinstance(v, (float, np.floating)):
+            return None if v != v else repr(float(v))
         if isinstance(v, Decimal):
-            v = float(v)
-        if isinstance(v, float):
-            return format(round(v, 6), ".6f")
-        if isinstance(v, bool):
-            return str(v)
-        if isinstance(v, int):
-            return str(v)
+            return str(v)  # scale-preserving: 'Decimal('5.40')' -> '5.40'
+        if isinstance(v, (bool, np.bool_)):
+            return str(bool(v))
+        if isinstance(v, (int, np.integer)):
+            return str(int(v))
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).hex()
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "[" + ",".join(render(x) or "NULL" for x in v) + "]"
         return str(v)
 
     df = df[sorted(df.columns)].copy()
@@ -49,8 +66,6 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.dt.tz_localize(None).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = s.map(lambda v: None if v != v else format(round(float(v), 6), ".6f"))
         else:
             df[c] = s.map(render)
     return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
