@@ -78,9 +78,13 @@ def fuzzy_date(col: Column) -> Column:
 def capitalize_first_letter(col: Column) -> Column:
     """F6 (/root/reference/core/data_processor.py:50-54):
     ``text if not text else text.strip().title()`` — empty string passes
-    through unchanged (NOT nulled), NULL stays NULL."""
+    through unchanged (NOT nulled), NULL stays NULL.  Python str.strip()
+    removes ALL whitespace (tabs/newlines), not just spaces — use the
+    _strip_ws regex, not F.trim ('\\thello\\n' must become 'Hello')."""
+    from .scalar import _strip_ws
+
     c = col.cast("string")
-    return F.when(c == "", c).otherwise(title_case(F.trim(c)))
+    return F.when(c == "", c).otherwise(title_case(_strip_ws(c)))
 
 
 def clean_description(col: Column) -> Column:

@@ -84,35 +84,39 @@ def extract_image_features(df: DataFrame, batch_size: int = 64) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction.
 
     The UDF contract (iterator of pandas batches in/out, bounded batch
-    memory via maxRecordsPerBatch) is exactly what a real decoder
-    needs; only _fake_decode is swapped out.  Binary payloads never
-    leave the executor as Python objects row-at-a-time.
+    memory) is exactly what a real decoder needs; only _fake_decode is
+    swapped out.  Binary payloads never leave the executor as Python
+    objects row-at-a-time.
+
+    Batch-size bounding is done INSIDE the UDF (re-chunking each
+    incoming Arrow batch to ``batch_size`` rows before decoding) rather
+    than by toggling spark.sql.execution.arrow.maxRecordsPerBatch
+    around a lazy DataFrame — a session conf set here would be restored
+    before the plan ever executes and would leak into concurrent
+    queries; re-chunking bounds decoder working-set memory regardless
+    of session settings.
     """
     import hashlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for _, row in pdf.iterrows():
-                content = row["content"] or b""
-                w, h, c = _fake_decode(content)
-                out.append(
-                    (row["path"], int(row["length"]), w, h, c,
-                     hashlib.sha256(content).hexdigest())
+            for lo in range(0, len(pdf), batch_size):  # bound decoder memory
+                chunk = pdf.iloc[lo : lo + batch_size]
+                out = []
+                for _, row in chunk.iterrows():
+                    content = row["content"] or b""
+                    w, h, c = _fake_decode(content)
+                    out.append(
+                        (row["path"], int(row["length"]), w, h, c,
+                         hashlib.sha256(content).hexdigest())
+                    )
+                yield pd.DataFrame(
+                    out, columns=["path", "length", "width", "height", "channels", "sha256"]
                 )
-            yield pd.DataFrame(
-                out, columns=["path", "length", "width", "height", "channels", "sha256"]
-            )
 
-    prev = df.sparkSession.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
-    df.sparkSession.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
-    try:
-        return df.select("path", "length", "content").mapInPandas(
-            batches, IMAGE_FEATURES_SCHEMA
-        )
-    finally:
-        if prev is not None:
-            df.sparkSession.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    return df.select("path", "length", "content").mapInPandas(
+        batches, IMAGE_FEATURES_SCHEMA
+    )
 
 
 AUDIO_FEATURES_SCHEMA = StructType([

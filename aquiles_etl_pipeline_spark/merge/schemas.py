@@ -34,6 +34,14 @@ PROVIDER = _s(
     StructField("CreateDt", TimestampType()),
 )
 
+# Fact tables carry an engine-internal `_bucket` distribution column
+# (stable hash of the merge key, N_BUCKETS buckets): the table is
+# partitioned by it, so a merge batch rewrites only the buckets its
+# keys touch (Delta MERGE file-level-rewrite analogue) and untouched
+# partitions move by hardlink.  At cluster scale this is the Delta/
+# Iceberg partition/Z-order column; N_BUCKETS grows with table size.
+N_BUCKETS = 16
+
 # core/entities.py:101-119 (DescriptionHash hex string of sha256;
 # BINARY(32) parity via unhex when needed)
 PRODUCT = _s(
@@ -45,6 +53,7 @@ PRODUCT = _s(
     StructField("CreatedDt", TimestampType()),
     StructField("UpdatedDt", TimestampType()),
     StructField("DescriptionHash", StringType()),
+    StructField("_bucket", IntegerType()),
 )
 
 # core/entities.py:150-168
@@ -57,6 +66,7 @@ PROVIDER_PRODUCT = _s(
     StructField("PackageUnits", IntegerType()),
     StructField("IVA", DEC),
     StructField("Price", DEC),
+    StructField("_bucket", IntegerType()),
 )
 
 # core/entities.py:54-65 / :136-147 / :122-133
@@ -74,6 +84,22 @@ PROVIDER_SYNONYM = _s(
     StructField("Id", LongType()),
     StructField("Synonym", StringType()),
     StructField("ProviderId", LongType()),
+)
+
+# core/entities.py:13-24 — raw Excel landing shape (all-string columns)
+EXCEL_FILE_RAW = _s(
+    StructField("Id", LongType()),
+    StructField("ProductName", StringType()),
+    StructField("ProviderName", StringType()),
+    StructField("LastReviewDt", StringType()),
+    StructField("ProductPrice", StringType()),
+)
+
+# core/entities.py:27-37 — status lookup the ledger's StatusId FK
+# resolves against (rows seeded by bootstrap)
+FILE_STATUS = _s(
+    StructField("Id", IntegerType()),
+    StructField("StatusName", StringType()),
 )
 
 # core/entities.py:78-98; statuses docs/ETL_ENHANCEMENTS.md:9-12
@@ -125,6 +151,8 @@ ALL_TABLES: dict[str, StructType] = {
     "unit_of_measure_acronym": UNIT_OF_MEASURE_ACRONYM,
     "provider_synonym": PROVIDER_SYNONYM,
     "process_file": PROCESS_FILE,
+    "excel_file_raw": EXCEL_FILE_RAW,
+    "file_status": FILE_STATUS,
     "staging_provider": STAGING_PROVIDER,
     "staging_product": STAGING_PRODUCT,
     "staging_provider_product": STAGING_PROVIDER_PRODUCT,
@@ -133,6 +161,18 @@ ALL_TABLES: dict[str, StructType] = {
 
 def bootstrap(wh) -> None:
     """DDL bootstrap, replacing Base.metadata.create_all
-    (/root/reference/core/database.py:35)."""
+    (/root/reference/core/database.py:35).  Seeds the FileStatus lookup
+    rows so the ledger's StatusId values FK-resolve (docs/
+    ETL_ENHANCEMENTS.md:9-12)."""
     for name, schema in ALL_TABLES.items():
         wh.create_if_absent(name, schema)
+    wh.seed_rows(
+        "file_status",
+        FILE_STATUS,
+        [
+            (FILE_STATUS_NEW, "New"),
+            (FILE_STATUS_IN_PROGRESS, "InProgress"),
+            (FILE_STATUS_SUCCESS, "Success"),
+            (FILE_STATUS_FAILED, "Failed"),
+        ],
+    )

@@ -35,20 +35,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import scalar
+from .schemas import N_BUCKETS
 from .warehouse import Warehouse
 
 
-def _next_ids(existing: DataFrame, new_rows: DataFrame, order_col: str) -> DataFrame:
+def _bucket_of(*key_cols: str) -> F.Column:
+    """Stable bucket id from the merge key — the fact-table partition
+    column (see schemas.N_BUCKETS)."""
+    return F.pmod(F.xxhash64(*key_cols), F.lit(N_BUCKETS)).cast("int")
+
+
+def _next_ids(
+    existing: DataFrame, new_rows: DataFrame, order_col: str, small: bool = True
+) -> DataFrame:
     """Assign sequential Ids to new_rows above max(existing.Id),
     ordered by order_col.
 
-    Scalable two-phase numbering — no global single-partition window:
-    range-repartition by order_col so partitions are globally ordered
-    key ranges, row_number within each partition, then shift by
-    per-partition offsets (a running sum over the partition-count
-    frame, which has at most #partitions rows).  Delta GENERATED
-    ALWAYS AS IDENTITY replaces this on a real cluster."""
+    ``small=True`` (the default, and what every staging merge uses —
+    inserts are batch-sized by construction): one single-partition
+    window, ONE stage.  The range-sampling two-phase path below costs
+    ~4 tiny stages of pure scheduler overhead on a few-hundred-row
+    batch, which dominated r01's q41 profile.
+
+    ``small=False`` — bulk-backfill path: scalable two-phase numbering
+    with no global single-partition window: range-repartition by
+    order_col so partitions are globally ordered key ranges, row_number
+    within each partition, then shift by per-partition offsets (a
+    running sum over the partition-count frame, which has at most
+    #partitions rows).  Delta GENERATED ALWAYS AS IDENTITY replaces
+    both on a real cluster."""
     max_id = (existing.agg(F.coalesce(F.max("Id"), F.lit(0)).alias("m")).collect())[0]["m"]
+    if small:
+        w = Window.partitionBy(F.lit(1)).orderBy(order_col)
+        return new_rows.coalesce(1).withColumn(
+            "Id", (F.lit(max_id) + F.row_number().over(w)).cast("long")
+        )
     local = (
         new_rows.repartitionByRange(F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
@@ -81,8 +102,12 @@ def _staging_batch(wh: Warehouse, table: str, batch_guid: str) -> DataFrame:
     return wh.read(table).where(F.col("BatchGuid") == batch_guid)
 
 
-def merge_providers(wh: Warehouse, batch_guid: str) -> int:
-    """M1: insert staging provider names that match no provider and no synonym."""
+def merge_providers(wh: Warehouse, batch_guid: str, collect_stats: bool = True) -> int:
+    """M1: insert staging provider names that match no provider and no synonym.
+
+    ``collect_stats=False`` writes in ONE job (no persist+count gate) —
+    the dim is tiny, so an occasional no-new-rows rewrite is cheaper
+    than a second action over the anti-join chain every batch."""
     staging = _staging_batch(wh, "staging_provider", batch_guid).select("Name").distinct()
     provider = wh.read("provider")
     synonyms = wh.read("provider_synonym")
@@ -95,13 +120,15 @@ def merge_providers(wh: Warehouse, batch_guid: str) -> int:
             "left_anti",
         )
     )
+    new_rows = _next_ids(provider, new_names, "Name").select(
+        "Id", "Name", F.current_timestamp().alias("CreateDt")
+    )
+    if not collect_stats:
+        wh.overwrite("provider", provider.unionByName(new_rows))
+        return -1
     # batch-sized: persist so the count gate and the write share one
     # materialization instead of re-running the anti-join chain
-    new_rows = (
-        _next_ids(provider, new_names, "Name")
-        .select("Id", "Name", F.current_timestamp().alias("CreateDt"))
-        .persist()
-    )
+    new_rows = new_rows.persist()
     n = new_rows.count()
     if n:
         wh.overwrite("provider", provider.unionByName(new_rows))
@@ -109,10 +136,11 @@ def merge_providers(wh: Warehouse, batch_guid: str) -> int:
     return n
 
 
-def ensure_units_of_measure(wh: Warehouse, batch_guid: str) -> int:
+def ensure_units_of_measure(wh: Warehouse, batch_guid: str, collect_stats: bool = True) -> int:
     """U1 (docs/ETL_ENHANCEMENTS.md:23): create unseen units before the
     product merge; acronym aliases (UnitOfMeasureAcronym) resolve to
-    existing units and are not duplicated."""
+    existing units and are not duplicated.  ``collect_stats=False``
+    writes in one job (see merge_providers)."""
     staging = (
         _staging_batch(wh, "staging_product", batch_guid)
         .select(F.lower(F.col("UnitOfMeasure")).alias("Acronym"))
@@ -125,11 +153,13 @@ def ensure_units_of_measure(wh: Warehouse, batch_guid: str) -> int:
         staging.join(F.broadcast(uom.select(F.lower("Acronym").alias("Acronym"))), "Acronym", "left_anti")
         .join(F.broadcast(alias.select(F.lower("Acronym").alias("Acronym"))), "Acronym", "left_anti")
     )
-    new_rows = (
-        _next_ids(uom, unseen, "Acronym")
-        .select("Id", "Acronym", F.col("Acronym").alias("Name"))
-        .persist()
+    new_rows = _next_ids(uom, unseen, "Acronym").select(
+        "Id", "Acronym", F.col("Acronym").alias("Name")
     )
+    if not collect_stats:
+        wh.overwrite("unit_of_measure", uom.unionByName(new_rows))
+        return -1
+    new_rows = new_rows.persist()
     n = new_rows.count()
     if n:
         wh.overwrite("unit_of_measure", uom.unionByName(new_rows))
@@ -171,14 +201,22 @@ def merge_products(wh: Warehouse, batch_guid: str, collect_stats: bool = True) -
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    # batch-sized; consumed by the matched join, the insert anti-join,
-    # and the final write — persist so those actions share one pass
+    # batch-sized; consumed by the touched-bucket collect, the matched
+    # join, the insert anti-join, and the final write — persist so those
+    # actions share one pass
     src = _resolve_uom(wh, src, "UnitOfMeasure").persist()
 
+    # partition-scoped merge: the batch's keys touch a subset of the
+    # fact table's buckets; only those partitions are scanned (pruned
+    # read) and rewritten — untouched partitions hardlink forward.
+    touched = sorted(
+        r["_b"] for r in src.select(_bucket_of("DescriptionHash").alias("_b")).distinct().collect()
+    )
     product = wh.read("product")
+    base = product.where(F.col("_bucket").isin(touched))
     now = F.current_timestamp()
 
-    matched = product.join(
+    matched = base.join(
         F.broadcast(
             src.select(
                 "DescriptionHash",
@@ -201,10 +239,11 @@ def merge_products(wh: Warehouse, batch_guid: str, collect_stats: bool = True) -
         .otherwise(F.col("UpdatedDt"))
         .alias("UpdatedDt"),
         "DescriptionHash",
+        "_bucket",
     )
 
     inserts_src = src.join(
-        F.broadcast(product.select("DescriptionHash")), "DescriptionHash", "left_anti"
+        F.broadcast(base.select("DescriptionHash")), "DescriptionHash", "left_anti"
     )
     new_rows = _next_ids(product, inserts_src, "DescriptionHash").select(
         "Id",
@@ -215,9 +254,10 @@ def merge_products(wh: Warehouse, batch_guid: str, collect_stats: bool = True) -
         now.alias("CreatedDt"),
         now.alias("UpdatedDt"),
         "DescriptionHash",
+        _bucket_of("DescriptionHash").alias("_bucket"),
     )
     n_ins = new_rows.count() if collect_stats else -1
-    wh.overwrite("product", updated.unionByName(new_rows))
+    wh.replace_partitions("product", updated.unionByName(new_rows), "_bucket", touched)
     n_src = src.count() if collect_stats else -1
     src.unpersist()
     return {"inserted": n_ins, "total_source": n_src}
@@ -264,8 +304,13 @@ def merge_provider_products(wh: Warehouse, batch_guid: str, collect_stats: bool 
         .persist()  # batch-sized; shared by matched join + anti-join + write
     )
 
+    touched = sorted(
+        r["_b"]
+        for r in src.select(_bucket_of("ProductId", "ProviderId").alias("_b")).distinct().collect()
+    )
     pp = wh.read("provider_product")
-    matched = pp.alias("t").join(
+    base = pp.where(F.col("_bucket").isin(touched))
+    matched = base.alias("t").join(
         F.broadcast(src.alias("s")),
         (F.col("t.ProductId") == F.col("s.ProductId"))
         & (F.col("t.ProviderId") == F.col("s.ProviderId")),
@@ -280,18 +325,20 @@ def merge_provider_products(wh: Warehouse, batch_guid: str, collect_stats: bool 
         F.coalesce(F.col("s.PackageUnits"), F.col("t.PackageUnits")).alias("PackageUnits"),
         F.coalesce(F.col("s.IVA"), F.col("t.IVA")).alias("IVA"),
         F.coalesce(F.col("s.Price"), F.col("t.Price")).alias("Price"),
+        F.col("t._bucket").alias("_bucket"),
     )
     inserts_src = src.alias("s").join(
-        pp.select("ProductId", "ProviderId").alias("t"),
+        base.select("ProductId", "ProviderId").alias("t"),
         ["ProductId", "ProviderId"],
         "left_anti",
     )
     new_rows = _next_ids(pp, inserts_src, "ProductId").select(
         "Id", "ProductId", "ProviderId", "IsValidated", "LastReviewDt",
         "PackageUnits", "IVA", "Price",
+        _bucket_of("ProductId", "ProviderId").alias("_bucket"),
     )
     n_ins = new_rows.count() if collect_stats else -1
-    wh.overwrite("provider_product", updated.unionByName(new_rows))
+    wh.replace_partitions("provider_product", updated.unionByName(new_rows), "_bucket", touched)
     n_src = src.count() if collect_stats else -1
     src.unpersist()
     return {"inserted": n_ins, "total_source": n_src}
@@ -307,12 +354,18 @@ def _cleanup_staging(wh: Warehouse, batch_guid: str) -> None:
 def merge_staging_to_fact_tables(
     wh: Warehouse, batch_guid: str, collect_stats: bool = True
 ) -> dict[str, object]:
-    """etl:168-189 — the three merges + cleanup, in reference order
-    (providers → products → provider_products), with U1 before M2.
-    ``collect_stats=False`` skips the stats-only count jobs (the counts
-    that gate empty writes still run)."""
-    providers = merge_providers(wh, batch_guid)
-    units = ensure_units_of_measure(wh, batch_guid)
+    """etl:168-189 — the three merges + cleanup, honoring the reference's
+    dependency order: M1 (providers) and U1 (units) touch disjoint
+    tables and staging partitions, so they submit CONCURRENTLY; M2
+    (products) needs U1's units; M3 (provider_products) needs M1's
+    providers and M2's products.  ``collect_stats=False`` skips the
+    stats-only count jobs and writes dims in one job each."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_prov = pool.submit(merge_providers, wh, batch_guid, collect_stats)
+        f_units = pool.submit(ensure_units_of_measure, wh, batch_guid, collect_stats)
+        providers, units = f_prov.result(), f_units.result()
     products = merge_products(wh, batch_guid, collect_stats)
     provider_products = merge_provider_products(wh, batch_guid, collect_stats)
     _cleanup_staging(wh, batch_guid)

@@ -28,6 +28,7 @@ import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _EMPTY_MARKER = "_EMPTY_SCHEMA.json"
@@ -83,6 +84,27 @@ class Warehouse:
         if not self.exists(name):
             self._write_empty(name, schema)
 
+    def seed_rows(self, name: str, schema: StructType, rows: list[tuple]) -> None:
+        """Seed a tiny lookup table with a DRIVER-SIDE pyarrow parquet
+        write — no Spark job, preserving the zero-job bootstrap
+        contract.  No-op if the table already holds data."""
+        if self.exists(name):
+            cur = self._current(name)
+            if cur is not None and not (cur / _EMPTY_MARKER).exists():
+                return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        table = pa.Table.from_pylist(
+            [dict(zip(schema.names, r)) for r in rows], schema=to_arrow_schema(schema)
+        )
+        gen, old = self._new_gen(name)
+        gen.mkdir(parents=True, exist_ok=True)
+        pq.write_table(table, gen / "part-00000-seed.parquet")
+        self._write_partition_spec(gen, None)
+        self._flip(name, gen, old)
+
     def overwrite(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """Write a new snapshot generation and flip the pointer."""
         gen, old = self._new_gen(name)
@@ -97,21 +119,40 @@ class Warehouse:
             shutil.rmtree(gen, ignore_errors=True)
             gen.mkdir(parents=True, exist_ok=True)
             (gen / _EMPTY_MARKER).write_text(json.dumps(df.schema.jsonValue()))
+        else:
+            self._write_partition_spec(gen, partition_by)
         self._flip(name, gen, old)
 
-    def _link_files(self, src: Path, dest: Path, skip_top: str | None = None) -> bool:
+    def _link_files(
+        self,
+        src: Path,
+        dest: Path,
+        skip_top: str | None = None,
+        only_top: str | None = None,
+    ) -> bool:
         """Hardlink src's data files into dest, preserving partition
-        paths.  Returns True if any file was linked."""
+        paths.  ``skip_top`` excludes one top-level partition dir;
+        ``only_top`` restricts to one.  Returns True if any file was
+        linked."""
         linked = False
         for f in src.rglob("part-*"):
             rel = f.relative_to(src)
             if skip_top is not None and rel.parts[0] == skip_top:
+                continue
+            if only_top is not None and rel.parts[0] != only_top:
                 continue
             target = dest / rel
             target.parent.mkdir(parents=True, exist_ok=True)
             os.link(f, target)
             linked = True
         return linked
+
+    def _partition_spec(self, gen: Path) -> list[str]:
+        meta = gen / "_PARTITION_SPEC.json"
+        return json.loads(meta.read_text()) if meta.exists() else []
+
+    def _write_partition_spec(self, gen: Path, partition_by: list[str] | None) -> None:
+        (gen / "_PARTITION_SPEC.json").write_text(json.dumps(partition_by or []))
 
     def append(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """True file-level append: write ONLY the new rows as parquet,
@@ -122,13 +163,19 @@ class Warehouse:
         cost is O(new data), never O(table history) — the difference
         between a staging table that scales and one that rewrites its
         whole past on every batch.  Falls back to union+rewrite if the
-        incoming schema diverges from the snapshot's."""
+        incoming schema (names AND types) or partition layout diverges
+        from the snapshot's — hardlinking mixed-type or mixed-layout
+        files into one generation would corrupt the snapshot."""
         cur = self._current(name) if self.exists(name) else None
         cur_empty = cur is None or (cur / _EMPTY_MARKER).exists()
         if not cur_empty:
-            # footer-only schema read (driver-side, no job)
-            cur_cols = set(self.spark.read.parquet(str(cur)).schema.names)
-            if cur_cols != set(df.schema.names):
+            # footer-only schema read (driver-side, no job); data columns
+            # must match by name AND type, and the directory layout by
+            # partition spec, for a file-level merge to be sound
+            cur_schema = self.spark.read.parquet(str(cur)).schema
+            cur_fields = {f.name: f.dataType for f in cur_schema.fields}
+            new_fields = {f.name: f.dataType for f in df.schema.fields}
+            if cur_fields != new_fields or self._partition_spec(cur) != list(partition_by or []):
                 self.overwrite(
                     name,
                     self.read(name).unionByName(df, allowMissingColumns=True),
@@ -146,6 +193,43 @@ class Warehouse:
             shutil.rmtree(gen, ignore_errors=True)
             gen.mkdir(parents=True, exist_ok=True)
             (gen / _EMPTY_MARKER).write_text(json.dumps(df.schema.jsonValue()))
+        else:
+            self._write_partition_spec(gen, partition_by)
+        self._flip(name, gen, old)
+
+    def replace_partitions(
+        self, name: str, df: DataFrame, partition_col: str, values: list
+    ) -> None:
+        """Delta-MERGE-style partition-scoped rewrite: write ``df`` (which
+        must contain only rows whose ``partition_col`` is in ``values``)
+        as the new content of exactly those partitions, and hardlink
+        every OTHER partition's files from the current snapshot.  Cost is
+        O(touched partitions), not O(table) — the difference between a
+        fact-table merge that scales and one that rewrites its whole
+        history every batch.  No Spark job touches the untouched
+        partitions; their files move by hardlink only."""
+        cur = self._current(name) if self.exists(name) else None
+        cur_empty = cur is None or (cur / _EMPTY_MARKER).exists()
+        if not cur_empty and self._partition_spec(cur) != [partition_col]:
+            # layout mismatch: fall back to a full partitioned rewrite
+            untouched = self.read(name).where(~F.col(partition_col).isin(values))
+            self.overwrite(name, df.unionByName(untouched), partition_by=[partition_col])
+            return
+        gen, old = self._new_gen(name)
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(str(gen))
+        wrote_new = any(gen.rglob("part-*"))
+        linked = False
+        if not cur_empty:
+            skip = {f"{partition_col}={v}" for v in values}
+            for child in cur.iterdir():
+                if child.is_dir() and child.name.startswith(f"{partition_col}=") and child.name not in skip:
+                    linked = self._link_files(cur, gen, only_top=child.name) or linked
+        if not wrote_new and not linked:
+            shutil.rmtree(gen, ignore_errors=True)
+            gen.mkdir(parents=True, exist_ok=True)
+            (gen / _EMPTY_MARKER).write_text(json.dumps(df.schema.jsonValue()))
+        else:
+            self._write_partition_spec(gen, [partition_col])
         self._flip(name, gen, old)
 
     def delete_partition(self, name: str, col: str, value: str) -> None:

@@ -21,7 +21,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load, register
+from .catalog import emit, load, register
 
 
 def _synth_input(p: DataFrame) -> DataFrame:
@@ -102,6 +102,11 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_data_to_staging_tables(wh, wide, guid, collect_counts=False)
     merge_staging_to_fact_tables(wh, guid, collect_stats=False)
 
+    # the readback below depends only on warehouse parquet, not on the
+    # transform lineage — release the cache so repeated pipeline runs
+    # (and the rest of a bench sweep) don't accumulate heap
+    wide.unpersist()
+
     pp = wh.read("provider_product").alias("pp")
     prod = wh.read("product").alias("prod")
     prov = wh.read("provider").alias("prov")
@@ -122,4 +127,59 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pp.IVA").cast("double").alias("iva"),
             F.col("pp.Price").cast("double").alias("price"),
         )
+    )
+
+
+@register(
+    "q45_etl_native_transforms",
+    sql="""
+    WITH input AS (
+      SELECT p_partkey,
+             lower(p_name) AS producto,
+             CAST(p_partkey % 28 + 1 AS VARCHAR) || '/' ||
+             CAST(p_partkey % 12 + 1 AS VARCHAR) || '/2024' AS fecha,
+             'AcmeCorp' || CAST(p_partkey % 7 AS VARCHAR) AS provedor,
+             '$' || CAST(p_partkey % 1000 AS VARCHAR) || '.00' AS precio
+      FROM part
+    )
+    SELECT p_partkey,
+           strftime(try_strptime(trim(fecha), '%d/%m/%Y'), '%Y-%m-%d') AS clean_date,
+           array_to_string([upper(w[1]) || lower(w[2:])
+                            for w in string_split(trim(producto), ' ')], ' ') AS clean_description,
+           array_to_string([upper(w[1]) || lower(w[2:])
+                            for w in string_split(lower(regexp_replace(
+                                regexp_replace(provedor, '[^A-Za-z0-9/% ]+', '', 'g'),
+                                '([a-z])([A-Z0-9])', '\\1 \\2', 'g')), ' ')], ' ') AS clean_provider,
+           CAST(CAST(regexp_replace(precio, '[.,$ ]', '', 'g') AS DECIMAL(18,2)) AS DOUBLE) AS clean_price
+    FROM input
+    """,
+    doc="The zero-Python scale transform mode (mode='native': "
+        "try_to_date format-coalesce + initcap casing) under its own "
+        "oracle — q41 grades the exact-parity Arrow path, this grades "
+        "the whole-stage-codegen path a 100 TB run would use.  Varying "
+        "day-first dates exercise the format coalesce; camel-case "
+        "provider names exercise split+initcap.",
+    tags=("etl", "scalar", "native"),
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline import apply_transformations, map_columns_to_apply_transformations
+
+    p = load(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    raw = p.select(
+        pk.alias("p_partkey"),
+        F.lower(F.col("p_name")).alias("Producto"),
+        F.concat(
+            (pk % 28 + 1).cast("string"), F.lit("/"), (pk % 12 + 1).cast("string"), F.lit("/2024")
+        ).alias("Fecha"),
+        F.concat(F.lit("AcmeCorp"), (pk % 7).cast("string")).alias("Provedor"),
+        F.concat(F.lit("$"), (pk % 1000).cast("string"), F.lit(".00")).alias("Precio"),
+    )
+    wide = apply_transformations(map_columns_to_apply_transformations(raw), mode="native")
+    return wide.select(
+        "p_partkey",
+        F.col("CleanLastReviewDt").alias("clean_date"),
+        F.col("CleanDescription").alias("clean_description"),
+        F.col("CleanProviderName").alias("clean_provider"),
+        emit(F.col("CleanPrice")).alias("clean_price"),
     )

@@ -40,7 +40,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver heap IS the whole executor heap; 8g
+        # starves 32 cores' worth of caches + broadcast + shuffle and
+        # showed up as 2x wall-time GC degradation over a bench sweep
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

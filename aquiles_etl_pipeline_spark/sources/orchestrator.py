@@ -136,10 +136,15 @@ def process_invoice_image(
     image_name: str,
     image_bytes: bytes,
     mode: str = "exact",
+    archive_dir: str | None = None,
 ) -> ProcessingResult:
     """§3.3: image → extractor → fence-strip → CSV → same pipeline.
-    Ledgered (unlike the reference).  Archive naming parity:
-    {stem}_{guid8}.csv (etl:376-388)."""
+    Ledgered (unlike the reference).  Archive parity (etl:376-388): the
+    extracted CSV is persisted as {stem}_{guid8}.csv — the reference
+    uploads it back to blob storage as the replayable audit artifact;
+    here it lands under ``archive_dir`` (default
+    ``<warehouse>/_invoice_archive/<container>/``), driver-side because
+    the payload is one extracted text per image."""
     if ledger.already_processed(wh, container, image_name):
         return ProcessingResult(True, "already processed", skipped=True)
     info = ledger.FileInfo(container, image_name, blob_size=len(image_bytes))
@@ -157,6 +162,11 @@ def process_invoice_image(
         batch_guid, n_rows, staging_counts, merge_stats = _run_pipeline(spark, wh, df, mode)
         stem = image_name.rsplit(".", 1)[0]
         csv_filename = f"{stem}_{batch_guid[:8]}.csv"
+        from pathlib import Path
+
+        adir = Path(archive_dir) if archive_dir else wh.root / "_invoice_archive" / container
+        adir.mkdir(parents=True, exist_ok=True)
+        (adir / csv_filename).write_text(csv_text)
         ledger.mark_success(wh, info)
         return ProcessingResult(
             True, f"extracted {n_rows} products", n_rows, batch_guid,

@@ -63,9 +63,24 @@ def load_data_to_staging_tables(
         guid.alias("BatchGuid"),
     )
 
-    wh.append("staging_provider", providers, partition_by=["BatchGuid"])
-    wh.append("staging_product", products, partition_by=["BatchGuid"])
-    wh.append("staging_provider_product", provider_products, partition_by=["BatchGuid"])
+    # three independent tables fed from one cached frame: submit the
+    # write jobs concurrently (Spark's scheduler runs them in parallel;
+    # the per-job fixed overhead — codegen, commit protocol — overlaps
+    # instead of serializing)
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = [
+        ("staging_provider", providers),
+        ("staging_product", products),
+        ("staging_provider_product", provider_products),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(wh.append, name, frame, partition_by=["BatchGuid"])
+            for name, frame in writes
+        ]
+        for f in futures:
+            f.result()
     if not collect_counts:
         return {"providers": -1, "products": -1, "provider_products": -1}
     return {

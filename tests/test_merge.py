@@ -160,3 +160,69 @@ def test_failed_file_marked_and_retryable(spark, wh):
 def test_header_gate_on_text_path(spark, wh):
     res = process_csv_text(spark, wh, "c", "nohdr.csv", "Producto,Precio\nX,1\n")
     assert not res.success and "missing" in res.message
+
+
+def test_invoice_archive_written_and_replayable(spark, wh, tmp_path):
+    """etl_orchestrator.py:376-388 parity: the extracted CSV persists
+    under {stem}_{guid8}.csv and replays through the CSV path."""
+    adir = tmp_path / "archive"
+    res = process_invoice_image(
+        spark, wh, DeterministicMockExtractor(fenced=True),
+        "invoices-dev", "inv2.png", b"\x89PNG bytes", archive_dir=str(adir),
+    )
+    assert res.success, res.message
+    archived = adir / res.csv_filename
+    assert archived.exists()
+    replay = process_csv_file(
+        spark, wh, "replay", res.csv_filename, csv_text=archived.read_text()
+    )
+    assert replay.success and replay.rows_processed == res.products_extracted
+
+
+def test_bootstrap_seeds_file_status_and_new_tables(spark, wh):
+    statuses = {r["Id"]: r["StatusName"] for r in wh.read("file_status").collect()}
+    assert statuses == {1: "New", 2: "InProgress", 3: "Success", 4: "Failed"}
+    assert wh.read("excel_file_raw").columns == [
+        "Id", "ProductName", "ProviderName", "LastReviewDt", "ProductPrice"
+    ]
+    # ledger statuses FK-resolve against the seeded lookup
+    process_csv_file(spark, wh, "c", "fs.csv",
+                     csv_text="Producto,Provedor,Precio\nCafe 250g,Prov,90\n")
+    pf = wh.read("process_file")
+    fs = wh.read("file_status").select(F.col("Id").alias("fsid"), "StatusName")
+    assert pf.join(fs, pf.StatusId == fs.fsid).count() == pf.count()
+
+
+def test_incremental_merge_rewrites_only_touched_buckets(spark, wh):
+    """Scale regression (VERDICT r01 #6): a merge batch must be
+    O(batch), not O(table) — untouched fact-table bucket partitions
+    carry forward by HARDLINK (st_nlink >= 2 to the previous
+    generation's files), and only the buckets the batch's keys hash to
+    contain freshly written files."""
+    import os
+
+    # batch 1: enough distinct descriptions to populate many buckets
+    rows = "\n".join(f"Item{i} {100+i}g,Prov,{i}" for i in range(60))
+    r1 = process_csv_file(spark, wh, "c", "big.csv",
+                          csv_text="Producto,Provedor,Precio\n" + rows + "\n")
+    assert r1.success, r1.message
+    # batch 2: ONE new product
+    r2 = process_csv_file(spark, wh, "c", "one.csv",
+                          csv_text="Producto,Provedor,Precio\nUnicoNuevo 5g,Prov,7\n")
+    assert r2.success, r2.message
+
+    tdir = wh.root / "product"
+    cur = tdir / (tdir / "_CURRENT").read_text().strip()
+    fresh_buckets, linked_buckets = set(), set()
+    for f in cur.rglob("part-*"):
+        bucket = f.parent.name
+        if os.stat(f).st_nlink >= 2:
+            linked_buckets.add(bucket)
+        else:
+            fresh_buckets.add(bucket)
+    # the single-product batch touches exactly one bucket; every other
+    # populated bucket must have moved by hardlink, not rewrite
+    assert len(fresh_buckets) == 1, (fresh_buckets, linked_buckets)
+    assert len(linked_buckets) >= 10
+    # and the merged table is still fully consistent
+    assert wh.read("product").count() == 61
