@@ -243,6 +243,59 @@ def exact_cosine_pairs(
     )
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    salt: int = 8,
+) -> DataFrame:
+    """Batched brute-force k-NN join: top-k corpus neighbors for EVERY
+    query vector (the retrieval-eval / hard-negative-mining primitive).
+
+    Physical shape: the query set broadcasts (it is the small side by
+    construction); similarity is one Arrow-batched GEMM-shaped pass over
+    corpus x queries; top-k selection is TWO-PHASE — a salted local
+    rank (partition key (query, salt)) keeps any single reducer from
+    receiving a query's entire N similarities, then the global rank
+    runs over only Q x salt x k survivors.  Both phases order by the
+    same (rounded score DESC, id) keys, so phase 1's locally-kept rows
+    are always a superset of the global top-k and results are
+    deterministic across engines."""
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+        )
+    )
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        corpus.repartition(par)
+        .select(id_col, vec_col)
+        .crossJoin(q)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            id_col,
+            F.round(cosine_sim_batch(F.col(vec_col), F.col("_qv")), 4).alias("cosine_sim"),
+        )
+    )
+    order = [F.desc("cosine_sim"), F.asc(id_col)]
+    local = Window.partitionBy(
+        query_id_col, F.pmod(F.xxhash64(id_col), F.lit(salt))
+    ).orderBy(*order)
+    glob = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("_lr", F.row_number().over(local))
+        .where(F.col("_lr") <= k)
+        .withColumn("_gr", F.row_number().over(glob))
+        .where(F.col("_gr") <= k)
+        .drop("_lr", "_gr")
+    )
+
+
 def _spherical_kmeans(x: np.ndarray, n_cells: int, seed: int, iters: int = 8) -> np.ndarray:
     """Deterministic spherical k-means (unit centroids, cosine
     assignment) — the IVF coarse quantizer."""

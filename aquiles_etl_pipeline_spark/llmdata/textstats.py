@@ -126,6 +126,30 @@ def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame
     )
 
 
+PII_PATTERNS: dict[str, str] = {
+    # conservative, high-precision patterns (pretraining-data scrubbing
+    # favors precision; recall comes from stacking patterns)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing for training corpora: replace email/phone/IPv4/SSN
+    matches with typed sentinels and count replacements per type.
+    Expression-only (chained regexp_replace + regexp_count inside one
+    codegen'd projection) — at 100 TB this is a pure map, no shuffle."""
+    t = F.col(text_col).cast("string")
+    redacted = t
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(F.regexp_count(redacted, F.lit(pat)).alias(f"n_{kind}"))
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return df.select(id_col, *counts, redacted.alias("redacted_text"))
+
+
 def tf_idf_top_terms(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:

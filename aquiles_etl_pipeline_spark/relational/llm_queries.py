@@ -351,6 +351,96 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q46_doc_pii_redaction",
+    sql="""
+    WITH planted AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+                  THEN ' call 555-123-4567 or host 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+                  ELSE '' END AS text
+      FROM documents
+    ),
+    s0 AS (SELECT doc_id, text AS t0 FROM planted),
+    s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM s0),
+    s2 AS (SELECT doc_id, n_email,
+                  len(regexp_extract_all(t1, '\\+?\\d{1,3}[-. ]?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}')) AS n_phone,
+                  regexp_replace(t1, '\\+?\\d{1,3}[-. ]?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}', '<PHONE>', 'g') AS t2
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_phone,
+                  len(regexp_extract_all(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+                  regexp_replace(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g') AS t3
+           FROM s2)
+    SELECT doc_id, n_email, n_phone, n_ipv4,
+           len(regexp_extract_all(t3, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+           regexp_replace(t3, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS redacted_text
+    FROM s3
+    """,
+    doc="PII scrubbing for training corpora (emails/phones/IPv4/SSN -> "
+        "typed sentinels + per-type counts), planted deterministically "
+        "so the expected redactions are non-empty and SQL-rebuildable. "
+        "Expression-only sequential regexp chain — a pure map at "
+        "100 TB, no shuffle (llmdata.textstats.redact_pii).",
+    tags=("text", "documents", "pii"),
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(F.lit(" call 555-123-4567 or host 10.0.0."), (did % 255).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textstats.redact_pii(planted)
+
+
+@register(
+    "q47_embedding_knn_join",
+    sql="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id >= 8)
+    SELECT query_id, vec_id,
+           ROUND(list_cosine_similarity(v, qv), 4) AS cosine_sim
+    FROM c CROSS JOIN q
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY ROUND(list_cosine_similarity(v, qv), 4) DESC, vec_id
+    ) <= 5
+    """,
+    doc="Batched k-NN join: top-5 corpus neighbors for each of 8 query "
+        "vectors (retrieval-eval / hard-negative mining primitive).  "
+        "Queries broadcast; one Arrow-batched cosine pass; salted two-"
+        "phase top-k so no reducer ever holds a query's full similarity "
+        "column (llmdata.similarity.knn_join).",
+    tags=("similarity", "embeddings", "topk"),
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 8)
+    return similarity.knn_join(corpus, queries, k=5)
+
+
+@register(
     "q29_etl_wide_record",
     sql="""
     WITH tagged AS (

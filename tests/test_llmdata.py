@@ -214,6 +214,44 @@ def test_exact_cosine_pairs_builds_lazily_no_driver_collect(spark, emb):
     assert "FlatMapGroupsInPandas" in plan, "tile GEMM not planned as a grouped map"
 
 
+def test_redact_pii_sentinels_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@test.org or call +1 (555) 123-4567 ok"),
+            (2, "server 192.168.1.10 holds ssn 123-45-6789"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textstats.redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "<EMAIL>" in out[1]["redacted_text"] and "<PHONE>" in out[1]["redacted_text"]
+    assert "a.b+c@test.org" not in out[1]["redacted_text"]
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_ssn"] == 1
+    assert "<IPV4>" in out[2]["redacted_text"] and "<SSN>" in out[2]["redacted_text"]
+    assert out[3]["redacted_text"] == "nothing sensitive here"
+    assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_ipv4"] == out[3]["n_ssn"] == 0
+
+
+def test_knn_join_matches_per_query_brute_force(spark, emb):
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 4)
+    got = {}
+    for r in similarity.knn_join(corpus, queries, k=5).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q in queries.collect():
+        brute = {
+            r["vec_id"]
+            for r in similarity.brute_force_topk(
+                corpus, [float(v) for v in q["embedding"]], k=5
+            ).collect()
+        }
+        # same neighbor set up to round-4 score ties at the boundary
+        assert len(got[q["query_id"]] & brute) >= 4, (q["query_id"], got, brute)
+
+
 def test_ivf_topk_recall_vs_brute_force(spark, emb):
     qv = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     rest = emb.where(F.col("vec_id") != 0)

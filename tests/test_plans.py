@@ -65,8 +65,16 @@ def test_no_accidental_cartesian_products(plans):
     - q42 tf-idf: the corpus doc-count joins in as a broadcast
       single-row aggregate (1 x N, conditionless by construction) —
       same degenerate map shape as q20
+    - q47 k-NN join: corpus x broadcast(8 query rows) is the operator's
+      definition (every corpus row scored against every query) — a
+      constant-factor map, not an accidental quadratic
     """
-    allowed = {"q24_ngram_jaccard_pairs", "q20_cosine_topk", "q42_doc_tfidf_top_terms"}
+    allowed = {
+        "q24_ngram_jaccard_pairs",
+        "q20_cosine_topk",
+        "q42_doc_tfidf_top_terms",
+        "q47_embedding_knn_join",
+    }
     for name, p in plans.items():
         if name in allowed:
             continue
