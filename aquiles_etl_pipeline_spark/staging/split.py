@@ -66,13 +66,18 @@ def load_data_to_staging_tables(
     # three independent tables fed from one cached frame: submit the
     # write jobs concurrently (Spark's scheduler runs them in parallel;
     # the per-job fixed overhead — codegen, commit protocol — overlaps
-    # instead of serializing)
+    # instead of serializing).  Coalesce the file count: staging
+    # batches are file-sized, and every downstream merge scans these —
+    # 32 shards of a 20k-row batch cost more in task scheduling than
+    # they buy in parallelism (sized to parallelism/4 so a cluster-
+    # scale micro-batch still writes wide).
     from concurrent.futures import ThreadPoolExecutor
 
+    n_out = max(8, wh.spark.sparkContext.defaultParallelism // 4)
     writes = [
-        ("staging_provider", providers),
-        ("staging_product", products),
-        ("staging_provider_product", provider_products),
+        ("staging_provider", providers.coalesce(n_out)),
+        ("staging_product", products.coalesce(n_out)),
+        ("staging_provider_product", provider_products.coalesce(n_out)),
     ]
     with ThreadPoolExecutor(max_workers=3) as pool:
         futures = [

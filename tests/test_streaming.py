@@ -147,6 +147,48 @@ def test_tumbling_streaming_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 100
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (clicks joined to errors
+    within 1h after, per user) must equal the batch join over the same
+    rows — the §2.5 beyond-reference parity story."""
+    from aquiles_etl_pipeline_spark.streaming import stream_interval_join
+
+    events = load(spark, SF, "events").select("event_id", "user_id", "event_type", "ts")
+    src_dir = tmp_path / "ss_src"
+    events.write.parquet(str(src_dir))
+
+    def split(df):
+        errors = df.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+        clicks = df.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        return errors, clicks
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src_dir))
+    s_err, s_clk = split(stream)
+    # 24h interval: the sf0.001 slice is sparse (5 pairs within 1h);
+    # 24h yields ~100 pairs so the parity check is non-vacuous
+    joined = stream_interval_join(s_err, s_clk, on="user_id", window_seconds=86400)
+    q = _memory_query(joined, "ss_join", "append")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["event_id"], r["right_event_id"])
+            for r in spark.table("ss_join").collect()
+        }
+    finally:
+        q.stop()
+
+    b_err, b_clk = split(events)
+    want = {
+        (r["event_id"], r["right_event_id"])
+        for r in stream_interval_join(
+            b_err, b_clk, on="user_id", window_seconds=86400
+        ).collect()
+    }
+    assert got == want and len(want) >= 100
+
+
 def test_session_stats_batch_shape(spark):
     out = session_stats(load(spark, SF, "events"), "30 minutes")
     rows = out.collect()
