@@ -1,0 +1,88 @@
+"""Dataset splitting and decontamination for training-data pipelines.
+
+Both operators are content/key-stable (no RNG state): reruns, retries,
+and incremental appends land every document in the same split, and the
+decontamination verdict depends only on document content — the
+properties a 100 TB pipeline needs for reproducible dataset releases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+
+def _sha60(col: Column) -> Column:
+    """Top 60 bits of sha256 as a non-negative BIGINT — the same
+    SQL-twinnable hash family simhash uses (dedup.simhash):
+    DuckDB twin is ``('0x' || substr(sha256(x),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 15), 16, 10).cast("long")
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, int] | None = None,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash.
+
+    ``weights`` maps split name -> integer percent (must sum to 100);
+    default 96/2/2.  The assignment is a pure projection on
+    hash(key) % 100 — no sampling RNG, no shuffle, stable under
+    appends and reruns (the reproducible-dataset-release property
+    sampleBy's Bernoulli draws do not give you)."""
+    weights = weights or {"train": 96, "val": 2, "test": 2}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100, got {weights}")
+    bucket = F.pmod(_sha60(F.col(key_col)), F.lit(100))
+    expr: Column | None = None
+    lo = 0
+    for name, pct in weights.items():
+        cond = bucket < F.lit(lo + pct)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo += pct
+    return df.select(key_col, bucket.alias("split_bucket"), expr.alias("split"))
+
+
+def benchmark_ngram_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination: flag training documents sharing any word n-gram
+    with a benchmark/eval set (the standard n-gram-collision
+    contamination test; n=8 is the common choice for eval leakage).
+
+    Physical shape: both sides explode to distinct n-gram strings; the
+    benchmark side is the small one by construction, so its n-gram set
+    BROADCASTS and the check is a broadcast semi/left join — the
+    training side never shuffles.  Output: (id, n_overlapping_grams,
+    contaminated)."""
+    def grams(df: DataFrame) -> DataFrame:
+        toks = tokens(text_col)
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        g = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+        return df.select(F.col(id_col), F.explode(g).alias("_gram"))
+
+    bench_grams = F.broadcast(grams(benchmark).select("_gram").distinct())
+    hits = (
+        grams(docs)
+        .join(bench_grams, "_gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlapping_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlapping_grams", F.lit(0)).alias("n_overlapping_grams"),
+            (F.coalesce("n_overlapping_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

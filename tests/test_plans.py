@@ -82,6 +82,25 @@ def test_no_accidental_cartesian_products(plans):
         assert "BroadcastNestedLoopJoin" not in p, f"{name} plans a nested-loop join"
 
 
+def test_pii_redaction_is_pure_codegen_map(plans):
+    """q46 must stay a shuffle-free whole-stage-codegen projection —
+    a regexp chain that plans an Exchange or a Python eval node would
+    be a 100x regression at corpus scale."""
+    p = plans["q46_doc_pii_redaction"]
+    assert "EvalPython" not in p, "PII redaction fell out of codegen into Python"
+    assert "codegen id" in p
+    import re
+
+    assert not re.search(r"\(\d+\) Exchange", p), "PII redaction plans a shuffle"
+
+
+def test_decontamination_broadcasts_benchmark_grams(plans):
+    """q49's benchmark gram set must broadcast (semi join) — shuffling
+    the training side's grams against a tiny benchmark is the trap."""
+    p = plans["q49_benchmark_decontamination"]
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
 def test_ledger_lookups_broadcast(plans):
     """Anti-join gates (customers-without-orders) keep the probe side
     shuffle-free when the build side is small."""
