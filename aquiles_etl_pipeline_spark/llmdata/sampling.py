@@ -86,3 +86,35 @@ def benchmark_ngram_overlap(
             (F.coalesce("n_overlapping_grams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_bp: dict[str, int],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-mixture
+    primitive (e.g. keep all English, half Spanish, 2% of a bulk
+    crawl).  ``rates_bp`` maps stratum value -> keep rate in basis
+    points of 10_000 (exact integers, so thresholds never hit float
+    rounding); strata absent from the map are dropped (rate 0).
+
+    A row is kept iff sha256(key) % 10000 < rate[stratum] — the same
+    key-hash family as assign_splits, so the sample is a pure
+    filter+projection: no RNG, no shuffle, stable under appends,
+    reruns, and partial re-processing, and the kept set for a stratum
+    at rate r is a SUBSET of the kept set at any rate > r (nested
+    samples: raising a stratum's budget only adds documents, never
+    swaps them — the property that makes ablation corpora comparable).
+    """
+    for stratum, bp in rates_bp.items():
+        if not (0 <= bp <= 10_000):
+            raise ValueError(f"rate for {stratum!r} must be in [0, 10000], got {bp}")
+    bucket = F.pmod(_sha60(F.col(key_col)), F.lit(10_000))
+    rate: Column = F.lit(0)
+    for stratum, bp in rates_bp.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(bp)).otherwise(rate)
+    return df.select(
+        key_col, strata_col, bucket.alias("sample_bucket")
+    ).where(F.col("sample_bucket") < rate)

@@ -194,3 +194,60 @@ def tf_idf_top_terms(
         .where(F.col("_rk") <= k)
         .select(id_col, "token", "term_freq", "doc_freq", "tfidf")
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition metrics — the Gopher-style repetition
+    filters (Rae et al. 2021, "Scaling Language Models", Table A1):
+    dominance of the most frequent token/bigram and the mass of
+    duplicated n-grams.  Boilerplate, keyboard-mash, and template spam
+    score high; filters threshold on these fractions.
+
+    Output per document: token and bigram totals/distincts, the top
+    token/bigram frequency, and four [0,1] fractions (top_token_frac,
+    dup_token_frac, top_bigram_frac, dup_bigram_frac).
+
+    Scale: one explode per n-gram order into a partial-aggregatable
+    (id, gram) count, re-aggregated to (id,) — two uniform-key shuffle
+    stages per order, map-side combined; the final token/bigram join is
+    on frames both already hash-partitioned by id, so it reuses that
+    distribution instead of re-shuffling.  No windows, no driver state,
+    no Python.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    src = df.repartition(par)
+
+    def per_doc(gram_col: F.Column, prefix: str) -> DataFrame:
+        counts = (
+            src.select(F.col(id_col), F.explode(gram_col).alias("_g"))
+            .groupBy(id_col, "_g")
+            .agg(F.count("*").alias("_c"))
+        )
+        return counts.groupBy(id_col).agg(
+            F.sum("_c").alias(f"n_{prefix}s"),
+            F.count("*").alias(f"n_distinct_{prefix}s"),
+            F.max("_c").alias(f"top_{prefix}_freq"),
+        )
+
+    t = per_doc(toks, "token")
+    b = per_doc(bigrams, "bigram")
+
+    def frac(num: F.Column, den: F.Column) -> F.Column:
+        return F.round(num.cast("double") / den, 6)
+
+    return t.join(b, id_col).select(
+        id_col,
+        "n_tokens", "n_distinct_tokens", "top_token_freq",
+        frac(F.col("top_token_freq"), F.col("n_tokens")).alias("top_token_frac"),
+        frac(F.col("n_tokens") - F.col("n_distinct_tokens"), F.col("n_tokens")).alias("dup_token_frac"),
+        "n_bigrams", "n_distinct_bigrams", "top_bigram_freq",
+        frac(F.col("top_bigram_freq"), F.col("n_bigrams")).alias("top_bigram_frac"),
+        frac(F.col("n_bigrams") - F.col("n_distinct_bigrams"), F.col("n_bigrams")).alias("dup_bigram_frac"),
+    )

@@ -572,3 +572,119 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tf_idf_top_terms(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q50_doc_repetition_stats",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS g FROM toks),
+    tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    ts AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct_tokens, CAST(MAX(c) AS BIGINT) AS top_token_freq
+      FROM tc GROUP BY 1
+    ),
+    bgl AS (
+      SELECT doc_id, [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)] AS b
+      FROM toks
+    ),
+    bgx AS (SELECT doc_id, unnest(b) AS g FROM bgl),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bgx GROUP BY 1, 2),
+    bs AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             COUNT(*) AS n_distinct_bigrams, CAST(MAX(c) AS BIGINT) AS top_bigram_freq
+      FROM bc GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens, top_token_freq,
+           ROUND(top_token_freq / CAST(n_tokens AS DOUBLE), 6) AS top_token_frac,
+           ROUND((n_tokens - n_distinct_tokens) / CAST(n_tokens AS DOUBLE), 6) AS dup_token_frac,
+           n_bigrams, n_distinct_bigrams, top_bigram_freq,
+           ROUND(top_bigram_freq / CAST(n_bigrams AS DOUBLE), 6) AS top_bigram_frac,
+           ROUND((n_bigrams - n_distinct_bigrams) / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac
+    FROM ts JOIN bs USING (doc_id)
+    """,
+    doc="Within-document repetition metrics (Gopher repetition filters, "
+        "Rae et al. 2021): top-token/top-bigram dominance and duplicate "
+        "n-gram mass per document — the boilerplate/template-spam "
+        "signal quality filters threshold on.  Two partial-aggregatable "
+        "uniform-key shuffle stages per n-gram order, distribution-"
+        "reusing final join, no Python "
+        "(llmdata.textstats.repetition_stats).",
+    tags=("text", "documents", "quality"),
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q51_stratified_sample",
+    sql="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+               AS sample_bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, sample_bucket FROM b
+    WHERE sample_bucket < CASE lang
+      WHEN 'en' THEN 10000 WHEN 'es' THEN 5000 WHEN 'fr' THEN 2500
+      WHEN 'de' THEN 1000 WHEN 'zh' THEN 200 ELSE 0 END
+    """,
+    doc="Deterministic stratified downsampling by language (corpus-"
+        "mixture primitive: keep all English, half Spanish, ..., 2% "
+        "Chinese).  Keep iff sha256(doc_id) % 10000 < stratum rate — "
+        "no RNG, no shuffle, append/rerun-stable, and nested across "
+        "rates (raising a budget only adds documents), the property "
+        "that makes ablation corpora comparable "
+        "(llmdata.sampling.stratified_sample).  Pure filter at 100 TB.",
+    tags=("sampling", "documents"),
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.stratified_sample(
+        load(spark, sf_dir, "documents"),
+        {"en": 10_000, "es": 5_000, "fr": 2_500, "de": 1_000, "zh": 200},
+    )
+
+
+@register(
+    "q52_dedup_clusters",
+    sql="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / len(list_distinct(a.t || b.t)) >= 0.95
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(n, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.n
+    ),
+    cc AS (SELECT n AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY n),
+    sizes AS (SELECT component_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
+    SELECT doc_id, component_id, cluster_size, doc_id = component_id AS is_canonical
+    FROM cc JOIN sizes USING (component_id)
+    """,
+    doc="Near-duplicate cluster assignment: exact Jaccard pairs at 0.95 "
+        "(prefix-filtered mining), distributed connected components by "
+        "min-label propagation (2-3 rounds on quasi-clique dup "
+        "clusters; large-star/small-star is the same label contract "
+        "for adversarial diameters), min-id canonical election — the "
+        "keep-one-per-cluster step that turns pairwise dedup verdicts "
+        "into a training-set filter (llmdata.dedup.dedup_clusters).  "
+        "Oracle: DuckDB recursive-CTE min-reachable-id closure.",
+    tags=("dedup", "documents", "graph"),
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_clusters(load(spark, sf_dir, "documents"), threshold=0.95)

@@ -351,3 +351,65 @@ def test_tfidf_top_terms_golden(spark):
     import math
 
     assert abs(float(top1.tfidf) - 2 * math.log(3)) < 1e-5
+
+
+def test_connected_components_hand_graph(spark):
+    """Chain 1-2-3 (diameter 2, needs >1 round), triangle 10-11-12,
+    singleton 99 — labels are the min id of each component."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 12, 99]], ["doc_id"])
+    got = {
+        r["_n"]: r["_comp"]
+        for r in dedup.connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_dedup_clusters_canonical_election(spark):
+    df = spark.createDataFrame(
+        [
+            (5, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),   # exact dup of 5 -> canonical
+            (7, "alpha beta gamma delta epsilon"),   # exact dup
+            (9, "totally unrelated other words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup.dedup_clusters(df, threshold=0.99).collect()}
+    assert rows[2]["component_id"] == 2 and rows[2]["is_canonical"]
+    assert rows[5]["component_id"] == 2 and not rows[5]["is_canonical"]
+    assert rows[7]["cluster_size"] == 3
+    assert rows[9]["component_id"] == 9 and rows[9]["cluster_size"] == 1
+
+
+def test_stratified_sample_rates_and_nesting(spark, docs):
+    """Rate accuracy (hash-uniform buckets) and the nested-sample
+    property: the kept set at a lower rate is a subset of the kept set
+    at a higher rate."""
+    half = sampling.stratified_sample(docs, {"en": 5_000})
+    full = sampling.stratified_sample(docs, {"en": 10_000})
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert full.count() == n_en
+    assert abs(half.count() / n_en - 0.5) < 0.15
+    half_ids = {r["doc_id"] for r in half.collect()}
+    full_ids = {r["doc_id"] for r in full.collect()}
+    assert half_ids <= full_ids
+    # unknown strata are dropped, rerun is identical
+    assert sampling.stratified_sample(docs, {"xx": 10_000}).count() == 0
+    assert {r["doc_id"] for r in sampling.stratified_sample(docs, {"en": 5_000}).collect()} == half_ids
+
+
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y x y")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    r1 = rows[1]  # tokens: a a a b; bigrams: "a a","a a","a b"
+    assert (r1["n_tokens"], r1["n_distinct_tokens"], r1["top_token_freq"]) == (4, 2, 3)
+    assert r1["top_token_frac"] == 0.75 and r1["dup_token_frac"] == 0.5
+    assert (r1["n_bigrams"], r1["n_distinct_bigrams"], r1["top_bigram_freq"]) == (3, 2, 2)
+    r2 = rows[2]  # bigrams: "x y","y x","x y"
+    assert r2["dup_token_frac"] == 0.5
+    assert r2["top_bigram_freq"] == 2 and r2["n_distinct_bigrams"] == 2

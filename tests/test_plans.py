@@ -68,18 +68,47 @@ def test_no_accidental_cartesian_products(plans):
     - q47 k-NN join: corpus x broadcast(8 query rows) is the operator's
       definition (every corpus row scored against every query) — a
       constant-factor map, not an accidental quadratic
+    - q52 dedup clusters: its pair-mining stage is q24's bitmap regime
+      (the test corpus's vocabulary fits one bitmap, so the miner picks
+      broadcast-NLJ popcount on purpose; real vocabularies take the
+      prefix-filter shuffle path with no NLJ)
     """
     allowed = {
         "q24_ngram_jaccard_pairs",
         "q20_cosine_topk",
         "q42_doc_tfidf_top_terms",
         "q47_embedding_knn_join",
+        "q52_dedup_clusters",
     }
     for name, p in plans.items():
         if name in allowed:
             continue
         assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
         assert "BroadcastNestedLoopJoin" not in p, f"{name} plans a nested-loop join"
+
+
+def test_stratified_sample_is_shuffle_free(plans):
+    """q51 is a pure filter+projection — a sampling primitive that
+    plans ANY Exchange or Python node would not be a 'just a scan' at
+    100 TB, which is its whole contract."""
+    import re
+
+    p = plans["q51_stratified_sample"]
+    assert not re.search(r"\(\d+\) Exchange", p), "stratified sample plans a shuffle"
+    assert "EvalPython" not in p
+
+
+def test_repetition_stats_reuses_id_distribution(plans):
+    """q50's final token-stats x bigram-stats join must reuse the
+    hash-by-doc_id distribution the aggregations already produced: two
+    n-gram orders x (explode-count + per-doc rollup) = at most 6
+    Exchanges incl. the fan-out repartition, and none added by the
+    join itself (a SortMergeJoin re-shuffling both sides would show 8)."""
+    import re
+
+    p = plans["q50_doc_repetition_stats"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 6
+    assert "EvalPython" not in p
 
 
 def test_pii_redaction_is_pure_codegen_map(plans):
