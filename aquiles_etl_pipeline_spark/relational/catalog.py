@@ -38,18 +38,28 @@ DEC = "decimal(18,2)"
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table.
 
-    ``events`` needs special handling: its parquet carries INT64
-    TIMESTAMP(NANOS) which Spark's reader rejects outright — we read the
+    ``events`` needs special handling when its parquet carries INT64
+    TIMESTAMP(NANOS), which Spark's reader rejects outright — we read the
     raw nanos (legacy conf, runtime-settable) and floor-convert to
-    microsecond timestamps, matching DuckDB's floor-truncation.
+    microsecond timestamps, matching DuckDB's floor-truncation.  Datasets
+    written with plain micro timestamps read straight through, so the
+    conversion is schema-sensitive, not hardcoded.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # belt-and-braces for sessions not built by session.get_spark:
+        # naive micro timestamps must come back TIMESTAMP (not NTZ) so
+        # watermarks/unix_micros work and values match DuckDB under UTC
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer `div`, NOT floor(ts/1000): double division of ~1.7e18
-        # nanos is only precise to ~256 ns (53-bit mantissa) and rounds
-        # some micros up by 1 vs DuckDB's exact truncation
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer `div`, NOT floor(ts/1000): double division of ~1.7e18
+            # nanos is only precise to ~256 ns (53-bit mantissa) and rounds
+            # some micros up by 1 vs DuckDB's exact truncation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Naive parquet timestamps (isAdjustedToUTC=false) must read as
+        # TIMESTAMP, not TIMESTAMP_NTZ: event-time watermarks and
+        # unix_micros() reject NTZ, and with a UTC session the two carry
+        # identical wall-clock values anyway (matching DuckDB's naive
+        # rendering).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local mode: the driver heap IS the whole executor heap; 8g
         # starves 32 cores' worth of caches + broadcast + shuffle and
