@@ -64,12 +64,21 @@ def _next_ids(
     running sum over the partition-count frame, which has at most
     #partitions rows).  Delta GENERATED ALWAYS AS IDENTITY replaces
     both on a real cluster."""
-    max_id = (existing.agg(F.coalesce(F.max("Id"), F.lit(0)).alias("m")).collect())[0]["m"]
     if small:
-        w = Window.partitionBy(F.lit(1)).orderBy(order_col)
-        return new_rows.coalesce(1).withColumn(
-            "Id", (F.lit(max_id) + F.row_number().over(w)).cast("long")
+        # max(Id) rides along as a broadcast 1-row cross join instead of
+        # a .collect(): one fewer driver round-trip per merge, and the
+        # whole id assignment stays a single lazy plan
+        maxdf = existing.agg(
+            F.coalesce(F.max("Id"), F.lit(0)).cast("long").alias("_maxid")
         )
+        w = Window.partitionBy(F.lit(1)).orderBy(order_col)
+        return (
+            new_rows.coalesce(1)
+            .crossJoin(F.broadcast(maxdf))
+            .withColumn("Id", (F.col("_maxid") + F.row_number().over(w)).cast("long"))
+            .drop("_maxid")
+        )
+    max_id = (existing.agg(F.coalesce(F.max("Id"), F.lit(0)).alias("m")).collect())[0]["m"]
     local = (
         new_rows.repartitionByRange(F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
@@ -185,33 +194,55 @@ def _resolve_uom(wh: Warehouse, df: DataFrame, unit_col: str) -> DataFrame:
     )
 
 
-def merge_products(wh: Warehouse, batch_guid: str, collect_stats: bool = True) -> dict[str, int]:
-    """M2: upsert keyed on DescriptionHash = sha256(Description)
-    (identity implied by the IX_Product_DescriptionHash index,
-    core/entities.py:106). Matched → update Measure/UnitOfMeasureId/
-    UpdatedDt ('update existing ones with latest data',
-    docs/ETL_ENHANCEMENTS.md:28); not matched → insert."""
+def prepare_product_source(wh: Warehouse, batch_guid: str) -> tuple[DataFrame, list[int]]:
+    """M2's staging-side prep, factored out so the orchestrator can run
+    it CONCURRENTLY with M1/U1 (it reads only the staging partition —
+    no dependency on providers or units): dedup the batch by
+    DescriptionHash, persist it, and collect the touched fact-table
+    buckets (the one driver round-trip the partition-scoped rewrite
+    needs before it can prune its read)."""
     staging = _staging_batch(wh, "staging_product", batch_guid)
     # one row per distinct description within the batch (T-SQL MERGE
     # requires a unique source; keep the first by deterministic order)
     w = Window.partitionBy("DescriptionHash").orderBy("Description", "Measure", "UnitOfMeasure")
-    src = (
+    src0 = (
         staging.withColumn("DescriptionHash", scalar.description_hash(F.col("Description")))
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
+        .persist()
     )
-    # batch-sized; consumed by the touched-bucket collect, the matched
-    # join, the insert anti-join, and the final write — persist so those
-    # actions share one pass
-    src = _resolve_uom(wh, src, "UnitOfMeasure").persist()
+    touched = sorted(
+        r["_b"] for r in src0.select(_bucket_of("DescriptionHash").alias("_b")).distinct().collect()
+    )
+    return src0, touched
+
+
+def merge_products(
+    wh: Warehouse,
+    batch_guid: str,
+    collect_stats: bool = True,
+    prepared: tuple[DataFrame, list[int]] | None = None,
+) -> dict[str, int]:
+    """M2: upsert keyed on DescriptionHash = sha256(Description)
+    (identity implied by the IX_Product_DescriptionHash index,
+    core/entities.py:106). Matched → update Measure/UnitOfMeasureId/
+    UpdatedDt ('update existing ones with latest data',
+    docs/ETL_ENHANCEMENTS.md:28); not matched → insert.
+
+    ``prepared`` is the output of :func:`prepare_product_source` when
+    the orchestrator overlapped the prep with M1/U1; unit resolution
+    stays lazy here (it must see U1's units), riding inside the write
+    job's broadcast joins instead of costing its own action."""
+    src0, touched = prepared if prepared is not None else prepare_product_source(wh, batch_guid)
+    # persist (lazily — the write job's first broadcast build fills the
+    # cache) so the matched join, the insert anti-join, and the id
+    # assignment don't each re-run the two uom-resolution joins
+    src = _resolve_uom(wh, src0, "UnitOfMeasure").persist()
 
     # partition-scoped merge: the batch's keys touch a subset of the
     # fact table's buckets; only those partitions are scanned (pruned
     # read) and rewritten — untouched partitions hardlink forward.
-    touched = sorted(
-        r["_b"] for r in src.select(_bucket_of("DescriptionHash").alias("_b")).distinct().collect()
-    )
     product = wh.read("product")
     base = product.where(F.col("_bucket").isin(touched))
     now = F.current_timestamp()
@@ -258,8 +289,9 @@ def merge_products(wh: Warehouse, batch_guid: str, collect_stats: bool = True) -
     )
     n_ins = new_rows.count() if collect_stats else -1
     wh.replace_partitions("product", updated.unionByName(new_rows), "_bucket", touched)
-    n_src = src.count() if collect_stats else -1
+    n_src = src0.count() if collect_stats else -1
     src.unpersist()
+    src0.unpersist()
     return {"inserted": n_ins, "total_source": n_src}
 
 
@@ -356,17 +388,20 @@ def merge_staging_to_fact_tables(
 ) -> dict[str, object]:
     """etl:168-189 — the three merges + cleanup, honoring the reference's
     dependency order: M1 (providers) and U1 (units) touch disjoint
-    tables and staging partitions, so they submit CONCURRENTLY; M2
-    (products) needs U1's units; M3 (provider_products) needs M1's
+    tables and staging partitions, so they submit CONCURRENTLY — along
+    with M2's staging-side prep (dedup + touched-bucket collect), which
+    depends on neither; M2's unit resolution then rides lazily inside
+    its write job after U1 lands.  M3 (provider_products) needs M1's
     providers and M2's products.  ``collect_stats=False`` skips the
     stats-only count jobs and writes dims in one job each."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         f_prov = pool.submit(merge_providers, wh, batch_guid, collect_stats)
         f_units = pool.submit(ensure_units_of_measure, wh, batch_guid, collect_stats)
-        providers, units = f_prov.result(), f_units.result()
-    products = merge_products(wh, batch_guid, collect_stats)
+        f_prep = pool.submit(prepare_product_source, wh, batch_guid)
+        providers, units, prepared = f_prov.result(), f_units.result(), f_prep.result()
+    products = merge_products(wh, batch_guid, collect_stats, prepared=prepared)
     provider_products = merge_provider_products(wh, batch_guid, collect_stats)
     _cleanup_staging(wh, batch_guid)
     return {

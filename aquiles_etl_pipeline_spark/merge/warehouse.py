@@ -60,6 +60,12 @@ class Warehouse:
         if marker.exists():
             schema = StructType.fromJson(json.loads(marker.read_text()))
             return self.spark.createDataFrame([], schema)
+        stored = self._stored_schema(cur)
+        if stored is not None:
+            # schema captured at write time: skips the footer-inference
+            # job every read would otherwise launch — merge batches do
+            # 3-4 reads each, and those jobs dominated the merge profile
+            return self.spark.read.schema(stored).parquet(str(cur))
         return self.spark.read.parquet(str(cur))
 
     def _new_gen(self, name: str) -> tuple[Path, list[int]]:
@@ -102,7 +108,7 @@ class Warehouse:
         gen, old = self._new_gen(name)
         gen.mkdir(parents=True, exist_ok=True)
         pq.write_table(table, gen / "part-00000-seed.parquet")
-        self._write_partition_spec(gen, None)
+        self._write_partition_spec(gen, None, schema)
         self._flip(name, gen, old)
 
     def overwrite(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
@@ -120,7 +126,7 @@ class Warehouse:
             gen.mkdir(parents=True, exist_ok=True)
             (gen / _EMPTY_MARKER).write_text(json.dumps(df.schema.jsonValue()))
         else:
-            self._write_partition_spec(gen, partition_by)
+            self._write_partition_spec(gen, partition_by, df.schema)
         self._flip(name, gen, old)
 
     def _link_files(
@@ -151,8 +157,18 @@ class Warehouse:
         meta = gen / "_PARTITION_SPEC.json"
         return json.loads(meta.read_text()) if meta.exists() else []
 
-    def _write_partition_spec(self, gen: Path, partition_by: list[str] | None) -> None:
+    def _write_partition_spec(
+        self, gen: Path, partition_by: list[str] | None, schema: StructType | None = None
+    ) -> None:
         (gen / "_PARTITION_SPEC.json").write_text(json.dumps(partition_by or []))
+        if schema is not None:
+            (gen / "_TABLE_SCHEMA.json").write_text(json.dumps(schema.jsonValue()))
+
+    def _stored_schema(self, gen: Path) -> StructType | None:
+        meta = gen / "_TABLE_SCHEMA.json"
+        if not meta.exists():
+            return None
+        return StructType.fromJson(json.loads(meta.read_text()))
 
     def append(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """True file-level append: write ONLY the new rows as parquet,
@@ -169,10 +185,10 @@ class Warehouse:
         cur = self._current(name) if self.exists(name) else None
         cur_empty = cur is None or (cur / _EMPTY_MARKER).exists()
         if not cur_empty:
-            # footer-only schema read (driver-side, no job); data columns
-            # must match by name AND type, and the directory layout by
-            # partition spec, for a file-level merge to be sound
-            cur_schema = self.spark.read.parquet(str(cur)).schema
+            # stored (or footer-derived) schema, driver-side; data
+            # columns must match by name AND type, and the directory
+            # layout by partition spec, for a file-level merge to be sound
+            cur_schema = self._stored_schema(cur) or self.spark.read.parquet(str(cur)).schema
             cur_fields = {f.name: f.dataType for f in cur_schema.fields}
             new_fields = {f.name: f.dataType for f in df.schema.fields}
             if cur_fields != new_fields or self._partition_spec(cur) != list(partition_by or []):
@@ -194,7 +210,7 @@ class Warehouse:
             gen.mkdir(parents=True, exist_ok=True)
             (gen / _EMPTY_MARKER).write_text(json.dumps(df.schema.jsonValue()))
         else:
-            self._write_partition_spec(gen, partition_by)
+            self._write_partition_spec(gen, partition_by, df.schema)
         self._flip(name, gen, old)
 
     def replace_partitions(
@@ -229,7 +245,7 @@ class Warehouse:
             gen.mkdir(parents=True, exist_ok=True)
             (gen / _EMPTY_MARKER).write_text(json.dumps(df.schema.jsonValue()))
         else:
-            self._write_partition_spec(gen, [partition_col])
+            self._write_partition_spec(gen, [partition_col], df.schema)
         self._flip(name, gen, old)
 
     def delete_partition(self, name: str, col: str, value: str) -> None:
@@ -240,10 +256,12 @@ class Warehouse:
         cur = self._current(name)
         if cur is None or (cur / _EMPTY_MARKER).exists():
             return
-        schema = self.spark.read.parquet(str(cur)).schema
+        schema = self._stored_schema(cur) or self.spark.read.parquet(str(cur)).schema
         gen, old = self._new_gen(name)
         gen.mkdir(parents=True, exist_ok=True)
-        if not self._link_files(cur, gen, skip_top=f"{col}={value}"):
+        if self._link_files(cur, gen, skip_top=f"{col}={value}"):
+            self._write_partition_spec(gen, self._partition_spec(cur), schema)
+        else:
             (gen / _EMPTY_MARKER).write_text(json.dumps(schema.jsonValue()))
         self._flip(name, gen, old)
 
