@@ -88,6 +88,61 @@ def benchmark_ngram_overlap(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard pretraining
+    layout: documents are laid end-to-end in a deterministic order and
+    the stream is cut into fixed ``budget_tokens`` chunks (documents may
+    straddle a cut; the trainer masks across boundaries).  This operator
+    computes each document's placement: its shard, its token offset in
+    the shard's stream, the chunk its first token lands in, and whether
+    it straddles a chunk boundary.
+
+    Determinism/scale shape: shard = keyhash % n_shards and the
+    within-shard order is (keyhash, id) — content-independent, stable
+    under reruns, no RNG.  The whole operator is ONE hash-partitioned
+    window (cumulative sum per shard): at corpus scale each shard's sort
+    is distributed by the window exchange, and n_shards scales with the
+    cluster so no single task ever sees more than corpus/n_shards
+    tokens.  Output columns: (id, shard_id, n_tokens, start_offset,
+    chunk_id, spans_chunks).
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import tokens
+
+    h = _sha60(F.col(id_col))
+    base = df.select(
+        F.col(id_col),
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard_id"),
+        h.alias("_ord"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    return base.select(
+        id_col,
+        "shard_id",
+        "n_tokens",
+        start,
+        F.floor((cum - F.col("n_tokens")) / budget_tokens).alias("chunk_id"),
+        (
+            F.floor((cum - 1) / budget_tokens)
+            > F.floor((cum - F.col("n_tokens")) / budget_tokens)
+        ).alias("spans_chunks"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates_bp: dict[str, int],

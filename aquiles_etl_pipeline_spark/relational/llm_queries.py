@@ -688,3 +688,39 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(load(spark, sf_dir, "documents"), threshold=0.95)
+
+
+@register(
+    "q53_sequence_packing",
+    sql="""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, CAST(h % 8 AS INT) AS shard_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, shard_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS chunk_id,
+           ((cum - 1) // 512) > ((cum - n_tokens) // 512) AS spans_chunks
+    FROM w
+    """,
+    doc="Concat-and-chunk sequence packing (llmdata.sampling."
+        "pack_sequences): documents laid end-to-end per shard in "
+        "deterministic keyhash order, the stream cut into 512-token "
+        "chunks — each doc's shard, stream offset, landing chunk, and "
+        "boundary-straddle flag.  ONE hash-partitioned window (per-"
+        "shard running token sum); shard count scales with the "
+        "cluster, so no task holds more than corpus/n_shards tokens.",
+    tags=("sampling", "packing", "documents"),
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.pack_sequences(
+        load(spark, sf_dir, "documents"), budget_tokens=512, n_shards=8
+    )

@@ -238,6 +238,28 @@ def test_assign_splits_stable_and_proportional(spark, docs):
         sampling.assign_splits(docs, {"train": 50, "val": 20})
 
 
+def test_pack_sequences_offsets_and_determinism(spark, docs):
+    out = sampling.pack_sequences(docs, budget_tokens=128, n_shards=4).collect()
+    assert len(out) == docs.count()
+    # per shard: offsets form a contiguous token stream in (hash, id) order
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["start_offset"])
+        cum = 0
+        for r in rows:
+            assert r["start_offset"] == cum
+            assert r["chunk_id"] == cum // 128
+            end = cum + r["n_tokens"]
+            assert r["spans_chunks"] == ((end - 1) // 128 > cum // 128)
+            cum = end
+    # deterministic: rerun is identical
+    again = sampling.pack_sequences(docs, budget_tokens=128, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_benchmark_decontamination_flags_planted_overlap(spark):
     bench = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
