@@ -423,3 +423,43 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", cosine_sim_batch(F.col("va"), F.col("vb")).alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Row-wise absmax int8 scalar quantization — the standard scheme
+    for shrinking an embedding store 4x (float32 -> int8 + one scale
+    per vector) while keeping ANN recall: q_i = round(127 * v_i /
+    max|v|), dequantized as q_i * scale with scale = max|v| / 127.
+
+    Pure shuffle-free projection (whole-stage codegen, higher-order
+    array functions only), so it runs at full scan speed over any
+    corpus size.  The per-DIMENSION global-minmax variant (FAISS SQ8)
+    needs one extra bounded aggregation — per-dim partial min/max
+    combine map-side to #dims rows per task — and swaps the literal
+    row scale for broadcast per-dim arrays; same projection otherwise.
+
+    Output: (id, scale, qvec int8-range ints, recon_rmse) — the rmse
+    of dequantization, the quality number a pipeline monitors when
+    deciding int8 is safe for its recall target.  All double math is
+    fixed-order (left fold), so results are bit-reproducible.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(v, F.abs))
+    scale = absmax / F.lit(127.0)
+    qvec = F.when(absmax == F.lit(0.0), F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    )
+    base = df.select(F.col(id_col), v.alias("_v"), scale.alias("_scale"), qvec.alias("qvec"))
+    err2 = F.aggregate(
+        F.zip_with("_v", "qvec", lambda a, q: F.pow(a - q.cast("double") * F.col("_scale"), F.lit(2.0))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return base.select(
+        id_col,
+        F.round("_scale", 6).alias("scale"),
+        "qvec",
+        F.round(F.sqrt(err2 / F.size("_v")), 6).alias("recon_rmse"),
+    )

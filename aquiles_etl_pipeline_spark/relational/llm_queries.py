@@ -724,3 +724,38 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(
         load(spark, sf_dir, "documents"), budget_tokens=512, n_shards=8
     )
+
+
+@register(
+    "q54_embedding_quantize_int8",
+    sql="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(round(x / scale) AS INT)) END AS qvec
+      FROM s
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           qvec,
+           ROUND(sqrt(list_reduce(list_transform(list_zip(v, qvec),
+                  p -> pow(p[1] - CAST(p[2] AS DOUBLE) * scale, 2)),
+                  (a, b) -> a + b) / len(v)), 6) AS recon_rmse
+    FROM q
+    """,
+    doc="Row-wise absmax int8 embedding quantization + reconstruction "
+        "RMSE (llmdata.similarity.quantize_embeddings_int8): the 4x "
+        "embedding-store compression step of a serving/ANN pipeline, "
+        "as a shuffle-free codegen projection.  Fixed-order double "
+        "math makes the rounded outputs engine-reproducible; the "
+        "DuckDB twin folds with list_reduce in the same order.",
+    tags=("similarity", "embeddings", "quantization"),
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_embeddings_int8(load(spark, sf_dir, "embeddings"))

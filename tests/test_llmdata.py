@@ -260,6 +260,20 @@ def test_pack_sequences_offsets_and_determinism(spark, docs):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_quantize_embeddings_int8_range_and_error(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = similarity.quantize_embeddings_int8(emb).collect()
+    assert len(rows) == emb.count()
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        # absmax scheme: per-element dequant error is bounded by scale/2
+        assert r["recon_rmse"] <= r["scale"] / 2 + 1e-9
+        v = orig[r["vec_id"]]
+        k = max(range(len(v)), key=lambda i: abs(v[i]))
+        assert abs(r["qvec"][k]) == 127  # the absmax element hits full range
+
+
 def test_benchmark_decontamination_flags_planted_overlap(spark):
     bench = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],

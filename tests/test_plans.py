@@ -123,6 +123,17 @@ def test_pii_redaction_is_pure_codegen_map(plans):
     assert not re.search(r"\(\d+\) Exchange", p), "PII redaction plans a shuffle"
 
 
+def test_quantization_is_pure_codegen_map(plans):
+    """q54 must stay a shuffle-free whole-stage-codegen projection —
+    int8 quantization is a scan-speed compression pass at corpus
+    scale, so any Exchange or Python node is a regression."""
+    import re
+
+    p = plans["q54_embedding_quantize_int8"]
+    assert "EvalPython" not in p
+    assert not re.search(r"\(\d+\) Exchange", p), "quantization plans a shuffle"
+
+
 def test_decontamination_broadcasts_benchmark_grams(plans):
     """q49's benchmark gram set must broadcast (semi join) — shuffling
     the training side's grams against a tiny benchmark is the trap."""
