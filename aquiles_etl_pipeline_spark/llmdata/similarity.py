@@ -446,12 +446,19 @@ def quantize_embeddings_int8(
     fixed-order (left fold), so results are bit-reproducible.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    absmax = F.array_max(F.transform(v, F.abs))
-    scale = absmax / F.lit(127.0)
-    qvec = F.when(absmax == F.lit(0.0), F.transform(v, lambda x: F.lit(0))).otherwise(
-        F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    # hoist the scale through its own projection: inlining the array_max
+    # subtree inside the per-element lambda would replicate it per
+    # element in the generated code (dim-fold codegen blowup); as a
+    # named column it is computed once per row
+    scaled = df.select(F.col(id_col), v.alias("_v")).withColumn(
+        "_scale", F.array_max(F.transform("_v", F.abs)) / F.lit(127.0)
     )
-    base = df.select(F.col(id_col), v.alias("_v"), scale.alias("_scale"), qvec.alias("qvec"))
+    qvec = F.when(
+        F.col("_scale") == F.lit(0.0), F.transform("_v", lambda x: F.lit(0))
+    ).otherwise(
+        F.transform("_v", lambda x: F.round(x / F.col("_scale")).cast("int"))
+    )
+    base = scaled.select(F.col(id_col), "_v", "_scale", qvec.alias("qvec"))
     err2 = F.aggregate(
         F.zip_with("_v", "qvec", lambda a, q: F.pow(a - q.cast("double") * F.col("_scale"), F.lit(2.0))),
         F.lit(0.0),
