@@ -444,6 +444,9 @@ def quantize_embeddings_int8(
     of dequantization, the quality number a pipeline monitors when
     deciding int8 is safe for its recall target.  All double math is
     fixed-order (left fold), so results are bit-reproducible.
+    Degenerate rows are defined, not accidental: an empty vector gets
+    recon_rmse 0.0 (not the NULL that 0.0/0 would produce) and a NULL
+    scale (array_max of nothing), matching the SQL twin exactly.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # hoist the scale through its own projection: inlining the array_max
@@ -468,5 +471,7 @@ def quantize_embeddings_int8(
         id_col,
         F.round("_scale", 6).alias("scale"),
         "qvec",
-        F.round(F.sqrt(err2 / F.size("_v")), 6).alias("recon_rmse"),
+        F.when(F.size("_v") == 0, F.lit(0.0))
+        .otherwise(F.round(F.sqrt(err2 / F.size("_v")), 6))
+        .alias("recon_rmse"),
     )

@@ -90,9 +90,17 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    st AS (SELECT t.doc_id, t.tok, s.n_tok FROM toks t JOIN sizes s USING (doc_id)),
     inter AS (
+      -- size-ratio prefilter (exact, not heuristic): jaccard >= t
+      -- implies |A∩B| >= t*|A∪B| >= t*max and |A∩B| <= min, so
+      -- min >= t*max; pruning before the GROUP BY keeps this oracle
+      -- cheap inside the driver's shared grading budget (1e-9 slack so
+      -- float multiply never over-prunes a boundary pair)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      FROM st a JOIN st b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+       AND least(a.n_tok, b.n_tok) >= 0.8 * greatest(a.n_tok, b.n_tok) - 1e-9
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -125,10 +133,14 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     ),
     sizes AS (SELECT doc_id, len(g) AS n FROM sh),
-    posts AS (SELECT doc_id, unnest(g) AS s FROM sh),
+    posts AS (SELECT doc_id, len(g) AS n, unnest(g) AS s FROM sh),
     inter AS (
+      -- size-ratio prefilter: jaccard >= 0.7 forces min >= 0.7*max
+      -- (see q24) — prunes the postings join before aggregation
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
-      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM posts a JOIN posts b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.7 * greatest(a.n, b.n) - 1e-9
       GROUP BY 1, 2
     ),
     losers AS (
@@ -657,8 +669,13 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     pairs AS (
+      -- size-ratio prefilter (jaccard >= 0.95 forces min-size >=
+      -- 0.95*max-size, see q24): the cheap len comparison prunes
+      -- almost all of the n^2 pairs before any list_intersect runs
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      FROM toks a JOIN toks b
+        ON a.doc_id < b.doc_id
+       AND least(len(a.t), len(b.t)) >= 0.95 * greatest(len(a.t), len(b.t)) - 1e-9
       WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
               / len(list_distinct(a.t || b.t)) >= 0.95
     ),
@@ -666,12 +683,23 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id_a AS s, id_b AS d FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs
     ),
+    -- recurse ONLY over nodes that have edges: singletons (the vast
+    -- majority of any deduped corpus) are their own component by
+    -- definition and would otherwise bloat the recursive working set
+    -- ~200x (13s -> 0.1s at sf0.01) — oracle cost counts against the
+    -- driver's shared grading budget
+    enodes AS (SELECT DISTINCT s AS n FROM edges),
     reach(n, comp) AS (
-      SELECT doc_id, doc_id FROM documents
+      SELECT n, n FROM enodes
       UNION
       SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.n
     ),
-    cc AS (SELECT n AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY n),
+    cc AS (
+      SELECT n AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY n
+      UNION ALL
+      SELECT d.doc_id, d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN (SELECT n FROM enodes)
+    ),
     sizes AS (SELECT component_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
     SELECT doc_id, component_id, cluster_size, doc_id = component_id AS is_canonical
     FROM cc JOIN sizes USING (component_id)
@@ -743,10 +771,11 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            ROUND(scale, 6) AS scale,
-           qvec,
-           ROUND(sqrt(list_reduce(list_transform(list_zip(v, qvec),
-                  p -> pow(p[1] - CAST(p[2] AS DOUBLE) * scale, 2)),
-                  (a, b) -> a + b) / len(v)), 6) AS recon_rmse
+           CASE WHEN len(qvec) = 0 THEN '' ELSE array_to_string(qvec, ',') END AS qvec_csv,
+           CASE WHEN len(v) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(sqrt(list_reduce(list_transform(list_zip(v, qvec),
+                       p -> pow(p[1] - CAST(p[2] AS DOUBLE) * scale, 2)),
+                       (a, b) -> a + b) / len(v)), 6) END AS recon_rmse
     FROM q
     """,
     doc="Row-wise absmax int8 embedding quantization + reconstruction "
@@ -754,8 +783,19 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding-store compression step of a serving/ANN pipeline, "
         "as a shuffle-free codegen projection.  Fixed-order double "
         "math makes the rounded outputs engine-reproducible; the "
-        "DuckDB twin folds with list_reduce in the same order.",
+        "DuckDB twin folds with list_reduce in the same order.  The "
+        "GRADED output serializes the int8 vector as a CSV string "
+        "(qvec_csv) — the correctness gate's canonicalizer hashes "
+        "scalars, not arrays (r02 lesson: a raw array<int> column "
+        "crashed pandas sort_values with 'unhashable type: list'); "
+        "the array-valued API stays on quantize_embeddings_int8.",
     tags=("similarity", "embeddings", "quantization"),
 )
 def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.quantize_embeddings_int8(load(spark, sf_dir, "embeddings"))
+    q = similarity.quantize_embeddings_int8(load(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_csv"),
+        "recon_rmse",
+    )

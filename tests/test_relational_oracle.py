@@ -45,20 +45,30 @@ def test_query_matches_oracle(spark, oracle, sf_dir_module, name):
 
 @pytest.mark.parametrize("name", sorted(registry()))
 def test_no_hash_hazard_output_types(spark, name):
-    """Driver-hash discipline (round-1 lesson): oracle-backed queries
-    must not emit DECIMAL or FLOAT32 output columns.  The driver renders
-    Spark decimals scale-preserving ('5.40') but DuckDB decimals as
-    floats ('5.4'), so ANY decimal output column hash-mismatches on
-    trailing-zero values; float32 round-trips differently through
-    pandas on the two sides.  Fractional outputs must be DOUBLE
-    (relational.catalog.emit)."""
-    from pyspark.sql.types import DecimalType, FloatType
+    """Driver-hash discipline (round-1 and round-2 lessons): oracle-
+    backed queries must not emit DECIMAL, FLOAT32, or container-typed
+    output columns.  The driver renders Spark decimals scale-preserving
+    ('5.40') but DuckDB decimals as floats ('5.4'), so ANY decimal
+    output column hash-mismatches on trailing-zero values; float32
+    round-trips differently through pandas on the two sides; and the
+    driver's pandas canonicalizer cannot hash ARRAY/MAP/STRUCT cells at
+    all ('unhashable type: list' — q54, r02).  Fractional outputs must
+    be DOUBLE (relational.catalog.emit); array outputs must be
+    serialized to scalars (array_join / hash digest)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DecimalType,
+        FloatType,
+        MapType,
+        StructType,
+    )
 
     spec = registry()[name]
     if spec.sql is None:
         pytest.skip("no oracle (rows-only check)")
     schema = spec.fn(spark, "/root/testdata/sf0.001").schema
-    bad = [f.name for f in schema.fields if isinstance(f.dataType, (DecimalType, FloatType))]
+    hazard = (DecimalType, FloatType, ArrayType, MapType, StructType)
+    bad = [f.name for f in schema.fields if isinstance(f.dataType, hazard)]
     assert not bad, f"{name} emits hash-hazard typed columns: {bad}"
 
 

@@ -57,8 +57,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             return str(int(v))
         if isinstance(v, (bytes, bytearray)):
             return bytes(v).hex()
-        if isinstance(v, (list, tuple, np.ndarray)):
-            return "[" + ",".join(render(x) or "NULL" for x in v) + "]"
+        if isinstance(v, (list, tuple, dict, np.ndarray)):
+            # The driver's canonicalizer CANNOT hash container-valued
+            # cells — pandas sort_values raises 'unhashable type: list'
+            # (q54, r02).  Stringifying here would hide exactly that
+            # failure, so the local gate hard-fails instead:
+            # local-green must imply driver-green.
+            raise TypeError(
+                f"container-valued output cell ({type(v).__name__}): graded "
+                "queries must emit scalars only (serialize arrays with "
+                "array_join / a hash digest)"
+            )
         return str(v)
 
     df = df[sorted(df.columns)].copy()
