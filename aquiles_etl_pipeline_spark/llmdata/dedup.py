@@ -113,6 +113,65 @@ def shingle_codes_and_minhash(
     return _f(F.col(text_col))
 
 
+def _pair_shingle_jaccard(shingle_n: int):
+    """Arrow-batched exact shingle-set Jaccard over candidate text
+    pairs.  Shingling parity with shingle_codes_and_minhash (same
+    tokenizer, same short-doc fallback) but compares shingle STRINGS,
+    matching the SQL oracle exactly.  NULL when the union is empty."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _grams(t: str) -> set[str]:
+        toks = (t or "").lower().strip().split() or [""]
+        return {
+            " ".join(toks[i : i + shingle_n])
+            for i in range(max(len(toks) - shingle_n + 1, 1))
+        }
+
+    @pandas_udf("double")
+    def _j(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        # None (-> SQL NULL), never NaN: Spark orders NaN ABOVE every
+        # number, so a NaN jaccard would pass >= threshold filters
+        out: list[float | None] = []
+        for a, b in zip(ta, tb):
+            ga, gb = _grams(a), _grams(b)
+            union = len(ga | gb)
+            out.append(len(ga & gb) / union if union else None)
+        return pd.Series(out, dtype="Float64")
+
+    return _j
+
+
+def bucket_pairs(
+    buckets: DataFrame, elems_col: str = "_ids", out_a: str = "id_a", out_b: str = "id_b"
+) -> DataFrame:
+    """Within-bucket unordered pair expansion, expression-only.
+
+    Replaces the classic LSH bucket SELF-JOIN: two branches of one join
+    over the same sketch pipeline do NOT get their exchange reused by
+    AQE when a Python UDF sits below (measured: the kernel runs once
+    per branch), while a single groupBy needs the pipeline exactly
+    once.  Pair output is identical — Θ(Σ bucket²) rows either way; the
+    only new constraint is that one bucket's elements sit in one task,
+    which is the LSH contract anyway (buckets are small by design; run
+    exact_dedup first if mass-identical documents could flood a
+    bucket).
+
+    Input rows: (..., elems_col: array).  Output: one row per unordered
+    element pair (a < b by sort order), columns named out_a/out_b.
+    """
+    s = F.array_sort(F.col(elems_col))
+    combos = F.flatten(
+        F.transform(
+            s,
+            lambda x, i: F.transform(
+                F.slice(s, i + 2, F.size(s)),
+                lambda y: F.struct(x.alias(out_a), y.alias(out_b)),
+            ),
+        )
+    )
+    return buckets.select(F.explode(combos).alias("_p")).select(f"_p.{out_a}", f"_p.{out_b}")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -124,42 +183,45 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs (id_a < id_b) from banded minhash.
 
     bands=8 × rows=4 at threshold ~0.5 Jaccard.  Scale: docs are hashed
-    to (band, band_hash) buckets; only same-bucket docs join — the
-    self-join is on uniform 64-bit keys, AQE handles any residual skew.
+    to (band, band_hash) buckets; only same-bucket docs pair — via ONE
+    uniform-key groupBy (bucket_pairs), never an O(n²) stage.
+
+    Materialization discipline (sweep hygiene): NO persist().  The
+    minhash kernel has exactly ONE consumer (the band pipeline), so it
+    runs exactly once with nothing left cached when the query finishes.
+    (The old formulation persisted the kernel output and joined the
+    shingle-code arrays back for verification; dropping the persist
+    splits consumers into differently-pruned plans that each re-run the
+    kernel — Catalyst column pruning makes the exchanges canonically
+    unequal, so AQE cannot reuse them.)  Verification instead joins the
+    (small) candidate pair set back to the raw text — broadcast pair
+    probes, text never shuffles — and computes exact STRING shingle-set
+    Jaccard in one Arrow-batched kernel over candidate rows only, which
+    is both faster than interpreted array expressions and exactly the
+    oracle's semantics (no 64-bit shingle-code collision caveat).
     """
     rows_per_band = num_hashes // bands
-    # repartition first: a small corpus read from one file arrives as a
-    # single partition, serializing the CPU-bound shingle+minhash work
-    # onto one core.  At 100 TB inputs are thousands of partitions and
+    # repartition(par) first: a small corpus read from one file arrives
+    # as a single partition, serializing the CPU-bound kernel onto one
+    # core.  At 100 TB inputs are already thousands of partitions and
     # this is a no-op-sized shuffle of (id, text).
-    # persisted: both sides of the band self-join AND the verification
-    # join-backs reuse these; without pinning, Spark recomputes the
-    # scan+shingle+minhash lineage once per branch (4x the work).  Both
-    # are doc-count-sized (no pair blowup), so memory is bounded.
     par = df.sparkSession.sparkContext.defaultParallelism
-    shingled = (
+    minhashed = (
         df.repartition(par)
         .select(
             F.col(id_col),
-            shingle_codes_and_minhash(text_col, shingle_n, num_hashes).alias("_sm"),
+            shingle_codes_and_minhash(text_col, shingle_n, num_hashes)["mh"].alias("_mh"),
         )
-        .select(id_col, F.col("_sm.codes").alias("_sh"), F.col("_sm.mh").alias("_mh"))
-        .persist()
     )
-    # eager: without this, BOTH sides of the band self-join race the
-    # cold cache inside one job and each recomputes the UDF lineage
-    shingled.count()
     band_cols = [
         F.xxhash64(*[F.col("_mh")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
             f"band_{b}"
         )
         for b in range(bands)
     ]
-    # only (id, band_id, band_hash) flows through the explode + self-join;
-    # shingle-code arrays join back for verification of the (small)
-    # candidate set — shuffling doc-sized arrays x bands is the
-    # naive-LSH trap
-    banded = shingled.select(id_col, *band_cols)
+    # only (id, band_id, band_hash) flows through the explode + groupBy;
+    # shuffling doc-sized shingle arrays x bands is the naive-LSH trap
+    banded = minhashed.select(id_col, *band_cols)
     stacked = banded.select(
         id_col,
         F.explode(
@@ -168,27 +230,24 @@ def minhash_lsh_candidates(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "bb.band_id", "bb.band_hash").persist()
-
-    left = stacked.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-    right = stacked.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
-    pairs = (
-        left.join(right, ["band_id", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    ).select(id_col, "bb.band_id", "bb.band_hash")
+    buckets = (
+        stacked.groupBy("band_id", "band_hash")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .where(F.size("_ids") >= 2)
     )
-    sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    pairs = bucket_pairs(buckets).dropDuplicates(["id_a", "id_b"])
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b"))
     return (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
         .select(
             "id_a",
             "id_b",
-            (inter.cast("double") / F.when(union > 0, union)).alias("jaccard"),
+            _pair_shingle_jaccard(shingle_n)(F.col("_text_a"), F.col("_text_b")).alias(
+                "jaccard"
+            ),
         )
     )
 
@@ -326,10 +385,11 @@ def simhash_near_dups(
     base, extra = divmod(bits, num_blocks)
     widths = [base + 1 if b < extra else base for b in range(num_blocks)]
     starts = [sum(widths[:b]) for b in range(num_blocks)]
-    # persist + eager: both block self-join branches reuse fingerprints
-    # instead of re-running the hashing kernel per branch
-    fps = simhash(df, text_col, id_col, bits=bits).persist()
-    fps.count()
+    # No persist and no join at all: the fingerprint is one BIGINT, so
+    # it rides into the block bucket as a struct field and pairs expand
+    # in-bucket (bucket_pairs) — the hashing kernel runs exactly once
+    # and nothing stays cached after the query (sweep hygiene).
+    fps = simhash(df, text_col, id_col, bits=bits)
     blocks = fps.select(
         id_col,
         "simhash",
@@ -341,23 +401,29 @@ def simhash_near_dups(
         ],
     )
     stacked = blocks.select(
-        id_col,
-        "simhash",
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("fp")).alias("_e"),
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("blk_id"), F.col(f"blk_{b}").alias("blk_val"))
                 for b in range(num_blocks)
             ])
         ).alias("bb"),
-    ).select(id_col, "simhash", "bb.blk_id", "bb.blk_val")
-    left = stacked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "blk_id", "blk_val")
-    right = stacked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "blk_id", "blk_val")
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    ).select("_e", "bb.blk_id", "bb.blk_val")
+    buckets = (
+        stacked.groupBy("blk_id", "blk_val")
+        .agg(F.collect_list("_e").alias("_es"))
+        .where(F.size("_es") >= 2)
+    )
+    # struct sort orders by id first, so pair order is (id_a < id_b)
+    p = bucket_pairs(buckets, elems_col="_es", out_a="ea", out_b="eb")
+    hamming = F.bit_count(F.col("ea.fp").bitwiseXOR(F.col("eb.fp")))
     return (
-        left.join(right, ["blk_id", "blk_val"])
-        .where(F.col("id_a") < F.col("id_b"))
+        p.select(
+            F.col("ea.id").alias("id_a"),
+            F.col("eb.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
 
@@ -477,43 +543,73 @@ def connected_components(
     cluster where executor loss must not kill a 20-round job.
     Driver involvement per round is ONE empty-check on the changed-label
     frame (no label data ever collects).
+
+    Storage discipline: a superseded round's localCheckpoint blocks are
+    released EXPLICITLY (tracked by RDD id and unpersisted once the next
+    round is materialized and the changed-check has run) — without this
+    every round's label frame stays pinned for the whole loop, the
+    executor-storage growth the checkpointing was meant to avoid.  Only
+    the FINAL labels frame remains materialized (the caller consumes
+    it); its blocks are released by Spark's ContextCleaner when the
+    frame is dropped.  On the reliable-checkpoint path the session conf
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` (set by
+    session.get_spark) makes superseded checkpoint FILES GC-collectable.
     """
     spark = edges.sparkSession
+    sc = spark.sparkContext
 
-    def _truncate(df: DataFrame) -> DataFrame:
-        if spark.sparkContext.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    def _persistent_ids() -> set[int]:
+        jmap = sc._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    def _release(ids: set[int]) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) in ids:
+                jmap.get(k).unpersist(False)
+
+    def _truncate(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        if sc.getCheckpointDir() is not None:
+            # reliable checkpoint: data lives in the checkpoint dir, not
+            # block storage; file cleanup is the cleaner conf's job
+            return df.checkpoint(eager=True), set()
+        before = _persistent_ids()
+        out = df.localCheckpoint(eager=True)
+        return out, _persistent_ids() - before
 
     sym = edges.select(
         F.col(src_col).alias("_n"), F.col(dst_col).alias("_m")
     ).union(edges.select(F.col(dst_col).alias("_n"), F.col(src_col).alias("_m")))
-    sym = _truncate(sym)
-    labels = _truncate(
+    sym, sym_ids = _truncate(sym)
+    labels, label_ids = _truncate(
         nodes.select(F.col(id_col).alias("_n"), F.col(id_col).alias("_comp"))
     )
-    for _ in range(max_iter):
-        nbr = sym.join(
-            labels.select(F.col("_n").alias("_m"), "_comp"), "_m"
-        ).select("_n", "_comp")
-        stage1 = labels.union(nbr).groupBy("_n").agg(F.min("_comp").alias("_comp"))
-        # pointer jump: follow _comp to ITS label (every label is a node
-        # id, so the inner self-join never drops rows); doubles the
-        # propagation distance per round
-        jumped = stage1.join(
-            stage1.select(F.col("_n").alias("_comp"), F.col("_comp").alias("_cc")),
-            "_comp",
-        ).select("_n", F.least("_comp", "_cc").alias("_comp"))
-        new_labels = _truncate(jumped)
-        changed = (
-            new_labels.select("_n", F.col("_comp").alias("_new"))
-            .join(labels, "_n")
-            .where(F.col("_new") != F.col("_comp"))
-        )
-        done = changed.isEmpty()
-        labels = new_labels
-        if done:
-            break
+    try:
+        for _ in range(max_iter):
+            nbr = sym.join(
+                labels.select(F.col("_n").alias("_m"), "_comp"), "_m"
+            ).select("_n", "_comp")
+            stage1 = labels.union(nbr).groupBy("_n").agg(F.min("_comp").alias("_comp"))
+            # pointer jump: follow _comp to ITS label (every label is a
+            # node id, so the inner self-join never drops rows); doubles
+            # the propagation distance per round
+            jumped = stage1.join(
+                stage1.select(F.col("_n").alias("_comp"), F.col("_comp").alias("_cc")),
+                "_comp",
+            ).select("_n", F.least("_comp", "_cc").alias("_comp"))
+            new_labels, new_ids = _truncate(jumped)
+            changed = (
+                new_labels.select("_n", F.col("_comp").alias("_new"))
+                .join(labels, "_n")
+                .where(F.col("_new") != F.col("_comp"))
+            )
+            done = changed.isEmpty()
+            _release(label_ids)
+            labels, label_ids = new_labels, new_ids
+            if done:
+                break
+    finally:
+        _release(sym_ids)
     return labels
 
 

@@ -384,6 +384,8 @@ def embedding_near_dup_pairs(
     pairs collide per band at 2^-8 — narrow bands are what make LSH
     prune; 4-bit bands pass ~1/16 of ALL pairs per band and drown the
     verifier."""
+    from .dedup import bucket_pairs
+
     first = df.select(vec_col).first()
     dim = len(first[0]) if first else 0
     bits_per_band = num_planes // bands
@@ -404,17 +406,19 @@ def embedding_near_dup_pairs(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "bb.band_id", "bb.band_val").persist()
-    # eager: both self-join branches would otherwise race the cold cache
-    stacked.count()
-    a = stacked.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
-    b = stacked.select(F.col(id_col).alias("id_b"), "band_id", "band_val")
-    pairs = (
-        a.join(b, ["band_id", "band_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    ).select(id_col, "bb.band_id", "bb.band_val")
+    # in-bucket pair expansion (ONE groupBy exchange) instead of a
+    # bucket self-join — no persist, nothing cached after the query;
+    # the signature pipeline is evaluated once.  The verification
+    # join-backs below re-scan the input relation for vectors (column-
+    # pruned parquet scan); callers composing an expensive lineage
+    # should materialize it upstream.
+    buckets = (
+        stacked.groupBy("band_id", "band_val")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .where(F.size("_ids") >= 2)
     )
+    pairs = bucket_pairs(buckets).dropDuplicates(["id_a", "id_b"])
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -46,6 +46,10 @@ def get_spark(
         # rendering).
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # iterative algorithms (connected components) reliable-checkpoint
+        # path: let the ContextCleaner delete checkpoint files once their
+        # RDD is collected, so long sessions don't accumulate them
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # local mode: the driver heap IS the whole executor heap; 8g
         # starves 32 cores' worth of caches + broadcast + shuffle and
         # showed up as 2x wall-time GC degradation over a bench sweep

@@ -1,0 +1,68 @@
+"""Sweep hygiene: catalog queries must not leak persisted blocks.
+
+Round-2 lesson: the sketch operators persisted band/fingerprint frames
+and never released them, so a 54-query single-session sweep accumulated
+cache blocks and GC exposure (the driver's contaminated bench window
+amplified exactly this).  The operators are now cache-free (shuffle
+reuse instead of persist) except for iterative checkpoints, which are
+released explicitly per round; the only permitted residue is storage
+owned by Spark's ContextCleaner (the final frame of an iterative
+algorithm), which must drain once the result is dropped.
+"""
+
+from __future__ import annotations
+
+import gc
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from aquiles_etl_pipeline_spark.relational import registry  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+# the queries that exercise every operator that EVER persisted/checkpointed:
+# minhash bands, simhash blocks, embedding LSH bands, connected components,
+# and the ETL pipeline's persist+unpersist pair
+PERSIST_PRONE = [
+    "q24_ngram_jaccard_pairs",
+    "q25_minhash_dedup_survivors",
+    "q28_embedding_near_dups",
+    "q35_simhash_near_dup_pairs",
+    "q52_dedup_clusters",
+    "q41_etl_star_pipeline",
+]
+
+
+def _persistent_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+@pytest.mark.parametrize("name", PERSIST_PRONE)
+def test_no_persistent_rdds_after_query(spark, name):
+    # delta vs a baseline snapshot: other test modules may hold
+    # legitimately cached fixtures in the shared session — the contract
+    # here is that running a catalog query adds NO lasting storage
+    baseline = _persistent_ids(spark)
+    fn = registry()[name].fn
+    df = fn(spark, SF)
+    df.collect()
+    del df, fn
+    # ContextCleaner owns any remaining storage (e.g. the final labels
+    # frame of connected components): dropping the Python ref releases
+    # the JVM Dataset via py4j, then a JVM GC queues the RDD for
+    # cleanup.  Poll briefly — the point is that storage DRAINS, not
+    # that it was never used.
+    leaked = _persistent_ids(spark) - baseline
+    deadline = time.time() + 30
+    while leaked and time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+        leaked = _persistent_ids(spark) - baseline
+    assert not leaked, f"{len(leaked)} persistent RDDs still pinned after {name}"
