@@ -129,17 +129,25 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
-    start = (cum - F.col("n_tokens")).alias("start_offset")
-    return base.select(
+    # integer `div`, never floor(x / y): double division is only exact
+    # to 53 mantissa bits, so at large per-shard cumulative token counts
+    # the quotient can drift off the oracle's exact integer '//' (same
+    # hazard class as the nanos->micros conversion in relational.catalog)
+    b = int(budget_tokens)
+    staged = base.select(
         id_col,
         "shard_id",
         "n_tokens",
-        start,
-        F.floor((cum - F.col("n_tokens")) / budget_tokens).alias("chunk_id"),
-        (
-            F.floor((cum - 1) / budget_tokens)
-            > F.floor((cum - F.col("n_tokens")) / budget_tokens)
-        ).alias("spans_chunks"),
+        (cum - F.col("n_tokens")).cast("long").alias("start_offset"),
+        (cum - 1).cast("long").alias("_last"),
+    )
+    return staged.select(
+        id_col,
+        "shard_id",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {b}").alias("chunk_id"),
+        (F.expr(f"_last div {b}") > F.expr(f"start_offset div {b}")).alias("spans_chunks"),
     )
 
 

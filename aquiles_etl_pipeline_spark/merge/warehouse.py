@@ -226,11 +226,23 @@ class Warehouse:
         partitions; their files move by hardlink only."""
         cur = self._current(name) if self.exists(name) else None
         cur_empty = cur is None or (cur / _EMPTY_MARKER).exists()
-        if not cur_empty and self._partition_spec(cur) != [partition_col]:
-            # layout mismatch: fall back to a full partitioned rewrite
-            untouched = self.read(name).where(~F.col(partition_col).isin(values))
-            self.overwrite(name, df.unionByName(untouched), partition_by=[partition_col])
-            return
+        if not cur_empty:
+            # same name+type guard append() applies: _TABLE_SCHEMA.json
+            # records only the newest write's schema while older
+            # partitions' files ride along by hardlink, so a
+            # type-evolving write would make later schema-forced reads
+            # silently cast or null-out the carried-forward files.
+            # Layout or schema divergence -> full rewrite through
+            # unionByName, which surfaces incompatibilities loudly.
+            cur_schema = self._stored_schema(cur) or self.spark.read.parquet(str(cur)).schema
+            cur_fields = {f.name: f.dataType for f in cur_schema.fields}
+            new_fields = {f.name: f.dataType for f in df.schema.fields}
+            if cur_fields != new_fields or self._partition_spec(cur) != [partition_col]:
+                untouched = self.read(name).where(~F.col(partition_col).isin(values))
+                self.overwrite(
+                    name, df.unionByName(untouched), partition_by=[partition_col]
+                )
+                return
         gen, old = self._new_gen(name)
         df.write.mode("overwrite").partitionBy(partition_col).parquet(str(gen))
         wrote_new = any(gen.rglob("part-*"))

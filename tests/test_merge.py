@@ -226,3 +226,33 @@ def test_incremental_merge_rewrites_only_touched_buckets(spark, wh):
     assert len(linked_buckets) >= 10
     # and the merged table is still fully consistent
     assert wh.read("product").count() == 61
+
+
+def test_replace_partitions_guards_schema_drift(spark, wh):
+    """ADVICE r02: replace_partitions must apply the same name+type
+    schema guard append() does — a type-evolving write may not hardlink
+    older-generation files under a new _TABLE_SCHEMA.json (schema-forced
+    reads would silently cast/null them).  Divergence falls back to a
+    full rewrite, keeping every row readable under ONE schema."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("Bucket", T.IntegerType()),
+        T.StructField("Val", T.IntegerType()),
+    ])
+    df1 = spark.createDataFrame([(0, 1), (1, 2)], schema)
+    wh.overwrite("t_guard", df1, partition_by=["Bucket"])
+    # same schema: partition-scoped write, untouched bucket hardlinks
+    df2 = spark.createDataFrame([(0, 10)], schema)
+    wh.replace_partitions("t_guard", df2, "Bucket", [0])
+    got = {(r["Bucket"], r["Val"]) for r in wh.read("t_guard").collect()}
+    assert got == {(0, 10), (1, 2)}
+    # type-evolving write (Val int -> bigint): must NOT hardlink old
+    # int32 files under a bigint _TABLE_SCHEMA.json (schema-forced reads
+    # of the old files would fail or silently cast) — full rewrite path,
+    # every file written under the one widened schema
+    df3 = spark.createDataFrame([(0, 100)], "Bucket: int, Val: bigint")
+    wh.replace_partitions("t_guard", df3, "Bucket", [0])
+    out = wh.read("t_guard")
+    assert dict(out.dtypes)["Val"] == "bigint"
+    assert {(r["Bucket"], r["Val"]) for r in out.collect()} == {(0, 100), (1, 2)}
