@@ -172,6 +172,104 @@ def test_real_decoder_is_explicit_seam():
         multimodal.decode_image_real(b"bytes")
 
 
+def _make_png(width: int, height: int, color_type: int = 2) -> bytes:
+    """Build a real, spec-valid PNG with stdlib only (zlib + struct)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width * nch) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_header_parse_real_formats():
+    import struct
+
+    # PNG (real, decodable by any viewer)
+    assert multimodal.parse_image_header(_make_png(320, 200)) == (320, 200, 3)
+    assert multimodal.parse_image_header(_make_png(7, 9, color_type=6)) == (7, 9, 4)
+    # GIF89a logical screen descriptor
+    gif = b"GIF89a" + struct.pack("<HH", 640, 480) + b"\x00\x00\x00" + b"\x3b"
+    assert multimodal.parse_image_header(gif) == (640, 480, 3)
+    # BMP with BITMAPINFOHEADER, 24bpp, top-down (negative height)
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, 16, -8, 1, 24) + bytes(16)
+    )
+    assert multimodal.parse_image_header(bmp) == (16, 8, 3)
+    # JPEG: SOI, APP0 stub, SOF0 (height=12, width=34, 3 components)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 12, 34) + b"\x03" + bytes(6)
+    )
+    assert multimodal.parse_image_header(jpeg) == (34, 12, 3)
+    # decode_image_real resolves real formats without PIL
+    assert multimodal.decode_image_real(_make_png(320, 200)) == (320, 200, 3)
+    # non-images fall through to None / NotImplementedError
+    assert multimodal.parse_image_header(b"\x89PNG fake image bytes A") is None
+    assert multimodal.parse_image_header(b"plain text") is None
+
+
+def test_wav_header_parse_real_bytes(tmp_path):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(bytes(8000 * 2 * 2 * 3))  # 3 seconds of silence
+    assert multimodal.parse_wav_header(buf.getvalue()) == (3, 8000, 2)
+    assert multimodal.parse_wav_header(b"RIFF fake audio") is None
+
+
+def test_image_features_use_real_headers(spark, tmp_path):
+    media = tmp_path / "m"
+    media.mkdir()
+    (media / "real.png").write_bytes(_make_png(320, 200))
+    (media / "junk.png").write_bytes(b"\x89PNG not really")
+    df = multimodal.read_media_dir(spark, str(media))
+    out = {r["path"].split("/")[-1]: r for r in
+           multimodal.extract_image_features(df).collect()}
+    assert (out["real.png"]["width"], out["real.png"]["height"]) == (320, 200)
+    assert out["real.png"]["channels"] == 3
+    # unknown payloads keep the deterministic fallback, never crash
+    assert 64 <= out["junk.png"]["width"] <= 255
+
+
+def test_audio_features_use_real_wav_header(spark, tmp_path):
+    import io
+    import wave
+
+    media = tmp_path / "a"
+    media.mkdir()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(bytes(16000 * 2 * 2))  # 2 seconds
+    (media / "speech.wav").write_bytes(buf.getvalue())
+    df = multimodal.read_media_dir(spark, str(media))
+    row = multimodal.extract_audio_features(df).collect()[0]
+    assert (row["duration_s"], row["sample_rate"], row["channels"]) == (2, 16000, 1)
+
+
 def test_exact_cosine_pairs_matches_crossjoin(spark, emb):
     """Blocked-GEMM exact pairs == naive crossJoin pairs (same threshold)."""
     got = {
