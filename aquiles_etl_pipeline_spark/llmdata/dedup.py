@@ -642,3 +642,66 @@ def dedup_clusters(
         "cluster_size",
         (F.col("_n") == F.col("_comp")).alias("is_canonical"),
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    chunk_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document exact dedup: split each document into fixed-size
+    token chunks, drop every chunk whose text already appeared earlier
+    in the corpus (first occurrence by (id, chunk_idx) wins), and
+    reassemble the surviving text — the paragraph/chunk-granularity
+    dedup step of web-scale corpus pipelines (boilerplate and quoted
+    passages recur across documents that are NOT near-duplicates as a
+    whole, so document-level dedup misses them).
+
+    Output: (id, n_chunks, n_kept, clean_text).
+
+    Scale: two shuffles — a window keyed by chunk text to rank global
+    first occurrence, then a groupBy(id) to reassemble.  Both carry
+    one chunk of text per row (never whole documents), so skew is
+    bounded by chunk size; the reassembly state per document is its
+    own chunk list.  No UDFs — whole plan is codegen'd.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunk_ids = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunked = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                chunk_ids,
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+                ),
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    w = Window.partitionBy("chunk_text").orderBy(id_col, "chunk_idx")
+    ranked = chunked.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct("chunk_idx", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

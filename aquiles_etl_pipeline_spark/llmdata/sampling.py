@@ -181,3 +181,42 @@ def stratified_sample(
     return df.select(
         key_col, strata_col, bucket.alias("sample_bucket")
     ).where(F.col("sample_bucket") < rate)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group token-budget selection: rank documents inside each
+    group (deterministically, by id) and keep documents until the
+    group's cumulative token count reaches ``budget_tokens`` — the
+    data-mixing primitive that caps each domain's contribution to a
+    training mix at N tokens.
+
+    A document is kept iff the cumulative count INCLUDING it is within
+    budget, so the mix slightly under-fills rather than overshoots
+    (matching how published mixes describe their caps).
+
+    Output: (id, group, n_tokens, cum_tokens, kept).
+
+    Scale: one hash-partitioned running-sum window per group — state
+    per partition is a single counter, skew bounded by the largest
+    group (salt or pre-aggregate per-shard counts if one domain
+    dominates a 100 TB mix).
+    """
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        F.col(id_col), F.col(group_col), n_tokens.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
+        "kept", F.col("cum_tokens") <= F.lit(budget_tokens)
+    )

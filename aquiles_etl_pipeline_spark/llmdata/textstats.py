@@ -251,3 +251,46 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         frac(F.col("top_bigram_freq"), F.col("n_bigrams")).alias("top_bigram_frac"),
         frac(F.col("n_bigrams") - F.col("n_distinct_bigrams"), F.col("n_bigrams")).alias("dup_bigram_frac"),
     )
+
+
+def c4_document_filters(
+    df: DataFrame,
+    min_words: int = 5,
+    max_word_chars: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style document gating: the composable boolean filter bank a
+    pretraining corpus pass applies before any expensive dedup — each
+    gate is its own output column so downstream consumers can tune the
+    conjunction without recomputing, plus the conjunction as ``keep``.
+
+    Gates (adapted from the public C4 recipe): minimum word count,
+    no pathologically long word, no code markers ({ or }), no
+    'lorem ipsum', no 'javascript' boilerplate marker, mean word
+    length in a sane band [2, 12].
+
+    Expression-only projection — zero shuffles, zero UDFs; runs at
+    scan speed and is the cheapest possible first pass over 100 TB.
+    """
+    t = F.lower(F.col(text_col))
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    max_len = F.array_max(F.transform(toks, F.length))
+    mean_len = F.length(F.col(text_col)).cast("double") / F.when(n_tokens > 0, n_tokens)
+    gates = {
+        "enough_words": n_tokens >= min_words,
+        "no_giant_word": F.coalesce(max_len <= max_word_chars, F.lit(False)),
+        "no_code_marker": ~t.contains("{") & ~t.contains("}"),
+        "no_lorem": ~t.contains("lorem ipsum"),
+        "no_js_marker": ~t.contains("javascript"),
+        "sane_word_len": F.coalesce(mean_len.between(2.0, 12.0), F.lit(False)),
+    }
+    keep = None
+    for c in gates.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        id_col,
+        *[c.alias(name) for name, c in gates.items()],
+        keep.alias("keep"),
+    )

@@ -799,3 +799,103 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_csv"),
         "recon_rmse",
     )
+
+
+@register(
+    "q55_chunk_dedup",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(t[(i*20+1):(i*20+20)], ' ') AS chunk_text
+      FROM toks,
+           UNNEST(generate_series(0,
+             GREATEST(CAST(ceil(len(t)/20.0) AS INT) - 1, 0))) AS g(i)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           COALESCE(array_to_string(
+             list(chunk_text ORDER BY chunk_idx) FILTER (WHERE rn = 1), ' '),
+             '') AS clean_text
+    FROM ranked GROUP BY doc_id
+    """,
+    doc="Sub-document chunk-level exact dedup (llmdata.dedup.chunk_dedup): "
+        "20-token chunks, global first occurrence wins, surviving text "
+        "reassembled — the paragraph-granularity dedup pass that document-"
+        "level dedup misses (boilerplate recurring across unrelated docs).",
+    tags=("llmdata", "dedup", "documents"),
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.chunk_dedup(load(spark, sf_dir, "documents"), chunk_tokens=20)
+
+
+@register(
+    "q56_c4_document_filters",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, text, lower(text) AS lt,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) >= 5 AS enough_words,
+           COALESCE(list_max(list_transform(toks, x -> length(x))) <= 50,
+                    FALSE) AS no_giant_word,
+           NOT contains(lt, '{') AND NOT contains(lt, '}') AS no_code_marker,
+           NOT contains(lt, 'lorem ipsum') AS no_lorem,
+           NOT contains(lt, 'javascript') AS no_js_marker,
+           COALESCE(CAST(length(text) AS DOUBLE) / NULLIF(len(toks), 0)
+                    BETWEEN 2.0 AND 12.0, FALSE) AS sane_word_len,
+           (len(toks) >= 5)
+             AND COALESCE(list_max(list_transform(toks, x -> length(x))) <= 50, FALSE)
+             AND NOT contains(lt, '{') AND NOT contains(lt, '}')
+             AND NOT contains(lt, 'lorem ipsum')
+             AND NOT contains(lt, 'javascript')
+             AND COALESCE(CAST(length(text) AS DOUBLE) / NULLIF(len(toks), 0)
+                          BETWEEN 2.0 AND 12.0, FALSE) AS keep
+    FROM t
+    """,
+    doc="C4-style boolean filter bank (llmdata.textstats."
+        "c4_document_filters): word-count / word-length / code-marker / "
+        "boilerplate gates, each a column plus the conjunction — the "
+        "scan-speed first pass of a pretraining corpus pipeline.",
+    tags=("llmdata", "text", "documents"),
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.c4_document_filters(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q57_token_budget_sample",
+    sql="""
+    SELECT doc_id, source,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             <= 700 AS kept
+    FROM documents
+    """,
+    doc="Per-domain token-budget mixing (llmdata.sampling."
+        "token_budget_sample): deterministic doc order, running token "
+        "sum per source, kept while the inclusive cumulative count is "
+        "within the 700-token domain cap.",
+    tags=("llmdata", "sampling", "documents"),
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.token_budget_sample(
+        load(spark, sf_dir, "documents"), budget_tokens=700
+    )

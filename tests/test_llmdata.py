@@ -547,3 +547,51 @@ def test_repetition_stats_known_values(spark):
     r2 = rows[2]  # bigrams: "x y","y x","x y"
     assert r2["dup_token_frac"] == 0.5
     assert r2["top_bigram_freq"] == 2 and r2["n_distinct_bigrams"] == 2
+
+
+def test_chunk_dedup_drops_repeated_chunks(spark):
+    # doc 1 and doc 2 share an identical 4-token chunk; chunk size 4
+    rows = [
+        (1, "a b c d e f g h"),           # chunks: [a b c d], [e f g h]
+        (2, "a b c d x y z w"),           # first chunk duplicates doc 1's
+        (3, "unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in dedup.chunk_dedup(df, chunk_tokens=4).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == "a b c d e f g h"
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "x y z w"
+    assert out[3]["n_kept"] == 1 and out[3]["clean_text"] == "unique words only here"
+
+
+def test_c4_filters_gate_logic(spark):
+    rows = [
+        (1, "a good document with plenty of normal words inside"),
+        (2, "too few"),                                   # enough_words fails
+        (3, "code like function() { return x; } blocks"), # code marker
+        (4, "lorem ipsum dolor sit amet filler text here"),
+        (5, "word " + "x" * 60 + " more words here now"), # giant word
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in textstats.c4_document_filters(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["enough_words"] is False and out[2]["keep"] is False
+    assert out[3]["no_code_marker"] is False and out[3]["keep"] is False
+    assert out[4]["no_lorem"] is False and out[4]["keep"] is False
+    assert out[5]["no_giant_word"] is False and out[5]["keep"] is False
+
+
+def test_token_budget_sample_cap_per_group(spark):
+    rows = [
+        (1, "g1", "one two three"),        # 3 tokens, cum 3  -> kept
+        (2, "g1", "four five six seven"),  # 4 tokens, cum 7  -> kept
+        (3, "g1", "eight nine"),           # 2 tokens, cum 9  -> dropped (cap 8)
+        (4, "g2", "a b c d e f g h"),      # 8 tokens, cum 8  -> kept exactly at cap
+        (5, "g2", "i"),                    # cum 9 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = {r["doc_id"]: r for r in
+           sampling.token_budget_sample(df, budget_tokens=8).collect()}
+    assert [out[i]["kept"] for i in (1, 2, 3, 4, 5)] == [True, True, False, True, False]
+    assert out[3]["cum_tokens"] == 9 and out[4]["cum_tokens"] == 8
