@@ -176,3 +176,36 @@ def test_copartitioned_join_reuses_distribution(spark):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
     assert "SortMergeJoin" in p
     assert n_exchanges == 2, f"expected only the 2 explicit repartitions:\n{p}"
+
+
+def test_c4_filters_is_pure_codegen_map(plans):
+    """q56 is the cheapest pass of the corpus pipeline: a shuffle-free
+    whole-stage-codegen projection over the documents scan."""
+    import re
+
+    p = plans["q56_c4_document_filters"]
+    assert not re.search(r"\(\d+\) Exchange", p), "C4 filter bank plans a shuffle"
+    assert "EvalPython" not in p
+    assert "codegen id" in p
+
+
+def test_chunk_dedup_shuffles_chunks_not_documents(plans):
+    """q55: exactly two Exchanges (rank-by-chunk-text window +
+    reassembly groupBy), no Python nodes — a third Exchange would mean
+    the explode output is being re-shuffled redundantly."""
+    import re
+
+    p = plans["q55_chunk_dedup"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, "chunk dedup added a shuffle"
+    assert "EvalPython" not in p
+
+
+def test_token_budget_single_window_shuffle(plans):
+    """q57: one hash Exchange for the per-group running-sum window and
+    nothing else; the operator's 100 TB contract is 'one pass, one
+    shuffle'."""
+    import re
+
+    p = plans["q57_token_budget_sample"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1, "token budget added shuffles"
+    assert "EvalPython" not in p
