@@ -294,3 +294,40 @@ def c4_document_filters(
         *[c.alias(name) for name, c in gates.items()],
         keep.alias("keep"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary statistics: per-token total frequency and
+    document frequency, frequency rank, and the cumulative fraction of
+    all token occurrences a top-``rank`` vocabulary would cover — the
+    measurement behind tokenizer vocab sizing and OOV-rate estimates.
+
+    Output: (token, tf, df, rank, cum_coverage) for the top_k tokens.
+
+    Scale: one explode + one groupBy(token) shuffle carrying (token,
+    count) partials (map-side combined), then a single-partition window
+    over only the top_k survivors — the full vocabulary never sorts
+    globally.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("tf"), F.countDistinct(id_col).alias("df")
+    )
+    total = counts.agg(F.sum("tf").cast("double").alias("_total"))
+    top = counts.orderBy(F.desc("tf"), "token").limit(top_k)
+    w = Window.orderBy(F.desc("tf"), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("tf"), "token")))
+        .withColumn("cum_coverage", (F.sum("tf").over(w) / F.col("_total")))
+        .select("token", "tf", "df", "rank", F.round("cum_coverage", 6).alias("cum_coverage"))
+    )

@@ -899,3 +899,37 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_sample(
         load(spark, sf_dir, "documents"), budget_tokens=700
     )
+
+
+@register(
+    "q58_vocab_coverage",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY token
+    ),
+    total AS (SELECT CAST(SUM(tf) AS DOUBLE) AS t FROM counts),
+    top AS (
+      SELECT token, tf, df,
+             CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS rank
+      FROM counts ORDER BY tf DESC, token LIMIT 100
+    )
+    SELECT token, tf, df, rank,
+           ROUND(SUM(tf) OVER (ORDER BY tf DESC, token
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t, 6)
+             AS cum_coverage
+    FROM top, total
+    """,
+    doc="Corpus vocabulary statistics (llmdata.textstats.vocab_coverage): "
+        "token/document frequency, rank, and cumulative coverage of a "
+        "top-100 vocabulary — the tokenizer-sizing / OOV-rate primitive.",
+    tags=("llmdata", "text", "documents"),
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.vocab_coverage(load(spark, sf_dir, "documents"), top_k=100)

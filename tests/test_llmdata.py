@@ -595,3 +595,13 @@ def test_token_budget_sample_cap_per_group(spark):
            sampling.token_budget_sample(df, budget_tokens=8).collect()}
     assert [out[i]["kept"] for i in (1, 2, 3, 4, 5)] == [True, True, False, True, False]
     assert out[3]["cum_tokens"] == 9 and out[4]["cum_tokens"] == 8
+
+
+def test_vocab_coverage_known_counts(spark):
+    rows = [(1, "a a b c"), (2, "a b b d")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["token"]: r for r in textstats.vocab_coverage(df, top_k=10).collect()}
+    assert out["a"]["tf"] == 3 and out["a"]["df"] == 2 and out["a"]["rank"] == 1
+    assert out["b"]["tf"] == 3 and out["b"]["rank"] == 2  # tie broken by token
+    assert out["a"]["cum_coverage"] == pytest.approx(3 / 8, abs=1e-6)
+    assert out["d"]["cum_coverage"] == pytest.approx(1.0, abs=1e-6)
