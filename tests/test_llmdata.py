@@ -605,3 +605,51 @@ def test_vocab_coverage_known_counts(spark):
     assert out["b"]["tf"] == 3 and out["b"]["rank"] == 2  # tie broken by token
     assert out["a"]["cum_coverage"] == pytest.approx(3 / 8, abs=1e-6)
     assert out["d"]["cum_coverage"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_chunk_dedup_identity_when_no_duplicates(spark):
+    """With globally unique tokens there are no duplicate chunks, so
+    reassembly must reproduce the (lowercased) token stream exactly and
+    keep every chunk — the lossless-reassembly invariant."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(rng.randint(1, 67))))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in dedup.chunk_dedup(df, chunk_tokens=7).collect()}
+    for i, text in rows:
+        assert out[i]["clean_text"] == text
+        assert out[i]["n_kept"] == out[i]["n_chunks"]
+
+
+def test_chunk_dedup_identical_docs_keep_first_only(spark):
+    df = spark.createDataFrame(
+        [(5, "x y z w v u t s"), (9, "x y z w v u t s")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.chunk_dedup(df, chunk_tokens=4).collect()}
+    assert out[5]["n_kept"] == 2 and out[5]["clean_text"] == "x y z w v u t s"
+    assert out[9]["n_kept"] == 0 and out[9]["clean_text"] == ""
+
+
+def test_token_budget_kept_is_prefix_closed(spark, docs):
+    """If a document is kept, every earlier document of its group is
+    kept too (the running sum is monotone)."""
+    out = sampling.token_budget_sample(docs, budget_tokens=400).collect()
+    by_group: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["doc_id"])):
+        by_group.setdefault(r["source"], []).append(r["kept"])
+    for flags in by_group.values():
+        assert flags == sorted(flags, reverse=True), "kept not prefix-closed"
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, docs):
+    rows = textstats.vocab_coverage(docs, top_k=50).collect()
+    rows.sort(key=lambda r: r["rank"])
+    cov = [r["cum_coverage"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(cov, cov[1:])), "coverage not monotone"
+    assert cov[-1] <= 1.0 + 1e-9
+    tfs = [r["tf"] for r in rows]
+    assert tfs == sorted(tfs, reverse=True), "rank not by descending tf"
