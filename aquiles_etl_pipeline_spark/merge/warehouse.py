@@ -272,6 +272,71 @@ class Warehouse:
             self._write_partition_spec(gen, [partition_col], df.schema)
         self._flip(name, gen, old)
 
+    def compact(
+        self, name: str, max_files: int = 8, target_files: int = 1
+    ) -> dict[str, int]:
+        """OPTIMIZE-style small-file compaction: rewrite every partition
+        holding more than ``max_files`` data files down to
+        ``target_files``, hardlinking untouched partitions forward.
+        Appending micro-batches (streaming ingest, per-file staging
+        loads) accumulates files; scan cost and task-scheduling overhead
+        grow with file count, not data size — the lakehouse housekeeping
+        Delta's OPTIMIZE / Iceberg's rewrite_data_files owns on a real
+        cluster.  Cost is O(compacted partitions); returns
+        {partition_path_or_'': files_before} for the rewritten ones.
+
+        Data is byte-identical afterwards (same rows, fewer files);
+        snapshot semantics make it safe next to readers.
+        """
+        cur = self._current(name)
+        if cur is None or (cur / _EMPTY_MARKER).exists():
+            return {}
+        spec = self._partition_spec(cur)
+        schema = self._stored_schema(cur)
+
+        # group data files by their (possibly nested) partition dir
+        groups: dict[Path, list[Path]] = {}
+        for f in cur.rglob("part-*"):
+            groups.setdefault(f.parent, []).append(f)
+        todo = {d: fs for d, fs in groups.items() if len(fs) > max_files}
+        if not todo:
+            return {}
+
+        if schema is not None and spec:
+            # partition columns live in dir names, not in the files
+            data_schema = StructType(
+                [f for f in schema.fields if f.name not in spec]
+            )
+        else:
+            data_schema = schema
+
+        gen, old = self._new_gen(name)
+        stats: dict[str, int] = {}
+        for d, fs in todo.items():
+            rel = d.relative_to(cur)
+            reader = self.spark.read
+            if data_schema is not None:
+                reader = reader.schema(data_schema)
+            df = reader.parquet(str(d))
+            out_dir = gen / rel
+            df.coalesce(target_files).write.mode("overwrite").parquet(str(out_dir))
+            # drop the write's _SUCCESS noise to keep generations uniform
+            marker = out_dir / "_SUCCESS"
+            if marker.exists():
+                marker.unlink()
+            stats[str(rel)] = len(fs)
+        # hardlink every file of partitions we did not rewrite
+        skip_dirs = set(todo)
+        for f in cur.rglob("part-*"):
+            if f.parent in skip_dirs:
+                continue
+            target = gen / f.relative_to(cur)
+            target.parent.mkdir(parents=True, exist_ok=True)
+            os.link(f, target)
+        self._write_partition_spec(gen, spec, schema)
+        self._flip(name, gen, old)
+        return stats
+
     def delete_partition(self, name: str, col: str, value: str) -> None:
         """Drop one partition directory from the current snapshot — a
         metadata-only operation (Hive/Delta DROP PARTITION): the new

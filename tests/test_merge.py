@@ -256,3 +256,41 @@ def test_replace_partitions_guards_schema_drift(spark, wh):
     out = wh.read("t_guard")
     assert dict(out.dtypes)["Val"] == "bigint"
     assert {(r["Bucket"], r["Val"]) for r in out.collect()} == {(0, 100), (1, 2)}
+
+
+def test_compact_reduces_files_and_preserves_data(spark, tmp_path):
+    wh = Warehouse(spark, tmp_path / "wh")
+    # simulate micro-batch appends: partitioned staging accumulating files
+    for batch in range(6):
+        df = spark.createDataFrame(
+            [(batch * 10 + i, f"row{batch}_{i}", "g1") for i in range(5)],
+            "id long, v string, BatchGuid string",
+        ).repartition(3)
+        wh.append("t", df, partition_by=["BatchGuid"])
+    before = wh.read("t").orderBy("id").collect()
+    cur = wh._current("t")
+    n_files_before = len(list(cur.rglob("part-*")))
+    assert n_files_before > 8  # 6 batches x 3 shards
+
+    stats = wh.compact("t", max_files=8, target_files=1)
+    assert stats, "compaction should have rewritten the fat partition"
+    cur2 = wh._current("t")
+    n_files_after = len(list(cur2.rglob("part-*")))
+    assert n_files_after < n_files_before
+    assert wh.read("t").orderBy("id").collect() == before
+    # idempotent: nothing left to compact
+    assert wh.compact("t", max_files=8) == {}
+
+
+def test_compact_unpartitioned_table(spark, tmp_path):
+    wh = Warehouse(spark, tmp_path / "wh2")
+    for i in range(4):
+        wh.append("u", spark.createDataFrame(
+            [(i * 3 + j, f"x{j}") for j in range(3)], "id long, v string"
+        ).repartition(4))
+    before = {tuple(r) for r in wh.read("u").collect()}
+    stats = wh.compact("u", max_files=3, target_files=2)
+    assert stats
+    cur = wh._current("u")
+    assert len(list(cur.rglob("part-*"))) <= 2
+    assert {tuple(r) for r in wh.read("u").collect()} == before
