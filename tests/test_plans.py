@@ -72,6 +72,9 @@ def test_no_accidental_cartesian_products(plans):
       (the test corpus's vocabulary fits one bitmap, so the miner picks
       broadcast-NLJ popcount on purpose; real vocabularies take the
       prefix-filter shuffle path with no NLJ)
+    - q58 vocab coverage: the corpus token total joins in as a
+      broadcast single-row aggregate over the top-k rows (k x 1,
+      conditionless by construction) — q42's degenerate map shape
     """
     allowed = {
         "q24_ngram_jaccard_pairs",
@@ -79,6 +82,7 @@ def test_no_accidental_cartesian_products(plans):
         "q42_doc_tfidf_top_terms",
         "q47_embedding_knn_join",
         "q52_dedup_clusters",
+        "q58_vocab_coverage",
     }
     for name, p in plans.items():
         if name in allowed:
