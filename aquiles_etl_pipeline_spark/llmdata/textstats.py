@@ -331,3 +331,46 @@ def vocab_coverage(
         .withColumn("cum_coverage", (F.sum("tf").over(w) / F.col("_total")))
         .select("token", "tf", "df", "rank", F.round("cum_coverage", 6).alias("cum_coverage"))
     )
+
+
+def unigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality signal: score every document
+    by its perplexity under a unigram LM trained on the corpus itself
+    (token prob = corpus frequency / total occurrences).  Outlier
+    perplexity — far from the corpus's center — is the classic filter
+    signal for machine-generated or degenerate text.  (Production
+    pipelines swap in a KenLM n-gram model behind the same column
+    contract; the unigram estimator keeps this dependency-free and
+    exactly SQL-twinnable.)
+
+    Output: (id, n_tokens, neg_avg_logprob, perplexity) where
+    perplexity = exp(-mean ln p(token)) over the doc's token stream.
+
+    Scale: one groupBy(token) vocab count (map-side combined), one
+    token-keyed join of the token stream against the vocab (AQE
+    broadcasts it when the vocabulary is small), one groupBy(id)
+    rollup.  No UDFs; log/exp stay in codegen.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("_tf"))
+    total = counts.agg(F.sum("_tf").cast("double").alias("_T"))
+    ll = (
+        tok.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.log(F.col("_tf") / F.col("_T"))).alias("_ll"),
+        )
+    )
+    neg_avg = -F.col("_ll") / F.col("n_tokens")
+    return ll.select(
+        id_col,
+        "n_tokens",
+        F.round(neg_avg, 6).alias("neg_avg_logprob"),
+        F.round(F.exp(neg_avg), 4).alias("perplexity"),
+    )

@@ -933,3 +933,33 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.vocab_coverage(load(spark, sf_dir, "documents"), top_k=100)
+
+
+@register(
+    "q59_unigram_perplexity",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+    total AS (SELECT CAST(SUM(tf) AS DOUBLE) AS t FROM counts),
+    ll AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(ln(tf / t)) AS s
+      FROM tok JOIN counts USING (token), total
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(-s / n_tokens, 6) AS neg_avg_logprob,
+           ROUND(exp(-s / n_tokens), 4) AS perplexity
+    FROM ll
+    """,
+    doc="Unigram-LM perplexity quality scoring (llmdata.textstats."
+        "unigram_perplexity): CCNet's filter signal with the corpus "
+        "itself as the LM — outlier perplexity flags degenerate text.",
+    tags=("llmdata", "text", "documents"),
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.unigram_perplexity(load(spark, sf_dir, "documents"))

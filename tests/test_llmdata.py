@@ -653,3 +653,17 @@ def test_vocab_coverage_monotone_and_bounded(spark, docs):
     assert cov[-1] <= 1.0 + 1e-9
     tfs = [r["tf"] for r in rows]
     assert tfs == sorted(tfs, reverse=True), "rank not by descending tf"
+
+
+def test_unigram_perplexity_known_values(spark):
+    import math
+
+    # corpus: 8 tokens total; p(a)=4/8, p(b)=2/8, p(c)=p(d)=1/8
+    rows = [(1, "a a b c"), (2, "a a b d")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in textstats.unigram_perplexity(df).collect()}
+    expect = -(2 * math.log(0.5) + math.log(0.25) + math.log(0.125)) / 4
+    assert out[1]["neg_avg_logprob"] == pytest.approx(expect, abs=1e-6)
+    assert out[1]["perplexity"] == pytest.approx(math.exp(expect), abs=1e-4)
+    # doc 2 has the same count profile -> identical score
+    assert out[2]["neg_avg_logprob"] == out[1]["neg_avg_logprob"]
