@@ -479,3 +479,41 @@ def quantize_embeddings_int8(
         .otherwise(F.round(F.sqrt(err2 / F.size("_v")), 6))
         .alias("recon_rmse"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embedding-cosine near-dup
+    pairs (banded LSH + exact verification, embedding_near_dup_pairs)
+    unioned into connected components, with the minimum id elected as
+    each cluster's canonical representative — keep ``is_canonical`` and
+    a semantically-deduplicated corpus remains.
+
+    Document-level text dedup (dedup_clusters) misses paraphrases and
+    re-encodings; this is the embedding-space analogue over the same
+    component/canonical contract.
+
+    Output: (id, component_id, cluster_size, is_canonical).
+
+    Scale: pair mining shuffles band keys (never vectors, see
+    embedding_near_dup_pairs); the component loop shuffles (node,
+    label) pairs and converges in O(log diameter) rounds; the size
+    join is label-keyed and AQE-broadcastable when clusters are few.
+    """
+    from .dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        df, threshold=threshold, vec_col=vec_col, id_col=id_col
+    ).select("id_a", "id_b")
+    labels = connected_components(pairs, df.select(id_col), id_col=id_col)
+    sizes = labels.groupBy("_comp").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "_comp").select(
+        F.col("_n").alias(id_col),
+        F.col("_comp").alias("component_id"),
+        "cluster_size",
+        (F.col("_n") == F.col("_comp")).alias("is_canonical"),
+    )

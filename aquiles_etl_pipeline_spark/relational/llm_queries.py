@@ -963,3 +963,58 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_perplexity(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q60_semantic_dedup",
+    sql="""
+    WITH RECURSIVE aug AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, [x * 2.0 for x in CAST(embedding AS DOUBLE[])]
+      FROM embeddings WHERE vec_id < 20
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    enodes AS (SELECT DISTINCT s AS n FROM edges),
+    reach(n, comp) AS (
+      SELECT n, n FROM enodes
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.n
+    ),
+    cc AS (
+      SELECT n AS vec_id, MIN(comp) AS component_id FROM reach GROUP BY n
+      UNION ALL
+      SELECT a.vec_id, a.vec_id FROM aug a
+      WHERE a.vec_id NOT IN (SELECT n FROM enodes)
+    ),
+    sizes AS (SELECT component_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
+    SELECT vec_id, component_id, cluster_size,
+           vec_id = component_id AS is_canonical
+    FROM cc JOIN sizes USING (component_id)
+    """,
+    doc="SemDeDup-style semantic dedup (llmdata.similarity."
+        "semantic_dedup): embedding near-dup pairs (LSH + exact verify) "
+        "-> connected components -> min-id canonical election.  Same "
+        "planted 2x-scaled copies as q28 so the expected cluster set is "
+        "non-empty and deterministic (scaling preserves cosine exactly); "
+        "oracle = all-pairs cosine + recursive-CTE closure.",
+    tags=("llmdata", "dedup", "embeddings", "graph"),
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias("embedding"),
+    )
+    aug = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(planted)
+    return similarity.semantic_dedup(aug, threshold=0.9)

@@ -667,3 +667,19 @@ def test_unigram_perplexity_known_values(spark):
     assert out[1]["perplexity"] == pytest.approx(math.exp(expect), abs=1e-4)
     # doc 2 has the same count profile -> identical score
     assert out[2]["neg_avg_logprob"] == out[1]["neg_avg_logprob"]
+
+
+def test_semantic_dedup_clusters_planted_copies(spark, emb):
+    planted = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 3.0).alias("embedding"),
+    )
+    aug = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(planted)
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(aug, threshold=0.95).collect()}
+    for k in range(5):
+        # scaled copy joins its source's component; source (min id) is canonical
+        assert out[1000 + k]["component_id"] == out[k]["component_id"]
+        assert out[k]["is_canonical"] and not out[1000 + k]["is_canonical"]
+        assert out[k]["cluster_size"] >= 2
