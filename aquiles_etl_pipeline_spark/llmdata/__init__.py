@@ -1,3 +1,3 @@
-from . import dedup, multimodal, sampling, similarity, textstats
+from . import dedup, multimodal, sampling, similarity, textstats, urls
 
-__all__ = ["dedup", "multimodal", "sampling", "similarity", "textstats"]
+__all__ = ["dedup", "multimodal", "sampling", "similarity", "textstats", "urls"]

@@ -220,3 +220,110 @@ def token_budget_sample(
     ).withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
         "kept", F.col("cum_tokens") <= F.lit(budget_tokens)
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    n_buckets: int = 8,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch assignment: within each group, rank
+    documents by token count (id as deterministic tiebreak) and cut
+    into ``n_buckets`` equal-frequency buckets with NTILE.
+
+    Training loaders batch same-length sequences together to minimize
+    padding waste; this emits the bucket id each document belongs to.
+    Equal-frequency (not equal-width) buckets keep batch counts
+    balanced regardless of the corpus length distribution.
+
+    Output: (id, group, n_tokens, bucket).
+
+    Scale: one window shuffle on ``group_col``.  NTILE needs the
+    per-group total (one pass) but no global sort across groups; for a
+    degenerate single-group 100 TB corpus, switch the caller to
+    percentile-based cutpoints (approx_percentile) and a join, which
+    avoids the single-partition window.
+    """
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = Window.partitionBy(group_col).orderBy("n_tokens", id_col)
+    return (
+        df.select(F.col(id_col), F.col(group_col), n_tokens.alias("n_tokens"))
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    target_docs: int,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling: allocate ``target_docs``
+    across groups proportionally to count^alpha (alpha = alpha_num /
+    alpha_den, default 1/2), then keep each group's allocation
+    deterministically by content-hash rank.
+
+    alpha < 1 is the multilingual-training upsampling rule (XLM-R's
+    alpha=0.3, mT5's 0.5 style): it flattens the head and boosts
+    low-resource groups relative to proportional sampling.
+
+    Exactness discipline: the per-group quota is computed in INTEGER
+    arithmetic end-to-end — weight_i = floor(cnt_i^alpha * 1e6) as a
+    BIGINT (IEEE sqrt/pow are correctly rounded, so the floor is
+    engine-independent), quota_i = target * weight_i // sum(weights).
+    No double sums cross groups, so Spark's aggregation order can
+    never flip a quota vs a serial oracle — the same 53-bit-mantissa
+    discipline the nanos conversion and pack_sequences use.
+
+    Selection inside a group is by sha256(id) rank — reproducible
+    across runs/retries/engines, and appends only ever ADD candidates
+    (a kept doc can be displaced only by a new lower-hash doc, never
+    by reordering).
+
+    Output: (id, group, hash_rank, group_quota, kept).
+
+    Scale: the group-count aggregate is tiny (one row per group,
+    broadcast back); ranking is one window shuffle on ``group_col``.
+    """
+    from pyspark.sql.window import Window
+
+    if alpha_den == 2 and alpha_num == 1:
+        weight = F.floor(F.sqrt(F.col("cnt").cast("double")) * 1e6).cast("long")
+    else:
+        weight = F.floor(
+            F.pow(F.col("cnt").cast("double"), F.lit(alpha_num / alpha_den)) * 1e6
+        ).cast("long")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt")).withColumn(
+        "weight", weight
+    )
+    total_w = counts.agg(F.sum("weight").alias("tw"))
+    quotas = counts.crossJoin(F.broadcast(total_w)).select(
+        group_col,
+        "cnt",
+        F.least(
+            F.col("cnt"),
+            F.expr(f"({target_docs} * weight) div tw"),
+        ).alias("group_quota"),
+    )
+    w = Window.partitionBy(group_col).orderBy("_h", id_col)
+    ranked = (
+        df.select(F.col(id_col), F.col(group_col))
+        .withColumn("_h", F.sha2(F.col(id_col).cast("string"), 256))
+        .withColumn("hash_rank", F.row_number().over(w))
+    )
+    return (
+        ranked.join(F.broadcast(quotas.drop("cnt")), on=group_col)
+        .select(
+            id_col,
+            group_col,
+            "hash_rank",
+            "group_quota",
+            (F.col("hash_rank") <= F.col("group_quota")).alias("kept"),
+        )
+    )

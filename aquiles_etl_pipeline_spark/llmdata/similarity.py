@@ -517,3 +517,45 @@ def semantic_dedup(
         "cluster_size",
         (F.col("_n") == F.col("_comp")).alias("is_canonical"),
     )
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic benchmark decontamination: flag every training vector
+    whose cosine similarity to ANY benchmark vector reaches
+    ``threshold`` — the embedding-space complement of the 8-gram
+    overlap check (sampling.benchmark_ngram_overlap), catching
+    paraphrased/translated eval leakage that token overlap misses.
+
+    Output: (id, max_benchmark_cos, contaminated) — one row per
+    training vector, max similarity rounded to 4dp for engine-portable
+    comparison.
+
+    Physical strategy: the benchmark set is small by construction
+    (eval suites are thousands of rows, not billions), so it
+    BROADCASTS; the training side streams through a map-only
+    crossJoin + partial max — no shuffle of the 100 TB side at all.
+    The per-pair cosine is the same index-ordered aggregate DuckDB's
+    list_cosine_similarity computes, so exactness carries to the
+    oracle bit-for-bit.  For benchmark sets too big to broadcast,
+    pre-bucket both sides with lsh_signature and join on band keys
+    (same shape as embedding_near_dup_pairs).
+    """
+    b = F.broadcast(
+        benchmark.select(
+            F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bv")
+        )
+    )
+    sim = cosine_sim(F.col(vec_col), F.col("_bv"))
+    return (
+        train.select(id_col, vec_col)
+        .crossJoin(b)
+        .groupBy(id_col)
+        .agg(F.round(F.max(sim), 4).alias("max_benchmark_cos"))
+        .withColumn("contaminated", F.col("max_benchmark_cos") >= threshold)
+    )

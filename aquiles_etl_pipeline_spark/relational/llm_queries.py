@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..llmdata import dedup, sampling, similarity, textstats
+from ..llmdata import dedup, sampling, similarity, textstats, urls
 from .catalog import load, register
 
 
@@ -1018,3 +1018,193 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     ).unionByName(planted)
     return similarity.semantic_dedup(aug, threshold=0.9)
+
+
+# Messy-URL synthesis shared by q62: deterministic per-doc noise
+# (uppercase scheme/host, www, default port, tracking params on every
+# 3rd doc, fragment on every 5th) so the canonicalizer has real work,
+# mirrored 1:1 in the oracle SQL.
+def _synth_url() -> F.Column:
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        did,
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("/?utm_source=feed&utm_campaign=x&id="), did),
+        ).otherwise(F.lit("/")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+_SYNTH_URL_SQL = """
+      SELECT doc_id,
+             'HTTPS://WWW.' || source || '.Example.COM:443/' || lang
+               || '/doc/' || doc_id
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '/?utm_source=feed&utm_campaign=x&id=' || doc_id
+                       ELSE '/' END
+               || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents
+"""
+
+
+@register(
+    "q62_url_canonicalize",
+    sql=f"""
+    WITH urls AS ({_SYNTH_URL_SQL}),
+    c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM urls),
+    c2 AS (SELECT doc_id, url, regexp_replace(
+             u, '([?&])(utm_[a-z]+|fbclid|gclid|ref|mc_cid|mc_eid)=[^&#]*',
+             '\\1', 'g') AS u FROM c1),
+    c3 AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(regexp_replace(
+               u, '\\?&+', '?'), '&&+', '&', 'g'), '[?&]+$', '') AS u
+           FROM c2),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+               '^([a-z][a-z0-9+.-]*://)www\\.', '\\1'), ':(80|443)$', '')
+             || regexp_replace(
+                  regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                  '^(/.+?)/+(\\?|$)', '\\1\\2') AS url_canonical
+      FROM c3
+    ),
+    parts AS (
+      SELECT doc_id, url, url_canonical,
+             regexp_extract(url_canonical,
+               '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1) AS host,
+             regexp_extract(url_canonical,
+               '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+             regexp_extract(url_canonical, '\\?([^#]*)$', 1) AS query
+      FROM canon
+    )
+    SELECT doc_id, url, url_canonical, host,
+           regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+           path,
+           CASE WHEN path IN ('', '/') THEN 0
+                ELSE len(string_split(regexp_replace(path, '^/|/$', '', 'g'), '/'))
+           END AS path_depth,
+           CASE WHEN query = '' THEN 0
+                ELSE len(string_split(query, '&')) END AS n_query_params
+    FROM parts
+    """,
+    doc="URL canonicalization + decomposition (llmdata.urls.parse_urls): "
+        "strip fragments/tracking params/default ports/www/case noise, "
+        "extract host/registered-domain/path-depth/param-count.  Pure "
+        "regexp projection, zero shuffles — the normalization pass "
+        "URL-level dedup and per-domain quotas key on.  Regexes avoid "
+        "lookarounds so Java regex and RE2 agree byte-for-byte.",
+    tags=("llmdata", "urls", "documents"),
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", _synth_url().alias("url")
+    )
+    return urls.parse_urls(d, "url").select(
+        "doc_id", "url", "url_canonical", "host", "domain",
+        "path", "path_depth", "n_query_params",
+    )
+
+
+@register(
+    "q63_length_buckets",
+    sql="""
+    SELECT doc_id, lang,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           NTILE(8) OVER (PARTITION BY lang
+                          ORDER BY len(string_split_regex(trim(text), '\\s+')),
+                                   doc_id) AS bucket
+    FROM documents
+    """,
+    doc="Length-bucketed batch assignment (llmdata.sampling."
+        "length_buckets): equal-frequency NTILE over token count per "
+        "language — the padding-waste-minimizing batching layout.  One "
+        "window shuffle on lang.",
+    tags=("llmdata", "sampling", "documents"),
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.length_buckets(load(spark, sf_dir, "documents"), n_buckets=8)
+
+
+@register(
+    "q64_temperature_mixture",
+    sql="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS cnt,
+             CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS weight
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(weight) AS tw FROM counts),
+    quotas AS (
+      -- SUM(BIGINT) is HUGEINT in DuckDB (fetches as float): pin the
+      -- whole quota expression back to BIGINT for the integer contract
+      SELECT lang,
+             CAST(LEAST(cnt, (300 * weight) // CAST(tw AS BIGINT)) AS BIGINT)
+               AS group_quota
+      FROM counts, tot
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id)
+               AS hash_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, hash_rank, group_quota,
+           hash_rank <= group_quota AS kept
+    FROM ranked JOIN quotas USING (lang)
+    """,
+    doc="Temperature-weighted mixture sampling (llmdata.sampling."
+        "temperature_mixture_sample, alpha=1/2): per-language quotas "
+        "proportional to count^0.5 (the multilingual upsampling rule), "
+        "selection by sha256 rank.  Quotas computed in INTEGER "
+        "arithmetic end-to-end (floor(sqrt*1e6) weights, integer div) "
+        "so no cross-group double sum can flip an allocation vs the "
+        "oracle.",
+    tags=("llmdata", "sampling", "documents"),
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.temperature_mixture_sample(
+        load(spark, sf_dir, "documents"), target_docs=300, group_col="lang"
+    )
+
+
+@register(
+    "q65_embedding_decontamination",
+    sql="""
+    WITH bench AS (
+      SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    train AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 50 <> 0
+    )
+    SELECT vec_id,
+           ROUND(MAX(list_dot_product(v, bv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(bv, bv)))),
+                 4) AS max_benchmark_cos,
+           ROUND(MAX(list_dot_product(v, bv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(bv, bv)))),
+                 4) >= 0.95 AS contaminated
+    FROM train CROSS JOIN bench
+    GROUP BY vec_id
+    """,
+    doc="Embedding-space benchmark decontamination (llmdata.similarity."
+        "embedding_decontaminate): max cosine of each training vector "
+        "against a broadcast benchmark set — catches paraphrased eval "
+        "leakage the 8-gram check (q49) misses.  Map-only over the "
+        "training side; benchmark side broadcasts.",
+    tags=("llmdata", "similarity", "embeddings"),
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    bench = e.where(F.col("vec_id") % 50 == 0)
+    train = e.where(F.col("vec_id") % 50 != 0)
+    return similarity.embedding_decontaminate(train, bench, threshold=0.95)

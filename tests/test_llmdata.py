@@ -683,3 +683,112 @@ def test_semantic_dedup_clusters_planted_copies(spark, emb):
         assert out[1000 + k]["component_id"] == out[k]["component_id"]
         assert out[k]["is_canonical"] and not out[1000 + k]["is_canonical"]
         assert out[k]["cluster_size"] >= 2
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization / domain analytics (llmdata.urls)
+# ---------------------------------------------------------------------------
+
+def test_canonical_url_edge_cases(spark):
+    from aquiles_etl_pipeline_spark.llmdata import urls
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&id=1#frag",
+         "https://example.com/A/b?id=1"),
+        ("http://example.com:80/", "http://example.com/"),
+        ("https://sub.Example.com/path/", "https://sub.example.com/path"),
+        ("https://example.com/?ref=abc", "https://example.com/"),
+        ("https://example.com/p?a=1&fbclid=xyz&b=2", "https://example.com/p?a=1&b=2"),
+        # 'pref=1' must NOT half-match the 'ref' tracker
+        ("https://example.com/p?pref=1", "https://example.com/p?pref=1"),
+        ("https://example.com", "https://example.com"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expect string")
+    out = df.select("expect", urls.canonical_url(F.col("url")).alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["expect"], f"{r['got']!r} != {r['expect']!r}"
+
+
+def test_parse_urls_decomposition(spark):
+    from aquiles_etl_pipeline_spark.llmdata import urls
+
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.a.b.Example.COM/en/doc/7/?utm_campaign=c&q=1")],
+        "id int, url string",
+    )
+    row = urls.parse_urls(df).collect()[0]
+    assert row["url_canonical"] == "https://a.b.example.com/en/doc/7?q=1"
+    assert row["host"] == "a.b.example.com"
+    assert row["domain"] == "example.com"
+    assert row["path"] == "/en/doc/7"
+    assert row["path_depth"] == 3
+    assert row["n_query_params"] == 1
+
+
+def test_domain_stats(spark):
+    from aquiles_etl_pipeline_spark.llmdata import urls
+
+    df = spark.createDataFrame(
+        [(i, f"https://h{i % 2}.example.com/a/{i}") for i in range(4)]
+        + [(9, "https://other.net/x")],
+        "id int, url string",
+    )
+    out = {r["domain"]: r for r in urls.domain_stats(urls.parse_urls(df)).collect()}
+    assert out["example.com"]["n_pages"] == 4
+    assert out["example.com"]["n_hosts"] == 2
+    assert out["other.net"]["n_pages"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Length buckets / temperature mixture (llmdata.sampling)
+# ---------------------------------------------------------------------------
+
+def test_length_buckets_are_ordered_and_balanced(spark):
+    rows = [(i, "g", "tok " * (i + 1)) for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    out = sampling.length_buckets(df, n_buckets=4, group_col="lang").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["n_tokens"])
+    # equal-frequency: 16 docs / 4 buckets = 4 each
+    assert {len(v) for v in by_bucket.values()} == {4}
+    # monotone: every doc in bucket b is <= every doc in bucket b+1
+    for b in range(1, 4):
+        assert max(by_bucket[b]) <= min(by_bucket[b + 1])
+
+
+def test_temperature_mixture_quota_properties(spark):
+    # skewed groups: 64 / 16 / 4 docs; sqrt weights 8:4:2 -> quotas 4:2:1-ish
+    rows = [(i, "big") for i in range(64)]
+    rows += [(100 + i, "mid") for i in range(16)]
+    rows += [(200 + i, "small") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = sampling.temperature_mixture_sample(df, target_docs=28, group_col="source")
+    rows_out = out.collect()
+    quota = {r["source"]: r["group_quota"] for r in rows_out}
+    # integer allocation: floor(28 * w / sum_w) with w = 8e6, 4e6, 2e6
+    assert quota == {"big": 16, "mid": 8, "small": 4}
+    kept = [r for r in rows_out if r["kept"]]
+    assert len(kept) == 28
+    # flattening property: small group is upsampled relative to share
+    assert quota["small"] / 4 > quota["big"] / 64
+    # determinism: rerun yields the same kept set
+    kept2 = {r["doc_id"] for r in out.collect() if r["kept"]}
+    assert kept2 == {r["doc_id"] for r in kept}
+
+
+def test_embedding_decontaminate_flags_planted_leak(spark, emb):
+    bench = emb.where(F.col("vec_id") < 3)
+    # training set: disjoint vectors, plus an exact scaled copy of bench vec 1
+    leak = bench.where(F.col("vec_id") == 1).select(
+        F.lit(9001).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        "label",
+    )
+    train = emb.where((F.col("vec_id") >= 3) & (F.col("vec_id") < 40)).unionByName(leak)
+    out = {r["vec_id"]: r for r in
+           similarity.embedding_decontaminate(train, bench, threshold=0.999).collect()}
+    assert out[9001]["contaminated"] and out[9001]["max_benchmark_cos"] == 1.0
+    flagged = [v for v, r in out.items() if r["contaminated"]]
+    assert flagged == [9001]

@@ -75,6 +75,13 @@ def test_no_accidental_cartesian_products(plans):
     - q58 vocab coverage: the corpus token total joins in as a
       broadcast single-row aggregate over the top-k rows (k x 1,
       conditionless by construction) — q42's degenerate map shape
+    - q59 unigram perplexity: the corpus token total joins in as a
+      broadcast single-row aggregate (1 x N) — q42's shape again
+    - q64 temperature mixture: the mixture's total weight joins in as
+      a broadcast single-row aggregate (1 x N) — q42's shape again
+    - q65 embedding decontamination: corpus x broadcast(benchmark
+      vectors) is the operator's definition (every training vector
+      scored against every benchmark row) — q47's constant-factor map
     """
     allowed = {
         "q24_ngram_jaccard_pairs",
@@ -83,6 +90,9 @@ def test_no_accidental_cartesian_products(plans):
         "q47_embedding_knn_join",
         "q52_dedup_clusters",
         "q58_vocab_coverage",
+        "q59_unigram_perplexity",
+        "q64_temperature_mixture",
+        "q65_embedding_decontamination",
     }
     for name, p in plans.items():
         if name in allowed:
