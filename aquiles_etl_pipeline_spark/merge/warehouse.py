@@ -35,9 +35,19 @@ _EMPTY_MARKER = "_EMPTY_SCHEMA.json"
 
 
 class Warehouse:
-    def __init__(self, spark: SparkSession, root: str | Path):
+    def __init__(
+        self, spark: SparkSession, root: str | Path, keep_generations: int = 2
+    ):
+        """``keep_generations`` controls time-travel retention: how many
+        snapshot generations (including the current one) survive a
+        write.  2 = current + previous (the in-flight-reader minimum);
+        larger values enable `read(name, version=)` further back, at
+        the cost of retained hardlink trees (files shared across
+        generations are linked, not copied, so retention costs only
+        the *delta* files plus directory entries)."""
         self.spark = spark
         self.root = Path(root)
+        self.keep_generations = max(2, keep_generations)
         self.root.mkdir(parents=True, exist_ok=True)
 
     def _table_dir(self, name: str) -> Path:
@@ -52,8 +62,22 @@ class Warehouse:
     def exists(self, name: str) -> bool:
         return self._current(name) is not None
 
-    def read(self, name: str) -> DataFrame:
-        cur = self._current(name)
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or — time travel — a retained
+        older generation by number (``version=``; see
+        ``keep_generations`` and ``history()``).  The Delta/Iceberg
+        `VERSION AS OF` analog: every write makes a new immutable
+        generation, so an old version is just a different directory."""
+        if version is not None:
+            cur = self._table_dir(name) / f"g{version}"
+            if not cur.exists():
+                have = [g["version"] for g in self.history(name)]
+                raise FileNotFoundError(
+                    f"table {name} has no retained generation g{version}"
+                    f" (retained: {have}; raise keep_generations to retain more)"
+                )
+        else:
+            cur = self._current(name)
         if cur is None:
             raise FileNotFoundError(f"table {name} does not exist in {self.root}")
         marker = cur / _EMPTY_MARKER
@@ -88,8 +112,11 @@ class Warehouse:
 
     def _flip(self, name: str, gen: Path, old_gens: list[int]) -> None:
         (self._table_dir(name) / "_CURRENT").write_text(gen.name)
-        # retire old generations (keep previous one for in-flight readers)
-        for old in sorted(old_gens)[:-1]:
+        # retire generations beyond the retention window (the window
+        # always includes the previous one, for in-flight readers)
+        n_old_keep = self.keep_generations - 1
+        retire = sorted(old_gens)[:-n_old_keep] if n_old_keep else sorted(old_gens)
+        for old in retire:
             shutil.rmtree(self._table_dir(name) / f"g{old}", ignore_errors=True)
 
     def _write_empty(self, name: str, schema: StructType) -> None:
@@ -353,6 +380,46 @@ class Warehouse:
         else:
             (gen / _EMPTY_MARKER).write_text(json.dumps(schema.jsonValue()))
         self._flip(name, gen, old)
+
+    def history(self, name: str) -> list[dict]:
+        """Snapshot log (Delta DESCRIBE HISTORY analog): one entry per
+        retained generation, oldest first — version, currentness,
+        emptiness, data-file count, total bytes (hardlinked files
+        counted at full size per generation), partition spec.  Pure
+        driver-side filesystem walk; no Spark job."""
+        tdir = self._table_dir(name)
+        if not tdir.exists():
+            raise FileNotFoundError(f"table {name} does not exist in {self.root}")
+        cur = self._current(name)
+        out = []
+        for gen in sorted(
+            (p for p in tdir.glob("g*") if p.name[1:].isdigit()),
+            key=lambda p: int(p.name[1:]),
+        ):
+            files = list(gen.rglob("part-*"))
+            out.append(
+                {
+                    "version": int(gen.name[1:]),
+                    "is_current": gen == cur,
+                    "is_empty": (gen / _EMPTY_MARKER).exists(),
+                    "n_files": len(files),
+                    "bytes": sum(f.stat().st_size for f in files),
+                    "partition_by": self._partition_spec(gen),
+                }
+            )
+        return out
+
+    def rollback(self, name: str, version: int) -> None:
+        """Point _CURRENT back at a retained older generation (Delta
+        RESTORE analog).  Metadata-only: no data moves; newer
+        generations stay on disk until a later write's retention pass
+        retires them."""
+        gen = self._table_dir(name) / f"g{version}"
+        if not gen.exists():
+            raise FileNotFoundError(
+                f"table {name} has no retained generation g{version}"
+            )
+        (self._table_dir(name) / "_CURRENT").write_text(gen.name)
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)

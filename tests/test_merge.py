@@ -294,3 +294,35 @@ def test_compact_unpartitioned_table(spark, tmp_path):
     cur = wh._current("u")
     assert len(list(cur.rglob("part-*"))) <= 2
     assert {tuple(r) for r in wh.read("u").collect()} == before
+
+
+def test_time_travel_read_and_history(spark, tmp_path):
+    wh = Warehouse(spark, tmp_path / "tt", keep_generations=4)
+    df1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id int, v string")
+    wh.overwrite("t", df1)
+    wh.append("t", df2)
+    hist = wh.history("t")
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[-1]["is_current"] and not hist[0]["is_current"]
+    # VERSION AS OF: old generation still readable
+    assert wh.read("t", version=0).count() == 1
+    assert wh.read("t").count() == 2
+    # rollback is metadata-only
+    wh.rollback("t", 0)
+    assert wh.read("t").count() == 1
+    assert [r["id"] for r in wh.read("t").collect()] == [1]
+    # a write after rollback starts from the rolled-back state
+    wh.append("t", df2)
+    assert wh.read("t").count() == 2
+
+
+def test_retention_window_retires_old_generations(spark, tmp_path):
+    wh = Warehouse(spark, tmp_path / "ret", keep_generations=2)
+    df = spark.createDataFrame([(1,)], "id int")
+    for _ in range(4):
+        wh.append("t", df)
+    versions = [h["version"] for h in wh.history("t")]
+    assert len(versions) == 2 and versions[-1] == 3
+    with pytest.raises(FileNotFoundError):
+        wh.read("t", version=0)
