@@ -223,3 +223,40 @@ def test_token_budget_single_window_shuffle(plans):
     p = plans["q57_token_budget_sample"]
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1, "token budget added shuffles"
     assert "EvalPython" not in p
+
+
+def test_rolling_features_single_exchange(plans):
+    """q61 declares six window frames over one (key, ts, id) ordering —
+    Catalyst must plan exactly ONE Exchange (hash by user_id) and reuse
+    it for every frame.  A second Exchange would mean the frames split
+    into separately-shuffled Window operators: 6x the shuffle of the
+    events table at 100 TB."""
+    import re
+
+    p = plans["q61_event_rolling_features"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, "rolling features re-shuffle"
+    assert "EvalPython" not in p
+
+
+def test_url_parse_is_pure_codegen_map(plans):
+    """q62 is a regexp-projection chain — any Exchange or Python node
+    would turn a map-only normalization pass into a shuffle at corpus
+    scale."""
+    import re
+
+    p = plans["q62_url_canonicalize"]
+    assert not re.search(r"\(\d+\) Exchange", p), "URL parse plans a shuffle"
+    assert "EvalPython" not in p
+    assert "codegen id" in p
+
+
+def test_decontamination_never_shuffles_training_side(plans):
+    """q65: the benchmark side broadcasts; the only Exchange allowed is
+    the per-vector max aggregation's hash by vec_id (partial max first,
+    so the shuffle carries one row per training vector, no vectors)."""
+    import re
+
+    p = plans["q65_embedding_decontamination"]
+    assert "BroadcastExchange" in p, "benchmark side is not broadcast"
+    shuffles = [l for l in p.splitlines() if re.search(r"\(\d+\) Exchange", l)]
+    assert len(shuffles) <= 1, f"decontamination shuffles too much: {shuffles}"
