@@ -705,3 +705,42 @@ def chunk_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-crawl snapshot diff: classify every document id
+    across two corpus snapshots as ``added`` / ``deleted`` /
+    ``changed`` / ``unchanged`` by normalized-content fingerprint
+    (the same sha256 family q23 uses for change detection).
+
+    The recrawl-scheduling primitive: a 100 TB refresh pipeline
+    processes only added+changed documents downstream, so this diff is
+    the gate that turns a full-corpus pass into an incremental one.
+
+    Output: (id, status, old_sha, new_sha).
+
+    Scale: fingerprints reduce each side to (id, 64-byte hash) before
+    the full-outer join — the shuffle carries hashes, never document
+    text; the join key is the id both corpora are naturally
+    partitioned by.
+    """
+    def fp(df: DataFrame, out: str) -> DataFrame:
+        norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        return df.select(F.col(id_col), F.sha2(norm, 256).alias(out))
+
+    o = fp(old, "old_sha")
+    n = fp(new, "new_sha")
+    status = (
+        F.when(F.col("old_sha").isNull(), F.lit("added"))
+        .when(F.col("new_sha").isNull(), F.lit("deleted"))
+        .when(F.col("old_sha") == F.col("new_sha"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, on=id_col, how="full_outer").select(
+        id_col, status.alias("status"), "old_sha", "new_sha"
+    )

@@ -1208,3 +1208,56 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = e.where(F.col("vec_id") % 50 == 0)
     train = e.where(F.col("vec_id") % 50 != 0)
     return similarity.embedding_decontaminate(train, bench, threshold=0.95)
+
+
+@register(
+    "q66_snapshot_diff",
+    sql="""
+    WITH oldfp AS (
+      SELECT doc_id,
+             sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS old_sha
+      FROM documents
+    ),
+    newdocs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' updated' ELSE text END AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 900000, text FROM documents WHERE doc_id < 10
+    ),
+    newfp AS (
+      SELECT doc_id,
+             sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS new_sha
+      FROM newdocs
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_sha IS NULL THEN 'added'
+                WHEN n.new_sha IS NULL THEN 'deleted'
+                WHEN o.old_sha = n.new_sha THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.old_sha, n.new_sha
+    FROM oldfp o FULL OUTER JOIN newfp n USING (doc_id)
+    """,
+    doc="Incremental-crawl snapshot diff (llmdata.dedup.snapshot_diff): "
+        "classify ids across two corpus snapshots as added/deleted/"
+        "changed/unchanged by normalized-content sha256 — the gate that "
+        "turns a 100 TB refresh into an incremental pass.  Synthesized "
+        "second snapshot: every 17th doc deleted, every 13th edited, 10 "
+        "new ids.  Shuffle carries (id, hash) only, never text.",
+    tags=("llmdata", "dedup", "documents"),
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" updated"))
+    ).otherwise(F.col("text"))
+    new = (
+        d.where(F.col("doc_id") % 17 != 0)
+        .select("doc_id", edited.alias("text"))
+        .unionByName(
+            d.where(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 900000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return dedup.snapshot_diff(d, new)

@@ -114,3 +114,92 @@ def rolling_features(
 )
 def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_features(load(spark, sf_dir, "events"))
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each key, the earliest time each
+    step of ``steps`` completes, where step k must occur at-or-after
+    step k-1's completion time (the product-analytics conversion
+    funnel).
+
+    Physical strategy: ONE groupBy shuffle collecting each key's
+    per-step sorted timestamp lists, then the cascade
+    ``m_k = first(l_k >= m_{k-1})`` evaluates as native array
+    expressions (filter + get) — no joins, no per-step passes, no
+    Python.  Per-key state is that key's own event times only, the
+    same boundedness argument sessionization relies on; a bot key with
+    millions of events calls for pre-aggregating per (key, type, hour)
+    minima first.
+
+    Output: (key, t_step1..t_stepN, depth) — depth = number of steps
+    completed in order.
+    """
+    aggs = [
+        F.array_sort(
+            F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+        ).alias(f"_l{i}")
+        for i, s in enumerate(steps)
+    ]
+    g = events.groupBy(key_col).agg(*aggs)
+    exprs: list[F.Column] = []
+    prev: F.Column | None = None
+    for i in range(len(steps)):
+        lst = F.col(f"_l{i}")
+        if prev is None:
+            m = F.get(lst, 0)
+        else:
+            p = prev
+            m = F.get(F.filter(lst, lambda x: x >= p), 0)
+        exprs.append(m)
+        prev = m
+    # m_i non-null implies every earlier stage completed (cascade), so
+    # the last non-null stage is the funnel depth
+    depth = F.lit(0)
+    for i, m in enumerate(exprs):
+        depth = F.when(m.isNotNull(), F.lit(i + 1)).otherwise(depth)
+    return g.select(
+        key_col,
+        *[e.alias(f"t_step{i + 1}") for i, e in enumerate(exprs)],
+        depth.alias("depth"),
+    )
+
+
+@register(
+    "q67_conversion_funnel",
+    sql="""
+    WITH g AS (
+      SELECT user_id,
+             list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS l0,
+             list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS l1,
+             list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS l2
+      FROM events GROUP BY user_id
+    ),
+    s1 AS (SELECT user_id, l1, l2, l0[1] AS t_step1 FROM g),
+    s2 AS (SELECT user_id, l2, t_step1,
+                  list_filter(l1, x -> x >= t_step1)[1] AS t_step2 FROM s1),
+    s3 AS (SELECT user_id, t_step1, t_step2,
+                  list_filter(l2, x -> x >= t_step2)[1] AS t_step3 FROM s2)
+    SELECT user_id, t_step1, t_step2, t_step3,
+           CASE WHEN t_step3 IS NOT NULL THEN 3
+                WHEN t_step2 IS NOT NULL THEN 2
+                WHEN t_step1 IS NOT NULL THEN 1
+                ELSE 0 END AS depth
+    FROM s3
+    """,
+    doc="Ordered conversion funnel view->click->purchase (relational."
+        "timeseries.funnel): earliest completion time of each stage "
+        "with stage k at-or-after stage k-1, plus funnel depth.  ONE "
+        "groupBy shuffle; the stage cascade is native array "
+        "expressions (sorted per-type lists + filter/get), no joins.",
+    tags=("timeseries", "events", "funnel"),
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel(
+        load(spark, sf_dir, "events"), steps=["view", "click", "purchase"]
+    )

@@ -792,3 +792,19 @@ def test_embedding_decontaminate_flags_planted_leak(spark, emb):
     assert out[9001]["contaminated"] and out[9001]["max_benchmark_cos"] == 1.0
     flagged = [v for v, r in out.items() if r["contaminated"]]
     assert flagged == [9001]
+
+
+def test_snapshot_diff_classifies_all_states(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id int, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta EDITED"), (4, "delta")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r["status"] for r in dedup.snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "deleted", 4: "added"}
+    # whitespace/case normalization: not a content change
+    new2 = spark.createDataFrame([(1, "  ALPHA ")], "doc_id int, text string")
+    out2 = {r["doc_id"]: r["status"]
+            for r in dedup.snapshot_diff(old.where("doc_id = 1"), new2).collect()}
+    assert out2 == {1: "unchanged"}

@@ -260,3 +260,14 @@ def test_decontamination_never_shuffles_training_side(plans):
     assert "BroadcastExchange" in p, "benchmark side is not broadcast"
     shuffles = [l for l in p.splitlines() if re.search(r"\(\d+\) Exchange", l)]
     assert len(shuffles) <= 1, f"decontamination shuffles too much: {shuffles}"
+
+
+def test_funnel_single_shuffle_no_joins(plans):
+    """q67's stage cascade is array expressions over ONE groupBy — a
+    per-stage join formulation would shuffle events k times."""
+    import re
+
+    p = plans["q67_conversion_funnel"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, "funnel re-shuffles"
+    assert "Join" not in p, "funnel plans joins"
+    assert "EvalPython" not in p

@@ -321,3 +321,31 @@ def test_dedup_events_streaming_drops_replayed_rows(spark, tmp_path):
     # batch mode: same contract via dropDuplicates
     doubled = events.unionByName(events)
     assert dedup_events(doubled, keys=["event_id"]).count() == 50
+
+
+def test_funnel_ordering_semantics(spark):
+    """Funnel stage k must anchor to the EARLIEST valid completion of
+    stage k-1 (greedy-earliest is optimal for >= cascades): a purchase
+    before the first view does not count, one after does."""
+    from datetime import datetime
+
+    from aquiles_etl_pipeline_spark.relational.timeseries import funnel
+
+    t = lambda s: datetime(2024, 1, 1, 10, 0, s)  # noqa: E731
+    rows = [
+        # user 1 completes in order: view@0 click@10 purchase@20
+        (1, t(0), "view"), (1, t(10), "click"), (1, t(20), "purchase"),
+        # user 2: purchase BEFORE view/click -> depth 2
+        (2, t(0), "purchase"), (2, t(5), "view"), (2, t(10), "click"),
+        # user 3: click only -> depth 0 (no view)
+        (3, t(0), "click"),
+        # user 4: simultaneous view+click at same ts counts (>= semantics)
+        (4, t(0), "view"), (4, t(0), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    out = {r["user_id"]: r for r in
+           funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out[1]["depth"] == 3 and out[1]["t_step3"] == t(20)
+    assert out[2]["depth"] == 2 and out[2]["t_step3"] is None
+    assert out[3]["depth"] == 0
+    assert out[4]["depth"] == 2 and out[4]["t_step2"] == t(0)
