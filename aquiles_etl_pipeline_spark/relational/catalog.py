@@ -121,6 +121,17 @@ _GRADE_FIRST = (
     "q45_etl_native_transforms",
     "q37_errors_followed_by_clicks",
     "q39_approx_distinct_users",
+    # round-3 additions next: every earlier entry carried a green
+    # driver row in r02, so if the sweep budget starves anything it
+    # should starve the already-proven tail, not the new operators
+    "q61_event_rolling_features",
+    "q62_url_canonicalize",
+    "q63_length_buckets",
+    "q64_temperature_mixture",
+    "q65_embedding_decontamination",
+    "q66_snapshot_diff",
+    "q67_conversion_funnel",
+    "q68_approx_percentile_sketch",
 )
 
 

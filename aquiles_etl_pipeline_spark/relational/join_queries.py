@@ -151,3 +151,34 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_count_join(
         errors, clicks, on="user_id", window_seconds=3600
     ).select("event_id", "user_id", "ts", "n_in_window")
+
+
+@register(
+    "q68_approx_percentile_sketch",
+    sql="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.95), 6) AS exact_p95,
+           TRUE AS approx_within_rank_band
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Quantile-sketch grading (q39's pattern for percentiles): "
+        "approx_percentile (GK sketch, accuracy 10000, mergeable — the "
+        "100 TB quantile path q40's exact sort-per-group cannot walk) "
+        "must land inside the exact [p93.5, p96.5] value band.  The "
+        "sketch's rank error is <= 1/accuracy = 0.01% of rows, so a "
+        "+/-1.5%-rank band asserts the contract with huge margin while "
+        "staying engine-portable; the oracle asserts the band check as "
+        "a literal TRUE and pins the exact p95 alongside.",
+    tags=("agg", "approx", "events"),
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pcts = F.expr("percentile(value, array(0.935D, 0.95D, 0.965D))")
+    ap = F.expr("approx_percentile(value, 0.95D, 10000)")
+    return ev.groupBy("event_type").agg(
+        F.round(F.element_at(pcts, 2), 6).alias("exact_p95"),
+        (
+            (ap >= F.element_at(pcts, 1)) & (ap <= F.element_at(pcts, 3))
+        ).alias("approx_within_rank_band"),
+    )
