@@ -132,6 +132,7 @@ _GRADE_FIRST = (
     "q66_snapshot_diff",
     "q67_conversion_funnel",
     "q68_approx_percentile_sketch",
+    "q69_jsonl_roundtrip",
 )
 
 

@@ -1261,3 +1261,46 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup.snapshot_diff(d, new)
+
+
+@register(
+    "q69_jsonl_roundtrip",
+    sql="""
+    SELECT doc_id, lang,
+           sha256(text) AS text_sha256,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    doc="JSONL sink+source round trip (sources.jsonl.write_jsonl / "
+        "read_jsonl): documents -> gzip JSONL partitioned by lang -> "
+        "schema-enforced permissive read-back -> per-doc content sha.  "
+        "The oracle computes the sha from the original table, so a "
+        "green row proves byte-exact round-trip fidelity through the "
+        "interchange format training pipelines ship (JSON escaping, "
+        "unicode, partition-column reconstruction).",
+    tags=("llmdata", "sources", "documents"),
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..sources import jsonl
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    path = tempfile.mkdtemp(prefix="q69_jsonl_")
+    jsonl.write_jsonl(d, path, partition_by=["lang"], compression="gzip", shards=8)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    back = jsonl.read_jsonl(spark, path, schema)
+    return back.select(
+        "doc_id",
+        "lang",
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.length("text").alias("n_chars"),
+    )

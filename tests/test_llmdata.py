@@ -808,3 +808,61 @@ def test_snapshot_diff_classifies_all_states(spark):
     out2 = {r["doc_id"]: r["status"]
             for r in dedup.snapshot_diff(old.where("doc_id = 1"), new2).collect()}
     assert out2 == {1: "unchanged"}
+
+
+# ---------------------------------------------------------------------------
+# JSONL source/sink (sources.jsonl)
+# ---------------------------------------------------------------------------
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from aquiles_etl_pipeline_spark.sources import jsonl
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(
+        [(1, 'quoted "text" with\nnewline'), (2, "unicode: ñandú 日本語  ")],
+        schema,
+    )
+    out = tmp_path / "out"
+    jsonl.write_jsonl(df, str(out), compression="gzip", shards=2)
+    back = jsonl.read_jsonl(spark, str(out), schema)
+    got = {r["id"]: r["text"] for r in back.collect()}
+    assert got == {r["id"]: r["text"] for r in df.collect()}
+
+    # malformed lines are captured, not fatal; default read drops them
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "a.jsonl").write_text(
+        '{"id": 1, "text": "ok"}\nNOT JSON AT ALL\n{"id": 2, "text": "also ok"}\n'
+    )
+    clean = jsonl.read_jsonl(spark, str(bad), schema)
+    assert sorted(r["id"] for r in clean.collect()) == [1, 2]
+    kept = jsonl.read_jsonl(spark, str(bad), schema, keep_corrupt=True)
+    corrupt = [r for r in kept.collect() if r[jsonl.CORRUPT_COL] is not None]
+    assert len(corrupt) == 1 and corrupt[0][jsonl.CORRUPT_COL] == "NOT JSON AT ALL"
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canonical(canonical(x)) == canonical(x): canonicalization must be
+    a projection onto its own image, or URL-dedup keys drift when a
+    pipeline re-normalizes already-clean data."""
+    from aquiles_etl_pipeline_spark.llmdata import urls
+
+    d = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id int"
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.COM:443/p"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/?utm_source=x&a=1")).otherwise(F.lit("/")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("#f")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    once = urls.canonical_url(F.col("url"))
+    twice = urls.canonical_url(urls.canonical_url(F.col("url")))
+    bad = d.select(once.alias("a"), twice.alias("b")).where(F.col("a") != F.col("b"))
+    assert bad.count() == 0
