@@ -4,7 +4,7 @@ counting, document fingerprinting.  All expression-only (codegen'd).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import tokens
@@ -374,3 +374,40 @@ def unigram_perplexity(
         F.round(neg_avg, 6).alias("neg_avg_logprob"),
         F.round(F.exp(neg_avg), 4).alias("perplexity"),
     )
+
+
+def html_to_text(col: Column) -> Column:
+    """Boilerplate-stripping HTML -> text extraction as a pure Catalyst
+    regexp chain (the main-content extraction pass every crawl
+    pipeline runs before quality filtering):
+
+      1. drop <script>/<style>/<head> blocks wholesale ((?s) DOTALL —
+         their text is never content)
+      2. drop HTML comments
+      3. replace every remaining tag with a space (block boundaries
+         must not glue words together)
+      4. decode the entities that appear in running text
+      5. collapse whitespace, trim
+
+    Zero UDFs, zero shuffles — fuses into the scan's codegen span like
+    redact_pii.  The regexes avoid lookarounds so Java regex and RE2
+    (the DuckDB twin) agree.  This is the deterministic 80% extractor;
+    a boilerplate-classifier (trafilatura-style DOM scoring) slots in
+    as a mapInPandas stage where fidelity beats throughput.
+    """
+    # no backreferences (RE2 lacks them): one alternative per block tag
+    t = F.regexp_replace(
+        col,
+        r"(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+        r"|<head[^>]*>.*?</head>",
+        " ",
+    )
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, ch in [
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"),
+    ]:
+        t = F.regexp_replace(t, ent, ch)
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

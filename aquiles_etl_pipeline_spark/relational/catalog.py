@@ -133,6 +133,7 @@ _GRADE_FIRST = (
     "q67_conversion_funnel",
     "q68_approx_percentile_sketch",
     "q69_jsonl_roundtrip",
+    "q70_html_text_extraction",
 )
 
 

@@ -1304,3 +1304,66 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("text_sha256"),
         F.length("text").alias("n_chars"),
     )
+
+
+@register(
+    "q70_html_text_extraction",
+    sql="""
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><head><title>t</title><style>p{color:red}</style>'
+             || '<script>var x = 1 < 2;</script></head><body><h1>'
+             || lang || '</h1><!-- nav --><p>' || text
+             || '</p><div class="footer">&copy; ' || source
+             || ' &amp; co</div></body></html>' AS html
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(
+                   html,
+                   '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<head[^>]*>.*?</head>',
+                   ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
+               '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+               '\\s+', ' ', 'g')) AS extracted
+      FROM pages
+    )
+    SELECT doc_id, sha256(extracted) AS extracted_sha256,
+           length(extracted) AS n_chars
+    FROM ex
+    """,
+    doc="HTML -> text main-content extraction (llmdata.textstats."
+        "html_to_text): strip script/style/head blocks, comments, tags; "
+        "decode entities; collapse whitespace — the deterministic "
+        "pre-filter extraction pass of a crawl pipeline, as a pure "
+        "codegen regexp chain (no UDF, no shuffle).  Graded on "
+        "synthesized pages wrapping each document in boilerplate "
+        "(script with a '<' in code, comment, entity-bearing footer).",
+    tags=("llmdata", "text", "documents"),
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>t</title><style>p{color:red}</style>'
+            "<script>var x = 1 < 2;</script></head><body><h1>"
+        ),
+        F.col("lang"),
+        F.lit("</h1><!-- nav --><p>"),
+        F.col("text"),
+        F.lit('</p><div class="footer">&copy; '),
+        F.col("source"),
+        F.lit(" &amp; co</div></body></html>"),
+    )
+    extracted = textstats.html_to_text(html)
+    return d.select(
+        "doc_id",
+        F.sha2(extracted, 256).alias("extracted_sha256"),
+        F.length(extracted).alias("n_chars"),
+    )

@@ -866,3 +866,20 @@ def test_canonical_url_is_idempotent(spark):
     twice = urls.canonical_url(urls.canonical_url(F.col("url")))
     bad = d.select(once.alias("a"), twice.alias("b")).where(F.col("a") != F.col("b"))
     assert bad.count() == 0
+
+
+def test_html_to_text_extraction(spark):
+    cases = [
+        # script content with '<' in code must vanish entirely
+        ("<html><script>if (1 < 2) alert('x')</script><p>Hello</p></html>", "Hello"),
+        ("<style>p { color: red }</style><b>bold</b> text", "bold text"),
+        ("<!-- comment --><p>a</p><p>b</p>", "a b"),
+        ("5 &lt; 6 &amp;&amp; 7 &gt; 6", "5 < 6 && 7 > 6"),
+        ("x&nbsp;&nbsp;y", "x y"),
+        ("<div><span>no</span>space<em>glue</em></div>", "no space glue"),
+        ("plain text untouched", "plain text untouched"),
+    ]
+    df = spark.createDataFrame(cases, "html string, expect string")
+    out = df.select("expect", textstats.html_to_text(F.col("html")).alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["expect"], f"{r['got']!r} != {r['expect']!r}"
