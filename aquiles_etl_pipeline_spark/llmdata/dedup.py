@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import fan_out
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One survivor per distinct text: deterministic min-id winner."""
@@ -201,13 +203,11 @@ def minhash_lsh_candidates(
     oracle's semantics (no 64-bit shingle-code collision caveat).
     """
     rows_per_band = num_hashes // bands
-    # repartition(par) first: a small corpus read from one file arrives
-    # as a single partition, serializing the CPU-bound kernel onto one
-    # core.  At 100 TB inputs are already thousands of partitions and
-    # this is a no-op-sized shuffle of (id, text).
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # fan_out: a small corpus read from one file arrives as a single
+    # partition, serializing the CPU-bound kernel onto one core; a
+    # well-partitioned production scan passes through with NO shuffle
     minhashed = (
-        df.repartition(par)
+        fan_out(df)
         .select(
             F.col(id_col),
             shingle_codes_and_minhash(text_col, shingle_n, num_hashes)["mh"].alias("_mh"),
@@ -357,8 +357,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
             out[i] = (weights * (votes > 0).astype(np.uint64)).sum()
         return pd.Series(out.view(np.int64))
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par).select(
+    return fan_out(df).select(
         F.col(id_col), _fp(F.col(text_col)).alias("simhash")
     )
 

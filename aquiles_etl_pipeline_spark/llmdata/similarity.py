@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import fan_out
+
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(
@@ -271,9 +273,8 @@ def knn_join(
             F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")
         )
     )
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     scored = (
-        corpus.repartition(par)
+        fan_out(corpus)
         .select(id_col, vec_col)
         .crossJoin(q)
         .select(
@@ -353,9 +354,8 @@ def ivf_topk(
     qn = q / np.linalg.norm(q)
     probes = [int(p) for p in np.argsort(-(cents @ qn))[:n_probe]]
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
-    par = df.sparkSession.sparkContext.defaultParallelism
     scored = (
-        df.repartition(par)
+        fan_out(df)
         .withColumn("_cell", _cell(F.col(vec_col)))
         .where(F.col("_cell").isin(probes))
         .select(id_col, cosine_sim_batch(F.col(vec_col), qcol).alias("cosine_sim"))
@@ -391,7 +391,7 @@ def embedding_near_dup_pairs(
     bits_per_band = num_planes // bands
     # fan out: one input file = one partition = one core for the
     # signature matmul; at scale inputs are already many partitions
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = fan_out(df)
     with_sig = df.withColumn("_sig", lsh_signature(F.col(vec_col), num_planes, dim=dim))
     stacked = with_sig.select(
         id_col,

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import fan_out
 from .dedup import tokens
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio
@@ -115,9 +116,8 @@ def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame
     )
     # single-file corpora arrive as one partition; fan the CPU-bound
     # tokenize+explode across cores (no-op at scale)
-    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.repartition(par)
+        fan_out(df)
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("freq"))
@@ -169,8 +169,7 @@ def tf_idf_top_terms(
     """
     from pyspark.sql import Window
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    exploded = df.repartition(par).select(
+    exploded = fan_out(df).select(
         id_col, F.explode(tokens(text_col)).alias("token")
     )
     tf = exploded.groupBy(id_col, "token").agg(F.count("*").alias("term_freq"))
@@ -222,7 +221,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda x, y: F.concat(x, F.lit(" "), y),
     )
-    src = df.repartition(par)
+    src = fan_out(df)
 
     def per_doc(gram_col: F.Column, prefix: str) -> DataFrame:
         counts = (

@@ -271,3 +271,17 @@ def test_funnel_single_shuffle_no_joins(plans):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, "funnel re-shuffles"
     assert "Join" not in p, "funnel plans joins"
     assert "EvalPython" not in p
+
+
+def test_fan_out_passes_through_well_partitioned_input(spark):
+    """fan_out must be a no-op (identical plan object semantics: no
+    added Exchange) when the input already has >= target partitions —
+    the unconditional-repartition version re-shuffled a production-
+    scale scan for zero gain."""
+    from aquiles_etl_pipeline_spark.partitioning import fan_out
+
+    one = spark.range(100).coalesce(1)
+    assert fan_out(one, 8).rdd.getNumPartitions() == 8
+    wide = spark.range(100).repartition(8)
+    out = fan_out(wide, 8)
+    assert out is wide, "fan_out re-shuffled an already-partitioned input"
