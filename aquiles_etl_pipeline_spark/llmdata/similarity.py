@@ -372,6 +372,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     num_planes: int = 64,
     bands: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) via banded LSH
     buckets + exact verification — embedding-space analogue of minhash
@@ -386,8 +387,11 @@ def embedding_near_dup_pairs(
     verifier."""
     from .dedup import bucket_pairs
 
-    first = df.select(vec_col).first()
-    dim = len(first[0]) if first else 0
+    if dim is None:
+        # dim probe costs one tiny driver job; callers that know the
+        # embedding width pass it and skip the round trip
+        first = df.select(vec_col).first()
+        dim = len(first[0]) if first else 0
     bits_per_band = num_planes // bands
     # fan out: one input file = one partition = one core for the
     # signature matmul; at scale inputs are already many partitions
@@ -486,6 +490,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: embedding-cosine near-dup
     pairs (banded LSH + exact verification, embedding_near_dup_pairs)
@@ -507,7 +512,7 @@ def semantic_dedup(
     from .dedup import connected_components
 
     pairs = embedding_near_dup_pairs(
-        df, threshold=threshold, vec_col=vec_col, id_col=id_col
+        df, threshold=threshold, vec_col=vec_col, id_col=id_col, dim=dim
     ).select("id_a", "id_b")
     labels = connected_components(pairs, df.select(id_col), id_col=id_col)
     sizes = labels.groupBy("_comp").agg(F.count("*").alias("cluster_size"))

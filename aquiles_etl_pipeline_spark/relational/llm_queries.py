@@ -281,7 +281,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double") * 2.0).alias("embedding"),
     )
     aug = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")).unionByName(planted)
-    return similarity.embedding_near_dup_pairs(aug, threshold=0.9).select(
+    return similarity.embedding_near_dup_pairs(aug, threshold=0.9, dim=64).select(
         "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim")
     )
 
@@ -1017,7 +1017,7 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     ).unionByName(planted)
-    return similarity.semantic_dedup(aug, threshold=0.9)
+    return similarity.semantic_dedup(aug, threshold=0.9, dim=64)
 
 
 # Messy-URL synthesis shared by q62: deterministic per-doc noise
