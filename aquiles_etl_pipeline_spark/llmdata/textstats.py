@@ -213,7 +213,6 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     distribution instead of re-shuffling.  No windows, no driver state,
     no Python.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
     toks = tokens(text_col)
     n = F.size(toks)
     bigrams = F.zip_with(

@@ -326,3 +326,43 @@ def test_retention_window_retires_old_generations(spark, tmp_path):
     assert len(versions) == 2 and versions[-1] == 3
     with pytest.raises(FileNotFoundError):
         wh.read("t", version=0)
+
+
+def test_incremental_aggregate_equals_full_recompute(spark, tmp_path):
+    from aquiles_etl_pipeline_spark.merge.incremental import (
+        corpus_stats_delta,
+        refresh_additive,
+    )
+
+    wh = Warehouse(spark, tmp_path / "inc")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.where("doc_id % 2 = 0")
+    b2 = docs.where("doc_id % 2 = 1")
+    keys = ["lang", "source"]
+    merge = {"min_tokens": "min", "max_tokens": "max"}
+    refresh_additive(wh, "corpus_stats", corpus_stats_delta(b1), keys, merge)
+    refresh_additive(wh, "corpus_stats", corpus_stats_delta(b2), keys, merge)
+    got = {
+        (r["lang"], r["source"]): (
+            r["n_docs"], r["sum_tokens"], r["sum_chars"],
+            r["min_tokens"], r["max_tokens"],
+        )
+        for r in wh.read("corpus_stats").collect()
+    }
+    want = {
+        (r["lang"], r["source"]): (
+            r["n_docs"], r["sum_tokens"], r["sum_chars"],
+            r["min_tokens"], r["max_tokens"],
+        )
+        for r in corpus_stats_delta(docs).collect()
+    }
+    assert got == want
+
+
+def test_refresh_additive_rejects_non_mergeable(spark, tmp_path):
+    from aquiles_etl_pipeline_spark.merge.incremental import refresh_additive
+
+    wh = Warehouse(spark, tmp_path / "inc2")
+    d = spark.createDataFrame([("en", 1.5)], "lang string, avg_len double")
+    with pytest.raises(ValueError):
+        refresh_additive(wh, "t", d, ["lang"], {"avg_len": "avg"})
