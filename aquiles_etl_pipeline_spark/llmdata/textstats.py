@@ -409,3 +409,30 @@ def html_to_text(col: Column) -> Column:
         t = F.regexp_replace(t, ent, ch)
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)
+
+
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization — the canonicalization pass that must
+    run BEFORE any content-hash dedup: visually-identical text arrives
+    from different sources as composed vs decomposed codepoints
+    (e.g. 'é' as U+00E9 vs 'e'+U+0301), and without NFC every
+    hash-based operator (exact dedup, fingerprints, snapshot diff)
+    treats them as distinct documents.
+
+    Spark has no native Unicode-normalization expression, so this is a
+    deliberate Arrow-batched pandas_udf (the documented slow path —
+    ~GB/s per core via CPython's unicodedata, still scan-speed);
+    DuckDB's nfc_normalize implements the same Unicode standard, which
+    is what makes the operator oracle-checkable.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(col)

@@ -134,6 +134,7 @@ _GRADE_FIRST = (
     "q68_approx_percentile_sketch",
     "q69_jsonl_roundtrip",
     "q70_html_text_extraction",
+    "q71_unicode_nfc_dedup_keys",
 )
 
 

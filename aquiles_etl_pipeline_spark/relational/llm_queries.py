@@ -1367,3 +1367,36 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(extracted, 256).alias("extracted_sha256"),
         F.length(extracted).alias("n_chars"),
     )
+
+
+@register(
+    "q71_unicode_nfc_dedup_keys",
+    sql="""
+    SELECT doc_id,
+           sha256(nfc_normalize(text || ' nfc:cafe' || chr(769) || ' ' || chr(8491)))
+             AS nfc_sha256,
+           length(nfc_normalize(text || ' nfc:cafe' || chr(769) || ' ' || chr(8491)))
+             AS n_chars_nfc
+    FROM documents
+    """,
+    doc="Unicode NFC normalization (llmdata.textstats.nfc_normalize) as "
+        "the dedup-key canonicalization pass: every doc gets a "
+        "decomposed-accent + angstrom-sign suffix planted, and both "
+        "engines must compose it identically (U+0065 U+0301 -> U+00E9, "
+        "U+212B -> U+00C5) before hashing.  Spark side is a deliberate "
+        "Arrow-batched pandas_udf (no native normalizer); the oracle is "
+        "DuckDB's nfc_normalize — same Unicode standard, so the sha "
+        "and the post-NFC codepoint count must match exactly.",
+    tags=("llmdata", "text", "documents"),
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # explicitly DECOMPOSED plant (e + combining acute, angstrom sign
+    # U+212B) so the Spark side genuinely composes, same as the oracle
+    planted = F.concat(F.col("text"), F.lit(" nfc:cafe\u0301 \u212b"))
+    norm = textstats.nfc_normalize(planted)
+    return d.select(
+        "doc_id",
+        F.sha2(norm, 256).alias("nfc_sha256"),
+        F.length(norm).alias("n_chars_nfc"),
+    )

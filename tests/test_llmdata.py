@@ -883,3 +883,15 @@ def test_html_to_text_extraction(spark):
     out = df.select("expect", textstats.html_to_text(F.col("html")).alias("got")).collect()
     for r in out:
         assert r["got"] == r["expect"], f"{r['got']!r} != {r['expect']!r}"
+
+
+def test_nfc_normalize_composes(spark):
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "café"), (3, "Å"), (4, None)],
+        "id int, t string",
+    )
+    out = {r["id"]: r["n"] for r in
+           df.select("id", textstats.nfc_normalize(F.col("t")).alias("n")).collect()}
+    assert out[1] == out[2] == "café"   # decomposed composes to precomposed
+    assert out[3] == "Å"                 # angstrom sign -> A-with-ring
+    assert out[4] is None
