@@ -349,3 +349,56 @@ def test_funnel_ordering_semantics(spark):
     assert out[2]["depth"] == 2 and out[2]["t_step3"] is None
     assert out[3]["depth"] == 0
     assert out[4]["depth"] == 2 and out[4]["t_step2"] == t(0)
+
+
+def test_streaming_continuous_aggregate(spark, tmp_path):
+    """Streaming corpus-stats rollup: two drains over a growing JSONL
+    landing dir must equal a full batch recompute, and the checkpoint
+    must prevent double counting on re-drain."""
+    import json
+
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+    from aquiles_etl_pipeline_spark.merge.incremental import corpus_stats_delta
+    from aquiles_etl_pipeline_spark.streaming.aggregates import stream_corpus_stats
+
+    land = tmp_path / "land"; land.mkdir()
+    wh = Warehouse(spark, tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        (land / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    write_file("a.jsonl", [
+        {"doc_id": 1, "text": "one two three", "lang": "en", "source": "s1"},
+        {"doc_id": 2, "text": "cuatro cinco", "lang": "es", "source": "s1"},
+    ])
+    s1 = stream_corpus_stats(spark, str(land), wh, ckpt)
+    assert s1.n_docs == 2
+
+    # second drain with no new files: checkpoint prevents re-count
+    s2 = stream_corpus_stats(spark, str(land), wh, ckpt)
+    assert s2.n_docs == 0
+
+    write_file("b.jsonl", [
+        {"doc_id": 3, "text": "six seven eight nine", "lang": "en", "source": "s2"},
+        {"doc_id": 4, "text": "ten", "lang": "en", "source": "s1"},
+    ])
+    s3 = stream_corpus_stats(spark, str(land), wh, ckpt)
+    assert s3.n_docs == 2
+
+    got = {
+        (r["lang"], r["source"]): (r["n_docs"], r["sum_tokens"], r["min_tokens"], r["max_tokens"])
+        for r in wh.read("corpus_stats").collect()
+    }
+    all_docs = spark.createDataFrame(
+        [(1, "one two three", "en", "s1"), (2, "cuatro cinco", "es", "s1"),
+         (3, "six seven eight nine", "en", "s2"), (4, "ten", "en", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    want = {
+        (r["lang"], r["source"]): (r["n_docs"], r["sum_tokens"], r["min_tokens"], r["max_tokens"])
+        for r in corpus_stats_delta(all_docs).collect()
+    }
+    assert got == want
