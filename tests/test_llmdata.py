@@ -895,3 +895,31 @@ def test_nfc_normalize_composes(spark):
     assert out[1] == out[2] == "café"   # decomposed composes to precomposed
     assert out[3] == "Å"                 # angstrom sign -> A-with-ring
     assert out[4] is None
+
+
+def test_dataset_shards_deterministic_with_manifest(spark, tmp_path):
+    from aquiles_etl_pipeline_spark.sources import jsonl
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    out = tmp_path / "rel"
+    m1 = jsonl.write_dataset_shards(docs, str(out), n_shards=4, key_col="doc_id")
+    assert sum(s["n_rows"] for s in m1) == docs.count()
+    assert len(m1) == 4 and all(s["n_rows"] > 0 for s in m1)
+    assert (out / "_MANIFEST.json").exists()
+    # deterministic: rewriting yields identical shard assignment
+    out2 = tmp_path / "rel2"
+    m2 = jsonl.write_dataset_shards(docs, str(out2), n_shards=4, key_col="doc_id")
+    assert [s["n_rows"] for s in m1] == [s["n_rows"] for s in m2]
+    # row-level check: shard of a doc equals pmod(xxhash64(doc_id), 4)
+    back = jsonl.read_jsonl(
+        spark, str(out / "_shard=0"),
+        docs.schema,
+    )
+    ids = [r["doc_id"] for r in back.collect()]
+    expect = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id",
+        ).withColumn("s", F.pmod(F.xxhash64("doc_id"), F.lit(4))).where("s = 0").collect()
+    }
+    assert set(ids) == expect
