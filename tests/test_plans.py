@@ -285,3 +285,37 @@ def test_fan_out_passes_through_well_partitioned_input(spark):
     wide = spark.range(100).repartition(8)
     out = fan_out(wide, 8)
     assert out is wide, "fan_out re-shuffled an already-partitioned input"
+
+
+def test_length_buckets_single_exchange(plans):
+    """q63 is one NTILE window — one hash Exchange on lang, nothing
+    else."""
+    import re
+
+    p = plans["q63_length_buckets"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "EvalPython" not in p
+
+
+def test_temperature_mixture_broadcasts_quotas(plans):
+    """q64: the per-group count and quota frames are tiny and must
+    BROADCAST back onto the ranked rows — a SortMergeJoin would
+    re-shuffle the full corpus against a groups-sized table."""
+    import re
+
+    p = plans["q64_temperature_mixture"]
+    assert "SortMergeJoin" not in p, "quota join fell back to SMJ"
+    assert "BroadcastExchange" in p
+    # corpus-sized shuffles: the count agg + the rank window; plus at
+    # most two groups-sized ones (quota agg, single-row total)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4
+
+
+def test_snapshot_diff_shuffles_hashes_not_text(plans):
+    """q66's full-outer join must shuffle (id, sha) pairs only — the
+    fingerprint projection has to land BELOW the Exchange so document
+    text never crosses the wire."""
+    p = plans["q66_snapshot_diff"]
+    for block in p.split("\n\n"):
+        if block.startswith("(") and "Exchange" in block.splitlines()[0]:
+            assert "text#" not in block, "snapshot diff shuffles raw text"
