@@ -135,6 +135,7 @@ _GRADE_FIRST = (
     "q69_jsonl_roundtrip",
     "q70_html_text_extraction",
     "q71_unicode_nfc_dedup_keys",
+    "q72_llmdata_pipeline_e2e",
 )
 
 

@@ -1400,3 +1400,73 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(norm, 256).alias("nfc_sha256"),
         F.length(norm).alias("n_chars_nfc"),
     )
+
+
+@register(
+    "q72_llmdata_pipeline_e2e",
+    sql="""
+    WITH filt AS (
+      SELECT doc_id, text FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 10
+    ),
+    winners AS (
+      SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY sha256(text)
+    ),
+    ex AS (SELECT f.doc_id, f.text FROM filt f JOIN winners USING (doc_id)),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM ex
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t) - 2, 1))]) AS g
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(g) AS n FROM sh),
+    posts AS (SELECT doc_id, len(g) AS n, unnest(g) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM posts a JOIN posts b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.7 * greatest(a.n, b.n) - 1e-9
+      GROUP BY 1, 2
+    ),
+    losers AS (
+      SELECT DISTINCT id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.7
+    ),
+    surv AS (
+      SELECT doc_id, text FROM ex
+      WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    )
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 96 THEN 'train'
+                WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM surv
+    """,
+    doc="End-to-end LLM-data pipeline (second flagship, composing the "
+        "llmdata operators the way a user would): quality gate (>= 10 "
+        "tokens) -> exact dedup (min-id per content sha) -> MinHash-LSH "
+        "near-dedup at 0.7 Jaccard (verified, q25's contract) -> "
+        "deterministic 96/2/2 split assignment.  Oracle = the composed "
+        "SQL of each stage's twin.  Scale: each stage keeps its own "
+        "posture (codegen filter, two id-hash shuffles, band join "
+        "carrying 64-bit keys, hash-projection splits) — composition "
+        "adds no new shuffle beyond the stages' own.",
+    tags=("llmdata", "pipeline", "dedup", "sampling", "documents"),
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    filt = d.where(n_tok >= 10)
+    ex = dedup.exact_dedup(filt)
+    surv = dedup.minhash_dedup(ex)
+    splits = sampling.assign_splits(surv)
+    return surv.join(splits.select("doc_id", "split"), "doc_id").select(
+        "doc_id", n_tok.alias("n_tokens"), "split"
+    )
