@@ -136,6 +136,7 @@ _GRADE_FIRST = (
     "q70_html_text_extraction",
     "q71_unicode_nfc_dedup_keys",
     "q72_llmdata_pipeline_e2e",
+    "q73_resample_gapfill",
 )
 
 

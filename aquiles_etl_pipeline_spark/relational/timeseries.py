@@ -203,3 +203,104 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(
         load(spark, sf_dir, "events"), steps=["view", "click", "purchase"]
     )
+
+
+def resample_fill_gaps(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Gap-filled resampling (the hypertable ``time_bucket_gapfill``):
+    bucket each key's events, then DENSIFY — every key gets a row for
+    EVERY bucket between its first and last event, with count 0 where
+    nothing happened and the running last observed bucket-sum carried
+    forward (LOCF).
+
+    Downstream models need dense regular series; a groupBy alone emits
+    only occupied buckets, silently skipping the gaps that often carry
+    the signal (outages!).
+
+    Physical strategy: aggregate first (shuffle on (key, bucket) —
+    grain-sized), then per-key ``sequence(min, max, interval)`` +
+    explode generates the dense spine (rows ∝ buckets, not events),
+    left-joins the aggregate back on its own partitioning, and one
+    window pass carries values forward.  The events table shuffles
+    exactly once, at aggregate grain.
+
+    Output: (key, bucket_start, n_events, bucket_sum, filled_sum).
+    """
+    dec_val = F.col(value_col).cast(_DEC)
+    b = F.window(F.col(ts_col), bucket).start.alias("bucket_start")
+    agg = events.groupBy(F.col(key_col), b).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec_val).cast("double").alias("bucket_sum"),
+    )
+    spine = (
+        agg.groupBy(key_col)
+        .agg(
+            F.min("bucket_start").alias("_lo"),
+            F.max("bucket_start").alias("_hi"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {bucket}"))
+            ).alias("bucket_start"),
+        )
+    )
+    dense = spine.join(agg, [key_col, "bucket_start"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        key_col,
+        "bucket_start",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "bucket_sum",
+        F.last("bucket_sum", ignorenulls=True).over(w).alias("filled_sum"),
+    )
+
+
+@register(
+    "q73_resample_gapfill",
+    sql="""
+    WITH agg AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bucket_sum
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+      FROM agg GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+      FROM bounds
+    ),
+    dense AS (
+      SELECT s.event_type, s.bucket_start, a.n_events, a.bucket_sum
+      FROM spine s LEFT JOIN agg a USING (event_type, bucket_start)
+    )
+    SELECT event_type, bucket_start,
+           COALESCE(n_events, 0) AS n_events,
+           bucket_sum,
+           LAST_VALUE(bucket_sum IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+    FROM dense
+    """,
+    doc="Gap-filled hourly resampling per event_type (relational."
+        "timeseries.resample_fill_gaps): dense bucket spine via "
+        "sequence+explode, zero-filled counts, LOCF carry-forward of "
+        "the bucket sum — TimescaleDB's time_bucket_gapfill/locf as "
+        "DataFrame composition.  Events shuffle ONCE at aggregate "
+        "grain; the spine is rows-per-bucket, not rows-per-event.",
+    tags=("timeseries", "events", "window"),
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample_fill_gaps(load(spark, sf_dir, "events"))

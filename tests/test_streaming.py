@@ -402,3 +402,28 @@ def test_streaming_continuous_aggregate(spark, tmp_path):
         for r in corpus_stats_delta(all_docs).collect()
     }
     assert got == want
+
+
+def test_resample_gapfill_semantics(spark):
+    """Gaps get zero counts and LOCF sums; occupied buckets keep their
+    own sum; the spine spans first..last bucket inclusive."""
+    from datetime import datetime
+
+    from aquiles_etl_pipeline_spark.relational.timeseries import resample_fill_gaps
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 30), 1.0),
+        ("a", datetime(2024, 1, 1, 0, 45), 2.0),
+        # hours 1-2 silent
+        ("a", datetime(2024, 1, 1, 3, 10), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = sorted(
+        resample_fill_gaps(df).collect(), key=lambda r: r["bucket_start"]
+    )
+    assert len(out) == 4  # hours 0,1,2,3
+    assert [r["n_events"] for r in out] == [2, 0, 0, 1]
+    assert out[0]["bucket_sum"] == 3.0 and out[0]["filled_sum"] == 3.0
+    assert out[1]["bucket_sum"] is None and out[1]["filled_sum"] == 3.0
+    assert out[2]["filled_sum"] == 3.0
+    assert out[3]["bucket_sum"] == 5.0 and out[3]["filled_sum"] == 5.0
