@@ -137,6 +137,7 @@ _GRADE_FIRST = (
     "q71_unicode_nfc_dedup_keys",
     "q72_llmdata_pipeline_e2e",
     "q73_resample_gapfill",
+    "q74_corpus_datacard",
 )
 
 

@@ -1487,3 +1487,55 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv.join(splits.select("doc_id", "split"), "doc_id").select(
         "doc_id", n_tok.alias("n_tokens"), "split"
     )
+
+
+@register(
+    "q74_corpus_datacard",
+    sql="""
+    WITH base AS (
+      SELECT doc_id, text, lang, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS sha
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_doc_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_doc_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens,
+           COUNT(*) - COUNT(DISTINCT sha) AS n_exact_dup_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT sha) AS DOUBLE) / COUNT(*) AS exact_dup_rate
+    FROM base
+    """,
+    doc="Corpus data card: the one-row release summary (doc/token "
+        "totals, language/source coverage, length stats, exact-dup "
+        "rate by normalized sha) every dataset release publishes.  One "
+        "full scan, partial-aggregated; distinct-sha counting is the "
+        "only shuffle and carries 64-byte hashes.",
+    tags=("llmdata", "agg", "documents"),
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    sha = F.sha2(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256
+    )
+    base = d.select(
+        "lang", "source", n_tokens.alias("n_tokens"), sha.alias("sha")
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("mean_doc_tokens"),
+        F.min("n_tokens").cast("long").alias("min_doc_tokens"),
+        F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("sha")).alias("n_exact_dup_docs"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("sha")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("exact_dup_rate"),
+    )
