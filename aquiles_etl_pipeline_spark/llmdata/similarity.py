@@ -564,3 +564,99 @@ def embedding_decontaminate(
         .agg(F.round(F.max(sim), 4).alias("max_benchmark_cos"))
         .withColumn("contaminated", F.col("max_benchmark_cos") >= threshold)
     )
+
+
+def kmeans_train_distributed(
+    df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init_sample: int = 4096,
+) -> np.ndarray:
+    """Distributed spherical k-means trainer (Lloyd iterations over the
+    FULL dataset) — the scale-path upgrade of _spherical_kmeans's
+    bounded-sample training.
+
+    Per iteration: assignment is an Arrow-batched matmul against the
+    broadcast centroid matrix; the centroid update posexplodes UNIT
+    vectors to (cell, pos, value) and sum-aggregates — the shuffle and
+    the driver collect are both O(n_cells x dim) (map-side partial
+    sums), NEVER O(rows).  This is exactly MLlib KMeans' dataflow,
+    specialized to cosine/spherical geometry.
+
+    Init stays a bounded deterministic sample (seeded choice over the
+    first ``init_sample`` rows by id) — k-means init from a sample is
+    standard (FAISS trains the whole quantizer that way); the Lloyd
+    refinement is what sees all data.
+
+    Returns the (n_cells, dim) unit-norm centroid matrix; feed to
+    assign_cells / ivf_topk-style probing.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    init = df.orderBy(id_col).limit(init_sample).select(vec_col).collect()
+    x = np.asarray([r[0] for r in init], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    c = xn[rng.choice(len(xn), size=min(n_cells, len(xn)), replace=False)].copy()
+
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda e: e.cast("double") * e.cast("double")),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+    )
+    unit = F.transform(v, lambda e: e.cast("double") / norm)
+    units = df.select(unit.alias("_u"))
+
+    for _ in range(iters):
+        cents = c  # rebind: the udf closure must capture THIS round's matrix
+
+        @pandas_udf("int")
+        def _cell(vecs: pd.Series) -> pd.Series:
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+            return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
+
+        stats = (
+            units.withColumn("_cell", _cell(F.col("_u")))
+            .select("_cell", F.posexplode("_u").alias("_pos", "_val"))
+            .groupBy("_cell", "_pos")
+            .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        new_c = c.copy()
+        sums = np.zeros_like(c)
+        counts = np.zeros(len(c))
+        for r in stats:
+            sums[r["_cell"], r["_pos"]] = r["_s"]
+            counts[r["_cell"]] = r["_n"]
+        for j in range(len(c)):
+            if counts[j] > 0:
+                nrm = np.linalg.norm(sums[j])
+                if nrm > 0:
+                    new_c[j] = sums[j] / nrm
+        c = new_c
+    return c
+
+
+def assign_cells(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the IVF cell id for a trained centroid matrix (cosine
+    argmax, Arrow-batched).  At 100 TB the cell id becomes the
+    partition/bucket key so probes prune file scans."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _cell(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mn @ cents.T, axis=1).astype(np.int32))
+
+    return df.withColumn("cell", _cell(F.col(vec_col)))

@@ -923,3 +923,29 @@ def test_dataset_shards_deterministic_with_manifest(spark, tmp_path):
         ).withColumn("s", F.pmod(F.xxhash64("doc_id"), F.lit(4))).where("s = 0").collect()
     }
     assert set(ids) == expect
+
+
+def test_distributed_kmeans_trains_and_improves(spark, emb):
+    import numpy as np
+
+    c = similarity.kmeans_train_distributed(emb, n_cells=8, iters=3)
+    assert c.shape[1] == 64
+    # centroids are unit vectors
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0)
+    # deterministic across reruns
+    c2 = similarity.kmeans_train_distributed(emb, n_cells=8, iters=3)
+    assert np.allclose(c, c2)
+    # training improves mean cosine-to-assigned-centroid vs init (iters=0)
+    c0 = similarity.kmeans_train_distributed(emb, n_cells=8, iters=0)
+    x = np.asarray([r["embedding"] for r in emb.select("embedding").collect()], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    q0 = np.max(xn @ c0.T, axis=1).mean()
+    q3 = np.max(xn @ c.T, axis=1).mean()
+    assert q3 >= q0 - 1e-12
+    # assignment column matches numpy argmax
+    cells = {r["vec_id"]: r["cell"] for r in
+             similarity.assign_cells(emb, c).select("vec_id", "cell").collect()}
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    expect = np.argmax(xn @ c.T, axis=1)
+    got = np.array([cells[i] for i in ids])
+    assert (got == expect).all()
