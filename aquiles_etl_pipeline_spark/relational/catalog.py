@@ -781,3 +781,19 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
         F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
     )
+
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every star-schema table as a temp view so users can
+    drive the engine with raw ``spark.sql`` — the same declarative
+    surface the DataFrame catalog uses, exposed SQL-first.  Views are
+    lazy; registration launches no jobs (events' timestamp fix-up in
+    ``load`` folds into each view's plan)."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -113,3 +113,38 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted((r["k"], r["count"]) for r in got) == sorted(
         (r["k"], r["count"]) for r in want
     )
+
+
+def test_sql_surface_register_views(spark):
+    """spark.sql over the registered views is a first-class entry: a
+    join+agg and an events window run pure-SQL and agree with the
+    DataFrame catalog results."""
+    from pyspark.sql import functions as F
+
+    from aquiles_etl_pipeline_spark.relational.catalog import load, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    got = spark.sql(
+        """
+        SELECT r.r_name, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """
+    ).collect()
+    cust = load(spark, "/root/testdata/sf0.001", "customer")
+    nat = load(spark, "/root/testdata/sf0.001", "nation")
+    reg = load(spark, "/root/testdata/sf0.001", "region")
+    want = (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name").agg(F.count("*").alias("n_customers"))
+        .orderBy("r_name").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # events view carries the timestamp fix-up: window functions work
+    n = spark.sql(
+        "SELECT COUNT(*) FROM (SELECT user_id, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY ts) rn FROM events) WHERE rn = 1"
+    ).collect()[0][0]
+    assert n == load(spark, "/root/testdata/sf0.001", "events").select("user_id").distinct().count()
