@@ -300,7 +300,11 @@ class Warehouse:
         self._flip(name, gen, old)
 
     def compact(
-        self, name: str, max_files: int = 8, target_files: int = 1
+        self,
+        name: str,
+        max_files: int = 8,
+        target_files: int = 1,
+        sort_by: list[str] | None = None,
     ) -> dict[str, int]:
         """OPTIMIZE-style small-file compaction: rewrite every partition
         holding more than ``max_files`` data files down to
@@ -312,8 +316,14 @@ class Warehouse:
         cluster.  Cost is O(compacted partitions); returns
         {partition_path_or_'': files_before} for the rewritten ones.
 
-        Data is byte-identical afterwards (same rows, fewer files);
-        snapshot semantics make it safe next to readers.
+        ``sort_by`` additionally CLUSTERS the rewrite (Delta's
+        ``OPTIMIZE ... ZORDER BY``'s single-column analog): rows are
+        range-partitioned and sorted on the given columns, so each
+        output file covers a disjoint key range and parquet min/max
+        footer stats let point/range scans skip whole files.  With
+        ``sort_by``, data is row-identical (order changes); without,
+        byte-identical.  Snapshot semantics make either safe next to
+        readers.
         """
         cur = self._current(name)
         if cur is None or (cur / _EMPTY_MARKER).exists():
@@ -346,7 +356,13 @@ class Warehouse:
                 reader = reader.schema(data_schema)
             df = reader.parquet(str(d))
             out_dir = gen / rel
-            df.coalesce(target_files).write.mode("overwrite").parquet(str(out_dir))
+            if sort_by:
+                df = df.repartitionByRange(
+                    target_files, *[F.col(c) for c in sort_by]
+                ).sortWithinPartitions(*sort_by)
+            else:
+                df = df.coalesce(target_files)
+            df.write.mode("overwrite").parquet(str(out_dir))
             # drop the write's _SUCCESS noise to keep generations uniform
             marker = out_dir / "_SUCCESS"
             if marker.exists():

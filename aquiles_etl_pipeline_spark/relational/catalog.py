@@ -138,6 +138,7 @@ _GRADE_FIRST = (
     "q72_llmdata_pipeline_e2e",
     "q73_resample_gapfill",
     "q74_corpus_datacard",
+    "q75_orc_roundtrip",
 )
 
 

@@ -1539,3 +1539,44 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("exact_dup_rate"),
     )
+
+
+@register(
+    "q75_orc_roundtrip",
+    sql="""
+    SELECT doc_id, lang,
+           sha256(text) AS text_sha256
+    FROM documents
+    """,
+    doc="ORC sink+source round trip: documents -> ORC (zlib, "
+        "partitioned by lang) -> schema-enforced read-back -> content "
+        "sha vs the oracle's sha of the original table.  Completes the "
+        "columnar source matrix (parquet native, ORC here, JSONL q69, "
+        "CSV throughout the ETL surface); ORC is the other splittable "
+        "columnar format large pipelines inherit.",
+    tags=("llmdata", "sources", "documents"),
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    path = tempfile.mkdtemp(prefix="q75_orc_")
+    (
+        d.write.mode("overwrite")
+        .option("compression", "zlib")
+        .partitionBy("lang")
+        .orc(path)
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).orc(path)
+    return back.select(
+        "doc_id", "lang", F.sha2(F.col("text"), 256).alias("text_sha256")
+    )

@@ -366,3 +366,37 @@ def test_refresh_additive_rejects_non_mergeable(spark, tmp_path):
     d = spark.createDataFrame([("en", 1.5)], "lang string, avg_len double")
     with pytest.raises(ValueError):
         refresh_additive(wh, "t", d, ["lang"], {"avg_len": "avg"})
+
+
+def test_compact_with_clustering_gives_disjoint_file_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    wh = Warehouse(spark, tmp_path / "clus")
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(1000))
+    rng.shuffle(ids)
+    # 10 shuffled appends -> many files with overlapping id ranges
+    for i in range(10):
+        chunk = ids[i * 100:(i + 1) * 100]
+        wh.append("t", spark.createDataFrame([(x, f"v{x}") for x in chunk], "id long, v string"))
+    stats = wh.compact("t", max_files=4, target_files=4, sort_by=["id"])
+    assert stats, "compaction did not trigger"
+    cur = wh._current("t")
+    ranges = []
+    for f in sorted(cur.rglob("part-*")):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # disjoint id ranges across files -> min/max stats can skip files
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: {(lo1, hi1)} vs {(lo2, hi2)}"
+    # row-identical content
+    got = sorted((r["id"], r["v"]) for r in wh.read("t").collect())
+    assert got == [(x, f"v{x}") for x in range(1000)]
