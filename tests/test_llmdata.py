@@ -949,3 +949,50 @@ def test_distributed_kmeans_trains_and_improves(spark, emb):
     expect = np.argmax(xn @ c.T, axis=1)
     got = np.array([cells[i] for i in ids])
     assert (got == expect).all()
+
+
+def _make_minimal_mp4(duration_s=42, timescale=1000, n_tracks=2, version=0):
+    """Hand-assembled ISO BMFF: ftyp + moov(mvhd + n trak stubs)."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    if version == 0:
+        mvhd_payload = (
+            bytes([0, 0, 0, 0])            # version 0 + flags
+            + struct.pack(">II", 0, 0)     # ctime, mtime
+            + struct.pack(">I", timescale)
+            + struct.pack(">I", duration_s * timescale)
+            + b"\x00" * 80
+        )
+    else:
+        mvhd_payload = (
+            bytes([1, 0, 0, 0])
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", timescale)
+            + struct.pack(">Q", duration_s * timescale)
+            + b"\x00" * 80
+        )
+    traks = b"".join(box(b"trak", b"\x00" * 16) for _ in range(n_tracks))
+    moov = box(b"moov", box(b"mvhd", mvhd_payload) + traks)
+    return ftyp + moov + box(b"mdat", b"\x00" * 32)
+
+
+def test_parse_mp4_header_real_bytes(spark):
+    mp4 = _make_minimal_mp4(duration_s=42, timescale=1000, n_tracks=2)
+    assert multimodal.parse_mp4_header(mp4) == (42, 1000, 2)
+    mp4v1 = _make_minimal_mp4(duration_s=7, timescale=600, n_tracks=1, version=1)
+    assert multimodal.parse_mp4_header(mp4v1) == (7, 600, 1)
+    assert multimodal.parse_mp4_header(b"not a video at all") is None
+    assert multimodal.parse_mp4_header(b"") is None
+
+
+def test_sample_frames_uses_real_mp4_duration(spark):
+    mp4 = _make_minimal_mp4(duration_s=35, timescale=1000)
+    df = spark.createDataFrame([("v.mp4", mp4)], "path string, content binary")
+    frames = multimodal.sample_frames(df, every_n_seconds=10).collect()
+    # duration 35s sampled every 10s -> offsets 0,10,20,30
+    assert [r["ts_offset_s"] for r in sorted(frames, key=lambda r: r["frame_index"])] \
+        == [0, 10, 20, 30]
