@@ -116,6 +116,25 @@ def parse_image_header(content: bytes) -> tuple[int, int, int] | None:
     # JPEG: walk markers to the first SOFn frame header:
     # FF C0..CF (minus C4/C8/CC) then len(2) precision(1) h(2) w(2)
     # ncomponents(1)
+    # WebP: RIFF....WEBP then VP8 (lossy: 14cc+3 then dims LE u16&0x3fff),
+    # VP8L (lossless: 14-bit packed), or VP8X (extended: 24-bit minus one)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP" and len(content) >= 30:
+        import struct as _st
+
+        cc = content[12:16]
+        if cc == b"VP8 " and len(content) >= 30 and content[23:26] == b"\x9d\x01\x2a":
+            w = _st.unpack("<H", content[26:28])[0] & 0x3FFF
+            h = _st.unpack("<H", content[28:30])[0] & 0x3FFF
+            return (int(w), int(h), 3)
+        if cc == b"VP8L" and len(content) >= 25 and content[20] == 0x2F:
+            bits = _st.unpack("<I", content[21:25])[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return (int(w), int(h), 4 if (bits >> 28) & 1 else 3)
+        if cc == b"VP8X" and len(content) >= 30:
+            w = int.from_bytes(content[24:27], "little") + 1
+            h = int.from_bytes(content[27:30], "little") + 1
+            return (int(w), int(h), 4)
     if content[:2] == b"\xff\xd8":
         i, n = 2, len(content)
         while i + 9 < n:
@@ -159,6 +178,27 @@ def parse_wav_header(content: bytes) -> tuple[int, int, int] | None:
     if sample_rate and byte_rate and data_size is not None:
         return (max(0, round(data_size / byte_rate)), int(sample_rate), int(channels))
     return None
+
+
+def parse_flac_header(content: bytes) -> tuple[int, int, int] | None:
+    """REAL audio metadata decode, pure stdlib: (duration_s,
+    sample_rate, channels) from a FLAC STREAMINFO block — 'fLaC' magic,
+    then the mandatory first metadata block holds sample rate (20
+    bits), channels-1 (3 bits), and total samples (36 bits) packed big-
+    endian at byte 18 of the stream.  Returns None for non-FLAC."""
+    if len(content) < 42 or content[:4] != b"fLaC":
+        return None
+    # first metadata block header at 4: type(1,low 7 bits)=0 STREAMINFO
+    if content[4] & 0x7F != 0:
+        return None
+    si = content[8:42]  # 34-byte STREAMINFO
+    bits = int.from_bytes(si[10:18], "big")  # rate/chan/bps/samples pack
+    sample_rate = bits >> 44
+    channels = ((bits >> 41) & 0x7) + 1
+    total_samples = bits & ((1 << 36) - 1)
+    if not sample_rate:
+        return None
+    return (round(total_samples / sample_rate), int(sample_rate), int(channels))
 
 
 def parse_mp4_header(content: bytes) -> tuple[int, int, int] | None:

@@ -996,3 +996,30 @@ def test_sample_frames_uses_real_mp4_duration(spark):
     # duration 35s sampled every 10s -> offsets 0,10,20,30
     assert [r["ts_offset_s"] for r in sorted(frames, key=lambda r: r["frame_index"])] \
         == [0, 10, 20, 30]
+
+
+def test_parse_webp_and_flac_headers(spark):
+    import struct
+
+    # lossy VP8: RIFF header + 'VP8 ' chunk: 3-byte frame tag,
+    # 3-byte start code 9d 01 2a, then LE u16 dims
+    vp8_data = b"\x00" * 3 + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240)
+    webp = (b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8_data)) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", len(vp8_data)) + vp8_data)
+    assert multimodal.parse_image_header(webp) == (320, 240, 3)
+
+    # lossless VP8L: signature 0x2f + 14-bit (w-1), 14-bit (h-1), alpha bit
+    w, h = 100, 50
+    bits = (w - 1) | ((h - 1) << 14) | (1 << 28)
+    vp8l_data = bytes([0x2F]) + struct.pack("<I", bits)
+    webpl = (b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8l_data) + 8) + b"WEBP"
+             + b"VP8L" + struct.pack("<I", len(vp8l_data)) + vp8l_data + b"\x00" * 8)
+    assert multimodal.parse_image_header(webpl) == (100, 50, 4)
+
+    # FLAC STREAMINFO: 44.1kHz stereo, 88200 samples = 2s
+    sample_rate, channels, total = 44100, 2, 88200
+    bits = (sample_rate << 44) | ((channels - 1) << 41) | ((16 - 1) << 36) | total
+    streaminfo = b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
+    flac = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    assert multimodal.parse_flac_header(flac) == (2, 44100, 2)
+    assert multimodal.parse_flac_header(b"RIFFnotflac" * 5) is None
