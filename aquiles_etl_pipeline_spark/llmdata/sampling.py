@@ -327,3 +327,45 @@ def temperature_mixture_sample(
             (F.col("hash_rank") <= F.col("group_quota")).alias("kept"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    fixed-size token windows with overlap — the context-window
+    preparation pass for RAG ingestion and long-document training
+    (overlap preserves cross-boundary context; stride =
+    chunk - overlap).
+
+    Output: (id, chunk_idx, chunk_text, n_tokens) — one row per
+    window; the last window may be shorter.
+
+    Scale: a pure generate-and-explode projection (sequence of window
+    starts -> slice -> concat), zero shuffles and zero UDFs; output
+    rows ~ tokens/stride per document, produced streaming inside the
+    scan stage.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk size")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - s).alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
+    ).select(
+        id_col, "chunk_idx", F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_tokens").alias("n_tokens"),
+    )

@@ -139,6 +139,7 @@ _GRADE_FIRST = (
     "q73_resample_gapfill",
     "q74_corpus_datacard",
     "q75_orc_roundtrip",
+    "q76_sliding_window_chunks",
 )
 
 

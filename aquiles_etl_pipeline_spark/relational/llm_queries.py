@@ -1580,3 +1580,35 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", "lang", F.sha2(F.col("text"), 256).alias("text_sha256")
     )
+
+
+@register(
+    "q76_sliding_window_chunks",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start,
+             generate_subscripts(generate_series(0, greatest(len(toks) - 1, 0), 24), 1) - 1
+               AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
+           CAST(LEAST(32, n - start) AS INT) AS n_tokens
+    FROM s
+    """,
+    doc="Sliding-window document chunking (llmdata.sampling."
+        "chunk_documents, 32-token windows, 8-token overlap -> stride "
+        "24): the RAG/long-document context-window pass.  Pure "
+        "generate-and-explode projection — zero shuffles, zero UDFs; "
+        "rows ~ tokens/stride per doc, produced inside the scan stage.",
+    tags=("llmdata", "sampling", "documents"),
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=32, overlap_tokens=8
+    )

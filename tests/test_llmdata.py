@@ -1023,3 +1023,20 @@ def test_parse_webp_and_flac_headers(spark):
     flac = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
     assert multimodal.parse_flac_header(flac) == (2, 44100, 2)
     assert multimodal.parse_flac_header(b"RIFFnotflac" * 5) is None
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    out = sorted(
+        sampling.chunk_documents(df, chunk_tokens=4, overlap_tokens=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 2 over 10 tokens -> starts 0,2,4,6,8
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3, 4]
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[1]["chunk_text"] == "w2 w3 w4 w5"   # 2-token overlap
+    assert out[4]["chunk_text"] == "w8 w9"          # short tail window
+    assert [r["n_tokens"] for r in out] == [4, 4, 4, 4, 2]
+    with pytest.raises(ValueError):
+        sampling.chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
