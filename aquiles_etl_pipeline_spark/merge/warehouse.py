@@ -437,5 +437,29 @@ class Warehouse:
             )
         (self._table_dir(name) / "_CURRENT").write_text(gen.name)
 
+    def vacuum(self, name: str) -> list[int]:
+        """Remove generation debris a crash can leave behind (Delta
+        VACUUM analog): any generation NEWER than the current pointer
+        (a write that died between data write and pointer flip) is
+        unreachable garbage — readers can never see it, and its data
+        files hold disk.  Older-than-retention cleanup happens on every
+        flip; this handles the crash-orphan case on demand.  Returns
+        the removed generation numbers.
+
+        Writes are crash-safe by construction: the pointer flip is the
+        commit point, so a died write leaves the previous snapshot
+        intact and fully readable — vacuum is housekeeping, not
+        recovery."""
+        cur = self._current(name)
+        if cur is None:
+            return []
+        cur_no = int(cur.name[1:])
+        removed = []
+        for gen in self._table_dir(name).glob("g*"):
+            if gen.name[1:].isdigit() and int(gen.name[1:]) > cur_no:
+                shutil.rmtree(gen, ignore_errors=True)
+                removed.append(int(gen.name[1:]))
+        return sorted(removed)
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)

@@ -400,3 +400,20 @@ def test_compact_with_clustering_gives_disjoint_file_ranges(spark, tmp_path):
     # row-identical content
     got = sorted((r["id"], r["v"]) for r in wh.read("t").collect())
     assert got == [(x, f"v{x}") for x in range(1000)]
+
+
+def test_crashed_write_leaves_readable_snapshot_and_vacuums(spark, tmp_path):
+    """The pointer flip is the commit point: a write that dies after
+    materializing its generation dir but before the flip leaves the
+    previous snapshot fully readable; vacuum removes the orphan."""
+    wh = Warehouse(spark, tmp_path / "crash")
+    wh.overwrite("t", spark.createDataFrame([(1,)], "id int"))
+    # simulate a died write: generation dir exists, pointer never flipped
+    orphan = wh._table_dir("t") / "g99"
+    orphan.mkdir()
+    (orphan / "part-00000-dead.parquet").write_bytes(b"not even parquet")
+    assert wh.read("t").count() == 1          # readers never see the orphan
+    assert wh.vacuum("t") == [99]
+    assert not orphan.exists()
+    wh.append("t", spark.createDataFrame([(2,)], "id int"))
+    assert wh.read("t").count() == 2          # next write proceeds normally
