@@ -111,3 +111,23 @@ def domain_stats(parsed: DataFrame) -> DataFrame:
         F.countDistinct("host").alias("n_hosts"),
         F.round(F.avg(F.col("path_depth").cast("double")), 6).alias("mean_path_depth"),
     )
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """URL-level deduplication: one survivor (min id) per CANONICAL
+    url.  Crawls re-fetch the same page under tracking-param/case/
+    fragment variants; canonicalizing before the groupBy is what makes
+    url-dedup exact-match — the cheap first dedup stage that runs
+    before any content hashing.
+
+    Scale: canonicalization is a shuffle-free projection; the dedup
+    itself is one hash aggregation on the canonical string.
+    """
+    canon = canonical_url(F.col(url_col))
+    keep = (
+        df.select(F.col(id_col), canon.alias("_cu"))
+        .groupBy("_cu")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_cu")
+    )
+    return df.join(keep, id_col, "left_semi")

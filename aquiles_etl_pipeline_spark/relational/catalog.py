@@ -140,6 +140,7 @@ _GRADE_FIRST = (
     "q74_corpus_datacard",
     "q75_orc_roundtrip",
     "q76_sliding_window_chunks",
+    "q77_url_dedup",
 )
 
 

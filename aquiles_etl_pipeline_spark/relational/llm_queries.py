@@ -1612,3 +1612,43 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.chunk_documents(
         load(spark, sf_dir, "documents"), chunk_tokens=32, overlap_tokens=8
     )
+
+
+@register(
+    "q77_url_dedup",
+    sql="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+    FROM documents
+    GROUP BY doc_id // 3
+    """,
+    doc="URL-level dedup (llmdata.urls.url_dedup): every 3 consecutive "
+        "doc ids get VARIANT urls of the same logical page (plain / "
+        "uppercase-host+port+tracking-params / fragment) — the "
+        "canonicalizer must collapse each triple to its min-id "
+        "survivor.  The oracle is INDEPENDENT of the canonicalizer "
+        "(it derives the page group arithmetically), so a canon bug "
+        "that merges or splits groups is caught, not mirrored.  "
+        "Shuffle-free canon projection + one hash agg on the "
+        "canonical string.",
+    tags=("llmdata", "urls", "dedup", "documents"),
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    page = F.expr("doc_id div 3").cast("string")
+    variant = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://example.com/page/"), page),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("HTTPS://WWW.EXAMPLE.COM:443/page/"), page,
+                F.lit("/?utm_source=x&utm_medium=y"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://example.com/page/"), page, F.lit("#frag"))
+        )
+    )
+    return urls.url_dedup(d.withColumn("url", variant)).select("doc_id")

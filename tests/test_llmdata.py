@@ -1040,3 +1040,20 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert [r["n_tokens"] for r in out] == [4, 4, 4, 4, 2]
     with pytest.raises(ValueError):
         sampling.chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_url_dedup_collapses_variants(spark):
+    from aquiles_etl_pipeline_spark.llmdata import urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/a"),
+            (2, "HTTPS://WWW.Example.COM:443/a?utm_source=x"),   # same page
+            (3, "https://example.com/a#frag"),                    # same page
+            (4, "https://example.com/b"),
+            (5, "https://example.com/a?real=1"),                  # different page
+        ],
+        "doc_id int, url string",
+    )
+    out = {r["doc_id"] for r in urls.url_dedup(df).collect()}
+    assert out == {1, 4, 5}
