@@ -141,6 +141,7 @@ _GRADE_FIRST = (
     "q75_orc_roundtrip",
     "q76_sliding_window_chunks",
     "q77_url_dedup",
+    "q78_rolling_zscore_anomalies",
 )
 
 

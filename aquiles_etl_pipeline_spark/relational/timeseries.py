@@ -304,3 +304,89 @@ def resample_fill_gaps(
 )
 def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_fill_gaps(load(spark, sf_dir, "events"))
+
+
+def rolling_zscore(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    rows_window: int = 5,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against
+    the mean/stddev of the ``rows_window`` rows STRICTLY BEFORE it —
+    the streaming outlier flag monitoring pipelines attach to metric
+    streams.  The frame must EXCLUDE the current row: an inclusive
+    n-row window bounds |z| at (n-1)/sqrt(n) (~1.79 for n=5), so an
+    inclusive formulation can never fire a 3-sigma flag at all.
+
+    Exactness discipline: windowed SUM(x) and SUM(x^2) run in EXACT
+    decimal (x is 2dp-exact, x^2 6dp-exact in DECIMAL(38,12)), so the
+    variance formula (s2 - s1*s1/n)/(n-1) sees bit-identical operands
+    in any engine and the usual cancellation hazard of E[x^2]-E[x]^2
+    never meets floating-point partial sums.  One Exchange (same
+    window family as rolling_features).
+
+    Output: (key, event_id, ts, value, zscore, is_anomaly) — zscore
+    null for histories with fewer than 2 rows or zero variance.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col("event_id"))
+        .rowsBetween(-rows_window, -1)
+    )
+    dec_val = F.col(value_col).cast(_DEC)
+    s1 = F.sum(dec_val).over(w).cast("double")
+    s2 = F.sum((dec_val * dec_val).cast("decimal(38,12)")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    mean = s1 / n
+    z = F.when(
+        (n > 1) & (var > 0),
+        (F.col(value_col) - mean) / F.sqrt(var),
+    )
+    return events.select(
+        key_col,
+        "event_id",
+        ts_col,
+        value_col,
+        F.round(z, 6).alias("zscore"),
+        F.when(z.isNotNull(), F.abs(z) > z_threshold).alias("is_anomaly"),
+    )
+
+
+@register(
+    "q78_rolling_zscore_anomalies",
+    sql="""
+    WITH w AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  OVER win AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,6))
+                           * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+                  OVER win AS DOUBLE) AS s2,
+             CAST(COUNT(*) OVER win AS DOUBLE) AS n
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts, value,
+           ROUND(CASE WHEN n > 1 AND (s2 - s1*s1/n)/(n - 1.0) > 0
+                 THEN (value - s1/n) / sqrt((s2 - s1*s1/n)/(n - 1.0))
+                 END, 6) AS zscore,
+           CASE WHEN n > 1 AND (s2 - s1*s1/n)/(n - 1.0) > 0
+                THEN abs((value - s1/n) / sqrt((s2 - s1*s1/n)/(n - 1.0))) > 3.0
+                END AS is_anomaly
+    FROM w
+    """,
+    doc="Rolling z-score anomaly detection per user (relational."
+        "timeseries.rolling_zscore, 5-row PRECEDING window — inclusive "
+        "frames bound |z| below any useful threshold): windowed "
+        "SUM(x)/SUM(x^2) in EXACT decimal, variance assembled in "
+        "double from bit-identical operands — cancellation-free and "
+        "engine-portable.  One Exchange.",
+    tags=("timeseries", "events", "window", "anomaly"),
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_zscore(load(spark, sf_dir, "events"))

@@ -427,3 +427,21 @@ def test_resample_gapfill_semantics(spark):
     assert out[1]["bucket_sum"] is None and out[1]["filled_sum"] == 3.0
     assert out[2]["filled_sum"] == 3.0
     assert out[3]["bucket_sum"] == 5.0 and out[3]["filled_sum"] == 5.0
+
+
+def test_rolling_zscore_flags_planted_outlier(spark):
+    from datetime import datetime
+
+    from aquiles_etl_pipeline_spark.relational.timeseries import rolling_zscore
+
+    t = lambda s: datetime(2024, 1, 1, 10, 0, s)  # noqa: E731
+    rows = [(1, i, t(i), 10.0 + (i % 2) * 0.5) for i in range(8)]
+    rows.append((1, 8, t(8), 500.0))  # planted spike
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    out = {r["event_id"]: r for r in rolling_zscore(df).collect()}
+    assert out[8]["is_anomaly"] is True and out[8]["zscore"] > 1.5
+    assert all(not out[i]["is_anomaly"] for i in range(2, 8))
+    # first window has a single row -> no score
+    assert out[0]["zscore"] is None and out[0]["is_anomaly"] is None
