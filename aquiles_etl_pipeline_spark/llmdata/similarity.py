@@ -660,3 +660,42 @@ def assign_cells(
         return pd.Series(np.argmax(mn @ cents.T, axis=1).astype(np.int32))
 
     return df.withColumn("cell", _cell(F.col(vec_col)))
+
+
+def embedding_quality_stats(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space data QA per group: vector count, mean/min/max
+    L2 norm, and the count of degenerate (zero-norm) vectors — the
+    health check run after an embedding job before anything consumes
+    the vectors (collapsed groups, scale drift between encoder
+    versions, and all-zero failures show up here first).
+
+    Exactness discipline for the mean: per-row norms are irrational
+    doubles, and summing raw doubles across rows is
+    aggregation-order-dependent — so each norm is ROUNDED to 6dp and
+    cast to exact decimal BEFORE the sum (the catalog.money pattern
+    for values that are not naturally decimal).  Min/max need no such
+    care (order-free).
+
+    Scale: one partial-aggregated shuffle at group grain; norms
+    compute in the scan stage.
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n6 = F.round(norm, 6).cast("decimal(18,6)")
+    base = df.select(F.col(group_col), n6.alias("_n6"))
+    return base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.sum("_n6").cast("double") / F.count(F.lit(1))).alias("mean_norm"),
+        F.min("_n6").cast("double").alias("min_norm"),
+        F.max("_n6").cast("double").alias("max_norm"),
+        F.sum(F.when(F.col("_n6") == 0, 1).otherwise(0)).alias("n_zero_vectors"),
+    )

@@ -142,6 +142,7 @@ _GRADE_FIRST = (
     "q76_sliding_window_chunks",
     "q77_url_dedup",
     "q78_rolling_zscore_anomalies",
+    "q79_embedding_quality_stats",
 )
 
 

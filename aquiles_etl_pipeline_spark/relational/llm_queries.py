@@ -1652,3 +1652,34 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return urls.url_dedup(d.withColumn("url", variant)).select("doc_id")
+
+
+@register(
+    "q79_embedding_quality_stats",
+    sql="""
+    WITH n AS (
+      SELECT label,
+             CAST(ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[]))), 6)
+                  AS DECIMAL(18,6)) AS n6
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(n6) AS DOUBLE) / COUNT(*) AS mean_norm,
+           CAST(MIN(n6) AS DOUBLE) AS min_norm,
+           CAST(MAX(n6) AS DOUBLE) AS max_norm,
+           CAST(SUM(CASE WHEN n6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_vectors
+    FROM n GROUP BY label
+    """,
+    doc="Per-label embedding QA stats (llmdata.similarity."
+        "embedding_quality_stats): count, mean/min/max L2 norm, "
+        "zero-vector count — the post-encoding health check.  Norms "
+        "are rounded to 6dp and decimal-cast BEFORE summing so the "
+        "mean is aggregation-order-free (raw double sums across rows "
+        "are not engine-portable).",
+    tags=("llmdata", "embeddings", "agg"),
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_quality_stats(load(spark, sf_dir, "embeddings"))
