@@ -143,6 +143,7 @@ _GRADE_FIRST = (
     "q77_url_dedup",
     "q78_rolling_zscore_anomalies",
     "q79_embedding_quality_stats",
+    "q80_session_conversion",
 )
 
 

@@ -390,3 +390,99 @@ def rolling_zscore(
 )
 def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore(load(spark, sf_dir, "events"))
+
+
+def session_conversion(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    first_type: str = "view",
+    goal_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sessionized conversion: split each key's events into inactivity
+    sessions (gap > ``gap_seconds`` starts a new one — q12/q32's
+    semantics), then flag sessions where a ``goal_type`` event happens
+    at-or-after the session's first ``first_type`` event.  The
+    per-session complement of the global funnel (q67): did THIS visit
+    convert, not did this user ever.
+
+    Output: (key, session_id, session_start, n_events, converted).
+
+    Scale: session assignment is one lag+cumsum window; the per-session
+    check aggregates sorted per-type ts lists and evaluates as array
+    expressions — two shuffles total on the same key family.
+    """
+    epoch = F.expr(f"unix_micros({ts_col}) div 1000000")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col("event_id"))
+    new_sess = (
+        (epoch - F.lag(epoch).over(w) > gap_seconds)
+        | F.lag(epoch).over(w).isNull()
+    ).cast("int")
+    with_sess = events.withColumn(
+        "session_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    g = with_sess.groupBy(key_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.when(F.col(type_col) == first_type, F.col(ts_col)))
+        ).alias("_lf"),
+        F.array_sort(
+            F.collect_list(F.when(F.col(type_col) == goal_type, F.col(ts_col)))
+        ).alias("_lg"),
+    )
+    first_t = F.get(F.col("_lf"), 0)
+    goal_t = F.get(F.filter(F.col("_lg"), lambda x: x >= first_t), 0)
+    return g.select(
+        key_col,
+        "session_id",
+        "session_start",
+        "n_events",
+        (first_t.isNotNull() & goal_t.isNotNull()).alias("converted"),
+    )
+
+
+@register(
+    "q80_session_conversion",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_us(ts) // 1000000
+                       - LAG(epoch_us(ts) // 1000000)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    g AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             MIN(ts) AS session_start,
+             COUNT(*) AS n_events,
+             list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS lf,
+             list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS lg
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_id, session_start, n_events,
+           lf[1] IS NOT NULL
+             AND list_filter(lg, x -> x >= lf[1])[1] IS NOT NULL AS converted
+    FROM g
+    """,
+    doc="Sessionized conversion (relational.timeseries."
+        "session_conversion): 30-min inactivity sessions (q12's "
+        "semantics), converted = a purchase at-or-after the session's "
+        "first view — the per-visit complement of the global funnel "
+        "q67.  Two shuffles on the user key family.",
+    tags=("timeseries", "events", "funnel", "session"),
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_conversion(load(spark, sf_dir, "events"))

@@ -445,3 +445,29 @@ def test_rolling_zscore_flags_planted_outlier(spark):
     assert all(not out[i]["is_anomaly"] for i in range(2, 8))
     # first window has a single row -> no score
     assert out[0]["zscore"] is None and out[0]["is_anomaly"] is None
+
+
+def test_session_conversion_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from aquiles_etl_pipeline_spark.relational.timeseries import session_conversion
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    t = lambda m: t0 + timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # session 1: view then purchase -> converted
+        (1, 1, t(0), "view"), (1, 2, t(5), "purchase"),
+        # 40-min gap -> session 2: purchase BEFORE view -> not converted
+        (1, 3, t(50), "purchase"), (1, 4, t(55), "view"),
+        # user 2, one session, view only -> not converted
+        (2, 5, t(0), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, event_type string"
+    )
+    out = {(r["user_id"], r["session_id"]): r
+           for r in session_conversion(df).collect()}
+    assert len(out) == 3
+    assert out[(1, 1)]["converted"] is True and out[(1, 1)]["n_events"] == 2
+    assert out[(1, 2)]["converted"] is False
+    assert out[(2, 1)]["converted"] is False
