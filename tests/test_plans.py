@@ -319,3 +319,47 @@ def test_snapshot_diff_shuffles_hashes_not_text(plans):
     for block in p.split("\n\n"):
         if block.startswith("(") and "Exchange" in block.splitlines()[0]:
             assert "text#" not in block, "snapshot diff shuffles raw text"
+
+
+def test_gapfill_aggregates_before_densifying(plans):
+    """q73: events shuffle ONCE at aggregate grain, the bounds agg adds
+    one grain-sized Exchange, and the dense-spine join BROADCASTS —
+    re-shuffling events against a rows-per-bucket spine would be the
+    regression."""
+    import re
+
+    p = plans["q73_resample_gapfill"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+
+
+def test_chunking_is_shuffle_free(plans):
+    """q76 is generate-and-explode inside the scan stage — ANY Exchange
+    breaks its rows-stream-through contract."""
+    import re
+
+    p = plans["q76_sliding_window_chunks"]
+    assert not re.search(r"\(\d+\) Exchange", p), "chunking plans a shuffle"
+    assert "EvalPython" not in p
+
+
+def test_zscore_single_exchange(plans):
+    """q78's two window sums share one (user, ts, id) ordering —
+    exactly ONE Exchange."""
+    import re
+
+    p = plans["q78_rolling_zscore_anomalies"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "EvalPython" not in p
+
+
+def test_session_conversion_reuses_user_distribution(plans):
+    """q80: the per-session groupBy must REUSE the session-window's
+    hash-by-user distribution (grouping keys start with user_id) —
+    one Exchange total, not two."""
+    import re
+
+    p = plans["q80_session_conversion"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "EvalPython" not in p
