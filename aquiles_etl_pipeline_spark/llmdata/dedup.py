@@ -743,3 +743,50 @@ def snapshot_diff(
     return o.join(n, on=id_col, how="full_outer").select(
         id_col, status.alias("status"), "old_sha", "new_sha"
     )
+
+
+def content_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content sha256 set of a corpus/batch — the persisted
+    state cross-batch dedup carries forward (store via Warehouse and
+    merge.incremental-style appends)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(F.sha2(norm, 256).alias("content_sha")).distinct()
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    seen: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-batch exact dedup: drop rows of ``new_batch`` whose
+    normalized content was already seen in ANY earlier batch
+    (``seen`` = accumulated content_hashes frame, None for the first
+    batch), then dedup within the batch itself (min-id survivor).
+
+    Returns (fresh_rows, updated_seen) — persist ``updated_seen``
+    (Warehouse.append of the delta works: hashes are append-only) and
+    feed it to the next batch.  This is the operator an INCREMENTAL
+    ingest needs: re-deduplicating the full corpus per batch is
+    O(history) per ingest; this is O(batch + index-probe).
+
+    Scale: the anti-join probes the seen-hash index on its hash key
+    (broadcast while small, shuffle-on-sha at scale — sha keys are
+    uniform so no skew); within-batch dedup is exact_dedup's
+    one-aggregation shape.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    hashed = new_batch.withColumn("_sha", F.sha2(norm, 256))
+    if seen is not None:
+        hashed = hashed.join(
+            seen.select(F.col("content_sha").alias("_sha")), "_sha", "left_anti"
+        )
+    keep = (
+        hashed.groupBy("_sha").agg(F.min(id_col).alias(id_col)).drop("_sha")
+    )
+    fresh = new_batch.join(keep, id_col, "left_semi")
+    batch_hashes = hashed.select(F.col("_sha").alias("content_sha")).distinct()
+    updated = (
+        seen.unionByName(batch_hashes).distinct() if seen is not None else batch_hashes
+    )
+    return fresh, updated

@@ -144,6 +144,7 @@ _GRADE_FIRST = (
     "q78_rolling_zscore_anomalies",
     "q79_embedding_quality_stats",
     "q80_session_conversion",
+    "q81_incremental_dedup",
 )
 
 

@@ -1683,3 +1683,38 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_quality_stats(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q81_incremental_dedup",
+    sql="""
+    WITH b1 AS (
+      SELECT doc_id,
+             sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS sha
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    b2 AS (
+      SELECT doc_id,
+             sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS sha
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    unseen AS (
+      SELECT doc_id, sha FROM b2
+      WHERE sha NOT IN (SELECT sha FROM b1)
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM unseen GROUP BY sha
+    """,
+    doc="Cross-batch incremental dedup (llmdata.dedup.incremental_"
+        "dedup): batch 2 (odd ids) deduped against batch 1's (even "
+        "ids) accumulated content-hash index, then within itself — "
+        "O(batch + index probe) per ingest instead of re-deduplicating "
+        "history.  Output: batch-2 survivors.",
+    tags=("llmdata", "dedup", "documents"),
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    b1 = d.where(F.col("doc_id") % 2 == 0)
+    b2 = d.where(F.col("doc_id") % 2 == 1)
+    _, seen = dedup.incremental_dedup(b1, None)
+    fresh, _ = dedup.incremental_dedup(b2, seen)
+    return fresh.select("doc_id")

@@ -1057,3 +1057,29 @@ def test_url_dedup_collapses_variants(spark):
     )
     out = {r["doc_id"] for r in urls.url_dedup(df).collect()}
     assert out == {1, 4, 5}
+
+
+def test_incremental_dedup_across_batches_with_warehouse(spark, tmp_path):
+    """Two ingest batches deduped incrementally against a persisted
+    content-hash index must equal deduping the union in one shot."""
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+
+    wh = Warehouse(spark, tmp_path / "idx")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id int, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma")], "doc_id int, text string"
+    )
+    fresh1, seen1 = dedup.incremental_dedup(b1, None)
+    wh.overwrite("content_index", seen1)
+    fresh2, seen2 = dedup.incremental_dedup(b2, wh.read("content_index"))
+    wh.overwrite("content_index", seen2)
+    assert {r["doc_id"] for r in fresh1.collect()} == {1, 2}
+    # 'beta' was seen in batch 1; gamma deduped within batch 2
+    assert {r["doc_id"] for r in fresh2.collect()} == {11}
+    # the persisted index now covers all three distinct contents
+    assert wh.read("content_index").count() == 3
+    # equivalence with one-shot dedup over the union
+    union_kept = {r["doc_id"] for r in dedup.exact_dedup(b1.unionByName(b2)).collect()}
+    assert union_kept == {1, 2, 11}
