@@ -145,6 +145,7 @@ _GRADE_FIRST = (
     "q79_embedding_quality_stats",
     "q80_session_conversion",
     "q81_incremental_dedup",
+    "q82_referential_integrity",
 )
 
 

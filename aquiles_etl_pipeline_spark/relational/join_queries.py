@@ -182,3 +182,69 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ap >= F.element_at(pcts, 1)) & (ap <= F.element_at(pcts, 3))
         ).alias("approx_within_rank_band"),
     )
+
+
+@register(
+    "q82_referential_integrity",
+    sql="""
+    WITH corrupted AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN -o_custkey ELSE o_custkey END
+               AS o_custkey
+      FROM orders
+    )
+    , audits AS (
+      SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+             (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+               AS n_orphans
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer',
+             (SELECT COUNT(*) FROM corrupted),
+             (SELECT COUNT(*) FROM corrupted
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM customer
+              WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    )
+    SELECT relationship,
+           CAST(n_child_rows AS BIGINT) AS n_child_rows,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           CAST(n_orphans AS DOUBLE) / n_child_rows AS orphan_rate
+    FROM audits
+    """,
+    doc="Referential-integrity audit across the star schema "
+        "(relational.joins.fk_audit): per FK relationship, child count "
+        "+ orphan count + rate, each ONE lazy left-join-and-count pass "
+        "with broadcast parents.  Every 97th order gets a planted "
+        "negative custkey so the audit proves it DETECTS breakage, "
+        "not just that clean data is clean.",
+    tags=("join", "audit", "quality"),
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .joins import fk_audit
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    corrupted = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, -F.col("o_custkey")
+        ).otherwise(F.col("o_custkey")).alias("o_custkey"),
+    )
+    return (
+        fk_audit(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey -> orders")
+        .unionByName(
+            fk_audit(corrupted, "o_custkey", cust, "c_custkey",
+                     "orders.o_custkey -> customer")
+        )
+        .unionByName(
+            fk_audit(cust, "c_nationkey", nation, "n_nationkey",
+                     "customer.c_nationkey -> nation")
+        )
+    )

@@ -115,3 +115,41 @@ def interval_count_join(
         .agg(F.count("_o_key").alias("n_in_window"))
         .drop("_a_ts")
     )
+
+
+def fk_audit(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    relationship: str,
+) -> DataFrame:
+    """One-row referential-integrity audit for a FK relationship:
+    (relationship, n_child_rows, n_orphans, orphan_rate) where orphans
+    are child rows whose key has no match in the parent (NULL keys
+    count as orphans — they reference nothing).
+
+    Physical shape: ONE left join + conditional-count aggregation per
+    relationship, fully lazy; dimension-sized parents broadcast, so
+    the fact side is one pass with no shuffle.  Union the rows of
+    several audits for a whole-schema report — the audits are
+    independent branches Spark runs as parallel stages.
+    """
+    from pyspark.sql import functions as F
+
+    p = parent.select(F.col(parent_key).alias("_pk")).distinct()
+    joined = child.select(F.col(child_key).alias("_ck")).join(
+        p, F.col("_ck") == F.col("_pk"), "left"
+    )
+    n_child = F.count(F.lit(1))
+    n_orphan = F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)).cast("long")
+    return joined.agg(
+        n_child.alias("n_child_rows"),
+        n_orphan.alias("n_orphans"),
+        (n_orphan.cast("double") / n_child).alias("orphan_rate"),
+    ).select(
+        F.lit(relationship).alias("relationship"),
+        "n_child_rows",
+        "n_orphans",
+        "orphan_rate",
+    )

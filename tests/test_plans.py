@@ -363,3 +363,12 @@ def test_session_conversion_reuses_user_distribution(plans):
     p = plans["q80_session_conversion"]
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "EvalPython" not in p
+
+
+def test_fk_audit_broadcasts_parents(plans):
+    """q82's three audits must broadcast their (dimension-sized)
+    parent key sets — a SortMergeJoin would shuffle the fact side per
+    relationship."""
+    p = plans["q82_referential_integrity"]
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
