@@ -146,6 +146,7 @@ _GRADE_FIRST = (
     "q80_session_conversion",
     "q81_incremental_dedup",
     "q82_referential_integrity",
+    "q83_scd2_dimension_history",
 )
 
 

@@ -417,3 +417,34 @@ def test_crashed_write_leaves_readable_snapshot_and_vacuums(spark, tmp_path):
     assert not orphan.exists()
     wh.append("t", spark.createDataFrame([(2,)], "id int"))
     assert wh.read("t").count() == 2          # next write proceeds normally
+
+
+def test_scd2_versions_history_and_as_of(spark, tmp_path):
+    from aquiles_etl_pipeline_spark.merge.scd import as_of, scd2_upsert
+
+    wh = Warehouse(spark, tmp_path / "scd")
+    b1 = spark.createDataFrame(
+        [(1, "Acme", "NY"), (2, "Globex", "CA")], "id int, name string, state string"
+    )
+    scd2_upsert(wh, "dim", b1, "id", ["name", "state"], "2024-01-01")
+    # batch 2: key 1 moves state, key 3 is new, key 2 unchanged
+    b2 = spark.createDataFrame(
+        [(1, "Acme", "TX"), (2, "Globex", "CA"), (3, "Initech", "WA")],
+        "id int, name string, state string",
+    )
+    scd2_upsert(wh, "dim", b2, "id", ["name", "state"], "2024-02-01")
+    rows = {(r["id"], r["is_current"]): r for r in wh.read("dim").collect()}
+    assert len(rows) == 4  # 1 closed + 3 open
+    closed = rows[(1, False)]
+    assert str(closed["valid_to"]) == "2024-02-01" and closed["state"] == "NY"
+    assert rows[(1, True)]["state"] == "TX"
+    assert str(rows[(2, True)]["valid_from"]) == "2024-01-01"  # untouched
+    assert str(rows[(3, True)]["valid_from"]) == "2024-02-01"
+    # idempotent: reapplying batch 2 changes nothing
+    scd2_upsert(wh, "dim", b2, "id", ["name", "state"], "2024-02-01")
+    assert wh.read("dim").count() == 4
+    # as-of reads
+    jan = {r["id"]: r["state"] for r in as_of(wh.read("dim"), "2024-01-15").collect()}
+    assert jan == {1: "NY", 2: "CA"}
+    feb = {r["id"]: r["state"] for r in as_of(wh.read("dim"), "2024-02-15").collect()}
+    assert feb == {1: "TX", 2: "CA", 3: "WA"}

@@ -57,6 +57,7 @@ def test_no_hash_hazard_output_types(spark, name):
     serialized to scalars (array_join / hash digest)."""
     from pyspark.sql.types import (
         ArrayType,
+        DateType,
         DecimalType,
         FloatType,
         MapType,
@@ -67,7 +68,10 @@ def test_no_hash_hazard_output_types(spark, name):
     if spec.sql is None:
         pytest.skip("no oracle (rows-only check)")
     schema = spec.fn(spark, "/root/testdata/sf0.001").schema
-    hazard = (DecimalType, FloatType, ArrayType, MapType, StructType)
+    # DateType: pandas renders Spark dates as datetime.date but DuckDB
+    # dates as datetime64 -> guaranteed mirror mismatch (q83 lesson);
+    # emit ISO strings instead.  TIMESTAMP is fine (datetime64 both).
+    hazard = (DecimalType, FloatType, ArrayType, MapType, StructType, DateType)
     bad = [f.name for f in schema.fields if isinstance(f.dataType, hazard)]
     assert not bad, f"{name} emits hash-hazard typed columns: {bad}"
 
