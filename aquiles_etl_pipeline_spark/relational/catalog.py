@@ -147,6 +147,7 @@ _GRADE_FIRST = (
     "q81_incremental_dedup",
     "q82_referential_integrity",
     "q83_scd2_dimension_history",
+    "q84_scd2_asof_enrichment",
 )
 
 

@@ -1784,3 +1784,75 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").cast("string").alias("valid_to"),
         "is_current",
     )
+
+
+@register(
+    "q84_scd2_asof_enrichment",
+    sql="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate
+      FROM lineitem WHERE l_orderkey % 100 = 0
+    ),
+    base AS (
+      SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS price FROM part
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CAST(l_shipdate AS VARCHAR) AS ship_date,
+           CAST(CASE WHEN l_shipdate >= DATE '1995-01-01' AND p_partkey % 5 = 0
+                     THEN price + 1 ELSE price END AS DOUBLE) AS price_at_ship,
+           CASE WHEN l_shipdate >= DATE '1995-01-01' AND p_partkey % 5 = 0
+                THEN '1995-01-01' ELSE '1992-01-01' END AS price_valid_from
+    FROM li JOIN base ON l_partkey = p_partkey
+    """,
+    doc="As-of-correct fact enrichment over the SCD2 dimension "
+        "(merge.scd.scd2_upsert + versioned interval join): every "
+        "100th lineitem joined to the part-price VERSION valid on its "
+        "ship date — the query SCD Type 2 exists to answer (what did "
+        "it cost when it shipped, not what it costs now).  Dimension "
+        "built in-query (price bump for every 5th part effective "
+        "1995-01-01); oracle reconstructs the expected version "
+        "arithmetically, independent of the merge machinery.  "
+        "Physical: broadcast dim join + residual interval predicate.",
+    tags=("merge", "scd", "join", "lineitem", "part"),
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..merge import Warehouse
+    from ..merge.scd import scd2_upsert
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="q84_scd_"))
+    base = load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_retailprice").cast("decimal(18,2)").alias("price")
+    )
+    b2 = base.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 5 == 0, F.col("price") + 1)
+        .otherwise(F.col("price"))
+        .alias("price"),
+    )
+    scd2_upsert(wh, "part_dim", base, "p_partkey", ["price"], "1992-01-01")
+    scd2_upsert(wh, "part_dim", b2, "p_partkey", ["price"], "1995-01-01")
+    dim = wh.read("part_dim")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_shipdate")
+    )
+    covered = (F.col("valid_from") <= F.col("l_shipdate")) & (
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("l_shipdate"))
+    )
+    return (
+        li.join(
+            F.broadcast(dim), F.col("l_partkey") == F.col("p_partkey"), "inner"
+        )
+        .where(covered)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.col("l_shipdate").cast("string").alias("ship_date"),
+            F.col("price").cast("double").alias("price_at_ship"),
+            F.col("valid_from").cast("string").alias("price_valid_from"),
+        )
+    )
