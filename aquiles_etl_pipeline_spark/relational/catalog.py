@@ -148,6 +148,7 @@ _GRADE_FIRST = (
     "q82_referential_integrity",
     "q83_scd2_dimension_history",
     "q84_scd2_asof_enrichment",
+    "q85_cohort_retention",
 )
 
 

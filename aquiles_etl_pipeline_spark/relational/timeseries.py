@@ -486,3 +486,67 @@ def session_conversion(
 )
 def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_conversion(load(spark, sf_dir, "events"))
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the week of
+    their FIRST event; for every (cohort, week-offset) cell, count the
+    cohort's users active that week — the retention triangle every
+    product-analytics stack computes.
+
+    Physical strategy: one window (min week per key, reusing the
+    key-hash distribution), distinct (key, cohort, week) at key grain,
+    then a cell-grain count-distinct — shuffles shrink monotonically:
+    events -> key weeks -> cells.
+
+    Output: (cohort_week, week_offset, n_active_users).
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    w = Window.partitionBy(key_col)
+    with_cohort = events.select(
+        F.col(key_col), week.alias("_wk")
+    ).withColumn("_cohort", F.min("_wk").over(w))
+    cells = with_cohort.distinct().select(
+        F.col(key_col),
+        F.col("_cohort").cast("date").cast("string").alias("cohort_week"),
+        (F.datediff(F.col("_wk"), F.col("_cohort")) / 7).cast("int").alias("week_offset"),
+    )
+    return cells.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct(key_col).alias("n_active_users")
+    )
+
+
+@register(
+    "q85_cohort_retention",
+    sql="""
+    WITH wk AS (
+      SELECT user_id, date_trunc('week', ts) AS w FROM events
+    ),
+    coh AS (
+      SELECT user_id, w,
+             MIN(w) OVER (PARTITION BY user_id) AS cohort
+      FROM wk
+    ),
+    cells AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(cohort AS DATE) AS VARCHAR) AS cohort_week,
+             CAST(date_diff('day', cohort, w) // 7 AS INT) AS week_offset
+      FROM coh
+    )
+    SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_active_users
+    FROM cells GROUP BY cohort_week, week_offset
+    """,
+    doc="Weekly cohort retention triangle (relational.timeseries."
+        "cohort_retention): cohort = week of first activity, cells "
+        "count active users per week offset.  Shuffles shrink "
+        "events -> key weeks -> cells; cohort week emitted as an ISO "
+        "string (DATE outputs are hash-hazard, see the oracle-type "
+        "test).",
+    tags=("timeseries", "events", "cohort"),
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_retention(load(spark, sf_dir, "events"))

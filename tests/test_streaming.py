@@ -471,3 +471,25 @@ def test_session_conversion_semantics(spark):
     assert out[(1, 1)]["converted"] is True and out[(1, 1)]["n_events"] == 2
     assert out[(1, 2)]["converted"] is False
     assert out[(2, 1)]["converted"] is False
+
+
+def test_cohort_retention_triangle(spark):
+    from datetime import datetime
+
+    from aquiles_etl_pipeline_spark.relational.timeseries import cohort_retention
+
+    # week of 2024-01-01 is a Monday; user 1 active weeks 0 and 2,
+    # user 2 (same cohort) week 0 only, user 3 cohorts a week later
+    rows = [
+        (1, datetime(2024, 1, 2)), (1, datetime(2024, 1, 16)),
+        (2, datetime(2024, 1, 3)),
+        (3, datetime(2024, 1, 9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {(r["cohort_week"], r["week_offset"]): r["n_active_users"]
+           for r in cohort_retention(df).collect()}
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
