@@ -436,3 +436,63 @@ def nfc_normalize(col: Column) -> Column:
         )
 
     return _nfc(col)
+
+
+def vocab_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    k: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary drift between two corpus slices: per token, the
+    log-ratio of Laplace-smoothed unigram probabilities
+    ln(p_a / p_b), ranked by absolute drift — the dataset-shift
+    monitor that catches a new crawl snapshot, scraper regression, or
+    domain-mix change before it reaches training.
+
+    Determinism: probabilities are rationals of integer counts
+    ((c+1)/(N+V)); both engines evaluate the identical ln/division
+    expression on identical integers, and the ranking orders on the
+    ROUNDED score with token as tiebreak, so the selected row set is
+    exact.
+
+    Output: (token, count_a, count_b, log_ratio) — log_ratio > 0
+    means over-represented in A.
+
+    Scale: two token-count aggregations + a full outer join on the
+    token key; the three scalar totals broadcast as single-row
+    aggregates (q42's degenerate map shape).
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            fan_out(df)
+            .select(F.explode(tokens(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca = counts(df_a, "count_a")
+    cb = counts(df_b, "count_b")
+    joined = ca.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce("count_a", F.lit(0)).alias("count_a"),
+        F.coalesce("count_b", F.lit(0)).alias("count_b"),
+    )
+    tot_a = df_a.select(F.explode(tokens(text_col)).alias("t")).agg(
+        F.count(F.lit(1)).alias("_na")
+    )
+    tot_b = df_b.select(F.explode(tokens(text_col)).alias("t")).agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    vocab = joined.agg(F.count(F.lit(1)).alias("_v"))
+    ratio = F.log(
+        (F.col("count_a") + 1).cast("double") / (F.col("_na") + F.col("_v"))
+    ) - F.log((F.col("count_b") + 1).cast("double") / (F.col("_nb") + F.col("_v")))
+    return (
+        joined.crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(vocab))
+        .select("token", "count_a", "count_b", F.round(ratio, 6).alias("log_ratio"))
+        .orderBy(F.desc(F.abs(F.col("log_ratio"))), F.asc("token"))
+        .limit(k)
+    )

@@ -149,6 +149,7 @@ _GRADE_FIRST = (
     "q83_scd2_dimension_history",
     "q84_scd2_asof_enrichment",
     "q85_cohort_retention",
+    "q86_vocab_drift",
 )
 
 

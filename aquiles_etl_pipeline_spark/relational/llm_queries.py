@@ -1856,3 +1856,54 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_from").cast("string").alias("price_valid_from"),
         )
     )
+
+
+@register(
+    "q86_vocab_drift",
+    sql="""
+    WITH a AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+      WHERE CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) < 10
+    ),
+    b AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+      WHERE CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) >= 10
+    ),
+    ca AS (SELECT token, COUNT(*) AS count_a FROM a GROUP BY token),
+    cb AS (SELECT token, COUNT(*) AS count_b FROM b GROUP BY token),
+    j AS (
+      SELECT COALESCE(ca.token, cb.token) AS token,
+             CAST(COALESCE(count_a, 0) AS BIGINT) AS count_a,
+             CAST(COALESCE(count_b, 0) AS BIGINT) AS count_b
+      FROM ca FULL OUTER JOIN cb USING (token)
+    ),
+    tots AS (
+      SELECT (SELECT COUNT(*) FROM a) AS na,
+             (SELECT COUNT(*) FROM b) AS nb,
+             (SELECT COUNT(*) FROM j) AS v
+    )
+    SELECT token, count_a, count_b,
+           ROUND(ln(CAST(count_a + 1 AS DOUBLE) / (na + v))
+                 - ln(CAST(count_b + 1 AS DOUBLE) / (nb + v)), 6) AS log_ratio
+    FROM j, tots
+    ORDER BY abs(ROUND(ln(CAST(count_a + 1 AS DOUBLE) / (na + v))
+                 - ln(CAST(count_b + 1 AS DOUBLE) / (nb + v)), 6)) DESC, token
+    LIMIT 30
+    """,
+    doc="Vocabulary drift between corpus slices (llmdata.textstats."
+        "vocab_drift): Laplace-smoothed unigram log-ratio of sources "
+        "src0-9 vs src10-19, top-30 by absolute drift — the dataset-"
+        "shift monitor for new crawl snapshots.  Integer-count "
+        "rationals through identical ln expressions keep both engines "
+        "exact; rounded-score + token ordering makes the top-k row "
+        "set deterministic.",
+    tags=("llmdata", "text", "documents", "drift"),
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    src_no = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    return textstats.vocab_drift(
+        d.where(src_no < 10), d.where(src_no >= 10), k=30
+    )

@@ -93,6 +93,9 @@ def test_no_accidental_cartesian_products(plans):
         "q59_unigram_perplexity",
         "q64_temperature_mixture",
         "q65_embedding_decontamination",
+        # q86 vocab drift: three scalar totals join in as broadcast
+        # single-row aggregates (1 x N) — q42's degenerate map shape
+        "q86_vocab_drift",
     }
     for name, p in plans.items():
         if name in allowed:
