@@ -150,6 +150,7 @@ _GRADE_FIRST = (
     "q84_scd2_asof_enrichment",
     "q85_cohort_retention",
     "q86_vocab_drift",
+    "q87_revenue_yoy",
 )
 
 

@@ -248,3 +248,51 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "customer.c_nationkey -> nation")
         )
     )
+
+
+@register(
+    "q87_revenue_yoy",
+    sql="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS month,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           LAG(revenue, 12) OVER (ORDER BY month) AS revenue_prev_year,
+           ROUND((revenue - LAG(revenue, 12) OVER (ORDER BY month))
+                 / LAG(revenue, 12) OVER (ORDER BY month) * 100, 4) AS yoy_pct
+    FROM m
+    """,
+    doc="Monthly revenue with year-over-year deltas: decimal-exact "
+        "monthly sums (catalog.money discipline), a 12-step LAG for "
+        "the prior-year comparison, growth emitted as round-4 DOUBLE.  "
+        "The single-partition month window is fine — input is one row "
+        "per month regardless of fact scale; the heavy lifting is the "
+        "partial-aggregated month rollup.",
+    tags=("agg", "window", "orders", "reporting"),
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string").alias("month")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue", 12).over(w)
+    return m.select(
+        "month",
+        "revenue",
+        prev.alias("revenue_prev_year"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("yoy_pct"),
+    )
