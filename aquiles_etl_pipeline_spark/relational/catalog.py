@@ -151,6 +151,7 @@ _GRADE_FIRST = (
     "q85_cohort_retention",
     "q86_vocab_drift",
     "q87_revenue_yoy",
+    "q88_market_basket",
 )
 
 

@@ -296,3 +296,44 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("revenue_prev_year"),
         F.round((F.col("revenue") - prev) / prev * 100, 4).alias("yoy_pct"),
     )
+
+
+@register(
+    "q88_market_basket",
+    sql="""
+    WITH lp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM lp a JOIN lp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+    doc="Market-basket co-occurrence: top part pairs ordered together "
+        "in >= 2 orders.  Physical strategy: ONE groupBy collecting "
+        "each order's (small, bounded) part set, then in-task pair "
+        "expansion (dedup.bucket_pairs — the same kernel the LSH "
+        "buckets use) and a pair-count aggregation — per-order work "
+        "is O(basket^2) with baskets bounded by order size, never an "
+        "order-table self-join shuffle of the raw fact rows.",
+    tags=("join", "agg", "lineitem", "basket"),
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata.dedup import bucket_pairs
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("_ids")
+    )
+    pairs = bucket_pairs(baskets, out_a="part_a", out_b="part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
