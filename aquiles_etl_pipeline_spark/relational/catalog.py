@@ -152,6 +152,8 @@ _GRADE_FIRST = (
     "q86_vocab_drift",
     "q87_revenue_yoy",
     "q88_market_basket",
+    "q89_cheapest_supplier_per_part",
+    "q90_domain_stats",
 )
 
 

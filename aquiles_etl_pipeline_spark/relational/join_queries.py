@@ -337,3 +337,57 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+@register(
+    "q89_cheapest_supplier_per_part",
+    sql="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, total_price, total_qty,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY total_price / total_qty, l_suppkey)
+               AS rn
+      FROM ps
+    )
+    SELECT r.l_partkey, r.l_suppkey, s.s_name,
+           ROUND(total_price / total_qty, 4) AS unit_price
+    FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE rn = 1 AND r.l_partkey % 10 = 0
+    """,
+    doc="Cheapest supplier per part from shipment history (TPC-H "
+        "Q2's min-cost-supplier shape over lineitem): decimal-exact "
+        "per-(part, supplier) rollup, unit price as identical-operand "
+        "double division, ROW_NUMBER election with supplier-id "
+        "tiebreak, supplier dim broadcast back for the name.  Output "
+        "sampled to every 10th part.",
+    tags=("join", "window", "lineitem", "supplier"),
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("total_price"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+    )
+    unit = F.col("total_price") / F.col("total_qty")
+    w = Window.partitionBy("l_partkey").orderBy(unit, F.col("l_suppkey"))
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ps.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("l_partkey") % 10 == 0))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey", "l_suppkey", "s_name", F.round(unit, 4).alias("unit_price")
+        )
+    )

@@ -1907,3 +1907,52 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.vocab_drift(
         d.where(src_no < 10), d.where(src_no >= 10), k=30
     )
+
+
+@register(
+    "q90_domain_stats",
+    sql="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || CASE WHEN doc_id % 2 = 0 THEN 'a.' ELSE 'b.' END
+               || source || '.com/' || lang || '/' || doc_id AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1) AS host,
+             regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1),
+                            '([^.]+\\.[^.]+)$', 1) AS domain,
+             len(string_split(regexp_replace(
+               regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+               '^/|/$', '', 'g'), '/')) AS path_depth
+      FROM urls
+    )
+    SELECT domain,
+           COUNT(*) AS n_pages,
+           COUNT(DISTINCT host) AS n_hosts,
+           ROUND(AVG(CAST(path_depth AS DOUBLE)), 6) AS mean_path_depth
+    FROM parts GROUP BY domain
+    """,
+    doc="Per-registered-domain corpus stats (llmdata.urls."
+        "domain_stats): page count, distinct hosts, mean path depth — "
+        "the grouping key for per-domain quotas and blocklists.  "
+        "Synthesized urls give each source its own registrable domain "
+        "with two hosts (a./b. subdomains), so host-vs-domain "
+        "aggregation is actually exercised.  One partial-aggregated "
+        "shuffle on domain.",
+    tags=("llmdata", "urls", "documents"),
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("a.")).otherwise(F.lit("b.")),
+        F.col("source"),
+        F.lit(".com/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    parsed = urls.parse_urls(d.select("doc_id", url.alias("url")))
+    return urls.domain_stats(parsed)
