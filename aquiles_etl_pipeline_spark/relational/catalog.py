@@ -154,6 +154,7 @@ _GRADE_FIRST = (
     "q88_market_basket",
     "q89_cheapest_supplier_per_part",
     "q90_domain_stats",
+    "q91_event_transitions",
 )
 
 

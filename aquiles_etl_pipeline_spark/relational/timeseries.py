@@ -550,3 +550,59 @@ def cohort_retention(
 )
 def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(load(spark, sf_dir, "events"))
+
+
+def transition_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    k: int = 25,
+) -> DataFrame:
+    """Behavioral transition mining: count consecutive event-type
+    pairs (A then B) within each key's timeline, globally ranked —
+    the first-order Markov view of user behavior (what follows what),
+    feeding next-action models and UX funnels.
+
+    One window shuffle (lag over the key ordering) + one pair-count
+    aggregation; ranking fully tie-broken for a deterministic top-k.
+
+    Output: (from_type, to_type, n_transitions).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col("event_id"))
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), F.asc("from_type"), F.asc("to_type"))
+        .limit(k)
+    )
+
+
+@register(
+    "q91_event_transitions",
+    sql="""
+    WITH p AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type,
+             event_type AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM p WHERE from_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY n_transitions DESC, from_type, to_type
+    LIMIT 25
+    """,
+    doc="First-order event-type transition counts (relational."
+        "timeseries.transition_counts): consecutive (A then B) pairs "
+        "per user timeline, global top-25 — the Markov view of "
+        "behavior feeding next-action models.  One window shuffle + "
+        "one pair aggregation; fully tie-broken ranking.",
+    tags=("timeseries", "events", "markov"),
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transition_counts(load(spark, sf_dir, "events"))
