@@ -155,6 +155,7 @@ _GRADE_FIRST = (
     "q89_cheapest_supplier_per_part",
     "q90_domain_stats",
     "q91_event_transitions",
+    "q92_customer_rfm",
 )
 
 

@@ -391,3 +391,67 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey", "l_suppkey", "s_name", F.round(unit, 4).alias("unit_price")
         )
     )
+
+
+@register(
+    "q92_customer_rfm",
+    sql="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS md FROM orders),
+    base AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), (SELECT md FROM maxd))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary,
+           NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+           NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+           NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+    FROM base
+    """,
+    doc="Customer RFM segmentation: recency (days since last order vs "
+        "corpus max date), frequency, decimal-exact monetary, each cut "
+        "into quartiles with NTILE (custkey tiebreak -> deterministic "
+        "buckets).  The single-partition NTILE windows are over "
+        "customer-grain rows, not facts; for a 100 TB customer base "
+        "switch to approx_percentile cutpoints + a broadcast join "
+        "(same pattern documented on length_buckets).",
+    tags=("agg", "window", "orders", "segmentation"),
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("_md"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_md"), F.col("_last")).cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))).alias("m_score"),
+    )

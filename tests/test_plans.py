@@ -96,6 +96,9 @@ def test_no_accidental_cartesian_products(plans):
         # q86 vocab drift: three scalar totals join in as broadcast
         # single-row aggregates (1 x N) — q42's degenerate map shape
         "q86_vocab_drift",
+        # q92 RFM: the corpus max-date joins in as a broadcast
+        # single-row aggregate (1 x N) — q42's shape again
+        "q92_customer_rfm",
     }
     for name, p in plans.items():
         if name in allowed:
