@@ -156,6 +156,7 @@ _GRADE_FIRST = (
     "q90_domain_stats",
     "q91_event_transitions",
     "q92_customer_rfm",
+    "q93_last_touch_attribution",
 )
 
 

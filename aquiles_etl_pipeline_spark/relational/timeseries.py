@@ -606,3 +606,62 @@ def transition_counts(
 )
 def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_counts(load(spark, sf_dir, "events"))
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    goal_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Last-touch attribution: for every goal event, the most recent
+    PRECEDING non-goal event type in the same key's timeline — the
+    marketing-attribution primitive (which touchpoint gets credit for
+    this conversion), plus the global credit distribution downstream.
+
+    One window pass: last(non-goal type, ignorenulls) over the rows
+    strictly before each event, filtered to goals.  No joins.
+
+    Output: (key, event_id, ts, attributed_to) — attributed_to null
+    when the goal is the key's first event.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != goal_type, F.col(type_col)), ignorenulls=True
+    ).over(w)
+    return (
+        events.withColumn("attributed_to", touch)
+        .where(F.col(type_col) == goal_type)
+        .select(key_col, "event_id", ts_col, "attributed_to")
+    )
+
+
+@register(
+    "q93_last_touch_attribution",
+    sql="""
+    WITH t AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attributed_to
+      FROM events
+    )
+    SELECT user_id, event_id, ts, attributed_to
+    FROM t WHERE event_type = 'purchase'
+    """,
+    doc="Last-touch attribution (relational.timeseries."
+        "last_touch_attribution): each purchase credited to the most "
+        "recent preceding non-purchase event in the user's timeline — "
+        "one ignorenulls window pass, no joins.  Null when the "
+        "purchase is the user's first event.",
+    tags=("timeseries", "events", "attribution"),
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return last_touch_attribution(load(spark, sf_dir, "events"))
