@@ -157,6 +157,7 @@ _GRADE_FIRST = (
     "q91_event_transitions",
     "q92_customer_rfm",
     "q93_last_touch_attribution",
+    "q94_filter_funnel_report",
 )
 
 

@@ -1956,3 +1956,74 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = urls.parse_urls(d.select("doc_id", url.alias("url")))
     return urls.domain_stats(parsed)
+
+
+@register(
+    "q94_filter_funnel_report",
+    sql="""
+    WITH g AS (
+      SELECT len(string_split_regex(lower(trim(text)), '\\s+')) >= 5 AS enough_words,
+             COALESCE(list_max([length(x) FOR x IN
+               string_split_regex(lower(trim(text)), '\\s+')]) <= 50, FALSE)
+               AS no_giant_word,
+             NOT contains(lower(text), '{') AND NOT contains(lower(text), '}')
+               AS no_code_marker,
+             NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
+             NOT contains(lower(text), 'javascript') AS no_js_marker,
+             COALESCE(CAST(length(text) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+'))
+               BETWEEN 2.0 AND 12.0, FALSE) AS sane_word_len,
+             COUNT(*) OVER () AS n_docs
+      FROM documents
+    ),
+    agg AS (
+      SELECT MAX(n_docs) AS n_docs,
+             SUM(CASE WHEN enough_words THEN 1 ELSE 0 END) AS c_enough_words,
+             SUM(CASE WHEN no_giant_word THEN 1 ELSE 0 END) AS c_no_giant_word,
+             SUM(CASE WHEN no_code_marker THEN 1 ELSE 0 END) AS c_no_code_marker,
+             SUM(CASE WHEN no_lorem THEN 1 ELSE 0 END) AS c_no_lorem,
+             SUM(CASE WHEN no_js_marker THEN 1 ELSE 0 END) AS c_no_js_marker,
+             SUM(CASE WHEN sane_word_len THEN 1 ELSE 0 END) AS c_sane_word_len,
+             SUM(CASE WHEN enough_words AND no_giant_word AND no_code_marker
+                       AND no_lorem AND no_js_marker AND sane_word_len
+                 THEN 1 ELSE 0 END) AS c_keep
+      FROM g
+    )
+    SELECT gate, CAST(n_pass AS BIGINT) AS n_pass,
+           CAST(n_pass AS DOUBLE) / n_docs AS pass_rate
+    FROM agg UNPIVOT (n_pass FOR gate IN (
+      c_enough_words AS 'enough_words', c_no_giant_word AS 'no_giant_word',
+      c_no_code_marker AS 'no_code_marker', c_no_lorem AS 'no_lorem',
+      c_no_js_marker AS 'no_js_marker', c_sane_word_len AS 'sane_word_len',
+      c_keep AS 'keep'))
+    """,
+    doc="Filter-funnel report over the C4 gate bank (llmdata.textstats."
+        "c4_document_filters): per gate, how many documents pass and "
+        "the pass rate, plus the full conjunction — the tuning report "
+        "a filtering pass publishes so each gate's bite is visible "
+        "before committing a corpus cut.  One scan, conditional-count "
+        "aggregation, unpivot to rows.",
+    tags=("llmdata", "text", "documents", "quality"),
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = textstats.c4_document_filters(load(spark, sf_dir, "documents"))
+    gates = ["enough_words", "no_giant_word", "no_code_marker",
+             "no_lorem", "no_js_marker", "sane_word_len", "keep"]
+    agg = g.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(F.when(F.col(c), 1).otherwise(0)).alias(f"c_{c}") for c in gates],
+    )
+    stacked = agg.select(
+        "_n",
+        F.expr(
+            "stack({}, {}) as (gate, n_pass)".format(
+                len(gates),
+                ", ".join(f"'{c}', c_{c}" for c in gates),
+            )
+        ),
+    )
+    return stacked.select(
+        "gate",
+        F.col("n_pass").cast("long").alias("n_pass"),
+        (F.col("n_pass").cast("double") / F.col("_n")).alias("pass_rate"),
+    )
