@@ -158,6 +158,7 @@ _GRADE_FIRST = (
     "q92_customer_rfm",
     "q93_last_touch_attribution",
     "q94_filter_funnel_report",
+    "q95_activity_heatmap",
 )
 
 

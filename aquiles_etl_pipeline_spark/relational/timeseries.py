@@ -665,3 +665,36 @@ def last_touch_attribution(
 )
 def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_touch_attribution(load(spark, sf_dir, "events"))
+
+
+@register(
+    "q95_activity_heatmap",
+    sql="""
+    SELECT CAST(isodow(ts) AS INT) AS dow_iso,
+           CAST(hour(ts) AS INT) AS hour,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Weekday x hour activity heatmap: event counts and decimal-"
+        "exact value totals per (ISO weekday, hour) cell — the ops "
+        "dashboard grid.  Weekday numbering is the classic cross-"
+        "engine trap (Spark dayofweek is 1=Sunday, DuckDB dayofweek "
+        "is 0=Sunday): both sides pin ISO numbering (1=Monday) "
+        "explicitly — Spark weekday()+1, DuckDB isodow().  One "
+        "partial-aggregated shuffle over 168 cells.",
+    tags=("timeseries", "events", "agg"),
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.expr("weekday(ts)") + 1).cast("int").alias("dow_iso"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("total_value"),
+    )
