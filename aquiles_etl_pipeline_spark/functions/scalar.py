@@ -42,8 +42,13 @@ def clean_price(col: Column) -> Column:
     Separator-STRIPPING, not locale parsing: drops ``. , $ space`` then
     casts — ``"$ 1.500,50" -> 150050``.  Golden pairs at
     reference tests/test_data_processor.py:60-78.  NULL on garbage.
+
+    ``_`` is stripped too: the reference parses with Python's Decimal,
+    which silently IGNORES underscores anywhere in the string
+    (``Decimal('0_') == 0``, ``Decimal('-_5') == -5``) — found by the
+    hypothesis parity sweep; Spark's decimal cast rejects them.
     """
-    stripped = F.regexp_replace(col.cast("string"), r"[.,$ ]", "")
+    stripped = F.regexp_replace(col.cast("string"), r"[.,$ _]", "")
     return _nullif_empty(stripped).try_cast(DecimalType(18, 2))
 
 
