@@ -159,6 +159,8 @@ _GRADE_FIRST = (
     "q93_last_touch_attribution",
     "q94_filter_funnel_report",
     "q95_activity_heatmap",
+    "q96_ship_latency",
+    "q97_multimodal_header_decode",
 )
 
 

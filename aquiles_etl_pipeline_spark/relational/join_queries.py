@@ -455,3 +455,40 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))).alias("f_score"),
         F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))).alias("m_score"),
     )
+
+
+@register(
+    "q96_ship_latency",
+    sql="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           ROUND(AVG(CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE)), 6)
+             AS avg_latency_days,
+           ROUND(quantile_cont(CAST(date_diff('day', o_orderdate, l_shipdate)
+                                    AS DOUBLE), 0.9), 6) AS p90_latency_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Order-to-ship latency by priority: integer day-deltas through "
+        "exact AVG (integer-valued doubles sum exactly) and "
+        "linear-interpolated p90 (q40's percentile parity).  The "
+        "fact-fact join shuffles on the order key; at 100 TB "
+        "co-partitioning/bucketing both tables on orderkey makes it "
+        "shuffle-free (the co-partitioned plan test's pattern).",
+    tags=("join", "agg", "lineitem", "orders"),
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("double")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.avg(lat), 6).alias("avg_latency_days"),
+            F.round(F.expr(
+                "percentile(double(datediff(l_shipdate, o_orderdate)), 0.9)"
+            ), 6).alias("p90_latency_days"),
+        )
+    )
