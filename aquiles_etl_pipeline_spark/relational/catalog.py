@@ -161,6 +161,9 @@ _GRADE_FIRST = (
     "q95_activity_heatmap",
     "q96_ship_latency",
     "q97_multimodal_header_decode",
+    "q98_wav_header_decode",
+    "q99_nation_market_share",
+    "q100_rolling_dau",
 )
 
 

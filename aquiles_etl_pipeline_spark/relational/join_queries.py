@@ -492,3 +492,52 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
             ), 6).alias("p90_latency_days"),
         )
     )
+
+
+@register(
+    "q99_nation_market_share",
+    sql="""
+    WITH rev AS (
+      SELECT n_name,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ),
+    tot AS (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DECIMAL(18,2)) AS DOUBLE) AS t FROM orders)
+    SELECT n_name, revenue,
+           ROUND(revenue / t * 100, 6) AS market_share_pct
+    FROM rev, tot
+    """,
+    doc="Nation market share: decimal-exact revenue per nation over "
+        "the broadcast-dimension join chain, share against the "
+        "single-row corpus total (broadcast, q42's 1xN shape).  Both "
+        "the numerator and denominator pass through the exact-decimal "
+        "-> double boundary so the percentage divides identical "
+        "operands in both engines.",
+    tags=("join", "agg", "orders", "reporting"),
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    money_sum = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+    )
+    rev = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(money_sum.alias("revenue"))
+    )
+    tot = o.agg(money_sum.alias("_t"))
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.col("_t") * 100, 6).alias("market_share_pct"),
+    )

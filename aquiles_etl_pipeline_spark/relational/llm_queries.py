@@ -2091,3 +2091,54 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_and_parse,
         "doc_id long, width int, height int, channels int, fmt string",
     )
+
+
+@register(
+    "q98_wav_header_decode",
+    sql="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 30 AS INT) AS duration_s,
+           CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 16000 END AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels
+    FROM documents
+    """,
+    doc="Driver-graded WAV metadata decode (q97's pattern for audio): "
+        "every doc_id synthesizes a real RIFF/WAVE header with "
+        "id-derived duration/rate/channels; parse_wav_header reads it "
+        "back; the oracle recomputes arithmetically.",
+    tags=("llmdata", "multimodal", "documents"),
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..llmdata.multimodal import parse_wav_header
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_and_parse(it):
+        import struct
+
+        def make_wav(duration_s, rate, channels):
+            byte_rate = rate * channels * 2
+            data_size = duration_s * byte_rate
+            fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * 2, 16)
+            hdr = (
+                b"RIFF" + struct.pack("<I", 36 + 0) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", data_size)
+            )
+            return hdr + b"\x00" * 64  # truncated body; header carries the size
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                dur, rate, ch = 1 + i % 30, (44100 if i % 2 == 0 else 16000), 1 + i % 2
+                parsed = parse_wav_header(make_wav(dur, rate, ch))
+                pd_, pr, pc = parsed if parsed else (None, None, None)
+                rows.append((i, pd_, pr, pc))
+            yield pd.DataFrame(rows, columns=["doc_id", "duration_s", "sample_rate", "channels"])
+
+    return d.mapInPandas(
+        synth_and_parse, "doc_id long, duration_s int, sample_rate int, channels int"
+    )

@@ -698,3 +698,42 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "q100_rolling_dau",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    )
+    SELECT day, dau,
+           CAST(CAST(SUM(dau) OVER (ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS DOUBLE)
+             / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS avg_dau_7d
+    FROM daily
+    """,
+    doc="Daily active users with 7-day rolling average — the growth "
+        "dashboard's headline pair.  The distinct-count shuffles at "
+        "(day, user) grain; the rolling window runs over day-grain "
+        "rows (one per day regardless of fact scale).  Integer sums "
+        "through the BIGINT pin (DuckDB HUGEINT discipline), division "
+        "on identical operands.",
+    tags=("timeseries", "events", "agg"),
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day")
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "dau",
+        (
+            F.sum("dau").over(w).cast("double") / F.count(F.lit(1)).over(w)
+        ).alias("avg_dau_7d"),
+    )

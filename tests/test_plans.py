@@ -99,6 +99,9 @@ def test_no_accidental_cartesian_products(plans):
         # q92 RFM: the corpus max-date joins in as a broadcast
         # single-row aggregate (1 x N) — q42's shape again
         "q92_customer_rfm",
+        # q99 market share: the corpus revenue total joins in as a
+        # broadcast single-row aggregate (1 x N) — q42's shape again
+        "q99_nation_market_share",
     }
     for name, p in plans.items():
         if name in allowed:
