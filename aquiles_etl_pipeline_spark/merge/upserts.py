@@ -218,22 +218,35 @@ def prepare_product_source(wh: Warehouse, batch_guid: str) -> tuple[DataFrame, l
     return src0, touched
 
 
-def merge_products(
+class _ProductMergePlan:
+    """Lazy M2 merge result, split from its commit so the orchestrator
+    can overlap M2's write with M3 (which needs only the Id↔hash
+    mapping carried by ``final``, not the durable parquet)."""
+
+    __slots__ = ("final", "touched", "src0", "src", "new_rows")
+
+    def __init__(self, final, touched, src0, src, new_rows):
+        self.final = final
+        self.touched = touched
+        self.src0 = src0
+        self.src = src
+        self.new_rows = new_rows
+
+    def release(self) -> None:
+        for df in (self.final, self.src, self.src0):
+            df.unpersist()
+
+
+def plan_product_merge(
     wh: Warehouse,
     batch_guid: str,
-    collect_stats: bool = True,
     prepared: tuple[DataFrame, list[int]] | None = None,
-) -> dict[str, int]:
-    """M2: upsert keyed on DescriptionHash = sha256(Description)
-    (identity implied by the IX_Product_DescriptionHash index,
-    core/entities.py:106). Matched → update Measure/UnitOfMeasureId/
-    UpdatedDt ('update existing ones with latest data',
-    docs/ETL_ENHANCEMENTS.md:28); not matched → insert.
-
-    ``prepared`` is the output of :func:`prepare_product_source` when
-    the orchestrator overlapped the prep with M1/U1; unit resolution
-    stays lazy here (it must see U1's units), riding inside the write
-    job's broadcast joins instead of costing its own action."""
+    persist_mapping: bool = False,
+) -> _ProductMergePlan:
+    """Build M2's merged-table lineage (see :func:`merge_products` for
+    the contract) without writing.  ``persist_mapping=True`` persists
+    the final frame so a concurrent M3 and the commit's write job share
+    one materialization."""
     src0, touched = prepared if prepared is not None else prepare_product_source(wh, batch_guid)
     # persist (lazily — the write job's first broadcast build fills the
     # cache) so the matched join, the insert anti-join, and the id
@@ -287,23 +300,69 @@ def merge_products(
         "DescriptionHash",
         _bucket_of("DescriptionHash").alias("_bucket"),
     )
-    n_ins = new_rows.count() if collect_stats else -1
-    wh.replace_partitions("product", updated.unionByName(new_rows), "_bucket", touched)
-    n_src = src0.count() if collect_stats else -1
-    src.unpersist()
-    src0.unpersist()
+    final = updated.unionByName(new_rows)
+    if persist_mapping:
+        final = final.persist()
+    return _ProductMergePlan(final, touched, src0, src, new_rows)
+
+
+def commit_product_merge(
+    wh: Warehouse, plan: _ProductMergePlan, collect_stats: bool = True, release: bool = True
+) -> dict[str, int]:
+    """Write M2's merged touched-bucket content (untouched partitions
+    hardlink forward).  ``release=False`` keeps the plan's caches alive
+    for a concurrent M3 still reading ``plan.final``."""
+    n_ins = plan.new_rows.count() if collect_stats else -1
+    wh.replace_partitions("product", plan.final, "_bucket", plan.touched)
+    n_src = plan.src0.count() if collect_stats else -1
+    if release:
+        plan.release()
     return {"inserted": n_ins, "total_source": n_src}
 
 
-def merge_provider_products(wh: Warehouse, batch_guid: str, collect_stats: bool = True) -> dict[str, int]:
+def merge_products(
+    wh: Warehouse,
+    batch_guid: str,
+    collect_stats: bool = True,
+    prepared: tuple[DataFrame, list[int]] | None = None,
+) -> dict[str, int]:
+    """M2: upsert keyed on DescriptionHash = sha256(Description)
+    (identity implied by the IX_Product_DescriptionHash index,
+    core/entities.py:106). Matched → update Measure/UnitOfMeasureId/
+    UpdatedDt ('update existing ones with latest data',
+    docs/ETL_ENHANCEMENTS.md:28); not matched → insert.
+
+    ``prepared`` is the output of :func:`prepare_product_source` when
+    the orchestrator overlapped the prep with M1/U1; unit resolution
+    stays lazy here (it must see U1's units), riding inside the write
+    job's broadcast joins instead of costing its own action."""
+    return commit_product_merge(
+        wh, plan_product_merge(wh, batch_guid, prepared), collect_stats
+    )
+
+
+def merge_provider_products(
+    wh: Warehouse,
+    batch_guid: str,
+    collect_stats: bool = True,
+    product_mapping: DataFrame | None = None,
+) -> dict[str, int]:
     """M3: resolve placeholder FKs from denormalized staging names
     (etl:151-152), then upsert keyed on (ProductId, ProviderId) —
     'insert new relationships, update existing ones'
-    (docs/ETL_ENHANCEMENTS.md:29)."""
+    (docs/ETL_ENHANCEMENTS.md:29).
+
+    ``product_mapping`` (Id, DescriptionHash): when the orchestrator
+    overlaps M3 with M2's write, it passes M2's in-memory merged frame —
+    every staged description's bucket is in M2's touched set by
+    construction, so the mapping is complete without waiting for (or
+    re-reading) the product parquet."""
     staging = _staging_batch(wh, "staging_provider_product", batch_guid)
-    product = wh.read("product").select(
-        F.col("Id").alias("_product_id"), "DescriptionHash"
-    )
+    product = (
+        product_mapping
+        if product_mapping is not None
+        else wh.read("product")
+    ).select(F.col("Id").alias("_product_id"), "DescriptionHash")
     provider = wh.read("provider").select(F.col("Id").alias("_provider_id"), "Name")
     synonyms = wh.read("provider_synonym").select(
         "Synonym", F.col("ProviderId").alias("_syn_provider_id")
@@ -392,8 +451,11 @@ def merge_staging_to_fact_tables(
     with M2's staging-side prep (dedup + touched-bucket collect), which
     depends on neither; M2's unit resolution then rides lazily inside
     its write job after U1 lands.  M3 (provider_products) needs M1's
-    providers and M2's products.  ``collect_stats=False`` skips the
-    stats-only count jobs and writes dims in one job each."""
+    providers and M2's *merged rows* — not the durable product parquet —
+    so M2's write and the whole of M3 overlap, sharing M2's persisted
+    final frame as the Id↔DescriptionHash mapping.
+    ``collect_stats=False`` skips the stats-only count jobs and writes
+    dims in one job each."""
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=3) as pool:
@@ -401,8 +463,14 @@ def merge_staging_to_fact_tables(
         f_units = pool.submit(ensure_units_of_measure, wh, batch_guid, collect_stats)
         f_prep = pool.submit(prepare_product_source, wh, batch_guid)
         providers, units, prepared = f_prov.result(), f_units.result(), f_prep.result()
-    products = merge_products(wh, batch_guid, collect_stats, prepared=prepared)
-    provider_products = merge_provider_products(wh, batch_guid, collect_stats)
+    plan = plan_product_merge(wh, batch_guid, prepared=prepared, persist_mapping=True)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_m2 = pool.submit(commit_product_merge, wh, plan, collect_stats, False)
+        f_m3 = pool.submit(
+            merge_provider_products, wh, batch_guid, collect_stats, plan.final
+        )
+        products, provider_products = f_m2.result(), f_m3.result()
+    plan.release()
     _cleanup_staging(wh, batch_guid)
     return {
         "providers_inserted": providers,

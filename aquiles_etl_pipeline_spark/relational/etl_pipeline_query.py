@@ -87,6 +87,8 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline import apply_transformations, map_columns_to_apply_transformations
     from ..staging import load_data_to_staging_tables
 
+    from ..session import batch_pipeline_confs
+
     # repartition: part arrives as one file/partition and the exact-
     # parity Arrow UDF chain is CPU-bound; persist: the three staging
     # projections + their counts all re-derive the wide record
@@ -99,8 +101,12 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, tempfile.mkdtemp(prefix="q41_wh_"))
     bootstrap(wh)
     guid = "q41-batch"
-    load_data_to_staging_tables(wh, wide, guid, collect_counts=False)
-    merge_staging_to_fact_tables(wh, guid, collect_stats=False)
+    # batch-sized merge chain: AQE off + narrow shuffles (see
+    # session.batch_pipeline_confs) — the staging batch is one file's
+    # worth of rows, so job-count, not data, is the cost driver
+    with batch_pipeline_confs(spark):
+        load_data_to_staging_tables(wh, wide, guid, collect_counts=False)
+        merge_staging_to_fact_tables(wh, guid, collect_stats=False)
 
     # the readback below depends only on warehouse parquet, not on the
     # transform lineage — release the cache so repeated pipeline runs

@@ -10,11 +10,50 @@ cluster-sane (AQE, broadcast threshold, shuffle partitions sized to cores).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 
 _WARMED_SESSIONS: set[int] = set()
+
+
+@contextmanager
+def scoped_confs(spark: SparkSession, confs: dict[str, str]):
+    """Temporarily override session confs, restoring on exit.
+
+    Used to scope *batch-sized* pipeline sections (the reference's
+    one-CSV-file merge batches): AQE's per-broadcast job splitting and
+    32-way shuffles are pure scheduler overhead on few-thousand-row
+    frames — q41's merge chain drops 34 → 22 Spark jobs with AQE off,
+    which is what a loaded driver machine actually pays for.  A
+    cluster-scale run over big fact partitions keeps AQE on (the
+    session default).  Not thread-safe across concurrently *planned*
+    queries on the same session — callers are the sequential catalog /
+    bench paths.
+    """
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def batch_pipeline_confs(spark: SparkSession):
+    """Conf scope for file-sized staging→merge batches (see scoped_confs)."""
+    return scoped_confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": "8",
+        },
+    )
 
 
 def get_spark(

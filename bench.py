@@ -68,19 +68,25 @@ def main() -> None:
                 )
                 t = min(t, retry)
         history.append(t)
-        timings[name] = round(t, 3)
+        timings[name] = round(t, 2)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()), 2)
+    # One compact JSON line.  The driver tail-captures stdout with a
+    # bounded buffer (the r03 record was truncated to `parsed: null` at
+    # ~4.5 KB): compact separators + 2dp floats keep 100+ queries under
+    # ~3 KB, and metric/value/unit/sf precede the queries dict so even a
+    # truncated tail retains the headline number.
     print(
         json.dumps(
             {
                 "metric": "catalog_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-            }
+                "queries": timings,
+            },
+            separators=(",", ":"),
         )
     )
 
