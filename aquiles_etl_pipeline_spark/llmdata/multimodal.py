@@ -241,7 +241,12 @@ def parse_mp4_header(content: bytes) -> tuple[int, int, int] | None:
         for ctyp, c0, c1 in boxes(content, p0, p1):
             if ctyp == b"mvhd" and c1 - c0 >= 20:
                 version = content[c0]
-                if version == 1 and c1 - c0 >= 28:
+                if version == 1:
+                    # v1 layout reads through c0+32; a shorter (truncated)
+                    # v1 payload must not fall through to the v0 offsets —
+                    # that silently reads creation-time bytes as duration
+                    if c1 - c0 < 32:
+                        continue
                     timescale = struct.unpack(">I", content[c0 + 20 : c0 + 24])[0]
                     duration = struct.unpack(">Q", content[c0 + 24 : c0 + 32])[0]
                 else:
@@ -355,6 +360,7 @@ def sample_frames(df: DataFrame, every_n_seconds: int = 10) -> DataFrame:
     decoder replaces the seam; schema, fan-out, and batch shape are the
     real production plumbing."""
     import hashlib
+    import struct
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -362,7 +368,12 @@ def sample_frames(df: DataFrame, every_n_seconds: int = 10) -> DataFrame:
             for _, row in pdf.iterrows():
                 content = row["content"] or b""
                 h = hashlib.sha256(content).digest()
-                parsed = parse_mp4_header(content)
+                try:
+                    parsed = parse_mp4_header(content)
+                except (struct.error, IndexError):
+                    # malformed container must degrade to the stub, not
+                    # fail the whole task
+                    parsed = None
                 # REAL duration when the payload is an MP4/MOV
                 # container; deterministic hash stub otherwise
                 duration = parsed[0] if parsed else 1 + h[5] % 120

@@ -557,12 +557,19 @@ def embedding_decontaminate(
         )
     )
     sim = cosine_sim(F.col(vec_col), F.col("_bv"))
+    # LEFT broadcast-NLJ, not crossJoin: an empty benchmark set must
+    # yield every training vector with max_benchmark_cos=null /
+    # contaminated=false — a cross join would silently emit ZERO rows,
+    # reading as "no training data" instead of "nothing contaminated"
     return (
         train.select(id_col, vec_col)
-        .crossJoin(b)
+        .join(b, F.lit(True), "left")
         .groupBy(id_col)
         .agg(F.round(F.max(sim), 4).alias("max_benchmark_cos"))
-        .withColumn("contaminated", F.col("max_benchmark_cos") >= threshold)
+        .withColumn(
+            "contaminated",
+            F.coalesce(F.col("max_benchmark_cos") >= threshold, F.lit(False)),
+        )
     )
 
 

@@ -402,9 +402,11 @@ def html_to_text(col: Column) -> Column:
     )
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, r"<[^>]+>", " ")
+    # &amp; decodes LAST: decoding it first double-decodes escaped
+    # entities ('&amp;lt;' — the literal text '&lt;' — would become '<')
     for ent, ch in [
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", "\""), ("&#39;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
     ]:
         t = F.regexp_replace(t, ent, ch)
     t = F.regexp_replace(t, r"\s+", " ")

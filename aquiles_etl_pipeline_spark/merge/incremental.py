@@ -31,6 +31,7 @@ def refresh_additive(
     delta_agg: DataFrame,
     keys: list[str],
     merge: dict[str, str] | None = None,
+    meta: dict | None = None,
 ) -> None:
     """Merge a pre-aggregated batch into the stored rollup.
 
@@ -40,6 +41,10 @@ def refresh_additive(
     every non-key column).  The stored rollup is replaced by
     (stored ∪ delta) re-aggregated by key — one small shuffle over
     grain-sized data, never a fact-table scan.
+
+    ``meta`` commits atomically with the new rollup generation (see
+    ``Warehouse.overwrite``) — streaming callers stamp the applied
+    batch_id here to make redelivery idempotent.
     """
     measures = [c for c in delta_agg.columns if c not in keys]
     merge = {**{c: "sum" for c in measures}, **(merge or {})}
@@ -53,7 +58,7 @@ def refresh_additive(
     rolled = combined.groupBy(*keys).agg(
         *[_MERGE_FNS[merge[c]](c).alias(c) for c in measures]
     )
-    wh.overwrite(table, rolled)
+    wh.overwrite(table, rolled, meta=meta)
 
 
 def corpus_stats_delta(docs: DataFrame, text_col: str = "text") -> DataFrame:

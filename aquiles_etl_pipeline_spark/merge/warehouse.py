@@ -111,13 +111,29 @@ class Warehouse:
         return tdir / f"g{max(gens, default=-1) + 1}", gens
 
     def _flip(self, name: str, gen: Path, old_gens: list[int]) -> None:
+        # retention is computed relative to the PRE-flip current
+        # generation, not the highest numbers: after rollback() the
+        # pointer may sit on an old generation, and the one in-flight
+        # readers hold is the pointer's target, which must always
+        # survive the flip — the remaining keep budget then goes to the
+        # newest other generations
+        pre = self._current(name)
+        pre_num = (
+            int(pre.name[1:])
+            if pre is not None and pre.name[1:].isdigit()
+            else None
+        )
         (self._table_dir(name) / "_CURRENT").write_text(gen.name)
-        # retire generations beyond the retention window (the window
-        # always includes the previous one, for in-flight readers)
-        n_old_keep = self.keep_generations - 1
-        retire = sorted(old_gens)[:-n_old_keep] if n_old_keep else sorted(old_gens)
-        for old in retire:
-            shutil.rmtree(self._table_dir(name) / f"g{old}", ignore_errors=True)
+        keep: set[int] = set()
+        if pre_num is not None:
+            keep.add(pre_num)
+        for g in sorted(old_gens, reverse=True):
+            if len(keep) >= self.keep_generations - 1:
+                break
+            keep.add(g)
+        for old in sorted(old_gens):
+            if old not in keep:
+                shutil.rmtree(self._table_dir(name) / f"g{old}", ignore_errors=True)
 
     def _write_empty(self, name: str, schema: StructType) -> None:
         gen, old = self._new_gen(name)
@@ -150,8 +166,21 @@ class Warehouse:
         self._write_partition_spec(gen, None, schema)
         self._flip(name, gen, old)
 
-    def overwrite(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
-        """Write a new snapshot generation and flip the pointer."""
+    def overwrite(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> None:
+        """Write a new snapshot generation and flip the pointer.
+
+        ``meta``: writer-supplied metadata persisted INSIDE the new
+        generation before the flip, so it commits atomically with the
+        table state (read back via :meth:`write_meta`).  This is how
+        streaming continuous aggregates make at-least-once foreachBatch
+        redelivery idempotent: the applied batch_id travels with the
+        rollup snapshot itself."""
         gen, old = self._new_gen(name)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -166,7 +195,18 @@ class Warehouse:
             (gen / _EMPTY_MARKER).write_text(json.dumps(df.schema.jsonValue()))
         else:
             self._write_partition_spec(gen, partition_by, df.schema)
+        if meta is not None:
+            (gen / "_WRITE_META.json").write_text(json.dumps(meta))
         self._flip(name, gen, old)
+
+    def write_meta(self, name: str) -> dict | None:
+        """Metadata recorded with the current generation's write (see
+        ``overwrite(meta=)``), or None."""
+        cur = self._current(name)
+        if cur is None:
+            return None
+        meta = cur / "_WRITE_META.json"
+        return json.loads(meta.read_text()) if meta.exists() else None
 
     def _link_files(
         self,
@@ -449,7 +489,14 @@ class Warehouse:
         Writes are crash-safe by construction: the pointer flip is the
         commit point, so a died write leaves the previous snapshot
         intact and fully readable — vacuum is housekeeping, not
-        recovery."""
+        recovery.
+
+        Single-writer assumption (the whole warehouse is single-writer,
+        like the reference's one-pipeline SQL database): vacuum must
+        not race an in-flight writer — a not-yet-flipped generation
+        being written RIGHT NOW is indistinguishable from crash debris.
+        Run it from the writer's own control loop, never concurrently
+        with a write."""
         cur = self._current(name)
         if cur is None:
             return []

@@ -1346,8 +1346,8 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ' ', 'g'),
                  '(?s)<!--.*?-->', ' ', 'g'),
                '<[^>]+>', ' ', 'g'),
-               '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
-               '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+               '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g'),
                '\\s+', ' ', 'g')) AS extracted
       FROM pages
     )

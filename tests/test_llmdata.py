@@ -794,6 +794,18 @@ def test_embedding_decontaminate_flags_planted_leak(spark, emb):
     assert flagged == [9001]
 
 
+def test_embedding_decontaminate_empty_benchmark_keeps_all_rows(spark, emb):
+    """No benchmark vectors ≠ no training vectors: every training row
+    must come back contaminated=false with a null max similarity."""
+    train = emb.where(F.col("vec_id") < 10)
+    bench = emb.where(F.lit(False))
+    out = {r["vec_id"]: r for r in
+           similarity.embedding_decontaminate(train, bench).collect()}
+    assert len(out) == train.count()
+    assert all(not r["contaminated"] for r in out.values())
+    assert all(r["max_benchmark_cos"] is None for r in out.values())
+
+
 def test_snapshot_diff_classifies_all_states(spark):
     old = spark.createDataFrame(
         [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id int, text string"

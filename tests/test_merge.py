@@ -328,6 +328,27 @@ def test_retention_window_retires_old_generations(spark, tmp_path):
         wh.read("t", version=0)
 
 
+def test_retention_after_rollback_keeps_inflight_generation(spark, tmp_path):
+    """Retention is relative to the pre-flip CURRENT pointer: after a
+    rollback to an old generation, the next write must retain THAT
+    generation (an in-flight reader may hold it), not the newest
+    pre-rollback ones."""
+    wh = Warehouse(spark, tmp_path / "rb", keep_generations=2)
+    for i in range(3):
+        df = spark.createDataFrame([(i,)], "id int")
+        (wh.overwrite if i == 0 else wh.append)("t", df)
+    # gens now g1, g2 (g0 retired); roll back to g1
+    wh.rollback("t", 1)
+    assert sorted(r["id"] for r in wh.read("t").collect()) == [0, 1]
+    # write from the rolled-back state: g1 (pre-flip current) survives,
+    # g2 — not the pointer's target — is the one retired
+    wh.append("t", spark.createDataFrame([(9,)], "id int"))
+    versions = [h["version"] for h in wh.history("t")]
+    assert 1 in versions and 2 not in versions
+    assert sorted(r["id"] for r in wh.read("t", version=1).collect()) == [0, 1]
+    assert sorted(r["id"] for r in wh.read("t").collect()) == [0, 1, 9]
+
+
 def test_incremental_aggregate_equals_full_recompute(spark, tmp_path):
     from aquiles_etl_pipeline_spark.merge.incremental import (
         corpus_stats_delta,

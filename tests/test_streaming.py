@@ -403,6 +403,20 @@ def test_streaming_continuous_aggregate(spark, tmp_path):
     }
     assert got == want
 
+    # redelivery idempotence: a crash between rollup flip and checkpoint
+    # commit redelivers already-applied batches.  Simulate with a fresh
+    # checkpoint over the same landing dir: batch ids restart at 0, all
+    # ≤ the id stamped on the current rollup generation → every merge
+    # is skipped and the rollup is unchanged (no double counting).
+    assert wh.write_meta("corpus_stats")["last_batch_id"] >= 0
+    s4 = stream_corpus_stats(spark, str(land), wh, str(tmp_path / "ckpt2"))
+    assert s4.n_docs == 0
+    got_after = {
+        (r["lang"], r["source"]): (r["n_docs"], r["sum_tokens"], r["min_tokens"], r["max_tokens"])
+        for r in wh.read("corpus_stats").collect()
+    }
+    assert got_after == want
+
 
 def test_resample_gapfill_semantics(spark):
     """Gaps get zero counts and LOCF sums; occupied buckets keep their
