@@ -133,9 +133,9 @@ _GRADE_FIRST = (
     "q103_image_decode_stats",
     "q104_bm25_search",
     "q105_quantize_recall",
-    "q106_suffix_ngram_contamination",
-    "q107_tokens_per_domain_mix",
-    "q108_paragraph_dedup",
+    "q106_ngram_containment_pairs",
+    "q107_domain_mixture_weights",
+    "q108_kmeans_assign_stats",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

@@ -102,6 +102,16 @@ def test_no_accidental_cartesian_products(plans):
         # q99 market share: the corpus revenue total joins in as a
         # broadcast single-row aggregate (1 x N) — q42's shape again
         "q99_nation_market_share",
+        # q104 BM25: corpus doc-count/avgdl join in as a broadcast
+        # single-row aggregate (1 x N) — q42's shape again
+        "q104_bm25_search",
+        # q105 quantize recall: candidates x broadcast(5 probes) is the
+        # operator's definition — q47's constant-factor map shape
+        "q105_quantize_recall",
+        # q108 k-means assign: vectors x broadcast(8 centroids) IS the
+        # E-step (every vector scored against every centroid) — q47's
+        # constant-factor map shape
+        "q108_kmeans_assign_stats",
     }
     for name, p in plans.items():
         if name in allowed:

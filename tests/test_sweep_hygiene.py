@@ -35,6 +35,9 @@ PERSIST_PRONE = [
     "q35_simhash_near_dup_pairs",
     "q52_dedup_clusters",
     "q41_etl_star_pipeline",
+    "q60_semantic_dedup",
+    "q72_llmdata_pipeline_e2e",
+    "q81_incremental_dedup",
 ]
 
 
