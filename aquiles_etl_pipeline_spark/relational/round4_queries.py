@@ -251,30 +251,31 @@ _BM25_K1, _BM25_B = 1.2, 0.75
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
       FROM documents
     ),
-    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
     stats AS (
       SELECT COUNT(*) AS n_docs,
              CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl
       FROM toks
     ),
     tf AS (
-      SELECT doc_id, term, COUNT(*) AS tf
-      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
       WHERE term IN ('spark', 'window', 'merge')
       GROUP BY doc_id, term
     ),
-    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-    scored AS (
-      SELECT tf.doc_id,
-             SUM(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-                 * tf.tf * ({_BM25_K1} + 1)
-                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)))
-               AS score
+    tfdf AS (
+      SELECT doc_id, term, tf, dl,
+             COUNT(*) OVER (PARTITION BY term) AS df
       FROM tf
-      JOIN dfreq d USING (term)
-      JOIN dl USING (doc_id)
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(ln(1 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                 * t.tf * ({_BM25_K1} + 1)
+                 / (t.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * t.dl / s.avgdl)))
+               AS score
+      FROM tfdf t
       CROSS JOIN stats s
-      GROUP BY tf.doc_id
+      GROUP BY t.doc_id
     )
     SELECT doc_id, ROUND(score, 4) AS bm25
     FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
@@ -293,27 +294,31 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t"))
-    dl = toks.select("doc_id", F.size("t").alias("dl"))
     stats = toks.agg(
         F.count("*").alias("n_docs"),
         (F.sum(F.size("t")).cast("double") / F.count("*")).alias("avgdl"),
     )
+    # doc length rides THROUGH the explode (max(dl) per group), so no
+    # per-document join is needed later — the only exchanges carry
+    # query-term postings and the term-grain doc frequencies
     tf = (
-        toks.select("doc_id", F.explode("t").alias("term"))
+        toks.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
         .where(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # doc frequency as a window over the postings themselves — a
+    # groupBy would re-run the scan+explode lineage a second time (no
+    # automatic exchange reuse across an aggregation), and the window's
+    # exchange carries only the query-term postings
+    tfdf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     k1, b = _BM25_K1, _BM25_B
     idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     w = idf * F.col("tf") * (k1 + 1) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     return (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        tfdf.crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(w), 4).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
@@ -362,13 +367,12 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY s_quant DESC, vec_id) AS r_quant
       FROM sims
     )
-    SELECT a.pid AS probe_id,
-           COUNT(b.vec_id) AS n_overlap,
-           CAST(COUNT(b.vec_id) AS DOUBLE) / 10 AS recall_at_10
-    FROM (SELECT pid, vec_id FROM ranked WHERE r_exact <= 10) a
-    LEFT JOIN (SELECT pid, vec_id FROM ranked WHERE r_quant <= 10) b
-      ON a.pid = b.pid AND a.vec_id = b.vec_id
-    GROUP BY a.pid
+    SELECT pid AS probe_id,
+           COUNT(*) FILTER (WHERE r_exact <= 10 AND r_quant <= 10) AS n_overlap,
+           CAST(COUNT(*) FILTER (WHERE r_exact <= 10 AND r_quant <= 10) AS DOUBLE)
+             / 10 AS recall_at_10
+    FROM ranked
+    GROUP BY pid
     """,
     doc="ANN quality measurement for int8 quantization: recall@10 of "
         "the quantized index against exact float cosine, per probe — "
@@ -416,6 +420,10 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cos(F.col("v"), F.col("pv")), 4).alias("s_exact"),
         F.round(cos(F.col("qv"), F.col("pv")), 4).alias("s_quant"),
     )
+    # both rankings live on the SAME (pid, vec_id) rows, so the top-10
+    # intersection is a conditional count — no self-join, and the
+    # groupBy reuses the window's hash(pid) distribution: one Exchange
+    # total beyond the map-side cross score
     w_exact = Window.partitionBy("pid").orderBy(F.desc("s_exact"), F.asc("vec_id"))
     w_quant = Window.partitionBy("pid").orderBy(F.desc("s_quant"), F.asc("vec_id"))
     ranked = sims.select(
@@ -423,17 +431,10 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_exact).alias("r_exact"),
         F.row_number().over(w_quant).alias("r_quant"),
     )
-    top_exact = ranked.where(F.col("r_exact") <= 10).select("pid", "vec_id")
-    top_quant = ranked.where(F.col("r_quant") <= 10).select(
-        "pid", "vec_id", F.lit(1).alias("_hit")
-    )
-    return (
-        top_exact.join(top_quant, ["pid", "vec_id"], "left")
-        .groupBy(F.col("pid").alias("probe_id"))
-        .agg(
-            F.count("_hit").alias("n_overlap"),
-            (F.count("_hit").cast("double") / 10).alias("recall_at_10"),
-        )
+    both = ((F.col("r_exact") <= 10) & (F.col("r_quant") <= 10)).cast("long")
+    return ranked.groupBy(F.col("pid").alias("probe_id")).agg(
+        F.sum(both).alias("n_overlap"),
+        (F.sum(both).cast("double") / 10).alias("recall_at_10"),
     )
 
 

@@ -391,3 +391,121 @@ def test_fk_audit_broadcasts_parents(plans):
     p = plans["q82_referential_integrity"]
     assert "BroadcastHashJoin" in p
     assert "EvalPython" not in p
+
+
+def test_scd2_history_needs_no_join(plans):
+    """q83 builds version intervals from the staged changes alone —
+    pure window-over-key lineage, no join operator at all."""
+    import re
+
+    p = plans["q83_scd2_dimension_history"]
+    assert not re.search(r"Join", p), "SCD2 history plans a join"
+    assert "EvalPython" not in p
+
+
+def test_scd2_asof_join_broadcasts_dimension(plans):
+    """q84's as-of enrichment joins facts to the VERSIONED dimension —
+    dimension history is dimension-sized, so it must broadcast; a
+    SortMergeJoin would shuffle the fact side per enrichment."""
+    p = plans["q84_scd2_asof_enrichment"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_market_basket_avoids_fact_self_join(plans):
+    """q88 mines co-occurrence pairs by exploding per-order item sets —
+    NO join operator may appear: a lineitem self-join on order key
+    would shuffle the fact table twice at 100 TB."""
+    import re
+
+    p = plans["q88_market_basket"]
+    assert not re.search(r"Join", p), "market basket plans a fact self-join"
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3
+
+
+def test_rfm_single_window_family(plans):
+    """q92's R/F/M scores share one customer-grain aggregate and its
+    NTILE windows — at most 3 Exchanges (agg + window + the single-row
+    corpus-max-date broadcast), no sort-merge join."""
+    import re
+
+    p = plans["q92_customer_rfm"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_ship_latency_single_exchange_broadcast_dims(plans):
+    """q96: one fact-grain Exchange; any dimension context broadcasts."""
+    import re
+
+    p = plans["q96_ship_latency"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+    assert "SortMergeJoin" not in p
+
+
+def test_market_share_broadcasts_nation_dims(plans):
+    """q99: nation/region lookups broadcast; the revenue total joins in
+    as the allowlisted single-row aggregate — no sort-merge join."""
+    import re
+
+    p = plans["q99_nation_market_share"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_bm25_shuffles_postings_only(plans):
+    """q104: the corpus is scanned twice (postings + corpus stats) and
+    NOTHING wider than query-term postings crosses the wire — 4
+    Exchanges max (tf groupBy, df window, single-row stats, final
+    per-doc sum), and no Exchange may carry the token array."""
+    import re
+
+    p = plans["q104_bm25_search"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2
+    for block in p.split("\n\n"):
+        if block.startswith("(") and "Exchange" in block.splitlines()[0]:
+            assert " t#" not in block, "BM25 shuffles the token array"
+
+
+def test_quantize_recall_single_exchange(plans):
+    """q105: both rankings and the overlap count ride ONE hash(pid)
+    Exchange — the scoring cross-product is a broadcast map, and the
+    final groupBy reuses the window distribution."""
+    import re
+
+    p = plans["q105_quantize_recall"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "SortMergeJoin" not in p
+
+
+def test_containment_broadcasts_benchmark_postings(plans):
+    """q106: the benchmark gram postings broadcast (eval suites are
+    small); only the train-grain pair counts shuffle."""
+    p = plans["q106_ngram_containment_pairs"]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_domain_mixture_windows_run_at_domain_grain(plans):
+    """q107: one document-grain groupBy Exchange; the share windows run
+    over the DOMAIN-grain aggregate (single-partition is fine there —
+    domains number in the thousands, not billions)."""
+    import re
+
+    p = plans["q107_domain_mixture_weights"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3
+    assert "EvalPython" not in p
+
+
+def test_kmeans_assign_is_broadcast_map(plans):
+    """q108: the E-step is vectors x broadcast(centroids) — no
+    shuffle may carry the vector column; the two Exchanges are the
+    per-vector argmin window and the cluster-grain rollup."""
+    import re
+
+    p = plans["q108_kmeans_assign_stats"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+    assert "SortMergeJoin" not in p
