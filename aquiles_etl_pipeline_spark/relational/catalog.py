@@ -35,6 +35,9 @@ from ..functions import scalar
 DEC = "decimal(18,2)"
 
 
+_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table.
 
@@ -44,7 +47,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamps, matching DuckDB's floor-truncation.  Datasets
     written with plain micro timestamps read straight through, so the
     conversion is schema-sensitive, not hardcoded.
+
+    Frames are memoized per (session, dir, table): a DataFrame is an
+    immutable plan, so reuse across the 108-query sweep is free and
+    skips the per-query file-listing + footer schema-inference round —
+    fixed driver-side cost that a 108-entry catalog pays ~300 times.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     from ..session import warm_python_workers
 
     # foreign sessions (the grading driver's) boot the Python-worker
@@ -65,8 +77,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # nanos is only precise to ~256 ns (53-bit mantissa) and rounds
             # some micros up by 1 vs DuckDB's exact truncation
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _LOAD_CACHE[key] = df
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _LOAD_CACHE[key] = df
+    return df
 
 
 def money(col_name: str) -> F.Column:

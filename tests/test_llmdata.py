@@ -224,6 +224,17 @@ def test_image_header_parse_real_formats():
     assert multimodal.parse_image_header(b"plain text") is None
 
 
+def test_pixel_decode_with_pil_when_available():
+    """Env-gated: when the environment provides PIL, decode_image_real
+    must do a REAL pixel decode (verified width/height/channels from
+    the decoded image), not just a header sniff.  Skipped where PIL is
+    absent — the header-codec path above covers that environment."""
+    pytest.importorskip("PIL")
+    # a real 5x3 RGB PNG with actual pixel rows — PIL fully decodes it
+    assert multimodal.decode_image_real(_make_png(5, 3)) == (5, 3, 3)
+    assert multimodal.decode_image_real(_make_png(4, 2, color_type=6)) == (4, 2, 4)
+
+
 def test_wav_header_parse_real_bytes(tmp_path):
     import io
     import wave
@@ -999,6 +1010,22 @@ def test_parse_mp4_header_real_bytes(spark):
     assert multimodal.parse_mp4_header(mp4v1) == (7, 600, 1)
     assert multimodal.parse_mp4_header(b"not a video at all") is None
     assert multimodal.parse_mp4_header(b"") is None
+
+
+def test_parse_mp4_truncated_v1_mvhd_is_rejected(spark):
+    """A v1 mvhd whose payload stops short of the 32 bytes the v1
+    layout reads must yield no duration (not a struct.error, and not a
+    silent misread of neighboring bytes as duration)."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    # v1 marker but only 28 payload bytes — truncated inside duration
+    short_mvhd = bytes([1, 0, 0, 0]) + struct.pack(">QQ", 0, 0) + struct.pack(">I", 600)
+    moov = box(b"moov", box(b"mvhd", short_mvhd))
+    blob = box(b"ftyp", b"isom\x00\x00\x02\x00") + moov
+    assert multimodal.parse_mp4_header(blob) is None
 
 
 def test_sample_frames_uses_real_mp4_duration(spark):
