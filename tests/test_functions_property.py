@@ -136,3 +136,59 @@ def test_measure_unit_package_iva_extraction(spark, texts):
         if want_iva is not None and want_iva > 2**31 - 1:
             want_iva = None  # int-cast overflow degrades to null in-engine
         assert g["i"] == want_iva, (t, g["i"])
+
+
+# -- round-4 operator invariants --------------------------------------------
+
+URL_CHARS = st.sampled_from(
+    list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+    + list("-._~/?#&=%")
+)
+URL_TAILS = st.lists(st.text(URL_CHARS, max_size=30), min_size=1, max_size=60)
+
+
+@settings(max_examples=10, deadline=None)
+@given(URL_TAILS)
+def test_url_canonicalization_is_idempotent(spark, tails):
+    """canonical(canonical(url)) == canonical(url): URL-level dedup keys
+    on the canonical form, so re-canonicalizing an already-canonical URL
+    must be a fixed point — otherwise two ingest passes disagree."""
+    from aquiles_etl_pipeline_spark.llmdata import urls
+
+    raw = [f"HTTPS://WWW.example-{i % 7}.COM:443/{t}" for i, t in enumerate(tails)]
+    df = spark.createDataFrame([(u,) for u in raw], ["url"])
+    once = urls.parse_urls(df, "url").select(F.col("url_canonical").alias("url"))
+    c1 = [r["url"] for r in once.collect()]
+    twice = urls.parse_urls(once, "url").select("url_canonical")
+    c2 = [r["url_canonical"] for r in twice.collect()]
+    assert c1 == c2
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+            min_size=1,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_quantize_rmse_bounded_by_half_scale(spark, vecs):
+    """Absmax int8 quantization's per-dimension error is at most
+    scale/2 (round-to-nearest), so recon_rmse <= scale/2 for every
+    vector — the quality bound q105's recall measurement relies on."""
+    from aquiles_etl_pipeline_spark.llmdata import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.quantize_embeddings_int8(df).collect()
+    assert len(out) == len(vecs)
+    for r in out:
+        if r["scale"] is None or r["scale"] == 0:
+            continue
+        assert r["recon_rmse"] <= r["scale"] / 2 + 1e-9
