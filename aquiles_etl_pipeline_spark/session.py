@@ -119,6 +119,49 @@ def get_spark(
     return spark
 
 
+def ship_package_to_workers(spark: SparkSession) -> None:
+    """Make this package importable by Python WORKERS of a foreign
+    session.
+
+    Our own sessions export PYTHONPATH before the JVM launches (see
+    get_spark), but a foreign session (the correctness driver's, a
+    notebook's) may have been built from any cwd — its workers then
+    fail `import aquiles_etl_pipeline_spark` inside mapInPandas /
+    pandas_udf closures that reference package functions (cloudpickle
+    serializes those by module reference, not by value).  Shipping a
+    zip of the package via ``addPyFile`` is the standard mid-session
+    fix: workers unpack it onto their sys.path.  Idempotent per
+    session via _WARMED_SESSIONS' caller; cheap (~100 KB zip, built
+    once per process)."""
+    import tempfile
+    import zipfile
+
+    global _PKG_ZIP
+    try:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        if _PKG_ZIP is None:
+            fd, zpath = tempfile.mkstemp(prefix="aquiles_pkg_", suffix=".zip")
+            os.close(fd)
+            with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for fn in files:
+                        if not fn.endswith(".py"):
+                            continue
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            "aquiles_etl_pipeline_spark",
+                            os.path.relpath(full, pkg_dir),
+                        )
+                        zf.write(full, rel)
+            _PKG_ZIP = zpath
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:  # never let shipping break a real session
+        pass
+
+
+_PKG_ZIP: str | None = None
+
+
 def warm_python_workers(spark: SparkSession) -> None:
     """Boot the Python worker daemon in the background.
 
@@ -133,6 +176,7 @@ def warm_python_workers(spark: SparkSession) -> None:
     if id(spark) in _WARMED_SESSIONS:
         return
     _WARMED_SESSIONS.add(id(spark))
+    ship_package_to_workers(spark)
 
     def _boot() -> None:
         try:
