@@ -151,6 +151,7 @@ _GRADE_FIRST = (
     "q106_ngram_containment_pairs",
     "q107_domain_mixture_weights",
     "q108_kmeans_assign_stats",
+    "q109_interval_overlap_join",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

@@ -153,3 +153,51 @@ def fk_audit(
         "n_orphans",
         "orphan_rate",
     )
+
+
+def bucketized_range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 21600,
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Keyless interval-overlap join: every fact row whose ``ts_col``
+    falls in [start, end) of an interval row — the range join Spark has
+    no primitive for (and the shape Delta's range-join binning hint
+    optimizes).
+
+    Physical strategy — binning, never theta: a raw ``ts >= start AND
+    ts < end`` join with no equi-key plans a broadcast-NLJ/cartesian
+    whose cost is |facts| x |intervals|.  Instead both sides gain a
+    coarse time bucket: facts map to ONE bucket (integer div of epoch
+    micros — exact, no float), intervals EXPLODE to the buckets they
+    cover (|interval| / bucket_seconds rows, bounded and small for
+    operational windows), and Catalyst plans an equi-join on the bucket
+    with the overlap predicate as a post-filter.  The blowup is
+    rows-per-bucket, not table sizes — at 100 TB the fact side streams
+    through a hash/broadcast join keyed on its scan-local bucket.
+
+    Facts fall in exactly one bucket, so no dedup pass is needed:
+    a fact matches an interval at most once.
+    """
+    bm = bucket_seconds * 1_000_000
+    fb = facts.withColumn("_b", F.expr(f"unix_micros({ts_col}) div {bm}"))
+    iv = intervals.where(F.col(start_col) < F.col(end_col)).withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros({start_col}) div {bm}"),
+                F.expr(f"(unix_micros({end_col}) - 1) div {bm}"),
+            )
+        ),
+    )
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
+    return (
+        fb.join(iv, "_b")
+        .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_b")
+    )

@@ -675,3 +675,65 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("d2"), 4).alias("avg_dist2"),
         F.round(F.max("d2"), 4).alias("max_dist2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q109: keyless interval-overlap (range) join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q109_interval_overlap_join",
+    sql="""
+    WITH windows AS (
+      SELECT CAST(i AS INT) AS window_id,
+             TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 60 HOUR AS start_ts,
+             TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 60 HOUR
+               + INTERVAL 7 HOUR AS end_ts
+      FROM generate_series(0, 11) AS g(i)
+    )
+    SELECT w.window_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_value,
+           strftime(MIN(e.ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+           strftime(MAX(e.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+    FROM events e
+    JOIN windows w ON e.ts >= w.start_ts AND e.ts < w.end_ts
+    GROUP BY w.window_id
+    """,
+    doc="Keyless interval-overlap range join (relational.joins."
+        "bucketized_range_join): events landing inside 12 synthetic "
+        "incident windows, aggregated per window.  The oracle states "
+        "the theta-join semantics directly; the engine plans the "
+        "BINNED form — facts map to one coarse time bucket (exact "
+        "integer div of epoch micros), intervals explode to the "
+        "buckets they cover, equi-join on the bucket, overlap "
+        "post-filter — so the fact side streams through a broadcast "
+        "hash join instead of a |facts| x |intervals| nested loop.  "
+        "The range-join shape Delta's binning hint optimizes, owned "
+        "as a composition.",
+    tags=("join", "range-join", "events"),
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import DEC, emit, money
+    from .joins import bucketized_range_join
+
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    iv = spark.range(12).select(
+        F.col("id").cast("int").alias("window_id"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * (60 * 3600)).alias("start_ts"),
+        F.timestamp_seconds(
+            F.lit(base) + F.col("id") * (60 * 3600) + 7 * 3600
+        ).alias("end_ts"),
+    )
+    joined = bucketized_range_join(
+        load(spark, sf_dir, "events"), iv, bucket_seconds=6 * 3600
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        emit(F.sum(money("value")).cast(DEC)).alias("sum_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+    )

@@ -542,3 +542,17 @@ def test_image_decode_is_arrow_batched_map(plans):
     assert "MapInPandas" in p
     assert not re.search(r"\(\d+\) Exchange", p)
     assert not re.search(r"Join", p)
+
+
+def test_range_join_is_binned_not_theta(plans):
+    """q109: the keyless interval-overlap join must plan a HASH join on
+    the time bucket (intervals broadcast), NEVER the |facts| x
+    |intervals| nested loop a raw theta join would produce."""
+    import re
+
+    p = plans["q109_interval_overlap_join"]
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # two Exchanges: the count-distinct expand + the per-window rollup
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
