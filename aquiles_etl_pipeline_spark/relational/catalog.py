@@ -152,6 +152,7 @@ _GRADE_FIRST = (
     "q107_domain_mixture_weights",
     "q108_kmeans_assign_stats",
     "q109_interval_overlap_join",
+    "q110_image_resize_geometry",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

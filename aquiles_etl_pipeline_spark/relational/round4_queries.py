@@ -737,3 +737,80 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q110: aspect-preserving image resize geometry
+# ---------------------------------------------------------------------------
+
+@register(
+    "q110_image_resize_geometry",
+    sql="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 480 AS INT) AS width,
+             CAST(16 + (doc_id * 7) % 480 AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(CASE WHEN greatest(width, height) <= 64 THEN width
+                ELSE greatest(1, (width * 64) // greatest(width, height))
+           END AS INT) AS target_width,
+           CAST(CASE WHEN greatest(width, height) <= 64 THEN height
+                ELSE greatest(1, (height * 64) // greatest(width, height))
+           END AS INT) AS target_height
+    FROM dims
+    """,
+    doc="Image resize pass through the production plumbing "
+        "(llmdata.multimodal.resize_images): every doc_id synthesizes a "
+        "real PNG with id-derived dimensions, the Arrow-batched resize "
+        "operator computes the aspect-preserving downscale geometry "
+        "from the HEADER CODEC's parse (max side 64, floor division, "
+        "never upscale), and the oracle recomputes the same integer "
+        "arithmetic.  The pixel re-encode stays the PIL-when-available "
+        "seam; the graded surface is the real header decode + geometry "
+        "+ batch shape.",
+    tags=("llmdata", "multimodal", "documents"),
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..llmdata.multimodal import resize_images
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        import struct
+        import zlib
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        def make_png(w, h):
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            raw = b"".join(b"\x00" + bytes(w * 3) for _ in range(min(h, 2)))
+            return (
+                b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "content": [
+                        make_png(16 + int(i) % 480, 16 + (int(i) * 7) % 480)
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    blobs = d.mapInPandas(synth, "path string, content binary")
+    out = resize_images(blobs, max_side=64)
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "width", "height", "target_width", "target_height",
+    )

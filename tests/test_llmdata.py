@@ -1122,3 +1122,24 @@ def test_incremental_dedup_across_batches_with_warehouse(spark, tmp_path):
     # equivalence with one-shot dedup over the union
     union_kept = {r["doc_id"] for r in dedup.exact_dedup(b1.unionByName(b2)).collect()}
     assert union_kept == {1, 2, 11}
+
+
+def test_resize_images_geometry_and_fallbacks(spark):
+    """Aspect-preserving downscale: long side pinned to max_side with
+    floor division, no upscaling, undecodable rows pass through with
+    null dims, and the stub payload is deterministic per (bytes, dims)."""
+    rows = [
+        ("big", _make_png(400, 100)),    # downscale 4x -> 64x16
+        ("tall", _make_png(10, 300)),    # floor(10*64/300)=2 -> 2x64
+        ("small", _make_png(40, 20)),    # under max_side -> untouched
+        ("junk", b"not an image"),       # undecodable -> nulls
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r["path"]: r for r in multimodal.resize_images(df, max_side=64).collect()}
+    assert (out["big"]["target_width"], out["big"]["target_height"]) == (64, 16)
+    assert (out["tall"]["target_width"], out["tall"]["target_height"]) == (2, 64)
+    assert (out["small"]["target_width"], out["small"]["target_height"]) == (40, 20)
+    assert out["junk"]["width"] is None and out["junk"]["resized"] is None
+    # deterministic: same bytes + dims -> same resized payload
+    out2 = {r["path"]: r for r in multimodal.resize_images(df, max_side=64).collect()}
+    assert out2["big"]["resized"] == out["big"]["resized"]
