@@ -38,6 +38,9 @@ PERSIST_PRONE = [
     "q60_semantic_dedup",
     "q72_llmdata_pipeline_e2e",
     "q81_incremental_dedup",
+    # q41 covers the merge chain's plan/src persists (incl. the M2/M3
+    # shared mapping); q102's foreachBatch caches each micro-batch delta
+    "q102_streaming_rollup_parity",
 ]
 
 
