@@ -38,7 +38,8 @@ def canonical_url(url: Column) -> Column:
       1. drop the #fragment
       2. drop tracking query params (utm_*, fbclid, gclid, ref, ...)
       3. collapse the separator debris that leaves (``?&`` -> ``?``,
-         ``&&`` -> ``&``, trailing ``?``/``&``)
+         ``&&`` -> ``&``, trailing query-region ``?``/``&`` runs — a
+         trailing ``&`` with no ``?`` before it is path content, kept)
       4. lowercase scheme://host (path/query case is significant, host
          case is not) and strip a leading ``www.``
       5. strip default ports ``:80``/``:443``
@@ -48,7 +49,13 @@ def canonical_url(url: Column) -> Column:
     u = F.regexp_replace(u, _TRACKING, r"$1")
     u = F.regexp_replace(u, r"\?&+", "?")
     u = F.regexp_replace(u, r"&&+", "&")
-    u = F.regexp_replace(u, r"[?&]+$", "")
+    # trailing separator debris is QUERY debris only: a '&' ending a
+    # path with no '?' anywhere is a legal path character, and stripping
+    # it breaks idempotence ('/&/' -> '/&' -> '/', found by hypothesis).
+    # So: drop a trailing [?&]+ run only when a '?' precedes it, then a
+    # bare trailing '?+' (empty query).
+    u = F.regexp_replace(u, r"(\?[^#]*?)[?&]+$", r"$1")
+    u = F.regexp_replace(u, r"\?+$", "")
     head = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
     head = F.regexp_replace(head, r"^([a-z][a-z0-9+.-]*://)www\.", r"$1")
     head = F.regexp_replace(head, r":(80|443)$", "")

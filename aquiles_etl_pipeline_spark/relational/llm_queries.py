@@ -1079,8 +1079,9 @@ _SYNTH_URL_SQL = """
              u, '([?&])(utm_[a-z]+|fbclid|gclid|ref|mc_cid|mc_eid)=[^&#]*',
              '\\1', 'g') AS u FROM c1),
     c3 AS (SELECT doc_id, url,
-             regexp_replace(regexp_replace(regexp_replace(
-               u, '\\?&+', '?'), '&&+', '&', 'g'), '[?&]+$', '') AS u
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               u, '\\?&+', '?'), '&&+', '&', 'g'),
+               '(\\?[^#]*?)[?&]+$', '\\1'), '\\?+$', '') AS u
            FROM c2),
     canon AS (
       SELECT doc_id, url,
