@@ -153,6 +153,13 @@ _GRADE_FIRST = (
     "q108_kmeans_assign_stats",
     "q109_interval_overlap_join",
     "q110_image_resize_geometry",
+    "q111_bloom_semijoin_revenue",
+    "q112_salted_skew_join",
+    "q113_pareto_frontier_parts",
+    "q114_editdist_name_pairs",
+    "q115_cdc_latest_events",
+    "q116_activity_islands",
+    "q117_deterministic_doc_sample",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

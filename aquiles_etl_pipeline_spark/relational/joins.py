@@ -67,6 +67,7 @@ def salted_join(
     on: str,
     salt: int = 16,
     how: str = "inner",
+    salt_by: str | None = None,
 ) -> DataFrame:
     """Equi-join with salted keys for pathological key skew.
 
@@ -78,8 +79,20 @@ def salted_join(
     spread over `salt` tasks.  Cost: right side replicated salt-fold —
     use for large-large joins where the right side is modest but too
     big to broadcast and the left has degenerate keys.
+
+    ``salt_by``: a left column (ideally unique, e.g. an event id) to
+    derive the salt from deterministically via xxhash64 — same rows
+    land in the same salt bucket on every run and retry, which keeps
+    lineage-based recomputation and A/B plan comparisons bit-stable.
+    Without it, a per-row ``rand(seed)`` assigns salts (deterministic
+    per partition layout, sufficient for join correctness).
     """
-    lsalted = left.withColumn("_salt", (F.rand(seed=7) * salt).cast("int"))
+    if salt_by is not None:
+        lsalted = left.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(salt_by)), F.lit(salt)).cast("int")
+        )
+    else:
+        lsalted = left.withColumn("_salt", (F.rand(seed=7) * salt).cast("int"))
     rsalted = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
@@ -201,3 +214,81 @@ def bucketized_range_join(
         .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
         .drop("_b")
     )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Semi-join with an explicit Bloom-filter runtime row filter.
+
+    The 100 TB problem: ``fact LEFT SEMI JOIN dim`` shuffles every fact
+    row that *might* match, even when the dim predicate keeps only a
+    sliver of keys.  Spark's own runtime bloom filter
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) injects this
+    automatically for some shapes, but it is planner-discretionary and
+    invisible; this operator makes the pattern explicit, tunable, and
+    usable in front of ANY downstream stage (an expensive UDF, a sink,
+    a second join), not just where the optimizer happens to fire.
+
+    Build side: dim keys hash into an m-bit Bloom bitmap with k
+    xxhash64 probes — built with ONE hash aggregation on the word
+    index (m/64 longs, bit_or-combined map-side), collapsed to a
+    single-row dense array and broadcast.  Probe side: a codegen'd
+    expression tests all k bits; survivors (true matches + false
+    positives, rate ~(1-e^(-kn/m))^k) then pass through an EXACT
+    left-semi join, so the result is exactly ``fact ⋉ dim`` — the
+    bloom stage only shrinks what the exact join must shuffle.
+
+    Everything stays JVM-side: no Python UDF, no driver collect of
+    keys (only the fixed-size bitmap crosses stages, via broadcast).
+    """
+    m, k = n_bits, n_hashes
+    n_words = (m + 63) // 64
+    keys = (
+        dim.select(F.col(dim_key).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .distinct()
+    )
+    pos = [F.pmod(F.xxhash64(F.col("_k"), F.lit(i)), F.lit(m)) for i in range(k)]
+    bits = (
+        keys.select(F.explode(F.array(*pos)).alias("_pos"))
+        .select(
+            F.expr("_pos div 64").alias("_w"),
+            F.expr("shiftleft(1L, cast(_pos % 64 AS INT))").alias("_b"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_b").alias("_bits"))
+    )
+    spark = fact.sparkSession
+    dense = (
+        spark.range(n_words)
+        .select(F.col("id").alias("_w"))
+        .join(bits, "_w", "left")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_w", F.coalesce("_bits", F.lit(0)).alias("_bits")))
+                ),
+                lambda s: s["_bits"],
+            ).alias("_bloom")
+        )
+    )
+
+    def probe(i: int) -> str:
+        p = f"pmod(xxhash64({fact_key}, {i}), {m}L)"
+        return (
+            f"(element_at(_bloom, cast(({p}) div 64 AS INT) + 1)"
+            f" & shiftleft(1L, cast(({p}) % 64 AS INT))) != 0"
+        )
+
+    candidates = (
+        fact.join(F.broadcast(dense))
+        .where(F.expr(" AND ".join(probe(i) for i in range(k))))
+        .drop("_bloom")
+    )
+    return candidates.join(keys, F.col(fact_key) == F.col("_k"), "left_semi")

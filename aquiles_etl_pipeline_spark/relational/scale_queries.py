@@ -1,0 +1,354 @@
+"""Scale-pattern catalog entries (q111+): the join/prune/compact
+shapes that decide whether a plan survives a 100x scale-up, each
+driver-graded against a DuckDB oracle that states the SEMANTICS (the
+naive formulation) while the engine plans the scalable form:
+
+  q111  Bloom-filter runtime row filter in front of an exact semi join
+  q112  salted equi-join (hot-key skew splitting), result == plain join
+  q113  distributive 2-D skyline vs the quadratic NOT EXISTS oracle
+  q114  blocked edit-distance near-dup pairs on the distinct-name grain
+  q115  CDC last-write-wins compaction via map-side-combinable max(struct)
+  q116  gaps-and-islands activity streaks (row_number difference trick)
+  q117  deterministic per-group sampling by cryptographic-hash order
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import DEC, emit, load, money, register
+
+
+# ---------------------------------------------------------------------------
+# q111: bloom-filter semi-join reduction
+# ---------------------------------------------------------------------------
+
+@register(
+    "q111_bloom_semijoin_revenue",
+    sql="""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(24,6))
+                AS DOUBLE) AS urgent_revenue
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY l.l_returnflag
+    """,
+    doc="Explicit Bloom-filter runtime row filter (relational.joins."
+        "bloom_semi_join): revenue of lineitems belonging to urgent "
+        "orders.  The oracle states the plain semi-join semantics; the "
+        "engine builds a 128K-bit / 5-probe bloom over the urgent "
+        "order keys (one bit_or aggregation, m/64 longs broadcast as a "
+        "dense array), tests it in a codegen'd expression on the fact "
+        "scan, and only the survivors (matches + ~e-4 false positives) "
+        "enter the EXACT semi join — so at 100 TB the wide shuffle "
+        "carries the filtered sliver, not the fact table.  The "
+        "explicit form of Spark's runtime.bloomFilter optimization, "
+        "usable in front of any stage and exactness-preserving by "
+        "construction.",
+    tags=("join", "semi", "bloom", "runtime-filter"),
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .joins import bloom_semi_join
+
+    li = load(spark, sf_dir, "lineitem")
+    urgent = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    filtered = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return filtered.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        emit(
+            F.sum(money("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(18,4)")))
+            .cast("decimal(24,6)")
+        ).alias("urgent_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q112: salted skew join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q112_salted_skew_join",
+    sql="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS segment_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Salted equi-join (relational.joins.salted_join): event value "
+        "by customer segment, joined through deterministic xxhash64 "
+        "salting (salt_by=event_id, 8 buckets) — the oracle states the "
+        "plain join, and the salted plan must reproduce it exactly.  "
+        "The skew weapon AQE doesn't have: AQE splits oversized "
+        "partitions but cannot split ONE hot key's hash bucket; "
+        "salting spreads a degenerate key (every crawl corpus has a "
+        "null-ish user) over `salt` tasks at the cost of replicating "
+        "the modest side salt-fold.  Exactness is structural: every "
+        "(key, salt) pair finds its replica.",
+    tags=("join", "skew", "events"),
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .joins import salted_join
+
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("ckey"), "event_id", "value"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"), "c_mktsegment"
+    )
+    joined = salted_join(e, c, on="ckey", salt=8, salt_by="event_id")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        emit(F.sum(money("value")).cast(DEC)).alias("segment_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113: pareto frontier (skyline)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q113_pareto_frontier_parts",
+    sql="""
+    WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),
+    sky AS (
+      SELECT price, size FROM pts a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pts b
+        WHERE b.price <= a.price AND b.size >= a.size
+          AND (b.price < a.price OR b.size > a.size))
+    )
+    SELECT s.price, s.size, COUNT(p.p_partkey) AS n_parts
+    FROM sky s JOIN part p
+      ON p.p_retailprice = s.price AND p.p_size = s.size
+    GROUP BY s.price, s.size
+    """,
+    doc="2-D pareto frontier (relational.skyline.skyline_2d): parts no "
+        "other part beats on BOTH price (min) and size (max) — the "
+        "sourcing question 'cheapest option at every capacity level'.  "
+        "The oracle states dominance as the quadratic NOT EXISTS; the "
+        "engine exploits distributivity (skyline(A∪B) = skyline(local "
+        "skylines)) — distinct points, per-hash-bucket sorted frontier "
+        "scans, then one scan over the tiny candidate union.  At "
+        "100 TB nothing global ever sorts the data: the final stage "
+        "sees only per-bucket frontiers.",
+    tags=("window", "skyline", "part"),
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .skyline import skyline_2d
+
+    p = load(spark, sf_dir, "part")
+    sky = skyline_2d(
+        p.select(F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")),
+        x="price",
+        y="size",
+    )
+    return (
+        p.join(
+            F.broadcast(sky),
+            (p.p_retailprice == sky.price) & (p.p_size == sky.size),
+        )
+        .groupBy("price", "size")
+        .agg(F.count("p_partkey").alias("n_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q114: blocked edit-distance near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+@register(
+    "q114_editdist_name_pairs",
+    sql="""
+    WITH dn AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM dn a JOIN dn b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+    doc="Edit-distance near-duplicate pairs (fuzzy entity resolution "
+        "over product/provider names — the reference's synonym table "
+        "is the curated output of exactly this discovery pass).  The "
+        "oracle states all-pairs levenshtein<=2 over distinct names; "
+        "the engine (a) collapses to the DISTINCT-NAME grain first "
+        "(names repeat massively — the pair space shrinks "
+        "quadratically), then (b) LENGTH-BLOCKS: dist<=2 forces "
+        "|len(a)-len(b)|<=2, so each name joins only its 3 upward "
+        "length bands (explode offsets 0..2, equi-join on the banded "
+        "length) and the quadratic blowup is bounded per band, never "
+        "all-pairs.  levenshtein itself is a JVM builtin — no UDF.",
+    tags=("dedup", "fuzzy", "part"),
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("_len", F.length("name"))
+    )
+    left = names.select(
+        F.col("name").alias("name_l"), F.col("_len").alias("_len_l")
+    ).withColumn("_off", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
+    right = names.select(F.col("name").alias("name_r"), F.col("_len").alias("_len_r"))
+    pairs = (
+        left.join(right, F.col("_len_r") == F.col("_len_l") + F.col("_off"))
+        .where((F.col("_off") > 0) | (F.col("name_l") < F.col("name_r")))
+        .where(F.levenshtein("name_l", "name_r") <= 2)
+    )
+    return pairs.select(
+        F.least("name_l", "name_r").alias("name_a"),
+        F.greatest("name_l", "name_r").alias("name_b"),
+        F.levenshtein(F.least("name_l", "name_r"), F.greatest("name_l", "name_r"))
+        .cast("int")
+        .alias("dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q115: CDC last-write-wins compaction
+# ---------------------------------------------------------------------------
+
+@register(
+    "q115_cdc_latest_events",
+    sql="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    )
+    SELECT user_id, n_events,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+    doc="CDC last-write-wins compaction: the newest row per key "
+        "(ts, then event_id as the deterministic tiebreak) — the "
+        "changelog→snapshot collapse every upsert-ingest pipeline runs. "
+        " The oracle states it as the row_number window; the engine "
+        "plans max(struct(ts, event_id, payload...)) — an AGGREGATION, "
+        "not a window — because struct-max partially combines map-side: "
+        "each input partition contributes one candidate per key before "
+        "the shuffle, so a key with a million updates ships ~n_tasks "
+        "rows, where the window formulation ships all million to one "
+        "reducer and sorts them.",
+    tags=("events", "cdc", "agg"),
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    last = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("_last")
+    return (
+        e.groupBy("user_id")
+        .agg(last, F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.date_format("_last.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+            F.col("_last.event_type").alias("last_event_type"),
+            F.col("_last.value").alias("last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q116: gaps-and-islands activity streaks
+# ---------------------------------------------------------------------------
+
+@register(
+    "q116_activity_islands",
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS g
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, g, COUNT(*) AS len
+      FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           COUNT(*) AS n_islands,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM islands GROUP BY user_id
+    """,
+    doc="Gaps-and-islands: per user, maximal runs of CONSECUTIVE "
+        "active days (streak mining — retention features, anomaly "
+        "flags).  The classic row_number-difference trick: day minus "
+        "per-user rank is constant exactly within a consecutive run, "
+        "so islands fall out of one window + one groupBy.  Scale: the "
+        "grain collapses to (user, day) FIRST (the distinct carries "
+        "two ints), and epoch day uses integer div of micros — exact, "
+        "no timezone/double hazards; window and both aggs share the "
+        "hash(user_id) distribution.",
+    tags=("events", "window", "islands"),
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn("g", F.col("day") - F.row_number().over(w))
+    islands = grp.groupBy("user_id", "g").agg(F.count("*").alias("len"))
+    return islands.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count("*").alias("n_islands"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117: deterministic per-group sampling
+# ---------------------------------------------------------------------------
+
+@register(
+    "q117_deterministic_doc_sample",
+    sql="""
+    SELECT lang, source, doc_id, sample_rank
+    FROM (
+      SELECT lang, source, doc_id,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+      FROM documents
+    )
+    WHERE sample_rank <= 3
+    """,
+    doc="Deterministic per-group sampling: 3 documents per (lang, "
+        "source) cell, chosen by md5-of-id order — the reproducible "
+        "substitute for reservoir sampling when eyeballing / golden-set "
+        "extraction needs the SAME sample on every run, engine, and "
+        "retry (rand()-based sampling can't promise that across "
+        "engines; a cryptographic hash of the key can).  Scale: one "
+        "window shuffle on the group key; rank<=3 cuts inside the "
+        "window operator, and because the hash order is data-"
+        "independent the sample stays unbiased under any partitioning.",
+    tags=("sampling", "documents"),
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 3)
+        .select("lang", "source", "doc_id", "sample_rank")
+    )

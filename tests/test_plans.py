@@ -112,6 +112,10 @@ def test_no_accidental_cartesian_products(plans):
         # E-step (every vector scored against every centroid) — q47's
         # constant-factor map shape
         "q108_kmeans_assign_stats",
+        # q111 bloom semi join: the fixed-size bloom bitmap attaches to
+        # the fact scan as a broadcast single-row array (1 x N,
+        # conditionless by construction) — q42's degenerate map shape
+        "q111_bloom_semijoin_revenue",
     }
     for name, p in plans.items():
         if name in allowed:
@@ -556,3 +560,93 @@ def test_range_join_is_binned_not_theta(plans):
     assert "CartesianProduct" not in p
     # two Exchanges: the count-distinct expand + the per-window rollup
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_bloom_semijoin_probes_before_exact_join(plans):
+    """q111: the bloom probe must FILTER the fact scan (a codegen'd
+    bitmap test referencing the broadcast word array) before the exact
+    semi join, and the whole shape stays JVM-side — the bitmap build's
+    shuffles carry word indices (m/64 longs), never fact rows."""
+    p = plans["q111_bloom_semijoin_revenue"]
+    assert "xxhash64(l_orderkey" in p, "bloom probe expression missing from fact side"
+    assert "LeftSemi" in p, "exactness pass (left-semi join) missing"
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_salted_join_salts_both_sides(plans):
+    """q112: the salted join must plan an equi-join whose key includes
+    the salt (both sides carry _salt before the join), and the query
+    stays at one real Exchange (the final segment rollup) — the
+    replicated dimension broadcasts."""
+    import re
+
+    p = plans["q112_salted_skew_join"]
+    assert "_salt" in p, "salt column missing from the join key"
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+    assert "SortMergeJoin" not in p
+
+
+def test_skyline_global_stage_sees_candidates_only(plans):
+    """q113: the frontier is computed as distinct -> bucketed local
+    scans -> ONE global scan over the candidate union; the fact join
+    back for counts broadcasts the tiny frontier.  No quadratic
+    anti-join may appear (the oracle's NOT EXISTS is semantics, not
+    the plan)."""
+    import re
+
+    p = plans["q113_pareto_frontier_parts"]
+    assert "BroadcastHashJoin" in p, "frontier join-back must broadcast"
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # distinct, bucketed window, global window, final rollup
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4
+
+
+def test_editdist_pairs_block_on_banded_length(plans):
+    """q114: candidate pairs come from an EQUI-join on the banded
+    length (hashable, broadcastable) — never an all-pairs product;
+    levenshtein stays a JVM builtin (no Python stage)."""
+    p = plans["q114_editdist_name_pairs"]
+    assert "levenshtein" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_cdc_compaction_is_partial_aggregation(plans):
+    """q115: last-write-wins must plan as max(struct) AGGREGATION
+    (partial_max map-side combine), not a per-key window sort — one
+    Exchange, no Window/Sort over the raw events."""
+    import re
+
+    p = plans["q115_cdc_latest_events"]
+    assert "partial_max" in p or "partial_max".upper() in p.upper(), (
+        "compaction lost its map-side combine"
+    )
+    assert "Window" not in p, "compaction degenerated into a window sort"
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_islands_collapse_to_day_grain_first(plans):
+    """q116: the (user, day) distinct runs BEFORE the window, so the
+    streak window sorts day-grain rows, not raw events; two Exchanges
+    total (day-grain collapse + user re-key shared by window and both
+    rollups)."""
+    import re
+
+    p = plans["q116_activity_islands"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+    assert "Join" not in p
+
+
+def test_deterministic_sample_single_window_shuffle(plans):
+    """q117: one Exchange on the group key; the rank<=3 cut runs inside
+    the window stage; the md5 order key is a codegen expression."""
+    import re
+
+    p = plans["q117_deterministic_doc_sample"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "EvalPython" not in p
+    assert "md5" in p
