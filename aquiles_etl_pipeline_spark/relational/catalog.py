@@ -160,6 +160,8 @@ _GRADE_FIRST = (
     "q115_cdc_latest_events",
     "q116_activity_islands",
     "q117_deterministic_doc_sample",
+    "q118_dynamic_partition_pruning",
+    "q119_bucketed_colocated_join",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

@@ -10,6 +10,8 @@ naive formulation) while the engine plans the scalable form:
   q115  CDC last-write-wins compaction via map-side-combinable max(struct)
   q116  gaps-and-islands activity streaks (row_number difference trick)
   q117  deterministic per-group sampling by cryptographic-hash order
+  q118  dynamic partition pruning over a hive-partitioned fact layout
+  q119  bucketed co-located fact-fact join (zero-exchange SortMergeJoin)
 """
 
 from __future__ import annotations
@@ -351,4 +353,134 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= 3)
         .select("lang", "source", "doc_id", "sample_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118: dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+# partitioned-layout rewrites are pure functions of the source dir:
+# cache per (session, sf_dir) so repeated catalog sweeps / bench passes
+# pay the write once per process
+_PART_LAYOUT_CACHE: dict = {}
+
+
+@register(
+    "q118_dynamic_partition_pruning",
+    sql="""
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total_value
+    FROM events e
+    JOIN (VALUES ('click', 'a'), ('error', 'a'), ('purchase', 'b'),
+                 ('signup', 'b'), ('view', 'b')) AS d(event_type, grp)
+      ON d.event_type = e.event_type
+    WHERE d.grp = 'a'
+    GROUP BY e.event_type
+    """,
+    doc="Dynamic partition pruning over a hive-partitioned layout: the "
+        "events table is laid out partitioned BY event_type (the "
+        "warehouse pattern for a 100 TB fact), and the query joins a "
+        "dimension whose filter (grp = 'a') lives on a NON-key column "
+        "— so no static predicate can reach the fact scan, and the "
+        "only way to avoid reading every partition is Catalyst's "
+        "runtime DPP: the broadcast dim's keys become a "
+        "dynamicpruningexpression in the scan's PartitionFilters, and "
+        "3 of 5 partitions are never opened.  The oracle states the "
+        "same join over the flat table.  Plan-tested: the scan must "
+        "carry the dynamic filter.",
+    tags=("join", "partition-pruning", "events"),
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    key = (id(spark), sf_dir, "events_by_type")
+    part_dir = _PART_LAYOUT_CACHE.get(key)
+    if part_dir is None:
+        part_dir = tempfile.mkdtemp(prefix="q118_events_by_type_")
+        load(spark, sf_dir, "events").write.partitionBy("event_type").mode(
+            "overwrite"
+        ).parquet(part_dir)
+        _PART_LAYOUT_CACHE[key] = part_dir
+    facts = spark.read.parquet(part_dir)
+    dim = spark.createDataFrame(
+        [("click", "a"), ("error", "a"), ("purchase", "b"),
+         ("signup", "b"), ("view", "b")],
+        ["event_type", "grp"],
+    )
+    return (
+        facts.join(F.broadcast(dim.where(F.col("grp") == "a")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            emit(F.sum(money("value")).cast(DEC)).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119: bucketed co-located join (zero-exchange sort-merge join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q119_bucketed_colocated_join",
+    sql="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(24,6))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Bucketed co-located fact-fact join: orders and lineitem are "
+        "written as 4-bucket tables hashed AND sorted on the order "
+        "key, so the join planner proves co-location and the "
+        "SortMergeJoin runs with ZERO exchanges under it — the big-"
+        "fact join pattern where pre-bucketing the warehouse layout "
+        "amortizes the shuffle across every future join on that key "
+        "(at 100 TB the orderkey shuffle IS the query cost; bucketing "
+        "pays it once at write time).  The oracle states the plain "
+        "join; the plan test pins 'no Exchange below the join'.",
+    tags=("join", "bucketing", "orders", "lineitem"),
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+    import tempfile
+
+    san = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    t_orders, t_li = f"bkt_orders_{san}", f"bkt_lineitem_{san}"
+    key = (id(spark), sf_dir, "bucketed_orderkey")
+    if key not in _PART_LAYOUT_CACHE:
+        root = tempfile.mkdtemp(prefix="q119_buckets_")
+        (
+            load(spark, sf_dir, "orders")
+            .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+            .option("path", f"{root}/orders").mode("overwrite")
+            .saveAsTable(t_orders)
+        )
+        (
+            load(spark, sf_dir, "lineitem")
+            .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+            .option("path", f"{root}/lineitem").mode("overwrite")
+            .saveAsTable(t_li)
+        )
+        _PART_LAYOUT_CACHE[key] = root
+    o = spark.table(t_orders)
+    li = spark.table(t_li)
+    # the merge hint pins the SortMergeJoin so the co-location proof is
+    # scale-independent (at toy SF the planner would broadcast orders,
+    # which also skips the shuffle but demonstrates nothing)
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            emit(
+                F.sum(money("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(18,4)")))
+                .cast("decimal(24,6)")
+            ).alias("revenue"),
+        )
     )

@@ -650,3 +650,25 @@ def test_deterministic_sample_single_window_shuffle(plans):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "EvalPython" not in p
     assert "md5" in p
+
+
+def test_dpp_prunes_fact_partitions(plans):
+    """q118: the partitioned fact scan must carry a runtime
+    dynamicpruningexpression in its PartitionFilters — the dim filter
+    lives on a non-key column, so ONLY dynamic pruning can keep the
+    3 non-matching partitions unread."""
+    p = plans["q118_dynamic_partition_pruning"]
+    assert "dynamicpruning" in p.lower(), "dynamic partition pruning did not fire"
+    assert "PartitionFilters" in p
+
+
+def test_bucketed_join_is_exchange_free(plans):
+    """q119: both scans read bucketed layouts and the SortMergeJoin
+    runs co-located — the only Exchange in the plan is the final
+    priority rollup, never a shuffle feeding the join."""
+    import re
+
+    p = plans["q119_bucketed_colocated_join"]
+    assert "SortMergeJoin" in p
+    assert p.count("Bucketed: true") == 2, "scans are not bucketed reads"
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
