@@ -1,0 +1,112 @@
+"""Property-based equivalence tests for the scale-pattern operators:
+each operator exists to change the PLAN, never the answer, so the
+property is exact result equality with the naive formulation on
+adversarial random inputs.
+
+The bloom test deliberately under-sizes the filter (64 bits for up to
+~60 keys) so false positives are dense — proving the exactness pass
+catches everything the probabilistic stage lets through.  The skyline
+test includes duplicate points and axis ties, the spots where
+dominance (strictly-better-on-one) is easiest to get wrong.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+KEYS = st.lists(st.integers(min_value=-50, max_value=50), min_size=0, max_size=60)
+POINTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(fact_keys=KEYS, dim_keys=KEYS)
+def test_bloom_semi_join_equals_plain_semi_join(spark, fact_keys, dim_keys):
+    from aquiles_etl_pipeline_spark.relational.joins import bloom_semi_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(fact_keys)] or [(None, 0)],
+        "k int, payload int",
+    )
+    dim = spark.createDataFrame([(k,) for k in dim_keys] or [(None,)], "d int")
+    got = sorted(
+        (r["k"], r["payload"])
+        for r in bloom_semi_join(fact, dim, "k", "d", n_bits=64, n_hashes=2).collect()
+    )
+    want = sorted(
+        (r["k"], r["payload"])
+        for r in fact.join(dim, fact.k == dim.d, "left_semi").collect()
+    )
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(points=POINTS)
+def test_skyline_matches_bruteforce(spark, points):
+    from aquiles_etl_pipeline_spark.relational.skyline import skyline_2d
+
+    df = spark.createDataFrame(points, ["x", "y"])
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y", buckets=4).collect())
+    pts = set(points)
+    want = sorted(
+        (x, y)
+        for x, y in pts
+        if not any(
+            bx <= x and by >= y and (bx < x or by > y) for bx, by in pts
+        )
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(points=POINTS)
+def test_skyline_orientation_flags(spark, points):
+    """maximize_x/minimize_y via the negation flags must equal the
+    brute force of the flipped dominance relation."""
+    from aquiles_etl_pipeline_spark.relational.skyline import skyline_2d
+
+    df = spark.createDataFrame(points, ["x", "y"])
+    got = sorted(
+        (r["x"], r["y"])
+        for r in skyline_2d(
+            df, "x", "y", minimize_x=False, maximize_y=False, buckets=4
+        ).collect()
+    )
+    pts = set(points)
+    want = sorted(
+        (x, y)
+        for x, y in pts
+        if not any(
+            bx >= x and by <= y and (bx > x or by < y) for bx, by in pts
+        )
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(fact_keys=KEYS, dim_keys=st.lists(st.integers(-50, 50), min_size=0, max_size=20))
+def test_salted_join_equals_plain_join(spark, fact_keys, dim_keys):
+    from aquiles_etl_pipeline_spark.relational.joins import salted_join
+
+    dim_keys = list(dict.fromkeys(dim_keys))  # dims are unique-keyed
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(fact_keys)] or [(None, 0)], "k int, rid int"
+    )
+    dim = spark.createDataFrame(
+        [(k, -k) for k in dim_keys] or [(None, 0)], "k int, attr int"
+    )
+    for kwargs in ({"salt_by": "rid"}, {}):
+        got = sorted(
+            (r["k"], r["rid"], r["attr"])
+            for r in salted_join(fact, dim, on="k", salt=4, **kwargs).collect()
+        )
+        want = sorted(
+            (r["k"], r["rid"], r["attr"]) for r in fact.join(dim, "k").collect()
+        )
+        assert got == want, f"salted_join diverged with {kwargs}"
