@@ -12,6 +12,7 @@ naive formulation) while the engine plans the scalable form:
   q117  deterministic per-group sampling by cryptographic-hash order
   q118  dynamic partition pruning over a hive-partitioned fact layout
   q119  bucketed co-located fact-fact join (zero-exchange SortMergeJoin)
+  q120  schema-evolution read (mergeSchema union + null-fill of legacy rows)
 """
 
 from __future__ import annotations
@@ -483,4 +484,55 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("decimal(24,6)")
             ).alias("revenue"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q120: schema-evolution read (mergeSchema)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q120_schema_evolution_read",
+    sql="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS n_legacy,
+           CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 1
+                    THEN len(string_split_regex(trim(text), '\\s+')) END), 0)
+                AS BIGINT) AS tokens_new_wave
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Schema-evolution read: wave 1 lands documents with the legacy "
+        "schema (doc_id, text, source), wave 2 adds an n_tokens column; "
+        "a mergeSchema parquet read must union the waves, null-fill the "
+        "legacy rows' missing column, and aggregate across both — the "
+        "live-table reality every long-running warehouse hits (columns "
+        "get added; history doesn't get rewritten).  The oracle "
+        "recomputes both waves from the flat table.  Scale: schema "
+        "merge is a footer-only planning cost; the data path stays a "
+        "plain pruned columnar scan.",
+    tags=("warehouse", "schema-evolution", "documents"),
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    key = (id(spark), sf_dir, "schema_waves")
+    root = _PART_LAYOUT_CACHE.get(key)
+    d = load(spark, sf_dir, "documents")
+    if root is None:
+        root = tempfile.mkdtemp(prefix="q120_waves_")
+        d.where(F.col("doc_id") % 2 == 0).select("doc_id", "text", "source").write.parquet(
+            f"{root}/wave=1"
+        )
+        d.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "source",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        ).write.parquet(f"{root}/wave=2")
+        _PART_LAYOUT_CACHE[key] = root
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("n_tokens").isNull(), 1)).alias("n_legacy"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tokens_new_wave"),
     )

@@ -672,3 +672,15 @@ def test_bucketed_join_is_exchange_free(plans):
     assert "SortMergeJoin" in p
     assert p.count("Bucketed: true") == 2, "scans are not bucketed reads"
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+
+
+def test_schema_evolution_read_stays_single_scan(plans):
+    """q120: the mergeSchema union is a planning-time (footer) affair —
+    the data path must stay one pruned scan + one rollup Exchange, with
+    no join or Python stage stitching the waves together."""
+    import re
+
+    p = plans["q120_schema_evolution_read"]
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
