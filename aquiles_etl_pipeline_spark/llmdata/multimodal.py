@@ -387,21 +387,33 @@ def sample_frames(df: DataFrame, every_n_seconds: int = 10) -> DataFrame:
     return df.select("path", "content").mapInPandas(batches, FRAME_SCHEMA)
 
 
+# PIL availability probed ONCE at import: decode_image_real runs
+# per-image on the hot decode path, and a failed `from PIL import ...`
+# is not cached in sys.modules — re-probing per call would re-walk the
+# import machinery for every image
+try:  # pragma: no cover - env-dependent import
+    from PIL import Image as _PIL_Image  # type: ignore[import-not-found]
+except ImportError:  # pragma: no cover
+    _PIL_Image = None
+
+
 def decode_image_real(content: bytes) -> tuple[int, int, int]:
     """Full pixel-decode seam.  Uses PIL when the environment provides
     it (returns verified width/height/channels from the decoded image);
     otherwise falls back to the stdlib header parse, which covers
-    PNG/GIF/BMP/JPEG metadata without pixel access.  Raises
-    NotImplementedError only for formats neither path understands."""
-    try:  # pragma: no cover - env-dependent import
+    PNG/GIF/BMP/JPEG metadata without pixel access.  PIL decode
+    FAILURES (truncated/metadata-only containers a header-parse still
+    understands, e.g. a GIF with no image frame) also fall back rather
+    than failing the task.  Raises NotImplementedError only for
+    formats neither path understands."""
+    if _PIL_Image is not None:  # pragma: no cover - env-dependent
         import io
 
-        from PIL import Image  # type: ignore[import-not-found]
-
-        with Image.open(io.BytesIO(content)) as img:
-            return (img.width, img.height, len(img.getbands()))
-    except ImportError:
-        pass
+        try:
+            with _PIL_Image.open(io.BytesIO(content)) as img:
+                return (img.width, img.height, len(img.getbands()))
+        except Exception:
+            pass  # fall through to the header codec
     parsed = parse_image_header(content)
     if parsed is not None:
         return parsed

@@ -464,13 +464,18 @@ def merge_staging_to_fact_tables(
         f_prep = pool.submit(prepare_product_source, wh, batch_guid)
         providers, units, prepared = f_prov.result(), f_units.result(), f_prep.result()
     plan = plan_product_merge(wh, batch_guid, prepared=prepared, persist_mapping=True)
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_m2 = pool.submit(commit_product_merge, wh, plan, collect_stats, False)
-        f_m3 = pool.submit(
-            merge_provider_products, wh, batch_guid, collect_stats, plan.final
-        )
-        products, provider_products = f_m2.result(), f_m3.result()
-    plan.release()
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_m2 = pool.submit(commit_product_merge, wh, plan, collect_stats, False)
+            f_m3 = pool.submit(
+                merge_provider_products, wh, batch_guid, collect_stats, plan.final
+            )
+            products, provider_products = f_m2.result(), f_m3.result()
+    finally:
+        # release even when a merge fails: the persisted final/src
+        # frames otherwise pin executor storage for the session's life,
+        # and failed batches retry
+        plan.release()
     _cleanup_staging(wh, batch_guid)
     return {
         "providers_inserted": providers,

@@ -86,7 +86,19 @@ def salted_join(
     lineage-based recomputation and A/B plan comparisons bit-stable.
     Without it, a per-row ``rand(seed)`` assigns salts (deterministic
     per partition layout, sufficient for join correctness).
+
+    Join types where the right side emits unmatched rows (right/full
+    outer) are rejected: the right side is replicated per salt, so an
+    unmatched right row would surface once PER SALT REPLICA instead of
+    once.  Salt the other side (swap the arguments) instead.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): right/full outer joins would "
+            "duplicate unmatched right rows salt-fold; salt the other side"
+        )
     if salt_by is not None:
         lsalted = left.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(salt_by)), F.lit(salt)).cast("int")
@@ -246,11 +258,22 @@ def bloom_semi_join(
 
     Everything stays JVM-side: no Python UDF, no driver collect of
     keys (only the fixed-size bitmap crosses stages, via broadcast).
+    The dim side is scanned twice (bitmap build + the exact probe) —
+    it is the SMALL side by contract; persist it first if that scan is
+    itself expensive.
+
+    Both sides hash their key's STRING rendering: xxhash64 is
+    type-sensitive (int 7 and bigint 7 hash differently), so hashing
+    the raw columns would silently drop every match when the two key
+    columns differ in numeric width.  Keys whose string forms differ
+    while Spark's join coercion would equate them (7 vs 7.0 across
+    integral/fractional types) should be cast to a common type by the
+    caller — as they should for the exact join itself.
     """
     m, k = n_bits, n_hashes
     n_words = (m + 63) // 64
     keys = (
-        dim.select(F.col(dim_key).alias("_k"))
+        dim.select(F.col(dim_key).cast("string").alias("_k"))
         .where(F.col("_k").isNotNull())
         .distinct()
     )
@@ -280,7 +303,7 @@ def bloom_semi_join(
     )
 
     def probe(i: int) -> str:
-        p = f"pmod(xxhash64({fact_key}, {i}), {m}L)"
+        p = f"pmod(xxhash64(cast({fact_key} AS STRING), {i}), {m}L)"
         return (
             f"(element_at(_bloom, cast(({p}) div 64 AS INT) + 1)"
             f" & shiftleft(1L, cast(({p}) % 64 AS INT))) != 0"
@@ -291,4 +314,7 @@ def bloom_semi_join(
         .where(F.expr(" AND ".join(probe(i) for i in range(k))))
         .drop("_bloom")
     )
-    return candidates.join(keys, F.col(fact_key) == F.col("_k"), "left_semi")
+    # exact pass probes the raw dim keys (left-semi needs no distinct
+    # build side) — the bitmap's string cast never touches join semantics
+    exact_keys = dim.select(F.col(dim_key).alias("_k")).where(F.col("_k").isNotNull())
+    return candidates.join(exact_keys, F.col(fact_key) == F.col("_k"), "left_semi")

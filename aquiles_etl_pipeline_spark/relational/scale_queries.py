@@ -397,7 +397,9 @@ _PART_LAYOUT_CACHE: dict = {}
 def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    key = (id(spark), sf_dir, "events_by_type")
+    from ..session import session_key
+
+    key = (session_key(spark), sf_dir, "events_by_type")
     part_dir = _PART_LAYOUT_CACHE.get(key)
     if part_dir is None:
         part_dir = tempfile.mkdtemp(prefix="q118_events_by_type_")
@@ -453,7 +455,9 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     san = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     t_orders, t_li = f"bkt_orders_{san}", f"bkt_lineitem_{san}"
-    key = (id(spark), sf_dir, "bucketed_orderkey")
+    from ..session import session_key
+
+    key = (session_key(spark), sf_dir, "bucketed_orderkey")
     if key not in _PART_LAYOUT_CACHE:
         root = tempfile.mkdtemp(prefix="q119_buckets_")
         (
@@ -517,7 +521,9 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    key = (id(spark), sf_dir, "schema_waves")
+    from ..session import session_key
+
+    key = (session_key(spark), sf_dir, "schema_waves")
     root = _PART_LAYOUT_CACHE.get(key)
     d = load(spark, sf_dir, "documents")
     if root is None:

@@ -15,7 +15,21 @@ from contextlib import contextmanager
 from pyspark.sql import SparkSession
 
 
-_WARMED_SESSIONS: set[int] = set()
+_WARMED_SESSIONS: set[str] = set()
+
+
+def session_key(spark: SparkSession) -> str:
+    """Stable identity for per-session memoization: the underlying
+    SparkContext's applicationId.  ``id(spark)`` is unsafe as a cache
+    key — CPython reuses a garbage-collected session's address, which
+    would alias a FRESH session to a dead one's cache entries (a
+    warm-state skip on a session that still needs the package zip, a
+    table-cache hit on a catalog that never saw the table).  The
+    applicationId lives exactly as long as the JVM context owning all
+    the cached state, and sessions sharing a context share that state
+    (daemon, addPyFile, saveAsTable catalog), so sharing the cache
+    entry is correct."""
+    return spark.sparkContext.applicationId
 
 
 @contextmanager
@@ -173,9 +187,10 @@ def warm_python_workers(spark: SparkSession) -> None:
     path — it overlaps parquet reads and planning the driver does
     anyway.  Idempotent per session; safe to call with a foreign
     session (the correctness driver's, a notebook's)."""
-    if id(spark) in _WARMED_SESSIONS:
+    key = session_key(spark)
+    if key in _WARMED_SESSIONS:
         return
-    _WARMED_SESSIONS.add(id(spark))
+    _WARMED_SESSIONS.add(key)
     ship_package_to_workers(spark)
 
     def _boot() -> None:

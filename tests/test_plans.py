@@ -568,7 +568,7 @@ def test_bloom_semijoin_probes_before_exact_join(plans):
     semi join, and the whole shape stays JVM-side — the bitmap build's
     shuffles carry word indices (m/64 longs), never fact rows."""
     p = plans["q111_bloom_semijoin_revenue"]
-    assert "xxhash64(l_orderkey" in p, "bloom probe expression missing from fact side"
+    assert "xxhash64(cast(l_orderkey" in p, "bloom probe expression missing from fact side"
     assert "LeftSemi" in p, "exactness pass (left-semi join) missing"
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p

@@ -110,3 +110,29 @@ def test_salted_join_equals_plain_join(spark, fact_keys, dim_keys):
             (r["k"], r["rid"], r["attr"]) for r in fact.join(dim, "k").collect()
         )
         assert got == want, f"salted_join diverged with {kwargs}"
+
+
+def test_bloom_semi_join_across_key_widths(spark):
+    """Regression: xxhash64 is type-sensitive, so int-vs-bigint key
+    columns used to hash to different bit positions and silently drop
+    every match; both sides now hash the string rendering."""
+    from aquiles_etl_pipeline_spark.relational.joins import bloom_semi_join
+
+    fact = spark.createDataFrame([(k, k) for k in range(20)], "k long, payload int")
+    dim = spark.createDataFrame([(k,) for k in range(0, 20, 2)], "d int")
+    got = sorted(r["k"] for r in bloom_semi_join(fact, dim, "k", "d").collect())
+    assert got == list(range(0, 20, 2))
+
+
+def test_salted_join_rejects_right_outer(spark):
+    """Regression: right/full outer would emit unmatched right rows
+    once per salt replica — the operator must refuse, not corrupt."""
+    import pytest as _pytest
+
+    from aquiles_etl_pipeline_spark.relational.joins import salted_join
+
+    fact = spark.createDataFrame([(1, 10)], "k int, rid int")
+    dim = spark.createDataFrame([(2, -2)], "k int, attr int")
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with _pytest.raises(ValueError, match="salt the other side"):
+            salted_join(fact, dim, on="k", salt=4, how=how)
