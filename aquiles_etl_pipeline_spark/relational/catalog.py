@@ -166,6 +166,8 @@ _GRADE_FIRST = (
     "q119_bucketed_colocated_join",
     "q120_schema_evolution_read",
     "q121_stateful_running_totals",
+    "q122_table_checksums",
+    "q123_small_quantity_revenue",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

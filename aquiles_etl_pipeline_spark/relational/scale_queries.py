@@ -13,6 +13,8 @@ naive formulation) while the engine plans the scalable form:
   q118  dynamic partition pruning over a hive-partitioned fact layout
   q119  bucketed co-located fact-fact join (zero-exchange SortMergeJoin)
   q120  schema-evolution read (mergeSchema union + null-fill of legacy rows)
+  q122  order-insensitive cross-engine table checksums
+  q123  correlated scalar subquery via spark.sql (decorrelation pinned)
 """
 
 from __future__ import annotations
@@ -541,4 +543,104 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.count(F.when(F.col("n_tokens").isNull(), 1)).alias("n_legacy"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tokens_new_wave"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122: order-insensitive table checksums
+# ---------------------------------------------------------------------------
+
+@register(
+    "q122_table_checksums",
+    sql="""
+    SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(
+                  CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+                    || c_mktsegment), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS tbl, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(
+                  CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|'
+                    || CAST(s_nationkey AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+             AS checksum
+    FROM supplier
+    UNION ALL
+    SELECT 'nation' AS tbl, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(
+                  CAST(n_nationkey AS VARCHAR) || '|' || n_name), 1, 8))
+                AS BIGINT)) AS BIGINT) AS checksum
+    FROM nation
+    """,
+    doc="Order-insensitive table checksums: per table, SUM over each "
+        "row's md5-prefix rendered as a 32-bit integer — the "
+        "cross-engine data-integrity fingerprint a migration runs on "
+        "both systems to prove a copy is byte-faithful without moving "
+        "or sorting the data (sum is commutative, so partitioning and "
+        "row order never matter; md5 is identical everywhere).  This "
+        "is how a reference->Spark cutover validates itself.  Scale: "
+        "per table one codegen projection + a single-row aggregate; "
+        "the three audits are independent branches Spark runs as "
+        "parallel stages.",
+    tags=("audit", "checksum", "scan"),
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def checksum(df: DataFrame, tbl: str, cols: list) -> DataFrame:
+        rendered = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        word = F.conv(F.substring(F.md5(rendered), 1, 8), 16, 10).cast("long")
+        return df.agg(
+            F.count("*").alias("n_rows"), F.sum(word).cast("long").alias("checksum")
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "checksum")
+
+    c = checksum(
+        load(spark, sf_dir, "customer"), "customer",
+        ["c_custkey", "c_name", "c_mktsegment"],
+    )
+    s = checksum(
+        load(spark, sf_dir, "supplier"), "supplier",
+        ["s_suppkey", "s_name", "s_nationkey"],
+    )
+    n = checksum(load(spark, sf_dir, "nation"), "nation", ["n_nationkey", "n_name"])
+    return c.unionByName(s).unionByName(n)
+
+
+# ---------------------------------------------------------------------------
+# q123: correlated scalar subquery through the SQL surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "q123_small_quantity_revenue",
+    sql="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q17-style correlated scalar subquery, submitted through "
+        "the engine's SQL surface (register_views + spark.sql, the "
+        "same text as the oracle) — proving the declarative front door "
+        "is graded, not just the DataFrame API.  Catalyst DECORRELATES "
+        "the per-part average into an aggregate + join instead of "
+        "re-running the subquery per row; at 100 TB that is the "
+        "difference between one extra scan and |lineitem| scans.  "
+        "Plan-tested: no per-row subquery remains after optimization.",
+    tags=("sql", "subquery", "join"),
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS DOUBLE) / 7.0 AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        WHERE l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)
+        """
     )

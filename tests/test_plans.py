@@ -696,3 +696,28 @@ def test_stateful_totals_readback_single_window(plans):
     p = plans["q121_stateful_running_totals"]
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
     assert "Join" not in p
+
+
+def test_table_checksums_are_three_scan_branches(plans):
+    """q122: three independent projection+single-row-agg branches, no
+    joins, no Python — a migration fingerprint must never cost more
+    than the scans themselves."""
+    import re
+
+    p = plans["q122_table_checksums"]
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3
+
+
+def test_correlated_subquery_is_decorrelated(plans):
+    """q123: Catalyst must rewrite the correlated scalar subquery into
+    an aggregate + equi-join (one per-part agg Exchange + the final
+    single-row agg) — a surviving per-row subquery node would re-scan
+    lineitem per row."""
+    import re
+
+    p = plans["q123_small_quantity_revenue"]
+    assert "Subquery" not in p, "correlated subquery was not decorrelated"
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3
