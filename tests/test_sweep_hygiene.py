@@ -72,11 +72,18 @@ def test_no_persistent_rdds_after_query(spark, name):
     # a System.gc round can take 10-15 s to reach it — 30 s flaked.  The
     # deadline only binds on the failure path; passing runs exit as soon
     # as the storage drains.
+    # 120 s was not always enough late in a 16-minute full-suite session
+    # (q60's final labels checkpoint once outlived 240 System.gc hints
+    # before collecting); escalate with runFinalization and a longer
+    # deadline — the assertion stays strict, only patience grows, and a
+    # REAL leak (a strong reference) still fails because no amount of GC
+    # releases it.
     leaked = _persistent_ids(spark) - baseline
-    deadline = time.time() + 120
+    deadline = time.time() + 300
     while leaked and time.time() < deadline:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+        spark.sparkContext._jvm.System.runFinalization()
         time.sleep(0.5)
         leaked = _persistent_ids(spark) - baseline
     assert not leaked, f"{len(leaked)} persistent RDDs still pinned after {name}"
