@@ -168,6 +168,8 @@ _GRADE_FIRST = (
     "q121_stateful_running_totals",
     "q122_table_checksums",
     "q123_small_quantity_revenue",
+    "q124_column_stats_profile",
+    "q125_bpeish_token_counts",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

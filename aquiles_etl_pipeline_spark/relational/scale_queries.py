@@ -15,6 +15,8 @@ naive formulation) while the engine plans the scalable form:
   q120  schema-evolution read (mergeSchema union + null-fill of legacy rows)
   q122  order-insensitive cross-engine table checksums
   q123  correlated scalar subquery via spark.sql (decorrelation pinned)
+  q124  column-statistics profile (Expand multi-distinct, stack unpivot)
+  q125  BPE-ish regex tokenizer counts (codegen projection)
 """
 
 from __future__ import annotations
@@ -644,3 +646,86 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE l2.l_partkey = l.l_partkey)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q124: column statistics profile (ANALYZE TABLE shape)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_returnflag", "l_linestatus", "l_quantity", "l_partkey")
+
+
+@register(
+    "q124_column_stats_profile",
+    sql="WITH s AS (SELECT COUNT(*) AS n_rows, "
+        + ", ".join(
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nn_{c}, "
+            f"COUNT(DISTINCT {c}) AS nd_{c}, "
+            f"CAST(MIN({c}) AS VARCHAR) AS mn_{c}, "
+            f"CAST(MAX({c}) AS VARCHAR) AS mx_{c}"
+            for c in _PROFILE_COLS
+        )
+        + " FROM lineitem) "
+        + " UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, n_rows, CAST(nn_{c} AS BIGINT) AS n_nulls, "
+            f"CAST(nd_{c} AS BIGINT) AS n_distinct, mn_{c} AS min_value, "
+            f"mx_{c} AS max_value FROM s"
+            for c in _PROFILE_COLS
+        ),
+    doc="Column-statistics profile over lineitem (the ANALYZE TABLE / "
+        "data-quality report shape): per column, null count, EXACT "
+        "distinct count, and min/max rendered as strings — the stats "
+        "a cost-based optimizer and a data contract check both feed "
+        "on.  Scale: all four exact count-distincts compute in ONE "
+        "aggregation pass (Catalyst's Expand rewrite — one scan, one "
+        "shuffle, not one job per column), and the single stats row "
+        "unpivots to report rows via stack().  Plan-tested: exactly "
+        "one scan of lineitem, Expand present.",
+    tags=("audit", "profile", "agg"),
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+# ---------------------------------------------------------------------------
+# q125: BPE-ish regex tokenizer counts
+# ---------------------------------------------------------------------------
+
+@register(
+    "q125_bpeish_token_counts",
+    sql="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|\\d|[^\\w\\s]')) AS bpeish_tokens
+    FROM documents
+    """,
+    doc="Tokenizer-style counting under the gate (llmdata.textstats."
+        "token_counts): whitespace tokens plus the BPE-ish regex count "
+        "(letter runs, single digits, punctuation as separate tokens — "
+        "the GPT-2 pretokenizer shape) that budgets corpus size in "
+        "model tokens rather than words.  Both are codegen regexp "
+        "projections; the alternation's branches are disjoint char "
+        "classes, so Java regex and RE2 agree.  Shuffle-free map.",
+    tags=("llmdata", "text", "documents"),
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata.textstats import token_counts
+
+    return token_counts(load(spark, sf_dir, "documents"))

@@ -721,3 +721,25 @@ def test_correlated_subquery_is_decorrelated(plans):
     assert "Subquery" not in p, "correlated subquery was not decorrelated"
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3
+
+
+def test_column_profile_single_pass_expand(plans):
+    """q124: four exact count-distincts must compute in ONE aggregation
+    pass via Catalyst's Expand rewrite — one lineitem scan (the node
+    appears once in the numbered detail), never a job per column."""
+    import re
+
+    p = plans["q124_column_stats_profile"]
+    assert "Expand" in p, "multi-distinct lost its Expand rewrite"
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_bpeish_tokenizer_is_pure_codegen_map(plans):
+    """q125: tokenizer counting is a shuffle-free codegen projection."""
+    import re
+
+    p = plans["q125_bpeish_token_counts"]
+    assert not re.search(r"\(\d+\) Exchange", p)
+    assert "EvalPython" not in p
+    assert "codegen id" in p
