@@ -172,3 +172,82 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sum_value", 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "q126_stream_static_enrichment",
+    sql="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS segment_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Stream-static enrichment under the gate: events land as JSONL "
+        "in two waves, a Structured Streaming query joins each micro-"
+        "batch against the STATIC customer dimension (broadcast — the "
+        "stateless enrich-on-ingest pattern every event pipeline runs "
+        "first), appends the enriched rows to a sink across two "
+        "checkpointed AvailableNow drains, and the sink's per-segment "
+        "rollup must equal the batch join (the oracle).  Unlike "
+        "stream-stream joins there is NO state store: the dim side is "
+        "re-planned per micro-batch, so dim updates between drains are "
+        "picked up for free.  Exactly-once lands via checkpoint + "
+        "file-sink idempotence.",
+    tags=("streaming", "join", "events"),
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from ..sources.jsonl import write_jsonl
+
+    root = Path(tempfile.mkdtemp(prefix="q126_enrich_"))
+    land = root / "land"
+    land.mkdir()
+    out = str(root / "out")
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def land_wave(df: DataFrame, tag: str) -> None:
+        wave_dir = root / f"wave_{tag}"
+        write_jsonl(df, str(wave_dir), compression=None, shards=4)
+        for f in wave_dir.glob("part-*.json"):
+            shutil.copy(f, land / f"{tag}_{f.name}")
+
+    def drain() -> None:
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, value double"
+        ).json(str(land))
+        enriched = stream.join(F.broadcast(dim), "user_id")
+        (
+            enriched.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(root / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    land_wave(e.where(F.col("event_id") % 2 == 0), "a")
+    drain()
+    land_wave(e.where(F.col("event_id") % 2 == 1), "b")
+    drain()
+
+    from .catalog import DEC, emit, money
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            emit(F.sum(money("value")).cast(DEC)).alias("segment_value"),
+        )
+    )

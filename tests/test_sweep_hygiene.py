@@ -44,6 +44,9 @@ PERSIST_PRONE = [
     # q121 runs two checkpointed stateful drains (state store, not RDD
     # persist — pinned here to prove nothing leaks into storage anyway)
     "q121_stateful_running_totals",
+    # q126 runs two stream-static enrichment drains (broadcast dim per
+    # micro-batch; file sink) — same proof
+    "q126_stream_static_enrichment",
 ]
 
 
