@@ -171,6 +171,7 @@ _GRADE_FIRST = (
     "q124_column_stats_profile",
     "q125_bpeish_token_counts",
     "q126_stream_static_enrichment",
+    "q127_watermark_late_drop",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

@@ -251,3 +251,109 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
             emit(F.sum(money("value")).cast(DEC)).alias("segment_value"),
         )
     )
+
+
+@register(
+    "q127_watermark_late_drop",
+    sql="""
+    WITH a AS (SELECT ts, value FROM events WHERE event_id % 2 = 0),
+    wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM a),
+    kept_b AS (
+      SELECT e.ts, e.value
+      FROM events e, wm
+      WHERE e.event_id % 2 = 1
+        AND time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL 1 HOUR > wm.w
+    ),
+    allrows AS (SELECT * FROM a UNION ALL SELECT * FROM kept_b)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_value
+    FROM allrows
+    GROUP BY 1
+    """,
+    doc="Watermark late-data DROP semantics under the gate: wave A "
+        "(even events) drains first and persists watermark = max(A.ts) "
+        "- 2h in the checkpoint; wave B (odd events) then drains "
+        "against that RESTORED watermark, and Spark must drop exactly "
+        "the B rows whose 1-hour window END <= watermark (the "
+        "empirically-pinned boundary rule: a window still open at the "
+        "watermark accepts rows even when the row's own ts is older) "
+        "while keeping every on-time row.  The oracle restates the "
+        "rule arithmetically.  This is the state-bounding contract "
+        "that makes 100 TB streams possible — state for closed windows "
+        "is gone, so late arrivals for them must be discarded, "
+        "deterministically.  Decimal-exact sums inside the streaming "
+        "aggregation itself.",
+    tags=("streaming", "watermark", "events"),
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from ..sources.jsonl import write_jsonl
+    from .catalog import DEC, emit
+
+    root = Path(tempfile.mkdtemp(prefix="q127_wm_"))
+    land = root / "land"
+    land.mkdir()
+    out = str(root / "out")
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+
+    def land_wave(df: DataFrame, tag: str) -> None:
+        wave_dir = root / f"wave_{tag}"
+        write_jsonl(df, str(wave_dir), compression=None, shards=4)
+        for f in wave_dir.glob("part-*.json"):
+            shutil.copy(f, land / f"{tag}_{f.name}")
+
+    def drain() -> None:
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, value double"
+        ).json(str(land))
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+            )
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.select(
+                F.col("w.start").alias("window_start"),
+                "n_events",
+                "sum_value",
+                F.lit(batch_id).alias("_b"),
+            ).write.mode("append").parquet(out)
+
+        (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(root / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    land_wave(e.where(F.col("event_id") % 2 == 0), "a")
+    drain()
+    land_wave(e.where(F.col("event_id") % 2 == 1), "b")
+    drain()
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("window_start").orderBy(F.desc("_b"))
+    return (
+        spark.read.parquet(out)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "window_start",
+            "n_events",
+            emit(F.col("sum_value").cast(DEC)).alias("sum_value"),
+        )
+    )

@@ -47,6 +47,8 @@ PERSIST_PRONE = [
     # q126 runs two stream-static enrichment drains (broadcast dim per
     # micro-batch; file sink) — same proof
     "q126_stream_static_enrichment",
+    # q127 runs two watermarked-aggregation drains (state store)
+    "q127_watermark_late_drop",
 ]
 
 
