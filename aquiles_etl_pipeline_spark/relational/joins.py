@@ -93,7 +93,7 @@ def salted_join(
     once.  Salt the other side (swap the arguments) instead.
     """
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
-               "leftsemi", "left_anti", "leftanti"}
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
     if how.lower() not in allowed:
         raise ValueError(
             f"salted_join(how={how!r}): right/full outer joins would "
@@ -262,18 +262,23 @@ def bloom_semi_join(
     it is the SMALL side by contract; persist it first if that scan is
     itself expensive.
 
-    Both sides hash their key's STRING rendering: xxhash64 is
-    type-sensitive (int 7 and bigint 7 hash differently), so hashing
-    the raw columns would silently drop every match when the two key
-    columns differ in numeric width.  Keys whose string forms differ
-    while Spark's join coercion would equate them (7 vs 7.0 across
-    integral/fractional types) should be cast to a common type by the
-    caller — as they should for the exact join itself.
+    xxhash64 is TYPE-sensitive (int 7, bigint 7, and double 7.0 all
+    hash differently), so both sides hash a COMMON rendering of the
+    key: numeric-vs-numeric pairs hash the double cast (equality under
+    Spark's join coercion implies equal double casts, so no true match
+    can be lost; collisions above 2^53 only add false positives the
+    exact pass removes), everything else hashes the string cast.
     """
+    from pyspark.sql.types import NumericType
+
     m, k = n_bits, n_hashes
     n_words = (m + 63) // 64
+    both_numeric = isinstance(
+        fact.schema[fact_key].dataType, NumericType
+    ) and isinstance(dim.schema[dim_key].dataType, NumericType)
+    hash_type = "double" if both_numeric else "string"
     keys = (
-        dim.select(F.col(dim_key).cast("string").alias("_k"))
+        dim.select(F.col(dim_key).cast(hash_type).alias("_k"))
         .where(F.col("_k").isNotNull())
         .distinct()
     )
@@ -303,7 +308,7 @@ def bloom_semi_join(
     )
 
     def probe(i: int) -> str:
-        p = f"pmod(xxhash64(cast({fact_key} AS STRING), {i}), {m}L)"
+        p = f"pmod(xxhash64(cast({fact_key} AS {hash_type.upper()}), {i}), {m}L)"
         return (
             f"(element_at(_bloom, cast(({p}) div 64 AS INT) + 1)"
             f" & shiftleft(1L, cast(({p}) % 64 AS INT))) != 0"

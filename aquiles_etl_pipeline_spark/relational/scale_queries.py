@@ -557,20 +557,24 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
            CAST(SUM(CAST(('0x' || substr(md5(
-                  CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
-                    || c_mktsegment), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+                  COALESCE(CAST(c_custkey AS VARCHAR), '<NULL>') || '|'
+                    || COALESCE(c_name, '<NULL>') || '|'
+                    || COALESCE(c_mktsegment, '<NULL>')), 1, 8))
+                AS BIGINT)) AS BIGINT) AS checksum
     FROM customer
     UNION ALL
     SELECT 'supplier' AS tbl, COUNT(*) AS n_rows,
            CAST(SUM(CAST(('0x' || substr(md5(
-                  CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|'
-                    || CAST(s_nationkey AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
-             AS checksum
+                  COALESCE(CAST(s_suppkey AS VARCHAR), '<NULL>') || '|'
+                    || COALESCE(s_name, '<NULL>') || '|'
+                    || COALESCE(CAST(s_nationkey AS VARCHAR), '<NULL>')), 1, 8))
+                AS BIGINT)) AS BIGINT) AS checksum
     FROM supplier
     UNION ALL
     SELECT 'nation' AS tbl, COUNT(*) AS n_rows,
            CAST(SUM(CAST(('0x' || substr(md5(
-                  CAST(n_nationkey AS VARCHAR) || '|' || n_name), 1, 8))
+                  COALESCE(CAST(n_nationkey AS VARCHAR), '<NULL>') || '|'
+                    || COALESCE(n_name, '<NULL>')), 1, 8))
                 AS BIGINT)) AS BIGINT) AS checksum
     FROM nation
     """,
@@ -588,7 +592,13 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     def checksum(df: DataFrame, tbl: str, cols: list) -> DataFrame:
-        rendered = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        # explicit NULL sentinel per column: concat_ws silently SKIPS
+        # nulls (making the checksum blind to value-shift corruption
+        # and disagreeing with the oracle's ||, which nullifies the
+        # row); coalescing first makes both renderings identical
+        rendered = F.concat_ws(
+            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols]
+        )
         word = F.conv(F.substring(F.md5(rendered), 1, 8), 16, 10).cast("long")
         return df.agg(
             F.count("*").alias("n_rows"), F.sum(word).cast("long").alias("checksum")

@@ -91,6 +91,51 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.session_stats(load(spark, sf_dir, "events"), "30 minutes")
 
 
+# ---------------------------------------------------------------------------
+# Two-wave streaming parity harnesses (q121/q126/q127)
+#
+# Shared scaffold: the events table lands as JSONL in two waves (even
+# ids, then odd ids) and a checkpointed Trigger.AvailableNow query
+# drains after each wave — so every entry proves its semantics ACROSS
+# a restart (state store / watermark / sink idempotence restored from
+# the checkpoint).  The built readback frame is memoized per
+# (session, sf_dir): one test session touches each entry ~4 times
+# (oracle, schema gate, plans fixture, hygiene), and re-running 8
+# streaming drains to re-read an immutable sink is pure waste.
+# ---------------------------------------------------------------------------
+
+_STREAM_RESULT_CACHE: dict = {}
+
+
+def _memoized(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
+    from ..session import session_key
+
+    key = (session_key(spark), sf_dir, tag)
+    if key not in _STREAM_RESULT_CACHE:
+        _STREAM_RESULT_CACHE[key] = build()
+    return _STREAM_RESULT_CACHE[key]
+
+
+def _land_two_waves(frame: DataFrame, root, land, drain, split_col: str = "event_id") -> None:
+    """Write even-id rows, drain, write odd-id rows, drain."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..sources.jsonl import write_jsonl
+
+    def land_wave(df: DataFrame, tag: str) -> None:
+        wave_dir = root / f"wave_{tag}"
+        write_jsonl(df, str(wave_dir), compression=None, shards=4)
+        for f in wave_dir.glob("part-*.json"):
+            shutil.copy(f, land / f"{tag}_{f.name}")
+
+    land_wave(frame.where(F.col(split_col) % 2 == 0), "a")
+    drain()
+    land_wave(frame.where(F.col(split_col) % 2 == 1), "b")
+    drain()
+
+
 @register(
     "q121_stateful_running_totals",
     sql="""
@@ -110,68 +155,65 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         " Completes the streaming surface's driver proof: windows "
         "(q30-q32), continuous aggregates (q102), and now arbitrary "
         "stateful logic.  State is O(distinct users), partitioned by "
-        "key; the 2dp round on emit recovers the exact decimal total "
-        "from the float-accumulated state.",
+        "key.  Money discipline: values stream as exact integer CENTS "
+        "(per-value DECIMAL(18,2) half-up, x100), so the float state "
+        "accumulates integers exactly and the emitted total is the "
+        "oracle's decimal sum, never an order-dependent float sum.",
     tags=("streaming", "stateful", "events"),
 )
 def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-    from pathlib import Path
+    def build() -> DataFrame:
+        import tempfile
+        from pathlib import Path
 
-    from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
 
-    from ..sources.jsonl import write_jsonl
-    from ..streaming.stateful import user_running_totals
+        from ..streaming.stateful import user_running_totals
+        from .catalog import DEC
 
-    root = Path(tempfile.mkdtemp(prefix="q121_state_"))
-    land = root / "land"
-    land.mkdir()
-    out = str(root / "out")
-    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
-
-    def land_wave(df: DataFrame, tag: str) -> None:
-        wave_dir = root / f"wave_{tag}"
-        write_jsonl(df, str(wave_dir), compression=None, shards=4)
-        for f in wave_dir.glob("part-*.json"):
-            shutil.copy(f, land / f"{tag}_{f.name}")
-
-    def drain() -> None:
-        stream = spark.readStream.schema("event_id long, user_id long, value double").json(
-            str(land)
-        )
-
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.withColumn("_b", F.lit(batch_id)).write.mode("append").parquet(out)
-
-        (
-            user_running_totals(stream)
-            .writeStream.outputMode("update")
-            .foreachBatch(sink)
-            .option("checkpointLocation", str(root / "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
-
-    land_wave(e.where(F.col("event_id") % 2 == 0), "a")
-    drain()
-    land_wave(e.where(F.col("event_id") % 2 == 1), "b")
-    drain()
-
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.desc("_b"))
-    return (
-        spark.read.parquet(out)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(
+        root = Path(tempfile.mkdtemp(prefix="q121_state_"))
+        land = root / "land"
+        land.mkdir()
+        out = str(root / "out")
+        e = load(spark, sf_dir, "events").select(
+            "event_id",
             "user_id",
-            "n_events",
-            F.round("sum_value", 2).alias("total_value"),
+            (F.col("value").cast(DEC) * 100).cast("double").alias("value"),
         )
-    )
+
+        def drain() -> None:
+            stream = spark.readStream.schema(
+                "event_id long, user_id long, value double"
+            ).json(str(land))
+
+            def sink(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.withColumn("_b", F.lit(batch_id)).write.mode("append").parquet(out)
+
+            (
+                user_running_totals(stream)
+                .writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", str(root / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        _land_two_waves(e, root, land, drain)
+        w = Window.partitionBy("user_id").orderBy(F.desc("_b"))
+        return (
+            spark.read.parquet(out)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                "n_events",
+                (F.col("sum_value") / 100).alias("total_value"),
+            )
+        )
+
+    return _memoized(spark, sf_dir, "q121", build)
 
 
 @register(
@@ -199,58 +241,48 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "join", "events"),
 )
 def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-    from pathlib import Path
+    def build() -> DataFrame:
+        import tempfile
+        from pathlib import Path
 
-    from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
-    from ..sources.jsonl import write_jsonl
+        from .catalog import DEC, emit, money
 
-    root = Path(tempfile.mkdtemp(prefix="q126_enrich_"))
-    land = root / "land"
-    land.mkdir()
-    out = str(root / "out")
-    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    dim = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment"
-    )
-
-    def land_wave(df: DataFrame, tag: str) -> None:
-        wave_dir = root / f"wave_{tag}"
-        write_jsonl(df, str(wave_dir), compression=None, shards=4)
-        for f in wave_dir.glob("part-*.json"):
-            shutil.copy(f, land / f"{tag}_{f.name}")
-
-    def drain() -> None:
-        stream = spark.readStream.schema(
-            "event_id long, user_id long, value double"
-        ).json(str(land))
-        enriched = stream.join(F.broadcast(dim), "user_id")
-        (
-            enriched.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", str(root / "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
+        root = Path(tempfile.mkdtemp(prefix="q126_enrich_"))
+        land = root / "land"
+        land.mkdir()
+        out = str(root / "out")
+        e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+        dim = load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
         )
 
-    land_wave(e.where(F.col("event_id") % 2 == 0), "a")
-    drain()
-    land_wave(e.where(F.col("event_id") % 2 == 1), "b")
-    drain()
+        def drain() -> None:
+            stream = spark.readStream.schema(
+                "event_id long, user_id long, value double"
+            ).json(str(land))
+            enriched = stream.join(F.broadcast(dim), "user_id")
+            (
+                enriched.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", str(root / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
 
-    from .catalog import DEC, emit, money
-
-    return (
-        spark.read.parquet(out)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count("*").alias("n_events"),
-            emit(F.sum(money("value")).cast(DEC)).alias("segment_value"),
+        _land_two_waves(e, root, land, drain)
+        return (
+            spark.read.parquet(out)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_events"),
+                emit(F.sum(money("value")).cast(DEC)).alias("segment_value"),
+            )
         )
-    )
+
+    return _memoized(spark, sf_dir, "q126", build)
 
 
 @register(
@@ -288,72 +320,62 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "watermark", "events"),
 )
 def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-    from pathlib import Path
+    def build() -> DataFrame:
+        import tempfile
+        from pathlib import Path
 
-    from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
 
-    from ..sources.jsonl import write_jsonl
-    from .catalog import DEC, emit
+        from .catalog import DEC, emit
 
-    root = Path(tempfile.mkdtemp(prefix="q127_wm_"))
-    land = root / "land"
-    land.mkdir()
-    out = str(root / "out")
-    e = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+        root = Path(tempfile.mkdtemp(prefix="q127_wm_"))
+        land = root / "land"
+        land.mkdir()
+        out = str(root / "out")
+        e = load(spark, sf_dir, "events").select("event_id", "ts", "value")
 
-    def land_wave(df: DataFrame, tag: str) -> None:
-        wave_dir = root / f"wave_{tag}"
-        write_jsonl(df, str(wave_dir), compression=None, shards=4)
-        for f in wave_dir.glob("part-*.json"):
-            shutil.copy(f, land / f"{tag}_{f.name}")
+        def drain() -> None:
+            stream = spark.readStream.schema(
+                "event_id long, ts timestamp, value double"
+            ).json(str(land))
+            agg = (
+                stream.withWatermark("ts", "2 hours")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+                )
+            )
 
-    def drain() -> None:
-        stream = spark.readStream.schema(
-            "event_id long, ts timestamp, value double"
-        ).json(str(land))
-        agg = (
-            stream.withWatermark("ts", "2 hours")
-            .groupBy(F.window("ts", "1 hour").alias("w"))
-            .agg(
-                F.count("*").alias("n_events"),
-                F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+            def sink(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.select(
+                    F.col("w.start").alias("window_start"),
+                    "n_events",
+                    "sum_value",
+                    F.lit(batch_id).alias("_b"),
+                ).write.mode("append").parquet(out)
+
+            (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", str(root / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        _land_two_waves(e, root, land, drain)
+        w = Window.partitionBy("window_start").orderBy(F.desc("_b"))
+        return (
+            spark.read.parquet(out)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "window_start",
+                "n_events",
+                emit(F.col("sum_value").cast(DEC)).alias("sum_value"),
             )
         )
 
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.select(
-                F.col("w.start").alias("window_start"),
-                "n_events",
-                "sum_value",
-                F.lit(batch_id).alias("_b"),
-            ).write.mode("append").parquet(out)
-
-        (
-            agg.writeStream.outputMode("update")
-            .foreachBatch(sink)
-            .option("checkpointLocation", str(root / "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
-
-    land_wave(e.where(F.col("event_id") % 2 == 0), "a")
-    drain()
-    land_wave(e.where(F.col("event_id") % 2 == 1), "b")
-    drain()
-
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("window_start").orderBy(F.desc("_b"))
-    return (
-        spark.read.parquet(out)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(
-            "window_start",
-            "n_events",
-            emit(F.col("sum_value").cast(DEC)).alias("sum_value"),
-        )
-    )
+    return _memoized(spark, sf_dir, "q127", build)

@@ -136,3 +136,24 @@ def test_salted_join_rejects_right_outer(spark):
     for how in ("right", "full", "outer", "right_outer", "full_outer"):
         with _pytest.raises(ValueError, match="salt the other side"):
             salted_join(fact, dim, on="k", salt=4, how=how)
+
+
+def test_bloom_semi_join_across_numeric_families(spark):
+    """Regression: integral-vs-fractional key pairs (bigint 7 vs double
+    7.0) render differently as strings, so string hashing dropped
+    matches Spark's join coercion would keep — numeric pairs now hash
+    the double cast on both sides."""
+    from aquiles_etl_pipeline_spark.relational.joins import bloom_semi_join
+
+    fact = spark.createDataFrame([(float(k), k) for k in range(20)], "k double, payload int")
+    dim = spark.createDataFrame([(k,) for k in range(0, 20, 2)], "d int")
+    got = sorted(r["payload"] for r in bloom_semi_join(fact, dim, "k", "d").collect())
+    assert got == list(range(0, 20, 2))
+    # and salted_join accepts the bare semi/anti aliases again
+    from aquiles_etl_pipeline_spark.relational.joins import salted_join
+
+    n = salted_join(
+        fact.selectExpr("cast(k as int) k", "payload"), dim.selectExpr("d as k"),
+        on="k", salt=4, how="semi",
+    ).count()
+    assert n == 10
