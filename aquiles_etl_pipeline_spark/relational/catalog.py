@@ -172,6 +172,11 @@ _GRADE_FIRST = (
     "q125_bpeish_token_counts",
     "q126_stream_static_enrichment",
     "q127_watermark_late_drop",
+    "q128_bitmap_distinct_users",
+    "q129_price_histogram",
+    "q130_heavy_hitter_words",
+    "q131_robust_value_anomalies",
+    "q132_unpivot_lineitem_measures",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

@@ -1,0 +1,203 @@
+"""Sketch-shaped exact-aggregation catalog entries (q128-q132).
+
+Each query states naive semantics in its DuckDB oracle while the engine
+runs the sketch-shaped plan from ``relational.sketches``:
+
+  q128  exact per-day distinct users via bit_or bitmap words
+  q129  equi-width price histogram (codegen bin projection)
+  q130  Misra-Gries candidate + exact-verify heavy-hitter words
+  q131  median/MAD robust anomaly gate per event type
+  q132  unpivot (melt) of lineitem measures to long form
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import emit, load, register
+from . import sketches
+
+
+@register(
+    "q128_bitmap_distinct_users",
+    sql="""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_distinct
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Exact daily active users WITHOUT a distinct shuffle "
+        "(relational.sketches.bitmap_distinct): user ids map to 64-bit "
+        "bitmap words, bit_or folds them map-side (associative + "
+        "commutative, so every repeated id collapses into an already-set "
+        "bit before the exchange), and a popcount-sum yields the exact "
+        "count.  The oracle states plain COUNT(DISTINCT); Spark's own "
+        "plan for that is an Expand + double shuffle carrying every "
+        "(day, user) pair — the bitmap plan ships at most n_users/64 "
+        "longs per day instead, the roaring-bitmap shape with exactness "
+        "kept.  n_events rides the SAME single scan (a row count next "
+        "to each bitmap word, summed at group grain) — one scan, two "
+        "word-grain exchanges of ~n_users/64 rows, no join.",
+    tags=("events", "sketch", "distinct", "bitmap"),
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    res = sketches.bitmap_distinct(e, ["day"], "user_id", count_rows=True)
+    return res.select(
+        "day", F.col("n_rows").alias("n_events"), "n_distinct"
+    )
+
+
+@register(
+    "q129_price_histogram",
+    sql="""
+    SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin,
+           CAST(CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS DOUBLE)
+             * 25000.0 AS bin_lo,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_value
+    FROM orders
+    WHERE o_totalprice IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Equi-width order-value histogram "
+        "(relational.sketches.equi_width_histogram): fixed 25k-wide bins "
+        "as a codegen floor-divide projection + partial-agg groupBy — "
+        "one scan, a shuffle of #bins rows, the profiling primitive "
+        "behind layout/skew decisions.  Fixed bin edges keep it "
+        "single-pass (a min/max-derived range would cost a second scan) "
+        "and cross-engine float-reproducible.",
+    tags=("orders", "histogram", "profiling"),
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.equi_width_histogram(
+        load(spark, sf_dir, "orders"), "o_totalprice", 25000.0
+    )
+
+
+@register(
+    "q130_heavy_hitter_words",
+    sql="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks)
+    SELECT token,
+           COUNT(*) AS cnt,
+           ROUND(COUNT(*) / (SELECT n FROM tot), 6) AS freq
+    FROM toks
+    GROUP BY token
+    HAVING COUNT(*) > (SELECT n FROM tot) / 50
+    """,
+    doc="Exact heavy-hitter vocabulary (count > N/50) via "
+        "candidate-then-verify (relational.sketches.heavy_hitters): "
+        "per-partition Misra-Gries summaries (50 counters, bounded "
+        "memory, no shuffle) whose union is a guaranteed SUPERSET of "
+        "the true heavy hitters by pigeonhole; then ONE exact counting "
+        "pass restricted to the broadcast candidate set.  The oracle "
+        "states the naive full-vocabulary GROUP BY ... HAVING; at "
+        "100 TB that shuffle carries the whole vocabulary while the "
+        "engine's carries <= 50 x partitions candidate keys.  The final "
+        "filter runs on exact counts, so the answer is deterministic "
+        "despite the partition-dependent candidate pass.",
+    tags=("documents", "sketch", "frequent-items", "mapInPandas"),
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    )
+    return sketches.heavy_hitters(tokens, "token", k=50)
+
+
+@register(
+    "q131_robust_value_anomalies",
+    sql="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN abs(e.value - m.med) > 3.0 * d.mad
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_anomalies,
+           CAST(m.med AS DOUBLE) AS med,
+           CAST(d.mad AS DOUBLE) AS mad
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type, m.med, d.mad
+    """,
+    doc="Robust (median/MAD) anomaly gate per event type "
+        "(relational.sketches.robust_anomalies): two exact-median "
+        "reductions at group grain broadcast back onto the fact stream, "
+        "then a codegen comparison — three scans, ZERO fact-side "
+        "shuffles (both joins broadcast #event_type rows).  MAD is the "
+        "telemetry-grade outlier estimator: one corrupt batch moves a "
+        "mean/stddev gate arbitrarily but a median/MAD gate by one "
+        "rank.  Exact interpolating medians match DuckDB bit-for-bit; "
+        "the 100 TB swap is approx_percentile(0.5) with the same plan "
+        "shape.",
+    tags=("events", "anomaly", "robust-stats"),
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.robust_anomalies(
+        load(spark, sf_dir, "events"), "event_type", "value", k_sigma=3.0
+    )
+
+
+@register(
+    "q132_unpivot_lineitem_measures",
+    sql="""
+    WITH long AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                AS DOUBLE) AS sum_val,
+           CAST(CAST(CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_val
+    FROM long
+    GROUP BY measure
+    """,
+    doc="Unpivot / melt (DataFrame.unpivot, Spark's native Expand "
+        "operator) of the four lineitem measures to long form, then a "
+        "4-key aggregate — the wide-to-long reshape every metrics "
+        "pipeline needs.  Expand multiplies rows 4x BEFORE the "
+        "partial agg, but the map-side combine collapses each "
+        "partition to 4 rows pre-shuffle, so the exchange carries "
+        "4 x partitions rows regardless of fact size.  Decimal-exact "
+        "sums (order-independent), average derived from the exact sum "
+        "as double/count in both engines.",
+    tags=("lineitem", "unpivot", "reshape"),
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    sum_dec = F.sum(F.col("val").cast("decimal(18,4)")).cast("decimal(18,4)")
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n_rows"),
+        emit(sum_dec).alias("sum_val"),
+        (emit(sum_dec) / F.count("*")).cast("double").alias("avg_val"),
+    )

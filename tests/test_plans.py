@@ -743,3 +743,64 @@ def test_bpeish_tokenizer_is_pure_codegen_map(plans):
     assert not re.search(r"\(\d+\) Exchange", p)
     assert "EvalPython" not in p
     assert "codegen id" in p
+
+
+def test_bitmap_distinct_has_no_expand_two_exchanges(plans):
+    """q128: exact distinct WITHOUT Spark's count-distinct machinery —
+    the plan must contain NO Expand node (the signature of the Expand +
+    double-shuffle rewrite the bitmap replaces), no Python nodes, and
+    exactly the two word-grain/group-grain hash Exchanges."""
+    import re
+
+    p = plans["q128_bitmap_distinct_users"]
+    assert "Expand" not in p, "bitmap distinct degenerated into count-distinct Expand"
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
+
+
+def test_price_histogram_single_exchange_codegen(plans):
+    """q129: the histogram is a codegen bin projection + one partial-agg
+    Exchange of #bins rows — a second Exchange or a Python node is a
+    profiling pass that re-scans or re-shuffles the fact table."""
+    import re
+
+    p = plans["q129_price_histogram"]
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    # AQE wraps the un-executed plan (no codegen ids printed); the bin
+    # projection staying a plain Project inside the scan stage is the check
+    assert "FLOOR" in p and "HashAggregate" in p
+
+
+def test_heavy_hitters_broadcasts_candidates(plans):
+    """q130: the Misra-Gries candidate set must BROADCAST into the
+    exact-verify join (never shuffle the token stream by token), and
+    the only Python node is the bounded-memory MapInPandas summary."""
+    p = plans["q130_heavy_hitter_words"]
+    assert "MapInPandas" in p, "candidate pass lost its Misra-Gries summary"
+    assert "BroadcastHashJoin" in p, "candidate set is not broadcast"
+    assert "SortMergeJoin" not in p, "verify pass shuffles the token stream"
+
+
+def test_robust_anomalies_broadcasts_group_stats(plans):
+    """q131: both the median and MAD group-grain stats must come back as
+    BroadcastHashJoins — the fact stream is never shuffled for a join,
+    only reduced (hash-agg Exchanges at event_type/word grain)."""
+    import re
+
+    p = plans["q131_robust_value_anomalies"]
+    assert len(re.findall(r"BroadcastHashJoin", p)) >= 2, "group stats not broadcast"
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_unpivot_expand_combines_before_shuffle(plans):
+    """q132: unpivot plans Spark's Expand (4x row multiply) but the
+    partial agg must collapse each partition to 4 rows BEFORE the
+    single Exchange — so exactly one Exchange, no Python nodes."""
+    import re
+
+    p = plans["q132_unpivot_lineitem_measures"]
+    assert "Expand" in p, "unpivot lost its Expand operator"
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p

@@ -157,3 +157,53 @@ def test_bloom_semi_join_across_numeric_families(spark):
         on="k", salt=4, how="semi",
     ).count()
     assert n == 10
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=300), min_size=0, max_size=80),
+    nparts=st.integers(min_value=1, max_value=5),
+)
+def test_bitmap_distinct_equals_count_distinct(spark, ids, nparts):
+    from aquiles_etl_pipeline_spark.relational.sketches import bitmap_distinct
+
+    df = spark.createDataFrame(
+        [(i % 3, i) for i in ids] or [(0, None)], "g int, id int"
+    ).repartition(nparts)
+    got = {
+        (r["g"], r["n_distinct"], r["n_rows"])
+        for r in bitmap_distinct(df, ["g"], "id", count_rows=True).collect()
+    }
+    want = {
+        (r["g"], r["nd"], r["n"])
+        for r in df.groupBy("g")
+        .agg(F.countDistinct("id").alias("nd"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    toks=st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee", "f", "g", "hh"]),
+        min_size=1,
+        max_size=120,
+    ),
+    nparts=st.integers(min_value=1, max_value=6),
+    k=st.integers(min_value=2, max_value=6),
+)
+def test_heavy_hitters_equals_naive_threshold(spark, toks, nparts, k):
+    """Partition-independence: the Misra-Gries candidate pass depends on
+    partitioning, but the exact-verify filter must make the final
+    answer identical to the naive GROUP BY ... HAVING count > N/k for
+    ANY repartitioning and ANY summary capacity."""
+    from collections import Counter
+
+    from aquiles_etl_pipeline_spark.relational.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(t,) for t in toks], "token string").repartition(nparts)
+    got = {(r["token"], r["cnt"]) for r in heavy_hitters(df, "token", k=k).collect()}
+    n = len(toks)
+    want = {(t, c) for t, c in Counter(toks).items() if c > n / k}
+    assert got == want
