@@ -7,5 +7,6 @@ from . import timeseries  # noqa: F401 — registers q61 into the registry
 from . import round4_queries  # noqa: F401 — registers q101+ into the registry
 from . import scale_queries  # noqa: F401 — registers q111+ into the registry
 from . import sketch_queries  # noqa: F401 — registers q128+ into the registry
+from . import graph  # noqa: F401 — registers q134 into the registry
 
 __all__ = ["QuerySpec", "load", "register", "registry"]

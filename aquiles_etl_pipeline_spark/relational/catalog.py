@@ -177,6 +177,8 @@ _GRADE_FIRST = (
     "q130_heavy_hitter_words",
     "q131_robust_value_anomalies",
     "q132_unpivot_lineitem_measures",
+    "q133_zorder_clustering_key",
+    "q134_supplier_pagerank",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

@@ -1,0 +1,135 @@
+"""Iterative graph analytics with exact cross-engine parity (q134).
+
+PageRank is the canonical "Spark beats a single node" workload — but
+float PageRank can never hash-match an independent oracle, because each
+engine sums contributions in its own partial-aggregation order and
+float addition is not associative.  The operator here runs the whole
+recurrence in INTEGER micro-units (rank x 1e6) with explicit floor
+division, so every iteration is exact, order-independent, and
+bit-identical in any engine — the same trick relational.catalog.money
+plays for revenue sums, applied to an iterative algorithm.  The DuckDB
+oracle unrolls the same three iterations as chained CTEs.
+
+At 100 TB you would run the float version (the plan shape is identical)
+and drop the parity guarantee; the integer recurrence documents the
+semantics and keeps the driver gate exact.  BIGINT headroom: the
+damping multiply is 850000 * sum(contrib); contributions conserve total
+mass (#nodes x 1e6), so overflow needs ~1e7 nodes feeding one dst —
+far beyond the graded scale, and the documented switch point to double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load, register
+
+_OFFSET = 10_000_000  # supplier node ids live above part node ids
+_R0 = 1_000_000       # initial rank in micro-units
+_DAMP_NUM = 850_000   # 0.85 damping, micro-units
+_TELEPORT = 150_000   # (1 - 0.85) in micro-units
+
+
+def bipartite_edges(li: DataFrame) -> DataFrame:
+    """Symmetric part<->supplier edge list from lineitem.
+
+    Both directions so every node has out-degree >= 1 (no dangling-mass
+    term in the recurrence).  union + distinct is one shuffle on the
+    edge pair; at scale the edge list is the thing you persist once and
+    reuse across iterations.
+    """
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + _OFFSET).alias("dst"),
+    )
+    rev = li.select(
+        (F.col("l_suppkey") + _OFFSET).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    return fwd.union(rev).distinct()
+
+
+def pagerank_int(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-iteration integer PageRank over a (src, dst) edge list.
+
+    Per iteration: contribution = rank div out_degree (floor), new rank
+    = teleport + (damp * sum(contrib)) div 1e6 — all BIGINT ops.  The
+    node-grain rank/degree frames join the edge list keyed on src and
+    reduce keyed on dst; hash partitioning on the node id is reused
+    across iterations (same key both ways), so each iteration costs one
+    edge-side shuffle join + one aggregation, the textbook Pregel
+    super-step shape.  Returns (node, rank_micro).
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(_R0).cast("long").alias("r")
+    )
+    for _ in range(iters):
+        src_state = deg.join(
+            ranks, deg.src == ranks.node
+        ).select("src", F.expr("r div deg").alias("c"))
+        ranks = (
+            edges.join(src_state, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({_TELEPORT} + ({_DAMP_NUM} * s) div 1000000 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+def _iter_sql(k: int) -> str:
+    return f"""
+    it{k} AS (
+      SELECT e.dst AS node,
+             CAST({_TELEPORT} + ({_DAMP_NUM} * SUM(r.r // d.d)) // 1000000
+                  AS BIGINT) AS r
+      FROM edges e
+      JOIN it{k - 1} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )"""
+
+
+@register(
+    "q134_supplier_pagerank",
+    sql=f"""
+    WITH edges AS (
+      SELECT l_partkey AS src, l_suppkey + {_OFFSET} AS dst FROM lineitem
+      UNION
+      SELECT l_suppkey + {_OFFSET} AS src, l_partkey AS dst FROM lineitem
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    it0 AS (SELECT src AS node, CAST({_R0} AS BIGINT) AS r FROM deg),
+    {_iter_sql(1)},
+    {_iter_sql(2)},
+    {_iter_sql(3)}
+    SELECT node - {_OFFSET} AS s_suppkey, r AS rank_micro
+    FROM it3
+    WHERE node >= {_OFFSET}
+    """,
+    doc="Three-iteration PageRank over the bipartite part<->supplier "
+        "graph (relational.graph.pagerank_int), reported for supplier "
+        "nodes.  Integer micro-unit arithmetic (rank x 1e6, floor "
+        "divisions) makes the iterative recurrence order-independent "
+        "and exactly reproducible, so the DuckDB oracle can unroll the "
+        "SAME three iterations as CTEs and hash-match — the iterative-"
+        "algorithm representative of the catalog alongside connected "
+        "components (q52) and k-means (q108).  Plan shape per "
+        "iteration: node-grain state joins the edge list on src, "
+        "reduces on dst — hash partitioning on the node id reused "
+        "across super-steps; at 100 TB persist the edge list once and "
+        "checkpoint state every few rounds (the q52 discipline).",
+    tags=("graph", "iterative", "pagerank", "lineitem"),
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    ranks = pagerank_int(bipartite_edges(li), iters=3)
+    return ranks.where(F.col("node") >= _OFFSET).select(
+        (F.col("node") - _OFFSET).alias("s_suppkey"), "rank_micro"
+    )

@@ -739,3 +739,68 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmdata.textstats import token_counts
 
     return token_counts(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q133: Z-order (Morton) clustering key
+# ---------------------------------------------------------------------------
+
+def _zorder_sql(x_col: str, y_col: str, bits: int = 16) -> str:
+    """The EXACT expression text partitioning.zorder_key plans — emitted
+    here too so the DuckDB oracle evaluates the identical arithmetic
+    (&, |, << on BIGINT are engine-portable)."""
+
+    def spread(c: str) -> str:
+        e = f"(CAST({c} AS BIGINT) & {(1 << bits) - 1})"
+        for shift, mask in (
+            (8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555),
+        ):
+            e = f"((({e}) | (({e}) << {shift})) & {mask})"
+        return e
+
+    return f"({spread(x_col)}) | (({spread(y_col)}) << 1)"
+
+
+@register(
+    "q133_zorder_clustering_key",
+    sql=f"""
+    WITH z AS (
+      SELECT ({_zorder_sql('l_partkey', 'l_suppkey')}) AS zval
+      FROM lineitem
+    )
+    SELECT zval // 4096 AS zbucket,
+           COUNT(*) AS n_rows,
+           MIN(zval) AS z_min,
+           MAX(zval) AS z_max,
+           CAST(SUM(zval) AS BIGINT) AS z_sum
+    FROM z
+    GROUP BY 1
+    """,
+    doc="Z-order / Morton clustering key (partitioning.zorder_key): "
+        "interleave the low 16 bits of (l_partkey, l_suppkey) via the "
+        "magic-mask bit spread — 5 codegen integer ops per coordinate, "
+        "no UDF — and roll the keys up into 256 Z-range buckets "
+        "(count + min/max envelope per bucket).  This is the sort key "
+        "behind multi-dimensional file skipping (Delta OPTIMIZE ZORDER "
+        "analog, pairs with Warehouse.compact(sort_by=)): a rewrite "
+        "ordered by zval gives every file a tight min/max box on BOTH "
+        "key columns, so predicates on EITHER dimension prune files.  "
+        "The oracle evaluates the IDENTICAL bit arithmetic, so one "
+        "flipped bit anywhere flips a bucket and fails the hash gate.  "
+        "One scan, one #buckets-row Exchange.",
+    tags=("layout", "zorder", "lineitem"),
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import zorder_key
+
+    li = load(spark, sf_dir, "lineitem")
+    z = li.select(zorder_key("l_partkey", "l_suppkey").alias("zval"))
+    return (
+        z.groupBy(F.expr("zval div 4096").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+            F.sum("zval").alias("z_sum"),
+        )
+    )

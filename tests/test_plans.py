@@ -804,3 +804,23 @@ def test_unpivot_expand_combines_before_shuffle(plans):
     assert "Expand" in p, "unpivot lost its Expand operator"
     assert "EvalPython" not in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_zorder_key_is_pure_codegen(plans):
+    """q133: the Morton interleave is integer codegen arithmetic — no
+    Python nodes, exactly one #buckets-row Exchange."""
+    import re
+
+    p = plans["q133_zorder_clustering_key"]
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_pagerank_iterations_have_no_cartesian(plans):
+    """q134: every super-step is an equi-join + keyed aggregation —
+    a CartesianProduct or Python node anywhere in the unrolled
+    3-iteration plan is a scale regression."""
+    p = plans["q134_supplier_pagerank"]
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "Join" in p

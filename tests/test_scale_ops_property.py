@@ -207,3 +207,75 @@ def test_heavy_hitters_equals_naive_threshold(spark, toks, nparts, k):
     n = len(toks)
     want = {(t, c) for t, c in Counter(toks).items() if c > n / k}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=70000),
+            st.integers(min_value=0, max_value=70000),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_zorder_key_equals_naive_interleave(spark, pts):
+    """The magic-mask spread must equal the textbook bit-by-bit
+    interleave for any 16-bit coordinates (values above 2^16 truncate)."""
+    from aquiles_etl_pipeline_spark.partitioning import zorder_key
+
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = [
+        r["z"]
+        for r in df.select(zorder_key("x", "y").alias("z")).collect()
+    ]
+
+    def naive(x, y):
+        x &= 0xFFFF
+        y &= 0xFFFF
+        return sum(((x >> i) & 1) << (2 * i) for i in range(16)) | (
+            sum(((y >> i) & 1) << (2 * i) for i in range(16)) << 1
+        )
+
+    assert got == [naive(x, y) for x, y in pts]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    iters=st.integers(min_value=1, max_value=3),
+)
+def test_pagerank_int_equals_python_reference(spark, edges, iters):
+    """Integer PageRank is exactly reproducible: the distributed
+    recurrence must equal a sequential pure-python evaluation of the
+    same floor-division arithmetic on any random digraph."""
+    from aquiles_etl_pipeline_spark.relational.graph import pagerank_int
+
+    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        (r["node"], r["rank_micro"]) for r in pagerank_int(df, iters=iters).collect()
+    }
+
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for a, b in sym:
+        out[a].append(b)
+    rank = {n: 1_000_000 for n in out}
+    for _ in range(iters):
+        acc = defaultdict(int)
+        for src, dsts in out.items():
+            c = rank[src] // len(dsts)
+            for d in dsts:
+                acc[d] += c
+        rank = {n: 150_000 + (850_000 * s) // 1_000_000 for n, s in acc.items()}
+    assert got == set(rank.items())
