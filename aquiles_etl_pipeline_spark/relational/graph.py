@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 
 from .catalog import load, register
 
-_OFFSET = 10_000_000  # supplier node ids live above part node ids
+# Node ids: part p -> 2p, supplier s -> 2s + 1.  Parity-tagged ids are
+# collision-free at ANY scale factor (an additive offset would alias
+# parts into the supplier range once partkey exceeds it — TPC-H partkey
+# reaches SF x 200k, so a 1e7 offset breaks at SF >= 50).
 _R0 = 1_000_000       # initial rank in micro-units
 _DAMP_NUM = 850_000   # 0.85 damping, micro-units
 _TELEPORT = 150_000   # (1 - 0.85) in micro-units
@@ -40,12 +43,12 @@ def bipartite_edges(li: DataFrame) -> DataFrame:
     reuse across iterations.
     """
     fwd = li.select(
-        F.col("l_partkey").alias("src"),
-        (F.col("l_suppkey") + _OFFSET).alias("dst"),
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     rev = li.select(
-        (F.col("l_suppkey") + _OFFSET).alias("src"),
-        F.col("l_partkey").alias("dst"),
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("l_partkey") * 2).alias("dst"),
     )
     return fwd.union(rev).distinct()
 
@@ -100,18 +103,18 @@ def _iter_sql(k: int) -> str:
     "q134_supplier_pagerank",
     sql=f"""
     WITH edges AS (
-      SELECT l_partkey AS src, l_suppkey + {_OFFSET} AS dst FROM lineitem
+      SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
       UNION
-      SELECT l_suppkey + {_OFFSET} AS src, l_partkey AS dst FROM lineitem
+      SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem
     ),
     deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
     it0 AS (SELECT src AS node, CAST({_R0} AS BIGINT) AS r FROM deg),
     {_iter_sql(1)},
     {_iter_sql(2)},
     {_iter_sql(3)}
-    SELECT node - {_OFFSET} AS s_suppkey, r AS rank_micro
+    SELECT (node - 1) // 2 AS s_suppkey, r AS rank_micro
     FROM it3
-    WHERE node >= {_OFFSET}
+    WHERE node % 2 = 1
     """,
     doc="Three-iteration PageRank over the bipartite part<->supplier "
         "graph (relational.graph.pagerank_int), reported for supplier "
@@ -130,6 +133,6 @@ def _iter_sql(k: int) -> str:
 def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     ranks = pagerank_int(bipartite_edges(li), iters=3)
-    return ranks.where(F.col("node") >= _OFFSET).select(
-        (F.col("node") - _OFFSET).alias("s_suppkey"), "rank_micro"
+    return ranks.where(F.col("node") % 2 == 1).select(
+        F.expr("(node - 1) div 2").alias("s_suppkey"), "rank_micro"
     )

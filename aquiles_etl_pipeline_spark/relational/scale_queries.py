@@ -745,20 +745,8 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q133: Z-order (Morton) clustering key
 # ---------------------------------------------------------------------------
 
-def _zorder_sql(x_col: str, y_col: str, bits: int = 16) -> str:
-    """The EXACT expression text partitioning.zorder_key plans — emitted
-    here too so the DuckDB oracle evaluates the identical arithmetic
-    (&, |, << on BIGINT are engine-portable)."""
-
-    def spread(c: str) -> str:
-        e = f"(CAST({c} AS BIGINT) & {(1 << bits) - 1})"
-        for shift, mask in (
-            (8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555),
-        ):
-            e = f"((({e}) | (({e}) << {shift})) & {mask})"
-        return e
-
-    return f"({spread(x_col)}) | (({spread(y_col)}) << 1)"
+from ..partitioning import zorder_sql as _zorder_sql  # single source of the
+# interleave expression: the oracle below and zorder_key plan the SAME text
 
 
 @register(

@@ -23,13 +23,11 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 if TYPE_CHECKING:  # pragma: no cover
-    pass
+    import pandas as pd
 
 
 def bitmap_distinct(
@@ -65,7 +63,13 @@ def bitmap_distinct(
     words = (
         df.select(*group_cols, word, bit.alias("__bit"))
         .groupBy(*group_cols, "__word")
-        .agg(F.bit_or("__bit").alias("__bits"), F.count("*").alias("__n"))
+        .agg(
+            F.bit_or("__bit").alias("__bits"),
+            # only thread the per-word row count through the exchange
+            # when the caller asked for it — the word-grain shuffle is
+            # the cost this operator exists to minimize
+            *([F.count("*").alias("__n")] if count_rows else []),
+        )
     )
     aggs = [F.sum(F.bit_count("__bits")).alias("n_distinct")]
     if count_rows:
@@ -88,6 +92,8 @@ def _misra_gries_partition(
     partition size — the property that lets the candidate pass run on
     arbitrarily large partitions.
     """
+    import pandas as pd  # executor-side; the driver module stays pandas-free
+
     counters: dict[str, int] = {}
     for pdf in batches:
         for tok in pdf[token_col]:
@@ -131,9 +137,13 @@ def heavy_hitters(
     result is deterministic and partitioning-independent even though
     the candidate pass is not.  Returns (token, cnt, freq) with freq
     rounded to 6 places.
+
+    Fully lazy: the total-count threshold joins in as a broadcast
+    single-row aggregate (the oracle's ``tot`` CTE shape), so building
+    the frame runs no jobs and the token stream is scanned exactly
+    twice (candidates + verify) — the 1 x N conditionless cross join
+    is a degenerate broadcast map, not a real cartesian.
     """
-    total = tokens.count()  # single scalar job; the stream is scanned twice
-    threshold = total / float(k)
     schema = f"{token_col} string"
     candidates = (
         tokens.mapInPandas(
@@ -141,16 +151,18 @@ def heavy_hitters(
         )
         .distinct()
     )
-    exact = (
+    total = tokens.agg(F.count("*").alias("__total"))
+    return (
         tokens.join(F.broadcast(candidates), token_col)
         .groupBy(token_col)
         .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") > F.lit(threshold))
-    )
-    return exact.select(
-        token_col,
-        "cnt",
-        F.round(F.col("cnt") / F.lit(float(total)), 6).alias("freq"),
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > F.col("__total") / F.lit(k))
+        .select(
+            token_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("freq"),
+        )
     )
 
 

@@ -116,6 +116,9 @@ def test_no_accidental_cartesian_products(plans):
         # the fact scan as a broadcast single-row array (1 x N,
         # conditionless by construction) — q42's degenerate map shape
         "q111_bloom_semijoin_revenue",
+        # q130 heavy hitters: the corpus token total joins in as a
+        # broadcast single-row aggregate (1 x N) — q42's shape again
+        "q130_heavy_hitter_words",
     }
     for name, p in plans.items():
         if name in allowed:
