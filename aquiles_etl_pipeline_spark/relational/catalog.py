@@ -179,6 +179,8 @@ _GRADE_FIRST = (
     "q132_unpivot_lineitem_measures",
     "q133_zorder_clustering_key",
     "q134_supplier_pagerank",
+    "q135_order_count_distribution",
+    "q136_equi_depth_buckets",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

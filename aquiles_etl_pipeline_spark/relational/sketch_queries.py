@@ -1,4 +1,4 @@
-"""Sketch-shaped exact-aggregation catalog entries (q128-q132).
+"""Sketch-shaped exact-aggregation + distribution catalog entries (q128+).
 
 Each query states naive semantics in its DuckDB oracle while the engine
 runs the sketch-shaped plan from ``relational.sketches``:
@@ -8,6 +8,8 @@ runs the sketch-shaped plan from ``relational.sketches``:
   q130  Misra-Gries candidate + exact-verify heavy-hitter words
   q131  median/MAD robust anomaly gate per event type
   q132  unpivot (melt) of lineitem measures to long form
+  q135  TPC-H Q13-style order-count distribution (double aggregation)
+  q136  equi-depth quantile bucketing (boundary row broadcast, CASE map)
 """
 
 from __future__ import annotations
@@ -200,4 +202,99 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         emit(sum_dec).alias("sum_val"),
         (emit(sum_dec) / F.count("*")).cast("double").alias("avg_val"),
+    )
+
+
+@register(
+    "q135_order_count_distribution",
+    sql="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: distribution of customers by order count — "
+        "the double-aggregation pattern (left join preserving "
+        "zero-order customers, per-customer count, then a histogram "
+        "over the counts).  Scale: the join + first agg share one "
+        "hash-by-custkey Exchange (count rides the join's "
+        "partitioning); the second agg reduces #customers rows to "
+        "#distinct-counts — tiny.  The left join keeps c_count=0 "
+        "customers, the detail naive GROUP BY formulations lose.",
+    tags=("customer", "orders", "double-agg", "tpch"),
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q136_equi_depth_buckets",
+    sql="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.50) AS q2,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    )
+    SELECT CASE WHEN o_totalprice <= b.q1 THEN 0
+                WHEN o_totalprice <= b.q2 THEN 1
+                WHEN o_totalprice <= b.q3 THEN 2
+                ELSE 3 END AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_value
+    FROM orders, b
+    GROUP BY 1
+    """,
+    doc="Equi-DEPTH (quantile) bucketing: exact quartile boundaries "
+        "computed once as a single-row aggregate, broadcast back onto "
+        "the fact stream, and applied as a codegen CASE projection — "
+        "range-partitioning boundary computation as a query (the "
+        "RangePartitioner / Delta OPTIMIZE file-sizing primitive), "
+        "complementing q129's equi-WIDTH bins.  The fact table is "
+        "never sorted or shuffled for the bucketing itself; the only "
+        "Exchange is the 4-row final agg.  Spark `percentile` and "
+        "DuckDB quantile_cont share linear-interpolation semantics, "
+        "so the boundaries are bit-identical; at 100 TB swap in "
+        "approx_percentile (same plan shape, documented trade).  The "
+        "1 x N conditionless broadcast of the boundary row is a "
+        "degenerate map, not a real cartesian.",
+    tags=("orders", "quantile", "bucketing", "profiling"),
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    b = o.agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.50).alias("q2"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    v = F.col("o_totalprice")
+    bucket = (
+        F.when(v <= F.col("q1"), 0)
+        .when(v <= F.col("q2"), 1)
+        .when(v <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(v.cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_value"),
+        )
     )

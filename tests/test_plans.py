@@ -119,6 +119,9 @@ def test_no_accidental_cartesian_products(plans):
         # q130 heavy hitters: the corpus token total joins in as a
         # broadcast single-row aggregate (1 x N) — q42's shape again
         "q130_heavy_hitter_words",
+        # q136 equi-depth buckets: the quartile-boundary row joins in
+        # as a broadcast single-row aggregate (1 x N) — q42's shape
+        "q136_equi_depth_buckets",
     }
     for name, p in plans.items():
         if name in allowed:
@@ -827,3 +830,29 @@ def test_pagerank_iterations_have_no_cartesian(plans):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "Join" in p
+
+
+def test_order_count_distribution_two_agg_levels(plans):
+    """q135 (TPC-H Q13 shape): left join + per-customer agg + count
+    histogram — at most 3 Exchanges (join-side shuffles fold into
+    broadcast at toy SF; the histogram agg is #distinct-counts rows),
+    and never a Python node."""
+    import re
+
+    p = plans["q135_order_count_distribution"]
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3, p
+
+
+def test_equi_depth_buckets_broadcast_boundaries(plans):
+    """q136: the quartile boundary row must broadcast back as a
+    degenerate 1 x N map (BroadcastNestedLoopJoin by construction) —
+    the fact table is never sorted or shuffled for the bucketing; only
+    the single-row percentile agg and the 4-row final agg exchange."""
+    import re
+
+    p = plans["q136_equi_depth_buckets"]
+    assert "BroadcastNestedLoopJoin" in p
+    assert "Sort" not in p, "equi-depth bucketing sorted the fact table"
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    assert "EvalPython" not in p
