@@ -181,6 +181,7 @@ _GRADE_FIRST = (
     "q134_supplier_pagerank",
     "q135_order_count_distribution",
     "q136_equi_depth_buckets",
+    "q137_data_quality_expectations",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

@@ -10,6 +10,7 @@ runs the sketch-shaped plan from ``relational.sketches``:
   q132  unpivot (melt) of lineitem measures to long form
   q135  TPC-H Q13-style order-count distribution (double aggregation)
   q136  equi-depth quantile bucketing (boundary row broadcast, CASE map)
+  q137  declarative data-quality expectation suite (one-pass CASE sums)
 """
 
 from __future__ import annotations
@@ -298,3 +299,68 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "q137_data_quality_expectations",
+    sql="""
+    SELECT 'quantity_in_range' AS rule, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+           ROUND(SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
+                          THEN 0 ELSE 1 END) / COUNT(*), 6) AS violation_rate
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_in_range', COUNT(*),
+           CAST(SUM(CASE WHEN COALESCE(l_discount BETWEEN 0.0 AND 0.1, FALSE)
+                         THEN 0 ELSE 1 END) AS BIGINT),
+           ROUND(SUM(CASE WHEN COALESCE(l_discount BETWEEN 0.0 AND 0.1, FALSE)
+                          THEN 0 ELSE 1 END) / COUNT(*), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'tax_non_negative', COUNT(*),
+           CAST(SUM(CASE WHEN COALESCE(l_tax >= 0.0, FALSE)
+                         THEN 0 ELSE 1 END) AS BIGINT),
+           ROUND(SUM(CASE WHEN COALESCE(l_tax >= 0.0, FALSE)
+                          THEN 0 ELSE 1 END) / COUNT(*), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'shipdate_present', COUNT(*),
+           CAST(SUM(CASE WHEN l_shipdate IS NOT NULL
+                         THEN 0 ELSE 1 END) AS BIGINT),
+           ROUND(SUM(CASE WHEN l_shipdate IS NOT NULL
+                          THEN 0 ELSE 1 END) / COUNT(*), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_valid', COUNT(*),
+           CAST(SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE)
+                         THEN 0 ELSE 1 END) AS BIGINT),
+           ROUND(SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE)
+                          THEN 0 ELSE 1 END) / COUNT(*), 6)
+    FROM lineitem
+    """,
+    doc="Declarative data-quality expectation suite "
+        "(relational.quality.expectation_report): five rules over "
+        "lineitem evaluated in ONE aggregation pass — every rule is a "
+        "CASE sum folding map-side, the single stats row unpivots to "
+        "the long report via stack().  The oracle states the naive "
+        "one-scan-per-rule UNION ALL; the engine's plan reads the "
+        "table once regardless of suite size (plan-tested: 1 scan, "
+        "1 single-row Exchange).  Violations are null-hostile "
+        "(unevaluable predicate = violated), the Great Expectations "
+        "convention, pinned by COALESCE(..., FALSE) on both sides.  "
+        "The DLT-expectations primitive every ingest gate needs.",
+    tags=("quality", "lineitem", "profiling"),
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality import expectation_report
+
+    li = load(spark, sf_dir, "lineitem")
+    rules = [
+        ("quantity_in_range", F.col("l_quantity").between(1, 50)),
+        ("discount_in_range", F.col("l_discount").between(0.0, 0.1)),
+        ("tax_non_negative", F.col("l_tax") >= 0.0),
+        ("shipdate_present", F.col("l_shipdate").isNotNull()),
+        ("returnflag_valid", F.col("l_returnflag").isin("A", "N", "R")),
+    ]
+    return expectation_report(li, rules)

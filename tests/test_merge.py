@@ -469,3 +469,28 @@ def test_scd2_versions_history_and_as_of(spark, tmp_path):
     assert jan == {1: "NY", 2: "CA"}
     feb = {r["id"]: r["state"] for r in as_of(wh.read("dim"), "2024-02-15").collect()}
     assert feb == {1: "TX", 2: "CA", 3: "WA"}
+
+
+def test_quality_quarantine_complements_report(spark):
+    """quarantine() must return exactly the rows the report counts as
+    violating (any rule false-or-null — the null-hostile convention)."""
+    from pyspark.sql import functions as F
+
+    from aquiles_etl_pipeline_spark.relational.quality import (
+        expectation_report,
+        quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (3, None), (4, 200.0)], "id int, v double"
+    )
+    rules = [
+        ("v_nonneg", F.col("v") >= 0),
+        ("v_small", F.col("v") < 100),
+    ]
+    rep = {r["rule"]: r for r in expectation_report(df, rules).collect()}
+    assert rep["v_nonneg"]["n_violations"] == 2  # -1 and null
+    assert rep["v_small"]["n_violations"] == 2   # 200 and null
+    assert rep["v_nonneg"]["n_rows"] == 4
+    bad_ids = sorted(r["id"] for r in quarantine(df, rules).collect())
+    assert bad_ids == [2, 3, 4]

@@ -856,3 +856,16 @@ def test_equi_depth_buckets_broadcast_boundaries(plans):
     assert "Sort" not in p, "equi-depth bucketing sorted the fact table"
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
     assert "EvalPython" not in p
+
+
+def test_expectation_suite_single_scan(plans):
+    """q137: the whole 5-rule expectation suite must evaluate in ONE
+    pass — exactly one parquet scan and the single-row aggregate
+    Exchange, never a job or scan per rule (the oracle's UNION ALL
+    states the naive 5-scan semantics)."""
+    import re
+
+    p = plans["q137_data_quality_expectations"]
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1, p
+    assert "EvalPython" not in p
