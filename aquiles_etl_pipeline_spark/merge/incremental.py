@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 
 from .warehouse import Warehouse
 
-_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+# sum is additive; min/max/bit_or are idempotent semilattices (safe under
+# re-merge of overlapping deltas) — bit_or is what makes EXACT distinct
+# counts incrementally maintainable (mergeable bitmap sketches)
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max, "bit_or": F.bit_or}
 
 
 def refresh_additive(

@@ -182,6 +182,7 @@ _GRADE_FIRST = (
     "q135_order_count_distribution",
     "q136_equi_depth_buckets",
     "q137_data_quality_expectations",
+    "q138_streaming_bitmap_dau",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

@@ -814,3 +814,65 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("path").cast("long").alias("doc_id"),
         "width", "height", "target_width", "target_height",
     )
+
+
+# ---------------------------------------------------------------------------
+# q138: streaming incremental EXACT distinct (bitmap DAU rollup)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q138_streaming_bitmap_dau",
+    sql="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_distinct
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Streaming incremental EXACT distinct counting "
+        "(streaming.aggregates.stream_daily_active_bitmaps): the "
+        "events table lands as JSONL in two waves split by event "
+        "parity — so most days have active users in BOTH waves — and "
+        "two checkpointed AvailableNow drains maintain a per-(day, "
+        "word) bitmap rollup via bit_or merges.  The popcount readback "
+        "must equal a full batch COUNT(DISTINCT) (the oracle): "
+        "COUNT(DISTINCT) is non-additive as a scalar, which is why "
+        "streaming DAU usually degrades to approximate HLL — stored "
+        "as bitmap words it is a MERGEABLE sketch with zero "
+        "approximation, idempotent per word, O(batch + touched words) "
+        "per trigger.  Proves merge.incremental's bit_or semilattice "
+        "+ batch-id idempotence end-to-end under the hash gate.",
+    tags=("streaming", "warehouse", "sketch", "events"),
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from pathlib import Path
+
+    from ..merge.warehouse import Warehouse
+    from ..sources.jsonl import write_jsonl
+    from ..streaming.aggregates import stream_daily_active_bitmaps
+
+    root = Path(tempfile.mkdtemp(prefix="q138_stream_"))
+    land = root / "land"
+    land.mkdir()
+    wh = Warehouse(spark, root / "wh")
+    e = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id", "event_id"
+    )
+
+    def land_wave(df: DataFrame, tag: str) -> None:
+        wave_dir = root / f"wave_{tag}"
+        write_jsonl(df, str(wave_dir), compression=None, shards=4)
+        for f in wave_dir.glob("part-*.json"):
+            shutil.copy(f, land / f"{tag}_{f.name}")
+
+    land_wave(e.where(F.col("event_id") % 2 == 0), "a")
+    stream_daily_active_bitmaps(spark, str(land), wh, str(root / "ckpt"))
+    land_wave(e.where(F.col("event_id") % 2 == 1), "b")
+    stream_daily_active_bitmaps(spark, str(land), wh, str(root / "ckpt"))
+
+    stored = wh.read("dau_bitmap")
+    return stored.groupBy("day").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum(F.bit_count("bits")).cast("long").alias("n_distinct"),
+    )

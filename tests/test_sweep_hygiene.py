@@ -49,6 +49,8 @@ PERSIST_PRONE = [
     "q126_stream_static_enrichment",
     # q127 runs two watermarked-aggregation drains (state store)
     "q127_watermark_late_drop",
+    # q138's foreachBatch caches each micro-batch bitmap delta
+    "q138_streaming_bitmap_dau",
 ]
 
 
