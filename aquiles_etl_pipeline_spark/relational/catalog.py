@@ -183,6 +183,7 @@ _GRADE_FIRST = (
     "q136_equi_depth_buckets",
     "q137_data_quality_expectations",
     "q138_streaming_bitmap_dau",
+    "q139_price_quantity_regression",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

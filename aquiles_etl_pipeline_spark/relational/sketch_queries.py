@@ -11,6 +11,7 @@ runs the sketch-shaped plan from ``relational.sketches``:
   q135  TPC-H Q13-style order-count distribution (double aggregation)
   q136  equi-depth quantile bucketing (boundary row broadcast, CASE map)
   q137  declarative data-quality expectation suite (one-pass CASE sums)
+  q139  per-group OLS regression via sufficient statistics (one pass)
 """
 
 from __future__ import annotations
@@ -172,9 +173,9 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT measure,
            COUNT(*) AS n_rows,
-           CAST(CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DECIMAL(18,4))
+           CAST(CAST(SUM(CAST(val AS DECIMAL(12,4))) AS DECIMAL(12,4))
                 AS DOUBLE) AS sum_val,
-           CAST(CAST(CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DECIMAL(18,4))
+           CAST(CAST(CAST(SUM(CAST(val AS DECIMAL(12,4))) AS DECIMAL(12,4))
                 AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_val
     FROM long
     GROUP BY measure
@@ -364,3 +365,52 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("returnflag_valid", F.col("l_returnflag").isin("A", "N", "R")),
     ]
     return expectation_report(li, rules)
+
+
+@register(
+    "q139_price_quantity_regression",
+    sql="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sy,
+             -- first factor DECIMAL(19,4): forces DuckDB's int128 multiply
+             -- path (<=18-digit operands overflow int64); values identical
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                    * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                    * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                    * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    doc="Distributed OLS via sufficient statistics "
+        "(relational.sketches.linear_fit): extendedprice ~ quantity "
+        "per returnflag.  Six map-side-combinable sums in ONE "
+        "aggregation pass (#groups-row shuffle), closed-form "
+        "slope/intercept/r2 on the tiny result — regression at 100 TB "
+        "is a single scan, never an iterative solver, and generalizes "
+        "to k features as the X'X normal equations (k^2 sums).  "
+        "Second moments sum as exact decimals (the money rule), and "
+        "both engines evaluate the IDENTICAL double closed form on "
+        "those sums, so the gate hashes match bit-for-bit.",
+    tags=("lineitem", "regression", "ml-stats"),
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.linear_fit(
+        load(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+    )

@@ -246,3 +246,50 @@ def robust_anomalies(
             F.col("__mad").cast("double").alias("mad"),
         )
     )
+
+
+def linear_fit(
+    df: DataFrame, x_col: str, y_col: str, group_col: str
+) -> DataFrame:
+    """Per-group simple linear regression via sufficient statistics.
+
+    The distributed-ML primitive: OLS needs only (n, Sx, Sy, Sxx, Syy,
+    Sxy) — six map-side-combinable sums — so the fit is ONE aggregation
+    pass with a #groups-row shuffle, then closed-form arithmetic on the
+    tiny result.  No iteration, no driver-side data movement: the shape
+    that fits 100 TB in a single scan (and generalizes to k features as
+    X'X normal equations, k^2 sums).
+
+    Cross-engine exactness discipline: each product is cast to DECIMAL
+    before summing (order-independent integer arithmetic — the
+    catalog.money rule applied to second moments), and the closed-form
+    slope/intercept/r2 are computed from those exact sums with the SAME
+    double expression in both engines, so even the float stage is
+    bit-identical.  Returns (group, n, slope, intercept, r2) with the
+    float outputs rounded to 6 places.
+    """
+    # 12,4 not 18,4: the PRODUCT must fit both engines' decimal caps
+    # (DuckDB cannot widen an 18-digit operand product past 38)
+    xd = F.col(x_col).cast("decimal(12,4)")
+    yd = F.col(y_col).cast("decimal(12,4)")
+    stats = df.groupBy(group_col).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return stats.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    )

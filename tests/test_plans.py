@@ -869,3 +869,16 @@ def test_expectation_suite_single_scan(plans):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1, p
     assert "EvalPython" not in p
+
+
+def test_linear_fit_single_pass(plans):
+    """q139: OLS via sufficient statistics must be ONE aggregation pass
+    — one parquet scan, one #groups Exchange, closed form in the
+    projection; a second scan or a Python node means the fit stopped
+    being a single-pass reduction."""
+    import re
+
+    p = plans["q139_price_quantity_regression"]
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "EvalPython" not in p

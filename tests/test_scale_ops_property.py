@@ -279,3 +279,37 @@ def test_pagerank_int_equals_python_reference(spark, edges, iters):
                 acc[d] += c
         rank = {n: 150_000 + (850_000 * s) // 1_000_000 for n, s in acc.items()}
     assert got == set(rank.items())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_linear_fit_matches_closed_form(spark, pts):
+    """The distributed sufficient-statistics fit must equal the same
+    closed form evaluated sequentially on exact integer sums (guarding
+    the decimal-cast path against silent truncation)."""
+    from aquiles_etl_pipeline_spark.relational.sketches import linear_fit
+
+    xs = [x for x, _ in pts]
+    # skip degenerate zero-variance x draws (slope undefined: 0/0)
+    if len(set(xs)) < 2:
+        return
+    df = spark.createDataFrame([(x, y, "g") for x, y in pts], "x int, y int, g string")
+    row = linear_fit(df, "x", "y", "g").collect()[0]
+    n = float(len(pts))
+    sx, sy = float(sum(xs)), float(sum(y for _, y in pts))
+    sxx = float(sum(x * x for x, _ in pts))
+    syy = float(sum(y * y for _, y in pts))
+    sxy = float(sum(x * y for x, y in pts))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["n"] == len(pts)
+    assert row["slope"] == round(slope, 6)
+    assert row["intercept"] == round((sy - slope * sx) / n, 6)
