@@ -184,6 +184,7 @@ _GRADE_FIRST = (
     "q137_data_quality_expectations",
     "q138_streaming_bitmap_dau",
     "q139_price_quantity_regression",
+    "q140_chi_square_contingency",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

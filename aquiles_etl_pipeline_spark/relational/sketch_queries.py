@@ -12,6 +12,7 @@ runs the sketch-shaped plan from ``relational.sketches``:
   q136  equi-depth quantile bucketing (boundary row broadcast, CASE map)
   q137  declarative data-quality expectation suite (one-pass CASE sums)
   q139  per-group OLS regression via sufficient statistics (one pass)
+  q140  chi-square contingency cells (independence-test primitive)
 """
 
 from __future__ import annotations
@@ -413,4 +414,72 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         "l_extendedprice",
         "l_returnflag",
+    )
+
+
+@register(
+    "q140_chi_square_contingency",
+    sql="""
+    WITH cnt AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+             COUNT(*) AS observed
+      FROM events
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, hr, observed,
+             SUM(observed) OVER (PARTITION BY event_type) AS row_t,
+             SUM(observed) OVER (PARTITION BY hr) AS col_t,
+             SUM(observed) OVER () AS n
+      FROM cnt
+    )
+    SELECT event_type,
+           CAST(hr AS INT) AS hr,
+           observed,
+           ROUND(CAST(row_t * col_t AS DOUBLE) / n, 6) AS expected,
+           ROUND(POWER(observed - CAST(row_t * col_t AS DOUBLE) / n, 2)
+                 / (CAST(row_t * col_t AS DOUBLE) / n), 6) AS chi2_contrib
+    FROM tot
+    """,
+    doc="Chi-square contingency analysis of event_type x hour-of-day: "
+        "observed vs expected-under-independence counts and per-cell "
+        "chi-square contributions — the independence-test primitive "
+        "behind drift detection and feature screening.  One fact "
+        "aggregation to cell grain (#types x 24 rows), then window "
+        "sums over the TINY cell frame for the marginals (no second "
+        "fact scan, no joins); all marginals are exact integer sums, "
+        "and both engines evaluate the identical double closed form "
+        "per cell (the q139 discipline), so rounding matches bit-for-"
+        "bit.  The total statistic is the sum of chi2_contrib — left "
+        "at cell grain because a 120-double sum is engine-order-"
+        "sensitive; cells are exact.",
+    tags=("events", "ml-stats", "contingency"),
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    cnt = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count("*").alias("observed"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("hr")
+    w_all = Window.partitionBy()
+    tot = cnt.select(
+        "event_type",
+        "hr",
+        "observed",
+        F.sum("observed").over(w_row).alias("row_t"),
+        F.sum("observed").over(w_col).alias("col_t"),
+        F.sum("observed").over(w_all).alias("n"),
+    )
+    expected = (F.col("row_t") * F.col("col_t")).cast("double") / F.col("n")
+    return tot.select(
+        "event_type",
+        "hr",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            F.pow(F.col("observed") - expected, F.lit(2)) / expected, 6
+        ).alias("chi2_contrib"),
     )

@@ -882,3 +882,15 @@ def test_linear_fit_single_pass(plans):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert "EvalPython" not in p
+
+
+def test_chi_square_marginals_avoid_second_scan(plans):
+    """q140: the marginals must come from window sums over the tiny
+    cell frame — exactly one parquet scan; the windows add exchanges
+    over #cells rows only, and no joins appear at all."""
+    import re
+
+    p = plans["q140_chi_square_contingency"]
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Join" not in p
+    assert "EvalPython" not in p
