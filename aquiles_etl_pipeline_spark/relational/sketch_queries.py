@@ -174,9 +174,9 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT measure,
            COUNT(*) AS n_rows,
-           CAST(CAST(SUM(CAST(val AS DECIMAL(12,4))) AS DECIMAL(12,4))
+           CAST(CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DECIMAL(18,4))
                 AS DOUBLE) AS sum_val,
-           CAST(CAST(CAST(SUM(CAST(val AS DECIMAL(12,4))) AS DECIMAL(12,4))
+           CAST(CAST(CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DECIMAL(18,4))
                 AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_val
     FROM long
     GROUP BY measure
