@@ -29,6 +29,8 @@ def expectation_report(
     met — the Great Expectations convention).  Returns one row per rule:
     (rule, n_rows, n_violations, violation_rate round-6).
     """
+    if not rules:
+        raise ValueError("expectation_report needs at least one rule")
     aggs = [F.count("*").alias("__n")]
     for i, (_, pred) in enumerate(rules):
         aggs.append(
@@ -37,7 +39,13 @@ def expectation_report(
             ).cast("long").alias(f"__v{i}")
         )
     one = df.agg(*aggs)
-    stack_args = ", ".join(f"'{name}', __v{i}" for i, (name, _) in enumerate(rules))
+
+    def lit(name: str) -> str:
+        # rule names land inside a SQL string literal — escape quotes
+        # and backslashes so a name like "value isn't null" is legal
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    stack_args = ", ".join(f"{lit(name)}, __v{i}" for i, (name, _) in enumerate(rules))
     return (
         one.selectExpr(
             "__n", f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"

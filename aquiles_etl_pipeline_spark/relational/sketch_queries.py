@@ -428,17 +428,17 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (
       SELECT event_type, hr, observed,
-             SUM(observed) OVER (PARTITION BY event_type) AS row_t,
-             SUM(observed) OVER (PARTITION BY hr) AS col_t,
-             SUM(observed) OVER () AS n
+             CAST(SUM(observed) OVER (PARTITION BY event_type) AS DOUBLE) AS row_t,
+             CAST(SUM(observed) OVER (PARTITION BY hr) AS DOUBLE) AS col_t,
+             CAST(SUM(observed) OVER () AS DOUBLE) AS n
       FROM cnt
     )
     SELECT event_type,
            CAST(hr AS INT) AS hr,
            observed,
-           ROUND(CAST(row_t * col_t AS DOUBLE) / n, 6) AS expected,
-           ROUND(POWER(observed - CAST(row_t * col_t AS DOUBLE) / n, 2)
-                 / (CAST(row_t * col_t AS DOUBLE) / n), 6) AS chi2_contrib
+           ROUND(row_t * col_t / n, 6) AS expected,
+           ROUND(POWER(observed - row_t * col_t / n, 2)
+                 / (row_t * col_t / n), 6) AS chi2_contrib
     FROM tot
     """,
     doc="Chi-square contingency analysis of event_type x hour-of-day: "
@@ -469,11 +469,14 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hr",
         "observed",
-        F.sum("observed").over(w_row).alias("row_t"),
-        F.sum("observed").over(w_col).alias("col_t"),
-        F.sum("observed").over(w_all).alias("n"),
+        # marginals as DOUBLE before the product: a 64-bit integer
+        # row_t*col_t wraps at ~1e12-event scale; double*double is
+        # IEEE-identical in both engines (totals < 2^53 stay exact)
+        F.sum("observed").over(w_row).cast("double").alias("row_t"),
+        F.sum("observed").over(w_col).cast("double").alias("col_t"),
+        F.sum("observed").over(w_all).cast("double").alias("n"),
     )
-    expected = (F.col("row_t") * F.col("col_t")).cast("double") / F.col("n")
+    expected = F.col("row_t") * F.col("col_t") / F.col("n")
     return tot.select(
         "event_type",
         "hr",

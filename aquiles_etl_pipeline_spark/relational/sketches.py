@@ -30,6 +30,19 @@ if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
 
+def bitmap_word_bit(id_col: str) -> tuple[F.Column, F.Column]:
+    """(word, bit) bitmap coordinates of a NON-NEGATIVE integer id:
+    word = id div 64, bit = 1 << (id % 64).  Callers own the >= 0
+    contract — a negative id silently aliases via Java's shift-count
+    masking (id -1 and 63 share a bit) and undercounts distinct.  The
+    single source for every bitmap-distinct consumer (batch operator
+    below, streaming.aggregates.stream_daily_active_bitmaps)."""
+    word = F.expr(f"{id_col} div 64")
+    # F.shiftleft only takes a literal shift amount; expr() for a column one
+    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({id_col} % 64 AS INT))")
+    return word, bit
+
+
 def bitmap_distinct(
     df: DataFrame, group_cols: list[str], id_col: str, count_rows: bool = False
 ) -> DataFrame:
@@ -57,11 +70,9 @@ def bitmap_distinct(
     toward ``n_distinct`` — COUNT(*) / COUNT(DISTINCT) semantics
     exactly.
     """
-    word = F.expr(f"{id_col} div 64").alias("__word")
-    # F.shiftleft only takes a literal shift amount; expr() for a column one
-    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({id_col} % 64 AS INT))")
+    word, bit = bitmap_word_bit(id_col)
     words = (
-        df.select(*group_cols, word, bit.alias("__bit"))
+        df.select(*group_cols, word.alias("__word"), bit.alias("__bit"))
         .groupBy(*group_cols, "__word")
         .agg(
             F.bit_or("__bit").alias("__bits"),
@@ -140,9 +151,11 @@ def heavy_hitters(
 
     Fully lazy: the total-count threshold joins in as a broadcast
     single-row aggregate (the oracle's ``tot`` CTE shape), so building
-    the frame runs no jobs and the token stream is scanned exactly
-    twice (candidates + verify) — the 1 x N conditionless cross join
-    is a degenerate broadcast map, not a real cartesian.
+    the frame runs no jobs.  The plan holds THREE scan subtrees of the
+    token stream — candidates, verify probe, and the count-star total
+    (a metadata-cheap scan) — with no exchange reuse between them; the
+    1 x N conditionless cross join is a degenerate broadcast map, not
+    a real cartesian.
     """
     schema = f"{token_col} string"
     candidates = (

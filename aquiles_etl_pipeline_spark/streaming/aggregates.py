@@ -37,55 +37,45 @@ class StreamAggStats:
     n_docs: int = 0
 
 
-def stream_corpus_stats(
+
+def _stream_rollup(
     spark: SparkSession,
     input_dir: str,
     warehouse: Warehouse,
     checkpoint_dir: str,
-    table: str = "corpus_stats",
+    table: str,
+    schema,
+    delta_fn,
+    keys: list[str],
+    merge: dict[str, str],
+    count_col: str,
     max_files_per_trigger: int | None = None,
 ) -> StreamAggStats:
-    """Stream JSONL documents from ``input_dir`` (schema: doc_id, text,
-    lang, source) and maintain the per-(lang, source) corpus-stats
-    rollup in ``warehouse``.  Runs with Trigger.AvailableNow (drain
-    what's there, then stop) — call again as more files land; the
-    checkpoint ensures already-processed files are never re-counted.
-
-    The checkpoint and the rollup table are a unit: batch ids are
-    monotonic per checkpoint, and the rollup generation is stamped with
-    the last applied id — pair a fresh checkpoint_dir with a fresh
-    ``table`` (not one previously fed from another checkpoint).
-    """
+    """Shared continuous-aggregate skeleton: JSONL file stream ->
+    per-batch ``delta_fn`` aggregation -> ``refresh_additive`` merge
+    into ``table``.  Owns the exactly-once discipline ONCE for every
+    rollup stream: corrupt-row quarantine, the batch-id idempotence
+    gate (redelivered batch ids <= the generation-stamped last id are
+    skipped), cache/unpersist hygiene around the double-pass delta,
+    and the empty-batch fast path that leaves the rollup generation
+    untouched.  ``count_col`` names the delta column whose sum is the
+    batch's row count (for stats + the empty gate)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("text", StringType()),
-            StructField("lang", StringType()),
-            StructField("source", StringType()),
-            StructField(CORRUPT_COL, StringType()),
-        ]
-    )
     stats = StreamAggStats()
 
     def _merge_batch(batch_df, batch_id: int) -> None:
-        # idempotence gate: batch ids are monotonic per checkpoint; a
-        # redelivered batch (crash after the rollup flip, before the
-        # checkpoint commit) carries an id ≤ the one stamped on the
-        # current rollup generation and must not double-count
         meta = warehouse.write_meta(table) or {}
         if batch_id <= meta.get("last_batch_id", -1):
             stats.n_batches += 1
             return
         clean = batch_df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-        delta = corpus_stats_delta(clean).cache()
+        delta = delta_fn(clean).cache()
         try:
-            n = delta.agg(F.sum("n_docs")).collect()[0][0] or 0
+            n = delta.agg(F.sum(count_col)).collect()[0][0] or 0
             if n:
                 refresh_additive(
-                    warehouse, table, delta, _KEYS, _MINMAX,
+                    warehouse, table, delta, keys, merge,
                     meta={"last_batch_id": batch_id},
                 )
             stats.n_batches += 1
@@ -109,6 +99,43 @@ def stream_corpus_stats(
     )
     q.awaitTermination()
     return stats
+
+
+def stream_corpus_stats(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse: Warehouse,
+    checkpoint_dir: str,
+    table: str = "corpus_stats",
+    max_files_per_trigger: int | None = None,
+) -> StreamAggStats:
+    """Stream JSONL documents from ``input_dir`` (schema: doc_id, text,
+    lang, source) and maintain the per-(lang, source) corpus-stats
+    rollup in ``warehouse``.  Runs with Trigger.AvailableNow (drain
+    what's there, then stop) — call again as more files land; the
+    checkpoint ensures already-processed files are never re-counted.
+
+    The checkpoint and the rollup table are a unit: batch ids are
+    monotonic per checkpoint, and the rollup generation is stamped with
+    the last applied id — pair a fresh checkpoint_dir with a fresh
+    ``table`` (not one previously fed from another checkpoint).
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField(CORRUPT_COL, StringType()),
+        ]
+    )
+    return _stream_rollup(
+        spark, input_dir, warehouse, checkpoint_dir, table, schema,
+        corpus_stats_delta, _KEYS, _MINMAX, count_col="n_docs",
+        max_files_per_trigger=max_files_per_trigger,
+    )
 
 
 def stream_daily_active_bitmaps(
@@ -137,6 +164,8 @@ def stream_daily_active_bitmaps(
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+    from ..relational.sketches import bitmap_word_bit
+
     schema = StructType(
         [
             StructField("day", StringType()),
@@ -145,48 +174,20 @@ def stream_daily_active_bitmaps(
             StructField(CORRUPT_COL, StringType()),
         ]
     )
-    stats = StreamAggStats()
 
-    def _merge_batch(batch_df, batch_id: int) -> None:
-        meta = warehouse.write_meta(table) or {}
-        if batch_id <= meta.get("last_batch_id", -1):
-            stats.n_batches += 1
-            return
-        clean = batch_df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-        delta = (
-            clean.select(
-                "day",
-                F.expr("user_id div 64").alias("word"),
-                F.expr(
-                    "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
-                ).alias("bit"),
-            )
+    def dau_delta(clean):
+        # shared (word, bit) mapping — inherits sketches' documented
+        # ids-must-be->=-0 contract (negative ids alias via shift-count
+        # masking and undercount)
+        word, bit = bitmap_word_bit("user_id")
+        return (
+            clean.select("day", word.alias("word"), bit.alias("bit"))
             .groupBy("day", "word")
             .agg(F.bit_or("bit").alias("bits"), F.count("*").alias("n_events"))
-            .cache()
         )
-        try:
-            n = delta.agg(F.sum("n_events")).collect()[0][0] or 0
-            if n:
-                refresh_additive(
-                    warehouse, table, delta, ["day", "word"],
-                    {"bits": "bit_or", "n_events": "sum"},
-                    meta={"last_batch_id": batch_id},
-                )
-            stats.n_batches += 1
-            stats.n_docs += int(n)
-        finally:
-            delta.unpersist()
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(input_dir)
-        .writeStream.foreachBatch(_merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _stream_rollup(
+        spark, input_dir, warehouse, checkpoint_dir, table, schema,
+        dau_delta, ["day", "word"], {"bits": "bit_or", "n_events": "sum"},
+        count_col="n_events",
     )
-    q.awaitTermination()
-    return stats

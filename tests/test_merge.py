@@ -494,3 +494,21 @@ def test_quality_quarantine_complements_report(spark):
     assert rep["v_nonneg"]["n_rows"] == 4
     bad_ids = sorted(r["id"] for r in quarantine(df, rules).collect())
     assert bad_ids == [2, 3, 4]
+
+
+def test_quality_rule_names_with_quotes_and_empty_suite(spark):
+    """Rule names are SQL-escaped into the stack() literal (a name with
+    a quote must not break or inject), and an empty suite raises the
+    same explicit ValueError as quarantine."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aquiles_etl_pipeline_spark.relational.quality import expectation_report
+
+    df = spark.createDataFrame([(1,), (None,)], "v int")
+    rep = expectation_report(df, [("value isn't null", F.col("v").isNotNull())])
+    rows = rep.collect()
+    assert rows[0]["rule"] == "value isn't null"
+    assert rows[0]["n_violations"] == 1
+    with _pytest.raises(ValueError, match="at least one rule"):
+        expectation_report(df, [])
