@@ -185,6 +185,8 @@ _GRADE_FIRST = (
     "q138_streaming_bitmap_dau",
     "q139_price_quantity_regression",
     "q140_chi_square_contingency",
+    "q141_region_nation_roster",
+    "q142_spearman_rank_correlation",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

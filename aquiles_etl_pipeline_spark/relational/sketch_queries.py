@@ -13,6 +13,8 @@ runs the sketch-shaped plan from ``relational.sketches``:
   q137  declarative data-quality expectation suite (one-pass CASE sums)
   q139  per-group OLS regression via sufficient statistics (one pass)
   q140  chi-square contingency cells (independence-test primitive)
+  q141  deterministic ordered string aggregation (LISTAGG surface)
+  q142  Spearman rank correlation (average ranks + q139 closed form)
 """
 
 from __future__ import annotations
@@ -485,4 +487,123 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.pow(F.col("observed") - expected, F.lit(2)) / expected, 6
         ).alias("chi2_contrib"),
+    )
+
+
+@register(
+    "q141_region_nation_roster",
+    sql="""
+    SELECT r.r_name,
+           COUNT(*) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS roster
+    FROM nation n
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Deterministic string aggregation (LISTAGG / string_agg "
+        "surface): sorted comma-joined nation roster per region — "
+        "Spark has no ordered string_agg, so the engine composes "
+        "array_sort(collect_list()) + array_join, which is exactly "
+        "string_agg(... ORDER BY) and deterministic under ANY "
+        "partitioning (the sort happens after collection).  Contract: "
+        "roster grain must be bounded (collect_list is per-group "
+        "memory) — at scale put a top-N window in front; here the "
+        "grain is 5 nations/region.  Broadcast dim join, one "
+        "group-grain Exchange.",
+    tags=("nation", "region", "string-agg"),
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "roster"
+            ),
+        )
+    )
+
+
+@register(
+    "q142_spearman_rank_correlation",
+    sql="""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+               AS rx,
+             RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
+               AS ry
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(rx AS DECIMAL(14,1))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry AS DECIMAL(14,1))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx AS DECIMAL(19,1))
+                    * CAST(rx AS DECIMAL(14,1))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry AS DECIMAL(19,1))
+                    * CAST(ry AS DECIMAL(14,1))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(rx AS DECIMAL(19,1))
+                    * CAST(ry AS DECIMAL(14,1))) AS DOUBLE) AS sxy
+      FROM ranked
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS spearman_rho
+    FROM s
+    """,
+    doc="Spearman rank correlation of quantity vs extendedprice per "
+        "returnflag: fractional average ranks for ties (RANK + "
+        "(tie_count-1)/2 — deterministic, engine-identical), then the "
+        "q139 sufficient-statistics Pearson closed form over the "
+        "ranks.  Ranks sum as exact decimals (halves have exact "
+        "decimal scale 1), and both engines evaluate the identical "
+        "double formula, so the nonparametric statistic hash-matches "
+        "exactly.  Scale shape: two sort windows per group (Spearman's "
+        "inherent cost) + one aggregation — no joins, no Python.",
+    tags=("lineitem", "ml-stats", "rank"),
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    g = "l_returnflag"
+
+    def avg_rank(col: str) -> F.Column:
+        return (
+            F.rank().over(Window.partitionBy(g).orderBy(col))
+            + (F.count("*").over(Window.partitionBy(g, col)) - 1) / 2.0
+        )
+
+    ranked = li.select(
+        g,
+        avg_rank("l_quantity").alias("rx"),
+        avg_rank("l_extendedprice").alias("ry"),
+    )
+    xd = F.col("rx").cast("decimal(14,1)")
+    yd = F.col("ry").cast("decimal(14,1)")
+    s = ranked.groupBy(g).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        g,
+        F.col("n").cast("long").alias("n"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("spearman_rho"),
     )

@@ -894,3 +894,23 @@ def test_chi_square_marginals_avoid_second_scan(plans):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_spearman_windows_then_single_agg(plans):
+    """q142: two per-group sort windows (Spearman's inherent cost) and
+    ONE aggregation — no joins anywhere, no Python nodes, one scan."""
+    import re
+
+    p = plans["q142_spearman_rank_correlation"]
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+
+def test_roster_string_agg_broadcasts_dim(plans):
+    """q141: the region dim broadcasts; one group-grain Exchange."""
+    import re
+
+    p = plans["q141_region_nation_roster"]
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1, p
