@@ -187,6 +187,7 @@ _GRADE_FIRST = (
     "q140_chi_square_contingency",
     "q141_region_nation_roster",
     "q142_spearman_rank_correlation",
+    "q143_join_key_skew_report",
     # --- block B: r02-green, not graded since -----------------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",

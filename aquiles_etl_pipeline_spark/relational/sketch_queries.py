@@ -15,6 +15,7 @@ runs the sketch-shaped plan from ``relational.sketches``:
   q140  chi-square contingency cells (independence-test primitive)
   q141  deterministic ordered string aggregation (LISTAGG surface)
   q142  Spearman rank correlation (average ranks + q139 closed form)
+  q143  join-key skew report (exact Gini of the key distribution)
 """
 
 from __future__ import annotations
@@ -606,4 +607,74 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         g,
         F.col("n").cast("long").alias("n"),
         F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("spearman_rho"),
+    )
+
+
+@register(
+    "q143_join_key_skew_report",
+    sql="""
+    WITH cnt AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM cnt
+    ),
+    s AS (
+      SELECT COUNT(*) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_cnt,
+             CAST(SUM(i * c) AS BIGINT) AS weighted
+      FROM ranked
+    )
+    SELECT 'user_id' AS key_col,
+           n_keys, n_rows, max_cnt,
+           ROUND(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS top1_share,
+           ROUND(2.0 * weighted / (CAST(n_keys AS DOUBLE) * n_rows)
+                 - (n_keys + 1.0) / n_keys, 6) AS gini
+    FROM s
+    """,
+    doc="Join-key skew report for events.user_id: key cardinality, "
+        "hottest-key share, and the exact Gini coefficient of the key "
+        "distribution (0 = uniform, ->1 = one key owns the table) — "
+        "the diagnostic that DECIDES q112's salting and AQE skew "
+        "thresholds before a 100 TB join is launched.  One fact "
+        "aggregation to key grain, then rank/sum arithmetic on the "
+        "tiny counts frame; the rank-weighted sum is order-"
+        "deterministic under count ties (equal c contribute equally "
+        "for any tie order, keys break residual ties) and stays exact "
+        "BIGINT, with the Gini closed form evaluated identically as "
+        "doubles in both engines.  At extreme key cardinality the "
+        "counts frame itself is sampled or bucketed first — the "
+        "report grain is #keys, never #rows.",
+    tags=("events", "skew", "profiling", "diagnostics"),
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    ranked = cnt.select(
+        "c",
+        F.row_number().over(Window.orderBy("c", "user_id")).alias("i"),
+    )
+    s = ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_cnt"),
+        F.sum(F.col("i") * F.col("c")).cast("long").alias("weighted"),
+    )
+    return s.select(
+        F.lit("user_id").alias("key_col"),
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        F.round(F.col("max_cnt").cast("double") / F.col("n_rows"), 6).alias(
+            "top1_share"
+        ),
+        F.round(
+            F.lit(2.0) * F.col("weighted")
+            / (F.col("n_keys").cast("double") * F.col("n_rows"))
+            - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys"),
+            6,
+        ).alias("gini"),
     )
