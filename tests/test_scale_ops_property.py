@@ -313,3 +313,19 @@ def test_linear_fit_matches_closed_form(spark, pts):
     assert row["n"] == len(pts)
     assert row["slope"] == round(slope, 6)
     assert row["intercept"] == round((sy - slope * sx) / n, 6)
+
+
+def test_zorder_bits_bounds_rejected(spark):
+    """bits outside [1, 32] must raise, not silently alias coordinates
+    (the magic-mask chain only spreads 32-bit inputs)."""
+    import pytest as _pytest
+
+    from aquiles_etl_pipeline_spark.partitioning import zorder_key, zorder_sql
+
+    for bad in (0, 33, 64):
+        with _pytest.raises(ValueError, match="zorder bits"):
+            zorder_sql("x", "y", bits=bad)
+        with _pytest.raises(ValueError, match="zorder bits"):
+            zorder_key("x", "y", bits=bad)
+    # 32 is the documented max and must work
+    assert "4294967295" in zorder_sql("x", "y", bits=32)

@@ -507,3 +507,55 @@ def test_cohort_retention_triangle(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_bitmap_dau_checkpoint_rollup_unit(spark, tmp_path):
+    """The checkpoint and the bitmap rollup are a unit: a FRESH
+    checkpoint pointed at an already-fed warehouse table restarts
+    batch ids at 0, every batch trips the idempotence gate, and the
+    rollup is unchanged — re-counting requires a fresh table, exactly
+    as documented for the corpus-stats stream."""
+    from pyspark.sql import functions as F
+
+    from aquiles_etl_pipeline_spark.merge.warehouse import Warehouse
+    from aquiles_etl_pipeline_spark.sources.jsonl import write_jsonl
+    from aquiles_etl_pipeline_spark.streaming.aggregates import (
+        stream_daily_active_bitmaps,
+    )
+
+    land = tmp_path / "land"
+    wh = Warehouse(spark, tmp_path / "wh")
+    df = spark.createDataFrame(
+        [("2024-01-01", uid, uid) for uid in range(10)]
+        + [("2024-01-02", uid % 3, 100 + uid) for uid in range(6)],
+        "day string, user_id long, event_id long",
+    )
+    write_jsonl(df, str(land), compression=None, shards=2)
+
+    stream_daily_active_bitmaps(spark, str(land), wh, str(tmp_path / "ck1"))
+    first = {
+        r["day"]: (r["nd"], r["ne"])
+        for r in wh.read("dau_bitmap")
+        .groupBy("day")
+        .agg(
+            F.sum(F.bit_count("bits")).alias("nd"),
+            F.sum("n_events").alias("ne"),
+        )
+        .collect()
+    }
+    assert first == {"2024-01-01": (10, 10), "2024-01-02": (3, 6)}
+
+    # replay the same landing dir through a FRESH checkpoint: the gate
+    # must skip every redelivered batch (ids restart at 0)
+    stream_daily_active_bitmaps(spark, str(land), wh, str(tmp_path / "ck2"))
+    second = {
+        r["day"]: (r["nd"], r["ne"])
+        for r in wh.read("dau_bitmap")
+        .groupBy("day")
+        .agg(
+            F.sum(F.bit_count("bits")).alias("nd"),
+            F.sum("n_events").alias("ne"),
+        )
+        .collect()
+    }
+    assert second == first
