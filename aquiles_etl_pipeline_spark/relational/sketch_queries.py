@@ -623,7 +623,8 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COUNT(*) AS n_keys,
              CAST(SUM(c) AS BIGINT) AS n_rows,
              CAST(MAX(c) AS BIGINT) AS max_cnt,
-             CAST(SUM(i * c) AS BIGINT) AS weighted
+             CAST(SUM(CAST(i AS DECIMAL(19,0)) * CAST(c AS DECIMAL(12,0)))
+                  AS DOUBLE) AS weighted
       FROM ranked
     )
     SELECT 'user_id' AS key_col,
@@ -632,6 +633,8 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(2.0 * weighted / (CAST(n_keys AS DOUBLE) * n_rows)
                  - (n_keys + 1.0) / n_keys, 6) AS gini
     FROM s
+    -- weighted sums as exact DECIMAL (int64 wraps at billions of keys;
+    -- DuckDB's DECIMAL(19,0) factor forces the int128 multiply path)
     """,
     doc="Join-key skew report for events.user_id: key cardinality, "
         "hottest-key share, and the exact Gini coefficient of the key "
@@ -641,8 +644,9 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregation to key grain, then rank/sum arithmetic on the "
         "tiny counts frame; the rank-weighted sum is order-"
         "deterministic under count ties (equal c contribute equally "
-        "for any tie order, keys break residual ties) and stays exact "
-        "BIGINT, with the Gini closed form evaluated identically as "
+        "for any tie order, keys break residual ties) and sums as an "
+        "exact DECIMAL (int64 wraps at billion-key grain), with the "
+        "Gini closed form evaluated identically as "
         "doubles in both engines.  At extreme key cardinality the "
         "counts frame itself is sampled or bucketed first — the "
         "report grain is #keys, never #rows.",
@@ -661,7 +665,12 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_keys"),
         F.sum("c").cast("long").alias("n_rows"),
         F.max("c").cast("long").alias("max_cnt"),
-        F.sum(F.col("i") * F.col("c")).cast("long").alias("weighted"),
+        # decimal-exact rank-weighted sum: i*c summed as int64 wraps
+        # once n_keys x n_rows nears 2^63 (exactly the skew scale this
+        # diagnostic exists for); decimal keeps it exact to 38 digits
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("c").cast("decimal(12,0)")
+        ).cast("double").alias("weighted"),
     )
     return s.select(
         F.lit("user_id").alias("key_col"),

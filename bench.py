@@ -40,7 +40,7 @@ def main() -> None:
         df = spec.fn(spark, sf_dir)
         # force full computation; result sizes are small (aggregates/top-k)
         # except row-level queries, where count() still executes the plan.
-        if len(df.columns) <= 2 or name.startswith(("q14", "q15", "q16", "q18", "q24")):
+        if len(df.columns) <= 2 or name.split("_")[0] in {"q14", "q15", "q16", "q18", "q24"}:
             df.count()
         else:
             df.collect()

@@ -25,7 +25,7 @@ def main() -> None:
             continue
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
-        if len(df.columns) <= 2 or name.startswith(("q14", "q15", "q16", "q18", "q24")):
+        if len(df.columns) <= 2 or name.split("_")[0] in {"q14", "q15", "q16", "q18", "q24"}:
             df.count()
         else:
             df.collect()
