@@ -127,68 +127,20 @@ def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = 
 
 
 # Grading order.  The driver's correctness sweep walks queries() in
-# dict order under a shared time budget and can stop early (~50 of 100
+# dict order under a shared time budget and can stop early (~50 of 143+
 # per round).  registry() therefore rotates by grading recency so every
-# catalog entry eventually carries a fresh driver row:
-#   block A — entries with NO driver-green row ever (r04: q54-q60, which
-#             the r03 front-loading starved, plus any new round-4 queries);
-#   block B — least-recently graded (r02-green, not graded since);
-#   block C — the r03-proven tail (q41/q45/q37/q39, q61-q100, q01-q06):
-#             if the budget starves anything, it starves the freshest rows.
+# catalog entry eventually carries a fresh driver row and no row goes
+# more than ~2 rounds without a re-grade:
+#   block A — stalest driver rows (r01/r02-green, not graded since;
+#             the 43 queries VERDICT r04 flagged for refresh) — these
+#             go FIRST so a 50-query budget re-grades all of them;
+#   block B — new round-5 entries with NO driver-green row ever
+#             (q144+ starts at position 44, inside the graded window);
+#   block C — r03-graded set (q41/q45/q37/q39, q61-q100, q01-q06);
+#   block D — the freshly r04-graded 50 (q54-q60, q101-q143): if the
+#             budget starves anything, it starves the freshest rows.
 _GRADE_FIRST = (
-    # --- block A: never driver-graded -------------------------------
-    "q54_embedding_quantize_int8",
-    "q55_chunk_dedup",
-    "q56_c4_document_filters",
-    "q57_token_budget_sample",
-    "q58_vocab_coverage",
-    "q59_unigram_perplexity",
-    "q60_semantic_dedup",
-    # new round-4 entries (never graded) join block A here
-    "q101_warehouse_time_travel",
-    "q102_streaming_rollup_parity",
-    "q103_image_decode_stats",
-    "q104_bm25_search",
-    "q105_quantize_recall",
-    "q106_ngram_containment_pairs",
-    "q107_domain_mixture_weights",
-    "q108_kmeans_assign_stats",
-    "q109_interval_overlap_join",
-    "q110_image_resize_geometry",
-    "q111_bloom_semijoin_revenue",
-    "q112_salted_skew_join",
-    "q113_pareto_frontier_parts",
-    "q114_editdist_name_pairs",
-    "q115_cdc_latest_events",
-    "q116_activity_islands",
-    "q117_deterministic_doc_sample",
-    "q118_dynamic_partition_pruning",
-    "q119_bucketed_colocated_join",
-    "q120_schema_evolution_read",
-    "q121_stateful_running_totals",
-    "q122_table_checksums",
-    "q123_small_quantity_revenue",
-    "q124_column_stats_profile",
-    "q125_bpeish_token_counts",
-    "q126_stream_static_enrichment",
-    "q127_watermark_late_drop",
-    "q128_bitmap_distinct_users",
-    "q129_price_histogram",
-    "q130_heavy_hitter_words",
-    "q131_robust_value_anomalies",
-    "q132_unpivot_lineitem_measures",
-    "q133_zorder_clustering_key",
-    "q134_supplier_pagerank",
-    "q135_order_count_distribution",
-    "q136_equi_depth_buckets",
-    "q137_data_quality_expectations",
-    "q138_streaming_bitmap_dau",
-    "q139_price_quantity_regression",
-    "q140_chi_square_contingency",
-    "q141_region_nation_roster",
-    "q142_spearman_rank_correlation",
-    "q143_join_key_skew_report",
-    # --- block B: r02-green, not graded since -----------------------
+    # --- block A: stalest driver rows (r01/r02-green) ----------------
     "q07_brand_top_parts",
     "q08_customers_without_orders",
     "q09_segment_intersect",
@@ -232,7 +184,24 @@ _GRADE_FIRST = (
     "q51_stratified_sample",
     "q52_dedup_clusters",
     "q53_sequence_packing",
-    # --- block C: r03-proven tail -----------------------------------
+    # --- block B: never driver-graded (new in round 5) ---------------
+    "q144_stream_interval_join",
+    "q145_sketch_column_profile",
+    "q146_hll_merge_rollup",
+    "q147_theta_sketch_set_ops",
+    "q148_top_terms_by_nation",
+    "q149_weighted_sample_reservoir",
+    "q150_recursive_bom_rollup",
+    "q151_window_deduped_ledger",
+    "q152_range_join_pre1970",
+    "q153_decimal_safe_linear_fit",
+    # --- block C: r03-graded set ------------------------------------
+    "q01_pricing_summary",
+    "q02_regional_revenue",
+    "q03_top_customers",
+    "q04_order_priority",
+    "q05_customer_rank_window",
+    "q06_rollup_region_nation",
     "q41_etl_star_pipeline",
     "q45_etl_native_transforms",
     "q37_errors_followed_by_clicks",
@@ -277,6 +246,57 @@ _GRADE_FIRST = (
     "q98_wav_header_decode",
     "q99_nation_market_share",
     "q100_rolling_dau",
+    # --- block D: freshly r04-graded (starve these first) ------------
+    "q54_embedding_quantize_int8",
+    "q55_chunk_dedup",
+    "q56_c4_document_filters",
+    "q57_token_budget_sample",
+    "q58_vocab_coverage",
+    "q59_unigram_perplexity",
+    "q60_semantic_dedup",
+    "q101_warehouse_time_travel",
+    "q102_streaming_rollup_parity",
+    "q103_image_decode_stats",
+    "q104_bm25_search",
+    "q105_quantize_recall",
+    "q106_ngram_containment_pairs",
+    "q107_domain_mixture_weights",
+    "q108_kmeans_assign_stats",
+    "q109_interval_overlap_join",
+    "q110_image_resize_geometry",
+    "q111_bloom_semijoin_revenue",
+    "q112_salted_skew_join",
+    "q113_pareto_frontier_parts",
+    "q114_editdist_name_pairs",
+    "q115_cdc_latest_events",
+    "q116_activity_islands",
+    "q117_deterministic_doc_sample",
+    "q118_dynamic_partition_pruning",
+    "q119_bucketed_colocated_join",
+    "q120_schema_evolution_read",
+    "q121_stateful_running_totals",
+    "q122_table_checksums",
+    "q123_small_quantity_revenue",
+    "q124_column_stats_profile",
+    "q125_bpeish_token_counts",
+    "q126_stream_static_enrichment",
+    "q127_watermark_late_drop",
+    "q128_bitmap_distinct_users",
+    "q129_price_histogram",
+    "q130_heavy_hitter_words",
+    "q131_robust_value_anomalies",
+    "q132_unpivot_lineitem_measures",
+    "q133_zorder_clustering_key",
+    "q134_supplier_pagerank",
+    "q135_order_count_distribution",
+    "q136_equi_depth_buckets",
+    "q137_data_quality_expectations",
+    "q138_streaming_bitmap_dau",
+    "q139_price_quantity_regression",
+    "q140_chi_square_contingency",
+    "q141_region_nation_roster",
+    "q142_spearman_rank_correlation",
+    "q143_join_key_skew_report",
 )
 
 
