@@ -207,15 +207,31 @@ def bucketized_range_join(
 
     Facts fall in exactly one bucket, so no dedup pass is needed:
     a fact matches an interval at most once.
+
+    Bucketing uses exact integer FLOOR division (``x - pmod(x, m)``
+    before ``div``), not bare ``div``: Spark's ``div`` truncates toward
+    zero, which for pre-1970 (negative-micros) timestamps makes bucket
+    0 twice as wide and diverges from DuckDB's floor ``//`` — floor-div
+    keeps every bucket exactly ``bucket_seconds`` wide on both sides of
+    the epoch and matches oracle arithmetic.
     """
     bm = bucket_seconds * 1_000_000
-    fb = facts.withColumn("_b", F.expr(f"unix_micros({ts_col}) div {bm}"))
+
+    def floor_bucket(micros_sql: str) -> F.Column:
+        # exact integer floor division: subtract the positive remainder
+        # (pmod) so the numerator is an exact multiple — no float, no
+        # toward-zero truncation on negatives
+        return F.expr(
+            f"(({micros_sql}) - pmod({micros_sql}, {bm})) div {bm}"
+        )
+
+    fb = facts.withColumn("_b", floor_bucket(f"unix_micros({ts_col})"))
     iv = intervals.where(F.col(start_col) < F.col(end_col)).withColumn(
         "_b",
         F.explode(
             F.sequence(
-                F.expr(f"unix_micros({start_col}) div {bm}"),
-                F.expr(f"(unix_micros({end_col}) - 1) div {bm}"),
+                floor_bucket(f"unix_micros({start_col})"),
+                floor_bucket(f"unix_micros({end_col}) - 1"),
             )
         ),
     )
@@ -265,18 +281,35 @@ def bloom_semi_join(
     xxhash64 is TYPE-sensitive (int 7, bigint 7, and double 7.0 all
     hash differently), so both sides hash a COMMON rendering of the
     key: numeric-vs-numeric pairs hash the double cast (equality under
-    Spark's join coercion implies equal double casts, so no true match
-    can be lost; collisions above 2^53 only add false positives the
-    exact pass removes), everything else hashes the string cast.
+    Spark's numeric join coercion implies equal double casts, so no
+    true match can be lost; collisions above 2^53 only add false
+    positives the exact pass removes), and same-type pairs hash the
+    string cast (equal values of one type render identically).  ANY
+    other mixed pair — including numeric/string — is REJECTED: the
+    post-coercion comparison type depends on the ANSI setting (ANSI
+    casts the string to the numeric type and errors on malformed
+    rows; legacy compares as double), and join-equal values with
+    different string renderings ('7.00' vs 7.0) hash apart, so a
+    wrongly modeled hash side silently drops true matches.  Cast both
+    keys to one explicit type first.
     """
     from pyspark.sql.types import NumericType
 
     m, k = n_bits, n_hashes
     n_words = (m + 63) // 64
-    both_numeric = isinstance(
-        fact.schema[fact_key].dataType, NumericType
-    ) and isinstance(dim.schema[dim_key].dataType, NumericType)
-    hash_type = "double" if both_numeric else "string"
+    ft = fact.schema[fact_key].dataType
+    dt = dim.schema[dim_key].dataType
+    if isinstance(ft, NumericType) and isinstance(dt, NumericType):
+        hash_type = "double"
+    elif type(ft) is type(dt):
+        hash_type = "string"
+    else:
+        raise ValueError(
+            f"bloom_semi_join: unsupported mixed key types {ft} vs {dt}; "
+            "the post-coercion comparison type is ANSI-dependent and a "
+            "wrong hash side silently drops matches — cast both keys to "
+            "a common type first"
+        )
     keys = (
         dim.select(F.col(dim_key).cast(hash_type).alias("_k"))
         .where(F.col("_k").isNotNull())

@@ -301,15 +301,20 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per-user rank is constant exactly within a consecutive run, "
         "so islands fall out of one window + one groupBy.  Scale: the "
         "grain collapses to (user, day) FIRST (the distinct carries "
-        "two ints), and epoch day uses integer div of micros — exact, "
-        "no timezone/double hazards; window and both aggs share the "
-        "hash(user_id) distribution.",
+        "two ints), and epoch day uses integer FLOOR div of micros "
+        "(pmod-subtract before div, matching DuckDB's // even for "
+        "pre-1970 timestamps) — exact, no timezone/double hazards; "
+        "window and both aggs share the hash(user_id) distribution.",
     tags=("events", "window", "islands"),
 )
 def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     days = e.select(
-        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+            " div 86400000000"
+        ).alias("day"),
     ).distinct()
     w = Window.partitionBy("user_id").orderBy("day")
     grp = days.withColumn("g", F.col("day") - F.row_number().over(w))

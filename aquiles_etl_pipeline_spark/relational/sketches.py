@@ -280,11 +280,23 @@ def linear_fit(
     double expression in both engines, so even the float stage is
     bit-identical.  Returns (group, n, slope, intercept, r2) with the
     float outputs rounded to 6 places.
+
+    Input domain: |x|, |y| < 1e8 (the decimal(12,4) cast).  try_cast
+    makes an out-of-domain value NULL in BOTH ANSI and legacy modes
+    (a plain cast raises under ANSI but silently nulls under legacy,
+    skewing the sums while ``n`` still counts the row); the
+    aggregation then counts cast-nulled non-null inputs and the plan
+    RAISES a uniform, actionable error at execution time (lazy, no
+    extra job) if any exist, instead of returning a wrong fit.
     """
     # 12,4 not 18,4: the PRODUCT must fit both engines' decimal caps
     # (DuckDB cannot widen an 18-digit operand product past 38)
-    xd = F.col(x_col).cast("decimal(12,4)")
-    yd = F.col(y_col).cast("decimal(12,4)")
+    xd = F.col(x_col).try_cast("decimal(12,4)")
+    yd = F.col(y_col).try_cast("decimal(12,4)")
+    overflowed = (
+        (F.col(x_col).isNotNull() & xd.isNull())
+        | (F.col(y_col).isNotNull() & yd.isNull())
+    ).cast("int")
     stats = df.groupBy(group_col).agg(
         F.count("*").cast("double").alias("n"),
         F.sum(xd).cast("double").alias("sx"),
@@ -292,6 +304,13 @@ def linear_fit(
         F.sum(xd * xd).cast("double").alias("sxx"),
         F.sum(yd * yd).cast("double").alias("syy"),
         F.sum(xd * yd).cast("double").alias("sxy"),
+        F.coalesce(F.sum(overflowed), F.lit(0)).alias("_n_overflow"),
+    )
+    domain_error = F.raise_error(
+        F.lit(
+            "linear_fit: input outside the decimal(12,4) domain"
+            " (|value| >= 1e8) would be silently dropped from the sums"
+        )
     )
     cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -299,7 +318,13 @@ def linear_fit(
     slope = cov_n / var_x
     return stats.select(
         group_col,
-        F.col("n").cast("long").alias("n"),
+        # the conditional raise lives inside an OUTPUT column (with
+        # genuinely distinct branches) so neither column pruning nor
+        # conditional simplification can drop the domain check
+        F.when(F.col("_n_overflow") > 0, domain_error.cast("double"))
+        .otherwise(F.col("n"))
+        .cast("long")
+        .alias("n"),
         F.round(slope, 6).alias("slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
             "intercept"

@@ -336,9 +336,19 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = load(spark, sf_dir, "events").select("event_id", "ts", "value")
 
         def drain() -> None:
-            stream = spark.readStream.schema(
-                "event_id long, ts timestamp, value double"
-            ).json(str(land))
+            # pin ONE micro-batch per drain: the oracle models wave B as
+            # draining entirely against wave A's restored watermark; if
+            # AvailableNow ever split a wave into multiple batches (file
+            # count above the source's per-batch default at larger SF),
+            # the watermark would advance mid-wave using B's own rows
+            # and drop rows the oracle keeps
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, value double"
+                )
+                .option("maxFilesPerTrigger", 1_000_000)
+                .json(str(land))
+            )
             agg = (
                 stream.withWatermark("ts", "2 hours")
                 .groupBy(F.window("ts", "1 hour").alias("w"))

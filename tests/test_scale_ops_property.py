@@ -329,3 +329,109 @@ def test_zorder_bits_bounds_rejected(spark):
             zorder_key("x", "y", bits=bad)
     # 32 is the documented max and must work
     assert "4294967295" in zorder_sql("x", "y", bits=32)
+
+
+def test_bloom_semi_join_rejects_unmodeled_mixed_types(spark):
+    """Regression (ADVICE r04): a numeric/string key pair used to hash
+    the string cast, so join-equal values with different renderings
+    (fact '7.00' vs dim 7.0) hashed apart and the bloom stage silently
+    dropped a true match.  The post-coercion type is ANSI-dependent
+    (ANSI even ERRORS on malformed strings), so every mixed pair —
+    numeric/string, numeric/date, date/string — must raise and point
+    the caller at an explicit cast."""
+    import datetime
+
+    import pytest as _pytest
+
+    from aquiles_etl_pipeline_spark.relational.joins import bloom_semi_join
+
+    fact = spark.createDataFrame([(1, 1)], "k int, payload int")
+    dim_s = spark.createDataFrame([("7.00",)], "d string")
+    with _pytest.raises(ValueError, match="mixed key types"):
+        bloom_semi_join(fact, dim_s, "k", "d")
+    dim_d = spark.createDataFrame([(datetime.date(2024, 1, 1),)], "d date")
+    with _pytest.raises(ValueError, match="mixed key types"):
+        bloom_semi_join(fact, dim_d, "k", "d")
+    fact_s = spark.createDataFrame([("2024-01-01", 1)], "k string, payload int")
+    with _pytest.raises(ValueError, match="mixed key types"):
+        bloom_semi_join(fact_s, dim_d, "k", "d")
+    # the documented escape hatch: cast both sides to one type first
+    fact7 = spark.createDataFrame([(7, 1), (8, 2)], "k int, payload int")
+    got = sorted(
+        r["payload"]
+        for r in bloom_semi_join(
+            fact7.selectExpr("cast(k as double) k", "payload"),
+            dim_s.selectExpr("cast(d as double) d"),
+            "k",
+            "d",
+        ).collect()
+    )
+    assert got == [1]
+
+
+def test_range_join_pre1970_floor_buckets(spark):
+    """Regression (ADVICE r04): `div` truncates toward zero, so bucket 0
+    used to span (-bucket, +bucket) for negative epoch micros.  Floor
+    bucketing must reproduce the naive theta join for timestamps on
+    both sides of the epoch, including exact bucket boundaries."""
+    import datetime
+
+    from aquiles_etl_pipeline_spark.relational.joins import bucketized_range_join
+
+    def ts(s):
+        return datetime.datetime.fromisoformat(s)
+
+    facts = spark.createDataFrame(
+        [
+            (1, ts("1969-12-31 23:59:59")),
+            (2, ts("1969-12-31 18:00:00")),  # exactly -1 bucket boundary (6h)
+            (3, ts("1969-12-31 17:59:59")),
+            (4, ts("1970-01-01 00:00:00")),
+            (5, ts("1969-06-15 12:00:00")),
+            (6, ts("1970-01-01 05:59:59")),
+        ],
+        "fid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, ts("1969-12-31 19:00:00"), ts("1970-01-01 01:00:00")),
+            (11, ts("1969-12-31 12:00:00"), ts("1969-12-31 18:00:01")),
+            (12, ts("1969-06-15 00:00:00"), ts("1969-06-16 00:00:00")),
+        ],
+        "iid int, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r["fid"], r["iid"])
+        for r in bucketized_range_join(facts, intervals).collect()
+    )
+    want = sorted(
+        (r["fid"], r["iid"])
+        for r in facts.join(
+            intervals,
+            (facts.ts >= intervals.start_ts) & (facts.ts < intervals.end_ts),
+        ).collect()
+    )
+    assert got == want
+    assert (1, 10) in got and (2, 11) in got and (5, 12) in got
+
+
+def test_linear_fit_raises_outside_decimal_domain(spark):
+    """Regression (ADVICE r04): a |value| >= 1e8 nulls out under the
+    decimal(12,4) cast and used to silently skew the fit while n still
+    counted the row; the plan must now raise at execution time."""
+    import pytest as _pytest
+
+    from aquiles_etl_pipeline_spark.relational.sketches import linear_fit
+
+    bad = spark.createDataFrame(
+        [(1.0, 2.0, "g"), (2.0, 1.0e8, "g"), (3.0, 4.0, "g")],
+        "x double, y double, g string",
+    )
+    with _pytest.raises(Exception, match="decimal\\(12,4\\) domain"):
+        linear_fit(bad, "x", "y", "g").collect()
+    # clean inputs still fit (and count NULL inputs without raising)
+    ok = spark.createDataFrame(
+        [(1.0, 2.0, "g"), (2.0, None, "g"), (3.0, 4.0, "g")],
+        "x double, y double, g string",
+    )
+    assert linear_fit(ok, "x", "y", "g").collect()[0]["n"] == 3
