@@ -389,3 +389,117 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _memoized(spark, sf_dir, "q127", build)
+
+@register(
+    "q144_stream_interval_join",
+    sql="""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0
+    ),
+    r AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_id % 2 = 1
+    )
+    SELECT l.user_id AS user_id,
+           l.event_id AS l_event_id,
+           r.event_id AS r_event_id,
+           r.value AS r_value
+    FROM l JOIN r
+      ON r.user_id = l.user_id
+     AND r.ts > l.ts
+     AND r.ts <= l.ts + INTERVAL 1 HOUR
+    """,
+    doc="Stream-STREAM interval join under the correctness gate "
+        "(streaming.joins.stream_interval_join): even-id events feed "
+        "the left stream, odd-id events the right, both land as JSONL "
+        "in two waves split on (event_id div 2) parity — so ~half the "
+        "joinable pairs STRADDLE the waves and can only be emitted if "
+        "the second checkpointed AvailableNow drain restores the "
+        "left/right join state written by the first.  Inner interval "
+        "join per user_id (right.ts in (l.ts, l.ts + 1h]); the "
+        "watermark delay (100 days) exceeds the 30-day data span so "
+        "state eviction never drops a pair and the emitted pair set "
+        "must equal the batch range join (the oracle), at PAIR grain — "
+        "row counts, both event_ids, and the right-side value all "
+        "hash-gated.  The state-bounding story at scale: a real "
+        "deployment sets the delay to its lateness SLA and per-key "
+        "state is bounded by (watermark + interval), never the stream; "
+        "keys co-partition both sides, so skew salts the equi-key "
+        "without touching the range predicate.",
+    tags=("streaming", "join", "interval", "events"),
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        import shutil
+        import tempfile
+        from pathlib import Path
+
+        from pyspark.sql import functions as F
+
+        from ..sources.jsonl import write_jsonl
+        from ..streaming.joins import stream_interval_join
+
+        root = Path(tempfile.mkdtemp(prefix="q144_ssjoin_"))
+        land_l = root / "land_l"
+        land_r = root / "land_r"
+        land_l.mkdir()
+        land_r.mkdir()
+        out = str(root / "out")
+        e = load(spark, sf_dir, "events")
+        left = e.where(F.col("event_id") % 2 == 0).select("event_id", "user_id", "ts")
+        right = e.where(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "ts", "value"
+        )
+
+        def land_wave(df: DataFrame, land: Path, tag: str) -> None:
+            wave_dir = root / f"wave_{land.name}_{tag}"
+            write_jsonl(df, str(wave_dir), compression=None, shards=4)
+            for f in wave_dir.glob("part-*.json"):
+                shutil.copy(f, land / f"{tag}_{f.name}")
+
+        def drain() -> None:
+            # maxFilesPerTrigger pins one micro-batch per drain (the
+            # q127 rule: a wave must join against the RESTORED state,
+            # not state advanced mid-wave)
+            ls = (
+                spark.readStream.schema("event_id long, user_id long, ts timestamp")
+                .option("maxFilesPerTrigger", 1_000_000)
+                .json(str(land_l))
+            )
+            rs = (
+                spark.readStream.schema(
+                    "event_id long, user_id long, ts timestamp, value double"
+                )
+                .option("maxFilesPerTrigger", 1_000_000)
+                .json(str(land_r))
+            )
+            joined = stream_interval_join(
+                ls,
+                rs,
+                on="user_id",
+                window_seconds=3600,
+                watermark="100 days",
+            ).select(
+                "user_id",
+                F.col("event_id").alias("l_event_id"),
+                F.col("right_event_id").alias("r_event_id"),
+                F.col("right_value").alias("r_value"),
+            )
+            (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", str(root / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        half = (F.col("event_id") - F.col("event_id") % 2) / 2
+        for tag, parity in (("a", 0), ("b", 1)):
+            land_wave(left.where(half % 2 == parity), land_l, tag)
+            land_wave(right.where(half % 2 == parity), land_r, tag)
+            drain()
+        return spark.read.parquet(out).select(
+            "user_id", "l_event_id", "r_event_id", "r_value"
+        )
+
+    return _memoized(spark, sf_dir, "q144", build)

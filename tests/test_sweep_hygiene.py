@@ -51,6 +51,9 @@ PERSIST_PRONE = [
     "q127_watermark_late_drop",
     # q138's foreachBatch caches each micro-batch bitmap delta
     "q138_streaming_bitmap_dau",
+    # q144 runs two stream-stream interval-join drains (dual-side join
+    # state store restored across the restart)
+    "q144_stream_interval_join",
 ]
 
 
