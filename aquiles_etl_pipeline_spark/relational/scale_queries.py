@@ -695,28 +695,59 @@ _PROFILE_COLS = ("l_returnflag", "l_linestatus", "l_quantity", "l_partkey")
         "aggregation pass (Catalyst's Expand rewrite — one scan, one "
         "shuffle, not one job per column), and the single stats row "
         "unpivots to report rows via stack().  Plan-tested: exactly "
-        "one scan of lineitem, Expand present.",
+        "one scan of lineitem, Expand present.  mode='exact' is the "
+        "oracle-parity path; the 100 TB path is mode='sketch' (q145 — "
+        "no Expand, bitmap/HLL distincts).",
     tags=("audit", "profile", "agg"),
 )
 def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    aggs = [F.count("*").alias("n_rows")]
-    for c in _PROFILE_COLS:
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
-            F.min(c).cast("string").alias(f"mn_{c}"),
-            F.max(c).cast("string").alias(f"mx_{c}"),
-        ]
-    one = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    from .sketches import column_stats_profile
+
+    return column_stats_profile(
+        load(spark, sf_dir, "lineitem"), _PROFILE_COLS, mode="exact"
     )
-    return one.selectExpr(
-        "n_rows",
-        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-        "(column_name, n_nulls, n_distinct, min_value, max_value)",
-    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+# sketch-mode profile: integral columns only, so the bitmap path keeps
+# the distincts EXACT and the DuckDB twin can still grade values
+_SKETCH_PROFILE_COLS = ("l_partkey", "l_suppkey", "l_linenumber")
+
+
+@register(
+    "q145_sketch_column_profile",
+    sql="WITH s AS (SELECT COUNT(*) AS n_rows, "
+        + ", ".join(
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nn_{c}, "
+            f"COUNT(DISTINCT {c}) AS nd_{c}, "
+            f"CAST(MIN({c}) AS VARCHAR) AS mn_{c}, "
+            f"CAST(MAX({c}) AS VARCHAR) AS mx_{c}"
+            for c in _SKETCH_PROFILE_COLS
+        )
+        + " FROM lineitem) "
+        + " UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, n_rows, CAST(nn_{c} AS BIGINT) AS n_nulls, "
+            f"CAST(nd_{c} AS BIGINT) AS n_distinct, mn_{c} AS min_value, "
+            f"mx_{c} AS max_value FROM s"
+            for c in _SKETCH_PROFILE_COLS
+        ),
+    doc="The column profiler's SCALE path (sketches.column_stats_profile"
+        " mode='sketch') under the gate: same report shape as q124 but "
+        "NO Expand anywhere — each integral column's distinct count "
+        "comes from bit_or bitmap words (exact, so the plain COUNT "
+        "(DISTINCT) oracle still grades values), and the shuffle "
+        "carries at most |domain|/64 longs per column instead of "
+        "near-key-grain rows.  Two column-pruned scans (null/min/max "
+        "stats pass + bitmap pass), both map-side combined.  This is "
+        "the q124-at-100-TB answer the r04 verdict asked for; "
+        "plan-tested Expand-free with the bitmap aggregation present.",
+    tags=("audit", "profile", "sketch", "agg"),
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketches import column_stats_profile
+
+    return column_stats_profile(
+        load(spark, sf_dir, "lineitem"), _SKETCH_PROFILE_COLS, mode="sketch"
+    )
 
 
 # ---------------------------------------------------------------------------

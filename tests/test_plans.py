@@ -914,3 +914,22 @@ def test_roster_string_agg_broadcasts_dim(plans):
     p = plans["q141_region_nation_roster"]
     assert "BroadcastHashJoin" in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1, p
+
+
+def test_sketch_profile_no_expand_bitmap_present(plans):
+    """q145: the profiler's scale mode must contain NO Expand node (the
+    exact multi-distinct signature q124 keeps for oracle parity) — the
+    integral distincts come from bit_or bitmap words, so the plan shows
+    the bitmap aggregation and only column-pruned scans with sub-linear
+    (word-grain / single-row) Exchanges."""
+    import re
+
+    p = plans["q145_sketch_column_profile"]
+    assert "Expand" not in p, "sketch profile degenerated into count-distinct Expand"
+    assert "bit_or" in p, "bitmap distinct aggregation missing"
+    assert "EvalPython" not in p
+    # stats pass + bitmap pass: two column-pruned lineitem scans
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+    # word-grain partial agg exchange + group-grain + the single-row
+    # stats/broadcast side
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4, p

@@ -435,3 +435,33 @@ def test_linear_fit_raises_outside_decimal_domain(spark):
         "x double, y double, g string",
     )
     assert linear_fit(ok, "x", "y", "g").collect()[0]["n"] == 3
+
+
+def test_column_stats_profile_sketch_matches_exact_for_integrals(spark):
+    """mode='sketch' must agree with mode='exact' on every stat for
+    integral columns (the bitmap path is exact, not approximate), keep
+    nulls out of distincts, and fall back to HLL for non-integral
+    columns (value within the default ~5% rsd of truth)."""
+    from aquiles_etl_pipeline_spark.relational.sketches import column_stats_profile
+
+    rows = [(i % 7, i % 3 if i % 5 else None, f"s{i % 11}") for i in range(200)]
+    df = spark.createDataFrame(rows, "a int, b int, s string")
+    exact = {
+        r["column_name"]: r.asDict()
+        for r in column_stats_profile(df, ["a", "b", "s"], mode="exact").collect()
+    }
+    sketch = {
+        r["column_name"]: r.asDict()
+        for r in column_stats_profile(df, ["a", "b", "s"], mode="sketch").collect()
+    }
+    for c in ("a", "b"):
+        assert sketch[c] == exact[c], f"bitmap path diverged for {c}"
+    s_ex, s_sk = exact["s"], sketch["s"]
+    for k in ("n_rows", "n_nulls", "min_value", "max_value"):
+        assert s_sk[k] == s_ex[k]
+    assert abs(s_sk["n_distinct"] - s_ex["n_distinct"]) <= max(2, 0.15 * s_ex["n_distinct"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown mode"):
+        column_stats_profile(df, ["a"], mode="hll")
