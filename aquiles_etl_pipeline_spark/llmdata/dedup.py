@@ -511,6 +511,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def _checkpoint_helpers(spark):
+    """(truncate, release) pair implementing the iterative-plan
+    discipline shared by both connected-components variants: every
+    round's frame is checkpointed (reliable checkpoint when the session
+    has a checkpoint dir, else eager localCheckpoint) so the logical
+    plan stays a leaf scan, and superseded rounds' storage blocks are
+    released explicitly by RDD id."""
+    sc = spark.sparkContext
+
+    def _persistent_ids() -> set[int]:
+        jmap = sc._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    def release(ids: set[int]) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) in ids:
+                jmap.get(k).unpersist(False)
+
+    def truncate(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        if sc.getCheckpointDir() is not None:
+            # reliable checkpoint: data lives in the checkpoint dir, not
+            # block storage; file cleanup is the cleaner conf's job
+            return df.checkpoint(eager=True), set()
+        before = _persistent_ids()
+        out = df.localCheckpoint(eager=True)
+        return out, _persistent_ids() - before
+
+    return truncate, release
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -555,26 +586,7 @@ def connected_components(
     session.get_spark) makes superseded checkpoint FILES GC-collectable.
     """
     spark = edges.sparkSession
-    sc = spark.sparkContext
-
-    def _persistent_ids() -> set[int]:
-        jmap = sc._jsc.getPersistentRDDs()
-        return {int(k) for k in jmap.keySet().toArray()}
-
-    def _release(ids: set[int]) -> None:
-        jmap = sc._jsc.getPersistentRDDs()
-        for k in jmap.keySet().toArray():
-            if int(k) in ids:
-                jmap.get(k).unpersist(False)
-
-    def _truncate(df: DataFrame) -> tuple[DataFrame, set[int]]:
-        if sc.getCheckpointDir() is not None:
-            # reliable checkpoint: data lives in the checkpoint dir, not
-            # block storage; file cleanup is the cleaner conf's job
-            return df.checkpoint(eager=True), set()
-        before = _persistent_ids()
-        out = df.localCheckpoint(eager=True)
-        return out, _persistent_ids() - before
+    _truncate, _release = _checkpoint_helpers(spark)
 
     sym = edges.select(
         F.col(src_col).alias("_n"), F.col(dst_col).alias("_m")
@@ -612,6 +624,119 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contractions (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014) — the edge-CONTRACTING alternative to
+    ``connected_components``'s label propagation.
+
+    Why it wins on dedup graphs: near-duplicate clusters are
+    near-CLIQUES (k docs from one template mine ~k^2/2 pairs).  Label
+    propagation re-joins the full static edge set every round, paying
+    the k^2 term each time; one large-star round collapses a clique to
+    a star (every larger member re-points at the clique minimum, and
+    dropDuplicates folds the k^2 emissions to ~k edges), so every
+    subsequent round runs on an edge set about the size of the NODE
+    set.  Convergence is O(log n) rounds in the worst case and 2-3
+    rounds on clique-heavy graphs; per-round shuffles shrink
+    geometrically instead of staying O(edges).
+
+    Per round (all edges oriented larger->smaller, deduped):
+      large-star: per node u, m = min(N(u) + {u}); every neighbor
+        v > u re-points to m (emit (v, m)).
+      small-star: per node u over its smaller neighbors, m = min;
+        emit (v, m) for each smaller neighbor plus (u, m).
+    Both emit only (bigger, smaller) pairs, preserve connectivity, and
+    never lose the component minimum.  Terminal state: perfect
+    min-rooted stars, detected exactly as [no left node has two
+    distinct neighbors] AND [no left node appears as a root] — two
+    tiny aggregations on the contracted set, no full-set compare.
+
+    Same checkpoint/storage discipline and same return contract as
+    ``connected_components`` ((node, component min) for every node in
+    ``nodes``, singletons self-labeled); property-tested equal to it.
+    The final contracted edge set stays materialized until the caller
+    drops the returned frame (ContextCleaner then drains its blocks —
+    the hygiene-test contract).
+    """
+    spark = edges.sparkSession
+    _truncate, _release = _checkpoint_helpers(spark)
+
+    raw = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    ).where(F.col("_a") != F.col("_b"))
+    e, e_ids = _truncate(
+        raw.select(
+            F.greatest("_a", "_b").alias("_u"), F.least("_a", "_b").alias("_v")
+        ).dropDuplicates()
+    )
+    if e.isEmpty():
+        max_iter = 0  # all singletons; skip the loop entirely
+    for _ in range(max_iter):
+        # large star: every v > u re-points at u's neighborhood min
+        sym = e.union(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+        mins = (
+            sym.groupBy("_u")
+            .agg(F.min("_v").alias("_mn"))
+            .select("_u", F.least("_mn", "_u").alias("_m"))
+        )
+        ls = (
+            sym.join(mins, "_u")
+            .where(F.col("_v") > F.col("_u"))
+            .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+            .where(F.col("_u") != F.col("_v"))
+            .dropDuplicates()
+        )
+        # small star: smaller-neighbor lists re-point at their min
+        mins2 = ls.groupBy("_u").agg(F.min("_v").alias("_m"))
+        ss = (
+            ls.join(mins2, "_u")
+            .select(F.col("_v").alias("_x"), F.col("_m").alias("_y"))
+            .union(mins2.select(F.col("_u").alias("_x"), F.col("_m").alias("_y")))
+            .where(F.col("_x") != F.col("_y"))
+            .select(F.col("_x").alias("_u"), F.col("_y").alias("_v"))
+            .dropDuplicates()
+        )
+        new_e, new_ids = _truncate(ss)
+        # terminal iff perfect stars: no node with two distinct
+        # neighbors (edges are deduped, so per-u edge count IS distinct
+        # degree) and no node that is both a leaf and a root — ONE
+        # aggregation job over the contracted set, driver sees one bool
+        tagged = new_e.select(
+            F.col("_u").alias("_id"), F.lit(1).alias("_l"), F.lit(0).alias("_r")
+        ).union(
+            new_e.select(F.col("_v").alias("_id"), F.lit(0).alias("_l"), F.lit(1).alias("_r"))
+        )
+        bad = (
+            tagged.groupBy("_id")
+            .agg(F.sum("_l").alias("_nl"), F.max("_r").alias("_anyr"))
+            .where((F.col("_nl") > 1) | ((F.col("_nl") >= 1) & (F.col("_anyr") == 1)))
+        )
+        done = bad.isEmpty()
+        _release(e_ids)
+        e, e_ids = new_e, new_ids
+        if done:
+            break
+    members = e.select(F.col("_u").alias("_n"), F.col("_v").alias("_comp"))
+    roots = (
+        e.select(F.col("_v").alias("_n"))
+        .distinct()
+        .select("_n", F.col("_n").alias("_comp"))
+    )
+    return (
+        nodes.select(F.col(id_col).alias("_n"))
+        .join(members.union(roots), "_n", "left")
+        .select("_n", F.coalesce("_comp", F.col("_n")).alias("_comp"))
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     threshold: float = 0.95,
@@ -626,14 +751,17 @@ def dedup_clusters(
     training-set filter.  Singleton documents are their own canonical.
 
     Output: (id, component_id, cluster_size, is_canonical).  Scale:
-    pair mining is the dominant cost and is prefix-filter-bounded; the
-    component loop shuffles only (node, label) pairs; the size join is
-    label-keyed and AQE-broadcastable when clusters are few.
+    pair mining is prefix-filter-bounded; components use the large-star/
+    small-star contraction (near-dup clusters are near-cliques, which
+    contract to stars in one round, so the loop's shuffles shrink
+    geometrically instead of re-joining the full k^2 edge set); the
+    size join is label-keyed and AQE-broadcastable when clusters are
+    few.
     """
     edges = ngram_jaccard_pairs(
         df, text_col=text_col, id_col=id_col, threshold=threshold
     ).select("id_a", "id_b")
-    labels = connected_components(edges, df.select(id_col), id_col=id_col)
+    labels = connected_components_star(edges, df.select(id_col), id_col=id_col)
     sizes = labels.groupBy("_comp").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "_comp").select(
         F.col("_n").alias(id_col),

@@ -465,3 +465,36 @@ def test_column_stats_profile_sketch_matches_exact_for_integrals(spark):
 
     with _pytest.raises(ValueError, match="unknown mode"):
         column_stats_profile(df, ["a"], mode="hll")
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    chain_len=st.integers(min_value=0, max_value=12),
+)
+def test_star_cc_equals_label_propagation(spark, edges, chain_len):
+    """Large-star/small-star contraction must produce IDENTICAL
+    (node, component-min) labels to the min-label propagation on any
+    random graph, including self-loops, duplicate/reversed edges, a
+    high-diameter chain, and isolated nodes."""
+    from aquiles_etl_pipeline_spark.llmdata.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    all_edges = list(edges) + [(100 + i, 100 + i + 1) for i in range(chain_len)]
+    nodes = sorted({x for e in all_edges for x in e} | {999})
+    E = spark.createDataFrame(all_edges or [(0, 0)], "id_a long, id_b long")
+    N = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    a = sorted((r["_n"], r["_comp"]) for r in connected_components(E, N).collect())
+    b = sorted(
+        (r["_n"], r["_comp"]) for r in connected_components_star(E, N).collect()
+    )
+    assert a == b
