@@ -212,8 +212,14 @@ def prepare_product_source(wh: Warehouse, batch_guid: str) -> tuple[DataFrame, l
         .drop("_rn")
         .persist()
     )
+    # collect_set aggregation, not distinct().collect(): the partial
+    # aggregate dedupes map-side and the driver round-trip is one
+    # single-reduce job over #buckets values — no batch-wide distinct
+    # shuffle (this job also materializes src0's persist)
     touched = sorted(
-        r["_b"] for r in src0.select(_bucket_of("DescriptionHash").alias("_b")).distinct().collect()
+        src0.agg(
+            F.collect_set(_bucket_of("DescriptionHash")).alias("_bs")
+        ).first()["_bs"]
     )
     return src0, touched
 
@@ -395,9 +401,12 @@ def merge_provider_products(
         .persist()  # batch-sized; shared by matched join + anti-join + write
     )
 
+    # same collect_set fold as prepare_product_source: one single-reduce
+    # job that doubles as src's persist materialization
     touched = sorted(
-        r["_b"]
-        for r in src.select(_bucket_of("ProductId", "ProviderId").alias("_b")).distinct().collect()
+        src.agg(
+            F.collect_set(_bucket_of("ProductId", "ProviderId")).alias("_bs")
+        ).first()["_bs"]
     )
     pp = wh.read("provider_product")
     base = pp.where(F.col("_bucket").isin(touched))
