@@ -8,5 +8,7 @@ from . import round4_queries  # noqa: F401 — registers q101+ into the registry
 from . import scale_queries  # noqa: F401 — registers q111+ into the registry
 from . import sketch_queries  # noqa: F401 — registers q128+ into the registry
 from . import graph  # noqa: F401 — registers q134 into the registry
+from . import round5_queries  # noqa: F401 — registers q144+ into the registry
+from . import round5b_queries  # noqa: F401 — registers q155+ into the registry
 
 __all__ = ["QuerySpec", "load", "register", "registry"]

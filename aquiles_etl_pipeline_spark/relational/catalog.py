@@ -195,6 +195,17 @@ _GRADE_FIRST = (
     "q151_window_deduped_ledger",
     "q152_range_join_pre1970",
     "q153_decimal_safe_linear_fit",
+    "q154_stream_dedup_watermark",
+    "q155_interval_union_coverage",
+    "q156_triangle_count",
+    "q157_markov_transitions",
+    "q158_weighted_median",
+    "q159_largest_remainder_seats",
+    "q160_zipf_law_fit",
+    "q161_top_session_paths",
+    "q162_welch_ttest",
+    "q163_segment_entropy_kl",
+    "q164_scd2_dimension_build",
     # --- block C: r03-graded set ------------------------------------
     "q01_pricing_summary",
     "q02_regional_revenue",

@@ -413,3 +413,131 @@ def column_stats_profile(
     return prof.select(
         "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
     )
+
+
+def bitmap_rollup(
+    df: DataFrame,
+    fine_col: str,
+    coarse_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Two-level EXACT distinct rollup by sketch merge: per coarse
+    bucket, the fine-grain distinct counts AND the coarse distinct
+    count, where the coarse level is computed by MERGING the fine
+    level's bitmap words (bit_or is a semilattice), never by
+    re-scanning raw rows.
+
+    This is the re-aggregatable-sketch contract that makes HLL/Theta
+    sketches the backbone of 100 TB rollup tables — materialize the
+    fine grain once, answer every coarser grain from it — delivered
+    with exact bitmaps so the DuckDB twin can grade values.  One scan:
+    raw rows collapse to (coarse, fine, word) bitmap words map-side;
+    the fine popcount and the coarse bit_or merge both read that word
+    frame.  Shuffles carry words (<= |ids|/64 per group), not ids.
+
+    Returns (coarse, n_fine, sum_fine_distinct, coarse_distinct,
+    avg_fine_distinct, ratio) where ratio = avg_fine / coarse — the
+    DAU/MAU-style stickiness shape.  ids must be >= 0
+    (bitmap_word_bit contract).
+    """
+    word, bit = bitmap_word_bit(id_col)
+    words = (
+        df.select(
+            F.col(coarse_col).alias("_coarse"),
+            F.col(fine_col).alias("_fine"),
+            word.alias("_w"),
+            bit.alias("_b"),
+        )
+        .groupBy("_coarse", "_fine", "_w")
+        .agg(F.bit_or("_b").alias("_bits"))
+    )
+    fine = words.groupBy("_coarse", "_fine").agg(
+        F.sum(F.bit_count("_bits")).cast("long").alias("_nd")
+    )
+    coarse = (
+        words.groupBy("_coarse", "_w")
+        .agg(F.bit_or("_bits").alias("_mbits"))
+        .groupBy("_coarse")
+        .agg(F.sum(F.bit_count("_mbits")).cast("long").alias("coarse_distinct"))
+    )
+    per_coarse = fine.groupBy("_coarse").agg(
+        F.count("*").alias("n_fine"),
+        F.sum("_nd").cast("long").alias("sum_fine_distinct"),
+    )
+    avg_fine = F.col("sum_fine_distinct").cast("double") / F.col("n_fine")
+    return (
+        per_coarse.join(coarse, "_coarse")
+        .select(
+            F.col("_coarse").alias(coarse_col),
+            "n_fine",
+            "sum_fine_distinct",
+            "coarse_distinct",
+            avg_fine.alias("avg_fine_distinct"),
+            (avg_fine / F.col("coarse_distinct")).alias("ratio"),
+        )
+    )
+
+
+def bitmap_set_cardinalities(
+    df: DataFrame, set_col: str, id_col: str
+) -> DataFrame:
+    """Exact pairwise set algebra over labeled id sets: for every
+    unordered label pair (a < b), |A|, |B|, |A intersect B|,
+    |A union B|, and Jaccard — the audience-overlap / cohort-algebra
+    question (users who did X and Y).
+
+    The naive formulation is a per-pair self-join of (label, id) rows
+    — |labels|^2 distinct shuffles of id-grain data.  Here each label
+    collapses to 64-bit bitmap words in ONE pass; the pairwise stage
+    joins label-words on the WORD INDEX (equi-join, word-grain rows)
+    and popcounts `a & b` — intersection without ever touching ids
+    again, |union| = |A| + |B| - |inter| from the same row.  Word
+    frames are |ids|/64 longs per label: for L labels the pair stage
+    handles L^2/2 word-pair rows, each 16 bytes — at 100 TB of raw
+    events this is megabytes.  ids >= 0 (bitmap_word_bit contract).
+    """
+    word, bit = bitmap_word_bit(id_col)
+    words = (
+        df.select(F.col(set_col).alias("_s"), word.alias("_w"), bit.alias("_b"))
+        .groupBy("_s", "_w")
+        .agg(F.bit_or("_b").alias("_bits"))
+    )
+    sizes = words.groupBy("_s").agg(
+        F.sum(F.bit_count("_bits")).cast("long").alias("_n")
+    )
+    a = words.select(
+        F.col("_s").alias("set_a"), F.col("_w").alias("_w"), F.col("_bits").alias("_ba")
+    )
+    b = words.select(
+        F.col("_s").alias("set_b"), F.col("_w").alias("_w"), F.col("_bits").alias("_bb")
+    )
+    inter = (
+        a.join(b, "_w")
+        .where(F.col("set_a") < F.col("set_b"))
+        .groupBy("set_a", "set_b")
+        .agg(
+            F.sum(F.bit_count(F.col("_ba").bitwiseAND(F.col("_bb"))))
+            .cast("long")
+            .alias("n_inter")
+        )
+    )
+    sa = sizes.select(F.col("_s").alias("set_a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col("_s").alias("set_b"), F.col("_n").alias("n_b"))
+    # all-pairs frame so disjoint pairs (no shared word) still appear
+    pairs = sa.crossJoin(sb).where(F.col("set_a") < F.col("set_b"))
+    return (
+        pairs.join(inter, ["set_a", "set_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .select(
+            "set_a",
+            "set_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )

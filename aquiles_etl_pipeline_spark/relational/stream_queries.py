@@ -503,3 +503,98 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _memoized(spark, sf_dir, "q144", build)
+
+
+@register(
+    "q154_stream_dedup_watermark",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Streaming exactly-once dedup under the gate (dropDuplicates"
+        "WithinWatermark): events land as JSONL in two checkpointed "
+        "AvailableNow drains, and every event_id % 6 == 0 row lands "
+        "TWICE — once in wave A and again (byte-identical) in wave B — "
+        "so the second copy can only be dropped from dedup state "
+        "RESTORED across the restart; wave-B-internal dups (id % 6 == "
+        "3, landed twice within wave B) prove the in-batch path too.  "
+        "The sink rollup must equal the dup-free batch table (the "
+        "oracle) — without the dedup the % 6 rows would double-count.  "
+        "This is the at-least-once -> exactly-once repair every "
+        "replayed ingest (Kafka redelivery, file re-land) needs; "
+        "watermarked state is the 100 TB story: dedup keys older than "
+        "the delay are EVICTED, so state is bounded by the dup-arrival "
+        "horizon, not the stream's history (delay here spans the "
+        "fixture so nothing is late).  One batch per drain pinned via "
+        "maxFilesPerTrigger (q127's discipline).",
+    tags=("streaming", "dedup", "events"),
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        import shutil
+        import tempfile
+        from pathlib import Path
+
+        from pyspark.sql import functions as F
+
+        from ..sources.jsonl import write_jsonl
+        from .catalog import DEC, emit
+
+        root = Path(tempfile.mkdtemp(prefix="q154_dedup_"))
+        land = root / "land"
+        land.mkdir()
+        out = str(root / "out")
+        e = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+
+        def land_wave(df: DataFrame, tag: str) -> None:
+            wave_dir = root / f"wave_{tag}"
+            write_jsonl(df, str(wave_dir), compression=None, shards=4)
+            for f in wave_dir.glob("part-*.json"):
+                shutil.copy(f, land / f"{tag}_{f.name}")
+
+        def drain() -> None:
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, event_type string, value double"
+                )
+                .option("maxFilesPerTrigger", 1_000_000)
+                .json(str(land))
+            )
+            deduped = stream.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
+                ["event_id"]
+            )
+            (
+                deduped.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", str(root / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        mod = F.col("event_id") % 6
+        # wave A: even ids, once
+        land_wave(e.where(F.col("event_id") % 2 == 0), "a1")
+        drain()
+        # wave B: odd ids, PLUS a second copy of the % 6 == 0 rows
+        # (cross-restart dups) and of the % 6 == 3 rows (in-batch dups)
+        land_wave(e.where(F.col("event_id") % 2 == 1), "b1")
+        land_wave(e.where(mod == 0), "b2")
+        land_wave(e.where(mod == 3), "b3")
+        drain()
+        return (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                emit(F.sum(F.col("value").cast(DEC)).cast(DEC)).alias("sum_value"),
+            )
+        )
+
+    return _memoized(spark, sf_dir, "q154", build)

@@ -122,6 +122,14 @@ def test_no_accidental_cartesian_products(plans):
         # q136 equi-depth buckets: the quartile-boundary row joins in
         # as a broadcast single-row aggregate (1 x N) — q42's shape
         "q136_equi_depth_buckets",
+        # q147 set algebra: the |labels| x |labels| pair scaffold is a
+        # deliberate tiny cross join (5x5 label sizes) so DISJOINT
+        # pairs still report with n_inter = 0
+        "q147_theta_sketch_set_ops",
+        # q156 triangle count: the final (n_nodes x n_edges x
+        # n_triangles) assembly is three deliberate 1x1 single-row
+        # aggregate joins — q130's shape
+        "q156_triangle_count",
     }
     for name, p in plans.items():
         if name in allowed:

@@ -54,6 +54,9 @@ PERSIST_PRONE = [
     # q144 runs two stream-stream interval-join drains (dual-side join
     # state store restored across the restart)
     "q144_stream_interval_join",
+    # q154 runs two dedup drains (dropDuplicatesWithinWatermark state
+    # store restored across the restart)
+    "q154_stream_dedup_watermark",
 ]
 
 
