@@ -206,6 +206,7 @@ _GRADE_FIRST = (
     "q162_welch_ttest",
     "q163_segment_entropy_kl",
     "q164_scd2_dimension_build",
+    "q165_stream_session_windows",
     # --- block C: r03-graded set ------------------------------------
     "q01_pricing_summary",
     "q02_regional_revenue",

@@ -598,3 +598,114 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _memoized(spark, sf_dir, "q154", build)
+
+
+@register(
+    "q165_stream_session_windows",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    tagged AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS last_ts,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_value
+    FROM tagged
+    GROUP BY user_id, sid
+    """,
+    doc="STREAMING session windows in APPEND mode under the gate "
+        "(streaming.windows.session_stats, the same function q32 "
+        "grades in batch mode): events land time-split — wave A is "
+        "the first half of the timeline, wave B the second — so "
+        "sessions STRADDLING the cut can only merge through "
+        "session-window state RESTORED from wave A's checkpoint; a "
+        "third drain lands one far-future sentinel event whose "
+        "watermark closes every real session, and append mode then "
+        "emits each finalized session EXACTLY ONCE (the no-data "
+        "micro-batch flush).  The emitted set must equal the batch "
+        "gaps-and-islands recompute (q32's oracle).  This is the "
+        "mechanism that bounds 100 TB session state: closed sessions "
+        "leave the store the moment the watermark passes them, and "
+        "downstream consumers see immutable final rows, not updates.  "
+        "Decimal-exact sums inside the streaming aggregation; one "
+        "batch per drain pinned via maxFilesPerTrigger.",
+    tags=("streaming", "session", "watermark", "events"),
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        import shutil
+        import tempfile
+        from pathlib import Path
+
+        from pyspark.sql import functions as F
+
+        from ..sources.jsonl import write_jsonl
+        from ..streaming.windows import session_stats
+
+        root = Path(tempfile.mkdtemp(prefix="q165_sess_"))
+        land = root / "land"
+        land.mkdir()
+        out = str(root / "out")
+        # land event time as integer MICROS: the JSONL writer renders
+        # timestamps at millisecond precision, which would corrupt the
+        # emitted session_start/last_ts against the oracle
+        e = load(spark, sf_dir, "events").select(
+            "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "value"
+        )
+        lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
+        cut = lo + (hi - lo) // 2
+        # sentinel: past every real session end + gap + watermark delay
+        sentinel = spark.createDataFrame(
+            [(int(-1), hi + 10 * 3_600_000_000, int(-1), 0.0)],
+            "event_id long, ts_us long, user_id long, value double",
+        )
+
+        def land_wave(df: DataFrame, tag: str) -> None:
+            wave_dir = root / f"wave_{tag}"
+            write_jsonl(df, str(wave_dir), compression=None, shards=4)
+            for f in wave_dir.glob("part-*.json"):
+                shutil.copy(f, land / f"{tag}_{f.name}")
+
+        def drain() -> None:
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts_us long, user_id long, value double"
+                )
+                .option("maxFilesPerTrigger", 1_000_000)
+                .json(str(land))
+                .select(
+                    F.timestamp_micros("ts_us").alias("ts"), "user_id", "value"
+                )
+            )
+            sessions = session_stats(stream, gap="30 minutes", watermark="1 hour")
+            (
+                sessions.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", str(root / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        land_wave(e.where(F.col("ts_us") < cut), "a")
+        drain()
+        land_wave(e.where(F.col("ts_us") >= cut), "b")
+        drain()
+        land_wave(sentinel, "c")
+        drain()
+        return spark.read.parquet(out).where(F.col("user_id") >= 0)
+
+    return _memoized(spark, sf_dir, "q165", build)

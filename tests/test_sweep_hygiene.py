@@ -57,6 +57,11 @@ PERSIST_PRONE = [
     # q154 runs two dedup drains (dropDuplicatesWithinWatermark state
     # store restored across the restart)
     "q154_stream_dedup_watermark",
+    # q165 runs three append-mode session-window drains (merging
+    # session state restored across restarts, sentinel-flushed)
+    "q165_stream_session_windows",
+    # q156 localCheckpoints the oriented edge frame (5 plan branches)
+    "q156_triangle_count",
 ]
 
 
