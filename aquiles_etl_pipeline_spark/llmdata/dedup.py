@@ -677,9 +677,8 @@ def connected_components_star(
             F.greatest("_a", "_b").alias("_u"), F.least("_a", "_b").alias("_v")
         ).dropDuplicates()
     )
-    if e.isEmpty():
-        max_iter = 0  # all singletons; skip the loop entirely
-    for _ in range(max_iter):
+    converged = e.isEmpty()  # all singletons: terminal before any round
+    for _ in range(0 if converged else max_iter):
         # large star: every v > u re-points at u's neighborhood min
         sym = e.union(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
         mins = (
@@ -719,11 +718,23 @@ def connected_components_star(
             .agg(F.sum("_l").alias("_nl"), F.max("_r").alias("_anyr"))
             .where((F.col("_nl") > 1) | ((F.col("_nl") >= 1) & (F.col("_anyr") == 1)))
         )
-        done = bad.isEmpty()
+        converged = bad.isEmpty()
         _release(e_ids)
         e, e_ids = new_e, new_ids
-        if done:
+        if converged:
             break
+    if not converged:
+        # unlike label propagation (whose max_iter exit still yields one
+        # — possibly suboptimal — label per node), a non-terminal star
+        # state has nodes appearing as _u in MULTIPLE edges, and the
+        # final left join would fan out to duplicate (node, component)
+        # rows; refuse loudly rather than break the one-row-per-node
+        # contract.  max_iter=25 covers any real graph (O(log n) rounds).
+        raise RuntimeError(
+            "connected_components_star: star contraction did not reach the"
+            f" terminal state within max_iter={max_iter} rounds; raise"
+            " max_iter (convergence needs O(log n) rounds)"
+        )
     members = e.select(F.col("_u").alias("_n"), F.col("_v").alias("_comp"))
     roots = (
         e.select(F.col("_v").alias("_n"))

@@ -655,24 +655,44 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     xd = F.col("value").try_cast("decimal(12,4)")
     x19 = F.col("value").try_cast("decimal(19,4)")
+    # the linear_fit domain discipline: try_cast nulls out-of-domain
+    # values in both ANSI and legacy modes, which would silently skew
+    # the sums while n still counts the row — count the cast-nulled
+    # inputs and raise at execution if any exist
+    overflowed = (F.col("value").isNotNull() & xd.isNull()).cast("int")
     s = e.groupBy("event_type", (F.col("user_id") % 2).alias("v")).agg(
         F.count("*").alias("n"),
         F.sum(xd).cast("double").alias("sx"),
         F.sum(x19 * xd).cast("double").alias("sxx"),
+        F.coalesce(F.sum(overflowed), F.lit(0)).alias("ovf"),
     )
     a = s.where(F.col("v") == 0).select(
         "event_type",
         F.col("n").alias("n_a"),
         F.col("sx").alias("sxa"),
         F.col("sxx").alias("sxxa"),
+        F.col("ovf").alias("ovfa"),
     )
     b = s.where(F.col("v") == 1).select(
         "event_type",
         F.col("n").alias("n_b"),
         F.col("sx").alias("sxb"),
         F.col("sxx").alias("sxxb"),
+        F.col("ovf").alias("ovfb"),
     )
     p = a.join(b, "event_type")
+    domain_error = F.raise_error(
+        F.lit(
+            "q162: value outside the decimal(12,4) domain (|v| >= 1e8)"
+            " would be silently dropped from the sufficient statistics"
+        )
+    )
+
+    def guarded(col):
+        # in every output column, so any projection still carries the check
+        return F.when(
+            F.col("ovfa") + F.col("ovfb") > 0, domain_error.cast("double")
+        ).otherwise(col)
     ma = F.col("sxa") / F.col("n_a")
     mb = F.col("sxb") / F.col("n_b")
     va = (F.col("sxxa") - F.col("sxa") * F.col("sxa") / F.col("n_a")) / (
@@ -685,14 +705,16 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = vb / F.col("n_b")
     return p.select(
         "event_type",
-        F.col("n_a").cast("long").alias("n_a"),
-        F.col("n_b").cast("long").alias("n_b"),
-        F.round(ma - mb, 6).alias("mean_diff"),
-        F.round((ma - mb) / F.sqrt(sa + sb), 6).alias("t_stat"),
-        F.round(
-            ((sa + sb) * (sa + sb))
-            / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)),
-            6,
+        guarded(F.col("n_a")).cast("long").alias("n_a"),
+        guarded(F.col("n_b")).cast("long").alias("n_b"),
+        guarded(F.round(ma - mb, 6)).alias("mean_diff"),
+        guarded(F.round((ma - mb) / F.sqrt(sa + sb), 6)).alias("t_stat"),
+        guarded(
+            F.round(
+                ((sa + sb) * (sa + sb))
+                / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)),
+                6,
+            )
         ).alias("welch_df"),
     )
 
@@ -718,8 +740,9 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT segment,
            CAST(MIN(n) AS BIGINT) AS n_events,
            ROUND(ln(MIN(n)) - SUM(c * ln(c)) / MIN(n), 6) AS entropy,
-           ROUND(SUM(c * ln(CAST(c * bign AS DOUBLE)
-                            / CAST(n * g AS DOUBLE))) / MIN(n), 6)
+           ROUND(SUM(c * ln((CAST(c AS DOUBLE) * CAST(bign AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(g AS DOUBLE))))
+                 / MIN(n), 6)
              AS kl_vs_global
     FROM w GROUP BY segment
     """,
@@ -757,9 +780,12 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(
                 F.col("c")
+                # each bigint factor casts to double BEFORE the product
+                # (the q140 rule): a bigint*bigint product wraps int64
+                # once c*bign passes 2^63 — well inside 100 TB counts
                 * F.log(
-                    (F.col("c") * F.col("bign")).cast("double")
-                    / (F.col("n") * F.col("g")).cast("double")
+                    (F.col("c").cast("double") * F.col("bign").cast("double"))
+                    / (F.col("n").cast("double") * F.col("g").cast("double"))
                 )
             )
             / F.min("n"),

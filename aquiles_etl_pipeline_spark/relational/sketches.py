@@ -31,15 +31,22 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 def bitmap_word_bit(id_col: str) -> tuple[F.Column, F.Column]:
-    """(word, bit) bitmap coordinates of a NON-NEGATIVE integer id:
-    word = id div 64, bit = 1 << (id % 64).  Callers own the >= 0
-    contract — a negative id silently aliases via Java's shift-count
-    masking (id -1 and 63 share a bit) and undercounts distinct.  The
-    single source for every bitmap-distinct consumer (batch operator
-    below, streaming.aggregates.stream_daily_active_bitmaps)."""
-    word = F.expr(f"{id_col} div 64")
+    """(word, bit) bitmap coordinates of ANY bigint id, in FLOOR
+    semantics: bit index = pmod(id, 64) in [0, 64), word =
+    (id - pmod(id, 64)) div 64 == floor(id / 64), computed in exact
+    integer arithmetic (the subtraction rounds toward LONG_MIN, itself
+    a multiple of 64, so it cannot overflow).  Truncating div + raw %
+    would alias negative ids onto positive bits (-1 and 63 share a bit
+    via Java's shift-count masking) and silently undercount; floor
+    coordinates keep every long distinct, so consumers are exact over
+    the full bigint domain, negatives included.  The single source for
+    every bitmap-distinct consumer (batch operators below,
+    streaming.aggregates.stream_daily_active_bitmaps)."""
+    word = F.expr(f"({id_col} - pmod({id_col}, 64)) div 64")
     # F.shiftleft only takes a literal shift amount; expr() for a column one
-    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({id_col} % 64 AS INT))")
+    bit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({id_col}, 64) AS INT))"
+    )
     return word, bit
 
 
@@ -58,9 +65,10 @@ def bitmap_distinct(
     magnitude when ids repeat heavily (every repeated id folds into an
     already-set bit before the exchange).  A final popcount-sum per
     group yields the exact distinct count.  This is the
-    roaring-bitmap/Theta-sketch shape with exactness preserved; ids
-    must be >= 0 (callers own the contract, matching the synthetic
-    events table whose user ids are dense from 0).
+    roaring-bitmap/Theta-sketch shape with exactness preserved; the
+    floor-semantics bitmap coordinates make it exact for ANY long id
+    (dense ids keep the words dense and the wire small; sparse or
+    negative ids stay correct, just with more singleton words).
 
     ``count_rows=True`` additionally emits ``n_rows`` = COUNT(*) per
     group, riding the SAME single scan: the word-grain pre-aggregate
@@ -316,20 +324,25 @@ def linear_fit(
     var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     slope = cov_n / var_x
+
+    # the conditional raise lives inside EVERY output column (with
+    # genuinely distinct branches): a consumer that projects any
+    # subset — e.g. .select('slope') — still carries the domain check,
+    # which column pruning would silently drop if it lived in one
+    # column only
+    def guarded(col: F.Column) -> F.Column:
+        return F.when(
+            F.col("_n_overflow") > 0, domain_error.cast("double")
+        ).otherwise(col)
+
     return stats.select(
         group_col,
-        # the conditional raise lives inside an OUTPUT column (with
-        # genuinely distinct branches) so neither column pruning nor
-        # conditional simplification can drop the domain check
-        F.when(F.col("_n_overflow") > 0, domain_error.cast("double"))
-        .otherwise(F.col("n"))
-        .cast("long")
-        .alias("n"),
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-            "intercept"
-        ),
-        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+        guarded(F.col("n")).cast("long").alias("n"),
+        guarded(F.round(slope, 6)).alias("slope"),
+        guarded(
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        ).alias("intercept"),
+        guarded(F.round((cov_n * cov_n) / (var_x * var_y), 6)).alias("r2"),
     )
 
 
@@ -347,9 +360,10 @@ def column_stats_profile(
     oracle parity and small-to-medium tables; WRONG at 100 TB.
 
     mode="sketch": the scale path — no Expand anywhere.
-      * integral columns (>= 0, the bitmap_word_bit contract) get
-        EXACT distincts via bit_or bitmap words: the shuffle carries
-        at most |domain|/64 longs per column instead of per-row keys;
+      * integral columns get EXACT distincts via bit_or bitmap words
+        (floor-semantics coordinates, so negatives are exact too): the
+        shuffle carries at most |domain|/64 longs per column instead
+        of per-row keys;
       * all other columns get ``approx_count_distinct`` (HLL++,
         constant-size state), riding the same single stats pass as
         the null/min/max aggregates.
@@ -407,7 +421,13 @@ def column_stats_profile(
         )
         prof = (
             prof.join(F.broadcast(nd), "column_name", "left")
-            .withColumn("n_distinct", F.coalesce("n_distinct", "__nd_bitmap"))
+            # an all-null integral column has no surviving bitmap row:
+            # the join misses and BOTH args are null — report 0, the
+            # COUNT(DISTINCT) answer exact mode and the oracle give
+            .withColumn(
+                "n_distinct",
+                F.coalesce("n_distinct", "__nd_bitmap", F.lit(0).cast("long")),
+            )
             .drop("__nd_bitmap")
         )
     return prof.select(
@@ -437,8 +457,8 @@ def bitmap_rollup(
 
     Returns (coarse, n_fine, sum_fine_distinct, coarse_distinct,
     avg_fine_distinct, ratio) where ratio = avg_fine / coarse — the
-    DAU/MAU-style stickiness shape.  ids must be >= 0
-    (bitmap_word_bit contract).
+    DAU/MAU-style stickiness shape.  Any long id works (floor-
+    semantics bitmap coordinates); null ids count toward no distinct.
     """
     word, bit = bitmap_word_bit(id_col)
     words = (
@@ -451,14 +471,23 @@ def bitmap_rollup(
         .groupBy("_coarse", "_fine", "_w")
         .agg(F.bit_or("_b").alias("_bits"))
     )
+    # null ids ride a null word whose bit_or is null: sum skips it, so
+    # mixed groups count only real ids, and an ALL-null group coalesces
+    # to 0 — COUNT(DISTINCT) semantics, the group itself still reported
     fine = words.groupBy("_coarse", "_fine").agg(
-        F.sum(F.bit_count("_bits")).cast("long").alias("_nd")
+        F.coalesce(F.sum(F.bit_count("_bits")), F.lit(0))
+        .cast("long")
+        .alias("_nd")
     )
     coarse = (
         words.groupBy("_coarse", "_w")
         .agg(F.bit_or("_bits").alias("_mbits"))
         .groupBy("_coarse")
-        .agg(F.sum(F.bit_count("_mbits")).cast("long").alias("coarse_distinct"))
+        .agg(
+            F.coalesce(F.sum(F.bit_count("_mbits")), F.lit(0))
+            .cast("long")
+            .alias("coarse_distinct")
+        )
     )
     per_coarse = fine.groupBy("_coarse").agg(
         F.count("*").alias("n_fine"),
@@ -473,7 +502,13 @@ def bitmap_rollup(
             "sum_fine_distinct",
             "coarse_distinct",
             avg_fine.alias("avg_fine_distinct"),
-            (avg_fine / F.col("coarse_distinct")).alias("ratio"),
+            # a coarse group whose ids are ALL null has 0 distincts;
+            # stickiness is undefined there — NULL, not an ANSI
+            # divide-by-zero abort
+            F.when(
+                F.col("coarse_distinct") > 0,
+                avg_fine / F.col("coarse_distinct"),
+            ).alias("ratio"),
         )
     )
 
@@ -494,11 +529,15 @@ def bitmap_set_cardinalities(
     again, |union| = |A| + |B| - |inter| from the same row.  Word
     frames are |ids|/64 longs per label: for L labels the pair stage
     handles L^2/2 word-pair rows, each 16 bytes — at 100 TB of raw
-    events this is megabytes.  ids >= 0 (bitmap_word_bit contract).
+    events this is megabytes.  Null ids are excluded up front (set
+    membership is defined over real ids): a label whose ids are ALL
+    null has an empty set and is dropped from the pair scaffold, the
+    same rows a `WHERE id IS NOT NULL` oracle produces.
     """
     word, bit = bitmap_word_bit(id_col)
     words = (
-        df.select(F.col(set_col).alias("_s"), word.alias("_w"), bit.alias("_b"))
+        df.where(F.col(id_col).isNotNull())
+        .select(F.col(set_col).alias("_s"), word.alias("_w"), bit.alias("_b"))
         .groupBy("_s", "_w")
         .agg(F.bit_or("_b").alias("_bits"))
     )

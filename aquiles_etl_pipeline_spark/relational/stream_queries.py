@@ -116,23 +116,30 @@ def _memoized(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
     return _STREAM_RESULT_CACHE[key]
 
 
-def _land_two_waves(frame: DataFrame, root, land, drain, split_col: str = "event_id") -> None:
-    """Write even-id rows, drain, write odd-id rows, drain."""
+def _land_wave(root, land, df: DataFrame, tag: str) -> None:
+    """Render one wave of rows as JSONL shards into a scratch dir under
+    ``root``, then copy the shards into the streaming source dir
+    ``land`` with a tag prefix — the file source picks up whole landed
+    files, so the copy is the atomic publish step.  Single source for
+    every multi-wave streaming-parity query (q144/q154/q165 and
+    ``_land_two_waves``)."""
     import shutil
-
-    from pyspark.sql import functions as F
 
     from ..sources.jsonl import write_jsonl
 
-    def land_wave(df: DataFrame, tag: str) -> None:
-        wave_dir = root / f"wave_{tag}"
-        write_jsonl(df, str(wave_dir), compression=None, shards=4)
-        for f in wave_dir.glob("part-*.json"):
-            shutil.copy(f, land / f"{tag}_{f.name}")
+    wave_dir = root / f"wave_{land.name}_{tag}"
+    write_jsonl(df, str(wave_dir), compression=None, shards=4)
+    for f in wave_dir.glob("part-*.json"):
+        shutil.copy(f, land / f"{tag}_{f.name}")
 
-    land_wave(frame.where(F.col(split_col) % 2 == 0), "a")
+
+def _land_two_waves(frame: DataFrame, root, land, drain, split_col: str = "event_id") -> None:
+    """Write even-id rows, drain, write odd-id rows, drain."""
+    from pyspark.sql import functions as F
+
+    _land_wave(root, land, frame.where(F.col(split_col) % 2 == 0), "a")
     drain()
-    land_wave(frame.where(F.col(split_col) % 2 == 1), "b")
+    _land_wave(root, land, frame.where(F.col(split_col) % 2 == 1), "b")
     drain()
 
 
@@ -429,13 +436,11 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
-        import shutil
         import tempfile
         from pathlib import Path
 
         from pyspark.sql import functions as F
 
-        from ..sources.jsonl import write_jsonl
         from ..streaming.joins import stream_interval_join
 
         root = Path(tempfile.mkdtemp(prefix="q144_ssjoin_"))
@@ -449,12 +454,6 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         right = e.where(F.col("event_id") % 2 == 1).select(
             "event_id", "user_id", "ts", "value"
         )
-
-        def land_wave(df: DataFrame, land: Path, tag: str) -> None:
-            wave_dir = root / f"wave_{land.name}_{tag}"
-            write_jsonl(df, str(wave_dir), compression=None, shards=4)
-            for f in wave_dir.glob("part-*.json"):
-                shutil.copy(f, land / f"{tag}_{f.name}")
 
         def drain() -> None:
             # maxFilesPerTrigger pins one micro-batch per drain (the
@@ -495,8 +494,8 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         half = (F.col("event_id") - F.col("event_id") % 2) / 2
         for tag, parity in (("a", 0), ("b", 1)):
-            land_wave(left.where(half % 2 == parity), land_l, tag)
-            land_wave(right.where(half % 2 == parity), land_r, tag)
+            _land_wave(root, land_l, left.where(half % 2 == parity), tag)
+            _land_wave(root, land_r, right.where(half % 2 == parity), tag)
             drain()
         return spark.read.parquet(out).select(
             "user_id", "l_event_id", "r_event_id", "r_value"
@@ -535,13 +534,11 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
-        import shutil
         import tempfile
         from pathlib import Path
 
         from pyspark.sql import functions as F
 
-        from ..sources.jsonl import write_jsonl
         from .catalog import DEC, emit
 
         root = Path(tempfile.mkdtemp(prefix="q154_dedup_"))
@@ -551,12 +548,6 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = load(spark, sf_dir, "events").select(
             "event_id", "ts", "event_type", "value"
         )
-
-        def land_wave(df: DataFrame, tag: str) -> None:
-            wave_dir = root / f"wave_{tag}"
-            write_jsonl(df, str(wave_dir), compression=None, shards=4)
-            for f in wave_dir.glob("part-*.json"):
-                shutil.copy(f, land / f"{tag}_{f.name}")
 
         def drain() -> None:
             stream = (
@@ -580,13 +571,13 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         mod = F.col("event_id") % 6
         # wave A: even ids, once
-        land_wave(e.where(F.col("event_id") % 2 == 0), "a1")
+        _land_wave(root, land, e.where(F.col("event_id") % 2 == 0), "a1")
         drain()
         # wave B: odd ids, PLUS a second copy of the % 6 == 0 rows
         # (cross-restart dups) and of the % 6 == 3 rows (in-batch dups)
-        land_wave(e.where(F.col("event_id") % 2 == 1), "b1")
-        land_wave(e.where(mod == 0), "b2")
-        land_wave(e.where(mod == 3), "b3")
+        _land_wave(root, land, e.where(F.col("event_id") % 2 == 1), "b1")
+        _land_wave(root, land, e.where(mod == 0), "b2")
+        _land_wave(root, land, e.where(mod == 3), "b3")
         drain()
         return (
             spark.read.parquet(out)
@@ -645,13 +636,11 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
-        import shutil
         import tempfile
         from pathlib import Path
 
         from pyspark.sql import functions as F
 
-        from ..sources.jsonl import write_jsonl
         from ..streaming.windows import session_stats
 
         root = Path(tempfile.mkdtemp(prefix="q165_sess_"))
@@ -671,12 +660,6 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(int(-1), hi + 10 * 3_600_000_000, int(-1), 0.0)],
             "event_id long, ts_us long, user_id long, value double",
         )
-
-        def land_wave(df: DataFrame, tag: str) -> None:
-            wave_dir = root / f"wave_{tag}"
-            write_jsonl(df, str(wave_dir), compression=None, shards=4)
-            for f in wave_dir.glob("part-*.json"):
-                shutil.copy(f, land / f"{tag}_{f.name}")
 
         def drain() -> None:
             stream = (
@@ -700,11 +683,11 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .awaitTermination()
             )
 
-        land_wave(e.where(F.col("ts_us") < cut), "a")
+        _land_wave(root, land, e.where(F.col("ts_us") < cut), "a")
         drain()
-        land_wave(e.where(F.col("ts_us") >= cut), "b")
+        _land_wave(root, land, e.where(F.col("ts_us") >= cut), "b")
         drain()
-        land_wave(sentinel, "c")
+        _land_wave(root, land, sentinel, "c")
         drain()
         return spark.read.parquet(out).where(F.col("user_id") >= 0)
 

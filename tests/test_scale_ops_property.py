@@ -161,7 +161,12 @@ def test_bloom_semi_join_across_numeric_families(spark):
 
 @settings(max_examples=10, deadline=None)
 @given(
-    ids=st.lists(st.integers(min_value=0, max_value=300), min_size=0, max_size=80),
+    # negatives included: floor-semantics bitmap coordinates must keep
+    # every long distinct (-1 and 63 aliased under the old truncating
+    # div + shift-mask scheme)
+    ids=st.lists(
+        st.integers(min_value=-300, max_value=300), min_size=0, max_size=80
+    ),
     nparts=st.integers(min_value=1, max_value=5),
 )
 def test_bitmap_distinct_equals_count_distinct(spark, ids, nparts):
@@ -467,6 +472,24 @@ def test_column_stats_profile_sketch_matches_exact_for_integrals(spark):
         column_stats_profile(df, ["a"], mode="hll")
 
 
+def test_column_stats_profile_sketch_edge_domains(spark):
+    """Sketch mode must stay exact for NEGATIVE integral values (floor
+    bitmap coordinates: -1 and 63 aliased under truncating div) and
+    report n_distinct = 0 — not NULL — for an all-null integral column
+    (the bitmap branch has no surviving row to join back)."""
+    from aquiles_etl_pipeline_spark.relational.sketches import column_stats_profile
+
+    rows = [(v, None) for v in (-1, 63, -64, 0, -1)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    prof = {
+        r["column_name"]: r.asDict()
+        for r in column_stats_profile(df, ["a", "b"], mode="sketch").collect()
+    }
+    assert prof["a"]["n_distinct"] == 4
+    assert prof["b"]["n_distinct"] == 0
+    assert prof["b"]["n_nulls"] == 5
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     edges=st.lists(
@@ -498,3 +521,23 @@ def test_star_cc_equals_label_propagation(spark, edges, chain_len):
         (r["_n"], r["_comp"]) for r in connected_components_star(E, N).collect()
     )
     assert a == b
+
+
+def test_star_cc_refuses_unconverged_exit(spark):
+    """Exhausting max_iter before the terminal star state must raise:
+    the final node join would otherwise fan out to duplicate
+    (node, component) rows, silently breaking the one-row-per-node
+    contract (a max_iter=1 run on a long chain cannot converge)."""
+    import pytest as _pytest
+
+    from aquiles_etl_pipeline_spark.llmdata.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(40)]
+    E = spark.createDataFrame(chain, "id_a long, id_b long")
+    N = spark.createDataFrame([(n,) for n in range(41)], "doc_id long")
+    with _pytest.raises(RuntimeError, match="did not reach the terminal state"):
+        connected_components_star(E, N, max_iter=1).collect()
+    # an edge-free graph is terminal before any round — no raise
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = connected_components_star(empty, N, max_iter=1)
+    assert out.count() == 41
