@@ -34,16 +34,52 @@ def assign_splits(
     appends and reruns (the reproducible-dataset-release property
     sampleBy's Bernoulli draws do not give you)."""
     weights = weights or {"train": 96, "val": 2, "test": 2}
+    bucket = F.pmod(_sha60(F.col(key_col)), F.lit(100))
+    return df.select(
+        key_col,
+        bucket.alias("split_bucket"),
+        _split_expr(bucket, weights).alias("split"),
+    )
+
+
+def _split_expr(bucket: Column, weights: dict[str, int]) -> Column:
+    """bucket-in-[0,100) -> split-name CASE chain shared by the
+    row-keyed and group-keyed split assigners."""
     if sum(weights.values()) != 100:
         raise ValueError(f"split weights must sum to 100, got {weights}")
-    bucket = F.pmod(_sha60(F.col(key_col)), F.lit(100))
     expr: Column | None = None
     lo = 0
     for name, pct in weights.items():
         cond = bucket < F.lit(lo + pct)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
         lo += pct
-    return df.select(key_col, bucket.alias("split_bucket"), expr.alias("split"))
+    return expr
+
+
+def group_holdout_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Split assignment with GROUP integrity: the hash key is the
+    group column (source/domain/site), so every row of a group lands
+    in the SAME split.  This is the leakage defense a row-keyed split
+    (``assign_splits``) cannot give: near-duplicate and templated
+    documents cluster within a source, and splitting rows
+    independently puts one copy in train and its twin in test,
+    inflating eval scores.  Holding out whole groups keeps eval
+    honestly out-of-distribution.
+
+    Same determinism contract as ``assign_splits`` (sha-hash
+    projection: no RNG, append/rerun-stable) and the same pure-map
+    scale shape — no shuffle; the group key needs no aggregation
+    because the hash is computed per row from the group VALUE.
+    Returns the input columns plus (split_bucket, split)."""
+    weights = weights or {"train": 96, "val": 2, "test": 2}
+    bucket = F.pmod(_sha60(F.col(group_col)), F.lit(100))
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split", _split_expr(bucket, weights)
+    )
 
 
 def benchmark_ngram_overlap(

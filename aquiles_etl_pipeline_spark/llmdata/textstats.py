@@ -498,3 +498,96 @@ def vocab_drift(
         .orderBy(F.desc(F.abs(F.col("log_ratio"))), F.asc("token"))
         .limit(k)
     )
+
+
+def score_calibration_matrix(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    deciles: int = 10,
+) -> DataFrame:
+    """Per-group quantile calibration of a quality score against the
+    GLOBAL score distribution — the cross-source score-normalization
+    step of corpus curation: a classifier/heuristic score is only
+    comparable across sources after mapping each source's scores onto
+    the global CDF (a "good" doc from a weak source and one from a
+    strong source get different raw scores for the same global rank).
+
+    Output, at (group, global_decile) grain: ``n_docs`` in the cell,
+    ``avg_group_pct`` (mean within-group percent-rank of the cell's
+    docs) and ``avg_calibration_gap`` (mean global-pct minus group-pct
+    — positive when the group's docs rank higher globally than within
+    their own source, i.e. the source is stronger than average).
+
+    Scale shape: every window runs on SCORE-DISTRIBUTION grain, never
+    row grain.  Raw rows collapse once to (group, score) counts and
+    once to (score) counts; percent ranks are cumulative sums over
+    those collapsed frames (|distinct scores| rows), and the global
+    side broadcasts back onto the group side.  The naive formulation —
+    ``percent_rank() OVER (ORDER BY score)`` on raw rows — is a
+    single-partition sort of the whole table and dies at 100 TB.
+
+    Exactness discipline: percent ranks are ratios of integer
+    cumulative counts, and the per-cell means are computed from
+    integer sums (SUM(cnt*cum) with one decimal-widened factor, so
+    nothing wraps) divided ONCE — order-independent, so the DuckDB
+    twin hash-matches.  Ties share a decile (min-rank semantics), so
+    the bucketing is deterministic where ntile's tie-split is not.
+    """
+    from pyspark.sql import Window
+
+    g = df.groupBy(score_col).agg(F.count("*").alias("_cg"))
+    wg = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, -1)
+    g = g.select(
+        score_col,
+        F.coalesce(F.sum("_cg").over(wg), F.lit(0)).alias("_cumg"),
+        F.sum("_cg").over(Window.partitionBy()).alias("_n"),
+    )
+    s = df.groupBy(group_col, score_col).agg(F.count("*").alias("_cs"))
+    ws = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = s.select(
+        group_col,
+        score_col,
+        "_cs",
+        F.coalesce(F.sum("_cs").over(ws), F.lit(0)).alias("_cums"),
+        F.sum("_cs").over(Window.partitionBy(group_col)).alias("_ns"),
+    )
+    j = s.join(F.broadcast(g), score_col)
+    # min-rank decile in pure integer arithmetic (div, not /, which
+    # would detour through double and lose exactness at large counts)
+    dec = F.expr(f"least({deciles}, (_cumg * {deciles}) div _n + 1)").cast("int")
+    cells = j.select(
+        group_col,
+        dec.alias("global_decile"),
+        "_cs",
+        "_cums",
+        "_cumg",
+        "_ns",
+        "_n",
+    )
+    # decimal-widened products: SUM(cnt * cum) stays exact past int64
+    sum_cums = F.sum(F.col("_cs").cast("decimal(19,0)") * F.col("_cums"))
+    sum_cumg = F.sum(F.col("_cs").cast("decimal(19,0)") * F.col("_cumg"))
+    n_docs = F.sum("_cs")
+    # _ns is constant per group and _n globally, so the cell means are
+    # single exact-integer divisions: mean(cum/(ns-1)) == SUM(cnt*cum)
+    # / ((ns-1) * SUM(cnt)) — no float accumulation anywhere
+    gp = F.when(
+        F.min("_ns") > 1,
+        sum_cums.cast("double")
+        / ((F.min("_ns") - 1).cast("double") * n_docs.cast("double")),
+    ).otherwise(F.lit(0.0))
+    gl = F.when(
+        F.min("_n") > 1,
+        sum_cumg.cast("double")
+        / ((F.min("_n") - 1).cast("double") * n_docs.cast("double")),
+    ).otherwise(F.lit(0.0))
+    return cells.groupBy(group_col, "global_decile").agg(
+        n_docs.cast("long").alias("n_docs"),
+        F.round(gp, 6).alias("avg_group_pct"),
+        F.round(gl - gp, 6).alias("avg_calibration_gap"),
+    )

@@ -309,6 +309,12 @@ _GRADE_FIRST = (
     "q141_region_nation_roster",
     "q142_spearman_rank_correlation",
     "q143_join_key_skew_report",
+    # --- block E: round-5c additions (never graded; behind both the
+    # stale-43 refresh and the q144+ never-graded block, so a 50-query
+    # budget reaches them next round) ------------------------------
+    "q166_score_calibration",
+    "q167_ewma_user_features",
+    "q168_group_holdout_split",
 )
 
 

@@ -1,0 +1,240 @@
+"""Round-5 catalog entries, third batch (q166–q168): cross-source
+quality-score calibration, recency-weighted trailing features, and
+group-integrity holdout splits — three curation/feature primitives a
+training-data pipeline reaches for between scoring and sampling, each
+expressed in the distribution-grain / fixed-lag / pure-projection
+shapes that survive 100 TB, each graded against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import load, register
+
+
+# ---------------------------------------------------------------------------
+# q166: per-source quality-score calibration matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "q166_score_calibration",
+    sql="""
+    WITH g AS (
+      SELECT n_chars AS score, COUNT(*) AS cg FROM documents GROUP BY 1
+    ),
+    gw AS (
+      SELECT score,
+             CAST(COALESCE(SUM(cg) OVER (
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumg,
+             CAST(SUM(cg) OVER () AS BIGINT) AS n
+      FROM g
+    ),
+    s AS (
+      SELECT source, n_chars AS score, COUNT(*) AS cs
+      FROM documents GROUP BY 1, 2
+    ),
+    sw AS (
+      SELECT source, score, cs,
+             CAST(COALESCE(SUM(cs) OVER (
+               PARTITION BY source ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cums,
+             CAST(SUM(cs) OVER (PARTITION BY source) AS BIGINT) AS ns
+      FROM s
+    ),
+    j AS (
+      SELECT sw.source, sw.cs, sw.cums, sw.ns, gw.cumg, gw.n,
+             CAST(LEAST(10, (gw.cumg * 10) // gw.n + 1) AS INT)
+               AS global_decile
+      FROM sw JOIN gw USING (score)
+    )
+    SELECT source, global_decile,
+           CAST(SUM(cs) AS BIGINT) AS n_docs,
+           ROUND(CASE WHEN MIN(ns) > 1
+             THEN CAST(SUM(CAST(cs AS DECIMAL(19,0)) * cums) AS DOUBLE)
+                  / (CAST(MIN(ns) - 1 AS DOUBLE) * CAST(SUM(cs) AS DOUBLE))
+             ELSE 0.0 END, 6) AS avg_group_pct,
+           ROUND(CASE WHEN MIN(n) > 1
+             THEN CAST(SUM(CAST(cs AS DECIMAL(19,0)) * cumg) AS DOUBLE)
+                  / (CAST(MIN(n) - 1 AS DOUBLE) * CAST(SUM(cs) AS DOUBLE))
+             ELSE 0.0 END
+             - CASE WHEN MIN(ns) > 1
+             THEN CAST(SUM(CAST(cs AS DECIMAL(19,0)) * cums) AS DOUBLE)
+                  / (CAST(MIN(ns) - 1 AS DOUBLE) * CAST(SUM(cs) AS DOUBLE))
+             ELSE 0.0 END, 6) AS avg_calibration_gap
+    FROM j GROUP BY 1, 2
+    """,
+    doc="Cross-source quality-score calibration matrix (llmdata."
+        "textstats.score_calibration_matrix): per (source, global "
+        "score decile), the doc count, the mean WITHIN-source percent "
+        "rank, and the calibration gap (global minus source rank — "
+        "positive cells mark sources whose docs outrank their local "
+        "standing, i.e. stronger-than-average sources).  The score "
+        "normalization step that makes one quality threshold "
+        "meaningful across heterogeneous sources.  Scale shape: all "
+        "windows run on SCORE-DISTRIBUTION grain (raw rows collapse "
+        "to (source, score) and (score) count frames first); the "
+        "naive global percent_rank over raw rows is a single-"
+        "partition whole-table sort.  Percent ranks stay ratios of "
+        "exact integer cumulative counts (decimal-widened products), "
+        "divided once — order-independent, hash-stable.",
+    tags=("llmdata", "calibration", "documents"),
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata.textstats import score_calibration_matrix
+
+    return score_calibration_matrix(
+        load(spark, sf_dir, "documents"), group_col="source", score_col="n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q167: recency-weighted trailing features (bounded-depth EWMA)
+# ---------------------------------------------------------------------------
+
+def _ewma_sql_terms(depth: int = 8, decay: float = 0.5) -> tuple[str, str, str, str]:
+    """(num, den, sm, cnt) SQL fragments mirroring trailing_ewma's
+    left-to-right term order exactly (same fixed-position float sum →
+    bit-identical across engines)."""
+    num, den, sm, cnt = "0.0", "0.0", "0.0", "0"
+    for j in range(depth):
+        v = "value" if j == 0 else f"lag(value, {j}) OVER uw"
+        w = repr(decay**j)
+        num += f" + CASE WHEN {v} IS NOT NULL THEN ({v}) * {w} ELSE 0.0 END"
+        den += f" + CASE WHEN {v} IS NOT NULL THEN {w} ELSE 0.0 END"
+        sm += f" + CASE WHEN {v} IS NOT NULL THEN ({v}) ELSE 0.0 END"
+        cnt += f" + CASE WHEN {v} IS NOT NULL THEN 1 ELSE 0 END"
+    return num, den, sm, cnt
+
+
+_EWMA_NUM, _EWMA_DEN, _EWMA_SM, _EWMA_CNT = _ewma_sql_terms()
+
+@register(
+    "q167_ewma_user_features",
+    sql=f"""
+    WITH w AS (
+      SELECT user_id, value,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+             ({_EWMA_NUM}) AS num,
+             ({_EWMA_DEN}) AS den,
+             ({_EWMA_SM}) AS sm,
+             ({_EWMA_CNT}) AS cnt
+      FROM events
+      WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           value AS last_value,
+           CASE WHEN cnt > 0 THEN ROUND(num / den, 6) END AS ewma8,
+           CASE WHEN cnt > 0 THEN ROUND(sm / cnt, 6) END AS sma8,
+           CAST(cnt AS INT) AS n_trail
+    FROM w WHERE rn = 1
+    """,
+    doc="Recency-weighted user state (relational.timeseries."
+        "trailing_ewma): each user's LATEST event annotated with the "
+        "decay-0.5 EWMA and plain mean of their last 8 event values — "
+        "the recency-feature primitive (fraud velocity, engagement "
+        "decay) in its distributed-native form.  A true EWMA is a "
+        "sequential recurrence; the bounded-depth form is 8 lag() "
+        "columns over ONE hash(user) window — pure codegen, one "
+        "shuffle, and the dropped tail holds <0.4% of the weight.  "
+        "Fixed-position float arithmetic (no aggregation order), so "
+        "the SQL twin is bit-identical.",
+    tags=("timeseries", "features", "events"),
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .timeseries import trailing_ewma
+
+    e = trailing_ewma(load(spark, sf_dir, "events"))
+    pw = Window.partitionBy("user_id")
+    rn = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.select(
+            "user_id",
+            F.count("*").over(pw).alias("n_events"),
+            F.col("value").alias("last_value"),
+            "ewma8",
+            "sma8",
+            F.col("n_trail").cast("int").alias("n_trail"),
+            F.row_number().over(rn).alias("_rn"),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168: group-integrity holdout split report
+# ---------------------------------------------------------------------------
+
+@register(
+    "q168_group_holdout_split",
+    sql="""
+    WITH s AS (
+      SELECT source, n_chars,
+             ('0x' || substr(sha256(source), 1, 15))::BIGINT % 100 AS b
+      FROM documents
+    ),
+    a AS (
+      SELECT CASE WHEN b < 70 THEN 'train'
+                  WHEN b < 85 THEN 'val'
+                  ELSE 'test' END AS split,
+             source, n_chars
+      FROM s
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                 / CAST(SUM(SUM(n_chars)) OVER () AS DOUBLE), 6)
+             AS chars_share
+    FROM a GROUP BY 1
+    """,
+    doc="Group-integrity holdout split (llmdata.sampling."
+        "group_holdout_split): documents split 70/15/15 by hashing the "
+        "SOURCE, so every doc of a source lands in one split — the "
+        "leakage defense a row-keyed split (q48) cannot give, since "
+        "near-duplicates cluster within a source and row-splitting "
+        "puts one copy in train and its twin in test.  Assignment is "
+        "a pure sha-hash projection (no RNG, no shuffle, append-"
+        "stable); the report aggregates per split: source count, doc "
+        "count, char mass and its share (single exact-integer "
+        "division over a 3-row window).  The zero-leakage property — "
+        "no source in two splits — is structural, pinned by a "
+        "property test rather than an audit column.",
+    tags=("llmdata", "sampling", "split", "documents"),
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata.sampling import group_holdout_split
+
+    d = group_holdout_split(
+        load(spark, sf_dir, "documents"),
+        "source",
+        weights={"train": 70, "val": 15, "test": 15},
+    )
+    agg = d.groupBy("split").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    return agg.select(
+        "split",
+        "n_sources",
+        "n_docs",
+        "sum_chars",
+        F.round(
+            F.col("sum_chars").cast("double")
+            / F.sum("sum_chars").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("chars_share"),
+    )

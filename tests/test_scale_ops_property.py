@@ -541,3 +541,83 @@ def test_star_cc_refuses_unconverged_exit(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     out = connected_components_star(empty, N, max_iter=1)
     assert out.count() == 41
+
+
+def test_group_holdout_split_integrity(spark):
+    """Every row of a group must land in ONE split (the leakage
+    defense the operator exists for), assignment must be rerun-stable,
+    and the weights must cover [0, 100)."""
+    from aquiles_etl_pipeline_spark.llmdata.sampling import group_holdout_split
+
+    rows = [(f"d{i}", f"src{i % 13}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = group_holdout_split(df, "source").collect()
+    by_group: dict[str, set[str]] = {}
+    for r in out:
+        by_group.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values()), by_group
+    # rerun-stable (pure hash projection, no RNG)
+    again = {(r["doc_id"], r["split"]) for r in group_holdout_split(df, "source").collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in out}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 100"):
+        group_holdout_split(df, "source", weights={"train": 50, "test": 40})
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_trailing_ewma_matches_reference(spark, vals):
+    """trailing_ewma must equal the brute-force trailing-8 weighted
+    mean computed in Python for one key, including NULL values and
+    rows whose whole trailing window is NULL."""
+    from aquiles_etl_pipeline_spark.relational.timeseries import trailing_ewma
+
+    rows = [(1, i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double")
+    got = {
+        r["event_id"]: (r["ewma8"], r["sma8"], r["n_trail"])
+        for r in trailing_ewma(df, order_cols=("ts", "event_id")).collect()
+    }
+    for i in range(len(vals)):
+        window = [vals[i - j] for j in range(8) if i - j >= 0]
+        present = [(v, 0.5**j) for j, v in enumerate(window) if v is not None]
+        if not present:
+            assert got[i] == (None, None, 0)
+            continue
+        num = sum(v * w for v, w in present)
+        den = sum(w for _, w in present)
+        sm = sum(v for v, _ in present)
+        e, s, n = got[i]
+        assert n == len(present)
+        assert abs(e - num / den) < 1e-6 + 1e-9
+        assert abs(s - sm / len(present)) < 1e-6 + 1e-9
+
+
+def test_score_calibration_matrix_invariants(spark):
+    """Cell doc counts must sum to the table size, group percents stay
+    in [0, 1], deciles in [1, 10], and a uniformly-strong group shows a
+    positive calibration gap while a weak one shows a negative gap."""
+    from aquiles_etl_pipeline_spark.llmdata.textstats import score_calibration_matrix
+
+    rows = [("weak", float(i % 50)) for i in range(100)] + [
+        ("strong", 100.0 + i % 50) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "source string, score double")
+    out = score_calibration_matrix(df, "source", "score").collect()
+    assert sum(r["n_docs"] for r in out) == 200
+    assert all(1 <= r["global_decile"] <= 10 for r in out)
+    assert all(0.0 <= r["avg_group_pct"] <= 1.0 for r in out)
+    gap = {
+        src: sum(r["avg_calibration_gap"] * r["n_docs"] for r in out if r["source"] == src)
+        / sum(r["n_docs"] for r in out if r["source"] == src)
+        for src in ("weak", "strong")
+    }
+    assert gap["strong"] > 0.2
+    assert gap["weak"] < -0.2
