@@ -941,3 +941,31 @@ def test_sketch_profile_no_expand_bitmap_present(plans):
     # word-grain partial agg exchange + group-grain + the single-row
     # stats/broadcast side
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4, p
+
+
+def test_ewma_features_single_exchange(plans):
+    """q167: all three window specs (asc lags, desc row_number, the
+    per-user count) must ride ONE hash(user_id) Exchange — a second
+    Exchange means a window spec broke the shared distribution; any
+    Python node means the lag arithmetic fell out of codegen."""
+    import re
+
+    p = plans["q167_ewma_user_features"]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "EvalPython" not in p
+
+
+def test_score_calibration_windows_on_distribution_grain(plans):
+    """q166: the global score-distribution side must BROADCAST back
+    onto the per-source side (never a shuffled join), and the only
+    SinglePartition exchange feeds the window over the score-grain
+    aggregate — the raw document scan must never be globally sorted."""
+    import re
+
+    p = plans["q166_score_calibration"]
+    assert "BroadcastHashJoin" in p, "global distribution side not broadcast"
+    # formatted mode renders the partitioning on the Arguments: line
+    assert len(re.findall(r"Arguments: SinglePartition", p)) == 1, p
+    # both single-partition consumers sit above a HashAggregate of the
+    # raw scan, so the global sort ingests |distinct scores| rows only
+    assert "SortMergeJoin" not in p
