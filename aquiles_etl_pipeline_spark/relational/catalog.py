@@ -315,6 +315,7 @@ _GRADE_FIRST = (
     "q166_score_calibration",
     "q167_ewma_user_features",
     "q168_group_holdout_split",
+    "q169_kcore_peel",
 )
 
 

@@ -238,3 +238,108 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chars_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q169: k-core peeling telemetry over the part<->supplier graph
+# ---------------------------------------------------------------------------
+
+def kcore_peel_stats(
+    edges: DataFrame, k: int = 3, rounds: int = 4
+) -> DataFrame:
+    """Fixed-round k-core peeling over a symmetric (src, dst) edge
+    list: each round drops every node of degree < k and the edges
+    touching it, and reports (round, n_parts, n_suppliers, n_edges)
+    for the surviving graph — the density-core extraction primitive
+    (spam rings, co-purchase backbones) in its Pregel-round shape.
+
+    FIXED rounds, not peel-to-fixpoint: like pagerank_int's three
+    unrolled iterations, a deterministic round count is what an
+    independent SQL oracle can replay as chained CTEs; on these graphs
+    the peel stabilizes within the window (visible in the telemetry —
+    consecutive equal rows), and at 100 TB you would loop the same
+    body until a round removes nothing.  Per round: one degree
+    aggregation + two semi-shaped joins keyed on the node id — the
+    same hash distribution every round.  Each round's survivor frame
+    is eagerly localCheckpoint'ed: the stats union reads every round,
+    and without the barrier round i would recompute rounds 1..i-1
+    (the q156 recompute-blowup lesson); blocks drain via
+    ContextCleaner when the result is dropped.
+    """
+    e = edges
+    stats: list[DataFrame] = []
+    for i in range(1, rounds + 1):
+        deg = e.groupBy("src").agg(F.count("*").alias("_d"))
+        keep = deg.where(F.col("_d") >= k).select("src")
+        e = (
+            e.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        stats.append(
+            e.agg(
+                F.countDistinct(
+                    F.when(F.col("src") % 2 == 0, F.col("src"))
+                ).alias("n_parts"),
+                F.countDistinct(
+                    F.when(F.col("src") % 2 == 1, F.col("src"))
+                ).alias("n_suppliers"),
+                F.count("*").alias("n_edges"),
+            ).select(F.lit(i).cast("int").alias("round"), "*")
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _kcore_iter_sql(i: int, k: int) -> str:
+    return f"""
+    d{i} AS (SELECT src, COUNT(*) AS d FROM e{i - 1} GROUP BY src),
+    k{i} AS (SELECT src FROM d{i} WHERE d >= {k}),
+    e{i} AS (
+      SELECT e.src, e.dst FROM e{i - 1} e
+      JOIN k{i} a ON e.src = a.src
+      JOIN k{i} b ON e.dst = b.src
+    )"""
+
+
+def _kcore_stats_sql(i: int) -> str:
+    return f"""
+    SELECT {i} AS round,
+           CAST(COUNT(DISTINCT src) FILTER (WHERE src % 2 = 0) AS BIGINT)
+             AS n_parts,
+           CAST(COUNT(DISTINCT src) FILTER (WHERE src % 2 = 1) AS BIGINT)
+             AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM e{i}"""
+
+
+@register(
+    "q169_kcore_peel",
+    sql=f"""
+    WITH e0 AS (
+      SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+      UNION
+      SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem
+    ),
+    {",".join(_kcore_iter_sql(i, 3) for i in range(1, 5))}
+    {" UNION ALL ".join(_kcore_stats_sql(i) for i in range(1, 5))}
+    """,
+    doc="Four peeling rounds toward the 3-core of the bipartite "
+        "part<->supplier graph (kcore_peel_stats, same parity-tagged "
+        "node ids and edge builder as q134's PageRank): per round, "
+        "surviving part/supplier/edge counts — the dense-core "
+        "extraction and convergence-telemetry primitive.  Fixed "
+        "rounds keep the DuckDB twin an exact chained-CTE replay; "
+        "each round is one degree aggregation plus two node-keyed "
+        "joins on one reused hash distribution, and survivor frames "
+        "are localCheckpoint'ed so the telemetry union never "
+        "recomputes earlier rounds.",
+    tags=("graph", "kcore", "lineitem"),
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import bipartite_edges
+
+    return kcore_peel_stats(bipartite_edges(load(spark, sf_dir, "lineitem")))

@@ -62,6 +62,8 @@ PERSIST_PRONE = [
     "q165_stream_session_windows",
     # q156 localCheckpoints the oriented edge frame (5 plan branches)
     "q156_triangle_count",
+    # q169 localCheckpoints each peel round's survivor frame (4 rounds)
+    "q169_kcore_peel",
 ]
 
 
