@@ -316,6 +316,7 @@ _GRADE_FIRST = (
     "q167_ewma_user_features",
     "q168_group_holdout_split",
     "q169_kcore_peel",
+    "q170_small_cell_suppression",
 )
 
 

@@ -343,3 +343,90 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import bipartite_edges
 
     return kcore_peel_stats(bipartite_edges(load(spark, sf_dir, "lineitem")))
+
+
+# ---------------------------------------------------------------------------
+# q170: small-cell suppression (k-anonymity release gate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q170_small_cell_suppression",
+    sql="""
+    WITH cells AS (
+      -- DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday — align here
+      SELECT event_type,
+             CAST(dayofweek(ts) + 1 AS INT) AS dow,
+             user_id, event_id
+      FROM events
+    ),
+    per_cell AS (
+      SELECT event_type, dow,
+             COUNT(DISTINCT user_id) AS nu,
+             COUNT(*) AS ne
+      FROM cells GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT CASE WHEN p.nu >= 25 THEN p.event_type
+                  ELSE '__suppressed__' END AS cell,
+             CASE WHEN p.nu >= 25 THEN p.dow ELSE -1 END AS dow,
+             c.user_id, c.event_id
+      FROM cells c
+      JOIN per_cell p
+        ON p.event_type = c.event_type AND p.dow = c.dow
+    )
+    SELECT cell, CAST(dow AS INT) AS dow,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM folded GROUP BY 1, 2
+    """,
+    doc="Small-cell suppression, the k-anonymity release gate every "
+        "published aggregate table needs: (event_type, weekday) cells "
+        "whose distinct-user count falls below k=25 are folded into "
+        "one __suppressed__ bucket whose user count is the EXACT "
+        "distinct count of the union of its members (a user in two "
+        "suppressed cells counts once).  Scale shape: the fold "
+        "re-counts distincts WITHOUT touching raw rows twice — cells "
+        "collapse to (cell, word) bitmap words in one pass; the fold "
+        "relabels word rows and bit_or-MERGES them (the q146 "
+        "semilattice), so the union distinct is a popcount, not a "
+        "re-scan; the oracle states the same semantics over raw rows.",
+    tags=("governance", "k-anonymity", "sketch", "events"),
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketches import bitmap_word_bit
+
+    k = 25
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        "user_id",
+    )
+    word, bit = bitmap_word_bit("user_id")
+    words = (
+        e.select("event_type", "dow", word.alias("_w"), bit.alias("_b"))
+        .groupBy("event_type", "dow", "_w")
+        .agg(F.bit_or("_b").alias("_bits"), F.count("*").alias("_ne"))
+    )
+    per_cell = words.groupBy("event_type", "dow").agg(
+        F.coalesce(F.sum(F.bit_count("_bits")), F.lit(0)).alias("_nu")
+    )
+    folded = words.join(per_cell, ["event_type", "dow"]).select(
+        F.when(F.col("_nu") >= k, F.col("event_type"))
+        .otherwise(F.lit("__suppressed__"))
+        .alias("cell"),
+        F.when(F.col("_nu") >= k, F.col("dow")).otherwise(F.lit(-1)).alias("dow"),
+        "_w",
+        "_bits",
+        "_ne",
+    )
+    return (
+        folded.groupBy("cell", "dow", "_w")
+        .agg(F.bit_or("_bits").alias("_mbits"), F.sum("_ne").alias("_ne"))
+        .groupBy("cell", F.col("dow").cast("int").alias("dow"))
+        .agg(
+            F.coalesce(F.sum(F.bit_count("_mbits")), F.lit(0))
+            .cast("long")
+            .alias("n_users"),
+            F.sum("_ne").cast("long").alias("n_events"),
+        )
+    )
