@@ -1,0 +1,178 @@
+"""Generic Delta-style MERGE INTO executor over Warehouse tables.
+
+The reference hard-codes its three MERGE procedures (upserts.py M1-M3,
+cited there to /root/reference/core: the stored-proc bodies the Azure
+pipeline invokes).  This module is the ENGINE-level generalization — the
+``MERGE INTO target USING source ON keys WHEN MATCHED [AND cond] THEN
+UPDATE/DELETE WHEN NOT MATCHED THEN INSERT`` statement every lakehouse
+exposes — so a user can express any new upsert without writing another
+bespoke merge function.
+
+Execution shape (the one that scales):
+
+* the source is the SMALL side by contract (a batch); it broadcasts
+  into one left join against only the TOUCHED partitions of the target;
+* matched rows apply delete-then-update clause order (the standard
+  SQL MERGE clause precedence when both are present);
+* unmatched source rows insert, aligned to the target schema;
+* the rewrite is partition-scoped via Warehouse.replace_partitions —
+  untouched partitions hardlink forward, cost O(touched), not O(table).
+
+Clause expressions reference TARGET columns by name and SOURCE columns
+with the ``_src_`` prefix (e.g. ``F.col("_src_price")``) — the join
+frame exposes both sides that way, mirroring Delta's ``t.``/``s.``
+qualification without colliding column names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .schemas import N_BUCKETS
+from .warehouse import Warehouse
+
+SRC = "_src_"
+
+
+def _bucket_expr(key_cols: list[str]) -> Column:
+    """Stable bucket id from the merge key (the upserts._bucket_of
+    family): pmod(xxhash64(keys), N_BUCKETS)."""
+    return F.pmod(F.xxhash64(*key_cols), F.lit(N_BUCKETS)).cast("int")
+
+
+def merge_into(
+    wh: Warehouse,
+    table: str,
+    source: DataFrame,
+    on: list[str] | str,
+    update_set: dict[str, Column] | None = None,
+    update_condition: Column | None = None,
+    delete_condition: Column | None = None,
+    insert: bool = True,
+    insert_values: dict[str, Column] | None = None,
+    bucket_col: str | None = None,
+    collect_stats: bool = True,
+) -> dict[str, int]:
+    """Execute a MERGE INTO ``table`` from ``source`` keyed on ``on``.
+
+    * ``update_set``: target-col -> value for matched rows (default:
+      every non-key source column that exists in the target takes the
+      source value).  ``update_condition`` gates the update (default
+      always).
+    * ``delete_condition``: matched rows satisfying it are DELETED
+      (checked before update, the SQL MERGE clause order).
+    * ``insert``: unmatched source rows insert; ``insert_values``
+      overrides per-column insert expressions (default: source value
+      where the column exists, NULL otherwise; the bucket column is
+      derived from the key).
+    * ``bucket_col``: when given, the target is partitioned by this
+      hash-of-key column ( :func:`_bucket_expr` — the same family the
+      built-in merges use) and the rewrite is partition-scoped;
+      without it the merge rewrites the whole snapshot.
+
+    Contract: the source must be UNIQUE on the key — a key matching
+    two source rows makes UPDATE semantics ambiguous, so the merge
+    REFUSES (the Delta ``MERGE`` multiple-match error) instead of
+    picking one nondeterministically.  Returns counts
+    {updated, deleted, inserted} (-1s when ``collect_stats=False``).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if not source.groupBy(*keys).count().where(F.col("count") > 1).isEmpty():
+        raise ValueError(
+            f"merge_into: source is not unique on {keys}; a multi-match "
+            "merge is nondeterministic (the Delta MERGE error) — "
+            "pre-aggregate the source to one row per key"
+        )
+    target = wh.read(table)
+    tgt_cols = target.columns
+    src_cols = source.columns
+    for k in keys:
+        if k not in tgt_cols or k not in src_cols:
+            raise ValueError(f"merge_into: key {k!r} missing from a side")
+
+    srcp = source.select(
+        *[F.col(c).alias(c if c in keys else f"{SRC}{c}") for c in src_cols]
+    ).withColumn(f"{SRC}__matched", F.lit(True))
+    touched: list[int] = []
+    if bucket_col is not None:
+        touched = [
+            r[0]
+            for r in source.select(_bucket_expr(keys).alias("_b"))
+            .distinct()
+            .collect()
+        ]
+        base = target.where(F.col(bucket_col).isin(touched))
+    else:
+        base = target
+    joined = base.join(F.broadcast(srcp), keys, "left")
+
+    matched = F.coalesce(F.col(f"{SRC}__matched"), F.lit(False))
+    do_delete = (
+        matched & F.coalesce(delete_condition, F.lit(False))
+        if delete_condition is not None
+        else F.lit(False)
+    )
+    if update_set is None:
+        update_set = {
+            c: F.col(f"{SRC}{c}")
+            for c in src_cols
+            if c not in keys and c in tgt_cols
+        }
+    do_update = matched & (
+        F.coalesce(update_condition, F.lit(False))
+        if update_condition is not None
+        else F.lit(True)
+    )
+
+    survivors = joined.where(~do_delete).select(
+        *[
+            (
+                F.when(do_update, update_set[c]).otherwise(F.col(c)).alias(c)
+                if c in update_set
+                else F.col(c)
+            )
+            for c in tgt_cols
+        ]
+    )
+
+    if insert:
+        # NOT broadcast: the anti-join's right side is the TARGET key
+        # set (large); the planner picks the strategy — at scale this
+        # is a shuffled anti-join of the small source against only the
+        # touched partitions
+        ins_src = source.join(base.select(*keys), keys, "left_anti")
+        insert_values = insert_values or {}
+        proj = []
+        for field in target.schema.fields:
+            c = field.name
+            if c in insert_values:
+                proj.append(insert_values[c].cast(field.dataType).alias(c))
+            elif c in src_cols:
+                proj.append(F.col(c).cast(field.dataType).alias(c))
+            elif bucket_col is not None and c == bucket_col:
+                proj.append(_bucket_expr(keys).alias(c))
+            else:
+                proj.append(F.lit(None).cast(field.dataType).alias(c))
+        inserts = ins_src.select(*proj)
+        final = survivors.unionByName(inserts)
+    else:
+        inserts = None
+        final = survivors
+
+    stats = {"updated": -1, "deleted": -1, "inserted": -1}
+    if collect_stats:
+        row = joined.agg(
+            F.coalesce(F.sum(do_delete.cast("int")), F.lit(0)).alias("d"),
+            F.coalesce(
+                F.sum((do_update & ~do_delete).cast("int")), F.lit(0)
+            ).alias("u"),
+        ).first()
+        stats["deleted"], stats["updated"] = int(row["d"]), int(row["u"])
+        stats["inserted"] = int(inserts.count()) if inserts is not None else 0
+
+    if bucket_col is not None:
+        wh.replace_partitions(table, final, bucket_col, touched)
+    else:
+        wh.overwrite(table, final)
+    return stats

@@ -317,6 +317,7 @@ _GRADE_FIRST = (
     "q168_group_holdout_split",
     "q169_kcore_peel",
     "q170_small_cell_suppression",
+    "q171_generic_merge_into",
 )
 
 

@@ -430,3 +430,121 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_ne").cast("long").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q171: generic MERGE INTO (Delta-style upsert/delete/insert in one pass)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q171_generic_merge_into",
+    sql="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ),
+    src AS (
+      SELECT o_orderkey, 'D' AS op, NULL AS status, NULL AS price
+      FROM t WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey, 'U', 'X', CAST(price + 1 AS DECIMAL(18,2))
+      FROM t WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 7
+      UNION ALL
+      SELECT -o_orderkey - 1, 'I', 'N', CAST(1.23 AS DECIMAL(18,2))
+      FROM t WHERE o_orderkey % 5 = 1
+    ),
+    merged AS (
+      SELECT t.o_orderkey,
+             CASE WHEN s.op = 'U' THEN s.status
+                  ELSE t.o_orderstatus END AS status,
+             CASE WHEN s.op = 'U' THEN s.price ELSE t.price END AS price
+      FROM t LEFT JOIN src s USING (o_orderkey)
+      WHERE s.op IS NULL OR s.op <> 'D'
+      UNION ALL
+      SELECT o_orderkey, status, price FROM src WHERE op = 'I'
+    )
+    SELECT status AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(price) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+    FROM merged GROUP BY 1
+    """,
+    doc="Generic Delta-style MERGE INTO (merge.generic.merge_into — "
+        "the engine-level generalization of the reference's three "
+        "hard-coded MERGE procs): one statement applies a mixed change "
+        "batch to a bucket-partitioned warehouse dimension — deletes "
+        "(op D), conditional updates (op U: status + repriced total), "
+        "and inserts (op I, brand-new keys) — with SQL MERGE clause "
+        "order (delete before update), a source-uniqueness guard (the "
+        "Delta multi-match refusal), and a partition-scoped rewrite: "
+        "the small source broadcasts into ONLY the touched hash "
+        "buckets; untouched partitions hardlink forward, O(batch) not "
+        "O(table).  The oracle replays the same change set as a plain "
+        "left-join reconstruction; the readback aggregate grades the "
+        "merged state.",
+    tags=("merge", "warehouse", "upsert", "orders"),
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..merge import Warehouse
+    from ..merge.generic import merge_into
+
+    DEC2 = "decimal(18,2)"
+    t = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(DEC2).alias("price"),
+    )
+    from ..merge.generic import _bucket_expr
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="q171_merge_"))
+    wh.overwrite(
+        "dim_orders",
+        t.withColumn("_bucket", _bucket_expr(["o_orderkey"])),
+        partition_by=["_bucket"],
+    )
+    deletes = t.where(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey",
+        F.lit("D").alias("_op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast(DEC2).alias("price"),
+    )
+    updates = t.where(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 10 != 7)
+    ).select(
+        "o_orderkey",
+        F.lit("U").alias("_op"),
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("price") + 1).cast(DEC2).alias("price"),
+    )
+    inserts = t.where(F.col("o_orderkey") % 5 == 1).select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+        F.lit("I").alias("_op"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.23).cast(DEC2).alias("price"),
+    )
+    src = deletes.unionByName(updates).unionByName(inserts)
+    merge_into(
+        wh,
+        "dim_orders",
+        src,
+        on="o_orderkey",
+        update_set={
+            "o_orderstatus": F.col("_src_o_orderstatus"),
+            "price": F.col("_src_price"),
+        },
+        update_condition=F.col("_src__op") == "U",
+        delete_condition=F.col("_src__op") == "D",
+        insert=True,
+        bucket_col="_bucket",
+        collect_stats=False,
+    )
+    return (
+        wh.read("dim_orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price").cast(DEC2).cast("double").alias("total_price"),
+        )
+    )

@@ -512,3 +512,111 @@ def test_quality_rule_names_with_quotes_and_empty_suite(spark):
     assert rows[0]["n_violations"] == 1
     with _pytest.raises(ValueError, match="at least one rule"):
         expectation_report(df, [])
+
+
+def test_generic_merge_into_semantics(spark, tmp_path):
+    """merge_into must apply SQL MERGE clause order (delete before
+    update), default the update set to shared non-key columns, insert
+    unmatched source rows with NULL for target-only columns, and leave
+    unmatched target rows untouched."""
+    from pyspark.sql import functions as F
+
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+    from aquiles_etl_pipeline_spark.merge.generic import merge_into
+
+    wh = Warehouse(spark, tmp_path / "gm")
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id int, name string, extra int",
+    )
+    wh.overwrite("t", target)
+    source = spark.createDataFrame(
+        [(1, "A", "U"), (2, None, "D"), (5, "E", "I")],
+        "id int, name string, _op string",
+    )
+    stats = merge_into(
+        wh,
+        "t",
+        source,
+        on="id",
+        update_set={"name": F.col("_src_name")},
+        update_condition=F.col("_src__op") == "U",
+        delete_condition=F.col("_src__op") == "D",
+    )
+    got = sorted(
+        (r["id"], r["name"], r["extra"]) for r in wh.read("t").collect()
+    )
+    assert got == [
+        (1, "A", 10),   # updated
+        (3, "c", 30),   # untouched
+        (4, "d", 40),   # untouched
+        (5, "E", None),  # inserted; target-only column null-filled
+    ]
+    assert stats == {"updated": 1, "deleted": 1, "inserted": 1}
+
+
+def test_generic_merge_into_refuses_duplicate_source_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+    from aquiles_etl_pipeline_spark.merge.generic import merge_into
+
+    wh = Warehouse(spark, tmp_path / "gmdup")
+    wh.overwrite("t", spark.createDataFrame([(1, "a")], "id int, name string"))
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id int, name string"
+    )
+    with _pytest.raises(ValueError, match="not unique"):
+        merge_into(wh, "t", dup, on="id")
+
+
+def test_generic_merge_into_bucket_scoped_rewrite(spark, tmp_path):
+    """With bucket_col, the merge must rewrite ONLY the touched hash
+    buckets (untouched partition dirs hardlink forward: same inode) and
+    still produce the correct merged state, including default
+    update-set semantics (shared non-key columns take source values)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+    from aquiles_etl_pipeline_spark.merge.generic import _bucket_expr, merge_into
+
+    wh = Warehouse(spark, tmp_path / "gmb")
+    base = spark.range(0, 200).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 2).cast("int").alias("v"),
+    )
+    wh.overwrite(
+        "t",
+        base.withColumn("_bucket", _bucket_expr(["id"])),
+        partition_by=["_bucket"],
+    )
+    gen_before = wh._current("t")
+    inode_of = {
+        d.name: {f.name: os.stat(f).st_ino for f in d.glob("part-*")}
+        for d in gen_before.iterdir()
+        if d.is_dir() and d.name.startswith("_bucket=")
+    }
+    source = spark.createDataFrame([(7, -7), (1000, -1)], "id int, v int")
+    merge_into(wh, "t", source, on="id", bucket_col="_bucket")
+    after = {r["id"]: r["v"] for r in wh.read("t").collect()}
+    assert after[7] == -7 and after[1000] == -1 and after[8] == 16
+    assert len(after) == 201
+    gen_after = wh._current("t")
+    touched = {
+        r[0]
+        for r in source.select(_bucket_expr(["id"]).alias("b")).collect()
+    }
+    hardlinked = 0
+    for d in gen_after.iterdir():
+        if not (d.is_dir() and d.name.startswith("_bucket=")):
+            continue
+        bval = int(d.name.split("=")[1])
+        if bval not in touched and d.name in inode_of:
+            for f in d.glob("part-*"):
+                assert os.stat(f).st_ino == inode_of[d.name].get(f.name), (
+                    f"untouched partition {d.name} was rewritten"
+                )
+                hardlinked += 1
+    assert hardlinked > 0, "no untouched partition was hardlinked forward"
