@@ -318,6 +318,7 @@ _GRADE_FIRST = (
     "q169_kcore_peel",
     "q170_small_cell_suppression",
     "q171_generic_merge_into",
+    "q172_streaming_cdc_merge",
 )
 
 

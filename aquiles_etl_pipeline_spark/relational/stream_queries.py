@@ -692,3 +692,185 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(out).where(F.col("user_id") >= 0)
 
     return _memoized(spark, sf_dir, "q165", build)
+
+
+# ---------------------------------------------------------------------------
+# q172: streaming CDC apply (merge_into inside foreachBatch)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q172_streaming_cdc_merge",
+    sql="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ),
+    a AS (
+      SELECT o_orderkey, 'U' AS op, 'X' AS status, NULL AS price
+      FROM t WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT -o_orderkey - 1, 'I', 'N', CAST(1.23 AS DECIMAL(18,2))
+      FROM t WHERE o_orderkey % 5 = 1
+    ),
+    m1 AS (
+      SELECT t.o_orderkey,
+             CASE WHEN a.op = 'U' AND a.status IS NOT NULL
+                  THEN a.status ELSE t.o_orderstatus END AS o_orderstatus,
+             CASE WHEN a.op = 'U' AND a.price IS NOT NULL
+                  THEN a.price ELSE t.price END AS price
+      FROM t LEFT JOIN a USING (o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, status, price FROM a WHERE op = 'I'
+    ),
+    b AS (
+      SELECT o_orderkey, 'D' AS op, NULL AS status, NULL AS price
+      FROM t WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey, 'U', NULL, CAST(price + 2 AS DECIMAL(18,2))
+      FROM t WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 7
+    ),
+    m2 AS (
+      SELECT m1.o_orderkey,
+             CASE WHEN b.op = 'U' AND b.status IS NOT NULL
+                  THEN b.status ELSE m1.o_orderstatus END AS o_orderstatus,
+             CASE WHEN b.op = 'U' AND b.price IS NOT NULL
+                  THEN b.price ELSE m1.price END AS price
+      FROM m1 LEFT JOIN b USING (o_orderkey)
+      WHERE b.op IS NULL OR b.op <> 'D'
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(price) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+    FROM m2 GROUP BY 1
+    """,
+    doc="Streaming CDC apply — the lakehouse change-data-capture "
+        "pattern: a file-source stream of (key, op, partial-values) "
+        "change rows drives merge.generic.merge_into inside "
+        "foreachBatch, so each micro-batch lands as ONE partition-"
+        "scoped MERGE (delete/conditional-update/insert) on the "
+        "warehouse dimension.  Two checkpointed drains apply two CDC "
+        "waves sequentially (wave B deletes keys wave A updated — "
+        "order matters and the restored checkpoint preserves it); "
+        "partial updates ride NULL columns coalesced against the "
+        "target, prices travel as integer CENTS (the q165 micros "
+        "rule: JSONL must not round-trip decimals through float "
+        "text).  Re-delivered batches are idempotent by construction: "
+        "updates rewrite the same values, inserts turn into matched "
+        "no-ops.  The oracle replays both waves as chained left-join "
+        "reconstructions.",
+    tags=("streaming", "cdc", "merge", "warehouse", "orders"),
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        import tempfile
+        from pathlib import Path
+
+        from pyspark.sql import functions as F
+
+        from ..merge import Warehouse
+        from ..merge.generic import _bucket_expr, merge_into
+        from .catalog import DEC, emit
+
+        root = Path(tempfile.mkdtemp(prefix="q172_cdc_"))
+        land = root / "land"
+        land.mkdir()
+        t = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast(DEC).alias("price"),
+        )
+        wh = Warehouse(spark, str(root / "wh"))
+        wh.overwrite(
+            "dim",
+            t.withColumn("_bucket", _bucket_expr(["o_orderkey"])),
+            partition_by=["_bucket"],
+        )
+        cents = (F.col("price") * 100).cast("long")
+        wave_a = t.where(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            F.lit("U").alias("_op"),
+            F.lit("X").alias("status"),
+            F.lit(None).cast("long").alias("price_cents"),
+        ).unionByName(
+            t.where(F.col("o_orderkey") % 5 == 1).select(
+                (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+                F.lit("I").alias("_op"),
+                F.lit("N").alias("status"),
+                F.lit(123).cast("long").alias("price_cents"),
+            )
+        )
+        wave_b = t.where(F.col("o_orderkey") % 10 == 7).select(
+            "o_orderkey",
+            F.lit("D").alias("_op"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("long").alias("price_cents"),
+        ).unionByName(
+            t.where(
+                (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 10 != 7)
+            ).select(
+                "o_orderkey",
+                F.lit("U").alias("_op"),
+                F.lit(None).cast("string").alias("status"),
+                (cents + 200).alias("price_cents"),
+            )
+        )
+
+        def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+            if bdf.isEmpty():
+                return
+            src = bdf.select(
+                "o_orderkey",
+                "_op",
+                F.col("status").alias("o_orderstatus"),
+                (F.col("price_cents").cast(DEC) / 100).cast(DEC).alias("price"),
+            )
+            merge_into(
+                wh,
+                "dim",
+                src,
+                on="o_orderkey",
+                # partial updates: NULL source columns keep target values
+                update_set={
+                    "o_orderstatus": F.coalesce(
+                        F.col("_src_o_orderstatus"), F.col("o_orderstatus")
+                    ),
+                    "price": F.coalesce(F.col("_src_price"), F.col("price")),
+                },
+                update_condition=F.col("_src__op") == "U",
+                delete_condition=F.col("_src__op") == "D",
+                insert=True,
+                bucket_col="_bucket",
+                collect_stats=False,
+            )
+
+        def drain() -> None:
+            stream = (
+                spark.readStream.schema(
+                    "o_orderkey long, _op string, status string, price_cents long"
+                )
+                .option("maxFilesPerTrigger", 1_000_000)
+                .json(str(land))
+            )
+            (
+                stream.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", str(root / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        _land_wave(root, land, wave_a, "a")
+        drain()
+        _land_wave(root, land, wave_b, "b")
+        drain()
+        return (
+            wh.read("dim")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                emit(F.sum("price").cast(DEC)).alias("total_price"),
+            )
+        )
+
+    return _memoized(spark, sf_dir, "q172", build)

@@ -64,6 +64,9 @@ PERSIST_PRONE = [
     "q156_triangle_count",
     # q169 localCheckpoints each peel round's survivor frame (4 rounds)
     "q169_kcore_peel",
+    # q172 runs two CDC drains whose foreachBatch applies merge_into
+    # (warehouse writes + broadcast source per micro-batch)
+    "q172_streaming_cdc_merge",
 ]
 
 
