@@ -174,6 +174,47 @@ def bucket_pairs(
     return buckets.select(F.explode(combos).alias("_p")).select(f"_p.{out_a}", f"_p.{out_b}")
 
 
+def band_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_id, band_hash) LSH band rows — the 16-bytes-per-band
+    grain that both the batch pair miner (minhash_lsh_candidates) and
+    the PERSISTED near-dup index (incremental_near_dups) operate on.
+    Only these three columns ever flow through the explode/joins;
+    shuffling doc-sized shingle arrays x bands is the naive-LSH trap.
+
+    fan_out: a small corpus read from one file arrives as a single
+    partition, serializing the CPU-bound kernel onto one core; a
+    well-partitioned production scan passes through with NO shuffle.
+    """
+    rows_per_band = num_hashes // bands
+    minhashed = fan_out(df).select(
+        F.col(id_col),
+        shingle_codes_and_minhash(text_col, shingle_n, num_hashes)["mh"].alias("_mh"),
+    )
+    band_cols = [
+        F.xxhash64(*[F.col("_mh")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = minhashed.select(id_col, *band_cols)
+    return banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band_id", "bb.band_hash")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -202,35 +243,7 @@ def minhash_lsh_candidates(
     is both faster than interpreted array expressions and exactly the
     oracle's semantics (no 64-bit shingle-code collision caveat).
     """
-    rows_per_band = num_hashes // bands
-    # fan_out: a small corpus read from one file arrives as a single
-    # partition, serializing the CPU-bound kernel onto one core; a
-    # well-partitioned production scan passes through with NO shuffle
-    minhashed = (
-        fan_out(df)
-        .select(
-            F.col(id_col),
-            shingle_codes_and_minhash(text_col, shingle_n, num_hashes)["mh"].alias("_mh"),
-        )
-    )
-    band_cols = [
-        F.xxhash64(*[F.col("_mh")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
-    # only (id, band_id, band_hash) flows through the explode + groupBy;
-    # shuffling doc-sized shingle arrays x bands is the naive-LSH trap
-    banded = minhashed.select(id_col, *band_cols)
-    stacked = banded.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band_id", "bb.band_hash")
+    stacked = band_signature(df, text_col, id_col, num_hashes, bands, shingle_n)
     buckets = (
         stacked.groupBy("band_id", "band_hash")
         .agg(F.collect_list(id_col).alias("_ids"))
@@ -929,3 +942,82 @@ def incremental_dedup(
         seen.unionByName(batch_hashes).distinct() if seen is not None else batch_hashes
     )
     return fresh, updated
+
+
+def incremental_near_dups(
+    new_batch: DataFrame,
+    index_bands: DataFrame | None,
+    index_texts: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-batch NEAR-duplicate filter — incremental_dedup's contract
+    at shingle-Jaccard grain: drop rows of ``new_batch`` whose verified
+    Jaccard against any ALREADY-INDEXED document reaches ``threshold``.
+    ``index_bands`` is the persisted band_signature frame accumulated
+    over earlier batches (None for the first batch), ``index_texts``
+    the matching (id, text) store the verify stage probes.
+
+    Returns (fresh_rows, batch_band_rows); append batch_band_rows and
+    the batch's (id, text) rows to the index (band rows are append-only
+    — Warehouse.append works) and feed them to the next batch.  This is
+    the near-dup pass an INCREMENTAL ingest needs: re-mining the full
+    corpus per batch is O(history); this is O(batch x bands) probes.
+
+    Scale: the candidate stage joins the SMALL batch band rows
+    (broadcast) against the index on (band_id, band_hash) — the index
+    side never reshuffles and only same-bucket ids pair; the verify
+    stage joins candidate pairs (small) back to both text stores and
+    computes exact shingle Jaccard over candidates only, so the answer
+    is hash-family-independent exactly like minhash_lsh_candidates.
+    Like all LSH at a fixed band geometry, recall at the threshold
+    boundary is probabilistic — 8x4 bands catch a 0.9-Jaccard pair
+    with P(miss) ~ 2e-4; raise ``bands`` for tighter thresholds.
+    """
+    nb = band_signature(
+        new_batch, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    if index_bands is None:
+        return new_batch, nb
+    cand = (
+        F.broadcast(nb)
+        .join(
+            index_bands.select(
+                F.col(id_col).alias("_old"), "band_id", "band_hash"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .select(F.col(id_col).alias("_new"), "_old")
+        .dropDuplicates()
+    )
+    verified = (
+        cand.join(
+            new_batch.select(
+                F.col(id_col).alias("_new"), F.col(text_col).alias("_text_new")
+            ),
+            "_new",
+        )
+        .join(
+            index_texts.select(
+                F.col(id_col).alias("_old"), F.col(text_col).alias("_text_old")
+            ),
+            "_old",
+        )
+        .select(
+            "_new",
+            _pair_shingle_jaccard(shingle_n)(
+                F.col("_text_new"), F.col("_text_old")
+            ).alias("_j"),
+        )
+    )
+    dups = (
+        verified.where(F.col("_j") >= threshold)
+        .select(F.col("_new").alias(id_col))
+        .distinct()
+    )
+    fresh = new_batch.join(dups, id_col, "left_anti")
+    return fresh, nb

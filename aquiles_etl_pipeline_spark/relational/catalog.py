@@ -319,6 +319,7 @@ _GRADE_FIRST = (
     "q170_small_cell_suppression",
     "q171_generic_merge_into",
     "q172_streaming_cdc_merge",
+    "q173_incremental_near_dups",
 )
 
 

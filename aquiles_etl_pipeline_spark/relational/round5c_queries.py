@@ -1,9 +1,12 @@
-"""Round-5 catalog entries, third batch (q166–q168): cross-source
-quality-score calibration, recency-weighted trailing features, and
-group-integrity holdout splits — three curation/feature primitives a
+"""Round-5 catalog entries, third batch (q166–q171): cross-source
+quality-score calibration, recency-weighted trailing features,
+group-integrity holdout splits, k-core peeling, small-cell suppression,
+and the generic MERGE INTO — curation/feature/governance primitives a
 training-data pipeline reaches for between scoring and sampling, each
-expressed in the distribution-grain / fixed-lag / pure-projection
-shapes that survive 100 TB, each graded against a DuckDB oracle.
+expressed in the distribution-grain / fixed-lag / pure-projection /
+mergeable-bitmap shapes that survive 100 TB, each graded against a
+DuckDB oracle.  (q172, the streaming CDC apply built on merge_into,
+lives with the other streaming harnesses in stream_queries.py.)
 """
 
 from __future__ import annotations
@@ -548,3 +551,81 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price").cast(DEC2).cast("double").alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q173: incremental near-duplicate index (cross-batch MinHash-LSH)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q173_incremental_near_dups",
+    sql="""
+    WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    t1 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM b1
+    ),
+    t2 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM b2
+    ),
+    sh1 AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t) - 2, 1))]) AS g
+      FROM t1
+    ),
+    sh2 AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t) - 2, 1))]) AS g
+      FROM t2
+    ),
+    p1 AS (SELECT doc_id, len(g) AS n, unnest(g) AS s FROM sh1),
+    p2 AS (SELECT doc_id, len(g) AS n, unnest(g) AS s FROM sh2),
+    inter AS (
+      -- size-ratio prefilter (the q24/q25 rule): j >= 0.7 forces
+      -- min(n) >= 0.7 * max(n)
+      SELECT a.doc_id AS id_new, b.doc_id AS id_old, COUNT(*) AS ni
+      FROM p2 a JOIN p1 b
+        ON a.s = b.s
+       AND least(a.n, b.n) >= 0.7 * greatest(a.n, b.n) - 1e-9
+      GROUP BY 1, 2
+    ),
+    dups AS (
+      SELECT DISTINCT id_new
+      FROM inter
+      JOIN (SELECT doc_id, len(g) AS n FROM sh2) sa ON sa.doc_id = id_new
+      JOIN (SELECT doc_id, len(g) AS n FROM sh1) sb ON sb.doc_id = id_old
+      WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.7
+    )
+    SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT id_new FROM dups)
+    """,
+    doc="Incremental cross-batch NEAR-dup filter (llmdata.dedup."
+        "incremental_near_dups) — q81's O(batch) ingest contract at "
+        "shingle-Jaccard grain: batch 1 (even ids) builds the "
+        "persisted band_signature index; batch 2 (odd ids) probes it "
+        "— batch band rows BROADCAST against the index on (band_id, "
+        "band_hash), candidate pairs verify by exact shingle Jaccard "
+        "(hash-family-independent, so the oracle is the plain exact "
+        "cross-batch Jaccard), and batch-2 docs matching an indexed "
+        "doc at >= 0.7 drop.  The full-corpus re-mine is O(history) "
+        "per ingest; this is O(batch x bands) probes.",
+    tags=("llmdata", "dedup", "incremental", "documents"),
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    # 16 bands x 2 rows: P(miss a true 0.7-Jaccard pair) ~ 2e-5, so
+    # the probabilistic candidate stage is safe against the EXACT
+    # oracle at the threshold boundary (8x4 would miss ~11% there);
+    # false-positive candidates cost only exact-verify probes.
+    _, idx_bands = dedup.incremental_near_dups(b1, None, None, bands=16)
+    fresh, _ = dedup.incremental_near_dups(
+        b2, idx_bands, b1.select("doc_id", "text"), bands=16
+    )
+    return fresh.select("doc_id")

@@ -1124,6 +1124,36 @@ def test_incremental_dedup_across_batches_with_warehouse(spark, tmp_path):
     assert union_kept == {1, 2, 11}
 
 
+def test_incremental_near_dups_cross_batch(spark):
+    """Batch 2 rows near-duplicating an INDEXED batch-1 doc drop;
+    genuinely new rows survive; the first batch passes through whole
+    and only returns its band rows for the index."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest to hide from every hunter"
+    )
+    b1 = spark.createDataFrame([(2, base), (4, "completely different "
+        "subject matter about oceans tides and the phases of the moon "
+        "pulling water across the shore line every single day")],
+        "doc_id int, text string")
+    # 11: one-word edit of doc 2 (high Jaccard -> drop); 13: unrelated
+    b2 = spark.createDataFrame(
+        [(11, base.replace("hunter", "wolf")),
+         (13, "a totally novel document with no overlap whatsoever in "
+              "its shingle vocabulary compared to anything indexed yet "
+              "so it must always be kept by the filter")],
+        "doc_id int, text string")
+    fresh1, bands1 = dedup.incremental_near_dups(b1, None, None, bands=16)
+    assert {r["doc_id"] for r in fresh1.collect()} == {2, 4}
+    assert set(bands1.columns) == {"doc_id", "band_id", "band_hash"}
+    fresh2, bands2 = dedup.incremental_near_dups(
+        b2, bands1, b1.select("doc_id", "text"), bands=16
+    )
+    assert {r["doc_id"] for r in fresh2.collect()} == {13}
+    # band rows are the per-doc x per-band grain, ready to append
+    assert bands2.count() == 2 * 16
+
+
 def test_resize_images_geometry_and_fallbacks(spark):
     """Aspect-preserving downscale: long side pinned to max_side with
     floor division, no upscaling, undecodable rows pass through with
