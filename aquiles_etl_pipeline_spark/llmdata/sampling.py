@@ -405,3 +405,82 @@ def chunk_documents(
         id_col, "chunk_idx", F.col("_c.chunk_text").alias("chunk_text"),
         F.col("_c.n_tokens").alias("n_tokens"),
     )
+
+
+def dsir_importance_select(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 100,
+) -> DataFrame:
+    """DSIR-style importance-weighted data selection (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS'23 — unigram-feature variant): score each RAW-pool document
+    by how target-like its token distribution is,
+    log w(d) = sum_t [ ln p_target(t) - ln p_raw(t) ], with Laplace
+    smoothing over the union vocabulary, then keep the top_k docs by
+    length-normalized weight (the deterministic selection counterpart
+    of DSIR's Gumbel resampling — reproducible across engines/runs).
+
+    Cross-engine exactness (the q86/q166 discipline): each per-token
+    log-ratio is an identical ln expression over integer-count
+    rationals, scaled to INTEGER MICROS before the per-doc sum, so the
+    sum is exact bigint arithmetic in any order; the single division
+    by token count happens once at the end and rounds to 6dp.
+
+    Scale: token stats are vocab-grain (two partial-agg shuffles + a
+    full-outer merge); the scoring join broadcasts the vocab table
+    into the exploded raw-token stream (vocab << corpus; swap for a
+    shuffle join past ~100M types), and the per-doc sum is one
+    hash(id) partial agg.  No doc-sized arrays shuffle.
+    """
+    raw_toks = raw.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+    tgt_counts = (
+        target.select(F.explode(tokens(text_col)).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+    )
+    raw_counts = raw_toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_cr"))
+    vocab = tgt_counts.join(raw_counts, "_t", "full_outer").select(
+        "_t",
+        F.coalesce("_ct", F.lit(0)).alias("_ct"),
+        F.coalesce("_cr", F.lit(0)).alias("_cr"),
+    )
+    # single-row totals: token mass per corpus + union vocab size
+    tots = vocab.agg(
+        F.sum("_ct").alias("_nt"),
+        F.sum("_cr").alias("_nr"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    scored_vocab = vocab.crossJoin(F.broadcast(tots)).select(
+        "_t",
+        F.round(
+            (
+                F.log((F.col("_ct") + F.lit(1.0)) / (F.col("_nt") + F.col("_v")))
+                - F.log((F.col("_cr") + F.lit(1.0)) / (F.col("_nr") + F.col("_v")))
+            )
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("_micros"),
+    )
+    per_doc = (
+        raw_toks.join(F.broadcast(scored_vocab), "_t")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_micros").alias("_w"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return (
+        per_doc.select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("_w").cast("double") / F.col("n_tokens") / F.lit(1e6), 6).alias(
+                "avg_logratio"
+            ),
+        )
+        .orderBy(F.col("avg_logratio").desc(), F.col(id_col))
+        .limit(top_k)
+    )

@@ -320,6 +320,8 @@ _GRADE_FIRST = (
     "q171_generic_merge_into",
     "q172_streaming_cdc_merge",
     "q173_incremental_near_dups",
+    "q174_winnowing_pairs",
+    "q175_dsir_importance_select",
 )
 
 

@@ -1124,6 +1124,93 @@ def test_incremental_dedup_across_batches_with_warehouse(spark, tmp_path):
     assert union_kept == {1, 2, 11}
 
 
+def _brute_winnow(toks: list[str], k: int, w: int) -> set[str]:
+    """Direct rightmost-min-per-window winnowing (virtual +inf padding
+    before the doc start), the definition the R+L formula must match."""
+    import hashlib
+
+    grams = [
+        " ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 1))
+    ]
+    hs = [hashlib.md5(g.encode()).hexdigest()[:16] for g in grams]
+    sel = set()
+    for i in range(len(hs)):
+        lo = max(0, i - w + 1)
+        m = min(hs[lo : i + 1])
+        sel.add(m)  # rightmost-min shares the hash value of the min
+    return sel
+
+
+@pytest.mark.parametrize("k,w", [(2, 3), (5, 4), (1, 2)])
+def test_winnow_fingerprints_match_brute_force(spark, k, w):
+    """The lead/lag R+L selection must equal the direct every-window
+    rightmost-min definition on adversarial tiny-vocab docs (ties,
+    short docs, empty docs all exercised)."""
+    import random
+
+    rng = random.Random(k * 100 + w)
+    docs = [
+        (i, " ".join(rng.choice("a b c".split()) for _ in range(rng.randint(0, 15))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = dedup.winnow_fingerprints(df, k=k, window=w)
+    by_doc: dict[int, set] = {}
+    for r in got.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    for i, text in docs:
+        expect = _brute_winnow(text.lower().split(), k, w)
+        assert by_doc.get(i, set()) == expect, f"doc {i}: {text!r}"
+
+
+def test_winnow_guarantee_and_pairs(spark):
+    """A shared run of k+w-1 tokens must yield a shared fingerprint
+    (the winnowing guarantee), and winnow_shared_pairs reports it."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = k+w-1
+    df = spark.createDataFrame(
+        [
+            (1, "one two " + shared + " three four five six seven"),
+            (2, "nine ten eleven " + shared + " twelve thirteen"),
+            (3, "completely unrelated words with no common run at all"),
+        ],
+        "doc_id int, text string",
+    )
+    fp = dedup.winnow_fingerprints(df, k=5, window=4)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_fp"]
+        for r in dedup.winnow_shared_pairs(fp, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_dsir_importance_ranks_target_like_docs_first(spark):
+    """A raw-pool doc written in the target corpus's vocabulary must
+    outscore one written in the raw pool's own majority vocabulary,
+    and the weight must be length-invariant (normalized)."""
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(5)],
+        "doc_id int, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma"),          # target-like
+            (2, "zebra yak zebra walrus"),          # raw-majority words
+            (3, "zebra yak walrus xerus quokka zebra yak walrus"),
+            (4, "alpha beta alpha gamma alpha beta alpha gamma"),  # 2x doc 1
+        ],
+        "doc_id int, text string",
+    )
+    out = sampling.dsir_importance_select(raw, target, top_k=4).collect()
+    ranks = [r["doc_id"] for r in out]
+    scores = {r["doc_id"]: r["avg_logratio"] for r in out}
+    assert ranks.index(1) < ranks.index(2)
+    assert ranks.index(4) < ranks.index(2)
+    # length-normalization: doubling a doc leaves its avg unchanged
+    assert scores[1] == scores[4]
+    assert scores[1] > max(scores[2], scores[3])
+
+
 def test_incremental_near_dups_cross_batch(spark):
     """Batch 2 rows near-duplicating an INDEXED batch-1 doc drop;
     genuinely new rows survive; the first batch passes through whole
