@@ -322,6 +322,8 @@ _GRADE_FIRST = (
     "q173_incremental_near_dups",
     "q174_winnowing_pairs",
     "q175_dsir_importance_select",
+    "q176_record_linkage",
+    "q177_gdpr_cascade_delete",
 )
 
 

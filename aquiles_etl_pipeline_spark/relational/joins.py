@@ -356,3 +356,40 @@ def bloom_semi_join(
     # build side) — the bitmap's string cast never touches join semantics
     exact_keys = dim.select(F.col(dim_key).alias("_k")).where(F.col("_k").isNotNull())
     return candidates.join(exact_keys, F.col(fact_key) == F.col("_k"), "left_semi")
+
+
+def mutual_best_match(
+    candidates: DataFrame,
+    left_col: str,
+    right_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Record-linkage election over a scored candidate-pair table:
+    keep exactly the pairs where the right record is the LEFT record's
+    best match AND vice versa (mutual argmax — the greedy first round
+    of stable matching, and the standard one-to-one link rule in
+    dedupe/Splink-style ER).  Ties break deterministically toward the
+    smaller partner key, so the result is engine- and run-stable.
+
+    Each record links at most once; a record whose best match prefers
+    someone else stays unlinked (no transitive chaining — that is what
+    dedup_clusters is for).
+
+    Scale: two row_number windows, one per side's key grain — Spark's
+    WindowGroupLimit pushes the rank-1 filter into the window sort, so
+    each exchange carries candidate rows, never rank materialization
+    for every pair.  Feed it blocked candidates (postings/prefix
+    blocks), never a cross join.
+    """
+    wl = Window.partitionBy(left_col).orderBy(
+        F.desc(score_col), F.asc(right_col)
+    )
+    wr = Window.partitionBy(right_col).orderBy(
+        F.desc(score_col), F.asc(left_col)
+    )
+    return (
+        candidates.withColumn("_rl", F.row_number().over(wl))
+        .withColumn("_rr", F.row_number().over(wr))
+        .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
+        .drop("_rl", "_rr")
+    )

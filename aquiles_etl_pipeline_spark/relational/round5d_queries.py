@@ -139,3 +139,216 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("lang") == "en"),
         top_k=100,
     )
+
+# ---------------------------------------------------------------------------
+# q176: mutual-best-match record linkage over blocked name candidates
+# ---------------------------------------------------------------------------
+
+@register(
+    "q176_record_linkage",
+    sql="""
+    WITH pn AS (
+      SELECT p_partkey AS k,
+             string_split(lower(p_name), ' ') AS w
+      FROM part
+    ),
+    sets AS (
+      SELECT k, w[1] AS blk, list_distinct(w) AS s,
+             len(list_distinct(w)) AS n
+      FROM pn
+    ),
+    l AS (SELECT * FROM sets WHERE k % 2 = 0),
+    r AS (SELECT * FROM sets WHERE k % 2 = 1),
+    cand AS (
+      SELECT l.k AS left_key, r.k AS right_key,
+             CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+               / (l.n + r.n - len(list_intersect(l.s, r.s))) AS jac
+      FROM l JOIN r ON l.blk = r.blk
+    ),
+    f AS (SELECT * FROM cand WHERE jac >= 0.25),
+    ranked AS (
+      SELECT left_key, right_key, jac,
+             row_number() OVER (PARTITION BY left_key
+                                ORDER BY jac DESC, right_key) AS rl,
+             row_number() OVER (PARTITION BY right_key
+                                ORDER BY jac DESC, left_key) AS rr
+      FROM f
+    )
+    SELECT left_key, right_key, ROUND(jac, 6) AS jaccard
+    FROM ranked WHERE rl = 1 AND rr = 1
+    """,
+    doc="Mutual-best-match record linkage (relational.joins."
+        "mutual_best_match): link the even-key part-name registry "
+        "against the odd-key one — first-token blocking (the classic "
+        "ER blocking key; candidates never cross blocks, so no "
+        "all-pairs), exact token-set Jaccard scoring, then the "
+        "one-to-one election: a pair links iff each side is the "
+        "other's argmax, ties toward the smaller partner key.  Two "
+        "row_number windows with rank-1 pushdown (WindowGroupLimit); "
+        "the only shuffles are the block join and the two key-grain "
+        "exchanges.",
+    tags=("relational", "linkage", "join", "part"),
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .joins import mutual_best_match
+
+    toks = F.split(F.lower(F.col("p_name")), " ")
+    sets = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        toks[0].alias("blk"),
+        F.array_distinct(toks).alias("s"),
+        F.size(F.array_distinct(toks)).alias("n"),
+    )
+    l = sets.where(F.col("k") % 2 == 0).select(
+        F.col("k").alias("left_key"), "blk",
+        F.col("s").alias("_ls"), F.col("n").alias("_ln"),
+    )
+    r = sets.where(F.col("k") % 2 == 1).select(
+        F.col("k").alias("right_key"), "blk",
+        F.col("s").alias("_rs"), F.col("n").alias("_rn"),
+    )
+    ni = F.size(F.array_intersect(F.col("_ls"), F.col("_rs")))
+    cand = (
+        l.join(r, "blk")
+        .select(
+            "left_key",
+            "right_key",
+            (ni.cast("double") / (F.col("_ln") + F.col("_rn") - ni)).alias("jac"),
+        )
+        .where(F.col("jac") >= 0.25)
+    )
+    return mutual_best_match(cand, "left_key", "right_key", "jac").select(
+        "left_key", "right_key", F.round("jac", 6).alias("jaccard")
+    )
+
+# ---------------------------------------------------------------------------
+# q177: GDPR right-to-be-forgotten cascade delete with audit report
+# ---------------------------------------------------------------------------
+
+@register(
+    "q177_gdpr_cascade_delete",
+    sql="""
+    WITH erase AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    o AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    l AS (
+      SELECT l.l_orderkey FROM lineitem l
+      WHERE EXISTS (SELECT 1 FROM o WHERE o.o_orderkey = l.l_orderkey)
+    ),
+    o_del AS (
+      SELECT o_orderkey FROM o
+      WHERE EXISTS (SELECT 1 FROM erase WHERE c_custkey = o_custkey)
+    ),
+    counts AS (
+      SELECT 'pii_customer' AS table_name,
+             (SELECT COUNT(*) FROM customer) AS rows_before,
+             (SELECT COUNT(*) FROM erase) AS rows_deleted
+      UNION ALL
+      SELECT 'pii_orders',
+             (SELECT COUNT(*) FROM o),
+             (SELECT COUNT(*) FROM o_del)
+      UNION ALL
+      SELECT 'fact_lineitem',
+             (SELECT COUNT(*) FROM l),
+             (SELECT COUNT(*) FROM l
+              WHERE EXISTS (SELECT 1 FROM o_del
+                            WHERE o_orderkey = l_orderkey))
+    )
+    SELECT table_name,
+           CAST(rows_before AS BIGINT) AS rows_before,
+           CAST(rows_deleted AS BIGINT) AS rows_deleted,
+           CAST(rows_before - rows_deleted AS BIGINT) AS rows_after
+    FROM counts
+    """,
+    doc="GDPR right-to-be-forgotten cascade (merge.generic.merge_into "
+        "x3): erasure requests (custkey % 97 = 0) delete the customer "
+        "rows, every order they own, and every lineitem of those "
+        "orders, each via a partition-scoped MERGE ... WHEN MATCHED "
+        "THEN DELETE into warehouse tables BUCKETED BY THEIR ERASURE "
+        "KEY (customer by custkey, orders by custkey, lineitems by "
+        "orderkey — the layout that makes per-subject deletion "
+        "O(touched buckets), the lakehouse GDPR pattern).  The "
+        "cascade derives each stage's key set BEFORE deleting it; "
+        "the audit report grades before/deleted/after per table "
+        "against the oracle's set algebra.",
+    tags=("merge", "warehouse", "governance", "customer"),
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..merge import Warehouse
+    from ..merge.generic import _bucket_expr, merge_into
+
+    spark_ = spark
+    wh = Warehouse(spark_, tempfile.mkdtemp(prefix="q177_gdpr_"))
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(orders.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber")
+    )
+    wh.overwrite(
+        "pii_customer",
+        cust.withColumn("_bucket", _bucket_expr(["c_custkey"])),
+        partition_by=["_bucket"],
+    )
+    wh.overwrite(
+        "pii_orders",
+        orders.withColumn("_bucket", _bucket_expr(["o_custkey"])),
+        partition_by=["_bucket"],
+    )
+    wh.overwrite(
+        "fact_lineitem",
+        li.withColumn("_bucket", _bucket_expr(["l_orderkey"])),
+        partition_by=["_bucket"],
+    )
+    before = {t: wh.read(t).count() for t in
+              ("pii_customer", "pii_orders", "fact_lineitem")}
+    erase = cust.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    # derive the next stage's keys BEFORE the stage deletes them
+    doomed_orders = (
+        wh.read("pii_orders")
+        .join(erase, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey")
+        .distinct()
+    )
+    stats_c = merge_into(
+        wh, "pii_customer", erase, on="c_custkey",
+        delete_condition=F.lit(True), insert=False, bucket_col="_bucket",
+    )
+    stats_o = merge_into(
+        wh, "pii_orders",
+        erase.select(F.col("c_custkey").alias("o_custkey")),
+        on="o_custkey",
+        delete_condition=F.lit(True), insert=False, bucket_col="_bucket",
+    )
+    stats_l = merge_into(
+        wh, "fact_lineitem",
+        doomed_orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        on="l_orderkey",
+        delete_condition=F.lit(True), insert=False, bucket_col="_bucket",
+    )
+    after = {t: wh.read(t).count() for t in
+             ("pii_customer", "pii_orders", "fact_lineitem")}
+    rows = [
+        ("pii_customer", before["pii_customer"], stats_c["deleted"],
+         after["pii_customer"]),
+        ("pii_orders", before["pii_orders"], stats_o["deleted"],
+         after["pii_orders"]),
+        ("fact_lineitem", before["fact_lineitem"], stats_l["deleted"],
+         after["fact_lineitem"]),
+    ]
+    return spark_.createDataFrame(
+        rows,
+        "table_name string, rows_before bigint, rows_deleted bigint, "
+        "rows_after bigint",
+    )

@@ -621,3 +621,28 @@ def test_score_calibration_matrix_invariants(spark):
     }
     assert gap["strong"] > 0.2
     assert gap["weak"] < -0.2
+
+
+def test_mutual_best_match_election(spark):
+    """One-to-one linkage: a pair survives iff each side is the
+    other's argmax; ties break toward the smaller partner key; a
+    record whose best match prefers someone else stays unlinked."""
+    from aquiles_etl_pipeline_spark.relational.joins import mutual_best_match
+
+    cand = spark.createDataFrame(
+        [
+            # L1's best is R1 (0.9); R1's best is L1 -> mutual
+            (1, 1, 0.9), (1, 2, 0.5), (2, 1, 0.6),
+            # L2's best is R1 (0.6) but R1 prefers L1 -> L2 unlinked,
+            # and its runner-up R2 (0.4) never gets considered
+            (2, 2, 0.4),
+            # tie: L3 scores R3 and R4 equally -> smaller key R3 wins;
+            # R3's only suitor is L3 -> mutual
+            (3, 3, 0.7), (3, 4, 0.7),
+            # R4's best is L3 but L3 took R3 -> R4 unlinked
+        ],
+        "l int, r int, s double",
+    )
+    got = {(x["l"], x["r"]) for x in
+           mutual_best_match(cand, "l", "r", "s").collect()}
+    assert got == {(1, 1), (3, 3)}
