@@ -324,6 +324,7 @@ _GRADE_FIRST = (
     "q175_dsir_importance_select",
     "q176_record_linkage",
     "q177_gdpr_cascade_delete",
+    "q178_spatial_neighbor_join",
 )
 
 

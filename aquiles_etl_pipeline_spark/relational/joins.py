@@ -393,3 +393,74 @@ def mutual_best_match(
         .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
         .drop("_rl", "_rr")
     )
+
+
+def grid_neighbor_join(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+) -> DataFrame:
+    """All point pairs within ``radius`` (integer planar coordinates,
+    Euclidean) — the grid-binned spatial self-join every spatial
+    engine (Sedona, PostGIS ST_DWithin plans) uses instead of the
+    quadratic cross join: bin points into radius-sized square cells,
+    pair each point only against the 9-cell neighborhood (one side
+    explodes its 3x3 offsets), then exact-filter on integer squared
+    distance.  A qualifying pair is found exactly once (each point
+    lives in ONE cell, and the offset b_cell - a_cell is unique), so
+    no distinct pass is needed.
+
+    Integer coordinates keep the distance test exact in bigint — no
+    float epsilon at the radius boundary (callers with 2dp values
+    scale to centi-units first).  Cell ids use explicit floor division
+    (negative-coordinate safe — the bucketized_range_join rule).
+
+    Scale: shuffle keys are (cell_x, cell_y) — the 9x explode happens
+    on ids+coords rows only, and per-cell population is bounded by
+    density x radius^2, so skew follows spatial hot spots (salt the
+    cell key if a cell exceeds executor memory).  Never O(n^2).
+    """
+    cx = F.floor(F.col(x_col) / F.lit(float(radius)))
+    cy = F.floor(F.col(y_col) / F.lit(float(radius)))
+    a = points.select(
+        F.col(id_col).alias("_ida"),
+        F.col(x_col).alias("_xa"),
+        F.col(y_col).alias("_ya"),
+        cx.alias("_cxa"),
+        cy.alias("_cya"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a9 = a.select(
+        "*", F.explode(offsets).alias("_o")
+    ).select(
+        "_ida", "_xa", "_ya",
+        (F.col("_cxa") + F.col("_o.dx")).alias("_cx"),
+        (F.col("_cya") + F.col("_o.dy")).alias("_cy"),
+    )
+    b = points.select(
+        F.col(id_col).alias("_idb"),
+        F.col(x_col).alias("_xb"),
+        F.col(y_col).alias("_yb"),
+        cx.alias("_cx"),
+        cy.alias("_cy"),
+    )
+    d2 = (F.col("_xa") - F.col("_xb")) * (F.col("_xa") - F.col("_xb")) + (
+        F.col("_ya") - F.col("_yb")
+    ) * (F.col("_ya") - F.col("_yb"))
+    return (
+        a9.join(b, ["_cx", "_cy"])
+        .where((F.col("_ida") < F.col("_idb")) & (d2 <= F.lit(radius * radius)))
+        .select(
+            F.col("_ida").alias(f"{id_col}_a"),
+            F.col("_idb").alias(f"{id_col}_b"),
+            d2.cast("bigint").alias("dist_sq"),
+        )
+    )

@@ -352,3 +352,61 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name string, rows_before bigint, rows_deleted bigint, "
         "rows_after bigint",
     )
+
+# ---------------------------------------------------------------------------
+# q178: grid-binned spatial within-radius self-join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q178_spatial_neighbor_join",
+    sql="""
+    WITH p AS (
+      SELECT event_id,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             (event_id * 37) % 20000 AS y
+      FROM events
+    ),
+    c AS (
+      SELECT event_id, x, y,
+             CAST(floor(x / 150.0) AS BIGINT) AS cx,
+             CAST(floor(y / 150.0) AS BIGINT) AS cy
+      FROM p
+    ),
+    offs AS (
+      SELECT dx, dy
+      FROM (VALUES (-1), (0), (1)) AS ox(dx),
+           (VALUES (-1), (0), (1)) AS oy(dy)
+    ),
+    a9 AS (
+      SELECT event_id, x, y, cx + dx AS cx, cy + dy AS cy
+      FROM c, offs
+    )
+    SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+    FROM a9 a JOIN c b ON a.cx = b.cx AND a.cy = b.cy
+    WHERE a.event_id < b.event_id
+      AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 22500
+    """,
+    doc="Grid-binned spatial within-radius self-join (relational."
+        "joins.grid_neighbor_join): events plotted at integer centi-"
+        "unit planar coordinates (x = value scaled, y = deterministic "
+        "spread), all pairs within 1.5 units found by binning into "
+        "radius-sized cells and joining each point against its 3x3 "
+        "cell neighborhood — the Sedona/ST_DWithin plan shape, never "
+        "the O(n^2) cross join.  Integer squared-distance filter is "
+        "exact at the boundary (no float epsilon); explicit floor "
+        "division keeps negative coordinates correct; each "
+        "qualifying pair emerges exactly once (single home cell + "
+        "unique offset), no dedup pass.",
+    tags=("relational", "spatial", "join", "events"),
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .joins import grid_neighbor_join
+
+    pts = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        ((F.col("event_id") * 37) % 20000).alias("y"),
+    )
+    return grid_neighbor_join(pts, "event_id", "x", "y", radius=150)

@@ -646,3 +646,33 @@ def test_mutual_best_match_election(spark):
     got = {(x["l"], x["r"]) for x in
            mutual_best_match(cand, "l", "r", "s").collect()}
     assert got == {(1, 1), (3, 3)}
+
+
+def test_grid_neighbor_join_equals_brute_force(spark):
+    """Cell-binned pair mining must equal the O(n^2) definition,
+    including negative coordinates (floor-division cells) and exact
+    radius-boundary hits (integer distance, no epsilon)."""
+    import random
+
+    from aquiles_etl_pipeline_spark.relational.joins import grid_neighbor_join
+
+    rng = random.Random(178)
+    pts = [
+        (i, rng.randint(-40, 40), rng.randint(-40, 40)) for i in range(120)
+    ]
+    # plant an exact boundary pair: dist_sq == r^2 must be INCLUDED
+    pts += [(500, 1000, 1000), (501, 1006, 1008)]  # 36+64 = 100 = 10^2
+    df = spark.createDataFrame(pts, "id int, x long, y long")
+    r = 10
+    got = {
+        (row["id_a"], row["id_b"], row["dist_sq"])
+        for row in grid_neighbor_join(df, "id", "x", "y", r).collect()
+    }
+    expect = set()
+    for i, xi, yi in pts:
+        for j, xj, yj in pts:
+            d2 = (xi - xj) ** 2 + (yi - yj) ** 2
+            if i < j and d2 <= r * r:
+                expect.add((i, j, d2))
+    assert got == expect
+    assert (500, 501, 100) in got
