@@ -706,3 +706,71 @@ def embedding_quality_stats(
         F.max("_n6").cast("double").alias("max_norm"),
         F.sum(F.when(F.col("_n6") == 0, 1).otherwise(0)).alias("n_zero_vectors"),
     )
+
+
+def centroid_similarity_matrix(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_round: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding
+    CENTROIDS — the dataset-similarity / cluster-drift matrix ("how
+    close is source A's embedding mass to source B's?").
+
+    Exactness trick: cosine is scale-invariant, so the mean never has
+    to be materialized — cos(sum_a/n_a, sum_b/n_b) = cos(sum_a,
+    sum_b).  Each element is rounded to 6dp and scaled to INTEGER
+    micros before summing, so the per-dimension sums are exact bigint
+    in any row order (the q86/q166 discipline applied per dimension);
+    dot products of those sums run in decimal(38,0) (bigint would
+    overflow at ~1e9-scale sums squared) and divide once as double.
+
+    Scale: the explode emits (group, dim, micros) triples only —
+    partial aggregation collapses them map-side to |groups| x dim
+    rows, which then broadcast through a tiny self-join.  Never
+    row-pair-grain anything.
+    """
+    sums = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.posexplode(vec_col).alias("_d", "_v"),
+        )
+        .select(
+            "_g",
+            "_d",
+            F.round(F.col("_v").cast("double") * F.lit(1e6))
+            .cast("bigint")
+            .alias("_m"),
+        )
+        .groupBy("_g", "_d")
+        .agg(F.sum("_m").cast("decimal(38,0)").alias("_s"))
+    )
+    a = sums.select(
+        F.col("_g").alias("_ga"), "_d", F.col("_s").alias("_sa")
+    )
+    b = sums.select(
+        F.col("_g").alias("_gb"), "_d", F.col("_s").alias("_sb")
+    )
+    prods = (
+        a.join(F.broadcast(b), "_d")
+        .where(F.col("_ga") <= F.col("_gb"))
+        .groupBy("_ga", "_gb")
+        .agg(
+            F.sum(F.col("_sa") * F.col("_sb")).alias("_dot"),
+            F.sum(F.col("_sa") * F.col("_sa")).alias("_na"),
+            F.sum(F.col("_sb") * F.col("_sb")).alias("_nb"),
+        )
+    )
+    return prods.select(
+        F.col("_ga").alias(f"{group_col}_a"),
+        F.col("_gb").alias(f"{group_col}_b"),
+        F.round(
+            F.col("_dot").cast("double")
+            / (
+                F.sqrt(F.col("_na").cast("double"))
+                * F.sqrt(F.col("_nb").cast("double"))
+            ),
+            out_round,
+        ).alias("centroid_cosine"),
+    )

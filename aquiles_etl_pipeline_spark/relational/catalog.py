@@ -325,6 +325,7 @@ _GRADE_FIRST = (
     "q176_record_linkage",
     "q177_gdpr_cascade_delete",
     "q178_spatial_neighbor_join",
+    "q179_centroid_similarity",
 )
 
 

@@ -410,3 +410,48 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("event_id") * 37) % 20000).alias("y"),
     )
     return grid_neighbor_join(pts, "event_id", "x", "y", radius=150)
+
+# ---------------------------------------------------------------------------
+# q179: per-label embedding centroid cosine similarity matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "q179_centroid_similarity",
+    sql="""
+    WITH el AS (
+      SELECT label AS g, u.i AS d,
+             CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1e6) AS BIGINT) AS m
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    sums AS (SELECT g, d, SUM(m) AS s FROM el GROUP BY g, d),
+    pairs AS (
+      SELECT a.g AS ga, b.g AS gb,
+             SUM(CAST(a.s AS HUGEINT) * b.s) AS dot,
+             SUM(CAST(a.s AS HUGEINT) * a.s) AS na,
+             SUM(CAST(b.s AS HUGEINT) * b.s) AS nb
+      FROM sums a JOIN sums b USING (d)
+      WHERE a.g <= b.g
+      GROUP BY 1, 2
+    )
+    SELECT ga AS label_a, gb AS label_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),
+                 6) AS centroid_cosine
+    FROM pairs
+    """,
+    doc="Per-label embedding centroid cosine matrix (llmdata."
+        "similarity.centroid_similarity_matrix) — the dataset-"
+        "similarity / cluster-drift view.  Cosine's scale invariance "
+        "means the mean never materializes: cos(sum_a/n_a, sum_b/n_b) "
+        "= cos(sum_a, sum_b), so per-dimension 6dp-micro INTEGER sums "
+        "(order-free exact) feed decimal/hugeint dot products and ONE "
+        "double division.  Explode emits (label, dim, micros) triples "
+        "that partial-agg collapse map-side to |labels| x 64 rows; "
+        "the matrix join broadcasts.  Never row-pair-grain.",
+    tags=("llmdata", "similarity", "embeddings", "drift"),
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata import similarity
+
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.centroid_similarity_matrix(e, "label")
