@@ -326,6 +326,9 @@ _GRADE_FIRST = (
     "q177_gdpr_cascade_delete",
     "q178_spatial_neighbor_join",
     "q179_centroid_similarity",
+    "q180_trailing_distinct",
+    "q181_table_changes",
+    "q182_json_properties",
 )
 
 

@@ -455,3 +455,220 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return similarity.centroid_similarity_matrix(e, "label")
+
+# ---------------------------------------------------------------------------
+# q180: trailing 7-day exact distinct users via re-aggregated bitmaps
+# ---------------------------------------------------------------------------
+
+@register(
+    "q180_trailing_distinct",
+    sql="""
+    WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (
+      SELECT DISTINCT d + CAST(u.i AS INT) AS day
+      FROM e, unnest(generate_series(0, 6)) AS u(i)
+      WHERE d + CAST(u.i AS INT) <= (SELECT MAX(d) FROM e)
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS trailing_users
+    FROM days JOIN e ON e.d BETWEEN day - 6 AND day
+    GROUP BY 1
+    """,
+    doc="Trailing 7-day exact distinct users per day — the rolling "
+        "WAU counter (relational.sketches.trailing_distinct_bitmaps): "
+        "(day, word) bit_or bitmaps collapse the raw scan 64x, explode "
+        "to the 7 days they cover (gap-proof — no dense day-spine "
+        "join), re-OR at (target_day, word) grain, popcount-sum.  The "
+        "oracle pays the O(days x window) distinct re-scan the bitmap "
+        "shape avoids; both see identical counts.  Partial-agg "
+        "shuffles on uniform (day, word) keys only.",
+    tags=("relational", "sketch", "bitmap", "events"),
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketches import trailing_distinct_bitmaps
+
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    out = trailing_distinct_bitmaps(ev, "d", "user_id", window_days=7)
+    return out.select(F.col("day").cast("string").alias("day"), "trailing_users")
+
+# ---------------------------------------------------------------------------
+# q181: change data feed between warehouse versions (Delta CDF analog)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q181_table_changes",
+    sql="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    dels AS (
+      SELECT o_orderkey, 'delete' AS change_type, o_orderstatus, price
+      FROM t WHERE o_orderkey % 10 = 8
+    ),
+    upd AS (SELECT * FROM t WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 8),
+    pre AS (
+      SELECT o_orderkey, 'update_preimage', o_orderstatus, price FROM upd
+    ),
+    post AS (
+      SELECT o_orderkey, 'update_postimage', 'X',
+             CAST(price + 1 AS DECIMAL(18,2)) FROM upd
+    ),
+    ins AS (
+      SELECT -o_orderkey - 1, 'insert', 'N', CAST(1.23 AS DECIMAL(18,2))
+      FROM t WHERE o_orderkey % 10 = 4
+    )
+    SELECT o_orderkey, change_type, o_orderstatus AS status,
+           CAST(price AS DOUBLE) AS price
+    FROM (SELECT * FROM dels UNION ALL SELECT * FROM pre
+          UNION ALL SELECT * FROM post UNION ALL SELECT * FROM ins)
+    """,
+    doc="Change data feed between warehouse versions (merge.cdf."
+        "table_changes — the Delta CDF analog over retained snapshot "
+        "generations): v1 = the even-key order dim, v2 = after one "
+        "generic MERGE applying deletes (key%10=8), updates (key%3=0: "
+        "status X, repriced) and inserts (fresh negative keys); the "
+        "feed classifies every key via ONE full-outer key join and "
+        "emits Delta's four row kinds — deletes/preimages carry v1 "
+        "values, inserts/postimages v2 values — with unchanged keys "
+        "emitting zero rows (empty typed explode), so output is "
+        "O(changes) not O(table).  The oracle reconstructs the same "
+        "feed from the change-set algebra.",
+    tags=("merge", "warehouse", "cdf", "orders"),
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..merge import Warehouse
+    from ..merge.cdf import table_changes
+    from ..merge.generic import _bucket_expr, merge_into
+
+    DEC2 = "decimal(18,2)"
+    t = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 2 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast(DEC2).alias("price"),
+        )
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="q181_cdf_"))
+    wh.overwrite(
+        "dim_orders",
+        t.withColumn("_bucket", _bucket_expr(["o_orderkey"])),
+        partition_by=["_bucket"],
+    )
+    v1 = wh.history("dim_orders")[-1]["version"]
+    deletes = t.where(F.col("o_orderkey") % 10 == 8).select(
+        "o_orderkey",
+        F.lit("D").alias("_op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast(DEC2).alias("price"),
+    )
+    updates = t.where(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 10 != 8)
+    ).select(
+        "o_orderkey",
+        F.lit("U").alias("_op"),
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("price") + 1).cast(DEC2).alias("price"),
+    )
+    inserts = t.where(F.col("o_orderkey") % 10 == 4).select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+        F.lit("I").alias("_op"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.23).cast(DEC2).alias("price"),
+    )
+    merge_into(
+        wh,
+        "dim_orders",
+        deletes.unionByName(updates).unionByName(inserts),
+        on="o_orderkey",
+        update_set={
+            "o_orderstatus": F.col("_src_o_orderstatus"),
+            "price": F.col("_src_price"),
+        },
+        update_condition=F.col("_src__op") == "U",
+        delete_condition=F.col("_src__op") == "D",
+        insert=True,
+        bucket_col="_bucket",
+        collect_stats=False,
+    )
+    v2 = wh.history("dim_orders")[-1]["version"]
+    feed = table_changes(wh, "dim_orders", v1, v2, on="o_orderkey")
+    return feed.select(
+        "o_orderkey",
+        F.col("_change_type").alias("change_type"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("price").cast("double").alias("price"),
+    )
+
+# ---------------------------------------------------------------------------
+# q182: semi-structured JSON column analytics
+# ---------------------------------------------------------------------------
+
+@register(
+    "q182_json_properties",
+    sql="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    ),
+    n AS (
+      SELECT event_type, k,
+             '{"ids": [' || CAST(k AS VARCHAR) || ', '
+               || CAST(k * 2 AS VARCHAR) || ']}' AS nested
+      FROM x
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_k,
+           CAST(COUNT(*) FILTER (WHERE k >= 50) AS BIGINT) AS n_high,
+           CAST(SUM(CAST(json_extract_string(nested, '$.ids[1]')
+                         AS BIGINT)) AS BIGINT) AS sum_second_id
+    FROM n GROUP BY event_type
+    """,
+    doc="Semi-structured JSON property analytics over the events "
+        "props column: JSON-path extraction (get_json_object — "
+        "Catalyst's codegen JSON parser, no UDF), typed casts, and a "
+        "nested-array path probe ($.ids[1]) through a synthesized "
+        "nested document, aggregated per event_type (exact distinct, "
+        "integer-sum-derived mean).  The whole extraction is a "
+        "shuffle-free projection; one partial-agg exchange on "
+        "event_type.  DuckDB's json_extract_string grades byte-equal "
+        "semantics.",
+    tags=("relational", "json", "events"),
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    nested = F.concat(
+        F.lit('{"ids": ['),
+        k.cast("string"),
+        F.lit(", "),
+        (k * 2).cast("string"),
+        F.lit("]}"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            k.alias("k"),
+            F.get_json_object(nested, "$.ids[1]").cast("bigint").alias("_id1"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.round(
+                F.sum("k").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_k"),
+            F.count(F.when(F.col("k") >= 50, 1)).alias("n_high"),
+            F.sum("_id1").cast("bigint").alias("sum_second_id"),
+        )
+    )

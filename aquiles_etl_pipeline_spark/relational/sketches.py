@@ -580,3 +580,55 @@ def bitmap_set_cardinalities(
             ).alias("jaccard"),
         )
     )
+
+
+def trailing_distinct_bitmaps(
+    df: DataFrame,
+    day_col: str,
+    id_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact trailing-N-day COUNT(DISTINCT id) per day — the rolling
+    WAU/MAU counter — via re-aggregatable bitmaps, never a per-day
+    re-scan of N days of raw ids.
+
+    Shape: (day, word) bit_or bitmaps (map-side combinable, 64 ids per
+    long) are EXPLODED to the ``window_days`` future days they cover
+    (a gap-proof alternative to a window frame: a day with no rows for
+    a word still receives that word's still-active bits), re-OR'd at
+    (target_day, word) grain, then popcount-summed.  Days after the
+    corpus's last day are cut so no partial phantom days emerge; early
+    days are genuinely partial trailing windows, as the metric
+    defines.
+
+    Scale: the raw scan collapses to |days| x |ids|/64 bitmap rows
+    BEFORE the explode, so the x``window_days`` expansion multiplies
+    word-grain rows, not events; both aggregations are partial-agg
+    shuffles on uniform (day, word) keys.  The same bitmaps serve the
+    day/hour rollup (q146) and the streaming DAU drain — one sketch,
+    every cadence.
+    """
+    word, bit = bitmap_word_bit(id_col)
+    day_word = (
+        df.select(F.col(day_col).alias("_d"), word.alias("_w"), bit.alias("_b"))
+        .groupBy("_d", "_w")
+        .agg(F.bit_or("_b").alias("_bits"))
+    )
+    bounds = day_word.agg(F.max("_d").alias("_maxd"))
+    exploded = day_word.select(
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), window_days - 1))
+        ).alias("day"),
+        "_w",
+        "_bits",
+    )
+    return (
+        exploded.crossJoin(F.broadcast(bounds))
+        .where(F.col("day") <= F.col("_maxd"))
+        .groupBy("day", "_w")
+        .agg(F.bit_or("_bits").alias("_obits"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.bit_count("_obits")).cast("long").alias("trailing_users")
+        )
+    )

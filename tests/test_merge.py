@@ -620,3 +620,32 @@ def test_generic_merge_into_bucket_scoped_rewrite(spark, tmp_path):
                 )
                 hardlinked += 1
     assert hardlinked > 0, "no untouched partition was hardlinked forward"
+
+
+def test_table_changes_emits_delta_cdf_row_kinds(spark, tmp_path):
+    """insert / delete / update_preimage+postimage between two
+    generations; unchanged keys emit ZERO rows."""
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+    from aquiles_etl_pipeline_spark.merge.cdf import table_changes
+
+    wh = Warehouse(spark, tmp_path / "cdf")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, v int"
+    )
+    wh.overwrite("t", v1)
+    v2 = spark.createDataFrame(
+        [(1, "a", 10),          # unchanged -> no rows
+         (2, "b", 99),          # update
+         (4, "d", 40)],         # insert; 3 deleted
+        "k int, s string, v int",
+    )
+    wh.overwrite("t", v2)
+    gens = [g["version"] for g in wh.history("t")]
+    feed = {(r["k"], r["_change_type"]): (r["s"], r["v"])
+            for r in table_changes(wh, "t", gens[0], gens[1], on="k").collect()}
+    assert feed == {
+        (2, "update_preimage"): ("b", 20),
+        (2, "update_postimage"): ("b", 99),
+        (3, "delete"): ("c", 30),
+        (4, "insert"): ("d", 40),
+    }
