@@ -130,6 +130,13 @@ def test_no_accidental_cartesian_products(plans):
         # n_triangles) assembly is three deliberate 1x1 single-row
         # aggregate joins — q130's shape
         "q156_triangle_count",
+        # q175 DSIR: the corpus-totals row (token masses + vocab size)
+        # joins in as a broadcast single-row aggregate (1 x N) —
+        # q42's degenerate map shape
+        "q175_dsir_importance_select",
+        # q180 trailing distinct: the max-day bound joins in as a
+        # broadcast single-row aggregate (1 x N) — q42's shape again
+        "q180_trailing_distinct",
     }
     for name, p in plans.items():
         if name in allowed:
@@ -969,3 +976,47 @@ def test_score_calibration_windows_on_distribution_grain(plans):
     # both single-partition consumers sit above a HashAggregate of the
     # raw scan, so the global sort ingests |distinct scores| rows only
     assert "SortMergeJoin" not in p
+
+
+def test_winnow_pairs_stay_in_codegen_postings_grain(plans):
+    """q174: gram hashing + R+L selection are pure expressions (no
+    Python nodes), and the pair join runs on the fingerprint hash —
+    postings grain, never docs^2 (no NLJ; the sweep pins that)."""
+    p = plans["q174_winnowing_pairs"]
+    assert "EvalPython" not in p, "winnowing fell out of codegen into Python"
+    assert "Window" in p, "R+L selection must run as a window, not a self-join"
+    assert "CartesianProduct" not in p
+
+
+def test_dsir_vocab_join_broadcasts(plans):
+    """q175: the vocab score table must broadcast into the exploded
+    token stream — a shuffle join there re-shuffles the whole corpus
+    at token grain."""
+    p = plans["q175_dsir_importance_select"]
+    assert "BroadcastHashJoin" in p, "vocab scores must broadcast"
+
+
+def test_centroid_matrix_aggregates_before_joining(plans):
+    """q179: the matrix join runs on (group, dim)-grain SUMS (a
+    broadcast join), never on row-grain vectors."""
+    p = plans["q179_centroid_similarity"]
+    assert "BroadcastHashJoin" in p, "dim-grain sums must broadcast"
+    assert "CartesianProduct" not in p
+
+
+def test_trailing_distinct_has_no_expand(plans):
+    """q180: the whole point of the bitmap shape is avoiding
+    count-distinct's Expand; none may appear, and bit_or must
+    partial-aggregate (two-phase HashAggregate)."""
+    import re
+
+    p = plans["q180_trailing_distinct"]
+    assert "Expand" not in p, "bitmap trailing distinct planned an Expand"
+    assert len(re.findall(r"HashAggregate", p)) >= 4, "bit_or lost partial agg"
+
+
+def test_json_extraction_stays_in_codegen(plans):
+    """q182: get_json_object compiles to Catalyst's native JSON path
+    evaluator — no Python evaluation node may appear."""
+    p = plans["q182_json_properties"]
+    assert "EvalPython" not in p, "JSON extraction fell into Python"
