@@ -329,6 +329,7 @@ _GRADE_FIRST = (
     "q180_trailing_distinct",
     "q181_table_changes",
     "q182_json_properties",
+    "q183_bfs_hops",
 )
 
 

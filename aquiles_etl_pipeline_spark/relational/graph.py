@@ -136,3 +136,43 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.where(F.col("node") % 2 == 1).select(
         F.expr("(node - 1) div 2").alias("s_suppkey"), "rank_micro"
     )
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Multi-source BFS hop distances over a symmetric (src, dst) edge
+    list: every node reachable within ``rounds`` hops of any seed gets
+    the distance of its FIRST discovery — the reachability / blast-
+    radius primitive (contaminated-supplier tracing, influence
+    frontiers).  ``seeds`` is a one-column (id) frame; returns
+    (id, dist) with dist 0 for the seeds themselves.
+
+    Fixed rounds, not expand-to-fixpoint — the q134/q169 discipline
+    that keeps an independent SQL oracle an exact chained-CTE replay;
+    at 100 TB you loop the same body until the frontier empties.  Per
+    round: one edge-keyed join against the CURRENT FRONTIER ONLY
+    (never the whole visited set — frontier-grain work is what makes
+    distributed BFS linear in edges-touched), one distinct, one
+    anti-join against visited.  Frontier and visited frames are
+    eagerly localCheckpoint'ed per round, or round i's lineage would
+    recompute rounds 1..i-1 (the q156 recompute-blowup lesson).
+    """
+    visited = seeds.select("id", F.lit(0).cast("int").alias("dist")).localCheckpoint(
+        eager=True
+    )
+    frontier = visited.select("id")
+    for i in range(1, rounds + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        fresh = (
+            nxt.join(visited.select("id"), "id", "left_anti")
+            .select("id", F.lit(i).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh.select("id")
+    return visited

@@ -672,3 +672,68 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_id1").cast("bigint").alias("sum_second_id"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q183: multi-source BFS hop distances (fixed-round frontier expansion)
+# ---------------------------------------------------------------------------
+
+def _bfs_iter_sql(i: int) -> str:
+    return f"""
+    f{i} AS (
+      SELECT DISTINCT e.dst AS id
+      FROM e JOIN f{i - 1} f ON e.src = f.id
+      WHERE e.dst NOT IN (SELECT id FROM v{i - 1})
+    ),
+    v{i} AS (SELECT id FROM v{i - 1} UNION ALL SELECT id FROM f{i})"""
+
+
+def _bfs_stats_sql(i: int) -> str:
+    return f"""
+    SELECT {i} AS dist,
+           CAST(COUNT(*) FILTER (WHERE id % 2 = 0) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) FILTER (WHERE id % 2 = 1) AS BIGINT) AS n_suppliers
+    FROM f{i} HAVING COUNT(*) > 0"""
+
+
+@register(
+    "q183_bfs_hops",
+    sql=f"""
+    WITH e AS (
+      SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+      UNION
+      SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem
+    ),
+    f0 AS (
+      SELECT DISTINCT s_suppkey * 2 + 1 AS id FROM supplier
+      WHERE s_suppkey % 50 = 0
+    ),
+    v0 AS (SELECT id FROM f0),
+    {",".join(_bfs_iter_sql(i) for i in range(1, 5))}
+    {" UNION ALL ".join(_bfs_stats_sql(i) for i in range(0, 5))}
+    """,
+    doc="Multi-source BFS over the bipartite part<->supplier graph "
+        "(relational.graph.bfs_hops; q134/q169's parity-tagged node "
+        "ids): seed suppliers (suppkey % 50 = 0) expand 4 hops; the "
+        "per-distance frontier census (n_parts, n_suppliers) is the "
+        "blast-radius / reachability primitive.  Each round joins "
+        "edges against the CURRENT FRONTIER only (frontier-grain "
+        "work), anti-joins visited, and localCheckpoints so the "
+        "census union never recomputes earlier rounds; fixed rounds "
+        "keep the DuckDB twin an exact chained-CTE unroll.",
+    tags=("graph", "bfs", "lineitem", "supplier"),
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import bfs_hops, bipartite_edges
+
+    edges = bipartite_edges(load(spark, sf_dir, "lineitem"))
+    seeds = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 50 == 0)
+        .select((F.col("s_suppkey") * 2 + 1).alias("id"))
+        .distinct()
+    )
+    hops = bfs_hops(edges, seeds, rounds=4)
+    return hops.groupBy("dist").agg(
+        F.count(F.when(F.col("id") % 2 == 0, 1)).alias("n_parts"),
+        F.count(F.when(F.col("id") % 2 == 1, 1)).alias("n_suppliers"),
+    )

@@ -67,6 +67,8 @@ PERSIST_PRONE = [
     # q172 runs two CDC drains whose foreachBatch applies merge_into
     # (warehouse writes + broadcast source per micro-batch)
     "q172_streaming_cdc_merge",
+    # q183 localCheckpoints each BFS round's frontier + visited frames
+    "q183_bfs_hops",
 ]
 
 
