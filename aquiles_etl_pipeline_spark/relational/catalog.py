@@ -330,6 +330,10 @@ _GRADE_FIRST = (
     "q181_table_changes",
     "q182_json_properties",
     "q183_bfs_hops",
+    "q184_volume_shipping",
+    "q185_fd_profile",
+    "q186_late_dim_backfill",
+    "q187_bitemporal_read",
 )
 
 

@@ -149,12 +149,15 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH pn AS (
       SELECT p_partkey AS k,
-             string_split(lower(p_name), ' ') AS w
+             string_split(lower(p_name), ' ') AS w,
+             lower(p_brand) AS b, lower(p_type) AS t,
+             'sz' || CAST(p_size AS VARCHAR) AS z
       FROM part
     ),
     sets AS (
-      SELECT k, w[1] AS blk, list_distinct(w) AS s,
-             len(list_distinct(w)) AS n
+      SELECT k, w[2] || '|' || b AS blk,
+             list_distinct([w[1], w[2], b, t, z]) AS s,
+             len(list_distinct([w[1], w[2], b, t, z])) AS n
       FROM pn
     ),
     l AS (SELECT * FROM sets WHERE k % 2 = 0),
@@ -165,7 +168,7 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (l.n + r.n - len(list_intersect(l.s, r.s))) AS jac
       FROM l JOIN r ON l.blk = r.blk
     ),
-    f AS (SELECT * FROM cand WHERE jac >= 0.25),
+    f AS (SELECT * FROM cand WHERE jac >= 0.4),
     ranked AS (
       SELECT left_key, right_key, jac,
              row_number() OVER (PARTITION BY left_key
@@ -178,26 +181,38 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rl = 1 AND rr = 1
     """,
     doc="Mutual-best-match record linkage (relational.joins."
-        "mutual_best_match): link the even-key part-name registry "
-        "against the odd-key one — first-token blocking (the classic "
-        "ER blocking key; candidates never cross blocks, so no "
-        "all-pairs), exact token-set Jaccard scoring, then the "
-        "one-to-one election: a pair links iff each side is the "
-        "other's argmax, ties toward the smaller partner key.  Two "
-        "row_number windows with rank-1 pushdown (WindowGroupLimit); "
-        "the only shuffles are the block join and the two key-grain "
-        "exchanges.",
+        "mutual_best_match): link the even-key part registry against "
+        "the odd-key one.  Records are 5-token (name words + brand + "
+        "type + size) sets; blocking key = (name noun, brand) — the "
+        "classic multi-attribute ER blocking that keeps per-block "
+        "candidates ~O(block^2 / #blocks), never corpus all-pairs "
+        "(single-token blocking on THIS data yields 2.5k-row blocks "
+        "and 50M pairs — measured, rejected); exact token-set "
+        "Jaccard >= 0.4 scores survivors, then the one-to-one "
+        "election: a pair links iff each side is the other's argmax, "
+        "ties toward the smaller partner key.  Two row_number windows "
+        "with rank-1 pushdown (WindowGroupLimit); the only shuffles "
+        "are the block join and the two key-grain exchanges.",
     tags=("relational", "linkage", "join", "part"),
 )
 def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .joins import mutual_best_match
 
     toks = F.split(F.lower(F.col("p_name")), " ")
+    rec = F.array_distinct(
+        F.array(
+            toks[0],
+            toks[1],
+            F.lower(F.col("p_brand")),
+            F.lower(F.col("p_type")),
+            F.concat(F.lit("sz"), F.col("p_size").cast("string")),
+        )
+    )
     sets = load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("k"),
-        toks[0].alias("blk"),
-        F.array_distinct(toks).alias("s"),
-        F.size(F.array_distinct(toks)).alias("n"),
+        F.concat(toks[1], F.lit("|"), F.lower(F.col("p_brand"))).alias("blk"),
+        rec.alias("s"),
+        F.size(rec).alias("n"),
     )
     l = sets.where(F.col("k") % 2 == 0).select(
         F.col("k").alias("left_key"), "blk",
@@ -215,7 +230,7 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
             "right_key",
             (ni.cast("double") / (F.col("_ln") + F.col("_rn") - ni)).alias("jac"),
         )
-        .where(F.col("jac") >= 0.25)
+        .where(F.col("jac") >= 0.4)
     )
     return mutual_best_match(cand, "left_key", "right_key", "jac").select(
         "left_key", "right_key", F.round("jac", 6).alias("jaccard")
@@ -364,7 +379,7 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id,
              CAST(round(value * 100) AS BIGINT) AS x,
              (event_id * 37) % 20000 AS y
-      FROM events
+      FROM events WHERE event_id % 2 = 0
     ),
     c AS (
       SELECT event_id, x, y,
@@ -404,10 +419,14 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .joins import grid_neighbor_join
 
-    pts = load(spark, sf_dir, "events").select(
-        "event_id",
-        F.round(F.col("value") * 100).cast("bigint").alias("x"),
-        ((F.col("event_id") * 37) % 20000).alias("y"),
+    pts = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") % 2 == 0)
+        .select(
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+            ((F.col("event_id") * 37) % 20000).alias("y"),
+        )
     )
     return grid_neighbor_join(pts, "event_id", "x", "y", radius=150)
 
@@ -736,4 +755,307 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hops.groupBy("dist").agg(
         F.count(F.when(F.col("id") % 2 == 0, 1)).alias("n_parts"),
         F.count(F.when(F.col("id") % 2 == 1, 1)).alias("n_suppliers"),
+    )
+
+# ---------------------------------------------------------------------------
+# q184: TPC-H Q7 volume shipping (bidirectional two-nation trade)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q184_volume_shipping",
+    sql="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(CAST(SUM(volume) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    )
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 volume shipping: bidirectional trade revenue "
+        "between two nations by ship year.  Physical shape: the two "
+        "nation dims and supplier broadcast; lineitem-orders-customer "
+        "chain on their natural keys; decimal-exact volume "
+        "(price x (1 - discount) in decimal(18,2) x (18,4)) summed "
+        "then emitted as double — the q01/q02 money discipline.  The "
+        "nation-pair predicate prunes most of the fact AFTER the "
+        "cheap broadcast joins attach nation names.",
+    tags=("relational", "tpch", "lineitem"),
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import emit, money
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_ck"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            emit(
+                F.sum(
+                    money("l_extendedprice")
+                    * (1 - F.col("l_discount").cast("decimal(18,4)"))
+                ).cast("decimal(24,6)")
+            ).alias("revenue")
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# q185: functional-dependency profiling
+# ---------------------------------------------------------------------------
+
+@register(
+    "q185_fd_profile",
+    sql="""
+    WITH p1 AS (
+      SELECT 'source' AS determinant, 'lang' AS dependent,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_violating,
+             CAST(CASE WHEN COUNT(*) FILTER (WHERE nd > 1) = 0
+                       THEN 1 ELSE 0 END AS INT) AS fd_holds
+      FROM (SELECT source, COUNT(DISTINCT lang) AS nd
+            FROM documents GROUP BY source)
+    ),
+    p2 AS (
+      SELECT 'doc_id', 'text',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT),
+             CAST(CASE WHEN COUNT(*) FILTER (WHERE nd > 1) = 0
+                       THEN 1 ELSE 0 END AS INT)
+      FROM (SELECT doc_id, COUNT(DISTINCT text) AS nd
+            FROM documents GROUP BY doc_id)
+    ),
+    p3 AS (
+      SELECT 'n_chars', 'lang',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT),
+             CAST(CASE WHEN COUNT(*) FILTER (WHERE nd > 1) = 0
+                       THEN 1 ELSE 0 END AS INT)
+      FROM (SELECT n_chars, COUNT(DISTINCT lang) AS nd
+            FROM documents GROUP BY n_chars)
+    )
+    SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+    """,
+    doc="Functional-dependency profiling (relational.sketches."
+        "fd_profile — the Metanome-style FD screen): for candidate "
+        "determinant -> dependent pairs over documents (source->lang, "
+        "doc_id->text, n_chars->lang), count determinant groups, "
+        "violating groups (>1 distinct dependent), and whether the FD "
+        "holds — the check that gates surrogate keys and safe "
+        "denormalization.  Per pair: one (det, dep) distinct partial "
+        "agg + a det-grain rollup; never a self-join.",
+    tags=("relational", "profiling", "documents"),
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketches import fd_profile
+
+    d = load(spark, sf_dir, "documents")
+    return fd_profile(
+        d, [("source", "lang"), ("doc_id", "text"), ("n_chars", "lang")]
+    )
+
+# ---------------------------------------------------------------------------
+# q186: late-arriving dimension backfill (placeholder FK + merge update)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q186_late_dim_backfill",
+    sql="""
+    WITH f AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    d1 AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0),
+    d2 AS (SELECT c_custkey FROM customer
+           WHERE c_custkey % 3 = 0 AND c_custkey % 9 <> 0),
+    waved AS (
+      SELECT o_orderkey, price,
+             CASE WHEN EXISTS (SELECT 1 FROM d1
+                               WHERE c_custkey = o_custkey) THEN 1
+                  WHEN EXISTS (SELECT 1 FROM d2
+                               WHERE c_custkey = o_custkey) THEN 2
+                  ELSE -1 END AS resolve_wave
+      FROM f
+    )
+    SELECT resolve_wave,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(price) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+    FROM waved GROUP BY 1
+    """,
+    doc="Late-arriving dimension backfill — the reference's "
+        "placeholder-FK pattern (P8, staging/split.py literal FKs) "
+        "generalized to the lakehouse two-wave shape: wave-1 facts "
+        "land with fk_cust = -1 where the customer dim row has not "
+        "arrived; when the late dim batch lands, ONE merge_into "
+        "updates exactly the pending rows (placeholder-gated update "
+        "condition, partition-scoped rewrite), stamping resolve_wave "
+        "= 2; facts whose dim never arrives stay -1.  The audit "
+        "grades per-wave counts and decimal-exact totals; the oracle "
+        "replays the same resolution algebra with EXISTS joins, so "
+        "FK-dangling facts grade faithfully too.",
+    tags=("merge", "warehouse", "etl", "orders"),
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..merge import Warehouse
+    from ..merge.generic import _bucket_expr, merge_into
+
+    DEC2 = "decimal(18,2)"
+    facts = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast(DEC2).alias("price"),
+        )
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    d1 = cust.where(F.col("c_custkey") % 3 != 0)
+    d2 = cust.where((F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 9 != 0))
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="q186_latedim_"))
+    wave1 = facts.join(
+        F.broadcast(d1), facts.o_custkey == d1.c_custkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "price",
+        F.coalesce("c_custkey", F.lit(-1)).cast("long").alias("fk_cust"),
+        F.when(F.col("c_custkey").isNotNull(), 1)
+        .otherwise(-1)
+        .cast("int")
+        .alias("resolve_wave"),
+    )
+    wh.overwrite(
+        "fact_orders",
+        wave1.withColumn("_bucket", _bucket_expr(["o_orderkey"])),
+        partition_by=["_bucket"],
+    )
+    # late dim batch arrives: backfill EXACTLY the pending rows
+    pending = wh.read("fact_orders").where(F.col("fk_cust") == -1)
+    backfill = pending.join(
+        F.broadcast(d2), pending.o_custkey == d2.c_custkey
+    ).select("o_orderkey", F.col("c_custkey").alias("new_fk"))
+    merge_into(
+        wh,
+        "fact_orders",
+        backfill,
+        on="o_orderkey",
+        update_set={
+            "fk_cust": F.col("_src_new_fk"),
+            "resolve_wave": F.lit(2).cast("int"),
+        },
+        update_condition=F.col("fk_cust") == -1,
+        insert=False,
+        bucket_col="_bucket",
+        collect_stats=False,
+    )
+    return (
+        wh.read("fact_orders")
+        .groupBy("resolve_wave")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast(DEC2).cast("double").alias("total_price"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# q187: bitemporal read (SCD2 valid time x warehouse transaction time)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q187_bitemporal_read",
+    sql="""
+    WITH base AS (
+      SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+      FROM part WHERE p_partkey % 100 = 0
+    )
+    SELECT p_partkey,
+           CAST(price AS DOUBLE) AS price_as_first_known,
+           CAST(CASE WHEN p_partkey % 5 = 0
+                     THEN CAST(price + 1 AS DECIMAL(18,2))
+                     ELSE price END AS DOUBLE) AS price_as_now_known
+    FROM base
+    """,
+    doc="Bitemporal dimension read — SCD2 VALID time composed with "
+        "warehouse TRANSACTION time (merge.scd.scd2_upsert + "
+        "Warehouse version reads): two scd2_upsert batches build the "
+        "price history (reprice of every 5th part effective "
+        "1995-01-01), each also committing a snapshot GENERATION; "
+        "the query answers 'what did we BELIEVE (transaction time = "
+        "first generation vs now) the price was ON 1996-06-01 (valid "
+        "time)?' — the correction-audit primitive: the first "
+        "generation does not yet KNOW about the reprice, while the "
+        "current one resolves the same valid date to the new "
+        "version.  Both reads are interval filters over a "
+        "version-pinned snapshot; no join at all.",
+    tags=("merge", "warehouse", "scd2", "part"),
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..merge import Warehouse
+    from ..merge.scd import scd2_upsert
+
+    DEC2 = "decimal(18,2)"
+    base = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 100 == 0)
+        .select(
+            "p_partkey", F.col("p_retailprice").cast(DEC2).alias("price")
+        )
+    )
+    reprice = base.where(F.col("p_partkey") % 5 == 0).select(
+        "p_partkey", (F.col("price") + 1).cast(DEC2).alias("price")
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="q187_bitemp_"))
+    scd2_upsert(wh, "part_dim", base, "p_partkey", ["price"], "1992-01-01")
+    v1 = wh.history("part_dim")[-1]["version"]
+    scd2_upsert(wh, "part_dim", reprice, "p_partkey", ["price"], "1995-01-01")
+
+    def as_of(df: DataFrame, valid_date: str) -> DataFrame:
+        covered = (F.col("valid_from") <= F.lit(valid_date)) & (
+            F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(valid_date))
+        )
+        return df.where(covered).select("p_partkey", "price")
+
+    first_known = as_of(wh.read("part_dim", version=v1), "1996-06-01")
+    now_known = as_of(wh.read("part_dim"), "1996-06-01")
+    return (
+        first_known.withColumnRenamed("price", "_p1")
+        .join(now_known.withColumnRenamed("price", "_p2"), "p_partkey")
+        .select(
+            "p_partkey",
+            F.col("_p1").cast("double").alias("price_as_first_known"),
+            F.col("_p2").cast("double").alias("price_as_now_known"),
+        )
     )

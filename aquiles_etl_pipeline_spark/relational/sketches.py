@@ -632,3 +632,45 @@ def trailing_distinct_bitmaps(
             F.sum(F.bit_count("_obits")).cast("long").alias("trailing_users")
         )
     )
+
+
+def fd_profile(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency profiling (the Metanome/data-quality
+    primitive): for each candidate ``determinant -> dependent`` pair,
+    report how many determinant groups exist, how many VIOLATE the
+    dependency (more than one distinct dependent value), and whether
+    the FD holds exactly — the screen that decides which columns are
+    safe surrogate keys / join denormalization targets.
+
+    Scale: per pair, one (det, dep)-grain partial-agg distinct and a
+    det-grain rollup — never a self-join; candidate pairs union into
+    one result frame (a handful of rows each).
+    """
+    outs = []
+    for det, dep in pairs:
+        per_group = (
+            df.select(F.col(det).alias("_det"), F.col(dep).alias("_dep"))
+            .distinct()
+            .groupBy("_det")
+            .agg(F.count(F.lit(1)).alias("_ndep"))
+        )
+        outs.append(
+            per_group.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.count(F.when(F.col("_ndep") > 1, 1)).alias("n_violating"),
+                F.when(
+                    F.count(F.when(F.col("_ndep") > 1, 1)) == 0, 1
+                )
+                .otherwise(0)
+                .cast("int")
+                .alias("fd_holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
