@@ -334,6 +334,9 @@ _GRADE_FIRST = (
     "q185_fd_profile",
     "q186_late_dim_backfill",
     "q187_bitemporal_read",
+    "q188_pareto_concentration",
+    "q189_incremental_mv",
+    "q190_linear_attribution",
 )
 
 

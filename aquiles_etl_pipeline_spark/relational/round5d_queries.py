@@ -1059,3 +1059,225 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_p2").cast("double").alias("price_as_now_known"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q188: Pareto 80/20 revenue concentration per nation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q188_pareto_concentration",
+    sql="""
+    WITH cust_rev AS (
+      SELECT c.c_nationkey AS nationkey, c.c_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT nationkey, rev,
+             COALESCE(SUM(rev) OVER (
+               PARTITION BY nationkey ORDER BY rev DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS DECIMAL(18,2))) AS cum_prev,
+             SUM(rev) OVER (PARTITION BY nationkey) AS total
+      FROM cust_rev
+    )
+    SELECT nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) FILTER (WHERE cum_prev * 10 < total * 8)
+                AS BIGINT) AS n_top80,
+           CAST(CAST(MIN(total) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+    FROM w GROUP BY 1
+    """,
+    doc="Pareto 80/20 revenue concentration per nation: how many of a "
+        "nation's customers (ranked by spend) carry the first 80% of "
+        "its revenue — the concentration-risk / whale-detection "
+        "report.  ALL windows run on the (nation, customer) AGGREGATE "
+        "grain (q166's distribution-grain law — never a row-grain "
+        "global sort), the 80% threshold compares decimal-exact "
+        "integers (cum_prev*10 < total*8: no 0.8 float), and ties "
+        "rank deterministically by customer key.  One fact partial "
+        "agg + one nation-grain window exchange.",
+    tags=("relational", "window", "orders", "customer"),
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    DEC2 = "decimal(18,2)"
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust_rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2).alias("rev"))
+    )
+    wo = Window.partitionBy("nationkey").orderBy(
+        F.desc("rev"), F.asc("c_custkey")
+    )
+    w = cust_rev.select(
+        "nationkey",
+        "rev",
+        F.coalesce(
+            F.sum("rev").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast(DEC2),
+        ).alias("cum_prev"),
+        F.sum("rev").over(Window.partitionBy("nationkey")).alias("total"),
+    )
+    return w.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count(
+            F.when(F.col("cum_prev") * 10 < F.col("total") * 8, 1)
+        ).alias("n_top80"),
+        F.min("total").cast(DEC2).cast("double").alias("revenue"),
+    )
+
+# ---------------------------------------------------------------------------
+# q189: incremental materialized-view maintenance (delta merge)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q189_incremental_mv",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+    FROM orders GROUP BY 1
+    """,
+    doc="Incremental materialized-view maintenance: the per-priority "
+        "order rollup is kept as a warehouse table of MERGEABLE "
+        "partial aggregates (count + decimal sum — a commutative "
+        "monoid), and a new ingest batch updates it by aggregating "
+        "ONLY THE DELTA and applying one merge_into (matched groups: "
+        "n += delta_n, total += delta_total; unseen groups insert) — "
+        "O(delta + |groups|) per refresh, never a full recompute.  "
+        "The oracle IS the full recompute over base ∪ delta, so the "
+        "gate proves the incremental path equals the from-scratch "
+        "answer.",
+    tags=("merge", "warehouse", "mv", "orders"),
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..merge import Warehouse
+    from ..merge.generic import _bucket_expr, merge_into
+
+    DEC2 = "decimal(18,2)"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast(DEC2).alias("p")
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("p").cast(DEC2).alias("total_price"),
+        )
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="q189_mv_"))
+    wh.overwrite(
+        "mv_orders",
+        rollup(o.where(F.col("o_orderkey") % 3 != 0)).withColumn(
+            "_bucket", _bucket_expr(["o_orderpriority"])
+        ),
+        partition_by=["_bucket"],
+    )
+    delta = rollup(o.where(F.col("o_orderkey") % 3 == 0))
+    merge_into(
+        wh,
+        "mv_orders",
+        delta,
+        on="o_orderpriority",
+        update_set={
+            "n_orders": F.col("n_orders") + F.col("_src_n_orders"),
+            "total_price": (
+                F.col("total_price") + F.col("_src_total_price")
+            ).cast(DEC2),
+        },
+        insert=True,
+        bucket_col="_bucket",
+        collect_stats=False,
+    )
+    return wh.read("mv_orders").select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+    )
+
+# ---------------------------------------------------------------------------
+# q190: linear multi-touch attribution (integer-exact credit split)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q190_linear_attribution",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             CASE WHEN epoch_us(ts) // 1000000
+                       - LAG(epoch_us(ts) // 1000000)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    p AS (SELECT user_id, sid, event_id AS pid, ts AS pts, cents
+          FROM sess WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, sid, event_id AS tid, ts AS tts,
+                 event_type AS touchpoint
+          FROM sess WHERE event_type <> 'purchase'),
+    pairs AS (
+      SELECT p.user_id, p.sid, p.pid, p.cents, t.touchpoint, t.tts, t.tid
+      FROM t JOIN p USING (user_id, sid)
+      WHERE t.tts < p.pts OR (t.tts = p.pts AND t.tid < p.pid)
+    ),
+    ranked AS (
+      SELECT touchpoint, cents,
+             COUNT(*) OVER (PARTITION BY user_id, sid, pid) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid, pid
+                                ORDER BY tts, tid) AS rn
+      FROM pairs
+    ),
+    att AS (
+      SELECT touchpoint, CAST(COUNT(*) AS BIGINT) AS n_credits,
+             SUM((cents * 10000) // n
+                 + CASE WHEN rn = 1
+                        THEN cents * 10000 - ((cents * 10000) // n) * n
+                        ELSE 0 END) AS micros
+      FROM ranked GROUP BY touchpoint
+    ),
+    unatt AS (
+      SELECT '__unattributed__' AS touchpoint,
+             CAST(COUNT(*) AS BIGINT) AS n_credits,
+             SUM(cents * 10000) AS micros
+      FROM p
+      WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.pid = p.pid)
+      HAVING COUNT(*) > 0
+    )
+    SELECT touchpoint, n_credits,
+           ROUND(CAST(micros AS DOUBLE) / 1e6, 6) AS attributed_value
+    FROM (SELECT * FROM att UNION ALL SELECT * FROM unatt)
+    """,
+    doc="Linear multi-touch attribution (relational.timeseries."
+        "linear_attribution): every purchase's value splits EQUALLY "
+        "over its same-session preceding touchpoints — q93's "
+        "last-touch counterpart on the multi-touch side.  Credits are "
+        "INTEGER dollar-micros with the remainder to the earliest "
+        "touch (largest-remainder), so per-goal credits sum exactly "
+        "and both engines agree bit-for-bit; goals with no preceding "
+        "touch report under __unattributed__ (zero-row-safe via "
+        "grouped aggregation on both sides).  Touch-goal expansion "
+        "joins within (user, session) only; three same-key-family "
+        "shuffles.",
+    tags=("timeseries", "events", "attribution"),
+)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .timeseries import linear_attribution
+
+    return linear_attribution(load(spark, sf_dir, "events"))

@@ -789,3 +789,97 @@ def trailing_ewma(
         F.when(cnt > 0, F.round(sm / cnt, 6)).alias(f"sma{depth}"),
         cnt.alias("n_trail"),
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    goal_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Linear multi-touch attribution: each goal event's value splits
+    EQUALLY across every preceding touchpoint in the same inactivity
+    session (q80's session semantics); goals with no preceding touch
+    report under ``__unattributed__``.  The equal-credit counterpart
+    of last_touch_attribution (q93) — together they bracket the
+    single-touch vs multi-touch marketing models.
+
+    Integer-exact split (the q165/q172 money rule): value lands as
+    CENTS, each touch gets floor(cents*1e4 / n) dollar-micros and the
+    EARLIEST touch absorbs the remainder (largest-remainder style), so
+    per-goal credits sum to the goal's value exactly and every engine
+    agrees bit-for-bit; the single double division happens once at
+    output.
+
+    Scale: session assignment is one lag+cumsum window; the
+    touch-to-goal expansion joins WITHIN (key, session) only —
+    bounded by session sizes, never cross-user; credit windows run on
+    the pair grain partitioned by goal.  Three shuffles on the same
+    key family.
+    """
+    epoch = F.expr(f"unix_micros({ts_col}) div 1000000")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col("event_id"))
+    new_sess = (
+        (epoch - F.lag(epoch).over(w) > gap_seconds)
+        | F.lag(epoch).over(w).isNull()
+    ).cast("int")
+    base = events.withColumn(
+        "_sid", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).select(
+        F.col(key_col).alias("_k"),
+        "_sid",
+        F.col("event_id"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+        F.round(F.col("value") * 100).cast("bigint").alias("_cents"),
+    )
+    goals = base.where(F.col("_ty") == goal_type).select(
+        "_k", "_sid",
+        F.col("event_id").alias("_pid"),
+        F.col("_ts").alias("_pts"),
+        "_cents",
+    )
+    touches = base.where(F.col("_ty") != goal_type).select(
+        "_k", "_sid",
+        F.col("event_id").alias("_tid"),
+        F.col("_ts").alias("_tts"),
+        F.col("_ty").alias("touchpoint"),
+    )
+    pairs = touches.join(goals, ["_k", "_sid"]).where(
+        (F.col("_tts") < F.col("_pts"))
+        | ((F.col("_tts") == F.col("_pts")) & (F.col("_tid") < F.col("_pid")))
+    )
+    pw = Window.partitionBy("_k", "_sid", "_pid")
+    ranked = pairs.select(
+        "touchpoint",
+        "_cents",
+        F.count(F.lit(1)).over(pw).alias("_n"),
+        F.row_number()
+        .over(pw.orderBy(F.col("_tts"), F.col("_tid")))
+        .alias("_rn"),
+    )
+    share = F.expr("(_cents * 10000) div _n")
+    credit = share + F.when(
+        F.col("_rn") == 1, F.col("_cents") * 10000 - share * F.col("_n")
+    ).otherwise(F.lit(0))
+    attributed = ranked.groupBy("touchpoint").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum(credit).alias("_micros"),
+    )
+    unattributed = (
+        goals.join(
+            pairs.select("_pid").distinct(), "_pid", "left_anti"
+        )
+        .groupBy(F.lit("__unattributed__").alias("touchpoint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum(F.col("_cents") * 10000).alias("_micros"),
+        )
+    )
+    return attributed.unionByName(unattributed).select(
+        "touchpoint",
+        "n_credits",
+        F.round(F.col("_micros").cast("double") / 1e6, 6).alias("attributed_value"),
+    )
