@@ -337,6 +337,8 @@ _GRADE_FIRST = (
     "q188_pareto_concentration",
     "q189_incremental_mv",
     "q190_linear_attribution",
+    "q191_reflected_balance",
+    "q192_rank_movers",
 )
 
 

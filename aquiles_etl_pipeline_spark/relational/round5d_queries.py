@@ -1281,3 +1281,168 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .timeseries import linear_attribution
 
     return linear_attribution(load(spark, sf_dir, "events"))
+
+# ---------------------------------------------------------------------------
+# q191: floor-at-zero running balance (Skorokhod reflection)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q191_reflected_balance",
+    sql="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+      FROM events
+    ),
+    x AS (
+      SELECT user_id, ts, event_id, delta,
+             SUM(delta) OVER w AS cum
+      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING)
+    ),
+    b AS (
+      SELECT user_id, ts, event_id, delta,
+             cum - LEAST(CAST(0 AS BIGINT), MIN(cum) OVER w) AS balance
+      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_moves,
+           CAST(MAX(balance) AS BIGINT) AS peak_balance,
+           CAST(SUM(CASE WHEN balance = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_floor_hits,
+           CAST(MAX(CASE WHEN rn = 1 THEN balance END) AS BIGINT)
+             AS final_balance
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM b)
+    GROUP BY user_id
+    """,
+    doc="Floor-at-zero running balance per user (relational."
+        "timeseries.reflected_running_balance): credits from "
+        "purchases/signups, debits from the rest, balance clipped at "
+        "zero — the non-associative recurrence b_t = max(0, b_{t-1} + "
+        "d_t) computed WITHOUT a stateful scan via the Skorokhod "
+        "reflection closed form B = X - least(0, running_min(X)) "
+        "(property-tested against the sequential fold).  Integer "
+        "cents end-to-end; one hash(user) exchange, both windows "
+        "share one sort; the per-user report (peak, floor hits, "
+        "final) grades every balance through aggregates.",
+    tags=("timeseries", "events", "window"),
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .timeseries import reflected_running_balance
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), cents
+        )
+        .otherwise(-cents)
+        .alias("delta"),
+    )
+    b = reflected_running_balance(d)
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        b.withColumn("_rn", F.row_number().over(w_last))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_moves"),
+            F.max("balance").alias("peak_balance"),
+            F.sum(F.when(F.col("balance") == 0, 1).otherwise(0)).alias(
+                "n_floor_hits"
+            ),
+            F.max(F.when(F.col("_rn") == 1, F.col("balance"))).alias(
+                "final_balance"
+            ),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# q192: week-over-week rank movers (trending report)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q192_rank_movers",
+    sql="""
+    WITH weekly AS (
+      SELECT date_trunc('week', l_shipdate) AS wk, l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT wk, l_partkey, rev,
+             ROW_NUMBER() OVER (PARTITION BY wk
+                                ORDER BY rev DESC, l_partkey) AS rnk
+      FROM weekly
+    )
+    SELECT CAST(c.wk AS VARCHAR) AS week, c.l_partkey,
+           CAST(p.rnk AS BIGINT) AS prev_rank,
+           CAST(c.rnk AS BIGINT) AS rank,
+           CAST(p.rnk - c.rnk AS BIGINT) AS climb
+    FROM ranked c
+    JOIN ranked p
+      ON p.l_partkey = c.l_partkey AND p.wk = c.wk - INTERVAL 7 DAY
+    WHERE p.rnk - c.rnk > 0
+    ORDER BY climb DESC, week, c.l_partkey
+    LIMIT 30
+    """,
+    doc="Week-over-week rank movers: per-week part revenue ranks "
+        "(deterministic row_number ties toward the smaller key), "
+        "self-joined to the previous week on (part, week-7d), top-30 "
+        "climbers — the trending-items report.  Ranks live on the "
+        "(week, part) AGGREGATE grain (q166's distribution-grain "
+        "law); the mover join is key-grain; decimal-exact revenue "
+        "feeds the rank only, never a float compare.",
+    tags=("relational", "window", "lineitem", "trending"),
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    DEC2 = "decimal(18,2)"
+    li = load(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        F.date_trunc("week", "l_shipdate").cast("date").alias("wk"),
+        "l_partkey",
+    ).agg(F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2).alias("rev"))
+    ranked = weekly.select(
+        "wk",
+        "l_partkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("wk").orderBy(F.desc("rev"), F.asc("l_partkey"))
+        )
+        .alias("rnk"),
+    )
+    c = ranked.select(
+        F.col("wk").alias("_cw"), "l_partkey", F.col("rnk").alias("rank")
+    )
+    p = ranked.select(
+        F.col("wk").alias("_pw"),
+        F.col("l_partkey").alias("_pk"),
+        F.col("rnk").alias("prev_rank"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("_pk") == F.col("l_partkey"))
+            & (F.col("_pw") == F.date_sub(F.col("_cw"), 7)),
+        )
+        .where(F.col("prev_rank") - F.col("rank") > 0)
+        .select(
+            F.col("_cw").cast("string").alias("week"),
+            "l_partkey",
+            F.col("prev_rank").cast("bigint").alias("prev_rank"),
+            F.col("rank").cast("bigint").alias("rank"),
+            (F.col("prev_rank") - F.col("rank")).cast("bigint").alias("climb"),
+        )
+        .orderBy(F.desc("climb"), F.asc("week"), F.asc("l_partkey"))
+        .limit(30)
+    )

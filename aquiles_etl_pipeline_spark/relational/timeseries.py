@@ -883,3 +883,44 @@ def linear_attribution(
         "n_credits",
         F.round(F.col("_micros").cast("double") / 1e6, 6).alias("attributed_value"),
     )
+
+
+def reflected_running_balance(
+    deltas: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    delta_col: str = "delta",
+) -> DataFrame:
+    """Floor-at-zero running balance per key — inventory that cannot
+    go negative, credits that cannot overdraw: b_t = max(0, b_{t-1} +
+    delta_t).  The recurrence is NON-associative, so it looks like it
+    needs a stateful per-row scan; the Skorokhod reflection closed
+    form makes it two plain window aggregates instead:
+
+        B_t = X_t - least(0, min_{s<=t} X_s)
+
+    where X is the UNCLIPPED cumulative sum — i.e. the running minimum
+    of the free walk is exactly the total clipping ever applied.
+    Property-tested against the sequential fold.
+
+    Scale: ONE hash(key) exchange; both windows (cumsum and running
+    min) share the same sort.  Integer deltas in, integer balances out
+    — bit-identical across engines.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x = F.sum(delta_col).over(w)
+    # the running min OF the cumsum needs the cumsum materialized first
+    # (nested window functions are illegal in one expression)
+    with_x = deltas.withColumn("_x", x)
+    clipped = F.least(F.lit(0).cast("long"), F.min("_x").over(w))
+    return with_x.select(
+        key_col,
+        ts_col,
+        "event_id",
+        F.col(delta_col),
+        (F.col("_x") - clipped).cast("long").alias("balance"),
+    )

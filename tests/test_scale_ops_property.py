@@ -676,3 +676,33 @@ def test_grid_neighbor_join_equals_brute_force(spark):
                 expect.add((i, j, d2))
     assert got == expect
     assert (500, 501, 100) in got
+
+
+def test_reflected_balance_equals_sequential_fold(spark):
+    """The Skorokhod-reflection window form must equal the stateful
+    per-row recurrence b_t = max(0, b_{t-1} + d_t), including floor
+    hits and interleaved keys."""
+    import random
+
+    from aquiles_etl_pipeline_spark.relational.timeseries import (
+        reflected_running_balance,
+    )
+
+    rng = random.Random(191)
+    rows = []
+    eid = 0
+    for u in range(6):
+        for t in range(40):
+            rows.append((u, t, eid, rng.randint(-30, 25)))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id int, ts int, event_id int, delta long")
+    got = {
+        (r["user_id"], r["ts"]): r["balance"]
+        for r in reflected_running_balance(df).collect()
+    }
+    for u in range(6):
+        b = 0
+        for t in range(40):
+            d = next(r[3] for r in rows if r[0] == u and r[1] == t)
+            b = max(0, b + d)
+            assert got[(u, t)] == b, f"user {u} t {t}"
