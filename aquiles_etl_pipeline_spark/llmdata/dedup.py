@@ -962,9 +962,12 @@ def incremental_near_dups(
     over earlier batches (None for the first batch), ``index_texts``
     the matching (id, text) store the verify stage probes.
 
-    Returns (fresh_rows, batch_band_rows); append batch_band_rows and
-    the batch's (id, text) rows to the index (band rows are append-only
-    — Warehouse.append works) and feed them to the next batch.  This is
+    Returns (fresh_rows, fresh_band_rows); append fresh_band_rows and
+    the FRESH rows' (id, text) to the index (band rows are append-only
+    — Warehouse.append works) and feed them to the next batch — only
+    survivors index, so the index tracks the RELEASED corpus and a
+    doc is never rejected for matching an already-dropped near-dup
+    (no transitive chaining).  This is
     the near-dup pass an INCREMENTAL ingest needs: re-mining the full
     corpus per batch is O(history); this is O(batch x bands) probes.
 
@@ -1020,7 +1023,13 @@ def incremental_near_dups(
         .distinct()
     )
     fresh = new_batch.join(dups, id_col, "left_anti")
-    return fresh, nb
+    # index only the SURVIVORS: indexing a dropped near-dup would grow
+    # the index with duplicate mass and let a later doc C be rejected
+    # for matching dropped B even when C-vs-any-released doc is below
+    # threshold (transitive chaining) — the incremental_dedup contract
+    # is "dedup against the RELEASED corpus", so band rows follow it
+    fresh_bands = nb.join(dups, id_col, "left_anti")
+    return fresh, fresh_bands
 
 
 def winnow_fingerprints(

@@ -746,6 +746,14 @@ def centroid_similarity_matrix(
         .groupBy("_g", "_d")
         .agg(F.sum("_m").cast("decimal(38,0)").alias("_s"))
     )
+    # norms aggregate PER GROUP over the group's own dimensions —
+    # computing them inside the pair join would silently shrink a
+    # group's norm to only the dims the partner also has (wrong, and
+    # inconsistent across pairs) whenever embeddings are ragged or
+    # carry NULL elements
+    norms = sums.groupBy("_g").agg(
+        F.sum(F.col("_s") * F.col("_s")).alias("_n2")
+    )
     a = sums.select(
         F.col("_g").alias("_ga"), "_d", F.col("_s").alias("_sa")
     )
@@ -756,21 +764,23 @@ def centroid_similarity_matrix(
         a.join(F.broadcast(b), "_d")
         .where(F.col("_ga") <= F.col("_gb"))
         .groupBy("_ga", "_gb")
-        .agg(
-            F.sum(F.col("_sa") * F.col("_sb")).alias("_dot"),
-            F.sum(F.col("_sa") * F.col("_sa")).alias("_na"),
-            F.sum(F.col("_sb") * F.col("_sb")).alias("_nb"),
-        )
+        .agg(F.sum(F.col("_sa") * F.col("_sb")).alias("_dot"))
     )
-    return prods.select(
-        F.col("_ga").alias(f"{group_col}_a"),
-        F.col("_gb").alias(f"{group_col}_b"),
-        F.round(
-            F.col("_dot").cast("double")
-            / (
-                F.sqrt(F.col("_na").cast("double"))
-                * F.sqrt(F.col("_nb").cast("double"))
-            ),
-            out_round,
-        ).alias("centroid_cosine"),
+    na = norms.select(F.col("_g").alias("_ga"), F.col("_n2").alias("_na"))
+    nb = norms.select(F.col("_g").alias("_gb"), F.col("_n2").alias("_nb"))
+    return (
+        prods.join(F.broadcast(na), "_ga")
+        .join(F.broadcast(nb), "_gb")
+        .select(
+            F.col("_ga").alias(f"{group_col}_a"),
+            F.col("_gb").alias(f"{group_col}_b"),
+            F.round(
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_na").cast("double"))
+                    * F.sqrt(F.col("_nb").cast("double"))
+                ),
+                out_round,
+            ).alias("centroid_cosine"),
+        )
     )

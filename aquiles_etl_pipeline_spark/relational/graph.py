@@ -158,8 +158,11 @@ def bfs_hops(
     eagerly localCheckpoint'ed per round, or round i's lineage would
     recompute rounds 1..i-1 (the q156 recompute-blowup lesson).
     """
-    visited = seeds.select("id", F.lit(0).cast("int").alias("dist")).localCheckpoint(
-        eager=True
+    visited = (
+        seeds.select("id")
+        .distinct()  # duplicate seed rows must not double-count at dist 0
+        .select("id", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint(eager=True)
     )
     frontier = visited.select("id")
     for i in range(1, rounds + 1):

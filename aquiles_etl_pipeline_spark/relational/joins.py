@@ -414,16 +414,21 @@ def grid_neighbor_join(
 
     Integer coordinates keep the distance test exact in bigint — no
     float epsilon at the radius boundary (callers with 2dp values
-    scale to centi-units first).  Cell ids use explicit floor division
-    (negative-coordinate safe — the bucketized_range_join rule).
+    scale to centi-units first).  Cell ids use EXACT INTEGER floor
+    division, negative-coordinate safe and immune to the double-
+    division misbinning that loses integer resolution past 2^53
+    (the bucketized_range_join rule).
 
     Scale: shuffle keys are (cell_x, cell_y) — the 9x explode happens
     on ids+coords rows only, and per-cell population is bounded by
     density x radius^2, so skew follows spatial hot spots (salt the
     cell key if a cell exceeds executor memory).  Never O(n^2).
     """
-    cx = F.floor(F.col(x_col) / F.lit(float(radius)))
-    cy = F.floor(F.col(y_col) / F.lit(float(radius)))
+    # exact integer floor division (the bucketized_range_join rule):
+    # the double-division form misbins once |x|/radius loses integer
+    # resolution in a double, silently dropping true neighbor pairs
+    cx = F.expr(f"({x_col} - pmod({x_col}, {radius})) div {radius}")
+    cy = F.expr(f"({y_col} - pmod({y_col}, {radius})) div {radius}")
     a = points.select(
         F.col(id_col).alias("_ida"),
         F.col(x_col).alias("_xa"),

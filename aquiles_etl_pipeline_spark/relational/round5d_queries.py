@@ -383,8 +383,8 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT event_id, x, y,
-             CAST(floor(x / 150.0) AS BIGINT) AS cx,
-             CAST(floor(y / 150.0) AS BIGINT) AS cy
+             x // 150 AS cx,  -- DuckDB // floors integers: exact
+             y // 150 AS cy
       FROM p
     ),
     offs AS (
@@ -443,20 +443,23 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
     ),
     sums AS (SELECT g, d, SUM(m) AS s FROM el GROUP BY g, d),
+    norms AS (
+      SELECT g, SUM(CAST(s AS HUGEINT) * s) AS n2 FROM sums GROUP BY g
+    ),
     pairs AS (
       SELECT a.g AS ga, b.g AS gb,
-             SUM(CAST(a.s AS HUGEINT) * b.s) AS dot,
-             SUM(CAST(a.s AS HUGEINT) * a.s) AS na,
-             SUM(CAST(b.s AS HUGEINT) * b.s) AS nb
+             SUM(CAST(a.s AS HUGEINT) * b.s) AS dot
       FROM sums a JOIN sums b USING (d)
       WHERE a.g <= b.g
       GROUP BY 1, 2
     )
     SELECT ga AS label_a, gb AS label_b,
            ROUND(CAST(dot AS DOUBLE)
-                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
                  6) AS centroid_cosine
     FROM pairs
+    JOIN norms na ON na.g = pairs.ga
+    JOIN norms nb ON nb.g = pairs.gb
     """,
     doc="Per-label embedding centroid cosine matrix (llmdata."
         "similarity.centroid_similarity_matrix) — the dataset-"
@@ -1001,7 +1004,7 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p_partkey,
            CAST(price AS DOUBLE) AS price_as_first_known,
-           CAST(CASE WHEN p_partkey % 5 = 0
+           CAST(CASE WHEN p_partkey % 300 = 0
                      THEN CAST(price + 1 AS DECIMAL(18,2))
                      ELSE price END AS DOUBLE) AS price_as_now_known
     FROM base
@@ -1009,7 +1012,7 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Bitemporal dimension read — SCD2 VALID time composed with "
         "warehouse TRANSACTION time (merge.scd.scd2_upsert + "
         "Warehouse version reads): two scd2_upsert batches build the "
-        "price history (reprice of every 5th part effective "
+        "price history (reprice of every 3rd retained part effective "
         "1995-01-01), each also committing a snapshot GENERATION; "
         "the query answers 'what did we BELIEVE (transaction time = "
         "first generation vs now) the price was ON 1996-06-01 (valid "
@@ -1034,7 +1037,7 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey", F.col("p_retailprice").cast(DEC2).alias("price")
         )
     )
-    reprice = base.where(F.col("p_partkey") % 5 == 0).select(
+    reprice = base.where(F.col("p_partkey") % 300 == 0).select(
         "p_partkey", (F.col("price") + 1).cast(DEC2).alias("price")
     )
     wh = Warehouse(spark, tempfile.mkdtemp(prefix="q187_bitemp_"))

@@ -648,6 +648,8 @@ def fd_profile(
     det-grain rollup — never a self-join; candidate pairs union into
     one result frame (a handful of rows each).
     """
+    if not pairs:
+        raise ValueError("fd_profile needs at least one (det, dep) pair")
     outs = []
     for det, dep in pairs:
         per_group = (

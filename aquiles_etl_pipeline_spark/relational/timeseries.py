@@ -392,6 +392,32 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore(load(spark, sf_dir, "events"))
 
 
+def _assign_sessions(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    out_col: str = "session_id",
+) -> DataFrame:
+    """THE inactivity-session definition (q12/q32/q80/q190 all share
+    it): a gap > ``gap_seconds`` between consecutive events of a key
+    starts a new session; ``out_col`` gets the per-key 1-based session
+    number via one lag + running-sum window.  Single source so a
+    future change to the gap semantics cannot silently diverge the
+    batch queries from each other."""
+    epoch = F.expr(f"unix_micros({ts_col}) div 1000000")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    new_sess = (
+        (epoch - F.lag(epoch).over(w) > gap_seconds)
+        | F.lag(epoch).over(w).isNull()
+    ).cast("int")
+    return events.withColumn(
+        out_col,
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 def session_conversion(
     events: DataFrame,
     gap_seconds: int = 1800,
@@ -414,15 +440,7 @@ def session_conversion(
     check aggregates sorted per-type ts lists and evaluates as array
     expressions — two shuffles total on the same key family.
     """
-    epoch = F.expr(f"unix_micros({ts_col}) div 1000000")
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col("event_id"))
-    new_sess = (
-        (epoch - F.lag(epoch).over(w) > gap_seconds)
-        | F.lag(epoch).over(w).isNull()
-    ).cast("int")
-    with_sess = events.withColumn(
-        "session_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    with_sess = _assign_sessions(events, gap_seconds, key_col, ts_col)
     g = with_sess.groupBy(key_col, "session_id").agg(
         F.min(ts_col).alias("session_start"),
         F.count(F.lit(1)).alias("n_events"),
@@ -798,6 +816,8 @@ def linear_attribution(
     key_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Linear multi-touch attribution: each goal event's value splits
     EQUALLY across every preceding touchpoint in the same inactivity
@@ -819,31 +839,25 @@ def linear_attribution(
     the pair grain partitioned by goal.  Three shuffles on the same
     key family.
     """
-    epoch = F.expr(f"unix_micros({ts_col}) div 1000000")
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col("event_id"))
-    new_sess = (
-        (epoch - F.lag(epoch).over(w) > gap_seconds)
-        | F.lag(epoch).over(w).isNull()
-    ).cast("int")
-    base = events.withColumn(
-        "_sid", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    base = _assign_sessions(
+        events, gap_seconds, key_col, ts_col, id_col, out_col="_sid"
     ).select(
         F.col(key_col).alias("_k"),
         "_sid",
-        F.col("event_id"),
+        F.col(id_col).alias("_id"),
         F.col(ts_col).alias("_ts"),
         F.col(type_col).alias("_ty"),
-        F.round(F.col("value") * 100).cast("bigint").alias("_cents"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("_cents"),
     )
     goals = base.where(F.col("_ty") == goal_type).select(
         "_k", "_sid",
-        F.col("event_id").alias("_pid"),
+        F.col("_id").alias("_pid"),
         F.col("_ts").alias("_pts"),
         "_cents",
     )
     touches = base.where(F.col("_ty") != goal_type).select(
         "_k", "_sid",
-        F.col("event_id").alias("_tid"),
+        F.col("_id").alias("_tid"),
         F.col("_ts").alias("_tts"),
         F.col("_ty").alias("touchpoint"),
     )
@@ -890,6 +904,7 @@ def reflected_running_balance(
     key_col: str = "user_id",
     ts_col: str = "ts",
     delta_col: str = "delta",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Floor-at-zero running balance per key — inventory that cannot
     go negative, credits that cannot overdraw: b_t = max(0, b_{t-1} +
@@ -909,7 +924,7 @@ def reflected_running_balance(
     """
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col), F.col("event_id"))
+        .orderBy(F.col(ts_col), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     x = F.sum(delta_col).over(w)
@@ -920,7 +935,7 @@ def reflected_running_balance(
     return with_x.select(
         key_col,
         ts_col,
-        "event_id",
+        id_col,
         F.col(delta_col),
         (F.col("_x") - clipped).cast("long").alias("balance"),
     )

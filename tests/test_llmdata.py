@@ -1237,8 +1237,11 @@ def test_incremental_near_dups_cross_batch(spark):
         b2, bands1, b1.select("doc_id", "text"), bands=16
     )
     assert {r["doc_id"] for r in fresh2.collect()} == {13}
-    # band rows are the per-doc x per-band grain, ready to append
-    assert bands2.count() == 2 * 16
+    # only SURVIVORS index (per-doc x per-band grain): the dropped
+    # near-dup 11 must NOT enter the index, or a later doc matching
+    # only 11 would be rejected despite matching nothing released
+    assert {r["doc_id"] for r in bands2.collect()} == {13}
+    assert bands2.count() == 1 * 16
 
 
 def test_resize_images_geometry_and_fallbacks(spark):
