@@ -339,6 +339,8 @@ _GRADE_FIRST = (
     "q190_linear_attribution",
     "q191_reflected_balance",
     "q192_rank_movers",
+    "q193_frame_sampling",
+    "q194_streaming_heavy_users",
 )
 
 

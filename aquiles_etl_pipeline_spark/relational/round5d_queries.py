@@ -1449,3 +1449,74 @@ def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("climb"), F.asc("week"), F.asc("l_partkey"))
         .limit(30)
     )
+
+# ---------------------------------------------------------------------------
+# q193: video frame-sampling schedule through the production seam
+# ---------------------------------------------------------------------------
+
+@register(
+    "q193_frame_sampling",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 127 AS dur FROM documents
+    )
+    SELECT doc_id,
+           CAST(u.i AS INT) AS frame_index,
+           CAST(u.i * 10 AS INT) AS ts_offset_s
+    FROM d, unnest(generate_series(0, (dur - 1) // 10)) AS u(i)
+    """,
+    doc="Video frame-sampling schedule through the production seam "
+        "(llmdata.multimodal.sample_frames): every doc_id synthesizes "
+        "a REAL ISO-BMFF container (ftyp + moov/mvhd v0, timescale "
+        "1000, id-derived duration 1 + id % 127 s, one trak), the "
+        "mapInPandas sampler decodes the duration with the stdlib "
+        "header codec and fans out one row per 10 s frame (1->N "
+        "iterator contract, bounded memory), and the oracle "
+        "recomputes the schedule arithmetically — so the graded "
+        "surface is the real container parse + fan-out shape, while "
+        "frame bytes stay the deterministic stub behind the ffmpeg "
+        "seam.  Completes the multimodal decode matrix: image "
+        "headers (q97/q103), audio (q98), resize geometry (q110), "
+        "and now video frame scheduling, all driver-gated.",
+    tags=("llmdata", "multimodal", "video", "documents"),
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..llmdata.multimodal import sample_frames
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        import struct
+
+        def box(t, payload):
+            return struct.pack(">I", 8 + len(payload)) + t + payload
+
+        def make_mp4(dur_s):
+            mvhd = box(
+                b"mvhd",
+                b"\x00" * 12 + struct.pack(">I", 1000)
+                + struct.pack(">I", dur_s * 1000),
+            )
+            return box(b"ftyp", b"isom\x00\x00\x02\x00") + box(
+                b"moov", mvhd + box(b"trak", b"")
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype(str),
+                    "content": [
+                        make_mp4(1 + int(i) % 127) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    blobs = d.mapInPandas(synth, "path string, content binary")
+    frames = sample_frames(blobs, every_n_seconds=10)
+    return frames.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "frame_index",
+        "ts_offset_s",
+    )

@@ -874,3 +874,73 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _memoized(spark, sf_dir, "q172", build)
+
+
+@register(
+    "q194_streaming_heavy_users",
+    sql="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS est_count
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= 10
+    """,
+    doc="Streaming space-saving heavy hitters under the correctness "
+        "gate (streaming.stateful.shard_heavy_users, the SECOND "
+        "applyInPandasWithState operator — array-typed state, "
+        "non-algebraic eviction transitions): events land as JSONL in "
+        "two waves, two checkpointed AvailableNow drains thread "
+        "per-shard capacity-bounded counter tables through the state "
+        "store across a restart, and users with >= 10 events must "
+        "match the exact batch recompute — counts are exact while "
+        "per-shard distinct users stay under capacity (the q130 "
+        "sketch-shaped-exact regime; the eviction path is unit-tested "
+        "separately).  Each user hashes to exactly one shard, so no "
+        "cross-shard merge; state per shard is O(capacity) forever.",
+    tags=("streaming", "stateful", "sketch", "events"),
+)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        import tempfile
+        from pathlib import Path
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from ..streaming.stateful import shard_heavy_users
+
+        root = Path(tempfile.mkdtemp(prefix="q194_topk_"))
+        land = root / "land"
+        land.mkdir()
+        out = str(root / "out")
+        e = load(spark, sf_dir, "events").select("event_id", "user_id")
+
+        def drain() -> None:
+            stream = spark.readStream.schema(
+                "event_id long, user_id long"
+            ).json(str(land))
+
+            def sink(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.withColumn("_b", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(out)
+
+            (
+                shard_heavy_users(stream)
+                .writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", str(root / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        _land_two_waves(e, root, land, drain)
+        w = Window.partitionBy("shard", "user_id").orderBy(F.desc("_b"))
+        return (
+            spark.read.parquet(out)
+            .withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (F.col("est_count") >= 10))
+            .select("user_id", "est_count")
+        )
+
+    return _memoized(spark, sf_dir, "q194", build)

@@ -559,3 +559,45 @@ def test_bitmap_dau_checkpoint_rollup_unit(spark, tmp_path):
         .collect()
     }
     assert second == first
+
+
+def test_space_saving_eviction_guarantee():
+    """Past capacity, space-saving must keep heavy items and bound the
+    overestimate by the evicted minimum (Metwally et al. invariants);
+    driver-side check of the pure update function."""
+    import pandas as pd
+
+    from aquiles_etl_pipeline_spark.streaming.stateful import (
+        _update_space_saving,
+    )
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+    fn = _update_space_saving(capacity=2)
+    state = FakeState()
+    # heavy user 1 (6x), medium 2 (3x), singleton 3 — capacity 2
+    pdf = pd.DataFrame({"user_id": [1] * 6 + [2] * 3 + [3]})
+    out = pd.concat(list(fn((0,), iter([pdf]), state)))
+    got = dict(zip(out["user_id"], out["est_count"]))
+    assert len(got) == 2, "capacity must bound the counter table"
+    assert 1 in got and got[1] == 6, "heavy item must survive exactly"
+    # the evicted-min inheritance: whoever holds the second slot may
+    # overestimate by at most the minimum counter at eviction time
+    other = next(u for u in got if u != 1)
+    true_counts = {1: 6, 2: 3, 3: 1}
+    assert got[other] >= true_counts.get(other, 0)
+    assert got[other] <= true_counts.get(other, 0) + 3
+    # second batch: existing key increments exactly, state threads
+    out2 = pd.concat(list(fn((0,), iter([pd.DataFrame({"user_id": [1]})]), state)))
+    got2 = dict(zip(out2["user_id"], out2["est_count"]))
+    assert got2[1] == 7

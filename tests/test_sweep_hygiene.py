@@ -69,6 +69,9 @@ PERSIST_PRONE = [
     "q172_streaming_cdc_merge",
     # q183 localCheckpoints each BFS round's frontier + visited frames
     "q183_bfs_hops",
+    # q194 runs two stateful space-saving drains (array-typed state
+    # store restored across the restart)
+    "q194_streaming_heavy_users",
 ]
 
 
