@@ -341,6 +341,7 @@ _GRADE_FIRST = (
     "q192_rank_movers",
     "q193_frame_sampling",
     "q194_streaming_heavy_users",
+    "q195_stream_outer_join",
 )
 
 

@@ -944,3 +944,134 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _memoized(spark, sf_dir, "q194", build)
+
+
+@register(
+    "q195_stream_outer_join",
+    sql="""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0
+    ),
+    r AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_id % 2 = 1
+    )
+    SELECT l.user_id AS user_id,
+           l.event_id AS l_event_id,
+           r.event_id AS r_event_id,
+           r.value AS r_value
+    FROM l LEFT JOIN r
+      ON r.user_id = l.user_id
+     AND r.ts > l.ts
+     AND r.ts <= l.ts + INTERVAL 1 HOUR
+    """,
+    doc="Stream-STREAM LEFT OUTER interval join under the correctness "
+        "gate — the semantics corner q144's inner join cannot reach: "
+        "an unmatched left row only emits (with nulls) when the "
+        "GLOBAL watermark (min across both sources) passes its "
+        "eviction point, so the harness lands the two real waves "
+        "(cross-wave pairs prove state restore), then TWO sentinel "
+        "waves with far-future timestamps on BOTH streams + drains — "
+        "the first advances the watermark past every real left row's "
+        "expiry, the second runs the flush batch that emits the "
+        "null-matched rows; sentinels filter out of the readback.  "
+        "The emitted set must equal the batch LEFT range join at pair "
+        "grain.  At scale the watermark delay is the lateness SLA and "
+        "outer-emission latency is exactly one watermark advance — "
+        "this query pins that machinery end-to-end.",
+    tags=("streaming", "join", "outer", "events"),
+)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        import tempfile
+        from pathlib import Path
+
+        from pyspark.sql import functions as F
+
+        from ..streaming.joins import stream_interval_join
+
+        root = Path(tempfile.mkdtemp(prefix="q195_ssouter_"))
+        land_l = root / "land_l"
+        land_r = root / "land_r"
+        land_l.mkdir()
+        land_r.mkdir()
+        out = str(root / "out")
+        e = load(spark, sf_dir, "events")
+        left = e.where(F.col("event_id") % 2 == 0).select("event_id", "user_id", "ts")
+        right = e.where(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "ts", "value"
+        )
+        max_ts = e.agg(F.max("ts")).collect()[0][0]
+
+        def drain() -> None:
+            ls = (
+                spark.readStream.schema("event_id long, user_id long, ts timestamp")
+                .option("maxFilesPerTrigger", 1_000_000)
+                .json(str(land_l))
+            )
+            rs = (
+                spark.readStream.schema(
+                    "event_id long, user_id long, ts timestamp, value double"
+                )
+                .option("maxFilesPerTrigger", 1_000_000)
+                .json(str(land_r))
+            )
+            joined = stream_interval_join(
+                ls,
+                rs,
+                on="user_id",
+                window_seconds=3600,
+                watermark="100 days",
+                how="left_outer",
+            ).select(
+                "user_id",
+                F.col("event_id").alias("l_event_id"),
+                F.col("right_event_id").alias("r_event_id"),
+                F.col("right_value").alias("r_value"),
+            )
+            (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", str(root / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        half = (F.col("event_id") - F.col("event_id") % 2) / 2
+        for tag, parity in (("a", 0), ("b", 1)):
+            _land_wave(root, land_l, left.where(half % 2 == parity), tag)
+            _land_wave(root, land_r, right.where(half % 2 == parity), tag)
+            drain()
+        # sentinel waves: far-future rows on BOTH streams advance the
+        # min-across-sources watermark past every real left row's
+        # (ts + interval + delay) expiry point; the second drain runs
+        # the flush batch that emits the null-matched leftovers
+        for tag, days in (("s1", 101), ("s2", 102)):
+            sent_ts = F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")
+            _land_wave(
+                root, land_l,
+                left.limit(1).select(
+                    F.lit(-1).cast("long").alias("event_id"),
+                    F.lit(-1).cast("long").alias("user_id"),
+                    sent_ts.alias("ts"),
+                ),
+                tag,
+            )
+            _land_wave(
+                root, land_r,
+                right.limit(1).select(
+                    F.lit(-2).cast("long").alias("event_id"),
+                    F.lit(-1).cast("long").alias("user_id"),
+                    sent_ts.alias("ts"),
+                    F.lit(0.0).alias("value"),
+                ),
+                tag,
+            )
+            drain()
+        return (
+            spark.read.parquet(out)
+            .where(F.col("l_event_id") >= 0)
+            .select("user_id", "l_event_id", "r_event_id", "r_value")
+        )
+
+    return _memoized(spark, sf_dir, "q195", build)

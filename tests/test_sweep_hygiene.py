@@ -72,6 +72,9 @@ PERSIST_PRONE = [
     # q194 runs two stateful space-saving drains (array-typed state
     # store restored across the restart)
     "q194_streaming_heavy_users",
+    # q195 runs four outer-join drains (dual-side join state + the
+    # sentinel watermark-flush batches)
+    "q195_stream_outer_join",
 ]
 
 
