@@ -342,6 +342,8 @@ _GRADE_FIRST = (
     "q193_frame_sampling",
     "q194_streaming_heavy_users",
     "q195_stream_outer_join",
+    "q196_local_time_rollup",
+    "q197_time_weighted_avg",
 )
 
 

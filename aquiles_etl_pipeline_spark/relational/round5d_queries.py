@@ -1520,3 +1520,130 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_index",
         "ts_offset_s",
     )
+
+# ---------------------------------------------------------------------------
+# q196: timezone-aware local-time activity rollup
+# ---------------------------------------------------------------------------
+
+@register(
+    "q196_local_time_rollup",
+    sql="""
+    WITH z AS (
+      SELECT unnest(['America/New_York', 'Asia/Kathmandu']) AS tz
+    ),
+    loc AS (
+      SELECT tz,
+             CAST(timezone(tz, ts AT TIME ZONE 'UTC') AS TIMESTAMP) AS lts,
+             value
+      FROM events, z
+    )
+    SELECT tz,
+           CAST(CAST(lts AS DATE) AS VARCHAR) AS local_date,
+           CAST(hour(lts) AS INT) AS local_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total_value
+    FROM loc GROUP BY 1, 2, 3
+    """,
+    doc="Timezone-aware local-time activity rollup: UTC event "
+        "timestamps rendered in IANA zones — America/New_York (DST-"
+        "switching; the spring-forward gap was verified identical in "
+        "both engines) and Asia/Kathmandu (+05:45, a non-whole-hour "
+        "offset that catches hour-truncation shortcuts) — then "
+        "aggregated per (zone, local date, local hour).  Conversion "
+        "is a codegen projection (from_utc_timestamp); one partial-"
+        "agg exchange over the cell grain.  The cross-engine trap "
+        "this pins: both sides must treat the stored naive timestamp "
+        "as a UTC INSTANT (DuckDB: ts AT TIME ZONE 'UTC' before "
+        "timezone()), not as zone-local wall time.",
+    tags=("relational", "timezone", "events"),
+)
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    z = F.explode(F.array(F.lit("America/New_York"), F.lit("Asia/Kathmandu")))
+    loc = ev.select(z.alias("tz"), "ts", "value").select(
+        "tz",
+        F.from_utc_timestamp(F.col("ts"), F.col("tz")).alias("lts"),
+        "value",
+    )
+    return loc.groupBy(
+        "tz",
+        F.col("lts").cast("date").cast("string").alias("local_date"),
+        F.hour("lts").cast("int").alias("local_hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("total_value"),
+    )
+
+# ---------------------------------------------------------------------------
+# q197: time-weighted average value per user (TWAP)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q197_time_weighted_avg",
+    sql="""
+    WITH t AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) // 1000000 AS sec,
+             LEAD(epoch_us(ts) // 1000000)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             SUM(CASE WHEN nxt IS NULL THEN 0 ELSE nxt - sec END) AS span_s,
+             SUM(CASE WHEN nxt IS NULL THEN 0
+                      ELSE cents * (nxt - sec) END) AS wsum
+      FROM t GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(span_s AS BIGINT) AS span_s,
+           CASE WHEN span_s = 0 THEN NULL
+                ELSE ROUND(CAST(wsum AS DOUBLE) / span_s / 100, 6) END
+             AS twap
+    FROM g
+    """,
+    doc="Time-weighted average value per user (TWAP — the telemetry/"
+        "finance averaging that a plain mean gets wrong when samples "
+        "are irregular): each event's value HOLDS until the user's "
+        "next event (LOCF segments), weight = segment seconds, twap = "
+        "sum(cents x dt) / total observed seconds.  Integer cents x "
+        "integer seconds keep every product and sum exact bigint in "
+        "any order; ONE division at the end (NULL for single-event "
+        "users — zero observed span).  One hash(user) window exchange "
+        "+ one partial agg on the same key.",
+    tags=("timeseries", "events", "window"),
+)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    t = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        sec.alias("sec"),
+        F.lead(sec).over(w).alias("nxt"),
+    )
+    dt = F.when(F.col("nxt").isNull(), F.lit(0)).otherwise(
+        F.col("nxt") - F.col("sec")
+    )
+    g = t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dt).cast("bigint").alias("span_s"),
+        F.sum(F.col("cents") * dt).alias("wsum"),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        "span_s",
+        F.when(F.col("span_s") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("wsum").cast("double") / F.col("span_s") / 100, 6)
+        )
+        .alias("twap"),
+    )
