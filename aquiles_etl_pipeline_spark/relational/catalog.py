@@ -344,6 +344,9 @@ _GRADE_FIRST = (
     "q195_stream_outer_join",
     "q196_local_time_rollup",
     "q197_time_weighted_avg",
+    "q198_rate_limit_quota",
+    "q199_source_copy_matrix",
+    "q200_curation_pipeline_v2",
 )
 
 

@@ -1647,3 +1647,244 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("twap"),
     )
+
+# ---------------------------------------------------------------------------
+# q198: per-key rate-limit / quota filter
+# ---------------------------------------------------------------------------
+
+@register(
+    "q198_rate_limit_quota",
+    sql="""
+    WITH ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(COUNT(*) FILTER (WHERE rn <= 3) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE rn > 3) AS BIGINT) AS n_dropped,
+           CAST(COUNT(DISTINCT CASE WHEN rn > 3 THEN user_id END)
+                AS BIGINT) AS n_throttled_users
+    FROM ranked GROUP BY 1
+    """,
+    doc="Per-key rate-limit / quota filter: keep each user's first 3 "
+        "events per day (deterministic (ts, event_id) order), report "
+        "kept/dropped/throttled-users per day — the ingestion-quota "
+        "and bot-damping primitive (the same shape caps per-domain "
+        "pages in a crawl).  One (user, day) window exchange; the "
+        "quota predicate is a row_number filter that WindowGroupLimit "
+        "can push into the sort at scale.",
+    tags=("relational", "quota", "events", "window"),
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    ranked = ev.select(
+        "user_id",
+        day.alias("day"),
+        F.row_number().over(
+            Window.partitionBy("user_id", day).orderBy(
+                F.col("ts"), F.col("event_id")
+            )
+        ).alias("rn"),
+    )
+    return ranked.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count(F.when(F.col("rn") <= 3, 1)).alias("n_kept"),
+        F.count(F.when(F.col("rn") > 3, 1)).alias("n_dropped"),
+        F.countDistinct(
+            F.when(F.col("rn") > 3, F.col("user_id"))
+        ).alias("n_throttled_users"),
+    )
+
+# ---------------------------------------------------------------------------
+# q199: cross-source duplication matrix (who copies from whom)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q199_source_copy_matrix",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t) - 2, 1))]) AS g
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(g) AS n FROM sh),
+    posts AS (SELECT doc_id, len(g) AS n, unnest(g) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM posts a JOIN posts b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.7 * greatest(a.n, b.n) - 1e-9
+      GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.7
+    )
+    SELECT least(da.source, db.source) AS source_lo,
+           greatest(da.source, db.source) AS source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM dup_pairs
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source duplication matrix — which sources copy from "
+        "which: verified near-dup pairs (MinHash-LSH candidates at "
+        "16x2 bands, exact shingle-Jaccard >= 0.7 verify — hash-"
+        "family-independent, so the oracle is the plain all-pairs "
+        "answer) roll up to unordered (source, source) cells.  The "
+        "crawl-governance view that decides per-source dedup "
+        "priorities and licensing exposure; diagonal cells = intra-"
+        "source duplication.  Pair mining stays postings/band grain "
+        "(q25's machinery); the matrix is a broadcast source join "
+        "over the small verified-pair set.",
+    tags=("llmdata", "dedup", "governance", "documents"),
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs, bands=16).where(
+        F.col("jaccard") >= 0.7
+    )
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_lo"),
+            F.greatest("_sa", "_sb").alias("source_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+# ---------------------------------------------------------------------------
+# q200: training-data curation pipeline v2 (capstone composition)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q200_curation_pipeline_v2",
+    sql="""
+    WITH pool AS (
+      SELECT doc_id, source, text,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+      WHERE source <> 'src0'
+        AND len(string_split_regex(lower(trim(text)), '\\s+')) >= 15
+    ),
+    ex AS (
+      SELECT * FROM pool
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM pool GROUP BY text)
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM ex
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t) - 2, 1))]) AS g
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(g) AS n FROM sh),
+    posts AS (SELECT doc_id, len(g) AS n, unnest(g) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM posts a JOIN posts b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.7 * greatest(a.n, b.n) - 1e-9
+      GROUP BY 1, 2
+    ),
+    losers AS (
+      SELECT DISTINCT id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.7
+    ),
+    nd AS (
+      SELECT * FROM ex WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    ),
+    bt AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE source = 'src0'
+    ),
+    bg AS (
+      SELECT DISTINCT unnest([array_to_string(t[i:i+7], ' ')
+                              for i in generate_series(1, greatest(len(t) - 7, 1))]) AS g8
+      FROM bt
+    ),
+    nt AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM nd
+    ),
+    ng AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+7], ' ')
+                     for i in generate_series(1, greatest(len(t) - 7, 1))])) AS g8
+      FROM nt
+    ),
+    contaminated AS (SELECT DISTINCT doc_id FROM ng JOIN bg USING (g8)),
+    clean AS (
+      SELECT * FROM nd
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    split_assigned AS (
+      SELECT *,
+             ('0x' || substr(sha256(source), 1, 15))::BIGINT % 100 AS b
+      FROM clean
+    )
+    SELECT CASE WHEN b < 96 THEN 'train'
+                WHEN b < 98 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM split_assigned GROUP BY 1
+    """,
+    doc="Training-data curation pipeline v2 — the capstone chaining "
+        "the round-5 curation stack end-to-end under ONE oracle: "
+        "quality gate (>= 15 tokens) -> exact dedup (min-id survivor "
+        "per content hash) -> verified MinHash near-dup dedup (16x2 "
+        "bands, exact-Jaccard >= 0.7 verify) -> 8-gram benchmark "
+        "decontamination against the held-out src0 eval proxy "
+        "(benchmark grams broadcast; pool never reshuffles) -> "
+        "group-integrity train/val/test split (sha-hash of SOURCE so "
+        "near-dup clusters cannot straddle splits) -> per-split "
+        "release report (docs, exact token mass, sources).  Each "
+        "stage is the already-graded operator (q22/q17/q25/q49/q168 "
+        "machinery) — this entry proves they COMPOSE without an "
+        "intermediate materialization, one declarative plan.",
+    tags=("llmdata", "pipeline", "capstone", "documents"),
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata import dedup, sampling
+
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    pool = docs.where(
+        (F.col("source") != "src0") & (n_tokens >= 15)
+    ).select("doc_id", "source", "text", n_tokens.alias("n_tokens"))
+    ex = dedup.exact_dedup(pool)
+    nd = dedup.minhash_dedup(ex, threshold=0.7, bands=16)
+    bench = docs.where(F.col("source") == "src0").select("doc_id", "text")
+    flags = sampling.benchmark_ngram_overlap(nd, bench, n=8)
+    clean = nd.join(
+        flags.where(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    assigned = sampling.group_holdout_split(clean, "source")
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
