@@ -1888,3 +1888,244 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+# ---------------------------------------------------------------------------
+# q202: association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q202_association_rules",
+    sql="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lp),
+    item AS (SELECT l_partkey, COUNT(*) AS c FROM lp GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS cab
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    ),
+    rules AS (
+      SELECT ante, cons, cab, ca, cb, n FROM (
+        SELECT pa AS ante, pb AS cons, cab,
+               ia.c AS ca, ib.c AS cb, tot.n
+        FROM pair JOIN item ia ON ia.l_partkey = pa
+                  JOIN item ib ON ib.l_partkey = pb, tot
+        UNION ALL
+        SELECT pb, pa, cab, ib.c, ia.c, tot.n
+        FROM pair JOIN item ia ON ia.l_partkey = pa
+                  JOIN item ib ON ib.l_partkey = pb, tot
+      )
+    )
+    SELECT ante, cons,
+           CAST(cab AS BIGINT) AS n_both,
+           ROUND(CAST(cab AS DOUBLE) / n, 6) AS support,
+           ROUND(CAST(cab AS DOUBLE) / ca, 6) AS confidence,
+           ROUND(CAST(cab AS DOUBLE) * n / (CAST(ca AS DOUBLE) * cb), 6)
+             AS lift
+    FROM rules
+    ORDER BY lift DESC, ante, cons
+    LIMIT 30
+    """,
+    doc="Association-rule mining over order baskets (the Apriori "
+        "level-2 readout on q88's co-occurrence machinery): for every "
+        "part pair co-ordered >= 3 times, BOTH directed rules A=>B "
+        "with support, confidence, and lift from exact integer counts "
+        "— each metric is ONE double expression over (cab, ca, cb, "
+        "n), so engines agree bit-for-bit; deterministic top-30 by "
+        "lift.  Physical shape: per-order in-task pair expansion "
+        "(baskets bounded), item counts broadcast back onto the pair "
+        "frame, the single-row order total joins as q42's degenerate "
+        "map — the fact table never self-joins.",
+    tags=("relational", "basket", "rules", "lineitem"),
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata.dedup import bucket_pairs
+
+    lp = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    tot = lp.agg(F.countDistinct("l_orderkey").alias("n"))
+    item = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    baskets = lp.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("_ids"))
+    pair = (
+        bucket_pairs(baskets, out_a="pa", out_b="pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= 3)
+    )
+    fwd = pair.select(F.col("pa").alias("ante"), F.col("pb").alias("cons"), "cab")
+    rev = pair.select(F.col("pb").alias("ante"), F.col("pa").alias("cons"), "cab")
+    rules = (
+        fwd.unionByName(rev)
+        .join(F.broadcast(item.select(F.col("l_partkey").alias("ante"), F.col("c").alias("ca"))), "ante")
+        .join(F.broadcast(item.select(F.col("l_partkey").alias("cons"), F.col("c").alias("cb"))), "cons")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        rules.select(
+            "ante",
+            "cons",
+            F.col("cab").alias("n_both"),
+            F.round(F.col("cab").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(F.col("cab").cast("double") / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                F.col("cab").cast("double") * F.col("n")
+                / (F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("ante"), F.asc("cons"))
+        .limit(30)
+    )
+
+# ---------------------------------------------------------------------------
+# q203: item-item collaborative filtering (co-occurrence cosine)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q203_item_item_cf",
+    sql="""
+    WITH ui AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey % 2 = 0
+    ),
+    capped AS (
+      SELECT u, i FROM ui
+      WHERE u IN (SELECT u FROM ui GROUP BY u HAVING COUNT(*) <= 30)
+    ),
+    item AS (SELECT i, COUNT(*) AS n FROM capped GROUP BY 1),
+    pair AS (
+      SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS co
+      FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT item_a, item_b, CAST(co AS BIGINT) AS n_co_users,
+           ROUND(CAST(co AS DOUBLE)
+                 / sqrt(CAST(ia.n AS DOUBLE) * ib.n), 6) AS cosine
+    FROM pair JOIN item ia ON ia.i = item_a
+              JOIN item ib ON ib.i = item_b
+    ORDER BY cosine DESC, item_a, item_b
+    LIMIT 30
+    """,
+    doc="Item-item collaborative filtering (co-occurrence cosine over "
+        "the binary customer x part interaction matrix — the classic "
+        "Amazon-style recommender precompute): distinct (customer, "
+        "part) interactions, whale baskets capped at 30 items (the "
+        "q198 quota rationale — one bot customer would otherwise "
+        "contribute O(basket^2) pairs), per-customer in-task pair "
+        "expansion, cosine = co / sqrt(n_a x n_b) from exact integer "
+        "counts in one double expression; deterministic top-30.  The "
+        "interaction matrix never self-joins — baskets are collected "
+        "per customer (bounded by the cap) and expand in-task.",
+    tags=("relational", "recommender", "lineitem", "basket"),
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata.dedup import bucket_pairs
+
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 2 == 0)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ui = (
+        li.join(o.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    sizes = ui.groupBy("u").agg(F.count(F.lit(1)).alias("_bs"))
+    capped = ui.join(
+        sizes.where(F.col("_bs") <= 30).select("u"), "u", "left_semi"
+    )
+    item = capped.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    baskets = capped.groupBy("u").agg(F.collect_list("i").alias("_ids"))
+    pair = (
+        bucket_pairs(baskets, out_a="item_a", out_b="item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_co_users"))
+        .where(F.col("n_co_users") >= 3)
+    )
+    return (
+        pair.join(
+            F.broadcast(item.select(F.col("i").alias("item_a"), F.col("n").alias("_na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item.select(F.col("i").alias("item_b"), F.col("n").alias("_nb"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_co_users",
+            F.round(
+                F.col("n_co_users").cast("double")
+                / F.sqrt(F.col("_na").cast("double") * F.col("_nb")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("item_a"), F.asc("item_b"))
+        .limit(30)
+    )
+
+# ---------------------------------------------------------------------------
+# q204: positional phrase search (top-bigram mining + occurrence report)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q204_phrase_search",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, u.i AS pos,
+             array_to_string(t[u.i:u.i+1], ' ') AS gram
+      FROM t, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    top AS (
+      SELECT gram FROM g GROUP BY gram
+      ORDER BY COUNT(*) DESC, gram LIMIT 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM g JOIN top USING (gram)
+    GROUP BY doc_id
+    """,
+    doc="Positional phrase search over the word-position postings "
+        "grain — the IR primitive BM25 (q104) cannot answer (bags of "
+        "words lose adjacency): mine the corpus's globally most "
+        "frequent adjacent bigram (deterministic count-then-lexical "
+        "tiebreak), then report every document containing that exact "
+        "phrase with occurrence count and first position.  The "
+        "postings carry (doc, pos, gram) only; the single-row top "
+        "phrase broadcasts back (q42's degenerate map shape), so "
+        "phrase matching is a filter, not a join of the corpus "
+        "against itself.  At scale the same postings table answers "
+        "arbitrary N-word phrases by chaining pos+1 joins.",
+    tags=("llmdata", "search", "phrase", "documents"),
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    g = docs.select(
+        "doc_id", F.posexplode(grams).alias("_p0", "gram")
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "gram")
+    top = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("gram"))
+        .limit(1)
+        .select("gram")
+    )
+    return (
+        g.join(F.broadcast(top), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+    )
