@@ -347,9 +347,9 @@ _GRADE_FIRST = (
     "q198_rate_limit_quota",
     "q199_source_copy_matrix",
     "q200_curation_pipeline_v2",
-    "q202_association_rules",
-    "q203_item_item_cf",
-    "q204_phrase_search",
+    "q201_association_rules",
+    "q202_item_item_cf",
+    "q203_phrase_search",
 )
 
 

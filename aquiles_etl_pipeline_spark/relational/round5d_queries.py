@@ -1890,11 +1890,11 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------------
-# q202: association rules (support / confidence / lift)
+# q201: association rules (support / confidence / lift)
 # ---------------------------------------------------------------------------
 
 @register(
-    "q202_association_rules",
+    "q201_association_rules",
     sql="""
     WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lp),
@@ -1940,7 +1940,7 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
         "map — the fact table never self-joins.",
     tags=("relational", "basket", "rules", "lineitem"),
 )
-def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmdata.dedup import bucket_pairs
 
     lp = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
@@ -1979,11 +1979,11 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------------
-# q203: item-item collaborative filtering (co-occurrence cosine)
+# q202: item-item collaborative filtering (co-occurrence cosine)
 # ---------------------------------------------------------------------------
 
 @register(
-    "q203_item_item_cf",
+    "q202_item_item_cf",
     sql="""
     WITH ui AS (
       SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
@@ -2021,7 +2021,7 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per customer (bounded by the cap) and expand in-task.",
     tags=("relational", "recommender", "lineitem", "basket"),
 )
-def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmdata.dedup import bucket_pairs
 
     o = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 2 == 0)
@@ -2068,11 +2068,11 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------------
-# q204: positional phrase search (top-bigram mining + occurrence report)
+# q203: positional phrase search (top-bigram mining + occurrence report)
 # ---------------------------------------------------------------------------
 
 @register(
-    "q204_phrase_search",
+    "q203_phrase_search",
     sql="""
     WITH t AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
@@ -2106,7 +2106,7 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arbitrary N-word phrases by chaining pos+1 joins.",
     tags=("llmdata", "search", "phrase", "documents"),
 )
-def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))

@@ -139,7 +139,7 @@ def test_no_accidental_cartesian_products(plans):
         "q180_trailing_distinct",
         # q202 association rules: the basket-count total joins in as a
         # broadcast single-row aggregate (1 x N) — q42's shape again
-        "q202_association_rules",
+        "q201_association_rules",
     }
     for name, p in plans.items():
         if name in allowed:
