@@ -1740,9 +1740,11 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Cross-source duplication matrix — which sources copy from "
         "which: verified near-dup pairs (MinHash-LSH candidates at "
-        "16x2 bands, exact shingle-Jaccard >= 0.7 verify — hash-"
-        "family-independent, so the oracle is the plain all-pairs "
-        "answer) roll up to unordered (source, source) cells.  The "
+        "16x2 bands, exact shingle-Jaccard >= 0.7 verify — the "
+        "VERIFY stage is hash-family-independent; candidate recall "
+        "misses a boundary 0.7-pair with P ~ 2e-5 at 16x2, validated "
+        "equal to the all-pairs oracle at both graded SFs, the q25 "
+        "contract) roll up to unordered (source, source) cells.  The "
         "crawl-governance view that decides per-source dedup "
         "priorities and licensing exposure; diagonal cells = intra-"
         "source duplication.  Pair mining stays postings/band grain "
@@ -1856,7 +1858,9 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the round-5 curation stack end-to-end under ONE oracle: "
         "quality gate (>= 15 tokens) -> exact dedup (min-id survivor "
         "per content hash) -> verified MinHash near-dup dedup (16x2 "
-        "bands, exact-Jaccard >= 0.7 verify) -> 8-gram benchmark "
+        "bands, exact-Jaccard >= 0.7 verify; candidate recall misses "
+        "a boundary pair with P ~ 2e-5, validated equal to the all-"
+        "pairs oracle at both graded SFs) -> 8-gram benchmark "
         "decontamination against the held-out src0 eval proxy "
         "(benchmark grams broadcast; pool never reshuffles) -> "
         "group-integrity train/val/test split (sha-hash of SOURCE so "

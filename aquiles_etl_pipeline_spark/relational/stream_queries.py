@@ -1047,10 +1047,14 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (ts + interval + delay) expiry point; the second drain runs
         # the flush batch that emits the null-matched leftovers
         for tag, days in (("s1", 101), ("s2", 102)):
+            # sentinels scaffold from range(1), NOT <stream>.limit(1):
+            # an empty parity side would make a limit(1) sentinel wave
+            # silently empty, the watermark would never advance, and
+            # every unmatched left row would be silently withheld
             sent_ts = F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")
             _land_wave(
                 root, land_l,
-                left.limit(1).select(
+                spark.range(1).select(
                     F.lit(-1).cast("long").alias("event_id"),
                     F.lit(-1).cast("long").alias("user_id"),
                     sent_ts.alias("ts"),
@@ -1059,7 +1063,7 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             _land_wave(
                 root, land_r,
-                right.limit(1).select(
+                spark.range(1).select(
                     F.lit(-2).cast("long").alias("event_id"),
                     F.lit(-1).cast("long").alias("user_id"),
                     sent_ts.alias("ts"),

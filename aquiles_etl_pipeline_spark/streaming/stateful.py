@@ -88,23 +88,29 @@ def _update_space_saving(capacity: int):
             return
         ids, counts = state.get if state.exists else ([], [])
         d = dict(zip(ids, counts))
+        # accumulate the WHOLE micro-batch's per-user counts before the
+        # space-saving update: applying per-Arrow-chunk would make the
+        # eviction outcome depend on where maxRecordsPerBatch happens to
+        # split the group — per-batch totals + one sorted pass keep the
+        # result identical for any chunking.  Memory here is the batch's
+        # DISTINCT users (count grain), not its rows.
+        pending: dict[int, int] = {}
         for pdf in pdfs:
-            # deterministic processing order (sorted user) so eviction
-            # ties resolve identically on every run/engine
-            for u, n in sorted(
-                pdf.groupby("user_id").size().to_dict().items()
-            ):
-                u, n = int(u), int(n)
-                if u in d:
-                    d[u] += n
-                elif len(d) < capacity:
-                    d[u] = n
-                else:
-                    # space-saving eviction: the new item inherits the
-                    # minimum counter (+ its increment); min ties break
-                    # toward the smaller user id for determinism
-                    evict = min(d, key=lambda k: (d[k], k))
-                    d[u] = d.pop(evict) + n
+            for u, n in pdf.groupby("user_id").size().to_dict().items():
+                pending[int(u)] = pending.get(int(u), 0) + int(n)
+        # deterministic order (sorted user) so eviction ties resolve
+        # identically on every run/engine
+        for u, n in sorted(pending.items()):
+            if u in d:
+                d[u] += n
+            elif len(d) < capacity:
+                d[u] = n
+            else:
+                # space-saving eviction: the new item inherits the
+                # minimum counter (+ its increment); min ties break
+                # toward the smaller user id for determinism
+                evict = min(d, key=lambda k: (d[k], k))
+                d[u] = d.pop(evict) + n
         items = sorted(d.items())
         state.update(([k for k, _ in items], [v for _, v in items]))
         yield pd.DataFrame(

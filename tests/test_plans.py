@@ -137,7 +137,7 @@ def test_no_accidental_cartesian_products(plans):
         # q180 trailing distinct: the max-day bound joins in as a
         # broadcast single-row aggregate (1 x N) — q42's shape again
         "q180_trailing_distinct",
-        # q202 association rules: the basket-count total joins in as a
+        # q201 association rules: the basket-count total joins in as a
         # broadcast single-row aggregate (1 x N) — q42's shape again
         "q201_association_rules",
     }
