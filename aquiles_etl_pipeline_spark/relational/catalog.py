@@ -350,6 +350,8 @@ _GRADE_FIRST = (
     "q201_association_rules",
     "q202_item_item_cf",
     "q203_phrase_search",
+    "q204_ohlc_bars",
+    "q205_completeness_profile",
 )
 
 

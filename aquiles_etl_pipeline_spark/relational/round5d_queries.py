@@ -2133,3 +2133,144 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos").cast("bigint").alias("first_pos"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q204: OHLC bars (open/high/low/close per time bucket)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q204_ohlc_bars",
+    sql="""
+    WITH b AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '15 minutes', ts) AS bar_start,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                time_bucket(INTERVAL '15 minutes', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                time_bucket(INTERVAL '15 minutes', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, CAST(bar_start AS VARCHAR) AS bar_start,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_c,
+           CAST(MAX(cents) AS BIGINT) AS high_c,
+           CAST(MIN(cents) AS BIGINT) AS low_c,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_c,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM b GROUP BY 1, 2
+    """,
+    doc="OHLC bars per (event_type, 15-minute bucket) — the finance/"
+        "telemetry candlestick rollup: open = first value in the bar, "
+        "close = last (both deterministic via (ts, event_id) "
+        "row_number ties — arg_min/arg_max tie arbitrarily on equal "
+        "timestamps, so the first/last election goes through unique "
+        "composite order keys instead), high/low = plain min/max, all "
+        "in integer cents.  Two row_number frames and the final "
+        "aggregation share ONE (type, bucket) hash distribution.",
+    tags=("timeseries", "events", "window", "ohlc"),
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bar = F.window("ts", "15 minutes")["start"]
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    base = ev.select(
+        "event_type", bar.alias("bar_start"), cents.alias("cents"),
+        "ts", "event_id",
+    )
+    wa = Window.partitionBy("event_type", "bar_start").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    wd = Window.partitionBy("event_type", "bar_start").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    b = base.select(
+        "event_type",
+        "bar_start",
+        "cents",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return b.groupBy(
+        "event_type", F.col("bar_start").cast("string").alias("bar_start")
+    ).agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).alias("open_c"),
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("close_c"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+# ---------------------------------------------------------------------------
+# q205: column completeness profile across tables
+# ---------------------------------------------------------------------------
+
+@register(
+    "q205_completeness_profile",
+    sql="""
+    WITH o AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN NULL
+                  ELSE o_orderstatus END AS status,
+             CASE WHEN o_custkey % 7 = 0 THEN NULL
+                  ELSE o_custkey END AS custkey
+      FROM orders
+    ),
+    d AS (
+      SELECT NULLIF(lang, 'en') AS lang, text FROM documents
+    ),
+    po AS (
+      SELECT 'orders' AS table_name, c.column_name,
+             (SELECT COUNT(*) FROM o) AS n_rows,
+             CASE c.column_name
+               WHEN 'status' THEN (SELECT COUNT(*) FROM o WHERE status IS NULL)
+               ELSE (SELECT COUNT(*) FROM o WHERE custkey IS NULL)
+             END AS n_null
+      FROM (SELECT unnest(['status', 'custkey']) AS column_name) c
+    ),
+    pd AS (
+      SELECT 'documents', c.column_name,
+             (SELECT COUNT(*) FROM d),
+             CASE c.column_name
+               WHEN 'lang' THEN (SELECT COUNT(*) FROM d WHERE lang IS NULL)
+               ELSE (SELECT COUNT(*) FROM d WHERE text IS NULL)
+             END
+      FROM (SELECT unnest(['lang', 'text']) AS column_name) c
+    ),
+    u AS (SELECT * FROM po UNION ALL SELECT * FROM pd)
+    SELECT table_name, column_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null AS BIGINT) AS n_null,
+           ROUND(CAST(n_null AS DOUBLE) / n_rows, 6) AS pct_null
+    FROM u
+    """,
+    doc="Column completeness profile (relational.sketches."
+        "completeness_profile) — the first screen of a data-quality "
+        "audit: per (table, column) row/null counts and null rate, "
+        "over views with DETERMINISTICALLY PLANTED nulls (status 'F' "
+        "and every 7th custkey nulled in orders; non-English lang "
+        "nulled in documents) so the gate grades real non-zero "
+        "counts, not an all-zeros vacuity (the fk_audit planted-"
+        "breakage rule).  Scale shape: ONE scan per table computes "
+        "every column's null sum in a single aggregation, then the "
+        "wide row unpivots in-plan — a 500-column profile is still "
+        "one job per table.",
+    tags=("relational", "profiling", "quality", "orders", "documents"),
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketches import completeness_profile
+
+    o = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderstatus") == "F", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(F.col("o_custkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("custkey"),
+    )
+    d = load(spark, sf_dir, "documents").select(
+        F.nullif(F.col("lang"), F.lit("en")).alias("lang"), "text"
+    )
+    return completeness_profile(o, "orders", ["status", "custkey"]).unionByName(
+        completeness_profile(d, "documents", ["lang", "text"])
+    )

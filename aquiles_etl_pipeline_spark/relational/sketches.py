@@ -676,3 +676,45 @@ def fd_profile(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def completeness_profile(
+    df: DataFrame, table_name: str, cols: list[str]
+) -> DataFrame:
+    """Column completeness report — (table, column, n_rows, n_null,
+    pct_null) — the first screen of any data-quality audit.  ONE scan
+    per table: every column's null count is a sum in a single
+    aggregation (never a per-column pass), and the wide one-row result
+    unpivots to the long report via an inline explode, so profiling a
+    500-column table still costs one job."""
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{i}")
+        for i, c in enumerate(cols)
+    ]
+    wide = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.coalesce(F.col(f"_nn_{i}"), F.lit(0)).alias("n_null"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return wide.select(
+        F.lit(table_name).alias("table_name"),
+        F.col("_n").alias("n_rows"),
+        F.explode(pairs).alias("_p"),
+    ).select(
+        "table_name",
+        F.col("_p.column_name").alias("column_name"),
+        "n_rows",
+        F.col("_p.n_null").alias("n_null"),
+        F.when(F.col("n_rows") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("_p.n_null").cast("double") / F.col("n_rows"), 6
+            )
+        )
+        .alias("pct_null"),
+    )
