@@ -49,6 +49,9 @@ class Warehouse:
         self.root = Path(root)
         self.keep_generations = max(2, keep_generations)
         self.root.mkdir(parents=True, exist_ok=True)
+        # roll forward any transaction interrupted after its commit
+        # point — attaching is when a restarted writer re-appears
+        self._recover_txn()
 
     def _table_dir(self, name: str) -> Path:
         return self.root / name
@@ -181,6 +184,20 @@ class Warehouse:
         streaming continuous aggregates make at-least-once foreachBatch
         redelivery idempotent: the applied batch_id travels with the
         rollup snapshot itself."""
+        gen, old = self._stage(name, df, partition_by, meta)
+        self._flip(name, gen, old)
+
+    def _stage(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> tuple[Path, list[int]]:
+        """Write a fully-formed new generation WITHOUT flipping the
+        pointer — the staging half of overwrite(), shared with
+        :meth:`transaction` so multi-table commits stage everything
+        before any table becomes visible."""
         gen, old = self._new_gen(name)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -197,7 +214,75 @@ class Warehouse:
             self._write_partition_spec(gen, partition_by, df.schema)
         if meta is not None:
             (gen / "_WRITE_META.json").write_text(json.dumps(meta))
-        self._flip(name, gen, old)
+        return gen, old
+
+    # -- atomic multi-table transactions ---------------------------------
+
+    def _txn_path(self) -> Path:
+        return self.root / "_TXN.json"
+
+    def transaction(
+        self,
+        writes: dict[str, DataFrame | tuple[DataFrame, list[str] | None]],
+    ) -> None:
+        """Commit new snapshots of SEVERAL tables as one transaction —
+        the cross-table atomicity the per-table ``_CURRENT`` flip can't
+        give (fact + its rollup, dim + its index must move together).
+
+        Protocol (single-writer, like every write here):
+
+        1. STAGE every table's new generation fully (no pointer moves);
+        2. write the transaction manifest via temp-file + atomic
+           ``os.replace`` — this rename is the COMMIT POINT: before it,
+           a crash aborts cleanly (staged orphans, tables unchanged);
+           after it, the transaction is durable;
+        3. flip each table's pointer; 4. remove the manifest.
+
+        A crash between 3 and 4 leaves the manifest behind; the next
+        ``Warehouse`` attach rolls the transaction FORWARD
+        (:meth:`_recover_txn`), flipping whatever pointers remain — so
+        observers never see a committed transaction half-applied
+        across a restart.  (During the microseconds of step 3 itself a
+        concurrent reader could see mixed tables; full snapshot-
+        isolation reads would need a root-level snapshot pointer,
+        deliberately out of scope for this single-writer layer.)
+        """
+        import os
+
+        staged: dict[str, tuple[str, list[int]]] = {}
+        for name, spec in writes.items():
+            df, partition_by = spec if isinstance(spec, tuple) else (spec, None)
+            gen, old = self._stage(name, df, partition_by)
+            staged[name] = (gen.name, old)
+        tmp = self.root / "_TXN.json.tmp"
+        tmp.write_text(
+            json.dumps({n: {"gen": g, "old": o} for n, (g, o) in staged.items()})
+        )
+        os.replace(tmp, self._txn_path())  # COMMIT POINT (atomic rename)
+        for name, (gen_name, old) in staged.items():
+            self._flip(name, self._table_dir(name) / gen_name, old)
+        self._txn_path().unlink(missing_ok=True)
+
+    def _recover_txn(self) -> list[str]:
+        """Roll forward a transaction interrupted between its commit
+        point and its last pointer flip; returns the repaired tables.
+        An aborted transaction (crash BEFORE the manifest rename)
+        leaves no manifest — staged orphan generations are simply
+        never pointed at and fall to retention."""
+        path = self._txn_path()
+        if not path.exists():
+            return []
+        manifest = json.loads(path.read_text())
+        repaired = []
+        for name, entry in manifest.items():
+            gen = self._table_dir(name) / entry["gen"]
+            cur = self._current(name)
+            if cur is None or cur.name != entry["gen"]:
+                if gen.exists():  # staged fully before the commit point
+                    self._flip(name, gen, list(entry["old"]))
+                    repaired.append(name)
+        path.unlink(missing_ok=True)
+        return repaired
 
     def write_meta(self, name: str) -> dict | None:
         """Metadata recorded with the current generation's write (see

@@ -352,6 +352,7 @@ _GRADE_FIRST = (
     "q203_phrase_search",
     "q204_ohlc_bars",
     "q205_completeness_profile",
+    "q206_multi_table_txn",
 )
 
 

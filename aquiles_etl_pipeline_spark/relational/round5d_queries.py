@@ -2274,3 +2274,86 @@ def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
     return completeness_profile(o, "orders", ["status", "custkey"]).unionByName(
         completeness_profile(d, "documents", ["lang", "text"])
     )
+
+# ---------------------------------------------------------------------------
+# q206: atomic multi-table transaction with crash-recovery consistency
+# ---------------------------------------------------------------------------
+
+@register(
+    "q206_multi_table_txn",
+    sql="""
+    WITH f AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS t
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           n AS n_fact, CAST(t AS DOUBLE) AS total_fact,
+           n AS n_rollup, CAST(t AS DOUBLE) AS total_rollup
+    FROM f
+    """,
+    doc="Atomic multi-table transaction under the correctness gate "
+        "(Warehouse.transaction): the order fact table and its "
+        "per-priority rollup commit TOGETHER — stage both generations, "
+        "atomic-rename the manifest (the commit point), flip pointers "
+        "— and the harness CRASHES the second transaction between its "
+        "two pointer flips (fact flipped, rollup not), then re-"
+        "attaches the warehouse, whose roll-forward recovery completes "
+        "the commit.  The graded output reads BOTH tables and reports "
+        "fact-derived and rollup-stored aggregates side by side; they "
+        "can only agree (= the oracle's single recompute) if recovery "
+        "made the pair consistent — a torn commit would grade red on "
+        "the rollup columns.  Crash-before-commit-point (abort) and "
+        "plain-commit paths are pytest-pinned.",
+    tags=("merge", "warehouse", "transaction", "orders"),
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import tempfile
+    from pathlib import Path
+
+    from ..merge import Warehouse
+
+    DEC2 = "decimal(18,2)"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast(DEC2).alias("price"),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast(DEC2).alias("t"),
+        )
+
+    root = Path(tempfile.mkdtemp(prefix="q206_txn_"))
+    wh = Warehouse(spark, root)
+    first = o.where(F.col("o_orderkey") % 3 == 0)
+    wh.transaction({"fact_orders": first, "rollup_orders": rollup(first)})
+    # second transaction: full state — CRASH between the two flips
+    g_f, old_f = wh._stage("fact_orders", o)
+    g_r, old_r = wh._stage("rollup_orders", rollup(o))
+    (root / "_TXN.json").write_text(
+        _json.dumps(
+            {
+                "fact_orders": {"gen": g_f.name, "old": old_f},
+                "rollup_orders": {"gen": g_r.name, "old": old_r},
+            }
+        )
+    )
+    wh._flip("fact_orders", g_f, old_f)
+    # ... crash ... a fresh attach rolls the transaction forward
+    wh2 = Warehouse(spark, root)
+    from_fact = rollup(wh2.read("fact_orders")).select(
+        "o_orderpriority",
+        F.col("n").alias("n_fact"),
+        F.col("t").cast("double").alias("total_fact"),
+    )
+    from_rollup = wh2.read("rollup_orders").select(
+        "o_orderpriority",
+        F.col("n").alias("n_rollup"),
+        F.col("t").cast("double").alias("total_rollup"),
+    )
+    return from_fact.join(from_rollup, "o_orderpriority")

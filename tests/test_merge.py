@@ -649,3 +649,68 @@ def test_table_changes_emits_delta_cdf_row_kinds(spark, tmp_path):
         (3, "delete"): ("c", 30),
         (4, "insert"): ("d", 40),
     }
+
+
+def test_transaction_commits_tables_together(spark, tmp_path):
+    """A multi-table transaction flips every pointer; both tables read
+    the new state, and the manifest is gone."""
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+
+    wh = Warehouse(spark, tmp_path / "txn")
+    wh.overwrite("fact", spark.createDataFrame([(1, 10)], "k int, v int"))
+    wh.overwrite("rollup", spark.createDataFrame([(10,)], "total int"))
+    wh.transaction(
+        {
+            "fact": spark.createDataFrame([(1, 10), (2, 32)], "k int, v int"),
+            "rollup": spark.createDataFrame([(42,)], "total int"),
+        }
+    )
+    assert wh.read("fact").count() == 2
+    assert wh.read("rollup").collect()[0]["total"] == 42
+    assert not (tmp_path / "txn" / "_TXN.json").exists()
+
+
+def test_transaction_crash_before_commit_point_aborts(spark, tmp_path):
+    """Staged generations without a manifest are an ABORT: a fresh
+    attach leaves both tables on their old state."""
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+
+    wh = Warehouse(spark, tmp_path / "txn")
+    wh.overwrite("fact", spark.createDataFrame([(1, 10)], "k int, v int"))
+    wh.overwrite("rollup", spark.createDataFrame([(10,)], "total int"))
+    # simulate: staging completed, crash BEFORE the manifest rename
+    wh._stage("fact", spark.createDataFrame([(2, 32)], "k int, v int"))
+    wh._stage("rollup", spark.createDataFrame([(42,)], "total int"))
+    wh2 = Warehouse(spark, tmp_path / "txn")
+    assert wh2.read("fact").count() == 1
+    assert wh2.read("rollup").collect()[0]["total"] == 10
+
+
+def test_transaction_crash_mid_flip_rolls_forward(spark, tmp_path):
+    """Manifest present + only the first pointer flipped = crash
+    between flips; the next attach completes the transaction, so no
+    observer across the restart sees it half-applied."""
+    import json as _json
+
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+
+    wh = Warehouse(spark, tmp_path / "txn")
+    wh.overwrite("fact", spark.createDataFrame([(1, 10)], "k int, v int"))
+    wh.overwrite("rollup", spark.createDataFrame([(10,)], "total int"))
+    g_f, old_f = wh._stage(
+        "fact", spark.createDataFrame([(1, 10), (2, 32)], "k int, v int")
+    )
+    g_r, old_r = wh._stage("rollup", spark.createDataFrame([(42,)], "total int"))
+    (tmp_path / "txn" / "_TXN.json").write_text(
+        _json.dumps(
+            {
+                "fact": {"gen": g_f.name, "old": old_f},
+                "rollup": {"gen": g_r.name, "old": old_r},
+            }
+        )
+    )
+    wh._flip("fact", g_f, old_f)  # crash here: rollup never flipped
+    wh2 = Warehouse(spark, tmp_path / "txn")  # attach runs recovery
+    assert wh2.read("fact").count() == 2
+    assert wh2.read("rollup").collect()[0]["total"] == 42
+    assert not (tmp_path / "txn" / "_TXN.json").exists()
