@@ -353,6 +353,8 @@ _GRADE_FIRST = (
     "q204_ohlc_bars",
     "q205_completeness_profile",
     "q206_multi_table_txn",
+    "q207_promo_revenue_share",
+    "q208_priority_late_ship",
 )
 
 

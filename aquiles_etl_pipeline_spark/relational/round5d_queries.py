@@ -2357,3 +2357,113 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("double").alias("total_rollup"),
     )
     return from_fact.join(from_rollup, "o_orderpriority")
+
+# ---------------------------------------------------------------------------
+# q207: TPC-H Q14 promotion revenue share
+# ---------------------------------------------------------------------------
+
+@register(
+    "q207_promo_revenue_share",
+    sql="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END)
+               AS DECIMAL(24,6)) AS DOUBLE) AS promo_revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4))))
+               AS DECIMAL(24,6)) AS DOUBLE) AS total_revenue,
+           ROUND(100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(24,6)) AS DOUBLE)
+               / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4))))
+               AS DECIMAL(24,6)) AS DOUBLE), 6) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q14 promotion revenue share per ship month: the part "
+        "dim broadcasts onto the fact, promo and total revenue "
+        "accumulate decimal-exact in ONE aggregation (conditional sum "
+        "— no second scan, no self-join), and the percentage divides "
+        "the two emitted doubles once.  Classic star-schema "
+        "conditional-aggregate shape.",
+    tags=("relational", "tpch", "lineitem", "part"),
+)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import money
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = money("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(18,4)"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo).cast("decimal(24,6)").cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("decimal(24,6)").cast("double").alias("total_revenue"),
+        )
+    )
+    return g.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+# ---------------------------------------------------------------------------
+# q208: TPC-H Q4-shape order priority check (EXISTS semi join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q208_priority_late_ship",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY 1
+    """,
+    doc="TPC-H Q4-shape order-priority check, adapted to this "
+        "schema's dates (the reference columns lack commit/receipt "
+        "dates): count orders per priority having AT LEAST ONE "
+        "lineitem shipped more than 90 days after the order date — "
+        "the correlated-EXISTS decorrelation shape: Catalyst rewrites "
+        "the subquery to a left-semi join on orderkey, so the fact "
+        "scans once and no duplicate-order inflation can occur "
+        "(a plain join + distinct would re-shuffle order rows per "
+        "matching lineitem).",
+    tags=("relational", "tpch", "orders", "lineitem"),
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).where(
+        # + INTERVAL keeps the timestamp's time-of-day (date_add would
+        # truncate to midnight and silently diverge from the oracle on
+        # any non-midnight order timestamp)
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(
+            late.select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+            "o_orderkey",
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
