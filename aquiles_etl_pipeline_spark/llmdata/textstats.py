@@ -591,3 +591,77 @@ def score_calibration_matrix(
         F.round(gp, 6).alias("avg_group_pct"),
         F.round(gl - gp, 6).alias("avg_calibration_gap"),
     )
+
+
+def bigram_lm_nll(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Held-out negative log-likelihood under a Laplace-smoothed BIGRAM
+    language model trained on ``train`` — the conditional-probability
+    step up from unigram_perplexity's CCNet signal: P(w2|w1) =
+    (c(w1 w2) + 1) / (c(w1 ·) + V), V = train token vocabulary.  Lower
+    per-bigram NLL = more train-like text; the held-out split makes it
+    an honest quality/domain-fit score rather than a memorization one.
+
+    Cross-engine exactness (the q86/q175 discipline): every per-bigram
+    log term is the SAME ln over integer-count rationals, rounded and
+    scaled to INTEGER MICROS before the per-doc sum; the single
+    division happens at the end.  Unseen bigrams/contexts coalesce to
+    count 0 and smooth like any other.
+
+    Scale: train-side counts are (bigram)- and (context)-grain
+    aggregations; the test stream joins them at bigram grain (plain
+    shuffle joins — vocab tables are unbounded at corpus scale, so no
+    broadcast hint; AQE picks one when the dims fit).  Returns
+    (id, n_bigrams, avg_nll).
+    """
+    def bigrams(df: DataFrame) -> DataFrame:
+        toks = tokens(text_col)
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))
+        )
+        return df.select(F.col(id_col), F.explode(grams).alias("_bg"))
+
+    tr = bigrams(train)
+    c2 = tr.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c2"))
+    ctx = tr.select(F.split("_bg", " ")[0].alias("_w1")).groupBy("_w1").agg(
+        F.count(F.lit(1)).alias("_c1")
+    )
+    v = (
+        train.select(F.explode(tokens(text_col)).alias("_t"))
+        .agg(F.countDistinct("_t").alias("_v"))
+    )
+    te = bigrams(test).select(
+        id_col, "_bg", F.split("_bg", " ")[0].alias("_w1")
+    )
+    scored = (
+        te.join(c2, "_bg", "left")
+        .join(ctx, "_w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            id_col,
+            F.round(
+                -F.log(
+                    (F.coalesce("_c2", F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce("_c1", F.lit(0)) + F.col("_v"))
+                )
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("_micros"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        # raw integer micro sum rides along so corpus-level rollups can
+        # re-aggregate EXACTLY — reconstructing it from the rounded
+        # average (avg * n * 1e6) drifts by up to n/2 micros per doc
+        F.sum("_micros").cast("bigint").alias("nll_micros"),
+        F.round(
+            F.sum("_micros").cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("avg_nll"),
+    )

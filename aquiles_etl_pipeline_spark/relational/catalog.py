@@ -355,6 +355,8 @@ _GRADE_FIRST = (
     "q206_multi_table_txn",
     "q207_promo_revenue_share",
     "q208_priority_late_ship",
+    "q209_bigram_lm_nll",
+    "q210_growth_accounting",
 )
 
 

@@ -2467,3 +2467,146 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+# ---------------------------------------------------------------------------
+# q209: bigram-LM held-out scoring (per language)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q209_bigram_lm_nll",
+    sql="""
+    WITH tr AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    trb AS (
+      SELECT array_to_string(t[i:i+1], ' ') AS bg
+      FROM tr, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM trb GROUP BY 1),
+    ctx AS (
+      SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS c1
+      FROM trb GROUP BY 1
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(t) AS tok FROM tr)
+    ),
+    te AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    teb AS (
+      SELECT doc_id, lang,
+             array_to_string(t[i:i+1], ' ') AS bg,
+             string_split(array_to_string(t[i:i+1], ' '), ' ')[1] AS w1
+      FROM te, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(round(-ln((COALESCE(c2.c2, 0) + CAST(1 AS DOUBLE))
+                            / (COALESCE(ctx.c1, 0) + v.v)) * 1e6)
+                  AS BIGINT) AS micros
+      FROM teb LEFT JOIN c2 USING (bg)
+               LEFT JOIN ctx USING (w1), v
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, COUNT(*) AS nb, SUM(micros) AS m
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(m) AS DOUBLE) / SUM(nb) / 1e6, 6) AS avg_nll
+    FROM per_doc GROUP BY 1
+    """,
+    doc="Held-out bigram-LM scoring per language (llmdata.textstats."
+        "bigram_lm_nll): a Laplace-smoothed bigram model trains on "
+        "even-id docs and scores odd-id docs — the conditional-"
+        "probability step up from q59's unigram CCNet signal, and an "
+        "honest domain-fit score because the scored docs never "
+        "trained.  Per-bigram log terms scale to integer micros "
+        "before the sums (q86/q175 exactness); train count tables "
+        "join at bigram grain (no broadcast assumption — vocab is "
+        "unbounded at corpus scale); the per-language rollup divides "
+        "once.",
+    tags=("llmdata", "lm", "quality", "documents"),
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata import textstats
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    per_doc = textstats.bigram_lm_nll(train, test)
+    joined = per_doc.join(test.select("doc_id", "lang"), "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("nll_micros").cast("double") / F.sum("n_bigrams") / 1e6, 6
+        ).alias("avg_nll"),
+    )
+
+# ---------------------------------------------------------------------------
+# q210: growth accounting (new / returning / cumulative uniques)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q210_growth_accounting",
+    sql="""
+    WITH act AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, MIN(day) AS d0 FROM act GROUP BY 1
+    ),
+    daily AS (
+      SELECT a.day,
+             COUNT(*) AS active_users,
+             COUNT(*) FILTER (WHERE f.d0 = a.day) AS new_users
+      FROM act a JOIN first_seen f USING (user_id)
+      GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(active_users AS BIGINT) AS active_users,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(active_users - new_users AS BIGINT) AS returning_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+    doc="Growth accounting — the PM dashboard's new / returning / "
+        "cumulative-unique curve: per day, active users split by "
+        "whether it is their FIRST day, and the cumulative unique "
+        "count is the running sum of new users (exact, because every "
+        "user is new exactly once — the first-seen reduction replaces "
+        "any day-windowed distinct scan).  Shapes: one (day, user) "
+        "distinct, one user-grain min, one day-grain rollup, and a "
+        "|days|-row window — O(activity) total, no O(days x users) "
+        "densification.",
+    tags=("relational", "growth", "events", "window"),
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    act = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    first_seen = act.groupBy("user_id").agg(F.min("day").alias("d0"))
+    daily = (
+        act.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count(F.when(F.col("d0") == F.col("day"), 1)).alias("new_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
