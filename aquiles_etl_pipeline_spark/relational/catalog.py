@@ -357,6 +357,7 @@ _GRADE_FIRST = (
     "q208_priority_late_ship",
     "q209_bigram_lm_nll",
     "q210_growth_accounting",
+    "q211_txn_snapshot_read",
 )
 
 

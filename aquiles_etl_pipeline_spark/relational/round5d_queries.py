@@ -2610,3 +2610,72 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("active_users") - F.col("new_users")).alias("returning_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+# ---------------------------------------------------------------------------
+# q211: snapshot-consistent paired read across a transaction boundary
+# ---------------------------------------------------------------------------
+
+@register(
+    "q211_txn_snapshot_read",
+    sql="""
+    WITH f AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS t
+      FROM orders WHERE o_orderkey % 3 = 0
+      GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           n AS n_fact, CAST(t AS DOUBLE) AS total_fact,
+           n AS n_rollup, CAST(t AS DOUBLE) AS total_rollup
+    FROM f
+    """,
+    doc="Snapshot-consistent PAIRED time travel across a transaction "
+        "boundary (Warehouse.transaction + read(version=)): two "
+        "transactions commit (fact + rollup as pairs — first the "
+        "%3==0 subset, then the full table); the query pins BOTH "
+        "tables to their FIRST-transaction generations and grades "
+        "that the historical pair is mutually consistent (fact-"
+        "derived aggregates == stored rollup == the oracle's subset "
+        "recompute).  Reading each table's 'latest' after unaligned "
+        "writes is how rollup drift sneaks into dashboards; version-"
+        "pinned paired reads are the audit tool, and because "
+        "transactions stage BEFORE any flip, the paired versions "
+        "always exist together.",
+    tags=("merge", "warehouse", "timetravel", "orders"),
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..merge import Warehouse
+
+    DEC2 = "decimal(18,2)"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast(DEC2).alias("price"),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast(DEC2).alias("t"),
+        )
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="q211_snap_"))
+    first = o.where(F.col("o_orderkey") % 3 == 0)
+    wh.transaction({"fact_orders": first, "rollup_orders": rollup(first)})
+    v_fact = wh.history("fact_orders")[-1]["version"]
+    v_roll = wh.history("rollup_orders")[-1]["version"]
+    wh.transaction({"fact_orders": o, "rollup_orders": rollup(o)})
+    from_fact = rollup(wh.read("fact_orders", version=v_fact)).select(
+        "o_orderpriority",
+        F.col("n").alias("n_fact"),
+        F.col("t").cast("double").alias("total_fact"),
+    )
+    from_rollup = wh.read("rollup_orders", version=v_roll).select(
+        "o_orderpriority",
+        F.col("n").alias("n_rollup"),
+        F.col("t").cast("double").alias("total_rollup"),
+    )
+    return from_fact.join(from_rollup, "o_orderpriority")
