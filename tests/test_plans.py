@@ -140,6 +140,9 @@ def test_no_accidental_cartesian_products(plans):
         # q201 association rules: the basket-count total joins in as a
         # broadcast single-row aggregate (1 x N) — q42's shape again
         "q201_association_rules",
+        # q209 bigram LM: the train-vocab size joins in as a broadcast
+        # single-row aggregate (1 x N) — q42's shape again
+        "q209_bigram_lm_nll",
     }
     for name, p in plans.items():
         if name in allowed:
