@@ -358,6 +358,8 @@ _GRADE_FIRST = (
     "q209_bigram_lm_nll",
     "q210_growth_accounting",
     "q211_txn_snapshot_read",
+    "q212_shipping_priority",
+    "q213_returned_item_ranking",
 )
 
 

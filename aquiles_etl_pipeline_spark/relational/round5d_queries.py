@@ -2679,3 +2679,113 @@ def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("double").alias("total_rollup"),
     )
     return from_fact.join(from_rollup, "o_orderpriority")
+
+# ---------------------------------------------------------------------------
+# q212: TPC-H Q3 shipping-priority top orders
+# ---------------------------------------------------------------------------
+
+@register(
+    "q212_shipping_priority",
+    sql="""
+    SELECT l_orderkey,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4))))
+               AS DECIMAL(24,6)) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS VARCHAR) AS order_date,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shipping priority: top-10 unshipped-revenue orders "
+        "for one market segment as of a cutoff date.  Physical shape: "
+        "the segment-filtered customer dim broadcasts, orders filter "
+        "pushes to the scan, lineitem's shipdate predicate prunes "
+        "before the join, revenue is decimal-exact, and the global "
+        "top-10 is a TakeOrdered — no full sort.  Deterministic "
+        "tiebreak on orderkey.",
+    tags=("relational", "tpch", "lineitem", "orders"),
+)
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import emit, money
+
+    cutoff = "1995-03-15"
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    rev = money("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(18,4)"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(emit(F.sum(rev).cast("decimal(24,6)")).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+# ---------------------------------------------------------------------------
+# q213: TPC-H Q10 returned-item customer ranking
+# ---------------------------------------------------------------------------
+
+@register(
+    "q213_returned_item_ranking",
+    sql="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4))))
+               AS DECIMAL(24,6)) AS DOUBLE) AS lost_revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 returned-item ranking: top-20 customers by revenue "
+        "lost to returns (l_returnflag = 'R'), with their nation.  "
+        "Return-flag predicate pushes to the lineitem scan; customer "
+        "and nation dims broadcast; decimal-exact loss; TakeOrdered "
+        "top-20 with a key tiebreak.",
+    tags=("relational", "tpch", "lineitem", "customer"),
+)
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import emit, money
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = money("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(18,4)"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(emit(F.sum(rev).cast("decimal(24,6)")).alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
