@@ -360,6 +360,8 @@ _GRADE_FIRST = (
     "q211_txn_snapshot_read",
     "q212_shipping_priority",
     "q213_returned_item_ranking",
+    "q214_local_supplier_revenue",
+    "q215_forecast_revenue_change",
 )
 
 

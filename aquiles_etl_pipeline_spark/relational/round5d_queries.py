@@ -2789,3 +2789,94 @@ def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+# ---------------------------------------------------------------------------
+# q214: TPC-H Q5-shape local-supplier revenue per nation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q214_local_supplier_revenue",
+    sql="""
+    SELECT n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4))))
+               AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5-shape local-supplier revenue: revenue from lineitems "
+        "where the supplier and the ordering customer share a nation, "
+        "per nation.  The same-nation predicate rides the supplier "
+        "broadcast join (c_nationkey = s_nationkey evaluated in the "
+        "join condition — no post-join filter pass); decimal-exact "
+        "revenue; nation-grain rollup.",
+    tags=("relational", "tpch", "lineitem", "supplier"),
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import emit, money
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = money("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(18,4)"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(emit(F.sum(rev).cast("decimal(24,6)")).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+# ---------------------------------------------------------------------------
+# q215: TPC-H Q6 forecast revenue change
+# ---------------------------------------------------------------------------
+
+@register(
+    "q215_forecast_revenue_change",
+    sql="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,4)))
+               AS DECIMAL(24,6)) AS DOUBLE) AS potential_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 forecast revenue change: the revenue that would "
+        "have been earned had discounts in [5%, 7%] on sub-24-"
+        "quantity lineitems been eliminated.  Pure pushed-predicate "
+        "scan + one decimal-exact aggregate — the canonical "
+        "'filter-dominated' query whose whole cost is the scan "
+        "(PushedFilters carries both range predicates).",
+    tags=("relational", "tpch", "lineitem"),
+)
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import emit, money
+
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        emit(
+            F.sum(
+                money("l_extendedprice") * F.col("l_discount").cast("decimal(18,4)")
+            ).cast("decimal(24,6)")
+        ).alias("potential_revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
