@@ -362,6 +362,7 @@ _GRADE_FIRST = (
     "q213_returned_item_ranking",
     "q214_local_supplier_revenue",
     "q215_forecast_revenue_change",
+    "q216_disjunctive_revenue",
 )
 
 

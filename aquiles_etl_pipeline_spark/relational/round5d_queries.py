@@ -2880,3 +2880,59 @@ def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("potential_revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+# ---------------------------------------------------------------------------
+# q216: TPC-H Q19-shape disjunctive-predicate discounted revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "q216_disjunctive_revenue",
+    sql="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4))))
+               AS DECIMAL(24,6)) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 5 AND 25)
+        OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+            AND l_quantity BETWEEN 15 AND 35)
+        OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 45
+            AND l_quantity BETWEEN 25 AND 45))
+    """,
+    doc="TPC-H Q19-shape disjunctive-predicate revenue: an OR of "
+        "three (brand, size-range, quantity-range) conjunctions "
+        "across BOTH join sides — the classic test of disjunction "
+        "handling: Catalyst extracts the common p_partkey equi-key "
+        "so the join stays a broadcast hash join with the OR as a "
+        "post-join filter, and pushes the derivable per-side "
+        "disjunctions (brand IN (...), quantity range union) to the "
+        "scans instead of degrading to a nested loop.  Decimal-exact "
+        "single aggregate.",
+    tags=("relational", "tpch", "lineitem", "part"),
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import emit, money
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    cond = (
+        arm("Brand#13", 1, 15, 5, 25)
+        | arm("Brand#19", 10, 30, 15, 35)
+        | arm("Brand#5", 20, 45, 25, 45)
+    )
+    rev = money("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            emit(F.sum(rev).cast("decimal(24,6)")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
