@@ -18,10 +18,14 @@ Execution shape (the one that scales):
 * the rewrite is partition-scoped via Warehouse.replace_partitions —
   untouched partitions hardlink forward, cost O(touched), not O(table).
 
-Clause expressions reference TARGET columns by name and SOURCE columns
+Clause expressions for ``update_set`` / ``update_condition`` /
+``delete_condition`` reference TARGET columns by name and SOURCE columns
 with the ``_src_`` prefix (e.g. ``F.col("_src_price")``) — the join
 frame exposes both sides that way, mirroring Delta's ``t.``/``s.``
-qualification without colliding column names.
+qualification without colliding column names.  ``insert_values`` is the
+exception: insert expressions evaluate against the raw SOURCE frame
+(no target row exists for an unmatched key), so they use BARE source
+column names — ``F.col("price")``, not ``F.col("_src_price")``.
 """
 
 from __future__ import annotations
@@ -65,7 +69,9 @@ def merge_into(
     * ``insert``: unmatched source rows insert; ``insert_values``
       overrides per-column insert expressions (default: source value
       where the column exists, NULL otherwise; the bucket column is
-      derived from the key).
+      derived from the key).  Insert expressions evaluate against the
+      raw source frame — use BARE source column names here, not the
+      ``_src_`` prefix the matched-clause expressions use.
     * ``bucket_col``: when given, the target is partitioned by this
       hash-of-key column ( :func:`_bucket_expr` — the same family the
       built-in merges use) and the rewrite is partition-scoped;
@@ -103,6 +109,33 @@ def merge_into(
             .collect()
         ]
         base = target.where(F.col(bucket_col).isin(touched))
+        # Runtime guard (not just a docstring contract): the touched-
+        # bucket scoping is only correct when the TARGET's bucket_col
+        # was populated with the same pmod(xxhash64(keys), N_BUCKETS)
+        # rule — a target bucketed by any other expression would hide
+        # matched rows outside `touched` from the join and silently
+        # re-insert existing keys.  Two layers in ONE job: the exact
+        # check over the touched base rows (O(touched buckets), the
+        # same order as the merge itself), plus a bounded sample of the
+        # WHOLE target — the rule is total, so ANY row violating it
+        # proves a foreign bucketing, and the sample closes the hole
+        # where a mis-bucketed target leaves the touched buckets empty
+        # (nothing to check) while its real matches hide elsewhere.
+        bad = F.col(bucket_col).cast("int") != _bucket_expr(keys)
+        mismatch = (
+            base.select(bucket_col, *keys)
+            .unionByName(target.select(bucket_col, *keys).limit(256))
+            .where(bad)
+            .limit(1)
+        )
+        if not mismatch.isEmpty():
+            raise ValueError(
+                f"merge_into: target {table!r} column {bucket_col!r} was "
+                "not populated with pmod(xxhash64(keys), N_BUCKETS) over "
+                f"{keys}; bucket-scoped merge would miss matched rows "
+                "outside the touched buckets (duplicate-key corruption). "
+                "Rebucket the target or merge without bucket_col."
+            )
     else:
         base = target
     joined = base.join(F.broadcast(srcp), keys, "left")

@@ -255,10 +255,30 @@ class Warehouse:
             gen, old = self._stage(name, df, partition_by)
             staged[name] = (gen.name, old)
         tmp = self.root / "_TXN.json.tmp"
-        tmp.write_text(
-            json.dumps({n: {"gen": g, "old": o} for n, (g, o) in staged.items()})
-        )
+        # Durability, not just process-crash atomicity: fsync the
+        # manifest CONTENTS before the rename and the root DIRECTORY
+        # after it, so the commit point cannot reach disk ahead of the
+        # bytes it points at on an OS crash / power loss.  (Staged
+        # parquet data is Spark-written; its durability is the
+        # filesystem's ordinary write-back — the manifest fsync ensures
+        # we never replay a manifest whose own contents were lost.)
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+        try:
+            os.write(
+                fd,
+                json.dumps(
+                    {n: {"gen": g, "old": o} for n, (g, o) in staged.items()}
+                ).encode(),
+            )
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         os.replace(tmp, self._txn_path())  # COMMIT POINT (atomic rename)
+        dfd = os.open(self.root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)  # persist the rename itself
+        finally:
+            os.close(dfd)
         for name, (gen_name, old) in staged.items():
             self._flip(name, self._table_dir(name) / gen_name, old)
         self._txn_path().unlink(missing_ok=True)

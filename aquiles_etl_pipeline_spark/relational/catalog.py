@@ -127,71 +127,20 @@ def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = 
 
 
 # Grading order.  The driver's correctness sweep walks queries() in
-# dict order under a shared time budget and can stop early (~50 of 143+
+# dict order under a shared time budget and can stop early (~50 of 216+
 # per round).  registry() therefore rotates by grading recency so every
 # catalog entry eventually carries a fresh driver row and no row goes
-# more than ~2 rounds without a re-grade:
-#   block A — stalest driver rows (r01/r02-green, not graded since;
-#             the 43 queries VERDICT r04 flagged for refresh) — these
-#             go FIRST so a 50-query budget re-grades all of them;
-#   block B — new round-5 entries with NO driver-green row ever
-#             (q144+ starts at position 44, inside the graded window);
-#   block C — r03-graded set (q41/q45/q37/q39, q61-q100, q01-q06);
-#   block D — the freshly r04-graded 50 (q54-q60, q101-q143): if the
-#             budget starves anything, it starves the freshest rows.
+# more than ~2 rounds without a re-grade.  Round-6 rotation:
+#   block A — q151-q200: never driver-graded (the r05 verdict's top
+#             rotation demand); exactly fills a 50-query budget;
+#   block B — q201-q216 + any new round-6 entries: never graded,
+#             expected to spill to r07;
+#   block C — r03-green rows (stalest graded): q01-q06, q37/q39/q41/
+#             q45, q61-q100;
+#   block D — r04-green rows: q54-q60, q101-q143;
+#   block E — r05-green rows (freshest — if the budget starves
+#             anything, it starves these): stale-43 refresh + q144-q150.
 _GRADE_FIRST = (
-    # --- block A: stalest driver rows (r01/r02-green) ----------------
-    "q07_brand_top_parts",
-    "q08_customers_without_orders",
-    "q09_segment_intersect",
-    "q10_segment_except",
-    "q11_events_hourly",
-    "q12_event_sessions",
-    "q13_events_json_props",
-    "q14_etl_price_clean",
-    "q15_etl_text_clean",
-    "q16_etl_iva_extract",
-    "q17_doc_dedup_exact",
-    "q18_doc_token_stats",
-    "q19_doc_lang_stats",
-    "q20_cosine_topk",
-    "q21_doc_top_bigrams",
-    "q22_doc_quality",
-    "q23_doc_fingerprints",
-    "q24_ngram_jaccard_pairs",
-    "q25_minhash_dedup_survivors",
-    "q26_simhash_fingerprints",
-    "q27_lang_id_agreement",
-    "q28_embedding_near_dups",
-    "q29_etl_wide_record",
-    "q30_events_tumbling_5min",
-    "q31_events_sliding_10x5",
-    "q32_events_sessions_30min",
-    "q33_cosine_pairs_exact",
-    "q34_ann_ivf_topk",
-    "q35_simhash_near_dup_pairs",
-    "q36_asof_click_to_error",
-    "q38_cube_status_priority",
-    "q40_event_value_percentiles",
-    "q42_doc_tfidf_top_terms",
-    "q43_grouping_sets_returns",
-    "q44_order_status_pivot",
-    "q46_doc_pii_redaction",
-    "q47_embedding_knn_join",
-    "q48_doc_split_assignment",
-    "q49_benchmark_decontamination",
-    "q50_doc_repetition_stats",
-    "q51_stratified_sample",
-    "q52_dedup_clusters",
-    "q53_sequence_packing",
-    # --- block B: never driver-graded (new in round 5) ---------------
-    "q144_stream_interval_join",
-    "q145_sketch_column_profile",
-    "q146_hll_merge_rollup",
-    "q147_theta_sketch_set_ops",
-    "q148_top_terms_by_nation",
-    "q149_weighted_sample_reservoir",
-    "q150_recursive_bom_rollup",
     "q151_window_deduped_ledger",
     "q152_range_join_pre1970",
     "q153_decimal_safe_linear_fit",
@@ -207,111 +156,6 @@ _GRADE_FIRST = (
     "q163_segment_entropy_kl",
     "q164_scd2_dimension_build",
     "q165_stream_session_windows",
-    # --- block C: r03-graded set ------------------------------------
-    "q01_pricing_summary",
-    "q02_regional_revenue",
-    "q03_top_customers",
-    "q04_order_priority",
-    "q05_customer_rank_window",
-    "q06_rollup_region_nation",
-    "q41_etl_star_pipeline",
-    "q45_etl_native_transforms",
-    "q37_errors_followed_by_clicks",
-    "q39_approx_distinct_users",
-    "q61_event_rolling_features",
-    "q62_url_canonicalize",
-    "q63_length_buckets",
-    "q64_temperature_mixture",
-    "q65_embedding_decontamination",
-    "q66_snapshot_diff",
-    "q67_conversion_funnel",
-    "q68_approx_percentile_sketch",
-    "q69_jsonl_roundtrip",
-    "q70_html_text_extraction",
-    "q71_unicode_nfc_dedup_keys",
-    "q72_llmdata_pipeline_e2e",
-    "q73_resample_gapfill",
-    "q74_corpus_datacard",
-    "q75_orc_roundtrip",
-    "q76_sliding_window_chunks",
-    "q77_url_dedup",
-    "q78_rolling_zscore_anomalies",
-    "q79_embedding_quality_stats",
-    "q80_session_conversion",
-    "q81_incremental_dedup",
-    "q82_referential_integrity",
-    "q83_scd2_dimension_history",
-    "q84_scd2_asof_enrichment",
-    "q85_cohort_retention",
-    "q86_vocab_drift",
-    "q87_revenue_yoy",
-    "q88_market_basket",
-    "q89_cheapest_supplier_per_part",
-    "q90_domain_stats",
-    "q91_event_transitions",
-    "q92_customer_rfm",
-    "q93_last_touch_attribution",
-    "q94_filter_funnel_report",
-    "q95_activity_heatmap",
-    "q96_ship_latency",
-    "q97_multimodal_header_decode",
-    "q98_wav_header_decode",
-    "q99_nation_market_share",
-    "q100_rolling_dau",
-    # --- block D: freshly r04-graded (starve these first) ------------
-    "q54_embedding_quantize_int8",
-    "q55_chunk_dedup",
-    "q56_c4_document_filters",
-    "q57_token_budget_sample",
-    "q58_vocab_coverage",
-    "q59_unigram_perplexity",
-    "q60_semantic_dedup",
-    "q101_warehouse_time_travel",
-    "q102_streaming_rollup_parity",
-    "q103_image_decode_stats",
-    "q104_bm25_search",
-    "q105_quantize_recall",
-    "q106_ngram_containment_pairs",
-    "q107_domain_mixture_weights",
-    "q108_kmeans_assign_stats",
-    "q109_interval_overlap_join",
-    "q110_image_resize_geometry",
-    "q111_bloom_semijoin_revenue",
-    "q112_salted_skew_join",
-    "q113_pareto_frontier_parts",
-    "q114_editdist_name_pairs",
-    "q115_cdc_latest_events",
-    "q116_activity_islands",
-    "q117_deterministic_doc_sample",
-    "q118_dynamic_partition_pruning",
-    "q119_bucketed_colocated_join",
-    "q120_schema_evolution_read",
-    "q121_stateful_running_totals",
-    "q122_table_checksums",
-    "q123_small_quantity_revenue",
-    "q124_column_stats_profile",
-    "q125_bpeish_token_counts",
-    "q126_stream_static_enrichment",
-    "q127_watermark_late_drop",
-    "q128_bitmap_distinct_users",
-    "q129_price_histogram",
-    "q130_heavy_hitter_words",
-    "q131_robust_value_anomalies",
-    "q132_unpivot_lineitem_measures",
-    "q133_zorder_clustering_key",
-    "q134_supplier_pagerank",
-    "q135_order_count_distribution",
-    "q136_equi_depth_buckets",
-    "q137_data_quality_expectations",
-    "q138_streaming_bitmap_dau",
-    "q139_price_quantity_regression",
-    "q140_chi_square_contingency",
-    "q141_region_nation_roster",
-    "q142_spearman_rank_correlation",
-    "q143_join_key_skew_report",
-    # --- block E: round-5c additions (never graded; behind both the
-    # stale-43 refresh and the q144+ never-graded block, so a 50-query
-    # budget reaches them next round) ------------------------------
     "q166_score_calibration",
     "q167_ewma_user_features",
     "q168_group_holdout_split",
@@ -363,6 +207,157 @@ _GRADE_FIRST = (
     "q214_local_supplier_revenue",
     "q215_forecast_revenue_change",
     "q216_disjunctive_revenue",
+    # --- block B spill point: append new round-6 entries (q217+) HERE ---
+    "q01_pricing_summary",
+    "q02_regional_revenue",
+    "q03_top_customers",
+    "q04_order_priority",
+    "q05_customer_rank_window",
+    "q06_rollup_region_nation",
+    "q37_errors_followed_by_clicks",
+    "q39_approx_distinct_users",
+    "q41_etl_star_pipeline",
+    "q45_etl_native_transforms",
+    "q61_event_rolling_features",
+    "q62_url_canonicalize",
+    "q63_length_buckets",
+    "q64_temperature_mixture",
+    "q65_embedding_decontamination",
+    "q66_snapshot_diff",
+    "q67_conversion_funnel",
+    "q68_approx_percentile_sketch",
+    "q69_jsonl_roundtrip",
+    "q70_html_text_extraction",
+    "q71_unicode_nfc_dedup_keys",
+    "q72_llmdata_pipeline_e2e",
+    "q73_resample_gapfill",
+    "q74_corpus_datacard",
+    "q75_orc_roundtrip",
+    "q76_sliding_window_chunks",
+    "q77_url_dedup",
+    "q78_rolling_zscore_anomalies",
+    "q79_embedding_quality_stats",
+    "q80_session_conversion",
+    "q81_incremental_dedup",
+    "q82_referential_integrity",
+    "q83_scd2_dimension_history",
+    "q84_scd2_asof_enrichment",
+    "q85_cohort_retention",
+    "q86_vocab_drift",
+    "q87_revenue_yoy",
+    "q88_market_basket",
+    "q89_cheapest_supplier_per_part",
+    "q90_domain_stats",
+    "q91_event_transitions",
+    "q92_customer_rfm",
+    "q93_last_touch_attribution",
+    "q94_filter_funnel_report",
+    "q95_activity_heatmap",
+    "q96_ship_latency",
+    "q97_multimodal_header_decode",
+    "q98_wav_header_decode",
+    "q99_nation_market_share",
+    "q100_rolling_dau",
+    "q54_embedding_quantize_int8",
+    "q55_chunk_dedup",
+    "q56_c4_document_filters",
+    "q57_token_budget_sample",
+    "q58_vocab_coverage",
+    "q59_unigram_perplexity",
+    "q60_semantic_dedup",
+    "q101_warehouse_time_travel",
+    "q102_streaming_rollup_parity",
+    "q103_image_decode_stats",
+    "q104_bm25_search",
+    "q105_quantize_recall",
+    "q106_ngram_containment_pairs",
+    "q107_domain_mixture_weights",
+    "q108_kmeans_assign_stats",
+    "q109_interval_overlap_join",
+    "q110_image_resize_geometry",
+    "q111_bloom_semijoin_revenue",
+    "q112_salted_skew_join",
+    "q113_pareto_frontier_parts",
+    "q114_editdist_name_pairs",
+    "q115_cdc_latest_events",
+    "q116_activity_islands",
+    "q117_deterministic_doc_sample",
+    "q118_dynamic_partition_pruning",
+    "q119_bucketed_colocated_join",
+    "q120_schema_evolution_read",
+    "q121_stateful_running_totals",
+    "q122_table_checksums",
+    "q123_small_quantity_revenue",
+    "q124_column_stats_profile",
+    "q125_bpeish_token_counts",
+    "q126_stream_static_enrichment",
+    "q127_watermark_late_drop",
+    "q128_bitmap_distinct_users",
+    "q129_price_histogram",
+    "q130_heavy_hitter_words",
+    "q131_robust_value_anomalies",
+    "q132_unpivot_lineitem_measures",
+    "q133_zorder_clustering_key",
+    "q134_supplier_pagerank",
+    "q135_order_count_distribution",
+    "q136_equi_depth_buckets",
+    "q137_data_quality_expectations",
+    "q138_streaming_bitmap_dau",
+    "q139_price_quantity_regression",
+    "q140_chi_square_contingency",
+    "q141_region_nation_roster",
+    "q142_spearman_rank_correlation",
+    "q143_join_key_skew_report",
+    "q07_brand_top_parts",
+    "q08_customers_without_orders",
+    "q09_segment_intersect",
+    "q10_segment_except",
+    "q11_events_hourly",
+    "q12_event_sessions",
+    "q13_events_json_props",
+    "q14_etl_price_clean",
+    "q15_etl_text_clean",
+    "q16_etl_iva_extract",
+    "q17_doc_dedup_exact",
+    "q18_doc_token_stats",
+    "q19_doc_lang_stats",
+    "q20_cosine_topk",
+    "q21_doc_top_bigrams",
+    "q22_doc_quality",
+    "q23_doc_fingerprints",
+    "q24_ngram_jaccard_pairs",
+    "q25_minhash_dedup_survivors",
+    "q26_simhash_fingerprints",
+    "q27_lang_id_agreement",
+    "q28_embedding_near_dups",
+    "q29_etl_wide_record",
+    "q30_events_tumbling_5min",
+    "q31_events_sliding_10x5",
+    "q32_events_sessions_30min",
+    "q33_cosine_pairs_exact",
+    "q34_ann_ivf_topk",
+    "q35_simhash_near_dup_pairs",
+    "q36_asof_click_to_error",
+    "q38_cube_status_priority",
+    "q40_event_value_percentiles",
+    "q42_doc_tfidf_top_terms",
+    "q43_grouping_sets_returns",
+    "q44_order_status_pivot",
+    "q46_doc_pii_redaction",
+    "q47_embedding_knn_join",
+    "q48_doc_split_assignment",
+    "q49_benchmark_decontamination",
+    "q50_doc_repetition_stats",
+    "q51_stratified_sample",
+    "q52_dedup_clusters",
+    "q53_sequence_packing",
+    "q144_stream_interval_join",
+    "q145_sketch_column_profile",
+    "q146_hll_merge_rollup",
+    "q147_theta_sketch_set_ops",
+    "q148_top_terms_by_nation",
+    "q149_weighted_sample_reservoir",
+    "q150_recursive_bom_rollup",
 )
 
 

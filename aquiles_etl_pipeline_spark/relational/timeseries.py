@@ -831,7 +831,12 @@ def linear_attribution(
     EARLIEST touch absorbs the remainder (largest-remainder style), so
     per-goal credits sum to the goal's value exactly and every engine
     agrees bit-for-bit; the single double division happens once at
-    output.
+    output.  Floor is computed as ``(a - pmod(a, n)) div n`` — Spark's
+    ``div`` truncates toward zero, which for NEGATIVE goal values
+    (refunds) would hand the earliest touch a negative remainder and
+    diverge from DuckDB's flooring ``//``; subtracting the
+    always-non-negative pmod first makes the quotient a true floor and
+    the remainder non-negative for every sign.
 
     Scale: session assignment is one lag+cumsum window; the
     touch-to-goal expansion joins WITHIN (key, session) only —
@@ -874,9 +879,13 @@ def linear_attribution(
         .over(pw.orderBy(F.col("_tts"), F.col("_tid")))
         .alias("_rn"),
     )
-    share = F.expr("(_cents * 10000) div _n")
+    # true FLOOR division (see docstring): pmod >= 0, so the adjusted
+    # numerator is exactly divisible and `div` returns the floor.
+    share = F.expr(
+        "(_cents * 10000 - pmod(_cents * 10000, _n)) div _n"
+    )
     credit = share + F.when(
-        F.col("_rn") == 1, F.col("_cents") * 10000 - share * F.col("_n")
+        F.col("_rn") == 1, F.expr("pmod(_cents * 10000, _n)")
     ).otherwise(F.lit(0))
     attributed = ranked.groupBy("touchpoint").agg(
         F.count(F.lit(1)).alias("n_credits"),

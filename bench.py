@@ -91,11 +91,14 @@ def main() -> None:
         print(f"[bench] {name}: {round(t, 2)}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 2)
-    # One compact JSON line.  The driver tail-captures stdout with a
-    # bounded buffer (the r03 record was truncated to `parsed: null` at
-    # ~4.5 KB): compact separators + 2dp floats + qNNN keys keep the
-    # line ~1.2 KB at 117 queries, and metric/value/unit/sf precede the
-    # queries dict so even a truncated tail retains the headline number.
+    # The driver tail-captures stdout with a bounded buffer and keeps the
+    # END of the stream (BENCH_r05 proved the direction: at 211 qNNN
+    # entries the single line lost its FRONT — headline total plus keys
+    # q01–q11/q100–q129 — and parsed to null).  So: emit the full
+    # per-query map on its own earlier line (fine if its front is cut),
+    # then a compact summary-only object with NO queries dict as the
+    # LAST stdout line — it stays <200 bytes at any catalog size, so the
+    # tail capture always retains a complete, parseable headline record.
     print(
         json.dumps(
             {
@@ -106,7 +109,21 @@ def main() -> None:
                 "queries": timings,
             },
             separators=(",", ":"),
-        )
+        ),
+        flush=True,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 

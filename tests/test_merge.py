@@ -622,6 +622,32 @@ def test_generic_merge_into_bucket_scoped_rewrite(spark, tmp_path):
     assert hardlinked > 0, "no untouched partition was hardlinked forward"
 
 
+def test_generic_merge_into_refuses_foreign_bucket_rule(spark, tmp_path):
+    """A target whose bucket column was populated by any rule OTHER
+    than pmod(xxhash64(keys), N_BUCKETS) must be rejected: touched-
+    bucket scoping would hide its matched rows from the join and
+    silently re-insert existing keys (the ADVICE r05 corruption
+    scenario).  The guard checks the touched base rows at runtime
+    instead of trusting the docstring contract."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+    from aquiles_etl_pipeline_spark.merge.generic import merge_into
+
+    wh = Warehouse(spark, tmp_path / "gmfb")
+    base = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("id"),
+        F.col("id").cast("int").alias("v"),
+        # WRONG rule: modulo the raw key, not pmod(xxhash64(key), N)
+        (F.col("id") % 16).cast("int").alias("_bucket"),
+    )
+    wh.overwrite("t", base, partition_by=["_bucket"])
+    source = spark.createDataFrame([(7, -7)], "id int, v int")
+    with _pytest.raises(ValueError, match="not populated"):
+        merge_into(wh, "t", source, on="id", bucket_col="_bucket")
+
+
 def test_table_changes_emits_delta_cdf_row_kinds(spark, tmp_path):
     """insert / delete / update_preimage+postimage between two
     generations; unchanged keys emit ZERO rows."""
