@@ -96,15 +96,19 @@ def benchmark_ngram_overlap(
     Physical shape: both sides explode to distinct n-gram strings; the
     benchmark side is the small one by construction, so its n-gram set
     BROADCASTS and the check is a broadcast semi/left join — the
-    training side never shuffles.  Output: (id, n_overlapping_grams,
-    contaminated)."""
+    training side never shuffles.  The gram projection is interpreted
+    HOF work (no codegen), so each side fans out across cores first
+    (fan_out is a no-op on an already-well-partitioned scan).
+    Output: (id, n_overlapping_grams, contaminated)."""
+    from ..partitioning import fan_out
+
     def grams(df: DataFrame) -> DataFrame:
         toks = tokens(text_col)
         idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
         g = F.array_distinct(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
         )
-        return df.select(F.col(id_col), F.explode(g).alias("_gram"))
+        return fan_out(df).select(F.col(id_col), F.explode(g).alias("_gram"))
 
     bench_grams = F.broadcast(grams(benchmark).select("_gram").distinct())
     hits = (

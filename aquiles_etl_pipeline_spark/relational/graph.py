@@ -154,10 +154,20 @@ def bfs_hops(
     round: one edge-keyed join against the CURRENT FRONTIER ONLY
     (never the whole visited set — frontier-grain work is what makes
     distributed BFS linear in edges-touched), one distinct, one
-    anti-join against visited.  Frontier and visited frames are
-    eagerly localCheckpoint'ed per round, or round i's lineage would
-    recompute rounds 1..i-1 (the q156 recompute-blowup lesson).
+    anti-join against visited.
+
+    Materialization strategy (each eager localCheckpoint is its own
+    job, so anything not pinned re-executes per round — the q156
+    recompute-blowup lesson): the EDGE frame pins once up front (its
+    scan+distinct otherwise re-runs in all ``rounds`` jobs — the
+    standard cache-the-edge-list rule for iterative graph work), each
+    round's ``fresh`` frontier pins once, and ``visited`` is only a
+    UNION of those already-pinned frames — re-deriving it any round
+    just re-reads checkpoint blocks, so the old per-round re-
+    checkpoint of the whole visited set (O(rounds x V) write volume)
+    is dropped.
     """
+    edges = edges.localCheckpoint(eager=True)
     visited = (
         seeds.select("id")
         .distinct()  # duplicate seed rows must not double-count at dist 0
@@ -176,6 +186,6 @@ def bfs_hops(
             .select("id", F.lit(i).cast("int").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        visited = visited.unionByName(fresh)
         frontier = fresh.select("id")
     return visited

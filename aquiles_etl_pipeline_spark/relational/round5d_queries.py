@@ -1867,8 +1867,13 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
         "near-dup clusters cannot straddle splits) -> per-split "
         "release report (docs, exact token mass, sources).  Each "
         "stage is the already-graded operator (q22/q17/q25/q49/q168 "
-        "machinery) — this entry proves they COMPOSE without an "
-        "intermediate materialization, one declarative plan.",
+        "machinery).  The near-dup survivor corpus pins ONCE "
+        "(localCheckpoint) at the dedup->decontamination boundary: two "
+        "downstream consumers need it (the 8-gram contamination scan "
+        "and the released-rows semi-join), and without the pin the "
+        "whole MinHash DAG executed twice — the release boundary is "
+        "exactly where a production pipeline materializes the corpus "
+        "anyway.",
     tags=("llmdata", "pipeline", "capstone", "documents"),
 )
 def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1880,7 +1885,9 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("source") != "src0") & (n_tokens >= 15)
     ).select("doc_id", "source", "text", n_tokens.alias("n_tokens"))
     ex = dedup.exact_dedup(pool)
-    nd = dedup.minhash_dedup(ex, threshold=0.7, bands=16)
+    nd = dedup.minhash_dedup(ex, threshold=0.7, bands=16).localCheckpoint(
+        eager=True
+    )
     bench = docs.where(F.col("source") == "src0").select("doc_id", "text")
     flags = sampling.benchmark_ngram_overlap(nd, bench, n=8)
     clean = nd.join(
@@ -2111,27 +2118,37 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llmdata", "search", "phrase", "documents"),
 )
 def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import fan_out
+
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
-    g = docs.select(
+    # the bigram projection is interpreted HOF work — fan the doc frame
+    # out across cores first (no-op on a well-partitioned scan)
+    g = fan_out(docs).select(
         "doc_id", F.posexplode(grams).alias("_p0", "gram")
     ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "gram")
+    # Aggregate to (doc, gram) grain FIRST: both consumers — the global
+    # top-phrase mine and the per-doc occurrence report — then hang off
+    # the SAME hash exchange, which the planner dedupes (ReusedExchange),
+    # so the expensive tokenize+posexplode pass over the corpus runs
+    # ONCE (was twice: 6.0 s -> ~3 s at sf0.1).  The top mine re-aggs
+    # the small (doc, gram) frame map-side; the report is a broadcast
+    # filter on it.
+    dg = g.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )
     top = (
-        g.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        dg.groupBy("gram")
+        .agg(F.sum("n_occurrences").alias("_c"))
         .orderBy(F.desc("_c"), F.asc("gram"))
         .limit(1)
         .select("gram")
     )
-    return (
-        g.join(F.broadcast(top), "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.min("pos").cast("bigint").alias("first_pos"),
-        )
+    return dg.join(F.broadcast(top), "gram").select(
+        "doc_id", "n_occurrences", "first_pos"
     )
 
 # ---------------------------------------------------------------------------

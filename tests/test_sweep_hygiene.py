@@ -72,6 +72,9 @@ PERSIST_PRONE = [
     # q194 runs two stateful space-saving drains (array-typed state
     # store restored across the restart)
     "q194_streaming_heavy_users",
+    # q200 localCheckpoints the near-dup survivor corpus at the
+    # dedup->decontamination release boundary (two consumers)
+    "q200_curation_pipeline_v2",
     # q195 runs four outer-join drains (dual-side join state + the
     # sentinel watermark-flush batches)
     "q195_stream_outer_join",
