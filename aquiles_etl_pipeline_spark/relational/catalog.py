@@ -208,6 +208,9 @@ _GRADE_FIRST = (
     "q215_forecast_revenue_change",
     "q216_disjunctive_revenue",
     # --- block B spill point: append new round-6 entries (q217+) HERE ---
+    "q217_filtered_order_counts",
+    "q218_small_order_revenue",
+    "q219_sole_late_supplier",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -1,0 +1,211 @@
+"""Round-6 catalog entries (q217+): the decorrelation-shaped TPC-H
+fills the round-5 classics skipped — Q13-shape left-join count
+distribution with a join-side predicate, Q17-shape per-group scalar-
+average correlated predicate, and Q21-shape EXISTS + NOT EXISTS on the
+same fact.  Each exercises an aggregate-in-predicate / existential
+decorrelation no earlier entry covers (nearest: q208's plain EXISTS),
+expressed in the physical shapes that survive 100 TB: broadcast dims,
+one-key-family shuffles, window decorrelation instead of self-join
+re-aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import load, register
+
+# ---------------------------------------------------------------------------
+# q217: TPC-H Q13-shape — order-count distribution with JOIN-side filter
+# ---------------------------------------------------------------------------
+
+@register(
+    "q217_filtered_order_counts",
+    sql="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY 1
+    """,
+    doc="TPC-H Q13 shape (full form): distribution of customers by "
+        "order count where the order predicate lives in the LEFT JOIN "
+        "condition, NOT the WHERE clause — customers whose every order "
+        "is urgent must still appear with c_count 0, which a WHERE "
+        "would silently delete (the classic outer-join-filter "
+        "placement bug; q135 covers only the unfiltered variant).  "
+        "Physical shape: the predicate filters the ORDERS side before "
+        "the join (equivalent to the ON placement, and it pushes to "
+        "the scan), then two one-key-family aggregations: "
+        "hash(custkey) count, hash(count) distribution.  At 100 TB "
+        "the first agg is the only fact-sized shuffle.",
+    tags=("relational", "tpch", "decorrelation", "orders", "customer"),
+)
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+# ---------------------------------------------------------------------------
+# q218: TPC-H Q17-shape — correlated scalar-average predicate
+# ---------------------------------------------------------------------------
+
+@register(
+    "q218_small_order_revenue",
+    sql="""
+    WITH sel AS (
+      SELECT l_partkey,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#13' AND p_type = 'ECONOMY'
+    ),
+    win AS (
+      SELECT price, qty,
+             SUM(qty)  OVER (PARTITION BY l_partkey) AS sq,
+             COUNT(*)  OVER (PARTITION BY l_partkey) AS cnt
+      FROM sel
+    )
+    SELECT CAST(CAST(SUM(price) AS DECIMAL(18,2)) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM win WHERE qty * 5 * cnt < sq
+    """,
+    doc="TPC-H Q17 shape: revenue of small orders — lineitems whose "
+        "quantity is below 20% of the PER-PART average quantity "
+        "(correlated scalar-aggregate predicate).  Decorrelation: the "
+        "part filter restricts the correlation domain first (the avg "
+        "is only ever consulted for Brand#13/ECONOMY parts, and "
+        "correlating on p_partkey means the filtered domain computes "
+        "the same per-part average), then the correlated average "
+        "becomes a PARTITION BY l_partkey window over the filtered "
+        "fact — ONE hash(partkey) exchange, no self-join "
+        "re-aggregation, no per-row subquery.  The comparison is "
+        "integer-exact (qty*5*cnt < sum — quantities are integral), "
+        "so no 0.2*avg float boundary can flip between engines; "
+        "revenue lands decimal then divides by 7.0 once as DOUBLE.  "
+        "The tiny filtered part dim broadcasts.",
+    tags=("relational", "tpch", "decorrelation", "lineitem", "part"),
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    pf = (
+        load(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#13") & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    sel = li.join(
+        F.broadcast(pf), li["l_partkey"] == pf["p_partkey"]
+    ).drop("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    win = sel.select(
+        "price",
+        "qty",
+        F.sum("qty").over(w).alias("sq"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    return win.where(F.col("qty") * 5 * F.col("cnt") < F.col("sq")).agg(
+        (F.sum("price").cast("decimal(18,2)").cast("double") / 7.0).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+# ---------------------------------------------------------------------------
+# q219: TPC-H Q21-shape — EXISTS + NOT EXISTS on the same fact
+# ---------------------------------------------------------------------------
+
+@register(
+    "q219_sole_late_supplier",
+    sql="""
+    WITH lio AS (
+      SELECT l_orderkey AS ok, l_suppkey AS sk,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lio a JOIN supplier ON s_suppkey = a.sk
+    WHERE a.late
+      AND EXISTS (SELECT 1 FROM lio b
+                  WHERE b.ok = a.ok AND b.sk <> a.sk)
+      AND NOT EXISTS (SELECT 1 FROM lio c
+                      WHERE c.ok = a.ok AND c.sk <> a.sk AND c.late)
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q21 shape: suppliers who kept finished multi-supplier "
+        "orders waiting — late lineitems (shipped >90 days after the "
+        "order date; this schema carries no receipt/commit dates) in "
+        "orders where ANOTHER supplier participated (EXISTS) but NO "
+        "other supplier was late (NOT EXISTS) — the two existentials "
+        "ranging over the SAME fact, the hardest of the classic "
+        "decorrelations.  Physical shape: the order-status filter + "
+        "late flag compute once on a lineitem-orders equi-join; the "
+        "EXISTS decorrelates to a LEFT SEMI join and the NOT EXISTS "
+        "to a LEFT ANTI join, both keyed on l_orderkey with the "
+        "supplier inequality as a join residual — ONE key family, "
+        "three hash(orderkey) exchanges, never an order-grain "
+        "collect or a fact self-cartesian; the supplier dim "
+        "broadcasts for naming.  No top-k LIMIT (tie order is not "
+        "cross-engine deterministic); callers rank the returned "
+        "per-supplier counts.",
+    tags=("relational", "tpch", "decorrelation", "lineitem", "supplier"),
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lio = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("sk"),
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    a = lio.where("late").alias("a")
+    b = lio.alias("b")
+    c = lio.where("late").alias("c")
+    waiting = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.sk") != F.col("b.sk")),
+            "left_semi",
+        )
+        .join(
+            c,
+            (F.col("a.ok") == F.col("c.ok")) & (F.col("a.sk") != F.col("c.sk")),
+            "left_anti",
+        )
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(s), waiting["sk"] == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -1026,3 +1026,44 @@ def test_json_extraction_stays_in_codegen(plans):
     evaluator — no Python evaluation node may appear."""
     p = plans["q182_json_properties"]
     assert "EvalPython" not in p, "JSON extraction fell into Python"
+
+
+def test_q217_filter_stays_on_join_side_and_pushes(plans):
+    """q217 (TPC-H Q13 shape): the order-priority predicate must reach
+    the ORDERS parquet scan (filtering the join's right side before a
+    LEFT OUTER join is the ON-clause placement) while the join stays
+    OUTER — a WHERE placement would have turned it inner and dropped
+    the zero-order customers."""
+    p = plans["q217_filtered_order_counts"]
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in p, (
+        "priority predicate not pushed to the orders scan"
+    )
+    assert "LeftOuter" in p, "left join collapsed to inner"
+    assert "CartesianProduct" not in p
+
+
+def test_q218_decorrelates_to_window_with_broadcast_dim(plans):
+    """q218 (TPC-H Q17 shape): the correlated per-part average must
+    plan as a PARTITION BY window over the part-filtered fact — no
+    self-join re-aggregation — with the filtered part dim broadcast
+    and the brand/type predicates pushed to the part scan."""
+    p = plans["q218_small_order_revenue"]
+    assert "Window" in p, "correlated average must decorrelate to a window"
+    assert "BroadcastHashJoin" in p, "filtered part dim must broadcast"
+    assert "EqualTo(p_brand,Brand#13)" in p, "brand predicate not pushed"
+    assert "SortMergeJoin" not in p, (
+        "Q17 decorrelation planned a self-join instead of a window"
+    )
+
+
+def test_q219_exists_pair_plans_semi_and_anti_joins(plans):
+    """q219 (TPC-H Q21 shape): the EXISTS must plan as a LEFT SEMI
+    join and the NOT EXISTS as a LEFT ANTI join on the orderkey
+    family — never a cartesian/nested-loop, with the status predicate
+    pushed to the orders scan."""
+    p = plans["q219_sole_late_supplier"]
+    assert "LeftSemi" in p, "EXISTS did not plan as a semi join"
+    assert "LeftAnti" in p, "NOT EXISTS did not plan as an anti join"
+    assert "EqualTo(o_orderstatus,F)" in p, "status predicate not pushed"
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
