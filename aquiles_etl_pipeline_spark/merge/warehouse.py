@@ -83,6 +83,11 @@ class Warehouse:
             cur = self._current(name)
         if cur is None:
             raise FileNotFoundError(f"table {name} does not exist in {self.root}")
+        return self._read_gen(cur)
+
+    def _read_gen(self, cur: Path) -> DataFrame:
+        """Read one resolved generation directory (shared by pointer
+        reads, version reads, and snapshot reads)."""
         marker = cur / _EMPTY_MARKER
         if marker.exists():
             # Surface emptiness to Catalyst: range(1)+Filter(false) folds
@@ -113,7 +118,9 @@ class Warehouse:
         gens = [int(p.name[1:]) for p in tdir.glob("g*") if p.name[1:].isdigit()]
         return tdir / f"g{max(gens, default=-1) + 1}", gens
 
-    def _flip(self, name: str, gen: Path, old_gens: list[int]) -> None:
+    def _flip(
+        self, name: str, gen: Path, old_gens: list[int], publish: bool = True
+    ) -> None:
         # retention is computed relative to the PRE-flip current
         # generation, not the highest numbers: after rollback() the
         # pointer may sit on an old generation, and the one in-flight
@@ -137,6 +144,65 @@ class Warehouse:
         for old in sorted(old_gens):
             if old not in keep:
                 shutil.rmtree(self._table_dir(name) / f"g{old}", ignore_errors=True)
+        if publish:
+            self._publish_root()
+
+    # -- root snapshot pointer (cross-table snapshot-isolation reads) ----
+
+    def _root_manifest_path(self) -> Path:
+        return self.root / "_ROOT_SNAPSHOT.json"
+
+    def _publish_root(self) -> int:
+        """Publish the root snapshot manifest: one atomically-replaced
+        file naming every table's current generation.  Readers that
+        want CROSS-TABLE snapshot isolation resolve tables through one
+        manifest read (:meth:`snapshot`) instead of the per-table
+        ``_CURRENT`` pointers — a multi-table :meth:`transaction`
+        publishes the manifest once AFTER all its pointer flips, so a
+        snapshot reader can never observe the microseconds-wide mixed
+        state the per-table pointers go through.  The manifest is
+        derived state (rebuilt from the pointers by the next publish),
+        so it needs no fsync: losing it costs nothing but a stale
+        version number."""
+        tables = {}
+        for tdir in sorted(self.root.iterdir()):
+            ptr = tdir / "_CURRENT"
+            if tdir.is_dir() and ptr.exists():
+                tables[tdir.name] = ptr.read_text().strip()
+        prev = 0
+        path = self._root_manifest_path()
+        if path.exists():
+            try:
+                prev = int(json.loads(path.read_text()).get("version", 0))
+            except (ValueError, json.JSONDecodeError):
+                prev = 0
+        version = prev + 1
+        tmp = self.root / "_ROOT_SNAPSHOT.json.tmp"
+        tmp.write_text(json.dumps({"version": version, "tables": tables}))
+        os.replace(tmp, path)
+        return version
+
+    def snapshot(self) -> "WarehouseSnapshot":
+        """A frozen, mutually-consistent view of EVERY table — the
+        cross-table analog of ``read(version=)``.  Resolves all tables
+        through ONE read of the root manifest, so two tables committed
+        together by :meth:`transaction` are always seen together, even
+        if another transaction's pointer flips race the reads.  The
+        pinned generations stay readable under the same retention
+        contract as time travel (``keep_generations`` later writes may
+        retire them — a retired read raises FileNotFoundError)."""
+        path = self._root_manifest_path()
+        if path.exists():
+            m = json.loads(path.read_text())
+            return WarehouseSnapshot(self, int(m["version"]), dict(m["tables"]))
+        # pre-manifest warehouse: derive from the per-table pointers
+        # (no concurrent-flip protection until the first publish)
+        tables = {}
+        for tdir in sorted(self.root.iterdir()):
+            ptr = tdir / "_CURRENT"
+            if tdir.is_dir() and ptr.exists():
+                tables[tdir.name] = ptr.read_text().strip()
+        return WarehouseSnapshot(self, 0, tables)
 
     def _write_empty(self, name: str, schema: StructType) -> None:
         gen, old = self._new_gen(name)
@@ -242,10 +308,12 @@ class Warehouse:
         ``Warehouse`` attach rolls the transaction FORWARD
         (:meth:`_recover_txn`), flipping whatever pointers remain — so
         observers never see a committed transaction half-applied
-        across a restart.  (During the microseconds of step 3 itself a
-        concurrent reader could see mixed tables; full snapshot-
-        isolation reads would need a root-level snapshot pointer,
-        deliberately out of scope for this single-writer layer.)
+        across a restart.  During the microseconds of step 3 itself a
+        reader following the PER-TABLE pointers could see mixed
+        tables; readers that need cross-table snapshot isolation use
+        :meth:`snapshot` instead — the root manifest it resolves
+        through moves once, after every flip (step 3.5), so snapshot
+        readers see the transaction all-old or all-new.
         """
         import os
 
@@ -280,7 +348,11 @@ class Warehouse:
         finally:
             os.close(dfd)
         for name, (gen_name, old) in staged.items():
-            self._flip(name, self._table_dir(name) / gen_name, old)
+            # publish=False: the root manifest must move ONCE, after
+            # every pointer has flipped, so snapshot() readers see the
+            # transaction's tables all-old or all-new, never mixed
+            self._flip(name, self._table_dir(name) / gen_name, old, publish=False)
+        self._publish_root()
         self._txn_path().unlink(missing_ok=True)
 
     def _recover_txn(self) -> list[str]:
@@ -299,8 +371,10 @@ class Warehouse:
             cur = self._current(name)
             if cur is None or cur.name != entry["gen"]:
                 if gen.exists():  # staged fully before the commit point
-                    self._flip(name, gen, list(entry["old"]))
+                    self._flip(name, gen, list(entry["old"]), publish=False)
                     repaired.append(name)
+        if repaired:
+            self._publish_root()
         path.unlink(missing_ok=True)
         return repaired
 
@@ -581,6 +655,7 @@ class Warehouse:
                 f"table {name} has no retained generation g{version}"
             )
         (self._table_dir(name) / "_CURRENT").write_text(gen.name)
+        self._publish_root()
 
     def vacuum(self, name: str) -> list[int]:
         """Remove generation debris a crash can leave behind (Delta
@@ -615,3 +690,33 @@ class Warehouse:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)
+        self._publish_root()
+
+
+class WarehouseSnapshot:
+    """A frozen cross-table view produced by :meth:`Warehouse.snapshot`:
+    every table pinned to the generation the root manifest named at one
+    instant.  Immutable by construction — generations never mutate, so
+    every ``read`` from one snapshot is mutually consistent no matter
+    how many commits happen in between (subject to the warehouse's
+    retention window, exactly like ``read(version=)``)."""
+
+    def __init__(self, wh: Warehouse, version: int, tables: dict[str, str]):
+        self.version = version
+        self.tables = dict(tables)
+        self._wh = wh
+
+    def read(self, name: str) -> DataFrame:
+        gen_name = self.tables.get(name)
+        if gen_name is None:
+            raise FileNotFoundError(
+                f"table {name} was not in root snapshot v{self.version}"
+            )
+        gen = self._wh._table_dir(name) / gen_name
+        if not gen.exists():
+            raise FileNotFoundError(
+                f"snapshot v{self.version} pinned {name}@{gen_name}, which "
+                "retention has since retired (raise keep_generations to "
+                "hold snapshots across more writes)"
+            )
+        return self._wh._read_gen(gen)

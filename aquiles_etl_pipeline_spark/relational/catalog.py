@@ -211,6 +211,7 @@ _GRADE_FIRST = (
     "q217_filtered_order_counts",
     "q218_small_order_revenue",
     "q219_sole_late_supplier",
+    "q220_root_snapshot_read",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

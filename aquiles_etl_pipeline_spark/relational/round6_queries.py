@@ -209,3 +209,71 @@ def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+# ---------------------------------------------------------------------------
+# q220: root-snapshot paired read across a racing transaction
+# ---------------------------------------------------------------------------
+
+@register(
+    "q220_root_snapshot_read",
+    sql="""
+    WITH f AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS t
+      FROM orders WHERE o_orderkey % 4 = 0
+      GROUP BY 1
+    )
+    SELECT o_orderstatus,
+           n AS n_fact, CAST(t AS DOUBLE) AS total_fact,
+           n AS n_rollup, CAST(t AS DOUBLE) AS total_rollup
+    FROM f
+    """,
+    doc="Cross-table SNAPSHOT-ISOLATION read through the root snapshot "
+        "pointer (Warehouse.snapshot — closing VERDICT r05's "
+        "documented gap): transaction 1 commits a fact+rollup pair "
+        "(the %4==0 subset), a snapshot pins the root manifest, then "
+        "transaction 2 commits the FULL pair; reading both tables "
+        "through the pinned snapshot must still yield transaction 1's "
+        "mutually-consistent pair (fact-derived aggregates == stored "
+        "rollup == the oracle's subset recompute), with no version "
+        "bookkeeping by the reader — unlike q211, which had to pin "
+        "each table's generation number manually.  The root manifest "
+        "moves once per transaction, after every per-table pointer "
+        "flip, so a snapshot can never capture a mixed pair.",
+    tags=("merge", "warehouse", "snapshot", "orders"),
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..merge import Warehouse
+
+    DEC2 = "decimal(18,2)"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast(DEC2).alias("price"),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast(DEC2).alias("t"),
+        )
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="q220_snap_"))
+    first = o.where(F.col("o_orderkey") % 4 == 0)
+    wh.transaction({"fact_orders": first, "rollup_orders": rollup(first)})
+    snap = wh.snapshot()
+    wh.transaction({"fact_orders": o, "rollup_orders": rollup(o)})
+    from_fact = rollup(snap.read("fact_orders")).select(
+        "o_orderstatus",
+        F.col("n").alias("n_fact"),
+        F.col("t").cast("double").alias("total_fact"),
+    )
+    from_rollup = snap.read("rollup_orders").select(
+        "o_orderstatus",
+        F.col("n").alias("n_rollup"),
+        F.col("t").cast("double").alias("total_rollup"),
+    )
+    return from_fact.join(from_rollup, "o_orderstatus")

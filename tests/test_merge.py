@@ -740,3 +740,87 @@ def test_transaction_crash_mid_flip_rolls_forward(spark, tmp_path):
     assert wh2.read("fact").count() == 2
     assert wh2.read("rollup").collect()[0]["total"] == 42
     assert not (tmp_path / "txn" / "_TXN.json").exists()
+
+
+def test_root_snapshot_pins_transaction_pairs(spark, tmp_path):
+    """snapshot() resolves every table through ONE root-manifest read:
+    a pair committed by one transaction stays mutually consistent in
+    the snapshot even after a later transaction moves both tables."""
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+
+    wh = Warehouse(spark, tmp_path / "snap")
+    wh.transaction(
+        {
+            "fact": spark.createDataFrame([(1, 10)], "k int, v int"),
+            "rollup": spark.createDataFrame([(10,)], "total int"),
+        }
+    )
+    snap = wh.snapshot()
+    wh.transaction(
+        {
+            "fact": spark.createDataFrame([(1, 10), (2, 32)], "k int, v int"),
+            "rollup": spark.createDataFrame([(42,)], "total int"),
+        }
+    )
+    # latest pointers see the second pair ...
+    assert wh.read("fact").count() == 2
+    assert wh.read("rollup").collect()[0]["total"] == 42
+    # ... the pinned snapshot still sees the FIRST pair, consistently
+    assert snap.read("fact").count() == 1
+    assert snap.read("rollup").collect()[0]["total"] == 10
+    assert wh.snapshot().version > snap.version
+
+
+def test_root_snapshot_immune_to_mid_flip_mixed_state(spark, tmp_path):
+    """The concurrent-flip race VERDICT r05 flagged: with table A's
+    pointer already flipped but B's not (mid-step-3 of a transaction),
+    a per-table-pointer reader sees a MIXED pair, while a snapshot()
+    reader sees the pre-transaction pair — the root manifest only
+    moves after every flip."""
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+
+    wh = Warehouse(spark, tmp_path / "snapmid")
+    wh.transaction(
+        {
+            "fact": spark.createDataFrame([(1, 10)], "k int, v int"),
+            "rollup": spark.createDataFrame([(10,)], "total int"),
+        }
+    )
+    # freeze the mid-transaction instant: stage both, flip ONLY fact
+    # with publish=False (exactly what transaction() does per table)
+    g_f, old_f = wh._stage(
+        "fact", spark.createDataFrame([(1, 10), (2, 32)], "k int, v int")
+    )
+    g_r, old_r = wh._stage("rollup", spark.createDataFrame([(42,)], "total int"))
+    wh._flip("fact", g_f, old_f, publish=False)
+    # pointer reader: mixed (new fact, old rollup) — the documented gap
+    assert wh.read("fact").count() == 2
+    assert wh.read("rollup").collect()[0]["total"] == 10
+    # snapshot reader: consistent pre-transaction pair
+    snap = wh.snapshot()
+    assert snap.read("fact").count() == 1
+    assert snap.read("rollup").collect()[0]["total"] == 10
+    # finish the transaction's flips + single publish
+    wh._flip("rollup", g_r, old_r, publish=False)
+    wh._publish_root()
+    snap2 = wh.snapshot()
+    assert snap2.read("fact").count() == 2
+    assert snap2.read("rollup").collect()[0]["total"] == 42
+
+
+def test_root_snapshot_retired_generation_raises(spark, tmp_path):
+    """A snapshot outlives retention like a version read does: once
+    keep_generations later writes retire its pinned generation, the
+    read fails loudly instead of silently reading newer data."""
+    import pytest as _pytest
+
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+
+    wh = Warehouse(spark, tmp_path / "snapret", keep_generations=2)
+    wh.overwrite("t", spark.createDataFrame([(1,)], "v int"))
+    snap = wh.snapshot()
+    wh.overwrite("t", spark.createDataFrame([(2,)], "v int"))
+    assert snap.read("t").collect()[0]["v"] == 1  # still retained
+    wh.overwrite("t", spark.createDataFrame([(3,)], "v int"))
+    with _pytest.raises(FileNotFoundError, match="retired"):
+        snap.read("t")
