@@ -212,6 +212,12 @@ _GRADE_FIRST = (
     "q218_small_order_revenue",
     "q219_sole_late_supplier",
     "q220_root_snapshot_read",
+    "q221_trimmed_mean_values",
+    "q222_inclusion_profile",
+    "q223_lexical_diversity",
+    "q224_hard_negative_mining",
+    "q225_etl_quarantine_report",
+    "q226_psi_length_drift",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -277,3 +277,454 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("double").alias("total_rollup"),
     )
     return from_fact.join(from_rollup, "o_orderstatus")
+
+# ---------------------------------------------------------------------------
+# q221: two-sided trimmed mean per group (exact, rank-window based)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q221_trimmed_mean_values",
+    sql="""
+    WITH r AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(MIN(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / (COUNT(*) * 100), 6)
+             AS trimmed_mean
+    FROM r
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type
+    """,
+    doc="Two-sided 10% trimmed mean of event value per type — the "
+        "robust-location estimate monitoring pipelines prefer over the "
+        "raw mean (a handful of corrupt extreme values cannot move "
+        "it; complements q131's median/MAD anomaly flags with an "
+        "aggregate the mean consumers can swap in directly).  EXACT by "
+        "construction: ranks come from a deterministic composite order "
+        "(value, event_id), the trim count is integer n div 10 per "
+        "side, and the kept sum is integer cents with ONE double "
+        "division at the end — no percentile interpolation, no float "
+        "boundary to disagree on.  Shape: one hash(event_type) window "
+        "sort shared by rank and count, then the same-key aggregation "
+        "— a single exchange family.",
+    tags=("ml-stats", "robust", "events", "window"),
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.row_number()
+        .over(w.orderBy("value", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    kept = r.where(
+        (F.col("rn") > F.expr("n div 10"))
+        & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.sum("cents").cast("double") / (F.count(F.lit(1)) * 100), 6
+        ).alias("trimmed_mean"),
+    )
+
+# ---------------------------------------------------------------------------
+# q222: inclusion-dependency (foreign-key candidate) profile
+# ---------------------------------------------------------------------------
+
+@register(
+    "q222_inclusion_profile",
+    sql="""
+    WITH pair1 AS (
+      SELECT 'lineitem.l_partkey' AS child_col, 'part.p_partkey' AS parent_col,
+             CAST(COUNT(*) AS BIGINT) AS n_child_distinct,
+             CAST(COUNT(*) FILTER (WHERE p IS NULL) AS BIGINT) AS n_orphans
+      FROM (SELECT DISTINCT l_partkey AS k FROM lineitem) c
+      LEFT JOIN (SELECT DISTINCT p_partkey AS k, 1 AS p FROM part) d USING (k)
+    ),
+    pair2 AS (
+      SELECT 'lineitem.l_suppkey', 'supplier.s_suppkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE p IS NULL) AS BIGINT)
+      FROM (SELECT DISTINCT l_suppkey AS k FROM lineitem) c
+      LEFT JOIN (SELECT DISTINCT s_suppkey AS k, 1 AS p FROM supplier) d USING (k)
+    ),
+    pair3 AS (
+      SELECT 'orders.o_custkey', 'customer.c_custkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE p IS NULL) AS BIGINT)
+      FROM (SELECT DISTINCT o_custkey AS k FROM orders) c
+      LEFT JOIN (SELECT DISTINCT c_custkey AS k, 1 AS p FROM customer) d USING (k)
+    ),
+    pair4 AS (
+      SELECT 'customer.c_nationkey', 'nation.n_nationkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE p IS NULL) AS BIGINT)
+      FROM (SELECT DISTINCT c_nationkey AS k FROM customer) c
+      LEFT JOIN (SELECT DISTINCT n_nationkey AS k, 1 AS p FROM nation) d USING (k)
+    ),
+    pair5 AS (
+      SELECT 'part.p_partkey', 'lineitem.l_partkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE p IS NULL) AS BIGINT)
+      FROM (SELECT DISTINCT p_partkey AS k FROM part) c
+      LEFT JOIN (SELECT DISTINCT l_partkey AS k, 1 AS p FROM lineitem) d USING (k)
+    ),
+    u AS (
+      SELECT * FROM pair1 UNION ALL SELECT * FROM pair2
+      UNION ALL SELECT * FROM pair3 UNION ALL SELECT * FROM pair4
+      UNION ALL SELECT * FROM pair5
+    )
+    SELECT child_col, parent_col, n_child_distinct, n_orphans,
+           ROUND(CAST(n_child_distinct - n_orphans AS DOUBLE)
+                 / n_child_distinct, 6) AS containment
+    FROM u
+    """,
+    doc="Inclusion-dependency profile — the foreign-key DISCOVERY "
+        "primitive (Bauckmann et al.'s SPIDER problem, the profiling "
+        "complement of q82's referential-integrity CHECK and q185's "
+        "functional deps): for each candidate (child, parent) column "
+        "pair, the distinct child count, how many child values have "
+        "no parent (orphans), and the containment ratio; pair 5 runs "
+        "the REVERSE direction on purpose (parts never ordered) so "
+        "the profile demonstrates asymmetry.  Shape per pair: child "
+        "keys collapse to distinct FIRST (the fact-sized shuffle), "
+        "then a left join against the distinct parent keys — dim "
+        "parents broadcast; counting orphans needs no second scan.  "
+        "Five independent pairs union as one plan.",
+    tags=("profiling", "quality", "relational"),
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def pair(
+        child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+        clabel: str, plabel: str,
+    ) -> DataFrame:
+        c = child.select(F.col(ckey).alias("k")).distinct()
+        d = parent.select(F.col(pkey).alias("k")).distinct().withColumn(
+            "p", F.lit(1)
+        )
+        return c.join(d, "k", "left").agg(
+            F.lit(clabel).alias("child_col"),
+            F.lit(plabel).alias("parent_col"),
+            F.count(F.lit(1)).alias("n_child_distinct"),
+            F.count(F.when(F.col("p").isNull(), 1)).alias("n_orphans"),
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    u = (
+        pair(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey", "part.p_partkey")
+        .unionByName(pair(li, "l_suppkey", s, "s_suppkey", "lineitem.l_suppkey", "supplier.s_suppkey"))
+        .unionByName(pair(o, "o_custkey", c, "c_custkey", "orders.o_custkey", "customer.c_custkey"))
+        .unionByName(pair(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey", "nation.n_nationkey"))
+        .unionByName(pair(p, "p_partkey", li, "l_partkey", "part.p_partkey", "lineitem.l_partkey"))
+    )
+    return u.select(
+        "child_col", "parent_col", "n_child_distinct", "n_orphans",
+        F.round(
+            (F.col("n_child_distinct") - F.col("n_orphans")).cast("double")
+            / F.col("n_child_distinct"),
+            6,
+        ).alias("containment"),
+    )
+
+# ---------------------------------------------------------------------------
+# q223: lexical diversity profile per source (TTR + hapax ratio)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q223_lexical_diversity",
+    sql="""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    tc AS (
+      SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio,
+           ROUND(CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_ratio
+    FROM tc GROUP BY source
+    """,
+    doc="Lexical diversity profile per source: type-token ratio and "
+        "hapax-legomenon ratio — the corpus-quality signals that "
+        "separate template/boilerplate sources (low TTR, few hapaxes) "
+        "from diverse natural text; the release-gating complement of "
+        "q74's datacard and q86's vocab drift, neither of which "
+        "measures within-source diversity.  Shape: tokens collapse to "
+        "(source, token) counts at the FIRST aggregation (map-side "
+        "partial combine eats the token stream), then a |vocab|-sized "
+        "rollup per source — the exploded grain never reaches the "
+        "second shuffle.  All counts integer-exact; two ratio "
+        "divisions at output.",
+    tags=("llmdata", "quality", "documents"),
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import fan_out
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tok = fan_out(d).select("source", F.explode(toks).alias("t"))
+    tc = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.count(F.when(F.col("c") == 1, 1)).alias("n_hapax"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            F.count(F.when(F.col("c") == 1, 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+    )
+
+# ---------------------------------------------------------------------------
+# q224: hard-negative mining (top-1 cross-label neighbor per anchor)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q224_hard_negative_mining",
+    sql="""
+    WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+                      CAST(embedding AS DOUBLE[]) AS av
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id >= 8)
+    SELECT anchor_id, anchor_label,
+           vec_id AS negative_id, label AS negative_label,
+           ROUND(list_cosine_similarity(v, av), 4) AS cosine_sim
+    FROM c CROSS JOIN a
+    WHERE label <> anchor_label
+    QUALIFY row_number() OVER (
+      PARTITION BY anchor_id
+      ORDER BY ROUND(list_cosine_similarity(v, av), 4) DESC, vec_id
+    ) = 1
+    """,
+    doc="Hard-negative mining for contrastive training: for each "
+        "anchor vector (vec_id < 8), the single most-similar corpus "
+        "vector carrying a DIFFERENT label — the near-miss that makes "
+        "the best negative example (easy random negatives teach "
+        "nothing).  The label inequality is what q47's plain k-NN "
+        "cannot express; the per-anchor top-1 runs on the same "
+        "salted-two-phase discipline.  Physical shape: 8 anchors "
+        "broadcast against the corpus — a constant-factor map (q47's "
+        "deliberate shape), one Arrow-batched cosine pass, similarity "
+        "rounded to 4dp with a vec_id tiebreak for cross-engine "
+        "determinism.",
+    tags=("similarity", "embeddings", "contrastive", "topk"),
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata.similarity import cosine_sim_batch
+
+    e = load(spark, sf_dir, "embeddings")
+    anchors = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("_av"),
+    )
+    corpus = e.where(F.col("vec_id") >= 8)
+    scored = (
+        corpus.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round(cosine_sim_batch(F.col("embedding"), F.col("_av")), 4).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+# ---------------------------------------------------------------------------
+# q225: ETL quarantine split report (validity-gated routing, P4 semantics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q225_etl_quarantine_report",
+    sql="""
+    WITH raw AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'N/A'
+                  ELSE '$' || CAST(o_orderkey % 900 + 100 AS VARCHAR) || ','
+                        || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+             END AS price_str,
+             CASE WHEN o_orderkey % 5 = 0 THEN '31/02/2024'
+                  ELSE '15/03/2024' END AS date_str
+      FROM orders
+    ),
+    flagged AS (
+      SELECT o_orderpriority,
+             CASE
+               WHEN TRY_CAST(regexp_replace(price_str, '[.,$ ]', '', 'g')
+                             AS DECIMAL(18,2)) IS NULL THEN 'invalid_price'
+               WHEN try_strptime(date_str, '%d/%m/%Y') IS NULL
+                 THEN 'invalid_date'
+               ELSE 'valid'
+             END AS reason
+      FROM raw
+    )
+    SELECT o_orderpriority, reason,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY o_orderpriority), 6)
+             AS share_of_priority
+    FROM flagged GROUP BY 1, 2
+    """,
+    doc="ETL quarantine report — the medallion-architecture routing "
+        "the reference's validity gate implies but never reports on: "
+        "rows failing the price-parse rule (P4's IsValidPrice, "
+        "/root/reference/core/data_processor.py:135-138) or the "
+        "day-first date parse (F1) are routed to a quarantine reason "
+        "instead of silently dropped, and the report counts each "
+        "(priority, reason) cell with its within-priority share — "
+        "what an operator pages on when a feed's reject rate jumps.  "
+        "Inputs are synthesized deterministically from orders (every "
+        "7th key an unparseable price, every 5th an impossible "
+        "calendar date) so both engines construct identical rows; "
+        "reason precedence is price-before-date, mirroring the "
+        "pipeline's transform order.  Shape: pure codegen projection "
+        "+ one hash(priority, reason) aggregation + a |priorities|-"
+        "grain share window.",
+    tags=("etl", "quality", "quarantine", "orders"),
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import scalar
+
+    o = load(spark, sf_dir, "orders")
+    price_str = F.when(F.col("o_orderkey") % 7 == 0, F.lit("N/A")).otherwise(
+        F.concat(
+            F.lit("$"),
+            (F.col("o_orderkey") % 900 + 100).cast("string"),
+            F.lit(","),
+            F.lpad((F.col("o_orderkey") % 100).cast("string"), 2, "0"),
+        )
+    )
+    date_str = F.when(
+        F.col("o_orderkey") % 5 == 0, F.lit("31/02/2024")
+    ).otherwise(F.lit("15/03/2024"))
+    reason = (
+        F.when(scalar.clean_price(price_str).isNull(), F.lit("invalid_price"))
+        .when(
+            F.expr("try_to_date(_ds, 'd/M/yyyy')").isNull(),
+            F.lit("invalid_date"),
+        )
+        .otherwise(F.lit("valid"))
+    )
+    flagged = o.withColumn("_ds", date_str).select(
+        "o_orderpriority", reason.alias("reason")
+    )
+    w = Window.partitionBy("o_orderpriority")
+    return (
+        flagged.groupBy("o_orderpriority", "reason")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn(
+            "share_of_priority",
+            F.round(F.col("n_rows").cast("double") / F.sum("n_rows").over(w), 6),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# q226: population-stability-index drift between corpus halves
+# ---------------------------------------------------------------------------
+
+@register(
+    "q226_psi_length_drift",
+    sql="""
+    WITH b AS (
+      SELECT doc_id % 2 AS half,
+             least(n_chars // 50, 9) AS bin
+      FROM documents
+    ),
+    cells AS (
+      SELECT bin,
+             COUNT(*) FILTER (WHERE half = 0) AS c_ref,
+             COUNT(*) FILTER (WHERE half = 1) AS c_cur
+      FROM b GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(c_ref) AS t_ref, SUM(c_cur) AS t_cur FROM cells
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           ROUND(SUM(
+             (CAST(c_cur AS DOUBLE) / t_cur - CAST(c_ref AS DOUBLE) / t_ref)
+             * ln((CAST(c_cur AS DOUBLE) * CAST(t_ref AS DOUBLE))
+                  / (CAST(c_ref AS DOUBLE) * CAST(t_cur AS DOUBLE)))
+           ), 6) AS psi
+    FROM cells, tot
+    WHERE c_ref > 0 AND c_cur > 0
+    """,
+    doc="Population stability index of the document-length "
+        "distribution between two corpus halves (doc_id parity as the "
+        "release-over-release stand-in) — the standard drift gate a "
+        "data pipeline runs before shipping a new snapshot (PSI < "
+        "0.1 stable, > 0.25 action).  Bins are FIXED-WIDTH integer "
+        "floor-divisions of n_chars (never engine-computed quantiles "
+        "— those differ across engines); only bins populated on both "
+        "sides contribute, with the used-bin count reported so a "
+        "silent bin drop is visible.  The log argument is a ratio of "
+        "exact integer products cast to double BEFORE multiplying "
+        "(the q163/q140 ln-parity recipe), one rounding at the end.  "
+        "Shape: one hash(bin) aggregation over a codegen projection; "
+        "the totals row is a single-row broadcast (allowlisted NLJ "
+        "shape).",
+    tags=("ml-stats", "drift", "documents"),
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    b = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.least(F.expr("n_chars div 50"), F.lit(9)).alias("bin"),
+    )
+    cells = b.groupBy("bin").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("c_ref"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("c_cur"),
+    )
+    tot = cells.agg(
+        F.sum("c_ref").alias("t_ref"), F.sum("c_cur").alias("t_cur")
+    )
+    term = (
+        F.col("c_cur").cast("double") / F.col("t_cur")
+        - F.col("c_ref").cast("double") / F.col("t_ref")
+    ) * F.log(
+        (F.col("c_cur").cast("double") * F.col("t_ref").cast("double"))
+        / (F.col("c_ref").cast("double") * F.col("t_cur").cast("double"))
+    )
+    return (
+        cells.join(F.broadcast(tot))
+        .where((F.col("c_ref") > 0) & (F.col("c_cur") > 0))
+        .agg(
+            F.count(F.lit(1)).alias("n_bins_used"),
+            F.round(F.sum(term), 6).alias("psi"),
+        )
+    )

@@ -143,6 +143,14 @@ def test_no_accidental_cartesian_products(plans):
         # q209 bigram LM: the train-vocab size joins in as a broadcast
         # single-row aggregate (1 x N) — q42's shape again
         "q209_bigram_lm_nll",
+        # q224 hard negatives: corpus x broadcast(8 anchors) under a
+        # label-inequality condition IS the operator (every corpus row
+        # scored against every cross-label anchor) — q47's constant-
+        # factor map with a non-equi residual, hence NLJ by design
+        "q224_hard_negative_mining",
+        # q226 PSI: the two corpus totals join in as a broadcast
+        # single-row aggregate (1 x N) — q42's degenerate map shape
+        "q226_psi_length_drift",
     }
     for name, p in plans.items():
         if name in allowed:
