@@ -45,9 +45,15 @@ class Warehouse:
         the cost of retained hardlink trees (files shared across
         generations are linked, not copied, so retention costs only
         the *delta* files plus directory entries)."""
+        import threading
+
         self.spark = spark
         self.root = Path(root)
         self.keep_generations = max(2, keep_generations)
+        # root-manifest publishes are read-modify-replace; the merge
+        # chain flips DIFFERENT tables from concurrent threads (see
+        # upserts.merge_staging_to_fact_tables), so serialize them
+        self._root_lock = threading.Lock()
         self.root.mkdir(parents=True, exist_ok=True)
         # roll forward any transaction interrupted after its commit
         # point — attaching is when a restarted writer re-appears
@@ -163,24 +169,36 @@ class Warehouse:
         state the per-table pointers go through.  The manifest is
         derived state (rebuilt from the pointers by the next publish),
         so it needs no fsync: losing it costs nothing but a stale
-        version number."""
-        tables = {}
-        for tdir in sorted(self.root.iterdir()):
-            ptr = tdir / "_CURRENT"
-            if tdir.is_dir() and ptr.exists():
-                tables[tdir.name] = ptr.read_text().strip()
-        prev = 0
-        path = self._root_manifest_path()
-        if path.exists():
-            try:
-                prev = int(json.loads(path.read_text()).get("version", 0))
-            except (ValueError, json.JSONDecodeError):
-                prev = 0
-        version = prev + 1
-        tmp = self.root / "_ROOT_SNAPSHOT.json.tmp"
-        tmp.write_text(json.dumps({"version": version, "tables": tables}))
-        os.replace(tmp, path)
-        return version
+        version number.
+
+        Thread-safe: the merge chain flips different tables from
+        concurrent threads, so the read-modify-replace holds the
+        instance lock AND the temp file is uniquely named (a shared
+        tmp name let one thread's os.replace consume another's file —
+        ENOENT under the q41 bench; cross-INSTANCE writers remain out
+        of contract, like every other write here)."""
+        with self._root_lock:
+            tables = {}
+            for tdir in sorted(self.root.iterdir()):
+                ptr = tdir / "_CURRENT"
+                if tdir.is_dir() and ptr.exists():
+                    tables[tdir.name] = ptr.read_text().strip()
+            prev = 0
+            path = self._root_manifest_path()
+            if path.exists():
+                try:
+                    prev = int(json.loads(path.read_text()).get("version", 0))
+                except (ValueError, json.JSONDecodeError):
+                    prev = 0
+            version = prev + 1
+            import threading
+
+            tmp = self.root / (
+                f"_ROOT_SNAPSHOT.json.tmp.{os.getpid()}.{threading.get_ident()}"
+            )
+            tmp.write_text(json.dumps({"version": version, "tables": tables}))
+            os.replace(tmp, path)
+            return version
 
     def snapshot(self) -> "WarehouseSnapshot":
         """A frozen, mutually-consistent view of EVERY table — the

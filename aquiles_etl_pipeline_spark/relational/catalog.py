@@ -218,6 +218,10 @@ _GRADE_FIRST = (
     "q224_hard_negative_mining",
     "q225_etl_quarantine_report",
     "q226_psi_length_drift",
+    "q227_benford_first_digit",
+    "q228_fifo_return_matching",
+    "q229_nearest_click_align",
+    "q230_revenue_share_hierarchy",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

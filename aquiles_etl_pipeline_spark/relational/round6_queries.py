@@ -728,3 +728,354 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term), 6).alias("psi"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q227: Benford first-digit forensics on order totals
+# ---------------------------------------------------------------------------
+
+@register(
+    "q227_benford_first_digit",
+    sql="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+      SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1
+    ),
+    w AS (
+      SELECT digit, n_obs,
+             SUM(n_obs) OVER () AS n,
+             ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS e
+      FROM obs
+    )
+    SELECT digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           ROUND(e, 6) AS expected_share,
+           ROUND(CAST(n_obs AS DOUBLE) / n, 6) AS observed_share,
+           ROUND(SUM(pow(n_obs - n * e, 2) / (n * e)) OVER (), 6)
+             AS chi2_total
+    FROM w
+    """,
+    doc="Benford's-law first-digit audit of order totals — the "
+        "fabricated-data forensic every financial data-quality suite "
+        "ships: observed first-digit shares of the integer cents vs "
+        "the log10(1+1/d) expectation, with the chi-square statistic "
+        "attached to every row (naturally-arising multiplicative "
+        "amounts follow Benford; flat or spiky digit profiles flag "
+        "synthetic or tampered feeds).  First digits extract from the "
+        "EXACT integer cents as strings (no float leading-digit "
+        "games); the expected shares are closed-form ln ratios of "
+        "deterministic literals (the q163 ln-parity regime) and the "
+        "single rounding happens at output.  Shape: one 9-row "
+        "aggregation, then windows over the 9-row frame — the scan is "
+        "the entire cost.",
+    tags=("quality", "forensics", "orders"),
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    )
+    obs = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n_obs"))
+    wall = Window.partitionBy()
+    e = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    w = obs.select(
+        "digit", "n_obs", F.sum("n_obs").over(wall).alias("n"), e.alias("e")
+    )
+    chi = F.pow(F.col("n_obs") - F.col("n") * F.col("e"), 2) / (
+        F.col("n") * F.col("e")
+    )
+    return w.select(
+        "digit",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.round("e", 6).alias("expected_share"),
+        F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias(
+            "observed_share"
+        ),
+        F.round(F.sum(chi).over(wall), 6).alias("chi2_total"),
+    )
+
+# ---------------------------------------------------------------------------
+# q228: FIFO allocation via cumulative-interval overlap join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q228_fifo_return_matching",
+    sql="""
+    WITH s AS (
+      SELECT l_partkey, l_shipdate,
+             CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS s_end
+      FROM lineitem WHERE l_returnflag <> 'R'
+    ),
+    dm AS (
+      SELECT l_partkey, l_shipdate,
+             CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS d_end
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    m AS (
+      SELECT least(s.s_end, dm.d_end)
+               - greatest(s.s_end - s.qty, dm.d_end - dm.qty) AS matched,
+             date_diff('day', s.l_shipdate, dm.l_shipdate) AS age_days
+      FROM s JOIN dm ON s.l_partkey = dm.l_partkey
+       AND s.s_end - s.qty < dm.d_end
+       AND dm.d_end - dm.qty < s.s_end
+    )
+    SELECT CASE WHEN age_days < 0 THEN 'pre_supply'
+                WHEN age_days <= 30 THEN '0-30d'
+                WHEN age_days <= 90 THEN '31-90d'
+                ELSE 'over_90d' END AS age_bucket,
+           CAST(SUM(matched) AS BIGINT) AS matched_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_allocations
+    FROM m GROUP BY 1
+    """,
+    doc="FIFO allocation as a relational operator: returned units "
+        "(l_returnflag = 'R') consume earlier shipments of the same "
+        "part in ship order, first-in-first-out — the inventory-"
+        "costing / lot-attribution primitive.  The classic imperative "
+        "queue becomes PURE SQL via cumulative intervals: each side "
+        "gets a running-total interval [cum-qty, cum) per part, and a "
+        "FIFO match is exactly a nonzero overlap of supply and demand "
+        "intervals (matched = min(ends) - max(starts)); the report "
+        "buckets matched quantity by supply-to-return age.  All "
+        "integer arithmetic on exact cumsums with a deterministic "
+        "(shipdate, orderkey, linenumber) order.  Shape: two window "
+        "cumsums sharing one hash(partkey) family, then a per-part "
+        "interval-overlap join (q109's machinery on derived "
+        "intervals) — pair volume is bounded by per-part overlap "
+        "degree, never |supply| x |demand|.",
+    tags=("relational", "fifo", "interval", "lineitem"),
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_returnflag",
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+
+    def side(df: DataFrame, end: str) -> DataFrame:
+        return df.select(
+            "l_partkey", "l_shipdate", "qty", F.sum("qty").over(w).alias(end)
+        )
+
+    s = side(li.where(F.col("l_returnflag") != "R"), "s_end").select(
+        F.col("l_partkey").alias("_pk"),
+        F.col("l_shipdate").alias("_sd"),
+        F.col("qty").alias("_sq"),
+        "s_end",
+    )
+    dm = side(li.where(F.col("l_returnflag") == "R"), "d_end")
+    m = s.join(
+        dm,
+        (F.col("_pk") == F.col("l_partkey"))
+        & (F.col("s_end") - F.col("_sq") < F.col("d_end"))
+        & (F.col("d_end") - F.col("qty") < F.col("s_end")),
+    ).select(
+        (
+            F.least("s_end", "d_end")
+            - F.greatest(F.col("s_end") - F.col("_sq"), F.col("d_end") - F.col("qty"))
+        ).alias("matched"),
+        F.datediff(F.col("l_shipdate"), F.col("_sd")).alias("age_days"),
+    )
+    bucket = (
+        F.when(F.col("age_days") < 0, "pre_supply")
+        .when(F.col("age_days") <= 30, "0-30d")
+        .when(F.col("age_days") <= 90, "31-90d")
+        .otherwise("over_90d")
+    )
+    return m.groupBy(bucket.alias("age_bucket")).agg(
+        F.sum("matched").cast("bigint").alias("matched_qty"),
+        F.count(F.lit(1)).alias("n_allocations"),
+    )
+
+# ---------------------------------------------------------------------------
+# q229: nearest-event temporal align with tolerance (bidirectional as-of)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q229_nearest_click_align",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click'
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_click,
+             first_value(CASE WHEN event_type = 'click'
+                              THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_click
+      FROM events
+    ),
+    err AS (
+      SELECT user_id,
+             epoch_us(ts) - prev_click AS back_us,
+             next_click - epoch_us(ts) AS fwd_us
+      FROM seq WHERE event_type = 'error'
+    ),
+    pick AS (
+      SELECT user_id,
+             CASE
+               WHEN back_us IS NOT NULL AND back_us <= 600000000
+                AND (fwd_us IS NULL OR back_us <= fwd_us OR fwd_us > 600000000)
+                 THEN back_us
+               WHEN fwd_us IS NOT NULL AND fwd_us <= 600000000
+                 THEN fwd_us
+             END AS matched_us
+      FROM err
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           CAST(COUNT(matched_us) AS BIGINT) AS n_matched,
+           ROUND(CAST(SUM(matched_us) AS DOUBLE)
+                 / COUNT(matched_us) / 1e6, 6) AS avg_match_sec
+    FROM pick GROUP BY user_id
+    """,
+    doc="Nearest-event temporal alignment with a tolerance window: "
+        "each error event matches its CLOSEST click by the same user "
+        "within +/-10 minutes, backward preferred on ties — the "
+        "bidirectional generalization of q36's backward-only as-of "
+        "join (sensor fusion, cause attribution, log stitching all "
+        "need nearest, not merely last).  No join at all: one "
+        "(user, ts, id)-sorted window yields the previous and next "
+        "click timestamps via IGNORE NULLS frame endpoints, and the "
+        "nearest pick is a pure CASE — the exchange the sessionizers "
+        "already pay is the entire cost.  Deltas stay integer "
+        "microseconds until the single average division.",
+    tags=("timeseries", "asof", "events", "window"),
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    click_us = F.when(F.col("event_type") == "click", us)
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_click = F.last(click_us, ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_click = F.first(click_us, ignorenulls=True).over(
+        base.rowsBetween(1, Window.unboundedFollowing)
+    )
+    TOL = 600_000_000
+    err = (
+        ev.select(
+            "user_id", "event_type",
+            (us - prev_click).alias("back_us"),
+            (next_click - us).alias("fwd_us"),
+        )
+        .where(F.col("event_type") == "error")
+    )
+    matched = (
+        F.when(
+            F.col("back_us").isNotNull()
+            & (F.col("back_us") <= TOL)
+            & (
+                F.col("fwd_us").isNull()
+                | (F.col("back_us") <= F.col("fwd_us"))
+                | (F.col("fwd_us") > TOL)
+            ),
+            F.col("back_us"),
+        )
+        .when(
+            F.col("fwd_us").isNotNull() & (F.col("fwd_us") <= TOL),
+            F.col("fwd_us"),
+        )
+    )
+    return err.select("user_id", matched.alias("matched_us")).groupBy(
+        "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.count("matched_us").alias("n_matched"),
+        F.round(
+            F.sum("matched_us").cast("double") / F.count("matched_us") / 1e6, 6
+        ).alias("avg_match_sec"),
+    )
+
+# ---------------------------------------------------------------------------
+# q230: hierarchical ratio-to-parent revenue rollup
+# ---------------------------------------------------------------------------
+
+@register(
+    "q230_revenue_share_hierarchy",
+    sql="""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders o
+      JOIN customer c ON c_custkey = o_custkey
+      JOIN nation n ON n_nationkey = c_nationkey
+      JOIN region r ON r_regionkey = n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS share_of_region,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS share_of_total
+    FROM nat
+    """,
+    doc="Hierarchical ratio-to-parent rollup: nation revenue with its "
+        "share of the region and of the grand total — the percent-of-"
+        "parent column every BI hierarchy renders, which q06's plain "
+        "ROLLUP cannot produce (it emits parent ROWS, not parent "
+        "RATIOS on the child rows).  Revenue sums land decimal-exact "
+        "(the money discipline); the two share divisions happen once "
+        "each in double over windows on the |nations|-sized rollup "
+        "frame — parent totals come from windows, not a rollup "
+        "self-join.  Shape: orders-customer is the one fact-scale "
+        "join (shuffle on custkey — customer grows with the corpus, "
+        "so it must NOT broadcast); nation/region broadcast; one "
+        "hash(region, nation) aggregation; windows on the tiny "
+        "result.",
+    tags=("relational", "rollup", "orders", "window"),
+)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return nat.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(wr).cast("double"), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(wall).cast("double"),
+            6,
+        ).alias("share_of_total"),
+    )
