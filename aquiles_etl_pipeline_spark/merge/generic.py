@@ -84,12 +84,6 @@ def merge_into(
     {updated, deleted, inserted} (-1s when ``collect_stats=False``).
     """
     keys = [on] if isinstance(on, str) else list(on)
-    if not source.groupBy(*keys).count().where(F.col("count") > 1).isEmpty():
-        raise ValueError(
-            f"merge_into: source is not unique on {keys}; a multi-match "
-            "merge is nondeterministic (the Delta MERGE error) — "
-            "pre-aggregate the source to one row per key"
-        )
     target = wh.read(table)
     tgt_cols = target.columns
     src_cols = source.columns
@@ -97,17 +91,31 @@ def merge_into(
         if k not in tgt_cols or k not in src_cols:
             raise ValueError(f"merge_into: key {k!r} missing from a side")
 
+    dup_msg = (
+        f"merge_into: source is not unique on {keys}; a multi-match "
+        "merge is nondeterministic (the Delta MERGE error) — "
+        "pre-aggregate the source to one row per key"
+    )
     srcp = source.select(
         *[F.col(c).alias(c if c in keys else f"{SRC}{c}") for c in src_cols]
     ).withColumn(f"{SRC}__matched", F.lit(True))
     touched: list[int] = []
     if bucket_col is not None:
-        touched = [
-            r[0]
-            for r in source.select(_bucket_expr(keys).alias("_b"))
-            .distinct()
+        # ONE pre-flight job answers both driver-side questions: the
+        # touched bucket ids (needed to scope the rewrite) and whether
+        # any key repeats (per-bucket max of per-key counts) — running
+        # them as separate jobs doubled the fixed job overhead every
+        # batch merge pays.
+        per_bucket = (
+            source.groupBy(*keys)
+            .count()
+            .groupBy(_bucket_expr(keys).alias("_b"))
+            .agg(F.max("count").alias("_mx"))
             .collect()
-        ]
+        )
+        if any(r["_mx"] > 1 for r in per_bucket):
+            raise ValueError(dup_msg)
+        touched = [r["_b"] for r in per_bucket]
         base = target.where(F.col(bucket_col).isin(touched))
         # Runtime guard (not just a docstring contract): the touched-
         # bucket scoping is only correct when the TARGET's bucket_col
@@ -137,6 +145,8 @@ def merge_into(
                 "Rebucket the target or merge without bucket_col."
             )
     else:
+        if not source.groupBy(*keys).count().where(F.col("count") > 1).isEmpty():
+            raise ValueError(dup_msg)
         base = target
     joined = base.join(F.broadcast(srcp), keys, "left")
 
