@@ -222,6 +222,9 @@ _GRADE_FIRST = (
     "q228_fifo_return_matching",
     "q229_nearest_click_align",
     "q230_revenue_share_hierarchy",
+    "q231_retention_survival",
+    "q232_order_fill_timeline",
+    "q233_shared_run_explanations",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

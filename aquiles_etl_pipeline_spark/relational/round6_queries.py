@@ -1079,3 +1079,336 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_total"),
     )
+
+# ---------------------------------------------------------------------------
+# q231: Kaplan-Meier signup->purchase survival curve
+# ---------------------------------------------------------------------------
+
+@register(
+    "q231_retention_survival",
+    sql="""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS s0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS p0
+      FROM events e JOIN su ON su.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.s0
+      GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(ts) AS tmax FROM events),
+    subj AS (
+      SELECT su.user_id,
+             CASE WHEN fp.p0 IS NOT NULL
+                  THEN date_diff('day', CAST(su.s0 AS DATE), CAST(fp.p0 AS DATE))
+                  ELSE date_diff('day', CAST(su.s0 AS DATE), CAST(tmax AS DATE))
+             END AS t,
+             (fp.p0 IS NOT NULL) AS converted
+      FROM su LEFT JOIN fp USING (user_id) CROSS JOIN horizon
+    ),
+    day_grain AS (
+      SELECT t,
+             COUNT(*) FILTER (WHERE converted) AS d,
+             COUNT(*) FILTER (WHERE NOT converted) AS c
+      FROM subj GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d, c,
+             SUM(d + c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+               AS n_risk
+      FROM day_grain
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_converted,
+           CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN MAX(CASE WHEN d > 0 AND n_risk = d THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE ROUND(exp(SUM(CASE WHEN d > 0 AND n_risk > d
+                                   THEN ln(CAST(n_risk - d AS DOUBLE)
+                                           / CAST(n_risk AS DOUBLE))
+                                   ELSE 0.0 END)
+                          OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+           END AS survival
+    FROM risk WHERE d > 0
+    """,
+    doc="Kaplan-Meier survival curve for signup-to-first-purchase lag "
+        "— the censoring-correct retention metric (plain conversion "
+        "rates understate retention because users who signed up late "
+        "haven't had time to convert; KM credits them only for the "
+        "days they were observed).  Users without a purchase censor "
+        "at the corpus horizon.  The product-limit estimator becomes "
+        "pure windows: the risk set is a DESCENDING cumulative sum "
+        "over the day grain, and the survival product is "
+        "exp(cumulative sum of ln((n-d)/n)) in an ORDERED window — "
+        "sequential summation order is deterministic in both engines, "
+        "log arguments are exact integer ratios cast to double (the "
+        "q163 ln-parity recipe), one rounding at output.  Shape: two "
+        "user-grain aggregations, then windows over the <=|days| "
+        "frame; the horizon is a single-row broadcast (allowlisted).",
+    tags=("ml-stats", "survival", "events", "window"),
+)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    su = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("s0")
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts") >= F.col("s0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p0"))
+    )
+    horizon = ev.agg(F.max("ts").alias("tmax"))
+    subj = (
+        su.join(fp, "user_id", "left")
+        .join(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("p0").isNotNull(),
+                F.datediff(F.col("p0").cast("date"), F.col("s0").cast("date")),
+            )
+            .otherwise(
+                F.datediff(F.col("tmax").cast("date"), F.col("s0").cast("date"))
+            )
+            .alias("t"),
+            F.col("p0").isNotNull().alias("converted"),
+        )
+    )
+    day_grain = subj.groupBy("t").agg(
+        F.count(F.when(F.col("converted"), 1)).alias("d"),
+        F.count(F.when(~F.col("converted"), 1)).alias("c"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = day_grain.select(
+        "t", "d", "c", F.sum(F.col("d") + F.col("c")).over(w_desc).alias("n_risk")
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # a day where the whole remaining risk set converts (n_risk == d)
+    # drives survival to exactly 0 from then on — ln cannot express it,
+    # so a cumulative flag pins those rows to 0.0 (both engines raise
+    # on ln(0) otherwise)
+    ln_term = F.when(
+        (F.col("d") > 0) & (F.col("n_risk") > F.col("d")),
+        F.log(
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(
+        F.when((F.col("d") > 0) & (F.col("n_risk") == F.col("d")), 1).otherwise(0)
+    ).over(w_asc)
+    survival = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(ln_term).over(w_asc)), 6)
+    )
+    return risk.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_converted"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        survival.alias("survival"),
+        F.col("d").alias("_d"),
+    ).where(F.col("_d") > 0).drop("_d")
+
+# ---------------------------------------------------------------------------
+# q232: order fill-rate timeline (cumulative shipments vs order total)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q232_order_fill_timeline",
+    sql="""
+    WITH c AS (
+      SELECT l_orderkey,
+             l_shipdate,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_orderkey
+                     ORDER BY l_shipdate, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_orderkey) AS total,
+             MIN(l_shipdate) OVER (PARTITION BY l_orderkey) AS first_ship
+      FROM lineitem
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             MIN(CASE WHEN cum * 2 >= total
+                      THEN date_diff('day', first_ship, l_shipdate) END)
+               AS days_to_half,
+             date_diff('day', MIN(first_ship), MAX(l_shipdate))
+               AS days_to_full
+      FROM c GROUP BY 1
+    )
+    SELECT CASE WHEN days_to_half = 0 THEN 'same_day'
+                WHEN days_to_half <= 30 THEN 'within_30d'
+                WHEN days_to_half <= 90 THEN 'within_90d'
+                ELSE 'over_90d' END AS half_fill_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(days_to_full) AS BIGINT) AS max_days_to_full,
+           ROUND(CAST(SUM(days_to_full) AS DOUBLE) / COUNT(*), 6)
+             AS avg_days_to_full
+    FROM per_order GROUP BY 1
+    """,
+    doc="Order fill-rate timeline — the fulfillment SLA report: per "
+        "order, the cumulative shipped quantity (deterministic "
+        "(shipdate, linenumber) order) against the order's total, the "
+        "day the order crossed 50% filled (integer cum*2 >= total — "
+        "no float ratio), and first-to-last shipment spread; orders "
+        "bucket by time-to-half-fill.  Shape: one hash(orderkey) "
+        "window family (cumsum + total + first-ship share one "
+        "exchange and sort), a per-order aggregation on the same key "
+        "— zero extra shuffles — then a 4-row bucket rollup.",
+    tags=("relational", "fulfillment", "lineitem", "window"),
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wo = Window.partitionBy("l_orderkey")
+    wcum = wo.orderBy("l_shipdate", "l_linenumber").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    c = li.select(
+        "l_orderkey",
+        "l_shipdate",
+        F.sum(qty).over(wcum).alias("cum"),
+        F.sum(qty).over(wo).alias("total"),
+        F.min("l_shipdate").over(wo).alias("first_ship"),
+    )
+    per_order = c.groupBy("l_orderkey").agg(
+        F.min(
+            F.when(
+                F.col("cum") * 2 >= F.col("total"),
+                F.datediff("l_shipdate", "first_ship"),
+            )
+        ).alias("days_to_half"),
+        F.datediff(F.max("l_shipdate"), F.min("first_ship")).alias(
+            "days_to_full"
+        ),
+    )
+    bucket = (
+        F.when(F.col("days_to_half") == 0, "same_day")
+        .when(F.col("days_to_half") <= 30, "within_30d")
+        .when(F.col("days_to_half") <= 90, "within_90d")
+        .otherwise("over_90d")
+    )
+    return per_order.groupBy(bucket.alias("half_fill_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("days_to_full").cast("bigint").alias("max_days_to_full"),
+        F.round(
+            F.sum("days_to_full").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_days_to_full"),
+    )
+
+# ---------------------------------------------------------------------------
+# q233: near-dup pair explanations (longest shared token run)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q233_shared_run_explanations",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, u.i AS pos,
+             substr(md5(array_to_string(t[u.i:u.i+4], ' ')), 1, 16) AS h
+      FROM t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_grams
+      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 8
+    ),
+    matches AS (
+      SELECT p.doc_a, p.doc_b, a.pos AS pa, a.pos - b.pos AS diag
+      FROM pairs p
+      JOIN g a ON a.doc_id = p.doc_a
+      JOIN g b ON b.doc_id = p.doc_b AND b.h = a.h
+    ),
+    islands AS (
+      SELECT doc_a, doc_b, diag,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS grp
+      FROM (SELECT DISTINCT doc_a, doc_b, diag, pa FROM matches)
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, COUNT(*) AS run_len
+      FROM islands GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.shared_grams AS BIGINT) AS shared_grams,
+           CAST(MAX(r.run_len) + 4 AS BIGINT) AS longest_run_tokens
+    FROM pairs p JOIN runs r ON r.doc_a = p.doc_a AND r.doc_b = p.doc_b
+    GROUP BY 1, 2, 3
+    """,
+    doc="Near-duplicate pair EXPLANATIONS: for document pairs sharing "
+        ">= 8 distinct 5-gram hashes, the longest CONTIGUOUS shared "
+        "token run — the evidence a human reviews before deleting a "
+        "flagged near-dup (a 40-token verbatim run is plagiarism; 8 "
+        "scattered grams are boilerplate).  A contiguous shared run "
+        "lies on one DIAGONAL of the gram-position match matrix "
+        "(pos_a - pos_b constant), so longest-run = gaps-and-islands "
+        "on pos_a within each (pair, diagonal) — the q116 island "
+        "trick transplanted to alignment space; run tokens = island "
+        "grams + k - 1.  Shape: postings self-join on the 64-bit "
+        "gram hash (q24's inverted-index regime, never docs^2), "
+        "match expansion restricted to the flagged pairs, islands on "
+        "one (pair, diag)-keyed window family.",
+    tags=("llmdata", "dedup", "explain", "documents"),
+)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import fan_out
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    k = 5
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - k, F.lit(0)) + 1)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    g = fan_out(docs).select(
+        "doc_id", F.posexplode(grams).alias("_p0", "_gram")
+    ).select(
+        "doc_id",
+        (F.col("_p0") + 1).alias("pos"),
+        F.substring(F.md5("_gram"), 1, 16).alias("h"),
+    )
+    a = g.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h"
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h"
+    )
+    m = a.join(b, "h").where(F.col("doc_a") < F.col("doc_b"))
+    pairs = (
+        m.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .where(F.col("shared_grams") >= 8)
+    )
+    matches = (
+        m.join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi")
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+        .distinct()
+    )
+    wi = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = matches.select(
+        "doc_a", "doc_b", "diag",
+        (F.col("pa") - F.row_number().over(wi)).alias("grp"),
+    )
+    runs = islands.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        pairs.join(runs, ["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b", "shared_grams")
+        .agg((F.max("run_len") + k - 1).cast("bigint").alias("longest_run_tokens"))
+        .select(
+            "doc_a", "doc_b",
+            F.col("shared_grams").cast("bigint").alias("shared_grams"),
+            "longest_run_tokens",
+        )
+    )

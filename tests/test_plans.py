@@ -151,6 +151,9 @@ def test_no_accidental_cartesian_products(plans):
         # q226 PSI: the two corpus totals join in as a broadcast
         # single-row aggregate (1 x N) — q42's degenerate map shape
         "q226_psi_length_drift",
+        # q231 Kaplan-Meier: the corpus horizon (max ts) joins in as a
+        # broadcast single-row aggregate (1 x N) — q42's shape again
+        "q231_retention_survival",
     }
     for name, p in plans.items():
         if name in allowed:
