@@ -21,6 +21,9 @@ def _sha60(col: Column) -> Column:
     return F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 15), 16, 10).cast("long")
 
 
+DEFAULT_SPLIT_WEIGHTS = {"train": 96, "val": 2, "test": 2}
+
+
 def assign_splits(
     df: DataFrame,
     weights: dict[str, int] | None = None,
@@ -33,7 +36,7 @@ def assign_splits(
     hash(key) % 100 — no sampling RNG, no shuffle, stable under
     appends and reruns (the reproducible-dataset-release property
     sampleBy's Bernoulli draws do not give you)."""
-    weights = weights or {"train": 96, "val": 2, "test": 2}
+    weights = weights or DEFAULT_SPLIT_WEIGHTS
     bucket = F.pmod(_sha60(F.col(key_col)), F.lit(100))
     return df.select(
         key_col,
@@ -75,7 +78,7 @@ def group_holdout_split(
     scale shape — no shuffle; the group key needs no aggregation
     because the hash is computed per row from the group VALUE.
     Returns the input columns plus (split_bucket, split)."""
-    weights = weights or {"train": 96, "val": 2, "test": 2}
+    weights = weights or DEFAULT_SPLIT_WEIGHTS
     bucket = F.pmod(_sha60(F.col(group_col)), F.lit(100))
     return df.withColumn("split_bucket", bucket).withColumn(
         "split", _split_expr(bucket, weights)
@@ -97,8 +100,10 @@ def benchmark_ngram_overlap(
     benchmark side is the small one by construction, so its n-gram set
     BROADCASTS and the check is a broadcast semi/left join — the
     training side never shuffles.  The gram projection is interpreted
-    HOF work (no codegen), so each side fans out across cores first
-    (fan_out is a no-op on an already-well-partitioned scan).
+    HOF work (no codegen), so the TRAINING side fans out across cores
+    first (a no-op on a well-partitioned scan); the benchmark side is
+    small by contract, where fan_out would always trigger a pointless
+    repartition shuffle ahead of its distinct.
     Output: (id, n_overlapping_grams, contaminated)."""
     from ..partitioning import fan_out
 
@@ -108,11 +113,11 @@ def benchmark_ngram_overlap(
         g = F.array_distinct(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
         )
-        return fan_out(df).select(F.col(id_col), F.explode(g).alias("_gram"))
+        return df.select(F.col(id_col), F.explode(g).alias("_gram"))
 
     bench_grams = F.broadcast(grams(benchmark).select("_gram").distinct())
     hits = (
-        grams(docs)
+        grams(fan_out(docs))
         .join(bench_grams, "_gram", "left_semi")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_overlapping_grams"))

@@ -90,6 +90,18 @@ def merge_into(
     for k in keys:
         if k not in tgt_cols or k not in src_cols:
             raise ValueError(f"merge_into: key {k!r} missing from a side")
+    # xxhash64 is TYPE-sensitive: the same key value hashes differently
+    # as int vs bigint, so a source whose key dtype differs from the
+    # target's would compute wrong touched buckets and silently
+    # re-insert existing keys.  Align source key dtypes to the target's
+    # before ANY bucket math or join.
+    tgt_types = {f.name: f.dataType for f in target.schema.fields}
+    source = source.select(
+        *[
+            F.col(c).cast(tgt_types[c]).alias(c) if c in keys else F.col(c)
+            for c in src_cols
+        ]
+    )
 
     dup_msg = (
         f"merge_into: source is not unique on {keys}; a multi-match "

@@ -121,8 +121,37 @@ class Warehouse:
     def _new_gen(self, name: str) -> tuple[Path, list[int]]:
         tdir = self._table_dir(name)
         tdir.mkdir(parents=True, exist_ok=True)
+        self._ensure_epoch(name)
         gens = [int(p.name[1:]) for p in tdir.glob("g*") if p.name[1:].isdigit()]
         return tdir / f"g{max(gens, default=-1) + 1}", gens
+
+    def _ensure_epoch(self, name: str) -> str:
+        """A per-table-INCARNATION id: created with the table directory,
+        destroyed with drop().  Generation numbers restart at g0 after a
+        drop+recreate, so a snapshot pinning (table, gN) alone would
+        silently read the NEW table's gN; the manifest pins the epoch
+        too and snapshot reads verify it."""
+        import uuid
+
+        marker = self._table_dir(name) / "_TABLE_EPOCH"
+        if not marker.exists():
+            marker.write_text(uuid.uuid4().hex)
+        return marker.read_text().strip()
+
+    def _write_pointer(self, name: str, gen_name: str) -> None:
+        """Atomically move a table's _CURRENT pointer (tmp + rename).
+        A plain write_text truncates first, so a concurrent
+        _publish_root (different table, different thread) could read an
+        empty/partial pointer mid-write and persist it into the root
+        manifest."""
+        import threading
+
+        ptr = self._table_dir(name) / "_CURRENT"
+        tmp = self._table_dir(name) / (
+            f"_CURRENT.tmp.{os.getpid()}.{threading.get_ident()}"
+        )
+        tmp.write_text(gen_name)
+        os.replace(tmp, ptr)
 
     def _flip(
         self, name: str, gen: Path, old_gens: list[int], publish: bool = True
@@ -139,7 +168,7 @@ class Warehouse:
             if pre is not None and pre.name[1:].isdigit()
             else None
         )
-        (self._table_dir(name) / "_CURRENT").write_text(gen.name)
+        self._write_pointer(name, gen.name)
         keep: set[int] = set()
         if pre_num is not None:
             keep.add(pre_num)
@@ -179,10 +208,17 @@ class Warehouse:
         of contract, like every other write here)."""
         with self._root_lock:
             tables = {}
+            epochs = {}
             for tdir in sorted(self.root.iterdir()):
                 ptr = tdir / "_CURRENT"
                 if tdir.is_dir() and ptr.exists():
-                    tables[tdir.name] = ptr.read_text().strip()
+                    gen_name = ptr.read_text().strip()
+                    if not gen_name:  # defense vs legacy non-atomic writers
+                        continue
+                    tables[tdir.name] = gen_name
+                    epoch = tdir / "_TABLE_EPOCH"
+                    if epoch.exists():
+                        epochs[tdir.name] = epoch.read_text().strip()
             prev = 0
             path = self._root_manifest_path()
             if path.exists():
@@ -196,7 +232,11 @@ class Warehouse:
             tmp = self.root / (
                 f"_ROOT_SNAPSHOT.json.tmp.{os.getpid()}.{threading.get_ident()}"
             )
-            tmp.write_text(json.dumps({"version": version, "tables": tables}))
+            tmp.write_text(
+                json.dumps(
+                    {"version": version, "tables": tables, "epochs": epochs}
+                )
+            )
             os.replace(tmp, path)
             return version
 
@@ -212,7 +252,10 @@ class Warehouse:
         path = self._root_manifest_path()
         if path.exists():
             m = json.loads(path.read_text())
-            return WarehouseSnapshot(self, int(m["version"]), dict(m["tables"]))
+            return WarehouseSnapshot(
+                self, int(m["version"]), dict(m["tables"]),
+                dict(m.get("epochs", {})),
+            )
         # pre-manifest warehouse: derive from the per-table pointers
         # (no concurrent-flip protection until the first publish)
         tables = {}
@@ -348,17 +391,17 @@ class Warehouse:
         # parquet data is Spark-written; its durability is the
         # filesystem's ordinary write-back — the manifest fsync ensures
         # we never replay a manifest whose own contents were lost.)
-        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
-        try:
-            os.write(
-                fd,
+        # buffered write + flush guards against short os.write returns
+        # (a truncated manifest fsynced past the rename would become a
+        # corrupt commit record)
+        with open(tmp, "wb") as f:
+            f.write(
                 json.dumps(
                     {n: {"gen": g, "old": o} for n, (g, o) in staged.items()}
-                ).encode(),
+                ).encode()
             )
-            os.fsync(fd)
-        finally:
-            os.close(fd)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._txn_path())  # COMMIT POINT (atomic rename)
         dfd = os.open(self.root, os.O_RDONLY)
         try:
@@ -382,7 +425,14 @@ class Warehouse:
         path = self._txn_path()
         if not path.exists():
             return []
-        manifest = json.loads(path.read_text())
+        try:
+            manifest = json.loads(path.read_text())
+        except (ValueError, json.JSONDecodeError):
+            # an unparsable manifest cannot be a commit record — treat
+            # as an abort: staged orphans stay unpointed, old pointers
+            # are intact, and removing the debris unbricks the attach
+            path.unlink(missing_ok=True)
+            return []
         repaired = []
         for name, entry in manifest.items():
             gen = self._table_dir(name) / entry["gen"]
@@ -672,7 +722,7 @@ class Warehouse:
             raise FileNotFoundError(
                 f"table {name} has no retained generation g{version}"
             )
-        (self._table_dir(name) / "_CURRENT").write_text(gen.name)
+        self._write_pointer(name, gen.name)
         self._publish_root()
 
     def vacuum(self, name: str) -> list[int]:
@@ -719,9 +769,16 @@ class WarehouseSnapshot:
     how many commits happen in between (subject to the warehouse's
     retention window, exactly like ``read(version=)``)."""
 
-    def __init__(self, wh: Warehouse, version: int, tables: dict[str, str]):
+    def __init__(
+        self,
+        wh: Warehouse,
+        version: int,
+        tables: dict[str, str],
+        epochs: dict[str, str] | None = None,
+    ):
         self.version = version
         self.tables = dict(tables)
+        self.epochs = dict(epochs or {})
         self._wh = wh
 
     def read(self, name: str) -> DataFrame:
@@ -730,6 +787,19 @@ class WarehouseSnapshot:
             raise FileNotFoundError(
                 f"table {name} was not in root snapshot v{self.version}"
             )
+        pinned_epoch = self.epochs.get(name)
+        if pinned_epoch is not None:
+            marker = self._wh._table_dir(name) / "_TABLE_EPOCH"
+            live = marker.read_text().strip() if marker.exists() else None
+            if live != pinned_epoch:
+                # generation numbers restart at g0 after drop+recreate,
+                # so without this check a same-named gN of the NEW
+                # incarnation would silently satisfy the pin
+                raise FileNotFoundError(
+                    f"snapshot v{self.version} pinned {name}@{gen_name} of a "
+                    "table incarnation that has since been dropped and "
+                    "re-created; the pinned data no longer exists"
+                )
         gen = self._wh._table_dir(name) / gen_name
         if not gen.exists():
             raise FileNotFoundError(

@@ -1490,7 +1490,7 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides plus one extra shuffle (measured 3.1 -> ~2.3 s at
     # sf0.1; at 100 TB it would have doubled the dominant stage).
     bucket = F.pmod(sampling._sha60(F.col("doc_id")), F.lit(100))
-    split = sampling._split_expr(bucket, {"train": 96, "val": 2, "test": 2})
+    split = sampling._split_expr(bucket, sampling.DEFAULT_SPLIT_WEIGHTS)
     return surv.select(
         "doc_id", n_tok.alias("n_tokens"), split.alias("split")
     )

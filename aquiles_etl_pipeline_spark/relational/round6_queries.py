@@ -1321,9 +1321,10 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
     pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_grams
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(DISTINCT a.h) AS shared_grams
       FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING COUNT(*) >= 8
+      GROUP BY 1, 2 HAVING COUNT(DISTINCT a.h) >= 8
     ),
     matches AS (
       SELECT p.doc_a, p.doc_b, a.pos AS pa, a.pos - b.pos AS diag
@@ -1386,7 +1387,7 @@ def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = a.join(b, "h").where(F.col("doc_a") < F.col("doc_b"))
     pairs = (
         m.groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .agg(F.countDistinct("h").alias("shared_grams"))
         .where(F.col("shared_grams") >= 8)
     )
     matches = (

@@ -824,3 +824,52 @@ def test_root_snapshot_retired_generation_raises(spark, tmp_path):
     wh.overwrite("t", spark.createDataFrame([(3,)], "v int"))
     with _pytest.raises(FileNotFoundError, match="retired"):
         snap.read("t")
+
+
+def test_root_snapshot_detects_drop_and_recreate(spark, tmp_path):
+    """Generation numbers restart at g0 after drop+recreate, so a
+    pinned snapshot must FAIL on the new incarnation's same-named g0
+    instead of silently reading post-snapshot data (epoch check)."""
+    import pytest as _pytest
+
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+
+    wh = Warehouse(spark, tmp_path / "snapepoch")
+    wh.overwrite("t", spark.createDataFrame([(1,)], "v int"))
+    snap = wh.snapshot()
+    wh.drop("t")
+    wh.overwrite("t", spark.createDataFrame([(2,)], "v int"))
+    assert wh.read("t").collect()[0]["v"] == 2
+    with _pytest.raises(FileNotFoundError, match="dropped and"):
+        snap.read("t")
+
+
+def test_generic_merge_into_aligns_source_key_dtypes(spark, tmp_path):
+    """xxhash64 is type-sensitive: the same key value as int vs bigint
+    lands in different buckets.  merge_into must align source key
+    dtypes to the target's so a bigint-keyed source still updates the
+    int-keyed target row instead of silently re-inserting it."""
+    from pyspark.sql import functions as F
+
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+    from aquiles_etl_pipeline_spark.merge.generic import _bucket_expr, merge_into
+
+    wh = Warehouse(spark, tmp_path / "gmdtype")
+    base = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("id"),
+        F.col("id").cast("int").alias("v"),
+    )
+    wh.overwrite(
+        "t",
+        base.withColumn("_bucket", _bucket_expr(["id"])),
+        partition_by=["_bucket"],
+    )
+    # source key is BIGINT (spark.range default), target key is INT
+    source = spark.range(7, 8).select(
+        F.col("id"), F.lit(-7).cast("int").alias("v")
+    )
+    stats = merge_into(wh, "t", source, on="id", bucket_col="_bucket")
+    after = {r["id"]: r["v"] for r in wh.read("t").collect()}
+    assert after[7] == -7, "existing key was not matched (dtype bucket drift)"
+    assert len(after) == 50, "existing key was duplicated instead of updated"
+    assert stats["updated"] == 1 and stats["inserted"] == 0
