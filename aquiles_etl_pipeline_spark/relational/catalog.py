@@ -225,6 +225,13 @@ _GRADE_FIRST = (
     "q231_retention_survival",
     "q232_order_fill_timeline",
     "q233_shared_run_explanations",
+    "q234_cheapest_regional_supplier",
+    "q235_important_part_values",
+    "q236_top_quarter_supplier",
+    "q237_supplier_diversity",
+    "q238_large_quantity_orders",
+    "q239_dominant_part_suppliers",
+    "q240_wealthy_inactive_customers",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -490,9 +490,15 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sampling", "dedup", "documents"),
 )
 def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import fan_out
+
     n = 5
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t"))
+    # the 5-gram builder is interpreted HOF work (no codegen) — fan the
+    # doc frame across cores first or it all runs in the one scan task
+    toks = fan_out(d).select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    )
     grams = toks.select(
         "doc_id",
         F.array_distinct(

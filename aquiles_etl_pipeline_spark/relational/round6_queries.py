@@ -1413,3 +1413,431 @@ def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
             "longest_run_tokens",
         )
     )
+
+# ---------------------------------------------------------------------------
+# q234: TPC-H Q2-shape — cheapest regional supplier per part
+# ---------------------------------------------------------------------------
+
+@register(
+    "q234_cheapest_regional_supplier",
+    sql="""
+    WITH regional AS (
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA'
+    ),
+    offers AS (
+      SELECT l_partkey, s_suppkey, s_name,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem JOIN regional ON s_suppkey = l_suppkey
+    ),
+    ranked AS (
+      SELECT l_partkey, s_suppkey, s_name, price_c,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY price_c, s_suppkey) AS rn
+      FROM offers
+    )
+    SELECT p_partkey, p_brand, s_suppkey, s_name,
+           ROUND(CAST(price_c AS DOUBLE) / 100, 2) AS best_price
+    FROM ranked JOIN part ON p_partkey = l_partkey
+    WHERE rn = 1 AND p_size BETWEEN 1 AND 5
+    """,
+    doc="TPC-H Q2 shape: for every small part, the supplier offering "
+        "the minimum price within one region — the correlated-MIN "
+        "subquery (price = (SELECT MIN ... WHERE same part, same "
+        "region)) decorrelated to a PARTITION BY part window with a "
+        "deterministic (price, suppkey) tiebreak, so ties cannot "
+        "diverge across engines.  (This schema has no partsupp; "
+        "lineitem prices stand in for supply cost.)  Physical shape: "
+        "region->nation->supplier broadcast chain prunes the fact "
+        "FIRST, one hash(partkey) window, part dim broadcast onto the "
+        "one-row-per-part winners.  Prices stay integer cents until "
+        "the output render.",
+    tags=("relational", "tpch", "decorrelation", "lineitem", "supplier"),
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    regional = s.join(
+        F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
+        s["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    offers = li.join(F.broadcast(regional), li["l_suppkey"] == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey").orderBy("price_c", "s_suppkey")
+    ranked = offers.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    p = load(spark, sf_dir, "part").where(F.col("p_size").between(1, 5)).select(
+        "p_partkey", "p_brand"
+    )
+    return ranked.join(F.broadcast(p), ranked["l_partkey"] == p["p_partkey"]).select(
+        "p_partkey", "p_brand", "s_suppkey", "s_name",
+        F.round(F.col("price_c").cast("double") / 100, 2).alias("best_price"),
+    )
+
+# ---------------------------------------------------------------------------
+# q235: TPC-H Q11-shape — important part values vs a global threshold
+# ---------------------------------------------------------------------------
+
+@register(
+    "q235_important_part_values",
+    sql="""
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS value_c
+      FROM lineitem GROUP BY 1
+    ),
+    w AS (
+      SELECT l_partkey, value_c, SUM(value_c) OVER () AS total_c FROM pv
+    )
+    SELECT l_partkey AS partkey,
+           ROUND(CAST(value_c AS DOUBLE) / 100, 2) AS value,
+           ROUND(CAST(value_c AS DOUBLE) / total_c, 6) AS share
+    FROM w WHERE value_c * 2000 > total_c
+    """,
+    doc="TPC-H Q11 shape: parts whose total traded value exceeds a "
+        "fraction (1/2000) of the GLOBAL total — the HAVING-against-a-"
+        "different-grain-scalar decorrelation: the global total comes "
+        "from an unpartitioned window over the |parts|-sized rollup "
+        "(never a second fact scan), and the threshold compares exact "
+        "integers (value*2000 > total) so no float fraction can flip "
+        "the cut between engines.  One fact-sized hash(partkey) "
+        "aggregation is the entire shuffle cost.",
+    tags=("relational", "tpch", "decorrelation", "lineitem"),
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_c")
+    )
+    w = Window.partitionBy()
+    return (
+        pv.withColumn("total_c", F.sum("value_c").over(w))
+        .where(F.col("value_c") * 2000 > F.col("total_c"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("value_c").cast("double") / 100, 2).alias("value"),
+            F.round(
+                F.col("value_c").cast("double") / F.col("total_c"), 6
+            ).alias("share"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# q236: TPC-H Q15-shape — top supplier(s) by quarterly revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "q236_top_quarter_supplier",
+    sql="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                  AS DECIMAL(24,6)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    ),
+    m AS (SELECT l_suppkey, total_rev, MAX(total_rev) OVER () AS mx FROM rev)
+    SELECT s_suppkey, s_name,
+           CAST(total_rev AS DOUBLE) AS total_rev
+    FROM m JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev = mx
+    """,
+    doc="TPC-H Q15 shape: the supplier(s) achieving the MAXIMUM "
+        "quarterly revenue — the revenue-view + WHERE rev = (SELECT "
+        "MAX(rev)) pattern decorrelated to an unpartitioned window "
+        "max over the |suppliers|-sized rollup; equality on the EXACT "
+        "decimal revenue (never a rounded double) keeps tie "
+        "membership identical across engines, and ALL tied suppliers "
+        "return (no arbitrary LIMIT election).  One quarter-pruned "
+        "fact aggregation; supplier dim broadcasts.",
+    tags=("relational", "tpch", "decorrelation", "lineitem", "supplier"),
+)
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        )
+        .cast("decimal(24,6)")
+        .alias("total_rev")
+    )
+    m = rev.withColumn("mx", F.max("total_rev").over(Window.partitionBy()))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        m.where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+# ---------------------------------------------------------------------------
+# q237: TPC-H Q16-shape — supplier diversity excluding a blacklist (NOT IN)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q237_supplier_diversity",
+    sql="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    ok AS (
+      SELECT l_partkey, l_suppkey FROM ps
+      WHERE l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
+    )
+    SELECT p_brand, p_type,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ok JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 10
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q16 shape: distinct supplier counts per (brand, type) "
+        "for small parts, EXCLUDING a blacklisted supplier set — the "
+        "NOT IN subquery decorrelated to a LEFT ANTI join (the "
+        "blacklist has no NULL keys by construction, so NOT IN and "
+        "anti-join semantics coincide; a nullable blacklist is the "
+        "classic NOT IN trap and would need a null guard).  The "
+        "(part, supplier) grain collapses to DISTINCT first, the tiny "
+        "blacklist broadcasts, the part dim broadcasts, then one "
+        "count-distinct rollup.",
+    tags=("relational", "tpch", "decorrelation", "lineitem", "part"),
+)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    bl = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 13 == 0)
+        .select("s_suppkey")
+    )
+    ok = ps.join(
+        F.broadcast(bl), ps["l_suppkey"] == bl["s_suppkey"], "left_anti"
+    )
+    p = load(spark, sf_dir, "part").where(F.col("p_size") <= 10).select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    return (
+        ok.join(F.broadcast(p), ok["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+# ---------------------------------------------------------------------------
+# q238: TPC-H Q18-shape — large-quantity orders (IN over grouped HAVING)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q238_large_quantity_orders",
+    sql="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 180
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18 shape: orders whose TOTAL lineitem quantity "
+        "exceeds a threshold, reported with their customer — the "
+        "o_orderkey IN (SELECT ... GROUP BY ... HAVING) pattern "
+        "decorrelated to a plain join against the aggregated key set "
+        "(the HAVING rollup IS the semi-join build side, and it also "
+        "carries the total the report needs, so no second fact pass). "
+        " Integer-exact quantities; one hash(orderkey) aggregation, "
+        "then orderkey- and custkey-family joins.  No top-k LIMIT "
+        "(tie order is not cross-engine deterministic).",
+    tags=("relational", "tpch", "decorrelation", "lineitem", "orders"),
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"))
+        .where(F.col("total_qty") > 180)
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# q239: TPC-H Q20-shape — dominant suppliers of red parts
+# ---------------------------------------------------------------------------
+
+@register(
+    "q239_dominant_part_suppliers",
+    sql="""
+    WITH gp AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    sq AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+      FROM lineitem JOIN gp ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT l_partkey, l_suppkey, supp_qty,
+             SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+      FROM sq
+    ),
+    dominant AS (
+      SELECT DISTINCT l_suppkey FROM w WHERE supp_qty * 8 > part_qty
+    )
+    SELECT s_suppkey, s_name, n_name AS nation
+    FROM dominant
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    """,
+    doc="TPC-H Q20 shape: suppliers shipping MORE THAN HALF of some "
+        "green part's total volume — the nested IN-chain (suppkey IN "
+        "(... WHERE qty > 0.5 * (SELECT SUM ...))) decorrelated in "
+        "two moves: the part filter prunes the fact through a "
+        "broadcast join FIRST, and the correlated per-part total "
+        "becomes a PARTITION BY part window over the (part, supplier) "
+        "rollup; the share test is exact integers (qty*8 > total).  "
+        "Distinct winners semi-join back to supplier + nation dims "
+        "(both broadcast).  One fact aggregation, one window, no "
+        "per-row subqueries.",
+    tags=("relational", "tpch", "decorrelation", "lineitem", "supplier"),
+)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gp = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    sq = (
+        li.join(F.broadcast(gp), li["l_partkey"] == gp["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        sq.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .where(F.col("supp_qty") * 8 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        dominant.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+# ---------------------------------------------------------------------------
+# q240: TPC-H Q22-shape — wealthy inactive customers per nation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q240_wealthy_inactive_customers",
+    sql="""
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer WHERE c_acctbal > 0
+    ),
+    tot AS (
+      SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_c,
+             CAST(COUNT(*) AS BIGINT) AS n_pos
+      FROM pos
+    ),
+    rich AS (
+      SELECT c_custkey, c_nationkey, bal_c
+      FROM pos, tot WHERE bal_c * n_pos > sum_c
+    ),
+    inactive AS (
+      SELECT r.c_custkey, r.c_nationkey, r.bal_c
+      FROM rich r
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = r.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    )
+    SELECT n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(bal_c) AS DOUBLE) / 100, 2) AS total_balance
+    FROM inactive JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape: customers with above-average positive "
+        "balances with NO ORDER since 2000 (every customer here has "
+        "SOME order, so recency defines inactivity), per nation — the "
+        "scalar-average subquery PLUS NOT EXISTS combination.  The "
+        "average test is exact integers (bal*n > sum beats any "
+        "avg-as-double boundary), the global total is a single-row "
+        "broadcast (allowlisted NLJ shape), and the NOT EXISTS "
+        "decorrelates to a LEFT ANTI join against the orders custkey "
+        "column.  One customer scan, one orders-key anti join, one "
+        "tiny rollup with the nation dim broadcast.",
+    tags=("relational", "tpch", "decorrelation", "customer", "orders"),
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select(
+            "c_custkey", "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+        )
+    )
+    tot = pos.agg(
+        F.sum("bal_c").cast("bigint").alias("sum_c"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = pos.join(F.broadcast(tot)).where(
+        F.col("bal_c") * F.col("n_pos") > F.col("sum_c")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    inactive = rich.join(
+        o, rich["c_custkey"] == o["o_custkey"], "left_anti"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        inactive.join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("bal_c").cast("double") / 100, 2).alias(
+                "total_balance"
+            ),
+        )
+    )

@@ -154,6 +154,9 @@ def test_no_accidental_cartesian_products(plans):
         # q231 Kaplan-Meier: the corpus horizon (max ts) joins in as a
         # broadcast single-row aggregate (1 x N) — q42's shape again
         "q231_retention_survival",
+        # q240 Q22-shape: the positive-balance total/count joins in as
+        # a broadcast single-row aggregate (1 x N) — q42's shape again
+        "q240_wealthy_inactive_customers",
     }
     for name, p in plans.items():
         if name in allowed:
