@@ -232,6 +232,7 @@ _GRADE_FIRST = (
     "q238_large_quantity_orders",
     "q239_dominant_part_suppliers",
     "q240_wealthy_inactive_customers",
+    "q241_stream_timeout_sessions",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -1079,3 +1079,131 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _memoized(spark, sf_dir, "q195", build)
+
+
+# ---------------------------------------------------------------------------
+# q241: custom stateful sessionizer closed by EVENT-TIME TIMEOUTS
+# ---------------------------------------------------------------------------
+
+@register(
+    "q241_stream_timeout_sessions",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS sum_value
+    FROM tagged
+    GROUP BY user_id, sid
+    """,
+    doc="CUSTOM stateful streaming sessionizer under the gate "
+        "(streaming.stateful.session_summaries, applyInPandasWithState "
+        "+ GroupStateTimeout.EventTimeTimeout — the third custom "
+        "stateful operator, and the only one exercising event-time "
+        "TIMEOUTS): sessions close either when a later event proves "
+        "the inactivity gap (data-closed, emitted mid-stream) or when "
+        "the WATERMARK passes last_event + gap "
+        "(state.setTimeoutTimestamp fires, the state leaves the store "
+        "— the 100 TB state-bounding mechanism).  Events land "
+        "time-split in two waves so sessions straddling the cut must "
+        "merge through state restored from the checkpoint; two "
+        "far-future sentinel waves then advance the watermark and run "
+        "the flush batch that fires every remaining timeout (the q195 "
+        "two-sentinel rule).  The emitted closed-session set must "
+        "equal the batch gaps-and-islands recompute — q32's oracle "
+        "with (ts, event_id) deterministic order and integer-cent "
+        "sums.",
+    tags=("streaming", "stateful", "session", "timeout", "events"),
+)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        import tempfile
+        from pathlib import Path
+
+        from pyspark.sql import functions as F
+
+        from ..streaming.stateful import session_summaries
+
+        root = Path(tempfile.mkdtemp(prefix="q241_tsess_"))
+        land = root / "land"
+        land.mkdir()
+        out = str(root / "out")
+        e = load(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
+        cut = lo + (hi - lo) // 2
+        sent = "event_id long, ts_us long, user_id long, cents long"
+        sentinel1 = spark.createDataFrame(
+            [(int(-1), hi + 10 * 3_600_000_000, int(-1), 0)], sent
+        )
+        sentinel2 = spark.createDataFrame(
+            [(int(-2), hi + 20 * 3_600_000_000, int(-2), 0)], sent
+        )
+
+        def drain() -> None:
+            stream = (
+                spark.readStream.schema(sent)
+                .option("maxFilesPerTrigger", 1_000_000)
+                .json(str(land))
+                .select(
+                    "event_id",
+                    "ts_us",
+                    F.timestamp_micros("ts_us").alias("ts"),
+                    "user_id",
+                    "cents",
+                )
+                .withWatermark("ts", "1 hour")
+            )
+            sessions = session_summaries(stream, gap_minutes=30)
+            (
+                sessions.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", str(root / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        _land_wave(root, land, e.where(F.col("ts_us") < cut), "a")
+        drain()
+        _land_wave(root, land, e.where(F.col("ts_us") >= cut), "b")
+        drain()
+        _land_wave(root, land, sentinel1, "c")
+        drain()
+        _land_wave(root, land, sentinel2, "d")
+        drain()
+        return (
+            spark.read.parquet(out)
+            .where(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.timestamp_micros("start_us").alias("session_start"),
+                F.timestamp_micros("end_us").alias("session_end"),
+                "n_events",
+                F.round(F.col("sum_cents").cast("double") / 100, 2).alias(
+                    "sum_value"
+                ),
+            )
+        )
+
+    return _memoized(spark, sf_dir, "q241", build)

@@ -157,3 +157,106 @@ def shard_heavy_users(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESS_OUTPUT_SCHEMA = (
+    "user_id bigint, start_us bigint, end_us bigint, "
+    "n_events bigint, sum_cents bigint"
+)
+SESS_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint, cents bigint"
+
+
+def _update_sessions(gap_us: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        uid = int(key[0])
+
+        def row(start, last, n, cents):
+            return {
+                "user_id": uid,
+                "start_us": int(start),
+                "end_us": int(last),
+                "n_events": int(n),
+                "sum_cents": int(cents),
+            }
+
+        if state.hasTimedOut:
+            # the watermark passed last_event + gap with no new events:
+            # the open session is definitively closed — emit + drop
+            start, last, n, cents = state.get
+            state.remove()
+            yield pd.DataFrame([row(start, last, n, cents)])
+            return
+        # accumulate the WHOLE micro-batch before sessionizing (the
+        # q194 chunk-independence rule), then process in deterministic
+        # (ts, event_id) order
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+        closed: list[dict] = []
+        if state.exists:
+            start, last, n, cents = (int(v) for v in state.get)
+        else:
+            start = last = n = cents = -1  # no open session
+        for ts_us, c in zip(batch["ts_us"].astype("int64"),
+                            batch["cents"].astype("int64")):
+            ts_us, c = int(ts_us), int(c)
+            if n < 0:
+                start, last, n, cents = ts_us, ts_us, 1, c
+            elif ts_us - last < gap_us:
+                last, n, cents = max(last, ts_us), n + 1, cents + c
+            else:
+                # this event PROVES the gap: the previous session is
+                # closed by data (not by watermark)
+                closed.append(row(start, last, n, cents))
+                start, last, n, cents = ts_us, ts_us, 1, c
+        state.update((start, last, n, cents))
+        # close by timeout when the watermark passes last + gap; the
+        # timestamp must exceed the current watermark (a session whose
+        # expiry the watermark already passed fires on the next batch)
+        expiry = last + gap_us
+        wm = state.getCurrentWatermarkMs() * 1000
+        state.setTimeoutTimestamp(max(expiry, wm + 1_000) // 1000)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return fn
+
+
+def session_summaries(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom inactivity-gap sessionizer with EVENT-TIME TIMEOUTS — the
+    third applyInPandasWithState operator, and the one that exercises
+    the state-timeout machinery the other two never touch
+    (user_running_totals: ProcessingTime TTL eviction only;
+    shard_heavy_users: NoTimeout).
+
+    Semantics match the batch gaps-and-islands sessionizer
+    (relational.timeseries._assign_sessions, q32's oracle): events of a
+    user belong to one session while consecutive gaps stay under
+    ``gap_minutes``.  A session closes two ways, both emitting exactly
+    one final row (append semantics):
+
+    * DATA-closed: a later event of the same user proves the gap;
+    * TIMEOUT-closed: the WATERMARK passes last_event + gap
+      (``GroupStateTimeout.EventTimeTimeout`` +
+      ``state.setTimeoutTimestamp``) — the mechanism that closes the
+      tail sessions no further event will ever close, and what bounds
+      state at 100 TB: an idle user's state leaves the store one gap
+      after their last event, not at stream end.
+
+    Input must carry event-time micros (``ts_us``), ``event_id`` for
+    deterministic intra-batch order, integer ``cents``, and a watermark
+    on its ``ts`` column.  Output: one row per CLOSED session.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_sessions(gap_us),
+        outputStructType=SESS_OUTPUT_SCHEMA,
+        stateStructType=SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

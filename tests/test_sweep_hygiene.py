@@ -78,6 +78,9 @@ PERSIST_PRONE = [
     # q195 runs four outer-join drains (dual-side join state + the
     # sentinel watermark-flush batches)
     "q195_stream_outer_join",
+    # q241 runs four stateful sessionizer drains (event-time-timeout
+    # state restored across restarts + two sentinel flush batches)
+    "q241_stream_timeout_sessions",
 ]
 
 
