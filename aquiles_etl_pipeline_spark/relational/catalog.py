@@ -233,6 +233,8 @@ _GRADE_FIRST = (
     "q239_dominant_part_suppliers",
     "q240_wealthy_inactive_customers",
     "q241_stream_timeout_sessions",
+    "q242_shipping_class_service",
+    "q243_product_profit",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -1841,3 +1841,111 @@ def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q242: TPC-H Q12-shape — shipping-class service levels (CASE-in-agg)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q242_shipping_class_service",
+    sql="""
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape: late shipments per shipping class, split "
+        "into high- vs low-priority counts with CASE-in-aggregate — "
+        "the conditional-aggregation pattern (this schema carries no "
+        "l_shipmode; l_returnflag stands in as the class column, and "
+        "lateness is ship > order date + 30 days since commit/receipt "
+        "dates are absent).  Physical shape: both date predicates "
+        "push to the lineitem scan, the orderkey equi-join is the one "
+        "fact shuffle, and the CASE pair rides a single 3-group "
+        "aggregation — never two passes.",
+    tags=("relational", "tpch", "lineitem", "orders"),
+)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(F.col("l_returnflag").alias("ship_class")).agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+# ---------------------------------------------------------------------------
+# q243: TPC-H Q9-shape — product-line profit by nation and year
+# ---------------------------------------------------------------------------
+
+@register(
+    "q243_product_profit",
+    sql="""
+    SELECT n_name AS nation,
+           CAST(year(l_shipdate) AS INT) AS o_year,
+           CAST(CAST(SUM(
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))
+             - CAST(p_retailprice AS DECIMAL(18,2))
+               * CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,0))
+               * CAST(0.10 AS DECIMAL(6,2))
+           ) AS DECIMAL(28,6)) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape: product-line profit (revenue minus supply "
+        "cost) per supplier nation and ship year for parts matching a "
+        "name pattern — the classic multi-dimension star rollup with "
+        "an ARITHMETIC measure spanning two tables (no partsupp here: "
+        "10% of p_retailprice per unit stands in for supply cost).  "
+        "All money math in DECIMAL with single-digit-exact factors "
+        "(qty lands as an exact integer-scaled decimal), summed wide "
+        "(28,6) and emitted once as double.  Physical shape: the "
+        "name-filtered part dim broadcasts and prunes the fact first, "
+        "supplier and nation broadcast, one (nation, year) "
+        "aggregation — a single fact pass.",
+    tags=("relational", "tpch", "lineitem", "part", "supplier"),
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    ) - F.col("p_retailprice").cast("decimal(18,2)") * F.col("l_quantity").cast(
+        "bigint"
+    ).cast("decimal(18,0)") * F.lit(0.10).cast("decimal(6,2)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(profit).cast("decimal(28,6)").cast("double").alias("profit")
+        )
+    )
