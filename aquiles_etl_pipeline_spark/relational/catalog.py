@@ -235,6 +235,7 @@ _GRADE_FIRST = (
     "q241_stream_timeout_sessions",
     "q242_shipping_class_service",
     "q243_product_profit",
+    "q244_nation_market_share",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

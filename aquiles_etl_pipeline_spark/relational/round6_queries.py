@@ -1949,3 +1949,119 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(profit).cast("decimal(28,6)").cast("double").alias("profit")
         )
     )
+
+# ---------------------------------------------------------------------------
+# q244: TPC-H Q8-shape — national market share within a regional market
+# ---------------------------------------------------------------------------
+
+@register(
+    "q244_nation_market_share",
+    sql="""
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             sn.n_name AS supp_nation,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
+      FROM lineitem
+      JOIN orders    ON o_orderkey = l_orderkey
+      JOIN customer  ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region    ON r_regionkey = cn.n_regionkey
+      JOIN part      ON p_partkey = l_partkey
+      JOIN supplier  ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(
+             CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_7'
+                                THEN volume
+                                ELSE CAST(0 AS DECIMAL(18,2)) END)
+                       AS DECIMAL(28,6)) AS DOUBLE)
+             / CAST(CAST(SUM(volume) AS DECIMAL(28,6)) AS DOUBLE)
+           AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY 1
+    """,
+    doc="TPC-H Q8 shape: NATION_7's share of the ECONOMY-part revenue "
+        "sold into the ASIA market per order year — the market-share "
+        "ratio of two conditional aggregates over one seven-table "
+        "star, completing the 22-shape TPC-H family (q01..q243 cover "
+        "the other 21).  Numerator and denominator are summed as "
+        "exact decimals and emitted through one IEEE double division "
+        "(deterministic given exact inputs), never averaged as "
+        "floats.  Physical shape: the type-filtered part dim "
+        "broadcasts and prunes the fact first, region/nation/supplier "
+        "broadcast, the orderkey equi-join is the one fact-fact "
+        "shuffle, and customer joins shuffle-side because at 100 TB "
+        "the customer table is fact-sized (the q230 rule); both CASE "
+        "sums ride a single (year) aggregation.",
+    tags=("relational", "tpch", "lineitem", "orders", "market-share"),
+)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_nationkey"),
+        F.col("n_regionkey").alias("cn_regionkey"),
+    )
+    r = (
+        load(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    vol = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == cn["cn_nationkey"])
+        .join(F.broadcast(r), cn["cn_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == sn["sn_nationkey"])
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("supp_nation"),
+            volume.alias("volume"),
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    ).cast("decimal(28,6)")
+    den = F.sum("volume").cast("decimal(28,6)")
+    return (
+        vol.groupBy("o_year")
+        .agg(num.alias("_num"), den.alias("_den"))
+        .select(
+            "o_year",
+            (F.col("_num").cast("double") / F.col("_den").cast("double"))
+            .cast("double")
+            .alias("mkt_share"),
+        )
+    )
