@@ -12,6 +12,8 @@ correctness gate would never notice.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from aquiles_etl_pipeline_spark.relational import registry
@@ -1079,5 +1081,103 @@ def test_q219_exists_pair_plans_semi_and_anti_joins(plans):
     assert "LeftSemi" in p, "EXISTS did not plan as a semi join"
     assert "LeftAnti" in p, "NOT EXISTS did not plan as an anti join"
     assert "EqualTo(o_orderstatus,F)" in p, "status predicate not pushed"
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+def test_q234_min_supplier_decorrelates_to_window(plans):
+    """q234 (TPC-H Q2 shape): the correlated per-part MIN must plan as
+    a PARTITION BY window over the region-pruned fact — no self-join
+    re-aggregation — with the region predicate pushed to its scan and
+    every dim joined by broadcast (no sort-merge anywhere)."""
+    p = plans["q234_cheapest_regional_supplier"]
+    assert "Window" in p, "correlated MIN must decorrelate to a window"
+    assert "EqualTo(r_name,ASIA)" in p, "region predicate not pushed"
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "Q2 decorrelation planned a self-join"
+
+
+def test_q235_global_threshold_is_single_fact_pass(plans):
+    """q235 (TPC-H Q11 shape): the global total must come from an
+    unpartitioned window over the per-part rollup — one fact
+    aggregation, ZERO joins (a second fact scan or a scalar-subquery
+    join would double the 100 TB cost)."""
+    p = plans["q235_important_part_values"]
+    assert "Window" in p, "global total must be a window, not a join"
+    assert "Join" not in p, "Q11 shape must not join — rollup + window only"
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, (
+        "Q11 shape re-scanned the fact"
+    )
+
+
+def test_q236_max_revenue_is_window_over_rollup(plans):
+    """q236 (TPC-H Q15 shape): rev = (SELECT MAX(rev)) must plan as an
+    unpartitioned window max over the supplier rollup, with the
+    quarter predicate pushed to the lineitem scan and the supplier
+    dim broadcast."""
+    p = plans["q236_top_quarter_supplier"]
+    assert "Window" in p, "max-of-aggregate must decorrelate to a window"
+    assert "GreaterThanOrEqual(l_shipdate" in p, "quarter start not pushed"
+    assert "LessThan(l_shipdate" in p, "quarter end not pushed"
+    assert "BroadcastHashJoin" in p, "supplier dim must broadcast"
+
+
+def test_q237_not_in_plans_as_anti_join(plans):
+    """q237 (TPC-H Q16 shape): the NOT IN blacklist must plan as a
+    broadcast LEFT ANTI join with the size predicate pushed to the
+    part scan."""
+    p = plans["q237_supplier_diversity"]
+    assert "LeftAnti" in p, "NOT IN did not plan as an anti join"
+    assert "LessThanOrEqual(p_size,10)" in p, "size predicate not pushed"
+    assert "CartesianProduct" not in p
+
+
+def test_q239_dominant_share_is_window_over_rollup(plans):
+    """q239 (TPC-H Q20 shape): the correlated per-part total must plan
+    as a PARTITION BY window over the (part, supplier) rollup with the
+    name prefix pushed to the part scan — never a per-row subquery or
+    fact self-join."""
+    p = plans["q239_dominant_part_suppliers"]
+    assert "Window" in p, "correlated per-part total must be a window"
+    assert "StringStartsWith(p_name,red)" in p, "name prefix not pushed"
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 4, (
+        "Q20 shape re-scanned a table"
+    )
+    assert "SortMergeJoin" not in p, "Q20 decorrelation planned a self-join"
+
+
+def test_q242_date_band_pushes_and_single_agg(plans):
+    """q242 (TPC-H Q12 shape): both shipdate band predicates must reach
+    the lineitem scan, and the high/low CASE pair must ride ONE
+    aggregation (a second pass per CASE arm doubles the fact cost)."""
+    p = plans["q242_shipping_class_service"]
+    assert "GreaterThanOrEqual(l_shipdate" in p, "band start not pushed"
+    assert "LessThan(l_shipdate" in p, "band end not pushed"
+    # one logical aggregate = exactly one partial/final HashAggregate pair
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2, (
+        "CASE pair split into two aggregations"
+    )
+    assert "CartesianProduct" not in p
+
+
+def test_q243_star_dims_broadcast_single_fact_pass(plans):
+    """q243 (TPC-H Q9 shape): part (name-filtered, pushed), supplier
+    and nation must ALL broadcast onto a single lineitem pass — the
+    classic star; any sort-merge join here shuffles the fact 3x at
+    100 TB."""
+    p = plans["q243_product_profit"]
+    assert "StringContains(p_name,bolt)" in p, "name filter not pushed"
+    assert p.count("BroadcastHashJoin") >= 3, "a star dim failed to broadcast"
+    assert "SortMergeJoin" not in p, "star join fell back to sort-merge"
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 4
+
+
+def test_q244_market_share_pushes_both_dim_filters(plans):
+    """q244 (TPC-H Q8 shape): the region and part-type predicates must
+    reach their scans, the dims must broadcast, and the whole
+    seven-table star must plan without a cartesian."""
+    p = plans["q244_nation_market_share"]
+    assert "EqualTo(r_name,ASIA)" in p, "region predicate not pushed"
+    assert "EqualTo(p_type,ECONOMY)" in p, "part-type predicate not pushed"
+    assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
