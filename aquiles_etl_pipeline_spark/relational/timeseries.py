@@ -405,7 +405,11 @@ def _assign_sessions(
     starts a new session; ``out_col`` gets the per-key 1-based session
     number via one lag + running-sum window.  Single source so a
     future change to the gap semantics cannot silently diverge the
-    batch queries from each other."""
+    batch queries from each other.  (The STREAMING sessionizer,
+    streaming.stateful.session_summaries, deliberately differs at the
+    boundary: it splits on gap >= gap at microsecond precision, while
+    this splits on gap > gap at whole-second precision — see its
+    docstring before swapping one for the other.)"""
     epoch = F.expr(f"unix_micros({ts_col}) div 1000000")
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
     new_sess = (

@@ -200,18 +200,31 @@ def _update_sessions(gap_us: int):
             start, last, n, cents = (int(v) for v in state.get)
         else:
             start = last = n = cents = -1  # no open session
+        # null cents arrive as NaN (float64 column) — SUM-skips-null
+        # parity means they contribute 0 while the event still counts
         for ts_us, c in zip(batch["ts_us"].astype("int64"),
-                            batch["cents"].astype("int64")):
+                            batch["cents"].fillna(0).astype("int64")):
             ts_us, c = int(ts_us), int(c)
             if n < 0:
                 start, last, n, cents = ts_us, ts_us, 1, c
-            elif ts_us - last < gap_us:
-                last, n, cents = max(last, ts_us), n + 1, cents + c
+            elif ts_us >= last:  # in-order (always true within a batch)
+                if ts_us - last < gap_us:
+                    last, n, cents = ts_us, n + 1, cents + c
+                else:
+                    # this event PROVES the gap: the previous session
+                    # is closed by data (not by watermark)
+                    closed.append(row(start, last, n, cents))
+                    start, last, n, cents = ts_us, ts_us, 1, c
+            elif start - ts_us < gap_us:
+                # late arrival (earlier micro-batch order) inside or
+                # within one gap BEFORE the open session: merge, and
+                # let it extend the session's start backwards
+                start, n, cents = min(start, ts_us), n + 1, cents + c
             else:
-                # this event PROVES the gap: the previous session is
-                # closed by data (not by watermark)
-                closed.append(row(start, last, n, cents))
-                start, last, n, cents = ts_us, ts_us, 1, c
+                # late arrival a full gap before the open session's
+                # start: nothing still in flight can bridge it to the
+                # open session, so it forms its own completed session
+                closed.append(row(ts_us, ts_us, 1, c))
         state.update((start, last, n, cents))
         # close by timeout when the watermark passes last + gap; the
         # timestamp must exceed the current watermark (a session whose
@@ -234,11 +247,21 @@ def session_summaries(
     (user_running_totals: ProcessingTime TTL eviction only;
     shard_heavy_users: NoTimeout).
 
-    Semantics match the batch gaps-and-islands sessionizer
-    (relational.timeseries._assign_sessions, q32's oracle): events of a
-    user belong to one session while consecutive gaps stay under
-    ``gap_minutes``.  A session closes two ways, both emitting exactly
-    one final row (append semantics):
+    Gaps-and-islands semantics at MICROSECOND precision: events of a
+    user share a session while consecutive gaps stay strictly under
+    ``gap_minutes``; a gap >= ``gap_minutes`` starts a new session
+    (this is what q241's oracle grades).  NOTE the deliberate boundary
+    difference from the batch sessionizer
+    ``relational.timeseries._assign_sessions`` (q12/q32/q80), which
+    compares WHOLE-SECOND epochs with a strict ``>``: a gap of exactly
+    ``gap_minutes`` (or any fraction within the following second)
+    splits here but merges there.  Out-of-order events that cross
+    micro-batches merge into the open session when they land within
+    one gap of its ``start`` (extending it backwards); anything older
+    closes immediately as its own single-event session — the
+    best-effort reading of gaps-and-islands when a potential bridging
+    event may simply never arrive.  A session closes two ways, both
+    emitting exactly one final row (append semantics):
 
     * DATA-closed: a later event of the same user proves the gap;
     * TIMEOUT-closed: the WATERMARK passes last_event + gap

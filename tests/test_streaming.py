@@ -601,3 +601,74 @@ def test_space_saving_eviction_guarantee():
     out2 = pd.concat(list(fn((0,), iter([pd.DataFrame({"user_id": [1]})]), state)))
     got2 = dict(zip(out2["user_id"], out2["est_count"]))
     assert got2[1] == 7
+
+
+def test_session_kernel_out_of_order_and_null_cents():
+    """Driver-side check of the _update_sessions kernel invariants the
+    q241 gate never exercises: a late cross-batch event within one gap
+    of the open session's start must MERGE and extend start backwards;
+    a late event a full gap before start must close immediately as its
+    own session; null cents must count the event while contributing 0
+    (SUM-skips-null parity) instead of crashing the astype."""
+    import pandas as pd
+
+    from aquiles_etl_pipeline_spark.streaming.stateful import (
+        _update_sessions,
+    )
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+        def remove(self):
+            self.exists = False
+
+    gap = 30 * 60 * 1_000_000  # 30 min in us
+    fn = _update_sessions(gap)
+    state = FakeState()
+    t0 = 10_000 * 1_000_000
+
+    # batch 1: one event at t0, with NULL cents (NaN float column)
+    b1 = pd.DataFrame({"ts_us": [t0], "event_id": [1],
+                       "cents": pd.array([None], dtype="float64")})
+    out1 = list(fn((7,), iter([b1]), state))
+    assert out1 == [], "open session must not emit"
+    assert state.get == (t0, t0, 1, 0), "null cents must count as 0"
+
+    # batch 2: late event 10 min BEFORE start -> merge, start moves back
+    late = t0 - 10 * 60 * 1_000_000
+    b2 = pd.DataFrame({"ts_us": [late], "event_id": [2], "cents": [5.0]})
+    assert list(fn((7,), iter([b2]), state)) == []
+    assert state.get == (late, t0, 2, 5), "late in-gap event must extend start"
+
+    # batch 3: late event a FULL gap before start -> own closed session
+    ancient = late - gap
+    b3 = pd.DataFrame({"ts_us": [ancient], "event_id": [3], "cents": [9.0]})
+    out3 = pd.concat(list(fn((7,), iter([b3]), state)))
+    assert len(out3) == 1
+    r = out3.iloc[0]
+    assert (r["start_us"], r["end_us"], r["n_events"], r["sum_cents"]) == (
+        ancient, ancient, 1, 9
+    ), "an unbridgeable late event must close as its own session"
+    assert state.get == (late, t0, 2, 5), "open session must be untouched"
+
+    # batch 4: in-order event past the gap -> data-closes the open session
+    t1 = t0 + gap
+    b4 = pd.DataFrame({"ts_us": [t1], "event_id": [4], "cents": [1.0]})
+    out4 = pd.concat(list(fn((7,), iter([b4]), state)))
+    assert len(out4) == 1 and out4.iloc[0]["n_events"] == 2
+    assert state.get == (t1, t1, 1, 1)
