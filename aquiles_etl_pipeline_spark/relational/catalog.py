@@ -236,6 +236,8 @@ _GRADE_FIRST = (
     "q242_shipping_class_service",
     "q243_product_profit",
     "q244_nation_market_share",
+    "q245_position_attribution",
+    "q246_bpe_merge_pairs",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -2065,3 +2065,162 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mkt_share"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q245: position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "q245_position_attribution",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             CASE WHEN epoch_us(ts) // 1000000
+                       - LAG(epoch_us(ts) // 1000000)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    p AS (SELECT user_id, sid, event_id AS pid, ts AS pts, cents
+          FROM sess WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, sid, event_id AS tid, ts AS tts,
+                 event_type AS touchpoint
+          FROM sess WHERE event_type <> 'purchase'),
+    pairs AS (
+      SELECT p.user_id, p.sid, p.pid, p.cents, t.touchpoint, t.tts, t.tid
+      FROM t JOIN p USING (user_id, sid)
+      WHERE t.tts < p.pts OR (t.tts = p.pts AND t.tid < p.pid)
+    ),
+    ranked AS (
+      SELECT touchpoint, cents * 10000 AS total,
+             COUNT(*) OVER (PARTITION BY user_id, sid, pid) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid, pid
+                                ORDER BY tts, tid) AS rn
+      FROM pairs
+    ),
+    credited AS (
+      SELECT touchpoint,
+             CASE WHEN n = 1 THEN total
+                  WHEN n = 2 THEN total // 2
+                       + CASE WHEN rn = 1
+                              THEN total - (total // 2) * 2 ELSE 0 END
+                  ELSE CASE
+                    WHEN rn = 1 OR rn = n THEN (total * 4) // 10
+                    ELSE (total - 2 * ((total * 4) // 10)) // (n - 2)
+                         + CASE WHEN rn = 2 THEN
+                             (total - 2 * ((total * 4) // 10))
+                             - ((total - 2 * ((total * 4) // 10))
+                                // (n - 2)) * (n - 2)
+                           ELSE 0 END
+                  END
+             END AS credit
+      FROM ranked
+    ),
+    att AS (
+      SELECT touchpoint, CAST(COUNT(*) AS BIGINT) AS n_credits,
+             SUM(credit) AS micros
+      FROM credited GROUP BY touchpoint
+    ),
+    unatt AS (
+      SELECT '__unattributed__' AS touchpoint,
+             CAST(COUNT(*) AS BIGINT) AS n_credits,
+             SUM(cents * 10000) AS micros
+      FROM p
+      WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.pid = p.pid)
+      HAVING COUNT(*) > 0
+    )
+    SELECT touchpoint, n_credits,
+           ROUND(CAST(micros AS DOUBLE) / 1e6, 6) AS attributed_value
+    FROM (SELECT * FROM att UNION ALL SELECT * FROM unatt)
+    """,
+    doc="Position-based (U-shaped 40/20/40) multi-touch attribution "
+        "(relational.timeseries.position_attribution): completes the "
+        "attribution family — last-touch (q93) and linear (q190) plus "
+        "this, the standard U-shaped model.  First and last touch of "
+        "each goal's session take floor(40%) each, the middles split "
+        "the exact remainder (earliest middle absorbs the largest-"
+        "remainder), one touch takes all, two split 50/50 — every "
+        "division a true floor so refunds agree with DuckDB's // "
+        "bit-for-bit and per-goal credits sum exactly.  Same physical "
+        "shape as q190: session window, (user, session)-bounded "
+        "expansion, pair-grain credit windows, one key family.",
+    tags=("timeseries", "events", "attribution"),
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .timeseries import position_attribution
+
+    return position_attribution(load(spark, sf_dir, "events"))
+
+# ---------------------------------------------------------------------------
+# q246: BPE merge-pair frequency mining (tokenizer-training inner loop)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q246_bpe_merge_pairs",
+    sql="""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM words WHERE w <> '' GROUP BY 1
+    ),
+    pairs AS (
+      SELECT substr(w, i, 1) AS left_sym,
+             substr(w, i + 1, 1) AS right_sym,
+             freq, w
+      FROM vocab, UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+      WHERE length(w) >= 2
+    )
+    SELECT left_sym, right_sym,
+           CAST(SUM(freq) AS BIGINT) AS pair_count,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+    FROM pairs GROUP BY 1, 2
+    """,
+    doc="BPE merge-pair frequency mining — the distributed inner loop "
+        "of byte-pair-encoding tokenizer training (Sennrich et al.): "
+        "count every adjacent symbol pair weighted by corpus word "
+        "frequency; the argmax pair is the next merge rule.  The "
+        "100 TB trick is the grain change: the corpus collapses to "
+        "the DISTINCT-WORD vocabulary first (Zipf-bounded, millions "
+        "of rows regardless of corpus size), and the position explode "
+        "+ pair rollup run on the VOCAB — corpus scale is paid once "
+        "in a hash(word) count, never in the per-character work.  "
+        "n_words (distinct words containing the pair) rides the same "
+        "aggregation.  Exact integer counts; ASCII test corpus so "
+        "substr char semantics agree across engines.",
+    tags=("text", "documents", "tokenizer"),
+)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).where(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    pairs = (
+        vocab.where(F.length("w") >= 2)
+        .select(
+            "w", "freq",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(
+            "w", "freq",
+            F.expr("substr(w, i, 1)").alias("left_sym"),
+            F.expr("substr(w, i + 1, 1)").alias("right_sym"),
+        )
+    )
+    return pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("freq").cast("bigint").alias("pair_count"),
+        F.countDistinct("w").alias("n_words"),
+    )

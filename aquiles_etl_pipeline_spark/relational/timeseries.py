@@ -912,6 +912,117 @@ def linear_attribution(
     )
 
 
+def position_attribution(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    goal_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: 40% of each
+    goal's value to the FIRST same-session touch, 40% to the LAST,
+    and the remaining 20% split equally over the middles — completing
+    the attribution family (last-touch q93, linear q190; this is the
+    industry's U-shaped model).  One touch takes 100%; two touches
+    split 50/50.
+
+    Integer-exact (the q190 money rule): value lands as dollar-micros,
+    the 40% shares are floor(total*4/10), the middle pool is whatever
+    remains after both ends (so the three buckets always sum to the
+    goal's value exactly), and within the middles the EARLIEST absorbs
+    the pool's remainder (largest-remainder).  Every division is a
+    TRUE floor via ``(a - pmod(a, n)) div n`` so refunds (negative
+    values) agree with DuckDB's flooring ``//`` bit-for-bit.
+
+    Scale: identical physical shape to linear_attribution — one
+    lag+cumsum session window, a (key, session)-bounded touch-goal
+    expansion, credit windows on the pair grain.  Three shuffles on
+    one key family.
+    """
+    base = _assign_sessions(
+        events, gap_seconds, key_col, ts_col, id_col, out_col="_sid"
+    ).select(
+        F.col(key_col).alias("_k"),
+        "_sid",
+        F.col(id_col).alias("_id"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("_cents"),
+    )
+    goals = base.where(F.col("_ty") == goal_type).select(
+        "_k", "_sid",
+        F.col("_id").alias("_pid"),
+        F.col("_ts").alias("_pts"),
+        "_cents",
+    )
+    touches = base.where(F.col("_ty") != goal_type).select(
+        "_k", "_sid",
+        F.col("_id").alias("_tid"),
+        F.col("_ts").alias("_tts"),
+        F.col("_ty").alias("touchpoint"),
+    )
+    pairs = touches.join(goals, ["_k", "_sid"]).where(
+        (F.col("_tts") < F.col("_pts"))
+        | ((F.col("_tts") == F.col("_pts")) & (F.col("_tid") < F.col("_pid")))
+    )
+    pw = Window.partitionBy("_k", "_sid", "_pid")
+    ranked = pairs.select(
+        "touchpoint",
+        (F.col("_cents") * 10000).alias("_total"),
+        F.count(F.lit(1)).over(pw).alias("_n"),
+        F.row_number()
+        .over(pw.orderBy(F.col("_tts"), F.col("_tid")))
+        .alias("_rn"),
+    )
+    # all floors are (a - pmod(a, n)) div n — see linear_attribution
+    credit = F.expr(
+        """
+        CASE WHEN _n = 1 THEN _total
+             WHEN _n = 2 THEN
+               (_total - pmod(_total, 2)) div 2
+               + CASE WHEN _rn = 1 THEN pmod(_total, 2) ELSE 0 END
+             ELSE
+               CASE WHEN _rn = 1 OR _rn = _n THEN
+                      (_total * 4 - pmod(_total * 4, 10)) div 10
+                    ELSE
+                      ((_total - 2 * ((_total * 4 - pmod(_total * 4, 10))
+                                      div 10))
+                       - pmod(_total - 2 * ((_total * 4
+                                             - pmod(_total * 4, 10)) div 10),
+                              _n - 2)) div (_n - 2)
+                      + CASE WHEN _rn = 2 THEN
+                          pmod(_total - 2 * ((_total * 4
+                                              - pmod(_total * 4, 10)) div 10),
+                               _n - 2)
+                        ELSE 0 END
+               END
+        END
+        """
+    )
+    attributed = ranked.groupBy("touchpoint").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum(credit).alias("_micros"),
+    )
+    unattributed = (
+        goals.join(
+            pairs.select("_pid").distinct(), "_pid", "left_anti"
+        )
+        .groupBy(F.lit("__unattributed__").alias("touchpoint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum(F.col("_cents") * 10000).alias("_micros"),
+        )
+    )
+    return attributed.unionByName(unattributed).select(
+        "touchpoint",
+        "n_credits",
+        F.round(F.col("_micros").cast("double") / 1e6, 6).alias("attributed_value"),
+    )
+
+
 def reflected_running_balance(
     deltas: DataFrame,
     key_col: str = "user_id",

@@ -706,3 +706,47 @@ def test_reflected_balance_equals_sequential_fold(spark):
             d = next(r[3] for r in rows if r[0] == u and r[1] == t)
             b = max(0, b + d)
             assert got[(u, t)] == b, f"user {u} t {t}"
+
+
+def test_position_attribution_exact_u_split(spark):
+    """Pinned hand-computed U-shaped credits: 4-touch session splits
+    40/20/20/40 with integer-exact micros, 2 touches split 50/50, a
+    single touch takes a full refund (negative) untouched, a goal
+    with no touches lands in __unattributed__, and credits sum to the
+    total goal value EXACTLY."""
+    import datetime as dt
+
+    from aquiles_etl_pipeline_spark.relational.timeseries import (
+        position_attribution,
+    )
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, T(0), "click_a", 0.0, 1), (1, T(1), "click_b", 0.0, 2),
+        (1, T(2), "click_c", 0.0, 3), (1, T(3), "click_d", 0.0, 4),
+        (1, T(4), "purchase", 10.01, 5),
+        (2, T(0), "click_a", 0.0, 6), (2, T(1), "purchase", -5.55, 7),
+        (3, T(0), "click_a", 0.0, 8), (3, T(1), "click_b", 0.0, 9),
+        (3, T(2), "purchase", 0.03, 10),
+        (4, T(0), "purchase", 7.77, 11),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id bigint, ts timestamp, event_type string, "
+        "value double, event_id bigint",
+    )
+    got = {
+        r["touchpoint"]: (r["n_credits"], r["attributed_value"])
+        for r in position_attribution(df).collect()
+    }
+    assert got == {
+        # 4.004 (first of 4) - 5.55 (lone touch, refund) + 0.015 (50/50)
+        "click_a": (3, -1.531),
+        # 1.001 (middle) + 0.015 (50/50)
+        "click_b": (2, 1.016),
+        "click_c": (1, 1.001),   # middle of 4
+        "click_d": (1, 4.004),   # last of 4
+        "__unattributed__": (1, 7.77),
+    }
+    total = sum(v for _, v in got.values())
+    assert round(total, 6) == round(10.01 - 5.55 + 0.03 + 7.77, 6)
