@@ -238,6 +238,7 @@ _GRADE_FIRST = (
     "q244_nation_market_share",
     "q245_position_attribution",
     "q246_bpe_merge_pairs",
+    "q247_rendezvous_rebalance",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

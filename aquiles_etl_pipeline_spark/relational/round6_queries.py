@@ -2224,3 +2224,106 @@ def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("freq").cast("bigint").alias("pair_count"),
         F.countDistinct("w").alias("n_words"),
     )
+
+# ---------------------------------------------------------------------------
+# q247: rendezvous-hash shard rebalancing (consistent-hashing movement)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q247_rendezvous_rebalance",
+    sql="""
+    WITH keys AS (SELECT o_orderkey AS k FROM orders),
+    nodes AS (SELECT unnest(generate_series(0, 5)) AS node),
+    scored AS (
+      SELECT k, node,
+             (k * 48271 + node * 1299721) % 2147483647 AS h
+      FROM keys CROSS JOIN nodes
+    ),
+    old AS (
+      SELECT k, node AS old_node FROM (
+        SELECT k, node,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY h DESC, node) AS rn
+        FROM scored WHERE node < 5
+      ) WHERE rn = 1
+    ),
+    neu AS (
+      SELECT k, node AS new_node FROM (
+        SELECT k, node,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY h DESC, node) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    j AS (SELECT old_node, new_node FROM old JOIN neu USING (k))
+    SELECT node AS node_id,
+           CAST(SUM(CASE WHEN old_node = node THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN new_node = node THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after,
+           CAST(SUM(CASE WHEN old_node = node AND new_node = node
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed
+    FROM nodes CROSS JOIN j
+    GROUP BY 1
+    """,
+    doc="Rendezvous (highest-random-weight) hashing shard rebalance "
+        "report: every order key is assigned to the node whose "
+        "per-(key, node) hash scores highest, under the old 5-node "
+        "ring and a new 6-node ring; per node, keys held before, "
+        "after, and inherited in place.  The consistent-hashing "
+        "guarantee — only ~1/(n+1) of keys move, and ONLY onto the "
+        "new node — falls out of the numbers.  Physical shape is the "
+        "100 TB point: assignment is a PER-ROW argmax over an inline "
+        "array of (hash, node) structs (array_max's lexicographic "
+        "compare; node negated so ties pick the smallest), so both "
+        "ring evaluations run inside the scan projection with ZERO "
+        "joins or shuffles before the final 6-group rollup — the "
+        "oracle's unnest + row_number formulation would shuffle "
+        "|keys| x |nodes| rows.  The hash is plain 64-bit integer "
+        "arithmetic ((k*48271 + node*1299721) mod 2^31-1) evaluated "
+        "identically in both engines — no engine-specific hash "
+        "function anywhere.",
+    tags=("relational", "infra", "orders", "sharding"),
+)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("k")
+
+    def assigned(nodes: list[int]):
+        arr = F.array(
+            *[
+                F.struct(
+                    ((k * 48271 + F.lit(n) * 1299721) % F.lit(2147483647)).alias(
+                        "h"
+                    ),
+                    F.lit(-n).alias("m"),
+                )
+                for n in nodes
+            ]
+        )
+        return (-F.array_max(arr)["m"]).cast("bigint")
+
+    keys = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    assign = keys.select(
+        assigned(list(range(5))).alias("old_node"),
+        assigned(list(range(6))).alias("new_node"),
+    )
+    after = assign.groupBy(F.col("new_node").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum(
+            F.when(F.col("old_node") == F.col("new_node"), 1).otherwise(0)
+        ).cast("bigint").alias("n_stayed"),
+    )
+    before = assign.groupBy(F.col("old_node").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    nodes = spark.range(6).select(F.col("id").alias("node_id"))
+    return (
+        nodes.join(F.broadcast(before), "node_id", "left")
+        .join(F.broadcast(after), "node_id", "left")
+        .select(
+            "node_id",
+            F.coalesce("n_before", F.lit(0)).cast("bigint").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            F.coalesce("n_stayed", F.lit(0)).cast("bigint").alias("n_stayed"),
+        )
+    )
