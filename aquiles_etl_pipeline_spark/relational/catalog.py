@@ -239,6 +239,14 @@ _GRADE_FIRST = (
     "q245_position_attribution",
     "q246_bpe_merge_pairs",
     "q247_rendezvous_rebalance",
+    "q248_cuped_adjustment",
+    "q249_acf_daily_revenue",
+    "q250_segment_priority_mi",
+    "q251_sax_symbol_runs",
+    "q252_rrf_part_fusion",
+    "q253_gini_acctbal_by_nation",
+    "q254_weekly_seasonal_anomalies",
+    "q255_subsample_keep_probs",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -1,0 +1,739 @@
+"""Round-6b catalog entries (q248+): experimentation, time-series
+mining, information theory, and IR/LLM-data fills no earlier entry
+covers — CUPED variance reduction, calendar-aligned autocorrelation,
+mutual-information cell grids, SAX symbol runs, reciprocal-rank
+fusion, per-group Gini, seasonal-naive anomaly flags, and word2vec
+subsampling probabilities.
+
+Shared numeric discipline (the q78 pattern): all corpus statistics
+accumulate as EXACT integers — cents via ``round(x*100)`` pinned to
+BIGINT, squared/cross products through DECIMAL(18,0) operands so the
+product width (36) stays inside both engines' DECIMAL(38) — and the
+single conversion to double happens at the final expression, written
+with the identical operation tree in the Spark code and the DuckDB
+oracle so every IEEE operation rounds identically.  Where a power is
+needed (f^0.75), it is decomposed into ``sqrt(f)*sqrt(sqrt(f))``:
+IEEE-754 requires sqrt to be correctly rounded, so the composition is
+bit-identical across engines, unlike libm ``pow``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import load, register
+
+_D18 = "decimal(18,0)"
+_D38 = "decimal(38,0)"
+
+
+def _cents(col: str) -> F.Column:
+    """NULL-safe exact cents of a double money column."""
+    return F.round(F.coalesce(F.col(col), F.lit(0.0)) * 100).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# q248: CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+@register(
+    "q248_cuped_adjustment",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS pre_c,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS post_c
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(pre_c) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(post_c) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(CAST(pre_c AS DECIMAL(18,0))
+                                * CAST(pre_c AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(CAST(pre_c AS DECIMAL(18,0))
+                                * CAST(post_c AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS sxy
+      FROM per_user
+    ),
+    v AS (
+      SELECT user_id % 2 AS variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(CAST(SUM(pre_c) AS BIGINT) AS DOUBLE) AS spre,
+             CAST(CAST(SUM(post_c) AS BIGINT) AS DOUBLE) AS spost
+      FROM per_user GROUP BY 1
+    )
+    SELECT variant, n_users,
+           round(spost / CAST(n_users AS DOUBLE) / 100, 6) AS mean_post,
+           round((spost / CAST(n_users AS DOUBLE)
+                  - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                    * (spre / CAST(n_users AS DOUBLE) - sx / n)) / 100,
+                 6) AS mean_cuped,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta
+    FROM v CROSS JOIN tot
+    """,
+    doc="CUPED variance-reduced A/B readout (Deng et al., WSDM'13): "
+        "users split into two variants by user_id parity, the first "
+        "half of the event horizon is the pre-experiment covariate and "
+        "the second half the treatment metric; theta = cov(pre, post) "
+        "/ var(pre) is fit on the pooled population and each variant's "
+        "post-period mean is adjusted by theta * (pre_mean_v - "
+        "pre_grand_mean).  All moments accumulate as exact integers "
+        "(cents in BIGINT, cross-products through DECIMAL(18,0) "
+        "operands so the 36-digit product stays exact in both "
+        "engines); theta and the adjusted means are single double "
+        "expressions over those exact sums, written with the identical "
+        "operation tree in both engines.  Physical shape: one "
+        "user-grain shuffle (the only fact-sized exchange), then the "
+        "2-row variant rollup and the 1-row moment rollup join as a "
+        "broadcast single-row aggregate — q42's degenerate map shape.",
+    tags=("experimentation", "events", "agg", "stats"),
+)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cents = _cents("value")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("pre_c"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("post_c"),
+    )
+    pre_d = F.col("pre_c").cast(_D18)
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("pre_c").cast("bigint").cast("double").alias("sx"),
+        F.sum("post_c").cast("bigint").cast("double").alias("sy"),
+        F.sum((pre_d * F.col("pre_c").cast(_D18)).cast(_D38))
+        .cast(_D38)
+        .cast("double")
+        .alias("sxx"),
+        F.sum((pre_d * F.col("post_c").cast(_D18)).cast(_D38))
+        .cast(_D38)
+        .cast("double")
+        .alias("sxy"),
+    )
+    v = per_user.groupBy(F.expr("user_id % 2").alias("variant")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("pre_c").cast("bigint").cast("double").alias("spre"),
+        F.sum("post_c").cast("bigint").cast("double").alias("spost"),
+    )
+    n_d = F.col("n_users").cast("double")
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return v.crossJoin(F.broadcast(tot)).select(
+        "variant",
+        "n_users",
+        F.round(F.col("spost") / n_d / 100, 6).alias("mean_post"),
+        F.round(
+            (
+                F.col("spost") / n_d
+                - theta * (F.col("spre") / n_d - F.col("sx") / F.col("n"))
+            )
+            / 100,
+            6,
+        ).alias("mean_cuped"),
+        F.round(theta, 6).alias("theta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q249: calendar-aligned autocorrelation of the daily revenue series
+# ---------------------------------------------------------------------------
+
+@register(
+    "q249_acf_daily_revenue",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(round(coalesce(o_totalprice, 0) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT g.k AS lag_k, a.rev_c AS x, b.rev_c AS y
+      FROM daily a
+      CROSS JOIN UNNEST(generate_series(1, 7)) AS g(k)
+      JOIN daily b ON b.day = a.day - CAST(g.k AS INTEGER)
+    ),
+    s AS (
+      SELECT lag_k,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
+                                * CAST(x AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(18,0))
+                                * CAST(y AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
+                                * CAST(y AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS sxy,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag_k AS BIGINT) AS lag_k, n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS acf
+    FROM s
+    """,
+    doc="Autocorrelation of the daily order-revenue series at lags "
+        "1..7, computed as the per-lag Pearson correlation of "
+        "CALENDAR-aligned pairs: lagged values come from an equi-join "
+        "on day = day - k, not a row-offset window, so missing days "
+        "cannot silently shift the alignment (the classic lag-window "
+        "bug on sparse series).  Revenue accumulates as exact cents; "
+        "the five moments per lag go through DECIMAL(18,0) products "
+        "(width 36, exact in both engines) and r is one double "
+        "expression with IEEE sqrt.  Physical shape: the fact scan "
+        "collapses to day grain FIRST (the only fact-sized shuffle); "
+        "the 7x expansion and self-join run on the day-grain frame "
+        "(bounded by the calendar, ~2.4k rows per decade regardless "
+        "of fact scale) with the lagged side broadcast.",
+    tags=("timeseries", "orders", "stats"),
+)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day"))
+        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev_c"))
+    )
+    lagged = daily.select(F.col("day").alias("bday"), F.col("rev_c").alias("y"))
+    pairs = (
+        daily.select(
+            "day",
+            F.col("rev_c").alias("x"),
+            F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag_k"),
+        )
+        .withColumn("prev_day", F.expr("date_sub(day, lag_k)"))
+        .join(F.broadcast(lagged), F.col("prev_day") == F.col("bday"))
+    )
+    xd, yd = F.col("x").cast(_D18), F.col("y").cast(_D18)
+    s = pairs.groupBy("lag_k").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("bigint").cast("double").alias("sx"),
+        F.sum("y").cast("bigint").cast("double").alias("sy"),
+        F.sum((xd * xd).cast(_D38)).cast(_D38).cast("double").alias("sxx"),
+        F.sum((yd * yd).cast(_D38)).cast(_D38).cast("double").alias("syy"),
+        F.sum((xd * yd).cast(_D38)).cast(_D38).cast("double").alias("sxy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    return s.select(
+        F.col("lag_k").cast("bigint").alias("lag_k"),
+        "n_pairs",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q250: mutual-information cell grid (segment x order priority)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q250_segment_priority_mi",
+    sql="""
+    WITH cells AS (
+      SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT segment, priority, n_xy,
+             CAST(SUM(n_xy) OVER () AS BIGINT) AS n_tot,
+             CAST(SUM(n_xy) OVER (PARTITION BY segment) AS BIGINT) AS n_x,
+             CAST(SUM(n_xy) OVER (PARTITION BY priority) AS BIGINT) AS n_y
+      FROM cells
+    )
+    SELECT segment, priority, n_xy,
+           round(CAST(n_xy AS DOUBLE) / CAST(n_tot AS DOUBLE), 9) AS p_xy,
+           round(ln(CAST(n_xy AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                    / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))),
+                 6) AS pmi,
+           round(CAST(n_xy AS DOUBLE) / CAST(n_tot AS DOUBLE)
+                 * ln(CAST(n_xy AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                      / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))),
+                 9) AS mi_contrib
+    FROM m
+    """,
+    doc="Mutual-information cell grid between customer market segment "
+        "and order priority: per (segment, priority) cell the joint "
+        "count, joint probability, pointwise mutual information, and "
+        "the cell's additive MI contribution p*ln(p/(px*py)).  "
+        "Emitting the CELL GRID rather than the summed scalar is the "
+        "cross-engine determinism move — each cell's value derives "
+        "from exact integer counts via one double expression (the ln "
+        "parity q163/q226 established), with no order-dependent "
+        "double summation anywhere.  Physical shape: one custkey "
+        "shuffle join (both sides fact-sized at 100 TB — no broadcast "
+        "pretence), one 25-cell rollup, marginals via windows over "
+        "the CELL frame (25 rows), not the facts.",
+    tags=("stats", "orders", "customer", "profiling"),
+)
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    )
+    w_all = Window.partitionBy()
+    m = cells.select(
+        "segment",
+        "priority",
+        "n_xy",
+        F.sum("n_xy").over(w_all).cast("bigint").alias("n_tot"),
+        F.sum("n_xy").over(Window.partitionBy("segment")).cast("bigint").alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("priority")).cast("bigint").alias("n_y"),
+    )
+    nd = F.col("n_xy").cast("double")
+    td = F.col("n_tot").cast("double")
+    ratio = nd * td / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+    return m.select(
+        "segment",
+        "priority",
+        "n_xy",
+        F.round(nd / td, 9).alias("p_xy"),
+        F.round(F.log(ratio), 6).alias("pmi"),
+        F.round(nd / td * F.log(ratio), 9).alias("mi_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q251: SAX symbol runs over the daily revenue series
+# ---------------------------------------------------------------------------
+
+@register(
+    "q251_sax_symbol_runs",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(round(coalesce(o_totalprice, 0) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    sym AS (
+      SELECT day, rev_c,
+             NTILE(4) OVER (ORDER BY rev_c, day) AS symbol
+      FROM daily
+    ),
+    grp AS (
+      SELECT day, rev_c, symbol,
+             ROW_NUMBER() OVER (ORDER BY day)
+             - ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS island
+      FROM sym
+    )
+    SELECT CAST(symbol AS BIGINT) AS symbol,
+           CAST(MIN(day) AS VARCHAR) AS start_day,
+           CAST(MAX(day) AS VARCHAR) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 100, 6) AS avg_rev
+    FROM grp GROUP BY symbol, island
+    """,
+    doc="SAX-style symbolization of the daily revenue series (Lin et "
+        "al., DMKD'07, with equi-depth rather than Gaussian "
+        "breakpoints): each day maps to a 4-letter alphabet symbol by "
+        "revenue quartile (NTILE over (rev_c, day) — the day tiebreak "
+        "makes the equi-depth assignment total-order deterministic in "
+        "both engines), then consecutive same-symbol days collapse to "
+        "runs via gaps-and-islands (difference of two ROW_NUMBERs).  "
+        "Output is the run-length-encoded series: symbol, span, "
+        "length, mean revenue.  Physical shape: the fact scan "
+        "collapses to day grain first; every window runs over the "
+        "calendar-bounded day frame (~2.4k rows/decade), so the "
+        "global sorts are dimension-sized, never fact-sized.",
+    tags=("timeseries", "orders", "mining"),
+)
+def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day"))
+        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev_c"))
+    )
+    sym = daily.select(
+        "day",
+        "rev_c",
+        F.ntile(4).over(Window.orderBy("rev_c", "day")).alias("symbol"),
+    )
+    grp = sym.select(
+        "day",
+        "rev_c",
+        "symbol",
+        (
+            F.row_number().over(Window.orderBy("day"))
+            - F.row_number().over(Window.partitionBy("symbol").orderBy("day"))
+        ).alias("island"),
+    )
+    return (
+        grp.groupBy("symbol", "island")
+        .agg(
+            F.min("day").cast("string").alias("start_day"),
+            F.max("day").cast("string").alias("end_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.sum("rev_c").cast("bigint").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 100,
+                6,
+            ).alias("avg_rev"),
+        )
+        .select(
+            F.col("symbol").cast("bigint").alias("symbol"),
+            "start_day",
+            "end_day",
+            "n_days",
+            "avg_rev",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q252: reciprocal-rank fusion of two part rankings
+# ---------------------------------------------------------------------------
+
+@register(
+    "q252_rrf_part_fusion",
+    sql="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(coalesce(l_extendedprice, 0) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c,
+             CAST(SUM(CAST(round(coalesce(l_quantity, 0)) AS BIGINT))
+                  AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_partkey, rev_c, qty,
+             ROW_NUMBER() OVER (ORDER BY rev_c DESC, l_partkey) AS r_rev,
+             ROW_NUMBER() OVER (ORDER BY qty DESC, l_partkey) AS r_qty
+      FROM per_part
+    )
+    SELECT l_partkey AS partkey, rev_c, qty,
+           CAST(r_rev AS BIGINT) AS r_rev,
+           CAST(r_qty AS BIGINT) AS r_qty,
+           round(1.0 / CAST(60 + r_rev AS DOUBLE)
+                 + 1.0 / CAST(60 + r_qty AS DOUBLE), 9) AS rrf
+    FROM ranked
+    WHERE r_rev <= 100 OR r_qty <= 100
+    """,
+    doc="Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two "
+        "part rankings — by revenue and by shipped quantity: each "
+        "part in either top-100 gets rrf = 1/(60+r_rev) + "
+        "1/(60+r_qty) from its GLOBAL ranks (partkey tiebreak makes "
+        "both row_numbers deterministic).  The canonical multi-signal "
+        "retrieval merge, applied to catalog ranking.  Physical "
+        "shape: ONE part-grain aggregation computes both metrics in a "
+        "single fact shuffle; the two rank windows then run at "
+        "CATALOG grain, not fact grain.  At 100 TB the global sort "
+        "would move to the two-phase exact variant (partition-local "
+        "top-k, then re-rank candidates against per-partition "
+        "better-than counts); at catalog grain the single sort is "
+        "honest and the candidate filter keeps the output bounded.",
+    tags=("relational", "lineitem", "ranking", "search"),
+)
+def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_part = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_cents("l_extendedprice")).cast("bigint").alias("rev_c"),
+            F.sum(F.round(F.coalesce(F.col("l_quantity"), F.lit(0.0))).cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+    )
+    ranked = per_part.select(
+        "l_partkey",
+        "rev_c",
+        "qty",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev_c").desc(), "l_partkey"))
+        .alias("r_rev"),
+        F.row_number()
+        .over(Window.orderBy(F.col("qty").desc(), "l_partkey"))
+        .alias("r_qty"),
+    )
+    return ranked.where((F.col("r_rev") <= 100) | (F.col("r_qty") <= 100)).select(
+        F.col("l_partkey").alias("partkey"),
+        "rev_c",
+        "qty",
+        F.col("r_rev").cast("bigint").alias("r_rev"),
+        F.col("r_qty").cast("bigint").alias("r_qty"),
+        F.round(
+            F.lit(1.0) / (F.lit(60) + F.col("r_rev")).cast("double")
+            + F.lit(1.0) / (F.lit(60) + F.col("r_qty")).cast("double"),
+            9,
+        ).alias("rrf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q253: per-nation Gini coefficient of customer balances
+# ---------------------------------------------------------------------------
+
+@register(
+    "q253_gini_acctbal_by_nation",
+    sql="""
+    WITH c AS (
+      SELECT c_nationkey, c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer WHERE c_acctbal >= 0
+    ),
+    r AS (
+      SELECT c_nationkey, bal_c,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY bal_c, c_custkey) AS i
+      FROM c
+    ),
+    g AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(CAST(SUM(bal_c) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(CAST(i AS DECIMAL(18,0))
+                                * CAST(bal_c AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS six,
+             CAST(COUNT(*) AS DOUBLE) AS nd
+      FROM r GROUP BY 1
+    )
+    SELECT n_name AS nation, n_customers,
+           round(CASE WHEN sx > 0
+                 THEN (2 * six - (nd + 1) * sx) / (nd * sx) END, 6) AS gini
+    FROM g JOIN nation ON c_nationkey = n_nationkey
+    """,
+    doc="Per-nation Gini coefficient of non-negative customer account "
+        "balances via the exact rank formula G = (2*sum(i*x_i) - "
+        "(n+1)*sum(x)) / (n*sum(x)) over the ascending-sorted "
+        "balances (custkey tiebreak -> deterministic ranks).  The "
+        "inequality metric every marketplace health dashboard "
+        "carries.  Rank-value products go through DECIMAL(18,0) "
+        "operands (exact in both engines); the Gini is one double "
+        "expression, NULL when a nation's balances sum to zero.  "
+        "Physical shape: one nationkey-partitioned sort window (the "
+        "only fact-sized exchange — per-nation, never global), a "
+        "nation-grain rollup, and a broadcast join to the 25-row "
+        "nation dim.",
+    tags=("stats", "customer", "nation", "agg"),
+)
+def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") >= 0)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+        )
+    )
+    r = c.select(
+        "c_nationkey",
+        "bal_c",
+        F.row_number()
+        .over(Window.partitionBy("c_nationkey").orderBy("bal_c", "c_custkey"))
+        .alias("i"),
+    )
+    g = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("bal_c").cast("bigint").cast("double").alias("sx"),
+        F.sum((F.col("i").cast(_D18) * F.col("bal_c").cast(_D18)).cast(_D38))
+        .cast(_D38)
+        .cast("double")
+        .alias("six"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        g.join(F.broadcast(nation), g["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            F.round(
+                F.when(
+                    F.col("sx") > 0,
+                    (2 * F.col("six") - (F.col("nd") + 1) * F.col("sx"))
+                    / (F.col("nd") * F.col("sx")),
+                ),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q254: seasonal-naive (week-over-week) residual anomalies
+# ---------------------------------------------------------------------------
+
+@register(
+    "q254_weekly_seasonal_anomalies",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM events GROUP BY 1
+    ),
+    resid AS (
+      SELECT a.day, a.rev_c, a.rev_c - b.rev_c AS resid_c
+      FROM daily a JOIN daily b ON b.day = a.day - 7
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(resid_c) AS BIGINT) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(CAST(resid_c AS DECIMAL(18,0))
+                                * CAST(resid_c AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS s2
+      FROM resid
+    )
+    SELECT CAST(day AS VARCHAR) AS day, rev_c, resid_c,
+           round(2.0 * sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 6) AS threshold_c,
+           CAST(abs(CAST(resid_c AS DOUBLE))
+                > 2.0 * sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+                AS BOOLEAN) AS is_anomaly
+    FROM resid CROSS JOIN s
+    """,
+    doc="Seasonal-naive anomaly flags on the daily event-revenue "
+        "series: the forecast for day d is day d-7 (calendar-aligned "
+        "equi-join, robust to missing days), the residual is exact "
+        "integer cents, and a day is anomalous when |residual| "
+        "exceeds 2 sample standard deviations of the residual "
+        "population — the week-over-week health check that catches "
+        "what a plain z-score misses on weekly-seasonal traffic.  "
+        "Variance assembles from exact sums (q78's discipline); the "
+        "single threshold row joins back as a broadcast single-row "
+        "aggregate (q42's shape).  Physical: one day-grain rollup of "
+        "the facts, then everything runs at calendar grain.",
+    tags=("timeseries", "events", "anomaly"),
+)
+def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.sum(_cents("value")).cast("bigint").alias("rev_c"))
+    )
+    base = daily.select(F.col("day").alias("bday"), F.col("rev_c").alias("brev"))
+    resid = (
+        daily.withColumn("prev_day", F.expr("date_sub(day, 7)"))
+        .join(F.broadcast(base), F.col("prev_day") == F.col("bday"))
+        .select("day", "rev_c", (F.col("rev_c") - F.col("brev")).alias("resid_c"))
+    )
+    rd = F.col("resid_c").cast(_D18)
+    s = resid.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("resid_c").cast("bigint").cast("double").alias("s1"),
+        F.sum((rd * rd).cast(_D38)).cast(_D38).cast("double").alias("s2"),
+    )
+    thr = F.lit(2.0) * F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - F.lit(1.0))
+    )
+    return resid.crossJoin(F.broadcast(s)).select(
+        F.col("day").cast("string").alias("day"),
+        "rev_c",
+        "resid_c",
+        F.round(thr, 6).alias("threshold_c"),
+        (F.abs(F.col("resid_c").cast("double")) > thr).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q255: word2vec subsampling keep-probabilities + negative-sampling mass
+# ---------------------------------------------------------------------------
+
+@register(
+    "q255_subsample_keep_probs",
+    sql="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+      FROM tok WHERE tok <> '' GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total FROM freq)
+    SELECT tok, f,
+           round(CAST(f AS DOUBLE) / CAST(total AS DOUBLE), 9) AS p,
+           round(CASE
+             WHEN CAST(f AS DOUBLE) / CAST(total AS DOUBLE) > 0.0001
+             THEN (sqrt(CAST(f AS DOUBLE) / CAST(total AS DOUBLE) / 0.0001)
+                   + 1.0)
+                  * (0.0001 / (CAST(f AS DOUBLE) / CAST(total AS DOUBLE)))
+             ELSE 1.0 END, 9) AS keep_prob,
+           round(sqrt(CAST(f AS DOUBLE))
+                 * sqrt(sqrt(CAST(f AS DOUBLE))), 6) AS neg_mass
+    FROM freq CROSS JOIN tot
+    """,
+    doc="word2vec corpus-frequency table (Mikolov et al., NIPS'13): "
+        "per token its count, relative frequency, the subsampling "
+        "keep-probability (sqrt(p/t)+1)*(t/p) with t = 1e-4 (capped "
+        "at 1 for rare tokens), and the unnormalized negative-"
+        "sampling mass f^0.75 — decomposed as sqrt(f)*sqrt(sqrt(f)) "
+        "because IEEE-754 sqrt is correctly rounded while libm pow is "
+        "not, making the value bit-identical across engines.  The "
+        "normalizing sum of f^0.75 is deliberately NOT emitted: it "
+        "would be an order-dependent double summation (the one thing "
+        "the numeric discipline forbids); consumers divide by their "
+        "own reduction.  Physical: fan-out before the interpreted "
+        "split/explode (the one-file-corpus lesson), one token-grain "
+        "count (vocab-bounded output by Zipf), corpus total joins as "
+        "a broadcast single-row aggregate (q42's shape).",
+    tags=("text", "documents", "llmdata", "tokenizer"),
+)
+def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import fan_out
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    freq = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    tot = freq.agg(F.sum("f").cast("bigint").alias("total"))
+    fd = F.col("f").cast("double")
+    p = fd / F.col("total").cast("double")
+    return freq.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "f",
+        F.round(p, 9).alias("p"),
+        F.round(
+            F.when(
+                p > 0.0001,
+                (F.sqrt(p / F.lit(0.0001)) + F.lit(1.0)) * (F.lit(0.0001) / p),
+            ).otherwise(F.lit(1.0)),
+            9,
+        ).alias("keep_prob"),
+        F.round(F.sqrt(fd) * F.sqrt(F.sqrt(fd)), 6).alias("neg_mass"),
+    )

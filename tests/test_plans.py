@@ -159,6 +159,15 @@ def test_no_accidental_cartesian_products(plans):
         # q240 Q22-shape: the positive-balance total/count joins in as
         # a broadcast single-row aggregate (1 x N) — q42's shape again
         "q240_wealthy_inactive_customers",
+        # q248 CUPED: the pooled moment row (theta inputs) joins in as
+        # a broadcast single-row aggregate (1 x 2 variants) — q42's shape
+        "q248_cuped_adjustment",
+        # q254 seasonal anomalies: the residual-variance row joins in
+        # as a broadcast single-row aggregate (1 x N) — q42's shape
+        "q254_weekly_seasonal_anomalies",
+        # q255 word2vec table: the corpus token total joins in as a
+        # broadcast single-row aggregate (1 x N) — q42's shape again
+        "q255_subsample_keep_probs",
     }
     for name, p in plans.items():
         if name in allowed:
