@@ -51,26 +51,29 @@ def _cents(col: str) -> F.Column:
                            ELSE 0 END) AS BIGINT) AS post_c
       FROM events GROUP BY 1
     ),
-    tot AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(CAST(SUM(pre_c) AS BIGINT) AS DOUBLE) AS sx,
-             CAST(CAST(SUM(post_c) AS BIGINT) AS DOUBLE) AS sy,
-             CAST(CAST(SUM(CAST(CAST(pre_c AS DECIMAL(18,0))
-                                * CAST(pre_c AS DECIMAL(18,0))
-                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
-                  AS DOUBLE) AS sxx,
-             CAST(CAST(SUM(CAST(CAST(pre_c AS DECIMAL(18,0))
-                                * CAST(post_c AS DECIMAL(18,0))
-                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
-                  AS DOUBLE) AS sxy
-      FROM per_user
-    ),
     v AS (
       SELECT user_id % 2 AS variant,
              CAST(COUNT(*) AS BIGINT) AS n_users,
-             CAST(CAST(SUM(pre_c) AS BIGINT) AS DOUBLE) AS spre,
-             CAST(CAST(SUM(post_c) AS BIGINT) AS DOUBLE) AS spost
+             CAST(SUM(pre_c) AS BIGINT) AS vpre_c,
+             CAST(SUM(post_c) AS BIGINT) AS vpost_c,
+             CAST(SUM(CAST(CAST(pre_c AS DECIMAL(18,0))
+                           * CAST(pre_c AS DECIMAL(18,0))
+                           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS vxx,
+             CAST(SUM(CAST(CAST(pre_c AS DECIMAL(18,0))
+                           * CAST(post_c AS DECIMAL(18,0))
+                           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS vxy
       FROM per_user GROUP BY 1
+    ),
+    m AS (
+      SELECT variant, n_users,
+             CAST(vpre_c AS DOUBLE) AS spre,
+             CAST(vpost_c AS DOUBLE) AS spost,
+             CAST(CAST(SUM(n_users) OVER () AS BIGINT) AS DOUBLE) AS n,
+             CAST(CAST(SUM(vpre_c) OVER () AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(vpost_c) OVER () AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(vxx) OVER () AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(vxy) OVER () AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+      FROM v
     )
     SELECT variant, n_users,
            round(spost / CAST(n_users AS DOUBLE) / 100, 6) AS mean_post,
@@ -79,7 +82,7 @@ def _cents(col: str) -> F.Column:
                     * (spre / CAST(n_users AS DOUBLE) - sx / n)) / 100,
                  6) AS mean_cuped,
            round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta
-    FROM v CROSS JOIN tot
+    FROM m
     """,
     doc="CUPED variance-reduced A/B readout (Deng et al., WSDM'13): "
         "users split into two variants by user_id parity, the first "
@@ -93,9 +96,12 @@ def _cents(col: str) -> F.Column:
         "engines); theta and the adjusted means are single double "
         "expressions over those exact sums, written with the identical "
         "operation tree in both engines.  Physical shape: one "
-        "user-grain shuffle (the only fact-sized exchange), then the "
-        "2-row variant rollup and the 1-row moment rollup join as a "
-        "broadcast single-row aggregate — q42's degenerate map shape.",
+        "user-grain shuffle (the only fact-sized exchange), a 2-row "
+        "variant rollup that carries the per-variant MOMENTS, and the "
+        "pooled moments as unpartitioned window sums over that 2-row "
+        "frame — ZERO joins, one fact scan (moments of a union are "
+        "sums of exact per-part moments, so no second pooled pass is "
+        "ever needed).",
     tags=("experimentation", "events", "agg", "stats"),
 )
 def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,29 +117,34 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("post_c"),
     )
     pre_d = F.col("pre_c").cast(_D18)
-    tot = per_user.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("pre_c").cast("bigint").cast("double").alias("sx"),
-        F.sum("post_c").cast("bigint").cast("double").alias("sy"),
-        F.sum((pre_d * F.col("pre_c").cast(_D18)).cast(_D38))
-        .cast(_D38)
-        .cast("double")
-        .alias("sxx"),
-        F.sum((pre_d * F.col("post_c").cast(_D18)).cast(_D38))
-        .cast(_D38)
-        .cast("double")
-        .alias("sxy"),
-    )
     v = per_user.groupBy(F.expr("user_id % 2").alias("variant")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.sum("pre_c").cast("bigint").cast("double").alias("spre"),
-        F.sum("post_c").cast("bigint").cast("double").alias("spost"),
+        F.sum("pre_c").cast("bigint").alias("vpre_c"),
+        F.sum("post_c").cast("bigint").alias("vpost_c"),
+        F.sum((pre_d * F.col("pre_c").cast(_D18)).cast(_D38))
+        .cast(_D38)
+        .alias("vxx"),
+        F.sum((pre_d * F.col("post_c").cast(_D18)).cast(_D38))
+        .cast(_D38)
+        .alias("vxy"),
+    )
+    w = Window.partitionBy()
+    m = v.select(
+        "variant",
+        "n_users",
+        F.col("vpre_c").cast("double").alias("spre"),
+        F.col("vpost_c").cast("double").alias("spost"),
+        F.sum("n_users").over(w).cast("bigint").cast("double").alias("n"),
+        F.sum("vpre_c").over(w).cast("bigint").cast("double").alias("sx"),
+        F.sum("vpost_c").over(w).cast("bigint").cast("double").alias("sy"),
+        F.sum("vxx").over(w).cast(_D38).cast("double").alias("sxx"),
+        F.sum("vxy").over(w).cast(_D38).cast("double").alias("sxy"),
     )
     n_d = F.col("n_users").cast("double")
     theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
-    return v.crossJoin(F.broadcast(tot)).select(
+    return m.select(
         "variant",
         "n_users",
         F.round(F.col("spost") / n_d / 100, 6).alias("mean_post"),
@@ -204,9 +215,12 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(width 36, exact in both engines) and r is one double "
         "expression with IEEE sqrt.  Physical shape: the fact scan "
         "collapses to day grain FIRST (the only fact-sized shuffle); "
-        "the 7x expansion and self-join run on the day-grain frame "
-        "(bounded by the calendar, ~2.4k rows per decade regardless "
-        "of fact scale) with the lagged side broadcast.",
+        "the seven lagged values then come from RANGE windows over "
+        "the integer day number (RANGE BETWEEN k PRECEDING AND k "
+        "PRECEDING is exactly 'the value at day-k, if present'), so "
+        "the Spark plan is ONE scan, one shuffle, one calendar-"
+        "bounded sort, zero joins — the oracle keeps the naive "
+        "self-join formulation, which is value-identical.",
     tags=("timeseries", "orders", "stats"),
 )
 def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,17 +228,19 @@ def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day"))
         .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev_c"))
+        .withColumn("day_num", F.expr("datediff(day, DATE '1970-01-01')"))
     )
-    lagged = daily.select(F.col("day").alias("bday"), F.col("rev_c").alias("y"))
-    pairs = (
-        daily.select(
-            "day",
-            F.col("rev_c").alias("x"),
-            F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag_k"),
-        )
-        .withColumn("prev_day", F.expr("date_sub(day, lag_k)"))
-        .join(F.broadcast(lagged), F.col("prev_day") == F.col("bday"))
-    )
+    lag_cols = [
+        F.max("rev_c")
+        .over(Window.orderBy("day_num").rangeBetween(-k, -k))
+        .alias(f"y{k}")
+        for k in range(1, 8)
+    ]
+    wide = daily.select(F.col("rev_c").alias("x"), *lag_cols)
+    stack_expr = "stack(7, " + ", ".join(
+        f"{k}L, y{k}" for k in range(1, 8)
+    ) + ") AS (lag_k, y)"
+    pairs = wide.select("x", F.expr(stack_expr)).where(F.col("y").isNotNull())
     xd, yd = F.col("x").cast(_D18), F.col("y").cast(_D18)
     s = pairs.groupBy("lag_k").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -628,10 +644,12 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exceeds 2 sample standard deviations of the residual "
         "population — the week-over-week health check that catches "
         "what a plain z-score misses on weekly-seasonal traffic.  "
-        "Variance assembles from exact sums (q78's discipline); the "
-        "single threshold row joins back as a broadcast single-row "
-        "aggregate (q42's shape).  Physical: one day-grain rollup of "
-        "the facts, then everything runs at calendar grain.",
+        "Variance assembles from exact sums (q78's discipline).  "
+        "Physical: one day-grain rollup of the facts, the lag-7 value "
+        "from a RANGE window on the integer day number, and the "
+        "population moments as unpartitioned window sums over the "
+        "calendar-bounded residual frame — ONE scan, zero joins (the "
+        "oracle keeps the value-identical naive join formulation).",
     tags=("timeseries", "events", "anomaly"),
 )
 def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,24 +657,29 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
         .agg(F.sum(_cents("value")).cast("bigint").alias("rev_c"))
+        .withColumn("day_num", F.expr("datediff(day, DATE '1970-01-01')"))
     )
-    base = daily.select(F.col("day").alias("bday"), F.col("rev_c").alias("brev"))
+    brev = F.max("rev_c").over(Window.orderBy("day_num").rangeBetween(-7, -7))
     resid = (
-        daily.withColumn("prev_day", F.expr("date_sub(day, 7)"))
-        .join(F.broadcast(base), F.col("prev_day") == F.col("bday"))
+        daily.select("day", "rev_c", brev.alias("brev"))
+        .where(F.col("brev").isNotNull())
         .select("day", "rev_c", (F.col("rev_c") - F.col("brev")).alias("resid_c"))
     )
     rd = F.col("resid_c").cast(_D18)
-    s = resid.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("resid_c").cast("bigint").cast("double").alias("s1"),
-        F.sum((rd * rd).cast(_D38)).cast(_D38).cast("double").alias("s2"),
+    w = Window.partitionBy()
+    stats = resid.select(
+        "day",
+        "rev_c",
+        "resid_c",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum("resid_c").over(w).cast("bigint").cast("double").alias("s1"),
+        F.sum((rd * rd).cast(_D38)).over(w).cast(_D38).cast("double").alias("s2"),
     )
     thr = F.lit(2.0) * F.sqrt(
         (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
         / (F.col("n") - F.lit(1.0))
     )
-    return resid.crossJoin(F.broadcast(s)).select(
+    return stats.select(
         F.col("day").cast("string").alias("day"),
         "rev_c",
         "resid_c",

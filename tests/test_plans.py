@@ -159,12 +159,6 @@ def test_no_accidental_cartesian_products(plans):
         # q240 Q22-shape: the positive-balance total/count joins in as
         # a broadcast single-row aggregate (1 x N) — q42's shape again
         "q240_wealthy_inactive_customers",
-        # q248 CUPED: the pooled moment row (theta inputs) joins in as
-        # a broadcast single-row aggregate (1 x 2 variants) — q42's shape
-        "q248_cuped_adjustment",
-        # q254 seasonal anomalies: the residual-variance row joins in
-        # as a broadcast single-row aggregate (1 x N) — q42's shape
-        "q254_weekly_seasonal_anomalies",
         # q255 word2vec table: the corpus token total joins in as a
         # broadcast single-row aggregate (1 x N) — q42's shape again
         "q255_subsample_keep_probs",
@@ -1190,3 +1184,72 @@ def test_q244_market_share_pushes_both_dim_filters(plans):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q248_cuped_is_single_pass_no_joins(plans):
+    """q248 CUPED: per-variant moments + pooled moments as window sums
+    over the 2-row variant frame — ONE events scan, one user-grain
+    shuffle, ZERO joins (a pooled re-aggregation or a theta cross-join
+    would scan the facts twice at 100 TB)."""
+    p = plans["q248_cuped_adjustment"]
+    assert "Join" not in p, "CUPED must not join — variant rollup + window only"
+    assert "Window" in p, "pooled moments must be window sums"
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, "events re-scanned"
+
+
+def test_q249_acf_lags_are_range_windows_not_joins(plans):
+    """q249 ACF: the seven calendar-aligned lags must come from RANGE
+    windows over the day-grain frame — one orders scan, zero joins
+    (the naive formulation self-joins the day frame and re-runs the
+    fact aggregation)."""
+    p = plans["q249_acf_daily_revenue"]
+    assert "Join" not in p, "lags must be range windows, not a self-join"
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, "orders re-scanned"
+
+
+def test_q251_sax_windows_run_at_day_grain(plans):
+    """q251 SAX: no joins anywhere; the NTILE/islands windows run over
+    the day-grain aggregate, never the facts."""
+    p = plans["q251_sax_symbol_runs"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q252_rrf_is_one_fact_shuffle_two_catalog_ranks(plans):
+    """q252 RRF: both metrics aggregate in ONE part-grain pass (a
+    second fact scan per ranking signal would double the 100 TB
+    cost); the two rank windows run at catalog grain."""
+    p = plans["q252_rrf_part_fusion"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, "lineitem re-scanned"
+
+
+def test_q253_gini_broadcasts_nation_dim(plans):
+    """q253 Gini: the rank window partitions by nation (per-group
+    sort, never global) and the 25-row nation dim broadcasts."""
+    p = plans["q253_gini_acctbal_by_nation"]
+    assert "BroadcastHashJoin" in p, "nation dim must broadcast"
+    assert "SortMergeJoin" not in p
+    assert "GreaterThanOrEqual(c_acctbal,0.0)" in p, "balance filter not pushed"
+
+
+def test_q254_seasonal_residuals_join_free(plans):
+    """q254 seasonal anomalies: lag-7 via RANGE window and moments via
+    unpartitioned window sums — one events scan, zero joins."""
+    p = plans["q254_weekly_seasonal_anomalies"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, "events re-scanned"
+
+
+def test_q255_word2vec_fans_out_and_stays_jvm_side(plans):
+    """q255 word2vec table: the interpreted split/explode must run
+    AFTER a round-robin fan-out (the one-file-corpus lesson) and the
+    whole pipeline stays out of Python evaluation."""
+    p = plans["q255_subsample_keep_probs"]
+    assert "RoundRobinPartitioning" in p, "corpus not fanned out before explode"
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
