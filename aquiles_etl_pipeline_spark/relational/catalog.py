@@ -247,6 +247,11 @@ _GRADE_FIRST = (
     "q253_gini_acctbal_by_nation",
     "q254_weekly_seasonal_anomalies",
     "q255_subsample_keep_probs",
+    "q256_interarrival_burstiness",
+    "q257_price_elasticity",
+    "q258_token_burstiness",
+    "q259_weekday_profile",
+    "q260_theil_decomposition",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -760,3 +760,394 @@ def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep_prob"),
         F.round(F.sqrt(fd) * F.sqrt(F.sqrt(fd)), 6).alias("neg_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q256: per-user inter-arrival burstiness (CV of event gaps)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q256_interarrival_burstiness",
+    sql="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_us) AS BIGINT) AS s1,
+             CAST(SUM(CAST(gap_us AS HUGEINT) * gap_us)
+                  AS DECIMAL(38,0)) AS s2
+      FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n_gaps,
+           round(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1e6, 6)
+             AS mean_gap_s,
+           round(CASE WHEN n_gaps > 1 AND s1 > 0 THEN
+                 sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n_gaps AS DOUBLE))
+                      / (CAST(n_gaps AS DOUBLE) - 1.0))
+                 / (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) END, 6) AS cv
+    FROM s
+    """,
+    doc="Per-user inter-arrival burstiness: the coefficient of "
+        "variation of the gaps between a user's consecutive events "
+        "(CV 1 = Poisson baseline, >1 = bursty, <1 = regular — the "
+        "Barabasi burstiness signal, and a bot-detection staple).  "
+        "Gaps are exact integer microseconds from a per-user LAG; "
+        "mean/variance assemble from BIGINT and DECIMAL(38,0) sums "
+        "(q78's discipline; the oracle's squared-gap sum rides "
+        "HUGEINT because a month-long gap squared overflows DuckDB's "
+        "physical 64-bit DECIMAL(18) multiply) with one double "
+        "expression at output.  "
+        "Physical shape: the lag window partitions by user_id and the "
+        "following user-grain aggregation reuses the SAME hash "
+        "partitioning — one fact shuffle total, output bounded by "
+        "|users|.",
+    tags=("timeseries", "events", "stats", "quality"),
+)
+def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    gap = us - F.lag(us).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    g = ev.select("user_id", gap.alias("gap_us")).where(F.col("gap_us").isNotNull())
+    gd = F.col("gap_us").cast(_D18)
+    s = g.groupBy("user_id").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.sum("gap_us").cast("bigint").alias("s1"),
+        F.sum((gd * gd).cast(_D38)).cast(_D38).alias("s2"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.round(s1d / nd / F.lit(1e6), 6).alias("mean_gap_s"),
+        F.round(
+            F.when(
+                (F.col("n_gaps") > 1) & (F.col("s1") > 0),
+                F.sqrt((s2d - s1d * s1d / nd) / (nd - F.lit(1.0)))
+                / (s1d / nd),
+            ),
+            6,
+        ).alias("cv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q257: per-brand log-log price elasticity of demand
+# ---------------------------------------------------------------------------
+
+@register(
+    "q257_price_elasticity",
+    sql="""
+    WITH li AS (
+      SELECT p_brand AS brand,
+             CAST(round(ln(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+             CAST(round(ln(CAST(CAST(round(l_quantity) AS BIGINT)
+                                AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_extendedprice > 0 AND l_quantity >= 1
+    ),
+    s AS (
+      SELECT brand,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
+                                * CAST(x AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
+                                * CAST(y AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS sxy
+      FROM li GROUP BY 1
+    )
+    SELECT brand, n_lines,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity
+    FROM s
+    """,
+    doc="Per-brand price elasticity of demand: the OLS slope of "
+        "ln(quantity) on ln(price) across a brand's order lines — "
+        "the log-log regression whose slope IS the elasticity.  The "
+        "ln terms are scaled to integer MICROS before any sum (the "
+        "q209/q86 exactness recipe: ln of an exact-integer-derived "
+        "double is bit-identical across engines, and integerizing "
+        "makes the unordered partial-aggregation sums exact, which a "
+        "raw double SUM never is); the micros scale cancels in the "
+        "slope ratio.  Physical shape: part joins by broadcast (the "
+        "q243 star discipline), ONE brand-grain aggregation carries "
+        "all five moments, output bounded by |brands|.",
+    tags=("ml-stats", "lineitem", "part", "regression"),
+)
+def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_extendedprice") > 0) & (F.col("l_quantity") >= 1)
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ln_micros = lambda c: F.round(  # noqa: E731
+        F.log(F.round(c).cast("bigint").cast("double")) * 1e6
+    ).cast("bigint")
+    base = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        ln_micros(F.col("l_extendedprice") * 100).alias("x"),
+        ln_micros(F.col("l_quantity")).alias("y"),
+    )
+    xd, yd = F.col("x").cast(_D18), F.col("y").cast(_D18)
+    s = base.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("bigint").cast("double").alias("sx"),
+        F.sum("y").cast("bigint").cast("double").alias("sy"),
+        F.sum((xd * xd).cast(_D38)).cast(_D38).cast("double").alias("sxx"),
+        F.sum((xd * yd).cast(_D38)).cast(_D38).cast("double").alias("sxy"),
+    )
+    return s.select(
+        "brand",
+        "n_lines",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("elasticity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q258: token burstiness (Church-Gale cf/df)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q258_token_burstiness",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    f AS (
+      SELECT tok,
+             CAST(COUNT(*) AS BIGINT) AS cf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok WHERE tok <> '' GROUP BY 1
+    )
+    SELECT tok, cf, df,
+           round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness
+    FROM f
+    """,
+    doc="Token burstiness (Church & Gale, 1995): collection frequency "
+        "over document frequency per token — function words hover "
+        "near cf/df = corpus-average occurrences, content words burst "
+        "(high cf concentrated in few docs).  A keyword-extraction "
+        "and stopword-induction primitive that needs no language "
+        "resources.  Exact integer counts, one division at output.  "
+        "Physical shape: fan-out before the interpreted split/explode "
+        "(the one-file-corpus lesson), then a single (tok, doc) "
+        "distinct-count aggregation — vocab-bounded output by Zipf.",
+    tags=("text", "documents", "llmdata"),
+)
+def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import fan_out
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    f = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    return f.select(
+        "tok",
+        "cf",
+        "df",
+        F.round(F.col("cf").cast("double") / F.col("df").cast("double"), 6).alias(
+            "burstiness"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q259: weekday seasonality profile
+# ---------------------------------------------------------------------------
+
+@register(
+    "q259_weekday_profile",
+    sql="""
+    WITH d AS (
+      SELECT isodow(o_orderdate) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(coalesce(o_totalprice, 0) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT dow, n_orders, rev_c,
+             CAST(SUM(n_orders) OVER () AS BIGINT) AS n_tot,
+             CAST(SUM(rev_c) OVER () AS BIGINT) AS rev_tot
+      FROM d
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, n_orders, rev_c,
+           round(CAST(rev_c AS DOUBLE) / CAST(rev_tot AS DOUBLE), 9)
+             AS revenue_share,
+           round((CAST(rev_c AS DOUBLE) / CAST(n_orders AS DOUBLE))
+                 / (CAST(rev_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)),
+                 6) AS aov_index
+    FROM m
+    """,
+    doc="Weekday seasonality profile: per ISO day-of-week (Mon=1) the "
+        "order count, revenue, revenue share, and average-order-value "
+        "index against the overall AOV — the seasonality fingerprint "
+        "that feeds staffing and anomaly baselines.  Day-of-week "
+        "parity is the trap: Spark's dayofweek is Sunday=1 while "
+        "DuckDB's isodow is Monday=1, so the Spark side computes "
+        "weekday()+1 (Monday=0-based) to match isodow exactly.  One "
+        "7-row aggregation; totals via windows over the 7-row frame.",
+    tags=("timeseries", "orders", "agg"),
+)
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "orders")
+        .groupBy((F.expr("weekday(o_orderdate)") + 1).alias("dow"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(_cents("o_totalprice")).cast("bigint").alias("rev_c"),
+        )
+    )
+    w = Window.partitionBy()
+    m = d.select(
+        "dow",
+        "n_orders",
+        "rev_c",
+        F.sum("n_orders").over(w).cast("bigint").alias("n_tot"),
+        F.sum("rev_c").over(w).cast("bigint").alias("rev_tot"),
+    )
+    return m.select(
+        F.col("dow").cast("bigint").alias("dow"),
+        "n_orders",
+        "rev_c",
+        F.round(
+            F.col("rev_c").cast("double") / F.col("rev_tot").cast("double"), 9
+        ).alias("revenue_share"),
+        F.round(
+            (F.col("rev_c").cast("double") / F.col("n_orders").cast("double"))
+            / (F.col("rev_tot").cast("double") / F.col("n_tot").cast("double")),
+            6,
+        ).alias("aov_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q260: Theil inequality decomposition of customer balances by nation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q260_theil_decomposition",
+    sql="""
+    WITH c AS (
+      SELECT c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+             CAST(round(ln(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                                AS DOUBLE)) * 1e6) AS BIGINT) AS lx
+      FROM customer WHERE c_acctbal > 0
+    ),
+    g AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(x) AS BIGINT) AS sx_c,
+             CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
+                           * CAST(lx AS DECIMAL(18,0))
+                           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxl
+      FROM c GROUP BY 1
+    ),
+    m AS (
+      SELECT c_nationkey, n_customers,
+             CAST(n_customers AS DOUBLE) AS nd,
+             CAST(sx_c AS DOUBLE) AS sx,
+             CAST(sxl AS DOUBLE) AS sl,
+             CAST(CAST(SUM(n_customers) OVER () AS BIGINT) AS DOUBLE) AS ntd,
+             CAST(CAST(SUM(sx_c) OVER () AS BIGINT) AS DOUBLE) AS sxt
+      FROM g
+    )
+    SELECT n_name AS nation, n_customers,
+           round(sx / nd / 100, 6) AS mean_bal,
+           round((sl / 1e6 - ln(sx / nd) * sx) / (nd * (sx / nd)), 9)
+             AS theil_within,
+           round((sx / sxt) * ln((sx / sxt) / (nd / ntd)), 9)
+             AS between_term
+    FROM m JOIN nation ON c_nationkey = n_nationkey
+    """,
+    doc="Theil-T inequality decomposition of positive customer "
+        "balances by nation: per nation the within-group Theil index "
+        "T_g = (1/(n_g*mu_g)) * (sum(x*ln x) - ln(mu_g)*sum(x)) and "
+        "its between-group term s_g*ln(s_g/p_g) (income share vs "
+        "population share) — total inequality = sum(between) + "
+        "sum(share_g * T_g), the property Gini lacks and the reason "
+        "Theil is the decomposition-of-inequality standard.  "
+        "sum(x*ln x) is an UNORDERED sum of ln terms, so ln scales to "
+        "integer micros first (the q209/q257 recipe) and the product "
+        "x*lx accumulates exactly through DECIMAL(18,0) operands; "
+        "every remaining ln runs on identical double ratios.  "
+        "Physical: one nationkey-grain aggregation (no sort, unlike "
+        "q253's rank-based Gini), windows over the 25-row frame, "
+        "broadcast nation dim.",
+    tags=("stats", "customer", "nation", "agg"),
+)
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bal = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select(
+            "c_nationkey",
+            bal.alias("x"),
+            F.round(F.log(bal.cast("double")) * 1e6).cast("bigint").alias("lx"),
+        )
+    )
+    g = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("x").cast("bigint").alias("sx_c"),
+        F.sum((F.col("x").cast(_D18) * F.col("lx").cast(_D18)).cast(_D38))
+        .cast(_D38)
+        .alias("sxl"),
+    )
+    w = Window.partitionBy()
+    m = g.select(
+        "c_nationkey",
+        "n_customers",
+        F.col("n_customers").cast("double").alias("nd"),
+        F.col("sx_c").cast("double").alias("sx"),
+        F.col("sxl").cast("double").alias("sl"),
+        F.sum("n_customers").over(w).cast("bigint").cast("double").alias("ntd"),
+        F.sum("sx_c").over(w).cast("bigint").cast("double").alias("sxt"),
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    mu = F.col("sx") / F.col("nd")
+    share = F.col("sx") / F.col("sxt")
+    return (
+        m.join(F.broadcast(nation), m["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            F.round(mu / 100, 6).alias("mean_bal"),
+            F.round(
+                (F.col("sl") / F.lit(1e6) - F.log(mu) * F.col("sx"))
+                / (F.col("nd") * mu),
+                9,
+            ).alias("theil_within"),
+            F.round(
+                share * F.log(share / (F.col("nd") / F.col("ntd"))), 9
+            ).alias("between_term"),
+        )
+    )

@@ -1253,3 +1253,54 @@ def test_q255_word2vec_fans_out_and_stays_jvm_side(plans):
     assert "RoundRobinPartitioning" in p, "corpus not fanned out before explode"
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q256_burstiness_single_shuffle(plans):
+    """q256 burstiness: the lag window and the per-user rollup share
+    one user_id hash partitioning — ONE scan, one per-user sort, no
+    joins (output is user-grain, fact shuffled once)."""
+    p = plans["q256_interarrival_burstiness"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 1, "expected only the lag-window sort"
+
+
+def test_q257_elasticity_broadcasts_part_single_agg(plans):
+    """q257 elasticity: part joins by broadcast onto one lineitem
+    pass; all five regression moments ride ONE brand-grain
+    aggregation (ln stays in codegen, no Python)."""
+    p = plans["q257_price_elasticity"]
+    assert "BroadcastHashJoin" in p, "part dim must broadcast"
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+
+
+def test_q258_token_burstiness_fans_out(plans):
+    """q258 cf/df: round-robin fan-out before the interpreted
+    split/explode; a single (tok, doc) distinct-count aggregation."""
+    p = plans["q258_token_burstiness"]
+    assert "RoundRobinPartitioning" in p, "corpus not fanned out before explode"
+    assert "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_q259_weekday_profile_windows_over_7_rows(plans):
+    """q259 weekday profile: one 7-row aggregation; totals come from
+    windows over that frame — no join, no second scan."""
+    p = plans["q259_weekday_profile"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q260_theil_is_sortless_single_agg(plans):
+    """q260 Theil: unlike rank-based Gini (q253), the decomposition
+    needs NO per-group sort — one nation-grain aggregation, windows
+    over the 25-row frame, broadcast nation dim."""
+    p = plans["q260_theil_decomposition"]
+    assert "BroadcastHashJoin" in p, "nation dim must broadcast"
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 0, "Theil must not sort the facts"
+    assert "GreaterThan(c_acctbal,0.0)" in p, "positive-balance filter not pushed"
