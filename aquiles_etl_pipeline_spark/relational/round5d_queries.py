@@ -326,34 +326,58 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumn("_bucket", _bucket_expr(["l_orderkey"])),
         partition_by=["_bucket"],
     )
-    before = {t: wh.read(t).count() for t in
-              ("pii_customer", "pii_orders", "fact_lineitem")}
+    def _counts(tables: tuple[str, ...]) -> dict[str, int]:
+        # one Spark job for all three table counts instead of three:
+        # union a 1-column tag projection of each snapshot and count by
+        # tag (schemas differ, so only the literal tag column rides)
+        tagged = None
+        for t in tables:
+            part = wh.read(t).select(F.lit(t).alias("t"))
+            tagged = part if tagged is None else tagged.unionByName(part)
+        return {r["t"]: r["n"] for r in
+                tagged.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    tables = ("pii_customer", "pii_orders", "fact_lineitem")
+    before = _counts(tables)
     erase = cust.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
-    # derive the next stage's keys BEFORE the stage deletes them
+    # derive the next stage's keys BEFORE the stage deletes them —
+    # wh.read pins the pre-merge generation path, and generations are
+    # retained until vacuum, so this frame stays readable while the
+    # pii_orders merge flips the pointer underneath it
     doomed_orders = (
         wh.read("pii_orders")
         .join(erase, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .select("o_orderkey")
         .distinct()
     )
-    stats_c = merge_into(
-        wh, "pii_customer", erase, on="c_custkey",
-        delete_condition=F.lit(True), insert=False, bucket_col="_bucket",
-    )
-    stats_o = merge_into(
-        wh, "pii_orders",
-        erase.select(F.col("c_custkey").alias("o_custkey")),
-        on="o_custkey",
-        delete_condition=F.lit(True), insert=False, bucket_col="_bucket",
-    )
-    stats_l = merge_into(
-        wh, "fact_lineitem",
-        doomed_orders.select(F.col("o_orderkey").alias("l_orderkey")),
-        on="l_orderkey",
-        delete_condition=F.lit(True), insert=False, bucket_col="_bucket",
-    )
-    after = {t: wh.read(t).count() for t in
-             ("pii_customer", "pii_orders", "fact_lineitem")}
+    # the three merges touch three DIFFERENT tables with no data
+    # dependency left between them (doomed_orders is derived above), so
+    # they run concurrently — q41's concurrent-flip pattern; the
+    # warehouse publish lock serializes only the microseconds of
+    # pointer flips
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_c = pool.submit(
+            merge_into, wh, "pii_customer", erase, on="c_custkey",
+            delete_condition=F.lit(True), insert=False, bucket_col="_bucket",
+        )
+        fut_o = pool.submit(
+            merge_into, wh, "pii_orders",
+            erase.select(F.col("c_custkey").alias("o_custkey")),
+            on="o_custkey",
+            delete_condition=F.lit(True), insert=False, bucket_col="_bucket",
+        )
+        fut_l = pool.submit(
+            merge_into, wh, "fact_lineitem",
+            doomed_orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            on="l_orderkey",
+            delete_condition=F.lit(True), insert=False, bucket_col="_bucket",
+        )
+        stats_c, stats_o, stats_l = (
+            fut_c.result(), fut_o.result(), fut_l.result()
+        )
+    after = _counts(tables)
     rows = [
         ("pii_customer", before["pii_customer"], stats_c["deleted"],
          after["pii_customer"]),
