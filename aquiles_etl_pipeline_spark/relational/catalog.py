@@ -252,6 +252,10 @@ _GRADE_FIRST = (
     "q258_token_burstiness",
     "q259_weekday_profile",
     "q260_theil_decomposition",
+    "q261_exact_auc",
+    "q262_lift_gains_table",
+    "q263_hhi_concentration",
+    "q264_window_funnel",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -1151,3 +1151,404 @@ def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("between_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q261: exact AUC via the tie-corrected Mann-Whitney rank sum
+# ---------------------------------------------------------------------------
+
+@register(
+    "q261_exact_auc",
+    sql="""
+    WITH e AS (
+      SELECT CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    g AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM e GROUP BY 1
+    ),
+    c AS (
+      SELECT s, cnt, pos,
+             CAST(COALESCE(SUM(cnt) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS r_lo
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+             CAST(SUM(CAST(pos AS HUGEINT) * (2 * r_lo + cnt + 1))
+                  AS DECIMAL(38,0)) AS two_ranksum
+      FROM c
+    )
+    SELECT n_pos, n_neg,
+           round((CAST(two_ranksum AS DOUBLE) / 2.0
+                  - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0)
+                    / 2.0)
+                 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 9) AS auc
+    FROM t
+    """,
+    doc="EXACT ROC-AUC of 'event value predicts purchase' via the "
+        "tie-corrected Mann-Whitney rank sum: AUC = (R_pos - "
+        "n_pos(n_pos+1)/2) / (n_pos*n_neg), where tied scores take "
+        "their average rank.  The whole computation runs at "
+        "DISTINCT-SCORE grain — per score the count and positive "
+        "count, ranks-below from one cumulative window, and the "
+        "doubled average rank 2*r_lo + cnt + 1 stays integer, so the "
+        "rank sum is an exact DECIMAL(38,0)/HUGEINT sum (no "
+        "per-row global sort, no double accumulation; the classic "
+        "sklearn roc_auc_score needs the full sorted score vector — "
+        "this is the shuffle-bounded distributed equivalent).  "
+        "Physical shape: one score-grain aggregation (the only "
+        "fact-sized shuffle), one cumulative window over the "
+        "value-bounded score frame, one single-row rollup.",
+    tags=("ml-stats", "events", "ranking"),
+)
+def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        _cents("value").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = e.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "s",
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint").alias("r_lo"),
+    )
+    t = c.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum((F.col("cnt") - F.col("pos"))).cast("bigint").alias("n_neg"),
+        F.sum(
+            (
+                F.col("pos").cast(_D18)
+                * (2 * F.col("r_lo") + F.col("cnt") + 1).cast(_D18)
+            ).cast(_D38)
+        )
+        .cast(_D38)
+        .alias("two_ranksum"),
+    )
+    npd = F.col("n_pos").cast("double")
+    return t.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("two_ranksum").cast("double") / F.lit(2.0)
+                - npd * (npd + F.lit(1.0)) / F.lit(2.0)
+            )
+            / (npd * F.col("n_neg").cast("double")),
+            9,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q262: decile lift / gains table
+# ---------------------------------------------------------------------------
+
+@register(
+    "q262_lift_gains_table",
+    sql="""
+    WITH e AS (
+      SELECT CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    g AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM e GROUP BY 1
+    ),
+    c AS (
+      SELECT s, cnt, pos,
+             CAST(COALESCE(SUM(cnt) OVER (ORDER BY s DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS r_lo,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n_tot,
+             CAST(SUM(pos) OVER () AS BIGINT) AS pos_tot
+      FROM g
+    ),
+    d AS (
+      SELECT CAST((r_lo * 10) // n_tot AS BIGINT) AS decile,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             MAX(n_tot) AS n_tot, MAX(pos_tot) AS pos_tot
+      FROM c GROUP BY 1
+    )
+    SELECT decile, n, n_pos,
+           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9)
+             AS response_rate,
+           round((CAST(CAST(SUM(n_pos) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(SUM(n) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS DOUBLE))
+                 / (CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)),
+                 9) AS cum_lift
+    FROM d
+    """,
+    doc="Decile lift / gains table for 'event value predicts "
+        "purchase': rows ranked by score descending are cut into ten "
+        "near-equal bins, per bin the response rate and the CUMULATIVE "
+        "lift over the base rate — the model-targeting report every "
+        "campaign readout uses.  Like q261 the binning runs at "
+        "DISTINCT-SCORE grain: bin(s) = (ranks_below * 10) div N, so "
+        "tied scores stay together, no fact-grain NTILE global sort "
+        "exists anywhere, and every count is an exact integer (the "
+        "only doubles are the two final ratios).  Physical shape: one "
+        "score-grain aggregation, cumulative windows over the score "
+        "frame then the 10-row decile frame.",
+    tags=("ml-stats", "events", "ranking"),
+)
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        _cents("value").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = e.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w_cum = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    c = g.select(
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("bigint").alias("r_lo"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n_tot"),
+        F.sum("pos").over(w_all).cast("bigint").alias("pos_tot"),
+    )
+    d = c.groupBy(
+        F.expr("div(r_lo * 10, n_tot)").cast("bigint").alias("decile")
+    ).agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.max("n_tot").alias("n_tot"),
+        F.max("pos_tot").alias("pos_tot"),
+    )
+    w_dec = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos").cast("double") / F.col("n").cast("double"), 9).alias(
+            "response_rate"
+        ),
+        F.round(
+            (
+                F.sum("n_pos").over(w_dec).cast("bigint").cast("double")
+                / F.sum("n").over(w_dec).cast("bigint").cast("double")
+            )
+            / (F.col("pos_tot").cast("double") / F.col("n_tot").cast("double")),
+            9,
+        ).alias("cum_lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q263: Herfindahl-Hirschman supplier concentration per nation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q263_hhi_concentration",
+    sql="""
+    WITH s AS (
+      SELECT s_nationkey, l_suppkey,
+             CAST(SUM(CAST(round(coalesce(l_extendedprice, 0) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT s_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(rev_c) AS BIGINT) AS rev_tot,
+             CAST(SUM(CAST(rev_c AS HUGEINT) * rev_c)
+                  AS DECIMAL(38,0)) AS rev_sq
+      FROM s GROUP BY 1
+    )
+    SELECT n_name AS nation, n_suppliers,
+           round(CAST(rev_tot AS DOUBLE) / 100, 6) AS revenue,
+           round(CAST(rev_sq AS DOUBLE)
+                 / (CAST(rev_tot AS DOUBLE) * CAST(rev_tot AS DOUBLE)),
+                 9) AS hhi
+    FROM n JOIN nation ON s_nationkey = n_nationkey
+    """,
+    doc="Herfindahl-Hirschman supplier-concentration index per "
+        "nation: HHI = sum over suppliers of (revenue share)^2 = "
+        "sum(rev^2)/sum(rev)^2 — the antitrust concentration metric "
+        "(10000*HHI > 2500 = highly concentrated).  The share "
+        "squares never materialize: per-supplier revenue accumulates "
+        "as exact cents, the squared sum rides DECIMAL(38,0)/HUGEINT "
+        "(a supplier's cents squared exceeds 64-bit — the q256 "
+        "lesson), and HHI is one double ratio at output.  Physical "
+        "shape: one suppkey-grain rollup (the only fact shuffle — "
+        "supplier joins on the same key family), one nation-grain "
+        "rollup, broadcast nation dim; NO per-nation window needed "
+        "because sum-of-squares is algebraic.",
+    tags=("stats", "lineitem", "supplier", "nation"),
+)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", _cents("l_extendedprice").alias("cents")
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    s = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("cents").cast("bigint").alias("rev_c"))
+    )
+    rd = F.col("rev_c").cast(_D18)
+    n = s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("rev_c").cast("bigint").alias("rev_tot"),
+        F.sum((rd * rd).cast(_D38)).cast(_D38).alias("rev_sq"),
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        n.join(F.broadcast(nation), n["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            F.round(F.col("rev_tot").cast("double") / 100, 6).alias("revenue"),
+            F.round(
+                F.col("rev_sq").cast("double")
+                / (F.col("rev_tot").cast("double") * F.col("rev_tot").cast("double")),
+                9,
+            ).alias("hhi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q264: ClickHouse-style windowFunnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q264_window_funnel",
+    sql="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    anch AS (
+      SELECT user_id, ts, event_id, event_type,
+             MIN(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase
+      FROM ev
+    ),
+    clicks AS (
+      SELECT user_id, ts AS click_ts,
+             MIN(next_purchase) AS purchase_after_click
+      FROM anch WHERE event_type = 'click'
+      GROUP BY 1, 2
+    ),
+    views AS (
+      SELECT a.user_id,
+             CASE
+               WHEN a.next_click IS NOT NULL
+                    AND a.next_click <= a.ts + INTERVAL 30 MINUTE
+               THEN CASE
+                 WHEN c.purchase_after_click IS NOT NULL
+                      AND c.purchase_after_click
+                          <= a.ts + INTERVAL 30 MINUTE
+                 THEN 3 ELSE 2 END
+               ELSE 1 END AS level
+      FROM anch a
+      LEFT JOIN clicks c
+        ON c.user_id = a.user_id AND c.click_ts = a.next_click
+      WHERE a.event_type = 'view'
+    ),
+    per_user AS (
+      SELECT user_id, MAX(level) AS level FROM views GROUP BY 1
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY 1
+    """,
+    doc="ClickHouse-style windowFunnel: per user the deepest "
+        "view -> click -> purchase chain completed within 30 minutes "
+        "of the chain's FIRST event, reported as a level histogram.  "
+        "The chain search is greedy like ClickHouse's strict_order "
+        "mode: each view anchors at the FIRST later click (a "
+        "conditional MIN over the following frame), and that click's "
+        "first later purchase must still fall inside the view's "
+        "window.  The Spark side needs NO join for the second hop: "
+        "with pac(row) = first purchase after the row (window pass "
+        "1), the first FOLLOWING click's pac equals min over "
+        "following clicks of pac (pac is monotone in click position — "
+        "any purchase after a later click is also after an earlier "
+        "one), so window pass 2 reads it straight off the same "
+        "sorted frame.  The oracle keeps an independent join-based "
+        "formulation of the same semantics.  Same-timestamp ties "
+        "break by event_id in the frame order, deterministically in "
+        "both engines.  Physical shape: ONE scan, one user-grain "
+        "shuffle, one sort shared by both stacked window passes, "
+        "zero joins.",
+    tags=("timeseries", "events", "funnel", "window"),
+)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    pass1 = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .over(w)
+        .alias("next_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .over(w)
+        .alias("pac"),
+    )
+    pass2 = pass1.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "next_click",
+        F.min(F.when(F.col("event_type") == "click", F.col("pac")))
+        .over(w)
+        .alias("purchase_after_click"),
+    )
+    deadline = F.col("ts") + F.expr("INTERVAL 30 MINUTE")
+    levels = pass2.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.when(
+            F.col("next_click").isNotNull() & (F.col("next_click") <= deadline),
+            F.when(
+                F.col("purchase_after_click").isNotNull()
+                & (F.col("purchase_after_click") <= deadline),
+                F.lit(3),
+            ).otherwise(F.lit(2)),
+        )
+        .otherwise(F.lit(1))
+        .alias("level"),
+    )
+    per_user = levels.groupBy("user_id").agg(F.max("level").alias("level"))
+    return per_user.groupBy(F.col("level").cast("bigint").alias("level")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

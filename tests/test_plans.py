@@ -1304,3 +1304,42 @@ def test_q260_theil_is_sortless_single_agg(plans):
     assert "SortMergeJoin" not in p
     assert len(re.findall(r"\(\d+\) Sort", p)) == 0, "Theil must not sort the facts"
     assert "GreaterThan(c_acctbal,0.0)" in p, "positive-balance filter not pushed"
+
+
+def test_q261_auc_runs_at_distinct_score_grain(plans):
+    """q261 exact AUC: one fact shuffle to score grain, one cumulative
+    window over the score frame, no joins (a per-row global rank sort
+    would be the naive fact-grain plan)."""
+    p = plans["q261_exact_auc"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q262_gains_table_has_no_fact_ntile(plans):
+    """q262 lift/gains: deciles derive from ranks-below at DISTINCT-
+    SCORE grain — no fact-grain NTILE sort, no joins."""
+    p = plans["q262_lift_gains_table"]
+    assert "Join" not in p
+    assert "ntile" not in p.lower(), "gains table must not NTILE the facts"
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q263_hhi_is_algebraic_no_window(plans):
+    """q263 HHI: sum-of-squares is algebraic — two rollups and
+    broadcast dims, no per-nation window, no sort anywhere."""
+    p = plans["q263_hhi_concentration"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p, "HHI must not need a window"
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 0
+
+
+def test_q264_window_funnel_is_join_free_single_sort(plans):
+    """q264 windowFunnel: both stacked window passes share one
+    user-grain sort; the second hop reads purchase-after-click off
+    the frame (pac monotonicity) instead of a self-join."""
+    p = plans["q264_window_funnel"]
+    assert "Join" not in p, "funnel must not self-join for the second hop"
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 1, "both passes must share one sort"
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
