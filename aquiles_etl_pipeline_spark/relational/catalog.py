@@ -256,6 +256,10 @@ _GRADE_FIRST = (
     "q262_lift_gains_table",
     "q263_hhi_concentration",
     "q264_window_funnel",
+    "q265_mann_kendall_trend",
+    "q266_seasonal_decompose",
+    "q267_ks_two_sample",
+    "q268_cusum_changepoint",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -1552,3 +1552,404 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy(F.col("level").cast("bigint").alias("level")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# q265: Mann-Kendall trend test on the daily revenue series
+# ---------------------------------------------------------------------------
+
+@register(
+    "q265_mann_kendall_trend",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(round(coalesce(o_totalprice, 0) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.rev_c > a.rev_c THEN 1
+                           WHEN b.rev_c < a.rev_c THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0)
+                  AS DECIMAL(38,0)) AS tie_adj
+      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev_c) WHERE t > 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+    SELECT n_days, s_stat,
+           round(CASE
+             WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+               / sqrt((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
+                       * (2.0 * CAST(n_days AS DOUBLE) + 5.0)
+                       - CAST(tie_adj AS DOUBLE)) / 18.0)
+             WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+               / sqrt((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
+                       * (2.0 * CAST(n_days AS DOUBLE) + 5.0)
+                       - CAST(tie_adj AS DOUBLE)) / 18.0)
+             ELSE 0.0 END, 6) AS z_stat
+    FROM n CROSS JOIN s CROSS JOIN ties
+    """,
+    doc="Mann-Kendall nonparametric trend test on the daily revenue "
+        "series: S = sum over day pairs i<j of sign(x_j - x_i), the "
+        "tie-corrected variance n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18, "
+        "and the continuity-corrected z statistic — the standard "
+        "monotone-trend detector that needs no distributional "
+        "assumption and shrugs off outliers.  The O(n^2) pair space "
+        "is CALENDAR-bounded (n = days, never fact rows), so the "
+        "self-join is a ~3M-pair day-frame product per decade "
+        "regardless of fact scale, with the right side broadcast.  S "
+        "and the tie adjustment are exact integers; z is one double "
+        "expression.  The three scalar legs assemble by single-row "
+        "cross joins (allowlisted q42 shape).",
+    tags=("timeseries", "orders", "stats", "trend"),
+)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day"))
+        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev_c"))
+    )
+    b = daily.select(F.col("day").alias("bday"), F.col("rev_c").alias("brev"))
+    s = (
+        daily.join(F.broadcast(b), F.col("bday") > F.col("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("brev") > F.col("rev_c"), 1)
+                .when(F.col("brev") < F.col("rev_c"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    t = F.col("t")
+    ties = (
+        daily.groupBy("rev_c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(t > 1)
+        .agg(
+            F.coalesce(
+                F.sum((t.cast(_D18) * (t - 1) * (2 * t + 5)).cast(_D38)),
+                F.lit(0),
+            )
+            .cast(_D38)
+            .alias("tie_adj")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    nd = F.col("n_days").cast("double")
+    sd = F.col("s_stat").cast("double")
+    var = (
+        nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0))
+        - F.col("tie_adj").cast("double")
+    ) / F.lit(18.0)
+    return (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            "s_stat",
+            F.round(
+                F.when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / F.sqrt(var))
+                .when(F.col("s_stat") < 0, (sd + F.lit(1.0)) / F.sqrt(var))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("z_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q266: additive seasonal decomposition (trend / weekly seasonal / remainder)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q266_seasonal_decompose",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             isodow(CAST(date_trunc('day', o_orderdate) AS DATE)) AS dow,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(date_trunc('day', o_orderdate) AS DATE))
+                  AS BIGINT) AS day_num,
+             CAST(SUM(CAST(round(coalesce(o_totalprice, 0) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    tr AS (
+      SELECT day, dow, rev_c,
+             CAST(SUM(rev_c) OVER w AS BIGINT) AS s7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n7
+      FROM daily
+      WINDOW w AS (ORDER BY day_num RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT day, dow, rev_c,
+             CAST(round(CAST(s7 AS DOUBLE) / 7.0 * 1e6) AS BIGINT) AS tm
+      FROM tr WHERE n7 = 7
+    ),
+    seas AS (
+      SELECT dow,
+             CAST(SUM(rev_c * 1000000 - tm) AS BIGINT) AS dsum,
+             CAST(COUNT(*) AS BIGINT) AS dcnt
+      FROM det GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day, rev_c,
+           round(CAST(tm AS DOUBLE) / 1e6 / 100, 6) AS trend,
+           round(CAST(dsum AS DOUBLE) / CAST(dcnt AS DOUBLE) / 1e6 / 100,
+                 6) AS seasonal,
+           round((CAST(rev_c * 1000000 - tm AS DOUBLE)
+                  - CAST(dsum AS DOUBLE) / CAST(dcnt AS DOUBLE))
+                 / 1e6 / 100, 6) AS remainder
+    FROM det JOIN seas USING (dow)
+    """,
+    doc="Additive seasonal decomposition of the daily revenue series "
+        "(classical decompose, weekly period): trend = centered 7-day "
+        "moving average over a calendar RANGE window (days missing "
+        "from the calendar shrink the window and are EXCLUDED via the "
+        "n7 = 7 guard rather than silently biasing the average), "
+        "seasonal = per-ISO-weekday mean of the detrended series, "
+        "remainder = the rest.  Cross-engine exactness: the trend is "
+        "integerized to micros immediately (round of a double is "
+        "deterministic), so the per-weekday seasonal means sum exact "
+        "INTEGERS — never an unordered double sum.  Physical: one "
+        "fact rollup to day grain, one calendar-bounded range window, "
+        "a 7-row seasonal rollup broadcast back.",
+    tags=("timeseries", "orders", "decomposition"),
+)
+def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.date_trunc("day", F.col("o_orderdate")).cast("date")
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            day.alias("day"),
+            (F.expr("weekday(date_trunc('day', o_orderdate))") + 1).alias("dow"),
+            F.expr("datediff(date_trunc('day', o_orderdate), DATE '1970-01-01')")
+            .cast("bigint")
+            .alias("day_num"),
+        )
+        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev_c"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "dow",
+        "rev_c",
+        F.sum("rev_c").over(w).cast("bigint").alias("s7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n7"),
+    )
+    det = tr.where(F.col("n7") == 7).select(
+        "day",
+        "dow",
+        "rev_c",
+        F.round(F.col("s7").cast("double") / F.lit(7.0) * F.lit(1e6))
+        .cast("bigint")
+        .alias("tm"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.sum(F.col("rev_c") * F.lit(1000000) - F.col("tm"))
+        .cast("bigint")
+        .alias("dsum"),
+        F.count(F.lit(1)).cast("bigint").alias("dcnt"),
+    )
+    smean = F.col("dsum").cast("double") / F.col("dcnt").cast("double")
+    return det.join(F.broadcast(seas), "dow").select(
+        F.col("day").cast("string").alias("day"),
+        "rev_c",
+        F.round(F.col("tm").cast("double") / F.lit(1e6) / 100, 6).alias("trend"),
+        F.round(smean / F.lit(1e6) / 100, 6).alias("seasonal"),
+        F.round(
+            ((F.col("rev_c") * F.lit(1000000) - F.col("tm")).cast("double") - smean)
+            / F.lit(1e6)
+            / 100,
+            6,
+        ).alias("remainder"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q267: exact two-sample Kolmogorov-Smirnov (weekday vs weekend orders)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q267_ks_two_sample",
+    sql="""
+    WITH o AS (
+      SELECT CAST(round(coalesce(o_totalprice, 0) * 100) AS BIGINT) AS v,
+             CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END AS wk
+      FROM orders
+    ),
+    g AS (
+      SELECT v,
+             CAST(SUM(1 - wk) AS BIGINT) AS c1,
+             CAST(SUM(wk) AS BIGINT) AS c2
+      FROM o GROUP BY 1
+    ),
+    c AS (
+      SELECT v,
+             CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
+             CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS f2,
+             CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+             CAST(SUM(c2) OVER () AS BIGINT) AS n2
+      FROM g
+    ),
+    d AS (
+      SELECT v, n1, n2, abs(f1 * n2 - f2 * n1) AS gap,
+             ROW_NUMBER() OVER (ORDER BY abs(f1 * n2 - f2 * n1) DESC, v) AS rn
+      FROM c
+    )
+    SELECT n1, n2,
+           round(CAST(gap AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS d_stat,
+           v AS at_value_cents
+    FROM d WHERE rn = 1
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov statistic comparing "
+        "weekday vs weekend order-value distributions: D = max over "
+        "values of |F1(v) - F2(v)|, located at its argmax value "
+        "(smallest value on ties).  The comparison |f1*n2 - f2*n1| "
+        "stays INTEGER until the final division, so the argmax is "
+        "exact — no epsilon fuzz in the supremum, which float ECDFs "
+        "get wrong.  Everything runs at DISTINCT-VALUE grain: one "
+        "fact shuffle to value counts, cumulative windows over the "
+        "value frame, one ranked row out.  (f1*n2 products stay "
+        "under 2^63 up to ~3e9-row samples; past that the q256 "
+        "HUGEINT/DECIMAL widening applies.)",
+    tags=("stats", "orders", "distribution"),
+)
+def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        _cents("o_totalprice").alias("v"),
+        F.when(F.expr("weekday(o_orderdate)") + 1 >= 6, 1).otherwise(0).alias("wk"),
+    )
+    g = o.groupBy("v").agg(
+        F.sum(1 - F.col("wk")).cast("bigint").alias("c1"),
+        F.sum("wk").cast("bigint").alias("c2"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = g.select(
+        "v",
+        F.sum("c1").over(w_cum).cast("bigint").alias("f1"),
+        F.sum("c2").over(w_cum).cast("bigint").alias("f2"),
+        F.sum("c1").over(w_all).cast("bigint").alias("n1"),
+        F.sum("c2").over(w_all).cast("bigint").alias("n2"),
+    )
+    gap = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    d = c.select(
+        "v",
+        "n1",
+        "n2",
+        gap.alias("gap"),
+        F.row_number().over(Window.orderBy(gap.desc(), "v")).alias("rn"),
+    )
+    return d.where(F.col("rn") == 1).select(
+        "n1",
+        "n2",
+        F.round(
+            F.col("gap").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+            9,
+        ).alias("d_stat"),
+        F.col("v").alias("at_value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q268: CUSUM changepoint detection on the daily revenue series
+# ---------------------------------------------------------------------------
+
+@register(
+    "q268_cusum_changepoint",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(round(coalesce(o_totalprice, 0) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT day, rev_c,
+             CAST(SUM(rev_c) OVER (ORDER BY day) AS BIGINT) AS run_sum,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(SUM(rev_c) OVER () AS BIGINT) AS s_tot,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    k AS (
+      SELECT day, run_sum, t, s_tot, n,
+             abs(CAST(run_sum AS DOUBLE)
+                 - CAST(t AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                   / CAST(n AS DOUBLE)) AS cusum,
+             ROW_NUMBER() OVER (ORDER BY
+               abs(CAST(run_sum AS DOUBLE)
+                   - CAST(t AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                     / CAST(n AS DOUBLE)) DESC, day) AS rn
+      FROM c WHERE t < n
+    )
+    SELECT CAST(day AS VARCHAR) AS split_day,
+           round(cusum / 100, 6) AS max_cusum,
+           round(CAST(run_sum AS DOUBLE) / CAST(t AS DOUBLE) / 100, 6)
+             AS mean_before,
+           round((CAST(s_tot AS DOUBLE) - CAST(run_sum AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) / 100, 6)
+             AS mean_after
+    FROM k WHERE rn = 1
+    """,
+    doc="CUSUM changepoint detection on the daily revenue series: the "
+        "cumulative deviation from the grand mean |S_t - t*mu| peaks "
+        "at the most likely single changepoint (Page's test / binary "
+        "segmentation's first cut); reports the split day, the peak "
+        "CUSUM, and the mean level on each side.  Running and grand "
+        "sums are exact integers; each day's CUSUM is one double "
+        "expression over them, and the argmax tie-breaks on day, so "
+        "the located changepoint is deterministic in both engines.  "
+        "Physical: one fact rollup to day grain, cumulative windows "
+        "over the calendar-bounded frame, one ranked row out.",
+    tags=("timeseries", "orders", "anomaly", "changepoint"),
+)
+def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day"))
+        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev_c"))
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = daily.select(
+        "day",
+        F.sum("rev_c").over(w_cum).cast("bigint").alias("run_sum"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.sum("rev_c").over(w_all).cast("bigint").alias("s_tot"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    cusum = F.abs(
+        F.col("run_sum").cast("double")
+        - F.col("t").cast("double") * F.col("s_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    k = c.where(F.col("t") < F.col("n")).select(
+        "day",
+        "run_sum",
+        "t",
+        "s_tot",
+        "n",
+        cusum.alias("cusum"),
+        F.row_number().over(Window.orderBy(cusum.desc(), "day")).alias("rn"),
+    )
+    return k.where(F.col("rn") == 1).select(
+        F.col("day").cast("string").alias("split_day"),
+        F.round(F.col("cusum") / 100, 6).alias("max_cusum"),
+        F.round(
+            F.col("run_sum").cast("double") / F.col("t").cast("double") / 100, 6
+        ).alias("mean_before"),
+        F.round(
+            (F.col("s_tot").cast("double") - F.col("run_sum").cast("double"))
+            / (F.col("n").cast("double") - F.col("t").cast("double"))
+            / 100,
+            6,
+        ).alias("mean_after"),
+    )

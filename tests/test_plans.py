@@ -162,6 +162,10 @@ def test_no_accidental_cartesian_products(plans):
         # q255 word2vec table: the corpus token total joins in as a
         # broadcast single-row aggregate (1 x N) — q42's shape again
         "q255_subsample_keep_probs",
+        # q265 Mann-Kendall: the three scalar legs (n, S, tie
+        # adjustment) assemble by 1x1 single-row cross joins — q130's
+        # shape
+        "q265_mann_kendall_trend",
     }
     for name, p in plans.items():
         if name in allowed:
@@ -1342,4 +1346,45 @@ def test_q264_window_funnel_is_join_free_single_sort(plans):
     p = plans["q264_window_funnel"]
     assert "Join" not in p, "funnel must not self-join for the second hop"
     assert len(re.findall(r"\(\d+\) Sort", p)) == 1, "both passes must share one sort"
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q265_mann_kendall_pairs_are_day_grain(plans):
+    """q265 Mann-Kendall: the O(n^2) sign pairs run over the
+    CALENDAR-bounded day frame with the right side broadcast — the
+    fact table collapses to day grain before any pairing."""
+    p = plans["q265_mann_kendall_trend"]
+    assert "SortMergeJoin" not in p, "day-frame pairing fell back to sort-merge"
+    assert "BroadcastNestedLoopJoin" in p, (
+        "the day<day pairing is a broadcast range NLJ by design"
+    )
+    assert "HashAggregate" in p
+
+
+def test_q266_decompose_range_window_and_tiny_join(plans):
+    """q266 decomposition: the trend is a calendar RANGE window over
+    the day frame; the only join is the broadcast 7-row seasonal
+    rollup."""
+    p = plans["q266_seasonal_decompose"]
+    assert "Window" in p
+    assert "BroadcastHashJoin" in p, "seasonal rollup must broadcast"
+    assert "SortMergeJoin" not in p
+
+
+def test_q267_ks_runs_at_distinct_value_grain(plans):
+    """q267 KS: one fact shuffle to value counts, cumulative windows
+    over the value frame, no joins; the integer gap argmax needs no
+    epsilon."""
+    p = plans["q267_ks_two_sample"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q268_cusum_is_join_free_day_grain(plans):
+    """q268 CUSUM: one fact rollup to day grain, cumulative windows
+    over the calendar frame, one ranked row — no joins anywhere."""
+    p = plans["q268_cusum_changepoint"]
+    assert "Join" not in p
+    assert "Window" in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
