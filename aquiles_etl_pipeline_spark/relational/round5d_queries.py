@@ -334,16 +334,21 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in tables:
             part = wh.read(t).select(F.lit(t).alias("t"))
             tagged = part if tagged is None else tagged.unionByName(part)
-        return {r["t"]: r["n"] for r in
-                tagged.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # seed with zeros: an empty snapshot contributes NO group row
+        counts = {t: 0 for t in tables}
+        for r in tagged.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect():
+            counts[r["t"]] = r["n"]
+        return counts
 
     tables = ("pii_customer", "pii_orders", "fact_lineitem")
     before = _counts(tables)
     erase = cust.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
     # derive the next stage's keys BEFORE the stage deletes them —
-    # wh.read pins the pre-merge generation path, and generations are
-    # retained until vacuum, so this frame stays readable while the
-    # pii_orders merge flips the pointer underneath it
+    # wh.read pins the pre-merge generation path.  _flip always keeps
+    # its pre-flip _CURRENT target (pruning only reaches OLDER
+    # generations), so this pinned frame survives exactly the ONE flip
+    # the pii_orders merge performs; a second flip on pii_orders
+    # before the fact_lineitem merge finishes would prune it
     doomed_orders = (
         wh.read("pii_orders")
         .join(erase, F.col("o_custkey") == F.col("c_custkey"), "left_semi")

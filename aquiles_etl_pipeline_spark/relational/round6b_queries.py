@@ -1443,14 +1443,14 @@ def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type IN ('view', 'click', 'purchase')
     ),
     anch AS (
-      SELECT user_id, ts, event_id, event_type,
+      SELECT user_id, ts, event_type,
              MIN(CASE WHEN event_type = 'click' THEN ts END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
                AS next_click,
              MIN(CASE WHEN event_type = 'purchase' THEN ts END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
                AS next_purchase
       FROM ev
     ),
@@ -1497,9 +1497,14 @@ def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
         "any purchase after a later click is also after an earlier "
         "one), so window pass 2 reads it straight off the same "
         "sorted frame.  The oracle keeps an independent join-based "
-        "formulation of the same semantics.  Same-timestamp ties "
-        "break by event_id in the frame order, deterministically in "
-        "both engines.  Physical shape: ONE scan, one user-grain "
+        "formulation of the same semantics.  A successor means a "
+        "STRICTLY LATER TIMESTAMP (RANGE frames on epoch "
+        "microseconds, 1 FOLLOWING): same-timestamp events are never "
+        "each other's successors, so interleavings inside a tied "
+        "timestamp cannot make the two formulations diverge — with "
+        "ROWS frames the oracle's (user, ts) click grouping and the "
+        "window pass disagree when a purchase sits between two "
+        "same-ts clicks.  Physical shape: ONE scan, one user-grain "
         "shuffle, one sort shared by both stacked window passes, "
         "zero joins.",
     tags=("timeseries", "events", "funnel", "window"),
@@ -1508,15 +1513,15 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load(spark, sf_dir, "events")
         .where(F.col("event_type").isin("view", "click", "purchase"))
-        .select("user_id", "ts", "event_id", "event_type")
+        .select("user_id", "ts", F.expr("unix_micros(ts)").alias("us"), "event_type")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(
         1, Window.unboundedFollowing
     )
     pass1 = ev.select(
         "user_id",
         "ts",
-        "event_id",
+        "us",
         "event_type",
         F.min(F.when(F.col("event_type") == "click", F.col("ts")))
         .over(w)
@@ -1693,7 +1698,9 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     seas AS (
       SELECT dow,
-             CAST(SUM(rev_c * 1000000 - tm) AS BIGINT) AS dsum,
+             CAST(SUM(CAST(CAST(rev_c AS DECIMAL(18,0)) * 1000000
+                           AS DECIMAL(38,0)) - tm)
+                  AS DECIMAL(38,0)) AS dsum,
              CAST(COUNT(*) AS BIGINT) AS dcnt
       FROM det GROUP BY 1
     )
@@ -1701,7 +1708,8 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(tm AS DOUBLE) / 1e6 / 100, 6) AS trend,
            round(CAST(dsum AS DOUBLE) / CAST(dcnt AS DOUBLE) / 1e6 / 100,
                  6) AS seasonal,
-           round((CAST(rev_c * 1000000 - tm AS DOUBLE)
+           round((CAST(CAST(CAST(rev_c AS DECIMAL(18,0)) * 1000000
+                            AS DECIMAL(38,0)) - tm AS DOUBLE)
                   - CAST(dsum AS DOUBLE) / CAST(dcnt AS DOUBLE))
                  / 1e6 / 100, 6) AS remainder
     FROM det JOIN seas USING (dow)
@@ -1749,10 +1757,12 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tm"),
     )
+    # rev_c*1e6 rides DECIMAL: a bare BIGINT multiply wraps silently in
+    # Spark past ~9.2e12 daily cents while DuckDB errors (file header
+    # discipline)
+    detr = (F.col("rev_c").cast(_D18) * 1000000).cast(_D38) - F.col("tm")
     seas = det.groupBy("dow").agg(
-        F.sum(F.col("rev_c") * F.lit(1000000) - F.col("tm"))
-        .cast("bigint")
-        .alias("dsum"),
+        F.sum(detr).cast(_D38).alias("dsum"),
         F.count(F.lit(1)).cast("bigint").alias("dcnt"),
     )
     smean = F.col("dsum").cast("double") / F.col("dcnt").cast("double")
@@ -1762,9 +1772,7 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tm").cast("double") / F.lit(1e6) / 100, 6).alias("trend"),
         F.round(smean / F.lit(1e6) / 100, 6).alias("seasonal"),
         F.round(
-            ((F.col("rev_c") * F.lit(1000000) - F.col("tm")).cast("double") - smean)
-            / F.lit(1e6)
-            / 100,
+            (detr.cast("double") - smean) / F.lit(1e6) / 100,
             6,
         ).alias("remainder"),
     )

@@ -152,3 +152,51 @@ def test_sql_surface_register_views(spark):
         "(PARTITION BY user_id ORDER BY ts) rn FROM events) WHERE rn = 1"
     ).collect()[0][0]
     assert n == load(spark, "/root/testdata/sf0.001", "events").select("user_id").distinct().count()
+
+
+def test_q264_funnel_parity_under_timestamp_ties(spark, tmp_path):
+    """Regression for the same-timestamp interleaving hazard: a click,
+    a purchase, a view, and a second click all at ONE timestamp, with
+    the only strictly-later purchase outside the 30-minute window.
+    Under ROWS frames the Spark window formulation and the oracle's
+    (user, ts) click grouping disagree on this pattern (level 2 vs 3);
+    the strict-timestamp RANGE semantics make both engines emit the
+    same histogram: the view's successor click is at T+1min and the
+    first purchase after it is at T+40min -> level 2."""
+    import pandas as pd
+
+    from aquiles_etl_pipeline_spark.relational import registry
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    rows = [
+        # all four at the identical timestamp T
+        (1, t0, 1, "click", 1.0, None),
+        (2, t0, 1, "purchase", 1.0, None),
+        (3, t0, 1, "view", 1.0, None),
+        (4, t0, 1, "click", 1.0, None),
+        # a strictly later click inside the window, purchase outside it
+        (5, t0 + pd.Timedelta(minutes=1), 1, "click", 1.0, None),
+        (6, t0 + pd.Timedelta(minutes=40), 1, "purchase", 1.0, None),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = tmp_path / "tie_sf"
+    sf.mkdir()
+    pdf.to_parquet(sf / "events.parquet", index=False)
+
+    spec = registry()["q264_window_funnel"]
+    got = {
+        r["level"]: r["n_users"]
+        for r in spec.fn(spark, str(sf)).collect()
+    }
+    assert got == {2: 1}, f"strict-ts funnel semantics broken: {got}"
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = {int(r[0]): int(r[1]) for r in con.execute(spec.sql).fetchall()}
+    assert want == got, f"oracle diverges on ties: {want} != {got}"
