@@ -260,6 +260,9 @@ _GRADE_FIRST = (
     "q266_seasonal_decompose",
     "q267_ks_two_sample",
     "q268_cusum_changepoint",
+    "q269_kneser_ney_bigram",
+    "q270_heaps_law_fit",
+    "q271_alignment_uniformity",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -1961,3 +1961,408 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q269: Kneser-Ney smoothed bigram LM, held-out scoring
+# ---------------------------------------------------------------------------
+
+@register(
+    "q269_kneser_ney_bigram",
+    sql="""
+    WITH tr AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    trb AS (
+      SELECT array_to_string(t[i:i+1], ' ') AS bg
+      FROM tr, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM trb GROUP BY 1),
+    ctx AS (
+      SELECT string_split(bg, ' ')[1] AS w1,
+             CAST(COUNT(*) AS BIGINT) AS c1,
+             CAST(COUNT(DISTINCT bg) AS BIGINT) AS n1fwd
+      FROM trb GROUP BY 1
+    ),
+    cont AS (
+      SELECT string_split(bg, ' ')[2] AS w2,
+             CAST(COUNT(DISTINCT bg) AS BIGINT) AS n1bwd
+      FROM trb GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_bi,
+             (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+              FROM (SELECT unnest(t) AS tok FROM tr)) AS v
+      FROM trb
+    ),
+    te AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    teb AS (
+      SELECT doc_id, lang,
+             array_to_string(t[i:i+1], ' ') AS bg,
+             string_split(array_to_string(t[i:i+1], ' '), ' ')[1] AS w1,
+             string_split(array_to_string(t[i:i+1], ' '), ' ')[2] AS w2
+      FROM te, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    scored AS (
+      SELECT teb.lang,
+             CASE WHEN ctx.c1 IS NULL THEN 1 ELSE 0 END AS oov_ctx,
+             CASE WHEN ctx.c1 IS NOT NULL THEN
+               CAST(round(-ln(
+                 greatest(CAST(COALESCE(c2.c2, 0) AS DOUBLE) - 0.75, 0.0)
+                   / CAST(ctx.c1 AS DOUBLE)
+                 + (0.75 * CAST(ctx.n1fwd AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+                   * ((CAST(COALESCE(cont.n1bwd, 0) AS DOUBLE) + 1.0)
+                      / (CAST(tot.n_bi AS DOUBLE) + CAST(tot.v AS DOUBLE)))
+               ) * 1e6) AS BIGINT) END AS nll_micros
+      FROM teb LEFT JOIN c2 USING (bg)
+               LEFT JOIN ctx USING (w1)
+               LEFT JOIN cont USING (w2), tot
+    )
+    SELECT lang,
+           CAST(SUM(1 - oov_ctx) AS BIGINT) AS n_scored,
+           CAST(SUM(oov_ctx) AS BIGINT) AS n_oov_ctx,
+           round(CAST(CAST(SUM(nll_micros) AS BIGINT) AS DOUBLE)
+                 / SUM(1 - oov_ctx) / 1e6, 6) AS avg_nll
+    FROM scored GROUP BY 1
+    """,
+    doc="Kneser-Ney smoothed bigram LM scored on the held-out split "
+        "(absolute discount d = 0.75): P(w2|w1) = max(c(w1w2)-d,0)/"
+        "c(w1) + (d*N1+(w1.)/c(w1)) * Pcont(w2), with the CONTINUATION "
+        "probability Pcont = (N1+(.w2)+1)/(N_bigram_types+V) add-one "
+        "smoothed so unseen successors stay scoreable — the step up "
+        "from q209's Laplace bigram that fixes the 'Francisco' "
+        "problem (frequent-but-unversatile tokens overweighted).  "
+        "Bigrams with an UNSEEN context are counted out separately "
+        "(n_oov_ctx), not silently smoothed.  Every count is integer; "
+        "each per-bigram ln scales to integer micros before the "
+        "unordered sums (q209/q257 recipe).  Physical shape: fan-out "
+        "before gram building; train tables aggregate at bigram/w1/w2 "
+        "grain and join the test stream at those grains (plain "
+        "shuffle joins, vocab unbounded); the 2-scalar totals row "
+        "broadcasts (allowlisted q42 shape).",
+    tags=("text", "documents", "llmdata", "lm"),
+)
+def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import fan_out
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def bigrams(df: DataFrame, keep_lang: bool) -> DataFrame:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+        cols = ["doc_id", "lang"] if keep_lang else ["doc_id"]
+        return fan_out(df).select(*cols, F.explode(grams).alias("bg"))
+
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    tr = bigrams(train, keep_lang=False)
+    c2 = tr.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    ctx = tr.select(F.split("bg", " ")[0].alias("w1"), "bg").groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1"),
+        F.countDistinct("bg").cast("bigint").alias("n1fwd"),
+    )
+    cont = tr.select(F.split("bg", " ")[1].alias("w2"), "bg").groupBy("w2").agg(
+        F.countDistinct("bg").cast("bigint").alias("n1bwd")
+    )
+    n_bi = tr.agg(F.countDistinct("bg").cast("bigint").alias("n_bi"))
+    v = (
+        fan_out(train)
+        .select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    )
+    tot = n_bi.crossJoin(F.broadcast(v))
+    te = bigrams(test, keep_lang=True).select(
+        "lang",
+        "bg",
+        F.split("bg", " ")[0].alias("w1"),
+        F.split("bg", " ")[1].alias("w2"),
+    )
+    p = (
+        F.greatest(
+            F.coalesce(F.col("c2"), F.lit(0)).cast("double") - F.lit(0.75),
+            F.lit(0.0),
+        )
+        / F.col("c1").cast("double")
+        + (F.lit(0.75) * F.col("n1fwd").cast("double") / F.col("c1").cast("double"))
+        * (
+            (F.coalesce(F.col("n1bwd"), F.lit(0)).cast("double") + F.lit(1.0))
+            / (F.col("n_bi").cast("double") + F.col("v").cast("double"))
+        )
+    )
+    scored = (
+        te.join(c2, "bg", "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.when(F.col("c1").isNull(), 1).otherwise(0).alias("oov_ctx"),
+            F.when(
+                F.col("c1").isNotNull(),
+                F.round(-F.log(p) * 1e6).cast("bigint"),
+            ).alias("nll_micros"),
+        )
+    )
+    return scored.groupBy("lang").agg(
+        F.sum(1 - F.col("oov_ctx")).cast("bigint").alias("n_scored"),
+        F.sum("oov_ctx").cast("bigint").alias("n_oov_ctx"),
+        F.round(
+            F.sum("nll_micros").cast("bigint").cast("double")
+            / F.sum(1 - F.col("oov_ctx"))
+            / 1e6,
+            6,
+        ).alias("avg_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q270: Heaps'-law vocabulary growth fit per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "q270_heaps_law_fit",
+    sql="""
+    WITH tok AS (
+      SELECT source, doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    tk AS (SELECT source, doc_id, tok FROM tok WHERE tok <> ''),
+    per_doc AS (
+      SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM tk GROUP BY 1, 2
+    ),
+    first_seen AS (
+      SELECT source, tok, MIN(doc_id) AS d0 FROM tk GROUP BY 1, 2
+    ),
+    new_types AS (
+      SELECT source, d0 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT p.source, p.doc_id,
+             CAST(SUM(p.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+             CAST(SUM(COALESCE(n.n_new, 0)) OVER w AS BIGINT) AS cum_types
+      FROM per_doc p LEFT JOIN new_types n USING (source, doc_id)
+      WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    pts AS (
+      SELECT source,
+             CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+             CAST(round(ln(CAST(cum_types AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      FROM cum WHERE cum_tokens > 0 AND cum_types > 0
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
+                                * CAST(x AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
+                                * CAST(y AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS sxy
+      FROM pts GROUP BY 1
+    )
+    SELECT source, n_docs,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+           round(exp(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                      / n) / 1e6), 6) AS k
+    FROM s
+    """,
+    doc="Heaps'-law vocabulary-growth fit per source: V(n) = K*n^beta "
+        "fit by OLS on (ln cumulative tokens, ln cumulative types) "
+        "after each document in doc_id order — beta far from the "
+        "corpus norm flags template/boilerplate sources (vocabulary "
+        "saturates) or noisy ones (beta near 1); a data-curation "
+        "fingerprint.  Cumulative TYPES come from the first-seen "
+        "reduction (min doc_id per (source, token)) so no windowed "
+        "distinct scan exists; ln points scale to integer micros "
+        "before the unordered regression sums (q257 recipe; the "
+        "micros scale cancels in beta, and the intercept unscales by "
+        "1e6 inside exp for K).  Physical shape: one (source, token) "
+        "rollup, one (source, doc) rollup, cumulative windows at "
+        "document grain, a source-grain regression rollup.",
+    tags=("text", "documents", "llmdata", "profiling"),
+)
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import fan_out
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tk = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    per_doc = tk.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    first_seen = tk.groupBy("source", "tok").agg(F.min("doc_id").alias("d0"))
+    new_types = first_seen.groupBy(
+        "source", F.col("d0").alias("doc_id")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_doc.join(new_types, ["source", "doc_id"], "left").select(
+        "source",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+        .over(w)
+        .cast("bigint")
+        .alias("cum_types"),
+    )
+    pts = cum.where((F.col("cum_tokens") > 0) & (F.col("cum_types") > 0)).select(
+        "source",
+        F.round(F.log(F.col("cum_tokens").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("cum_types").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("y"),
+    )
+    xd, yd = F.col("x").cast(_D18), F.col("y").cast(_D18)
+    s = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("bigint").cast("double").alias("sx"),
+        F.sum("y").cast("bigint").cast("double").alias("sy"),
+        F.sum((xd * xd).cast(_D38)).cast(_D38).cast("double").alias("sxx"),
+        F.sum((xd * yd).cast(_D38)).cast(_D38).cast("double").alias("sxy"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        F.round(beta, 6).alias("beta"),
+        F.round(
+            F.exp(((F.col("sy") - beta * F.col("sx")) / F.col("n")) / F.lit(1e6)),
+            6,
+        ).alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q271: contrastive embedding diagnostics — alignment & uniformity
+# ---------------------------------------------------------------------------
+
+@register(
+    "q271_alignment_uniformity",
+    sql="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT CAST(round(list_sum(list_transform(generate_series(1, 64),
+                    i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) * 1e6)
+                  AS BIGINT) AS d2m
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    unif AS (
+      SELECT CAST(round(exp(-2.0 * list_sum(list_transform(
+                    generate_series(1, 64),
+                    i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))) * 1e12)
+                  AS BIGINT) AS em
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
+    ),
+    pa AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pos_pairs,
+             CAST(CAST(SUM(d2m) AS BIGINT) AS DOUBLE) AS s_align
+      FROM pos
+    ),
+    ua AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_unif_pairs,
+             CAST(CAST(SUM(em) AS BIGINT) AS DOUBLE) AS s_unif
+      FROM unif
+    )
+    SELECT n_pos_pairs,
+           round(s_align / CAST(n_pos_pairs AS DOUBLE) / 1e6, 6) AS alignment,
+           n_unif_pairs,
+           round(ln(s_unif / CAST(n_unif_pairs AS DOUBLE) / 1e12), 6)
+             AS uniformity
+    FROM pa CROSS JOIN ua
+    """,
+    doc="Contrastive-embedding diagnostics (Wang & Isola, ICML'20): "
+        "ALIGNMENT = mean squared distance over same-label pairs "
+        "(lower = positives cluster) and UNIFORMITY = ln of the mean "
+        "Gaussian-kernel value exp(-2*d^2) over a deterministic "
+        "hash-sampled pair set (lower = embeddings spread over the "
+        "sphere) — the two axes that predict contrastive-representation "
+        "quality.  Per-pair squared distances fold the 64 dims IN "
+        "ARRAY ORDER on both engines (Spark aggregate/zip_with, "
+        "DuckDB list_transform over generate_series — a GEMM would "
+        "reorder the additions), then integerize to micros before "
+        "the unordered pair sums.  Physical shape: within-label "
+        "pair join for alignment (label-partitioned — the 100 TB "
+        "posture samples per label), vec_id%4 subsample for the "
+        "quadratic uniformity pairs, two single-row legs crossed "
+        "(allowlisted q42 shape).",
+    tags=("embeddings", "llmdata", "ml-stats"),
+)
+def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("ida"), F.col("label").alias("la"),
+        F.col("v").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("idb"), F.col("label").alias("lb"),
+        F.col("v").alias("vb"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    pos = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("ida") < F.col("idb")))
+        .select(F.round(d2 * 1e6).cast("bigint").alias("d2m"))
+    )
+    unif = (
+        a.where(F.col("ida") % 4 == 0)
+        .join(F.broadcast(b.where(F.col("idb") % 4 == 0)),
+              F.col("ida") < F.col("idb"))
+        .select(
+            F.round(F.exp(F.lit(-2.0) * d2) * 1e12).cast("bigint").alias("em")
+        )
+    )
+    pa = pos.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos_pairs"),
+        F.sum("d2m").cast("bigint").cast("double").alias("s_align"),
+    )
+    ua = unif.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unif_pairs"),
+        F.sum("em").cast("bigint").cast("double").alias("s_unif"),
+    )
+    return pa.crossJoin(F.broadcast(ua)).select(
+        "n_pos_pairs",
+        F.round(
+            F.col("s_align") / F.col("n_pos_pairs").cast("double") / F.lit(1e6), 6
+        ).alias("alignment"),
+        "n_unif_pairs",
+        F.round(
+            F.log(
+                F.col("s_unif") / F.col("n_unif_pairs").cast("double") / F.lit(1e12)
+            ),
+            6,
+        ).alias("uniformity"),
+    )

@@ -166,6 +166,14 @@ def test_no_accidental_cartesian_products(plans):
         # adjustment) assemble by 1x1 single-row cross joins — q130's
         # shape
         "q265_mann_kendall_trend",
+        # q269 Kneser-Ney: the (n_bigram_types, vocab) totals row joins
+        # in as a broadcast single-row aggregate (1 x N) — q42's shape
+        "q269_kneser_ney_bigram",
+        # q271 alignment/uniformity: the vec_id<vec_id pairing of the
+        # hash-sampled subset is the operator's definition (q47's
+        # constant-factor map with a non-equi residual), and the two
+        # single-row metric legs cross — q130's shape
+        "q271_alignment_uniformity",
     }
     for name, p in plans.items():
         if name in allowed:
@@ -1388,3 +1396,33 @@ def test_q268_cusum_is_join_free_day_grain(plans):
     assert "Join" not in p
     assert "Window" in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q269_kneser_ney_joins_at_gram_grain(plans):
+    """q269 Kneser-Ney: the test stream joins the three train count
+    tables at bigram/w1/w2 grain with NO accidental cartesian beyond
+    the allowlisted totals row; gram building fans out first."""
+    p = plans["q269_kneser_ney_bigram"]
+    assert "RoundRobinPartitioning" in p, "corpus not fanned out before grams"
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_q270_heaps_fit_has_no_windowed_distinct(plans):
+    """q270 Heaps fit: cumulative TYPES come from the first-seen
+    reduction — the plan must contain no distinct aggregation inside
+    a window (the O(docs x vocab) densification trap)."""
+    p = plans["q270_heaps_law_fit"]
+    assert "RoundRobinPartitioning" in p, "corpus not fanned out before explode"
+    assert "Window" in p
+    assert "SortMergeJoin" not in p or "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+
+
+def test_q271_alignment_distances_stay_jvm_side(plans):
+    """q271 alignment/uniformity: the 64-dim squared distances fold
+    via zip_with/aggregate expressions — no Python evaluation, no
+    GEMM seam; the label-equi pair join hashes on label."""
+    p = plans["q271_alignment_uniformity"]
+    assert "EvalPython" not in p
+    assert "zip_with" in p or "aggregate" in p.lower()
