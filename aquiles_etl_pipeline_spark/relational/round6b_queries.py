@@ -77,11 +77,13 @@ def _cents(col: str) -> F.Column:
     )
     SELECT variant, n_users,
            round(spost / CAST(n_users AS DOUBLE) / 100, 6) AS mean_post,
-           round((spost / CAST(n_users AS DOUBLE)
+           round(CASE WHEN n * sxx - sx * sx > 0 THEN
+                 (spost / CAST(n_users AS DOUBLE)
                   - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
-                    * (spre / CAST(n_users AS DOUBLE) - sx / n)) / 100,
+                    * (spre / CAST(n_users AS DOUBLE) - sx / n)) / 100 END,
                  6) AS mean_cuped,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta
+           round(CASE WHEN n * sxx - sx * sx > 0 THEN
+                 (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS theta
     FROM m
     """,
     doc="CUPED variance-reduced A/B readout (Deng et al., WSDM'13): "
@@ -141,22 +143,27 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vxy").over(w).cast(_D38).cast("double").alias("sxy"),
     )
     n_d = F.col("n_users").cast("double")
-    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    # pre-variance can be exactly zero on degenerate input (every user
+    # identical pre-period); ANSI Spark errors on the division where
+    # DuckDB would emit inf — the guard makes both emit NULL
+    var_pre = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / var_pre
     return m.select(
         "variant",
         "n_users",
         F.round(F.col("spost") / n_d / 100, 6).alias("mean_post"),
         F.round(
-            (
-                F.col("spost") / n_d
-                - theta * (F.col("spre") / n_d - F.col("sx") / F.col("n"))
-            )
-            / 100,
+            F.when(
+                var_pre > 0,
+                (
+                    F.col("spost") / n_d
+                    - theta * (F.col("spre") / n_d - F.col("sx") / F.col("n"))
+                )
+                / 100,
+            ),
             6,
         ).alias("mean_cuped"),
-        F.round(theta, 6).alias("theta"),
+        F.round(F.when(var_pre > 0, theta), 6).alias("theta"),
     )
 
 
@@ -200,8 +207,9 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs GROUP BY 1
     )
     SELECT CAST(lag_k AS BIGINT) AS lag_k, n_pairs,
-           round((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+           round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+                 (n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
                  6) AS acf
     FROM s
     """,
@@ -251,14 +259,19 @@ def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((xd * yd).cast(_D38)).cast(_D38).cast("double").alias("sxy"),
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
     )
+    # a constant series makes a variance leg exactly zero — NULL, not
+    # an ANSI division error (DuckDB would emit inf/nan)
+    var_prod = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
     return s.select(
         F.col("lag_k").cast("bigint").alias("lag_k"),
         "n_pairs",
         F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            F.when(
+                var_prod > 0,
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(var_prod),
             ),
             6,
         ).alias("acf"),
@@ -631,10 +644,13 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM resid
     )
     SELECT CAST(day AS VARCHAR) AS day, rev_c, resid_c,
-           round(2.0 * sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 6) AS threshold_c,
-           CAST(abs(CAST(resid_c AS DOUBLE))
-                > 2.0 * sqrt((s2 - s1 * s1 / n) / (n - 1.0))
-                AS BOOLEAN) AS is_anomaly
+           round(CASE WHEN n > 1 THEN
+                 2.0 * sqrt((s2 - s1 * s1 / n) / (n - 1.0)) END,
+                 6) AS threshold_c,
+           CASE WHEN n > 1 THEN
+                CAST(abs(CAST(resid_c AS DOUBLE))
+                     > 2.0 * sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+                     AS BOOLEAN) END AS is_anomaly
     FROM resid CROSS JOIN s
     """,
     doc="Seasonal-naive anomaly flags on the daily event-revenue "
@@ -675,9 +691,14 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("resid_c").over(w).cast("bigint").cast("double").alias("s1"),
         F.sum((rd * rd).cast(_D38)).over(w).cast(_D38).cast("double").alias("s2"),
     )
-    thr = F.lit(2.0) * F.sqrt(
-        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-        / (F.col("n") - F.lit(1.0))
+    # a single residual row makes n-1 zero — NULL, not an ANSI error
+    thr = F.when(
+        F.col("n") > 1,
+        F.lit(2.0)
+        * F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - F.lit(1.0))
+        ),
     )
     return stats.select(
         F.col("day").cast("string").alias("day"),
@@ -874,7 +895,9 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM li GROUP BY 1
     )
     SELECT brand, n_lines,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity
+           round(CASE WHEN n * sxx - sx * sx > 0 THEN
+                 (n * sxy - sx * sy) / (n * sxx - sx * sx) END,
+                 6) AS elasticity
     FROM s
     """,
     doc="Per-brand price elasticity of demand: the OLS slope of "
@@ -912,12 +935,16 @@ def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((xd * xd).cast(_D38)).cast(_D38).cast("double").alias("sxx"),
         F.sum((xd * yd).cast(_D38)).cast(_D38).cast("double").alias("sxy"),
     )
+    # a brand whose every line has one price makes var(x) exactly zero
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     return s.select(
         "brand",
         "n_lines",
         F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            F.when(
+                var_x > 0,
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / var_x,
+            ),
             6,
         ).alias("elasticity"),
     )
@@ -999,10 +1026,12 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT CAST(dow AS BIGINT) AS dow, n_orders, rev_c,
-           round(CAST(rev_c AS DOUBLE) / CAST(rev_tot AS DOUBLE), 9)
+           round(CASE WHEN rev_tot > 0 THEN
+                 CAST(rev_c AS DOUBLE) / CAST(rev_tot AS DOUBLE) END, 9)
              AS revenue_share,
-           round((CAST(rev_c AS DOUBLE) / CAST(n_orders AS DOUBLE))
-                 / (CAST(rev_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)),
+           round(CASE WHEN rev_tot > 0 THEN
+                 (CAST(rev_c AS DOUBLE) / CAST(n_orders AS DOUBLE))
+                 / (CAST(rev_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) END,
                  6) AS aov_index
     FROM m
     """,
@@ -1033,16 +1062,22 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").over(w).cast("bigint").alias("n_tot"),
         F.sum("rev_c").over(w).cast("bigint").alias("rev_tot"),
     )
+    # all-zero revenue (degenerate input) zeroes the denominators
+    pos = F.col("rev_tot") > 0
     return m.select(
         F.col("dow").cast("bigint").alias("dow"),
         "n_orders",
         "rev_c",
         F.round(
-            F.col("rev_c").cast("double") / F.col("rev_tot").cast("double"), 9
+            F.when(pos, F.col("rev_c").cast("double") / F.col("rev_tot").cast("double")),
+            9,
         ).alias("revenue_share"),
         F.round(
-            (F.col("rev_c").cast("double") / F.col("n_orders").cast("double"))
-            / (F.col("rev_tot").cast("double") / F.col("n_tot").cast("double")),
+            F.when(
+                pos,
+                (F.col("rev_c").cast("double") / F.col("n_orders").cast("double"))
+                / (F.col("rev_tot").cast("double") / F.col("n_tot").cast("double")),
+            ),
             6,
         ).alias("aov_index"),
     )
@@ -1185,10 +1220,12 @@ def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT n_pos, n_neg,
-           round((CAST(two_ranksum AS DOUBLE) / 2.0
+           round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                 (CAST(two_ranksum AS DOUBLE) / 2.0
                   - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0)
                     / 2.0)
-                 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 9) AS auc
+                 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END,
+                 9) AS auc
     FROM t
     """,
     doc="EXACT ROC-AUC of 'event value predicts purchase' via the "
@@ -1236,15 +1273,19 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("two_ranksum"),
     )
     npd = F.col("n_pos").cast("double")
+    # single-class input: AUC undefined -> NULL, not an ANSI div error
     return t.select(
         "n_pos",
         "n_neg",
         F.round(
-            (
-                F.col("two_ranksum").cast("double") / F.lit(2.0)
-                - npd * (npd + F.lit(1.0)) / F.lit(2.0)
-            )
-            / (npd * F.col("n_neg").cast("double")),
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                (
+                    F.col("two_ranksum").cast("double") / F.lit(2.0)
+                    - npd * (npd + F.lit(1.0)) / F.lit(2.0)
+                )
+                / (npd * F.col("n_neg").cast("double")),
+            ),
             9,
         ).alias("auc"),
     )
@@ -1286,13 +1327,14 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT decile, n, n_pos,
            round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9)
              AS response_rate,
-           round((CAST(CAST(SUM(n_pos) OVER (ORDER BY decile
+           round(CASE WHEN pos_tot > 0 THEN
+                 (CAST(CAST(SUM(n_pos) OVER (ORDER BY decile
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS DOUBLE)
                   / CAST(CAST(SUM(n) OVER (ORDER BY decile
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS DOUBLE))
-                 / (CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)),
+                 / (CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) END,
                  9) AS cum_lift
     FROM d
     """,
@@ -1346,11 +1388,14 @@ def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
             "response_rate"
         ),
         F.round(
-            (
-                F.sum("n_pos").over(w_dec).cast("bigint").cast("double")
-                / F.sum("n").over(w_dec).cast("bigint").cast("double")
-            )
-            / (F.col("pos_tot").cast("double") / F.col("n_tot").cast("double")),
+            F.when(
+                F.col("pos_tot") > 0,
+                (
+                    F.sum("n_pos").over(w_dec).cast("bigint").cast("double")
+                    / F.sum("n").over(w_dec).cast("bigint").cast("double")
+                )
+                / (F.col("pos_tot").cast("double") / F.col("n_tot").cast("double")),
+            ),
             9,
         ).alias("cum_lift"),
     )
@@ -1380,8 +1425,9 @@ def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_name AS nation, n_suppliers,
            round(CAST(rev_tot AS DOUBLE) / 100, 6) AS revenue,
-           round(CAST(rev_sq AS DOUBLE)
-                 / (CAST(rev_tot AS DOUBLE) * CAST(rev_tot AS DOUBLE)),
+           round(CASE WHEN rev_tot > 0 THEN
+                 CAST(rev_sq AS DOUBLE)
+                 / (CAST(rev_tot AS DOUBLE) * CAST(rev_tot AS DOUBLE)) END,
                  9) AS hhi
     FROM n JOIN nation ON s_nationkey = n_nationkey
     """,
@@ -1423,8 +1469,14 @@ def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_suppliers",
             F.round(F.col("rev_tot").cast("double") / 100, 6).alias("revenue"),
             F.round(
-                F.col("rev_sq").cast("double")
-                / (F.col("rev_tot").cast("double") * F.col("rev_tot").cast("double")),
+                F.when(
+                    F.col("rev_tot") > 0,
+                    F.col("rev_sq").cast("double")
+                    / (
+                        F.col("rev_tot").cast("double")
+                        * F.col("rev_tot").cast("double")
+                    ),
+                ),
                 9,
             ).alias("hhi"),
         )
@@ -1810,8 +1862,9 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT n1, n2,
-           round(CAST(gap AS DOUBLE)
-                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS d_stat,
+           round(CASE WHEN n1 > 0 AND n2 > 0 THEN
+                 CAST(gap AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END, 9) AS d_stat,
            v AS at_value_cents
     FROM d WHERE rn = 1
     """,
@@ -1858,8 +1911,11 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
         F.round(
-            F.col("gap").cast("double")
-            / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+            F.when(
+                (F.col("n1") > 0) & (F.col("n2") > 0),
+                F.col("gap").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+            ),
             9,
         ).alias("d_stat"),
         F.col("v").alias("at_value_cents"),
@@ -2026,8 +2082,9 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(SUM(1 - oov_ctx) AS BIGINT) AS n_scored,
            CAST(SUM(oov_ctx) AS BIGINT) AS n_oov_ctx,
-           round(CAST(CAST(SUM(nll_micros) AS BIGINT) AS DOUBLE)
-                 / SUM(1 - oov_ctx) / 1e6, 6) AS avg_nll
+           round(CASE WHEN SUM(1 - oov_ctx) > 0 THEN
+                 CAST(CAST(SUM(nll_micros) AS BIGINT) AS DOUBLE)
+                 / SUM(1 - oov_ctx) / 1e6 END, 6) AS avg_nll
     FROM scored GROUP BY 1
     """,
     doc="Kneser-Ney smoothed bigram LM scored on the held-out split "
@@ -2113,9 +2170,12 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("oov_ctx")).cast("bigint").alias("n_scored"),
         F.sum("oov_ctx").cast("bigint").alias("n_oov_ctx"),
         F.round(
-            F.sum("nll_micros").cast("bigint").cast("double")
-            / F.sum(1 - F.col("oov_ctx"))
-            / 1e6,
+            F.when(
+                F.sum(1 - F.col("oov_ctx")) > 0,
+                F.sum("nll_micros").cast("bigint").cast("double")
+                / F.sum(1 - F.col("oov_ctx"))
+                / 1e6,
+            ),
             6,
         ).alias("avg_nll"),
     )
@@ -2176,9 +2236,11 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts GROUP BY 1
     )
     SELECT source, n_docs,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
-           round(exp(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-                      / n) / 1e6), 6) AS k
+           round(CASE WHEN n * sxx - sx * sx > 0 THEN
+                 (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS beta,
+           round(CASE WHEN n * sxx - sx * sx > 0 THEN
+                 exp(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                      / n) / 1e6) END, 6) AS k
     FROM s
     """,
     doc="Heaps'-law vocabulary-growth fit per source: V(n) = K*n^beta "
@@ -2243,15 +2305,18 @@ def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((xd * xd).cast(_D38)).cast(_D38).cast("double").alias("sxx"),
         F.sum((xd * yd).cast(_D38)).cast(_D38).cast("double").alias("sxy"),
     )
-    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    # a one-document source has zero x-variance — NULL fit, not a div error
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / var_x
     return s.select(
         "source",
         "n_docs",
-        F.round(beta, 6).alias("beta"),
+        F.round(F.when(var_x > 0, beta), 6).alias("beta"),
         F.round(
-            F.exp(((F.col("sy") - beta * F.col("sx")) / F.col("n")) / F.lit(1e6)),
+            F.when(
+                var_x > 0,
+                F.exp(((F.col("sy") - beta * F.col("sx")) / F.col("n")) / F.lit(1e6)),
+            ),
             6,
         ).alias("k"),
     )
@@ -2293,9 +2358,12 @@ def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM unif
     )
     SELECT n_pos_pairs,
-           round(s_align / CAST(n_pos_pairs AS DOUBLE) / 1e6, 6) AS alignment,
+           round(CASE WHEN n_pos_pairs > 0 THEN
+                 s_align / CAST(n_pos_pairs AS DOUBLE) / 1e6 END, 6)
+             AS alignment,
            n_unif_pairs,
-           round(ln(s_unif / CAST(n_unif_pairs AS DOUBLE) / 1e12), 6)
+           round(CASE WHEN n_unif_pairs > 0 AND s_unif > 0 THEN
+                 ln(s_unif / CAST(n_unif_pairs AS DOUBLE) / 1e12) END, 6)
              AS uniformity
     FROM pa CROSS JOIN ua
     """,
@@ -2353,15 +2421,26 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_unif_pairs"),
         F.sum("em").cast("bigint").cast("double").alias("s_unif"),
     )
+    # empty pair sets (or a kernel sum that integerizes to zero) must
+    # yield NULL metrics, not an ANSI division error / ln(0)
     return pa.crossJoin(F.broadcast(ua)).select(
         "n_pos_pairs",
         F.round(
-            F.col("s_align") / F.col("n_pos_pairs").cast("double") / F.lit(1e6), 6
+            F.when(
+                F.col("n_pos_pairs") > 0,
+                F.col("s_align") / F.col("n_pos_pairs").cast("double") / F.lit(1e6),
+            ),
+            6,
         ).alias("alignment"),
         "n_unif_pairs",
         F.round(
-            F.log(
-                F.col("s_unif") / F.col("n_unif_pairs").cast("double") / F.lit(1e12)
+            F.when(
+                (F.col("n_unif_pairs") > 0) & (F.col("s_unif") > 0),
+                F.log(
+                    F.col("s_unif")
+                    / F.col("n_unif_pairs").cast("double")
+                    / F.lit(1e12)
+                ),
             ),
             6,
         ).alias("uniformity"),

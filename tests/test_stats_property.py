@@ -1,0 +1,222 @@
+"""Brute-force property tests for the round-6b statistical kernels:
+each query's distributed formulation (distinct-score-grain AUC,
+integer-gap KS argmax, rank-formula Gini, pairwise Mann-Kendall,
+strict-timestamp windowFunnel) must equal a naive pure-Python
+recomputation on adversarial random inputs — heavy ties included,
+because ties are where every one of these kernels is easiest to get
+wrong (average ranks, ECDF suprema, funnel successor semantics).
+
+Inputs are written as per-example parquet dirs because the catalog
+queries read ``{sf_dir}/{table}.parquet`` — the same seam the driver
+and oracle harness use.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from aquiles_etl_pipeline_spark.relational import registry
+
+# small domains force dense ties
+CENTS = st.integers(min_value=0, max_value=12)
+LABEL = st.booleans()
+
+
+def _events_dir(tmpdir, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    # Spark cannot read TIMESTAMP(NANOS) parquet — pin to microseconds
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tmpdir / "sf"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+def _orders_dir(tmpdir, rows):
+    pdf = pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    d = tmpdir / "sf"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "orders.parquet", index=False)
+    return str(d)
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.lists(st.tuples(CENTS, LABEL), min_size=2, max_size=40))
+def test_exact_auc_matches_pairwise_bruteforce(spark, tmp_path_factory, data):
+    # guarantee both classes exist
+    data = list(data) + [(3, True), (5, False)]
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, t0, 1, "purchase" if y else "click", c / 100.0, None)
+        for i, (c, y) in enumerate(data)
+    ]
+    sf = _events_dir(tmp_path_factory.mktemp("auc"), rows)
+    got = registry()["q261_exact_auc"].fn(spark, sf).collect()[0]
+    pos = [c for c, y in data if y]
+    neg = [c for c, y in data if not y]
+    want = (
+        sum(1.0 for p in pos for n in neg if p > n)
+        + 0.5 * sum(1.0 for p in pos for n in neg if p == n)
+    ) / (len(pos) * len(neg))
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert abs(got["auc"] - want) < 1e-8, f"{got['auc']} != {want}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    wk=st.lists(CENTS, min_size=1, max_size=30),
+    we=st.lists(CENTS, min_size=1, max_size=30),
+)
+def test_ks_two_sample_matches_bruteforce(spark, tmp_path_factory, wk, we):
+    # Mon 2024-01-01 is weekday, Sat 2024-01-06 is weekend
+    rows = [
+        (i, i, "O", c / 100.0, pd.Timestamp("2024-01-01"), "1-URGENT")
+        for i, c in enumerate(wk)
+    ] + [
+        (1000 + i, i, "O", c / 100.0, pd.Timestamp("2024-01-06"), "1-URGENT")
+        for i, c in enumerate(we)
+    ]
+    sf = _orders_dir(tmp_path_factory.mktemp("ks"), rows)
+    got = registry()["q267_ks_two_sample"].fn(spark, sf).collect()[0]
+    vals = sorted(set(wk) | set(we))
+    best = None
+    for v in vals:
+        f1 = sum(1 for x in wk if x <= v)
+        f2 = sum(1 for x in we if x <= v)
+        gap = abs(f1 * len(we) - f2 * len(wk))
+        if best is None or gap > best[0]:
+            best = (gap, v)
+    assert got["n1"] == len(wk) and got["n2"] == len(we)
+    assert got["at_value_cents"] == best[1]
+    assert abs(got["d_stat"] - best[0] / (len(wk) * len(we))) < 1e-8
+
+
+@settings(max_examples=6, deadline=None)
+@given(bals=st.lists(st.integers(min_value=0, max_value=500), min_size=1,
+                     max_size=40))
+def test_gini_matches_rank_formula_bruteforce(spark, tmp_path_factory, bals):
+    tmp = tmp_path_factory.mktemp("gini")
+    d = tmp / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        [(i, f"c{i}", 0, b / 100.0, "SEG") for i, b in enumerate(bals)],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    ).to_parquet(d / "customer.parquet", index=False)
+    pd.DataFrame(
+        [(0, "NATION0", 0)], columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_parquet(d / "nation.parquet", index=False)
+    got = registry()["q253_gini_acctbal_by_nation"].fn(spark, str(d)).collect()[0]
+    xs = sorted(bals)
+    n, sx = len(xs), sum(xs)
+    if sx == 0:
+        assert got["gini"] is None
+        return
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    want = (2 * six - (n + 1) * sx) / (n * sx)
+    assert got["n_customers"] == n
+    # the query rounds to 6 decimals
+    assert abs(got["gini"] - want) < 1.1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(daily=st.lists(st.integers(min_value=0, max_value=8), min_size=3,
+                      max_size=25))
+def test_mann_kendall_matches_pairwise_bruteforce(spark, tmp_path_factory, daily):
+    rows = [
+        (i, i, "O", c / 100.0,
+         pd.Timestamp("2024-01-01") + pd.Timedelta(days=i), "1-URGENT")
+        for i, c in enumerate(daily)
+    ]
+    sf = _orders_dir(tmp_path_factory.mktemp("mk"), rows)
+    got = registry()["q265_mann_kendall_trend"].fn(spark, sf).collect()[0]
+    n = len(daily)
+    s = sum(
+        (1 if daily[j] > daily[i] else -1 if daily[j] < daily[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie_adj = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(daily).values() if t > 1
+    )
+    var = (n * (n - 1) * (2 * n + 5) - tie_adj) / 18.0
+    want = 0.0 if s == 0 else (s - (1 if s > 0 else -1)) / math.sqrt(var)
+    assert got["n_days"] == n and got["s_stat"] == s
+    # the query rounds to 6 decimals
+    assert abs(got["z_stat"] - want) < 1.1e-6
+
+
+# strategies that force timestamp ties: seconds drawn from a tiny range
+FUNNEL_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),        # user
+        st.integers(min_value=0, max_value=8),        # ts second (dense ties)
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(events=FUNNEL_EVENTS)
+def test_window_funnel_matches_simulation(spark, tmp_path_factory, events):
+    t0 = pd.Timestamp("2024-01-01")
+    window_s = 1800
+    rows = [
+        (i, t0 + pd.Timedelta(seconds=sec * 600), u, typ, 1.0, None)
+        for i, (u, sec, typ) in enumerate(events)
+    ]
+    sf = _events_dir(tmp_path_factory.mktemp("funnel"), rows)
+    got = {
+        r["level"]: r["n_users"]
+        for r in registry()["q264_window_funnel"].fn(spark, sf).collect()
+    }
+
+    # simulate the strict-timestamp semantics per user
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, sec, typ in events:
+        by_user[u].append((sec * 600, typ))
+    want: dict[int, int] = defaultdict(int)
+    for u, evs in by_user.items():
+        views = [t for t, typ in evs if typ == "view"]
+        clicks = sorted(t for t, typ in evs if typ == "click")
+        purchases = sorted(t for t, typ in evs if typ == "purchase")
+        if not views:
+            continue
+        level = 1
+        for vt in views:
+            nc = next((c for c in clicks if c > vt), None)
+            lv = 1
+            if nc is not None and nc <= vt + window_s:
+                lv = 2
+                np_ = next((p for p in purchases if p > nc), None)
+                if np_ is not None and np_ <= vt + window_s:
+                    lv = 3
+            level = max(level, lv)
+        want[level] += 1
+    assert got == dict(want), f"{got} != {dict(want)}"
+
+
+def test_auc_degenerate_single_class(spark, tmp_path_factory):
+    """All-positive input: n_neg = 0 must yield NULL auc, not a crash
+    or a garbage division."""
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [(i, t0, 1, "purchase", 1.0, None) for i in range(5)]
+    sf = _events_dir(tmp_path_factory.mktemp("aucdeg"), rows)
+    got = registry()["q261_exact_auc"].fn(spark, sf).collect()[0]
+    assert got["n_neg"] == 0 and got["auc"] is None
