@@ -263,6 +263,9 @@ _GRADE_FIRST = (
     "q269_kneser_ney_bigram",
     "q270_heaps_law_fit",
     "q271_alignment_uniformity",
+    "q272_collocations_pmi",
+    "q273_cohort_ltv",
+    "q274_wasserstein_1d",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -2445,3 +2445,296 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("uniformity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q272: collocation extraction — bigram PMI with a frequency floor
+# ---------------------------------------------------------------------------
+
+@register(
+    "q272_collocations_pmi",
+    sql="""
+    WITH tr AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    trb AS (
+      SELECT string_split(array_to_string(t[i:i+1], ' '), ' ')[1] AS w1,
+             string_split(array_to_string(t[i:i+1], ' '), ' ')[2] AS w2
+      FROM tr, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM trb GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(t) AS tok FROM tr) WHERE tok <> '' GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(c1) AS BIGINT) FROM uni) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS m_bi
+      FROM trb
+    )
+    SELECT w1, w2, c2,
+           round(ln(CAST(c2 AS DOUBLE) * CAST(n_tok AS DOUBLE)
+                    * CAST(n_tok AS DOUBLE)
+                    / (CAST(m_bi AS DOUBLE) * CAST(a.c1 AS DOUBLE)
+                       * CAST(b.c1 AS DOUBLE))), 6) AS pmi
+    FROM c2
+    JOIN uni a ON a.tok = w1
+    JOIN uni b ON b.tok = w2, tot
+    WHERE c2 >= 5
+    """,
+    doc="Collocation extraction via bigram PMI with a frequency floor "
+        "(Church & Hanks, 1990): pmi(w1,w2) = ln(P(w1w2)/(P(w1)P(w2)))"
+        " over corpus-wide counts, reported for every bigram seen at "
+        "least 5 times — the floor is what makes PMI usable (rare "
+        "pairs otherwise dominate with inflated scores).  The "
+        "multiword-expression miner for tokenizer pre-merges and "
+        "index phrase dictionaries.  Exact integer counts; one ln on "
+        "identical doubles per surviving bigram (q163 parity).  "
+        "Physical shape: fan-out before gram building, bigram- and "
+        "unigram-grain rollups joined at token grain (vocab unbounded "
+        "— no broadcast pretence), the 2-scalar totals row broadcast "
+        "(allowlisted q42 shape), output bounded by the c2 >= 5 "
+        "survivors.",
+    tags=("text", "documents", "llmdata", "collocations"),
+)
+def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import fan_out
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    trb = fan_out(docs).select(F.explode(grams).alias("bg")).select(
+        F.split("bg", " ")[0].alias("w1"), F.split("bg", " ")[1].alias("w2")
+    )
+    c2 = trb.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    uni = (
+        fan_out(docs)
+        .select(F.explode(toks).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").cast("bigint").alias("n_tok")).crossJoin(
+        F.broadcast(trb.agg(F.count(F.lit(1)).cast("bigint").alias("m_bi")))
+    )
+    a = uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c1a"))
+    b = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1b"))
+    return (
+        c2.where(F.col("c2") >= 5)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            F.round(
+                F.log(
+                    F.col("c2").cast("double")
+                    * F.col("n_tok").cast("double")
+                    * F.col("n_tok").cast("double")
+                    / (
+                        F.col("m_bi").cast("double")
+                        * F.col("c1a").cast("double")
+                        * F.col("c1b").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q273: cohort LTV curve (cumulative revenue per cohort customer by age)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q273_cohort_ltv",
+    sql="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             CAST(round(coalesce(o_totalprice, 0) * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    first_m AS (
+      SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY 1
+    ),
+    sizes AS (
+      SELECT m0, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM first_m GROUP BY 1
+    ),
+    aged AS (
+      SELECT f.m0,
+             CAST((year(o.m) - year(f.m0)) * 12
+                  + (month(o.m) - month(f.m0)) AS BIGINT) AS age,
+             o.cents
+      FROM o JOIN first_m f USING (o_custkey)
+    ),
+    rolled AS (
+      SELECT m0, age,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS rev_c
+      FROM aged GROUP BY 1, 2
+    )
+    SELECT CAST(r.m0 AS VARCHAR) AS cohort, r.age, r.n_orders,
+           round(CAST(r.rev_c AS DOUBLE) / 100, 6) AS revenue,
+           round(CAST(CAST(SUM(r.rev_c) OVER (PARTITION BY r.m0 ORDER BY r.age
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+                 / CAST(s.cohort_size AS DOUBLE) / 100, 6) AS cum_ltv
+    FROM rolled r JOIN sizes s USING (m0)
+    """,
+    doc="Cohort LTV curve: customers grouped by first-order month, "
+        "revenue rolled up by cohort age in months, and the running "
+        "cumulative revenue per cohort customer — the curve whose "
+        "flattening point sets payback windows and CAC ceilings "
+        "(complements q85's retention counts and q210's growth "
+        "accounting with the MONEY view).  Month age is pure integer "
+        "calendar arithmetic ((Δyear)*12 + Δmonth — months_between "
+        "would hand back an engine-specific double).  Physical shape: "
+        "one custkey-grain min (the cohort assignment), one "
+        "(cohort, age) rollup, windows over the cohort-month frame, "
+        "cohort sizes joined at cohort grain.",
+    tags=("relational", "growth", "orders", "window"),
+)
+def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    first_m = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sizes = first_m.groupBy("m0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    aged = o.join(first_m, "o_custkey").select(
+        "m0",
+        (
+            (F.year("m") - F.year("m0")) * 12 + (F.month("m") - F.month("m0"))
+        )
+        .cast("bigint")
+        .alias("age"),
+        "cents",
+    )
+    rolled = aged.groupBy("m0", "age").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("rev_c"),
+    )
+    w = (
+        Window.partitionBy("m0")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rolled.join(sizes, "m0").select(
+        F.col("m0").cast("string").alias("cohort"),
+        "age",
+        "n_orders",
+        F.round(F.col("rev_c").cast("double") / 100, 6).alias("revenue"),
+        F.round(
+            F.sum("rev_c").over(w).cast("bigint").cast("double")
+            / F.col("cohort_size").cast("double")
+            / 100,
+            6,
+        ).alias("cum_ltv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q274: exact 1-D Wasserstein distance (weekday vs weekend order values)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q274_wasserstein_1d",
+    sql="""
+    WITH o AS (
+      SELECT CAST(round(coalesce(o_totalprice, 0) * 100) AS BIGINT) AS v,
+             CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END AS wk
+      FROM orders
+    ),
+    g AS (
+      SELECT v,
+             CAST(SUM(1 - wk) AS BIGINT) AS c1,
+             CAST(SUM(wk) AS BIGINT) AS c2
+      FROM o GROUP BY 1
+    ),
+    c AS (
+      SELECT v,
+             LEAD(v) OVER (ORDER BY v) AS v_next,
+             CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
+             CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS f2,
+             CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+             CAST(SUM(c2) OVER () AS BIGINT) AS n2
+      FROM g
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+           round(CASE WHEN MAX(n1) > 0 AND MAX(n2) > 0 THEN
+                 CAST(SUM(CAST(abs(f1 * CAST(n2 AS HUGEINT)
+                                   - f2 * CAST(n1 AS HUGEINT))
+                               * (v_next - v) AS DECIMAL(38,0)))
+                      AS DOUBLE)
+                 / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)) / 100
+                 END, 6) AS w1_distance
+    FROM c WHERE v_next IS NOT NULL
+    """,
+    doc="Exact 1-D Wasserstein (earth mover's) distance between the "
+        "weekday and weekend order-value distributions: W1 = integral "
+        "of |F1 - F2| dv = sum over consecutive distinct values of "
+        "the scaled CDF gap |f1*n2 - f2*n1| times the value gap — the "
+        "full-shape drift metric that KS's single supremum (q267) "
+        "misses; reported in dollars.  The integrand stays a 128-bit "
+        "INTEGER (HUGEINT/DECIMAL) until the single final division, "
+        "so the distance is exact to the cent-measure.  Same "
+        "distinct-value-grain machinery as q267: one fact shuffle to "
+        "value counts, cumulative + lead windows over the value "
+        "frame, one single-row rollup.",
+    tags=("stats", "orders", "distribution", "drift"),
+)
+def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        _cents("o_totalprice").alias("v"),
+        F.when(F.expr("weekday(o_orderdate)") + 1 >= 6, 1).otherwise(0).alias("wk"),
+    )
+    g = o.groupBy("v").agg(
+        F.sum(1 - F.col("wk")).cast("bigint").alias("c1"),
+        F.sum("wk").cast("bigint").alias("c2"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = g.select(
+        "v",
+        F.lead("v").over(Window.orderBy("v")).alias("v_next"),
+        F.sum("c1").over(w_cum).cast("bigint").alias("f1"),
+        F.sum("c2").over(w_cum).cast("bigint").alias("f2"),
+        F.sum("c1").over(w_all).cast("bigint").alias("n1"),
+        F.sum("c2").over(w_all).cast("bigint").alias("n2"),
+    )
+    term = (
+        F.abs(
+            F.col("f1").cast(_D18) * F.col("n2") - F.col("f2").cast(_D18) * F.col("n1")
+        )
+        * (F.col("v_next") - F.col("v"))
+    ).cast(_D38)
+    agg = c.where(F.col("v_next").isNotNull()).agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.sum(term).cast(_D38).alias("area"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(
+            F.when(
+                (F.col("n1") > 0) & (F.col("n2") > 0),
+                F.col("area").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+                / 100,
+            ),
+            6,
+        ).alias("w1_distance"),
+    )

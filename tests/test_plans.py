@@ -174,6 +174,9 @@ def test_no_accidental_cartesian_products(plans):
         # constant-factor map with a non-equi residual), and the two
         # single-row metric legs cross — q130's shape
         "q271_alignment_uniformity",
+        # q272 collocations: the (token total, bigram total) row joins
+        # in as a broadcast single-row aggregate (1 x N) — q42's shape
+        "q272_collocations_pmi",
     }
     for name, p in plans.items():
         if name in allowed:
@@ -1426,3 +1429,32 @@ def test_q271_alignment_distances_stay_jvm_side(plans):
     p = plans["q271_alignment_uniformity"]
     assert "EvalPython" not in p
     assert "zip_with" in p or "aggregate" in p.lower()
+
+
+def test_q272_collocations_join_at_token_grain(plans):
+    """q272 collocations: unigram tables join the surviving bigrams at
+    token grain; the frequency floor filters BEFORE the joins so only
+    survivors shuffle."""
+    p = plans["q272_collocations_pmi"]
+    assert "RoundRobinPartitioning" in p, "corpus not fanned out before grams"
+    assert "EvalPython" not in p
+    assert "GreaterThanOrEqual(c2,5)" in p or "(c2#" in p  # floor pushed below joins
+
+
+def test_q273_cohort_ltv_one_fact_key_family(plans):
+    """q273 cohort LTV: cohort assignment, rollup, and window all ride
+    the custkey/cohort key family — no global sort, no cartesian."""
+    p = plans["q273_cohort_ltv"]
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q274_wasserstein_runs_at_distinct_value_grain(plans):
+    """q274 W1: one fact shuffle to value counts, cumulative + lead
+    windows over the value frame, single-row rollup — no joins, exact
+    integer integrand."""
+    p = plans["q274_wasserstein_1d"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
