@@ -266,6 +266,9 @@ _GRADE_FIRST = (
     "q272_collocations_pmi",
     "q273_cohort_ltv",
     "q274_wasserstein_1d",
+    "q275_dispersion_index",
+    "q276_hill_tail_index",
+    "q277_nation_assortment_jaccard",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

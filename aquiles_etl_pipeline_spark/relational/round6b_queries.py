@@ -2738,3 +2738,258 @@ def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w1_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q275: index of dispersion (overdispersion check) per event type
+# ---------------------------------------------------------------------------
+
+@register(
+    "q275_dispersion_index",
+    sql="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(CAST(n AS DECIMAL(18,0))
+                                * CAST(n AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS s2
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           round(s1 / nd, 6) AS mean_daily,
+           round(CASE WHEN n_days > 1 AND s1 > 0 THEN
+                 ((s2 - s1 * s1 / nd) / (nd - 1.0)) / (s1 / nd) END,
+                 6) AS dispersion
+    FROM s
+    """,
+    doc="Index of dispersion (variance-to-mean ratio of daily counts) "
+        "per event type — the Poisson-ness check behind every count "
+        "model: 1 = Poisson arrivals, >1 = overdispersed/bursty "
+        "(negative-binomial territory), <1 = under-dispersed/regular; "
+        "the per-type companion to q256's per-user CV.  Daily counts "
+        "and their squares accumulate exactly (q78 discipline); one "
+        "double expression per type, NULL-guarded for single-day or "
+        "all-zero degenerates.  Physical shape: one (type, day) "
+        "rollup, one type-grain rollup — both map-side combinable.",
+    tags=("timeseries", "events", "stats"),
+)
+def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    nd18 = F.col("n").cast(_D18)
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("n").cast("bigint").cast("double").alias("s1"),
+        F.sum((nd18 * nd18).cast(_D38)).cast(_D38).cast("double").alias("s2"),
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("s1") / F.col("nd"), 6).alias("mean_daily"),
+        F.round(
+            F.when(
+                (F.col("n_days") > 1) & (F.col("s1") > 0),
+                (
+                    (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nd"))
+                    / (F.col("nd") - F.lit(1.0))
+                )
+                / (F.col("s1") / F.col("nd")),
+            ),
+            6,
+        ).alias("dispersion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q276: Hill estimator of the order-value tail index
+# ---------------------------------------------------------------------------
+
+@register(
+    "q276_hill_tail_index",
+    sql="""
+    WITH o AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderkey
+      FROM orders WHERE o_totalprice > 0
+    ),
+    r AS (
+      SELECT v,
+             ROW_NUMBER() OVER (ORDER BY v DESC, o_orderkey) AS rk,
+             CAST(round(ln(CAST(v AS DOUBLE)) * 1e6) AS BIGINT) AS lv
+      FROM o
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN rk <= 200 THEN lv END) AS BIGINT) AS s_top,
+             CAST(MAX(CASE WHEN rk = 201 THEN lv END) AS BIGINT) AS l_ref,
+             CAST(SUM(CASE WHEN rk <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM r WHERE rk <= 201
+    )
+    SELECT k,
+           round(CASE WHEN l_ref IS NOT NULL AND k > 0
+                      AND CAST(s_top - k * l_ref AS DOUBLE) > 0 THEN
+                 CAST(s_top - k * l_ref AS DOUBLE) / CAST(k AS DOUBLE) / 1e6
+                 END, 6) AS hill_h,
+           round(CASE WHEN l_ref IS NOT NULL AND k > 0
+                      AND CAST(s_top - k * l_ref AS DOUBLE) > 0 THEN
+                 CAST(k AS DOUBLE) * 1e6 / CAST(s_top - k * l_ref AS DOUBLE)
+                 END, 6) AS alpha
+    FROM s
+    """,
+    doc="Hill estimator of the order-value tail index over the top "
+        "k = 200 order statistics: H = (1/k) * sum ln(x_i / x_(k+1)), "
+        "alpha = 1/H — the standard heavy-tail diagnostic (alpha < 2 "
+        "means infinite variance: sampling and capping policies must "
+        "change).  Per-value ln scales to integer micros before the "
+        "sum (q257 recipe), so H is one exact-integer expression "
+        "divided once; ranks tie-break on orderkey.  Physical shape: "
+        "at catalog runtime a single rank window; at 100 TB the "
+        "two-phase top-k (partition-local top-201, then global rank "
+        "among survivors — exact for the top block, q252's note) "
+        "replaces the global sort.",
+    tags=("stats", "orders", "distribution", "tail"),
+)
+def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+            "o_orderkey",
+        )
+    )
+    r = o.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("v").desc(), "o_orderkey"))
+        .alias("rk"),
+        F.round(F.log(F.col("v").cast("double")) * 1e6).cast("bigint").alias("lv"),
+    ).where(F.col("rk") <= 201)
+    s = r.agg(
+        F.sum(F.when(F.col("rk") <= 200, F.col("lv")))
+        .cast("bigint")
+        .alias("s_top"),
+        F.max(F.when(F.col("rk") == 201, F.col("lv")))
+        .cast("bigint")
+        .alias("l_ref"),
+        F.sum(F.when(F.col("rk") <= 200, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    num = (F.col("s_top") - F.col("k") * F.col("l_ref")).cast("double")
+    ok = F.col("l_ref").isNotNull() & (F.col("k") > 0) & (num > 0)
+    return s.select(
+        "k",
+        F.round(
+            F.when(ok, num / F.col("k").cast("double") / F.lit(1e6)), 6
+        ).alias("hill_h"),
+        F.round(
+            F.when(ok, F.col("k").cast("double") * F.lit(1e6) / num), 6
+        ).alias("alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q277: assortment overlap between nations (Jaccard over supplied parts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q277_nation_assortment_jaccard",
+    sql="""
+    WITH post AS (
+      SELECT DISTINCT l_partkey AS pk, s_nationkey AS nk
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    ),
+    sizes AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS sz FROM post GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.nk AS nk1, b.nk AS nk2, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM post a JOIN post b ON a.pk = b.pk AND a.nk < b.nk
+      GROUP BY 1, 2
+    )
+    SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+           sa.sz AS size_a, sb.sz AS size_b, i.n_inter,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.nk = i.nk1
+    JOIN sizes sb ON sb.nk = i.nk2
+    JOIN nation na ON na.n_nationkey = i.nk1
+    JOIN nation nb ON nb.n_nationkey = i.nk2
+    """,
+    doc="Assortment overlap between supplying nations: Jaccard "
+        "similarity of each nation pair's supplied-part sets, via the "
+        "POSTINGS pattern — distinct (part, nation) postings self-join "
+        "on the part key, so intersection counting shuffles on the "
+        "already-co-partitioned part key and only nation PAIRS (at "
+        "most 300 rows) aggregate; the |A u B| denominator assembles "
+        "from per-nation sizes, never from a union scan.  The same "
+        "shape scales to arbitrary set-similarity matrices (the "
+        "dedup family's q24 at dimension grain).  Exact integer "
+        "counts, one division at output.  Only intersecting pairs "
+        "report (Jaccard 0 pairs carry no information here).",
+    tags=("relational", "lineitem", "supplier", "similarity"),
+)
+def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    post = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .select(F.col("l_partkey").alias("pk"), F.col("s_nationkey").alias("nk"))
+        .distinct()
+    )
+    a = post.select(F.col("pk"), F.col("nk").alias("nk1"))
+    b = post.select(F.col("pk").alias("pkb"), F.col("nk").alias("nk2"))
+    inter = (
+        a.join(b, (F.col("pk") == F.col("pkb")) & (F.col("nk1") < F.col("nk2")))
+        .groupBy("nk1", "nk2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sizes = post.groupBy("nk").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("nk").alias("nk1"), F.col("sz").alias("size_a"))),
+            "nk1",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("nk").alias("nk2"), F.col("sz").alias("size_b"))),
+            "nk2",
+        )
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("nation_a"))),
+            "nk1",
+        )
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("nation_b"))),
+            "nk2",
+        )
+        .select(
+            "nation_a",
+            "nation_b",
+            "size_a",
+            "size_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1458,3 +1458,31 @@ def test_q274_wasserstein_runs_at_distinct_value_grain(plans):
     assert "Join" not in p
     assert "Window" in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q275_dispersion_is_two_rollups(plans):
+    """q275 dispersion: (type, day) rollup then type rollup — no
+    joins, no windows, map-side combinable end to end."""
+    p = plans["q275_dispersion_index"]
+    assert "Join" not in p
+    assert "Window" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q276_hill_single_rank_window(plans):
+    """q276 Hill: one rank window (the documented catalog-scale
+    shape), one single-row rollup, zero joins."""
+    p = plans["q276_hill_tail_index"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q277_jaccard_shuffles_on_part_key_only(plans):
+    """q277 assortment Jaccard: the postings self-join hashes on the
+    part key; sizes and nation names broadcast — no sort-merge join,
+    no cartesian."""
+    p = plans["q277_nation_assortment_jaccard"]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
