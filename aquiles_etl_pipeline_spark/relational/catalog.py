@@ -269,6 +269,9 @@ _GRADE_FIRST = (
     "q275_dispersion_index",
     "q276_hill_tail_index",
     "q277_nation_assortment_jaccard",
+    "q278_bipartite_assortativity",
+    "q279_srm_check",
+    "q280_capture_recapture",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -2993,3 +2993,220 @@ def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q278: bipartite degree assortativity of the supplier-part graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "q278_bipartite_assortativity",
+    sql="""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    ds AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dsup FROM e GROUP BY 1),
+    dp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS dpart FROM e GROUP BY 1),
+    j AS (
+      SELECT dsup AS x, dpart AS y
+      FROM e JOIN ds USING (s) JOIN dp USING (p)
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
+                                * CAST(x AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(18,0))
+                                * CAST(y AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
+                                * CAST(y AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS DOUBLE) AS sxy
+      FROM j
+    )
+    SELECT n_edges,
+           round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+                 (n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+                 6) AS assortativity
+    FROM m
+    """,
+    doc="Bipartite degree assortativity of the supplier-part graph: "
+        "the Pearson correlation, over EDGES, between the supplier's "
+        "degree and the part's degree (Newman 2002 adapted to the "
+        "bipartite case) — positive means hub suppliers stock hub "
+        "parts (concentration risk), negative means hubs serve the "
+        "long tail.  Degrees come from two rollups of the distinct "
+        "edge set and join back on their own key families; the five "
+        "correlation moments ride the exact-decimal discipline with "
+        "one guarded double expression (q249's recipe).  Physical "
+        "shape: one distinct-edge shuffle, two degree rollups, two "
+        "same-key joins, a single-row rollup — no pairwise expansion "
+        "anywhere.",
+    tags=("graph", "lineitem", "stats"),
+)
+def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ds = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    dp = e.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    j = e.join(ds, "s").join(dp, "p").select("x", "y")
+    xd, yd = F.col("x").cast(_D18), F.col("y").cast(_D18)
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("bigint").cast("double").alias("sx"),
+        F.sum("y").cast("bigint").cast("double").alias("sy"),
+        F.sum((xd * xd).cast(_D38)).cast(_D38).cast("double").alias("sxx"),
+        F.sum((yd * yd).cast(_D38)).cast(_D38).cast("double").alias("syy"),
+        F.sum((xd * yd).cast(_D38)).cast(_D38).cast("double").alias("sxy"),
+    )
+    var_prod = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select(
+        "n_edges",
+        F.round(
+            F.when(
+                var_prod > 0,
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(var_prod),
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q279: A/B sample-ratio-mismatch (SRM) health check
+# ---------------------------------------------------------------------------
+
+@register(
+    "q279_srm_check",
+    sql="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1
+      FROM u
+    )
+    SELECT n0, n1,
+           round(CASE WHEN n0 + n1 > 0 THEN
+                 CAST(CAST(n0 - n1 AS DECIMAL(18,0))
+                      * CAST(n0 - n1 AS DECIMAL(18,0)) AS DOUBLE)
+                 / CAST(n0 + n1 AS DOUBLE) END, 6) AS chi2,
+           CASE WHEN n0 + n1 > 0 THEN
+                CAST(CAST(n0 - n1 AS DECIMAL(18,0))
+                     * CAST(n0 - n1 AS DECIMAL(18,0)) AS DOUBLE)
+                / CAST(n0 + n1 AS DOUBLE) > 3.841 END AS srm_flag
+    FROM v
+    """,
+    doc="Sample-ratio-mismatch check for the q248 experiment split: "
+        "chi-square against the designed 50/50 allocation reduces to "
+        "(n0-n1)^2/(n0+n1) for two equal-weight variants; crossing "
+        "the 1-dof 95% critical value 3.841 flags a broken "
+        "randomizer or a differentially-lossy logging path — the "
+        "MANDATORY pre-read before trusting any A/B metric (Fabijan "
+        "et al., KDD'19 diagnosis guide).  Unit grain matches the "
+        "assignment grain (distinct users, not events — event-grain "
+        "SRM tests are confounded by usage).  Exact integer counts, "
+        "one guarded division.  Physical: one distinct-user rollup, "
+        "one row out.",
+    tags=("experimentation", "events", "quality"),
+)
+def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = load(spark, sf_dir, "events").select("user_id").distinct()
+    v = u.agg(
+        F.sum(F.when(F.expr("user_id % 2") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.expr("user_id % 2") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    diff2 = (
+        (F.col("n0") - F.col("n1")).cast(_D18)
+        * (F.col("n0") - F.col("n1")).cast(_D18)
+    ).cast("double")
+    tot = (F.col("n0") + F.col("n1")).cast("double")
+    chi2 = F.when(F.col("n0") + F.col("n1") > 0, diff2 / tot)
+    return v.select(
+        "n0",
+        "n1",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q280: capture-recapture (Chapman) active-population estimate
+# ---------------------------------------------------------------------------
+
+@register(
+    "q280_capture_recapture",
+    sql="""
+    WITH flags AS (
+      SELECT user_id,
+             MAX(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+               AS in1,
+             MAX(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+               AS in2
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+           CAST(SUM(in2) AS BIGINT) AS n2,
+           CAST(SUM(in1 * in2) AS BIGINT) AS m_both,
+           round((CAST(SUM(in1) AS DOUBLE) + 1.0)
+                 * (CAST(SUM(in2) AS DOUBLE) + 1.0)
+                 / (CAST(SUM(in1 * in2) AS DOUBLE) + 1.0) - 1.0,
+                 6) AS n_hat
+    FROM flags
+    """,
+    doc="Capture-recapture estimate of the true active population "
+        "from two observation windows (first vs second half of the "
+        "event horizon): Chapman's bias-corrected Lincoln-Petersen "
+        "N^ = (n1+1)(n2+1)/(m+1) - 1 — the ecology estimator that "
+        "product analytics borrows to size the audience BEYOND what "
+        "any single window observes (users the logs missed twice).  "
+        "Chapman's +1s keep the estimator defined at zero overlap, so "
+        "no division guard is needed.  Exact integer capture counts; "
+        "one double expression.  Physical: one user-grain rollup with "
+        "max-flags (never a self-join of the two windows), one row "
+        "out.",
+    tags=("experimentation", "events", "stats", "growth"),
+)
+def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = F.lit("2024-01-16").cast("timestamp")
+    flags = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("in1"),
+            F.max(F.when(F.col("ts") >= cut, 1).otherwise(0)).alias("in2"),
+        )
+    )
+    return flags.agg(
+        F.sum("in1").cast("bigint").alias("n1"),
+        F.sum("in2").cast("bigint").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("bigint").alias("m_both"),
+    ).select(
+        "n1",
+        "n2",
+        "m_both",
+        F.round(
+            (F.col("n1").cast("double") + F.lit(1.0))
+            * (F.col("n2").cast("double") + F.lit(1.0))
+            / (F.col("m_both").cast("double") + F.lit(1.0))
+            - F.lit(1.0),
+            6,
+        ).alias("n_hat"),
+    )

@@ -1486,3 +1486,28 @@ def test_q277_jaccard_shuffles_on_part_key_only(plans):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q278_assortativity_no_pairwise_expansion(plans):
+    """q278 assortativity: degrees join back on their OWN key families
+    — no pairwise edge expansion, no cartesian, no window."""
+    p = plans["q278_bipartite_assortativity"]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+
+
+def test_q279_srm_is_one_distinct_rollup(plans):
+    """q279 SRM: one distinct-user rollup, one row — no joins."""
+    p = plans["q279_srm_check"]
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q280_capture_recapture_no_window_self_join(plans):
+    """q280 capture-recapture: both windows' flags come from ONE
+    user-grain rollup with max-flags — never a self-join of the two
+    observation windows."""
+    p = plans["q280_capture_recapture"]
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
