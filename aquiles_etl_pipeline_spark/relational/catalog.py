@@ -272,6 +272,9 @@ _GRADE_FIRST = (
     "q278_bipartite_assortativity",
     "q279_srm_check",
     "q280_capture_recapture",
+    "q281_anova_oneway",
+    "q282_runs_test",
+    "q283_kendall_tau_daily",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -3210,3 +3210,328 @@ def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("n_hat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q281: one-way ANOVA F across market segments
+# ---------------------------------------------------------------------------
+
+@register(
+    "q281_anova_oneway",
+    sql="""
+    WITH g AS (
+      SELECT c_mktsegment AS seg,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s_g,
+             CAST(SUM(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS HUGEINT)
+                      * CAST(round(c_acctbal * 100) AS BIGINT))
+                  AS DECIMAL(38,0)) AS ss_g
+      FROM customer GROUP BY 1
+    ),
+    t AS (
+      SELECT seg, n_g, s_g, ss_g,
+             CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                        / CAST(n_g AS DOUBLE)) AS BIGINT) AS t_g
+      FROM g
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(CAST(SUM(n_g) AS BIGINT) AS BIGINT) AS n,
+             CAST(CAST(SUM(s_g) AS BIGINT) AS DOUBLE) AS s,
+             CAST(CAST(SUM(ss_g) AS DECIMAL(38,0)) AS DOUBLE) AS ss,
+             CAST(CAST(SUM(t_g) AS BIGINT) AS DOUBLE) AS a
+      FROM t
+    )
+    SELECT k, n,
+           round(CASE WHEN k > 1 AND n > k
+                      AND (ss - a) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) > 0
+                 THEN ((a - s * s / CAST(n AS DOUBLE))
+                       / (CAST(k AS DOUBLE) - 1.0))
+                      / ((ss - a) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                 END, 6) AS f_stat
+    FROM m
+    """,
+    doc="One-way ANOVA F statistic for account balance across market "
+        "segments: F = (SSB/(k-1)) / (SSW/(N-k)) with SSB = sum_g "
+        "s_g^2/n_g - S^2/N and SSW = sum_g ss_g - sum_g s_g^2/n_g — "
+        "the does-the-group-mean-differ omnibus test.  Cross-engine "
+        "trick: the per-group term s_g^2/n_g is a DOUBLE but gets "
+        "integerized with round() BEFORE the cross-group sum (the "
+        "micros-ln recipe generalized), because an unordered SUM of "
+        "raw doubles is partial-aggregation-order dependent; the "
+        "sub-unit quantization error is identical in both engines.  "
+        "Raw sums and sums of squares are exact "
+        "(HUGEINT/DECIMAL(38,0) — balances squared exceed int64).  "
+        "Physical: one segment rollup, one 5-row rollup, one row out.",
+    tags=("stats", "customer", "anova"),
+)
+def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bal = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    g = load(spark, sf_dir, "customer").groupBy(
+        F.col("c_mktsegment").alias("seg")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(bal).cast("bigint").alias("s_g"),
+        F.sum((bal.cast(_D18) * bal.cast(_D18)).cast(_D38)).cast(_D38).alias("ss_g"),
+    )
+    t = g.select(
+        "n_g",
+        "s_g",
+        "ss_g",
+        F.round(
+            F.col("s_g").cast("double")
+            * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double")
+        )
+        .cast("bigint")
+        .alias("t_g"),
+    )
+    m = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").cast("double").alias("s"),
+        F.sum("ss_g").cast(_D38).cast("double").alias("ss"),
+        F.sum("t_g").cast("bigint").cast("double").alias("a"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    ssw_mean = (F.col("ss") - F.col("a")) / (nd - kd)
+    # NESTED whens: the ssw_mean predicate itself divides by n-k, and
+    # Spark's AND does not short-circuit — the count guards must
+    # decide before that division is ever evaluated
+    return m.select(
+        "k",
+        "n",
+        F.round(
+            F.when(
+                (F.col("k") > 1) & (F.col("n") > F.col("k")),
+                F.when(
+                    ssw_mean > 0,
+                    (
+                        (F.col("a") - F.col("s") * F.col("s") / nd)
+                        / (kd - F.lit(1.0))
+                    )
+                    / ssw_mean,
+                ),
+            ),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q282: Wald-Wolfowitz runs test on daily revenue direction
+# ---------------------------------------------------------------------------
+
+@register(
+    "q282_runs_test",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(round(coalesce(o_totalprice, 0) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    chg AS (
+      SELECT day,
+             CASE WHEN rev_c > LAG(rev_c) OVER (ORDER BY day) THEN 1
+                  WHEN rev_c < LAG(rev_c) OVER (ORDER BY day) THEN -1 END AS s
+      FROM daily
+    ),
+    runs AS (
+      SELECT s,
+             CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+                       OR s <> LAG(s) OVER (ORDER BY day)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM (SELECT day, s FROM chg WHERE s IS NOT NULL)
+    ),
+    m AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_up,
+             CAST(COALESCE(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_down,
+             CAST(COALESCE(SUM(new_run), 0) AS BIGINT) AS n_runs
+      FROM runs
+    )
+    SELECT n_up, n_down, n_runs,
+           round(CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down > 1
+                      AND (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                           / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) + 1.0
+                           - 1.0)
+                          * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                             / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                             + 1.0 - 2.0)
+                          / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE) - 1.0)
+                          > 0
+                 THEN (CAST(n_runs AS DOUBLE)
+                       - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                          / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                          + 1.0))
+                      / sqrt((2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                              / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                              + 1.0 - 1.0)
+                             * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                                / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                                + 1.0 - 2.0)
+                             / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)
+                                - 1.0))
+                 END, 6) AS z_stat
+    FROM m
+    """,
+    doc="Wald-Wolfowitz runs test on the daily revenue DIRECTION "
+        "sequence (up/down, flats dropped): too few runs = momentum/"
+        "trend, too many = mean-reversion/oscillation; z compares the "
+        "observed run count to mu = 2*n1*n2/(n1+n2) + 1 with the "
+        "classical variance (mu-1)(mu-2)/(n-1) — the nonparametric "
+        "randomness check that complements q265's monotone-trend "
+        "test.  Runs count via the lag-inequality flag summed (the "
+        "gaps-and-islands counter), all exact integers; z is one "
+        "guarded double expression written with the identical tree in "
+        "both engines.  Physical: day-grain rollup, two stacked lag "
+        "windows over the calendar frame, one row out.",
+    tags=("timeseries", "orders", "stats"),
+)
+def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day"))
+        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev_c"))
+    )
+    w = Window.orderBy("day")
+    chg = daily.select(
+        "day",
+        F.when(F.col("rev_c") > F.lag("rev_c").over(w), 1)
+        .when(F.col("rev_c") < F.lag("rev_c").over(w), -1)
+        .alias("s"),
+    ).where(F.col("s").isNotNull())
+    runs = chg.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.col("s") != F.lag("s").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    # a flat series leaves ZERO direction rows: SUM over the empty
+    # frame is NULL in both engines — coalesce to honest zero counts
+    m = runs.agg(
+        F.coalesce(F.sum(F.when(F.col("s") == 1, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.coalesce(F.sum(F.when(F.col("s") == -1, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_down"),
+        F.coalesce(F.sum("new_run"), F.lit(0)).cast("bigint").alias("n_runs"),
+    )
+    n1, n2 = F.col("n_up").cast("double"), F.col("n_down").cast("double")
+    mu = F.lit(2.0) * n1 * n2 / (n1 + n2) + F.lit(1.0)
+    var = (mu - F.lit(1.0)) * (mu - F.lit(2.0)) / (n1 + n2 - F.lit(1.0))
+    # NESTED whens: mu/var divide by n1+n2 (0 on a flat series) and
+    # Spark's AND does not short-circuit — count guards go first
+    return m.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round(
+            F.when(
+                (F.col("n_up") > 0)
+                & (F.col("n_down") > 0)
+                & (F.col("n_up") + F.col("n_down") > 1),
+                F.when(
+                    var > 0,
+                    (F.col("n_runs").cast("double") - mu) / F.sqrt(var),
+                ),
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q283: exact Kendall tau-b between daily revenue and daily order count
+# ---------------------------------------------------------------------------
+
+@register(
+    "q283_kendall_tau_daily",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(round(coalesce(o_totalprice, 0) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(SUM(CASE WHEN (b.rev_c - a.rev_c) * (b.cnt - a.cnt) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN (b.rev_c - a.rev_c) * (b.cnt - a.cnt) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN a.rev_c = b.rev_c
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             CAST(SUM(CASE WHEN a.cnt = b.cnt
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+             CAST(COUNT(*) AS BIGINT) AS n0
+      FROM daily a JOIN daily b ON b.day > a.day
+    )
+    SELECT n0, c AS concordant, d AS discordant,
+           round(CASE WHEN (n0 - tx) * (n0 - ty) > 0 THEN
+                 CAST(c - d AS DOUBLE)
+                 / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) END,
+                 6) AS tau_b
+    FROM pairs
+    """,
+    doc="Exact Kendall tau-b between daily revenue and daily order "
+        "count: concordant minus discordant pairs over the tie-"
+        "corrected geometric mean — the rank-correlation estimator "
+        "with a direct probabilistic reading (P(concordant) - "
+        "P(discordant)) that q142's Spearman lacks; tau's O(n^2) pair "
+        "space is why engines rarely ship it, and the CALENDAR bound "
+        "makes it exact here (q265's trick: n = days, never facts; "
+        "right side broadcast).  The tie adjustments are the standard "
+        "tau-b terms: T_x counts pairs tied in x regardless of y and "
+        "T_y vice versa (a pair tied in both enters both terms).  All "
+        "integer counts; one guarded double.  Physical: day-grain "
+        "rollup, one broadcast range pairing, one row out.",
+    tags=("stats", "orders", "correlation", "timeseries"),
+)
+def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(_cents("o_totalprice")).cast("bigint").alias("rev_c"),
+        )
+    )
+    b = daily.select(
+        F.col("day").alias("bday"),
+        F.col("cnt").alias("bcnt"),
+        F.col("rev_c").alias("brev"),
+    )
+    prod = (F.col("brev") - F.col("rev_c")) * (F.col("bcnt") - F.col("cnt"))
+    pairs = daily.join(F.broadcast(b), F.col("bday") > F.col("day")).agg(
+        F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint").alias("d"),
+        F.sum(F.when(F.col("rev_c") == F.col("brev"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tx"),
+        F.sum(F.when(F.col("cnt") == F.col("bcnt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ty"),
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+    )
+    denom = (F.col("n0") - F.col("tx")).cast("double") * (
+        F.col("n0") - F.col("ty")
+    ).cast("double")
+    return pairs.select(
+        "n0",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round(
+            F.when(
+                denom > 0,
+                (F.col("c") - F.col("d")).cast("double") / F.sqrt(denom),
+            ),
+            6,
+        ).alias("tau_b"),
+    )

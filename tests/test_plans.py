@@ -177,6 +177,9 @@ def test_no_accidental_cartesian_products(plans):
         # q272 collocations: the (token total, bigram total) row joins
         # in as a broadcast single-row aggregate (1 x N) — q42's shape
         "q272_collocations_pmi",
+        # q283 Kendall tau: the day<day pairing is a broadcast range
+        # NLJ over the calendar-bounded day frame — q265's shape
+        "q283_kendall_tau_daily",
     }
     for name, p in plans.items():
         if name in allowed:
@@ -1511,3 +1514,30 @@ def test_q280_capture_recapture_no_window_self_join(plans):
     p = plans["q280_capture_recapture"]
     assert "Join" not in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q281_anova_two_rollups_no_window(plans):
+    """q281 ANOVA: one segment rollup + one 5-row rollup — no joins,
+    no windows."""
+    p = plans["q281_anova_oneway"]
+    assert "Join" not in p
+    assert "Window" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q282_runs_test_stacked_lags_one_sort(plans):
+    """q282 runs test: both lag windows share the day ordering — one
+    calendar sort, no joins."""
+    p = plans["q282_runs_test"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q283_kendall_pairs_are_day_grain(plans):
+    """q283 Kendall tau: the quadratic pairing runs over the
+    calendar-bounded day frame with the right side broadcast."""
+    p = plans["q283_kendall_tau_daily"]
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p, "day pairing must be a broadcast NLJ"
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2

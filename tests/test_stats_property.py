@@ -220,3 +220,79 @@ def test_auc_degenerate_single_class(spark, tmp_path_factory):
     sf = _events_dir(tmp_path_factory.mktemp("aucdeg"), rows)
     got = registry()["q261_exact_auc"].fn(spark, sf).collect()[0]
     assert got["n_neg"] == 0 and got["auc"] is None
+
+
+@settings(max_examples=6, deadline=None)
+@given(daily=st.lists(st.tuples(st.integers(min_value=0, max_value=6),
+                                st.integers(min_value=0, max_value=4)),
+                      min_size=2, max_size=25))
+def test_kendall_tau_b_matches_bruteforce(spark, tmp_path_factory, daily):
+    """tau-b with heavy ties in both series: the standard adjustment
+    counts pairs tied in x REGARDLESS of y (and vice versa)."""
+    rows = []
+    oid = 0
+    for i, (rev, cnt) in enumerate(daily):
+        day = pd.Timestamp("2024-01-01") + pd.Timedelta(days=i)
+        # cnt+1 orders on the day; first carries the whole revenue
+        for j in range(cnt + 1):
+            rows.append((oid, 0, "O", (rev if j == 0 else 0) / 100.0, day,
+                         "1-URGENT"))
+            oid += 1
+    sf = _orders_dir(tmp_path_factory.mktemp("tau"), rows)
+    got = registry()["q283_kendall_tau_daily"].fn(spark, sf).collect()[0]
+    pts = [(rev, cnt + 1) for rev, cnt in daily]
+    c = d = tx = ty = 0
+    n = len(pts)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pts[j][0] - pts[i][0]
+            dy = pts[j][1] - pts[i][1]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    n0 = n * (n - 1) // 2
+    assert got["n0"] == n0 and got["concordant"] == c and got["discordant"] == d
+    denom = (n0 - tx) * (n0 - ty)
+    if denom <= 0:
+        assert got["tau_b"] is None
+    else:
+        want = (c - d) / math.sqrt(denom)
+        assert abs(got["tau_b"] - want) < 1.1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(daily=st.lists(st.integers(min_value=0, max_value=4), min_size=2,
+                      max_size=25))
+def test_runs_test_matches_simulation(spark, tmp_path_factory, daily):
+    rows = [
+        (i, i, "O", c / 100.0,
+         pd.Timestamp("2024-01-01") + pd.Timedelta(days=i), "1-URGENT")
+        for i, c in enumerate(daily)
+    ]
+    sf = _orders_dir(tmp_path_factory.mktemp("runs"), rows)
+    got = registry()["q282_runs_test"].fn(spark, sf).collect()[0]
+    signs = []
+    for prev, cur in zip(daily, daily[1:]):
+        if cur > prev:
+            signs.append(1)
+        elif cur < prev:
+            signs.append(-1)
+    n_up = signs.count(1)
+    n_down = signs.count(-1)
+    n_runs = 0 if not signs else 1 + sum(
+        1 for a, b in zip(signs, signs[1:]) if a != b
+    )
+    assert (got["n_up"], got["n_down"], got["n_runs"]) == (n_up, n_down, n_runs)
+    if n_up > 0 and n_down > 0 and n_up + n_down > 1:
+        mu = 2 * n_up * n_down / (n_up + n_down) + 1
+        var = (mu - 1) * (mu - 2) / (n_up + n_down - 1)
+        if var > 0:
+            want = (n_runs - mu) / math.sqrt(var)
+            assert abs(got["z_stat"] - want) < 1.1e-6
+            return
+    assert got["z_stat"] is None
