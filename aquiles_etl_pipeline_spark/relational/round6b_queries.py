@@ -2032,7 +2032,8 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     trb AS (
       SELECT array_to_string(t[i:i+1], ' ') AS bg
-      FROM tr, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+      FROM (SELECT t FROM tr WHERE len(t) >= 2),
+           unnest(generate_series(1, len(t) - 1)) AS u(i)
     ),
     c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM trb GROUP BY 1),
     ctx AS (
@@ -2062,7 +2063,8 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
              array_to_string(t[i:i+1], ' ') AS bg,
              string_split(array_to_string(t[i:i+1], ' '), ' ')[1] AS w1,
              string_split(array_to_string(t[i:i+1], ' '), ' ')[2] AS w2
-      FROM te, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+      FROM (SELECT doc_id, lang, t FROM te WHERE len(t) >= 2),
+           unnest(generate_series(1, len(t) - 1)) AS u(i)
     ),
     scored AS (
       SELECT teb.lang,
@@ -2111,8 +2113,14 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 
     def bigrams(df: DataFrame, keep_lang: bool) -> DataFrame:
-        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
-        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+        # docs with <2 tokens contribute NO bigrams (a pseudo-gram
+        # would make split(bg)[1] an ANSI out-of-bounds crash; the
+        # oracle filters len(t) >= 2 symmetrically)
+        idx = F.sequence(F.lit(1), F.size(toks) - 1)
+        grams = F.when(
+            F.size(toks) >= 2,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
         cols = ["doc_id", "lang"] if keep_lang else ["doc_id"]
         return fan_out(df).select(*cols, F.explode(grams).alias("bg"))
 
@@ -2461,7 +2469,8 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
     trb AS (
       SELECT string_split(array_to_string(t[i:i+1], ' '), ' ')[1] AS w1,
              string_split(array_to_string(t[i:i+1], ' '), ' ')[2] AS w2
-      FROM tr, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+      FROM (SELECT t FROM tr WHERE len(t) >= 2),
+           unnest(generate_series(1, len(t) - 1)) AS u(i)
     ),
     c2 AS (
       SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
@@ -2506,8 +2515,14 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    # <2-token docs contribute no bigrams — a pseudo-gram would make
+    # split(bg)[1] an ANSI out-of-bounds crash (oracle filters
+    # len(t) >= 2 symmetrically)
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
     trb = fan_out(docs).select(F.explode(grams).alias("bg")).select(
         F.split("bg", " ")[0].alias("w1"), F.split("bg", " ")[1].alias("w2")
     )

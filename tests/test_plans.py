@@ -1421,8 +1421,8 @@ def test_q270_heaps_fit_has_no_windowed_distinct(plans):
     p = plans["q270_heaps_law_fit"]
     assert "RoundRobinPartitioning" in p, "corpus not fanned out before explode"
     assert "Window" in p
-    assert "SortMergeJoin" not in p or "BroadcastHashJoin" in p
     assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
 
 
 def test_q271_alignment_distances_stay_jvm_side(plans):
@@ -1441,7 +1441,10 @@ def test_q272_collocations_join_at_token_grain(plans):
     p = plans["q272_collocations_pmi"]
     assert "RoundRobinPartitioning" in p, "corpus not fanned out before grams"
     assert "EvalPython" not in p
-    assert "GreaterThanOrEqual(c2,5)" in p or "(c2#" in p  # floor pushed below joins
+    assert re.search(r"\(c2#\d+L? >= 5\)", p), (
+        "the c2 >= 5 frequency floor must filter the bigram rollup "
+        "(before the unigram joins shuffle the full vocabulary)"
+    )
 
 
 def test_q273_cohort_ltv_one_fact_key_family(plans):

@@ -296,3 +296,37 @@ def test_runs_test_matches_simulation(spark, tmp_path_factory, daily):
             assert abs(got["z_stat"] - want) < 1.1e-6
             return
     assert got["z_stat"] is None
+
+
+def test_bigram_queries_tolerate_sub2_token_docs(spark, tmp_path_factory):
+    """q269/q272 regression: a document with fewer than two tokens must
+    contribute NO bigrams in BOTH engines — the greatest(len-1, 1)
+    pseudo-gram made split(bg)[1] an ANSI out-of-bounds crash in Spark
+    while DuckDB returned NULL (engine divergence on degenerate
+    input)."""
+    import duckdb
+
+    tmp = tmp_path_factory.mktemp("sub2")
+    d = tmp / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        [
+            (0, "alpha beta alpha beta gamma beta alpha beta gamma beta",
+             "en", "s1", 10),
+            (1, "word", "en", "s1", 1),               # single token
+            (2, "", "en", "s1", 0),                   # empty text
+            (3, "alpha beta alpha beta alpha beta gamma beta alpha beta",
+             "en", "s1", 10),
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(d / "documents.parquet", index=False)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    for name in ("q269_kneser_ney_bigram", "q272_collocations_pmi"):
+        spec = registry()[name]
+        got = sorted(map(tuple, spec.fn(spark, str(d)).collect()))
+        want = sorted(map(tuple, con.execute(spec.sql).fetchall()))
+        assert len(got) == len(want), f"{name}: {len(got)} != {len(want)} rows"
