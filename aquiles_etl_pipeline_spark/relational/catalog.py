@@ -275,6 +275,8 @@ _GRADE_FIRST = (
     "q281_anova_oneway",
     "q282_runs_test",
     "q283_kendall_tau_daily",
+    "q284_quantile_treatment_effects",
+    "q285_dedup_cascade_accounting",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -3550,3 +3550,193 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q284: quantile treatment effects (decile shift table) between variants
+# ---------------------------------------------------------------------------
+
+@register(
+    "q284_quantile_treatment_effects",
+    sql="""
+    WITH e AS (
+      SELECT user_id % 2 AS variant,
+             CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT variant, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT variant, v, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY variant ORDER BY v)
+                  AS BIGINT) AS f,
+             CAST(SUM(cnt) OVER (PARTITION BY variant) AS BIGINT) AS n
+      FROM g
+    ),
+    targets AS (
+      SELECT variant, d, CAST((d * n + 9) // 10 AS BIGINT) AS r
+      FROM (SELECT DISTINCT variant, n FROM c),
+           unnest(generate_series(1, 9)) AS u(d)
+    ),
+    q AS (
+      SELECT t.variant, t.d AS decile, c.v AS qv
+      FROM targets t JOIN c
+        ON c.variant = t.variant AND c.f >= t.r AND c.f - c.cnt < t.r
+    )
+    SELECT decile,
+           round(CAST(MIN(CASE WHEN variant = 0 THEN qv END) AS DOUBLE)
+                 / 100, 6) AS q_a,
+           round(CAST(MIN(CASE WHEN variant = 1 THEN qv END) AS DOUBLE)
+                 / 100, 6) AS q_b,
+           round(CAST(MIN(CASE WHEN variant = 1 THEN qv END)
+                      - MIN(CASE WHEN variant = 0 THEN qv END) AS DOUBLE)
+                 / 100, 6) AS qte
+    FROM q GROUP BY 1
+    """,
+    doc="Quantile treatment effects for the q248 experiment: at each "
+        "decile (type-1 quantile, rank ceil(d*N/10) — an exact "
+        "integer, so no interpolation ambiguity exists between "
+        "engines), the purchase-value quantile per variant and their "
+        "difference — the distribution-shift view that a mean lift "
+        "hides (a treatment can move the p90 while leaving the median "
+        "alone).  Quantile lookup is the distinct-value-grain trick "
+        "again: cumulative counts per variant, and the target rank "
+        "selects the unique value row with f_prev < r <= f via a "
+        "broadcast 18-row range join (allowlisted NLJ shape).  "
+        "Physical: one (variant, value) rollup, cumulative windows "
+        "per variant, a 9-row decile pivot.",
+    tags=("experimentation", "events", "distribution", "stats"),
+)
+def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.expr("user_id % 2").alias("variant"), _cents("value").alias("v"))
+    )
+    g = e.groupBy("variant", "v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    c = g.select(
+        "variant",
+        "v",
+        "cnt",
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("variant")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("f"),
+        F.sum("cnt").over(Window.partitionBy("variant")).cast("bigint").alias("n"),
+    )
+    targets = (
+        c.select("variant", "n")
+        .distinct()
+        .select(
+            "variant",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d"),
+            "n",
+        )
+        .select(
+            "variant",
+            "d",
+            F.expr("div(d * n + 9, 10)").cast("bigint").alias("r"),
+        )
+    )
+    q = c.alias("c").join(
+        F.broadcast(targets.alias("t")),
+        (F.col("c.variant") == F.col("t.variant"))
+        & (F.col("c.f") >= F.col("t.r"))
+        & (F.col("c.f") - F.col("c.cnt") < F.col("t.r")),
+    ).select(F.col("t.variant").alias("variant"), F.col("t.d").alias("decile"),
+             F.col("c.v").alias("qv"))
+    qa = F.min(F.when(F.col("variant") == 0, F.col("qv")))
+    qb = F.min(F.when(F.col("variant") == 1, F.col("qv")))
+    return q.groupBy("decile").agg(
+        F.round(qa.cast("double") / 100, 6).alias("q_a"),
+        F.round(qb.cast("double") / 100, 6).alias("q_b"),
+        F.round((qb - qa).cast("double") / 100, 6).alias("qte"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q285: dedup-cascade accounting (raw -> canonical -> bag-of-words)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q285_dedup_cascade_accounting",
+    sql="""
+    WITH keys AS (
+      SELECT source,
+             text AS k_raw,
+             lower(trim(text)) AS k_canon,
+             array_to_string(list_sort(string_split_regex(
+               lower(trim(text)), '\\s+')), ' ') AS k_bow
+      FROM documents
+    ),
+    flags AS (
+      SELECT source,
+             CASE WHEN COUNT(*) OVER (PARTITION BY k_raw) > 1
+                  THEN 1 ELSE 0 END AS dup_raw,
+             CASE WHEN COUNT(*) OVER (PARTITION BY k_canon) > 1
+                  THEN 1 ELSE 0 END AS dup_canon,
+             CASE WHEN COUNT(*) OVER (PARTITION BY k_bow) > 1
+                  THEN 1 ELSE 0 END AS dup_bow
+      FROM keys
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dup_raw) AS BIGINT) AS dup_raw,
+           CAST(SUM(dup_canon) AS BIGINT) AS dup_canon,
+           CAST(SUM(dup_bow) AS BIGINT) AS dup_bow,
+           CAST(SUM(dup_canon - dup_raw) AS BIGINT) AS added_by_canon,
+           CAST(SUM(dup_bow - dup_canon) AS BIGINT) AS added_by_bow
+    FROM flags GROUP BY 1
+    """,
+    doc="Dedup-cascade accounting per source: how many documents each "
+        "successive dedup key flags — exact raw text, canonical "
+        "(lower+trim), and bag-of-words (sorted token multiset, which "
+        "catches word-order shuffles) — and the INCREMENT each stage "
+        "adds.  The stages are provably nested (raw-equal implies "
+        "canon-equal implies bow-equal), so the increments are "
+        "non-negative and tell the curation team what each "
+        "normalization is worth BEFORE running it at scale.  "
+        "Duplicate flags come from count-over-key windows (each an "
+        "exact integer); sort order inside the bow key is the "
+        "codepoint order both engines share on ASCII tokens.  "
+        "Physical: three key-partitioned count windows over one scan, "
+        "one source rollup.",
+    tags=("llmdata", "documents", "dedup", "profiling"),
+)
+def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    keys = load(spark, sf_dir, "documents").select(
+        "source",
+        F.col("text").alias("k_raw"),
+        F.lower(F.trim(F.col("text"))).alias("k_canon"),
+        F.array_join(F.array_sort(toks), " ").alias("k_bow"),
+    )
+    def dup(col: str) -> F.Column:
+        return F.when(
+            F.count(F.lit(1)).over(Window.partitionBy(col)) > 1, 1
+        ).otherwise(0)
+
+    flags = keys.select(
+        "source",
+        dup("k_raw").alias("dup_raw"),
+        dup("k_canon").alias("dup_canon"),
+        dup("k_bow").alias("dup_bow"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dup_raw").cast("bigint").alias("dup_raw"),
+        F.sum("dup_canon").cast("bigint").alias("dup_canon"),
+        F.sum("dup_bow").cast("bigint").alias("dup_bow"),
+        F.sum(F.col("dup_canon") - F.col("dup_raw"))
+        .cast("bigint")
+        .alias("added_by_canon"),
+        F.sum(F.col("dup_bow") - F.col("dup_canon"))
+        .cast("bigint")
+        .alias("added_by_bow"),
+    )

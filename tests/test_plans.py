@@ -1544,3 +1544,23 @@ def test_q283_kendall_pairs_are_day_grain(plans):
     assert "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" in p, "day pairing must be a broadcast NLJ"
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+
+
+def test_q284_qte_decile_lookup_hashes_on_variant(plans):
+    """q284 QTE: the decile-target lookup is a broadcast HASH join on
+    variant with the rank-range residual — never a nested loop; the
+    quantile machinery runs at distinct-value grain."""
+    p = plans["q284_quantile_treatment_effects"]
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    assert "Window" in p
+
+
+def test_q285_dedup_cascade_single_scan(plans):
+    """q285 dedup cascade: three key-count windows over ONE scan —
+    no joins, no re-reads per stage."""
+    p = plans["q285_dedup_cascade_accounting"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
