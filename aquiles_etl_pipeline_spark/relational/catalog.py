@@ -277,6 +277,9 @@ _GRADE_FIRST = (
     "q283_kendall_tau_daily",
     "q284_quantile_treatment_effects",
     "q285_dedup_cascade_accounting",
+    "q286_dead_stock_report",
+    "q287_dormancy_gaps",
+    "q288_abc_classification",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -3740,3 +3740,216 @@ def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("added_by_bow"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q286: dead-stock report (catalog items never ordered, by brand)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q286_dead_stock_report",
+    sql="""
+    WITH ordered_parts AS (
+      SELECT DISTINCT l_partkey FROM lineitem
+    ),
+    flags AS (
+      SELECT p_brand AS brand,
+             CASE WHEN o.l_partkey IS NULL THEN 1 ELSE 0 END AS dead
+      FROM part LEFT JOIN ordered_parts o ON p_partkey = o.l_partkey
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(dead) AS BIGINT) AS n_dead,
+           round(CAST(SUM(dead) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS dead_share
+    FROM flags GROUP BY 1
+    """,
+    doc="Dead-stock report: per brand, how many catalog parts have "
+        "NEVER appeared on an order line — the assortment-hygiene "
+        "metric behind delisting decisions.  The never-ordered set is "
+        "an anti-join shape expressed as LEFT JOIN + null flag so the "
+        "kept/total counts ride ONE aggregation (a pure anti-join "
+        "would need a second scan for the denominators).  The "
+        "distinct-partkey reduction collapses the fact table before "
+        "the join, so the join is catalog-vs-catalog sized.  Exact "
+        "counts, one division.",
+    tags=("relational", "part", "lineitem", "audit"),
+)
+def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ordered = load(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    flags = part.join(
+        ordered, part["p_partkey"] == ordered["l_partkey"], "left"
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("l_partkey").isNull(), 1).otherwise(0).alias("dead"),
+    )
+    return flags.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("dead").cast("bigint").alias("n_dead"),
+        F.round(
+            F.sum("dead").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("dead_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q287: customer dormancy gaps (longest silence + current recency)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q287_dormancy_gaps",
+    sql="""
+    WITH o AS (
+      SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS d
+      FROM orders
+    ),
+    horizon AS (SELECT MAX(d) AS dmax FROM o),
+    gaps AS (
+      SELECT o_custkey,
+             date_diff('day', LAG(d) OVER (PARTITION BY o_custkey ORDER BY d),
+                       d) AS gap_days,
+             d
+      FROM o
+    ),
+    per_cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+             MAX(d) AS last_day
+      FROM gaps GROUP BY 1
+    )
+    SELECT custkey, n_orders, max_gap_days,
+           CAST(date_diff('day', last_day, dmax) AS BIGINT) AS recency_days,
+           CAST(date_diff('day', last_day, dmax) > COALESCE(max_gap_days, 0)
+                AS BOOLEAN) AS dormant_anomaly
+    FROM per_cust CROSS JOIN horizon
+    """,
+    doc="Customer dormancy profile: each customer's LONGEST historical "
+        "silence between orders, their current recency against the "
+        "corpus horizon, and the churn-risk flag 'currently quieter "
+        "than they have ever been' (recency exceeding the personal "
+        "max gap) — the per-customer baseline that beats any global "
+        "recency cutoff because regulars and occasionals get their "
+        "own yardstick.  Single-order customers have NULL max gap and "
+        "COALESCE(…, 0) makes any positive recency anomalous for "
+        "them, documented here.  Date arithmetic is pure integer "
+        "days.  Physical: one custkey lag window + rollup on the same "
+        "key family, horizon broadcast as a single-row aggregate "
+        "(allowlisted q42 shape).",
+    tags=("relational", "orders", "crm", "window"),
+)
+def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d"),
+    )
+    horizon = o.agg(F.max("d").alias("dmax"))
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    gaps = o.select(
+        "o_custkey",
+        F.expr("datediff(d, lag(d) OVER (PARTITION BY o_custkey ORDER BY d))")
+        .alias("gap_days"),
+        "d",
+    )
+    per_cust = gaps.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        F.max("d").alias("last_day"),
+    )
+    return per_cust.crossJoin(F.broadcast(horizon)).select(
+        "custkey",
+        "n_orders",
+        "max_gap_days",
+        F.expr("datediff(dmax, last_day)").cast("bigint").alias("recency_days"),
+        (
+            F.expr("datediff(dmax, last_day)")
+            > F.coalesce(F.col("max_gap_days"), F.lit(0))
+        ).alias("dormant_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q288: ABC inventory classification by cumulative revenue share
+# ---------------------------------------------------------------------------
+
+@register(
+    "q288_abc_classification",
+    sql="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(coalesce(l_extendedprice, 0) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT l_partkey, rev_c,
+             CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey)
+                  AS BIGINT) AS cum_c,
+             CAST(SUM(rev_c) OVER () AS BIGINT) AS tot_c
+      FROM per_part
+    ),
+    cls AS (
+      SELECT CASE WHEN cum_c * 100 <= tot_c * 80 THEN 'A'
+                  WHEN cum_c * 100 <= tot_c * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_c
+      FROM c
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE) / 100, 6)
+             AS revenue,
+           round(CASE WHEN MAX(1) = 1 THEN
+                 CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE)
+                 / CAST((SELECT CAST(SUM(rev_c) AS BIGINT) FROM per_part)
+                        AS DOUBLE) END, 9) AS revenue_share
+    FROM cls GROUP BY 1
+    """,
+    doc="ABC inventory classification: parts ranked by revenue, class "
+        "A = the prefix holding the first 80% of cumulative revenue, "
+        "B = to 95%, C = the tail — the Pareto working-capital "
+        "policy split (count vs cash inversion: A is few parts, most "
+        "money).  The class boundary test cum*100 <= tot*80 is PURE "
+        "INTEGER arithmetic (cum_c*100 stays far under 2^63 at any "
+        "realistic revenue) — a double share comparison would put "
+        "boundary parts in different classes across engines.  "
+        "Deterministic rank tiebreak on partkey.  Physical: one "
+        "part-grain rollup, a catalog-grain cumulative window (q252's "
+        "documented posture), a 3-row rollup.",
+    tags=("relational", "lineitem", "pareto", "window"),
+)
+def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_part = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents("l_extendedprice")).cast("bigint").alias("rev_c"))
+    )
+    w_cum = Window.orderBy(F.col("rev_c").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    c = per_part.select(
+        "rev_c",
+        F.sum("rev_c").over(w_cum).cast("bigint").alias("cum_c"),
+        F.sum("rev_c").over(w_all).cast("bigint").alias("tot_c"),
+    )
+    cls = c.select(
+        F.when(F.col("cum_c") * 100 <= F.col("tot_c") * 80, "A")
+        .when(F.col("cum_c") * 100 <= F.col("tot_c") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_c",
+        "tot_c",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(F.sum("rev_c").cast("bigint").cast("double") / 100, 6).alias(
+            "revenue"
+        ),
+        F.round(
+            F.sum("rev_c").cast("bigint").cast("double")
+            / F.max("tot_c").cast("double"),
+            9,
+        ).alias("revenue_share"),
+    )

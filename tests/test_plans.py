@@ -180,6 +180,9 @@ def test_no_accidental_cartesian_products(plans):
         # q283 Kendall tau: the day<day pairing is a broadcast range
         # NLJ over the calendar-bounded day frame — q265's shape
         "q283_kendall_tau_daily",
+        # q287 dormancy: the corpus horizon (max day) joins in as a
+        # broadcast single-row aggregate (1 x N) — q92's shape again
+        "q287_dormancy_gaps",
     }
     for name, p in plans.items():
         if name in allowed:
@@ -1563,4 +1566,32 @@ def test_q285_dedup_cascade_single_scan(plans):
     p = plans["q285_dedup_cascade_accounting"]
     assert "Join" not in p
     assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q286_dead_stock_single_agg_after_distinct(plans):
+    """q286 dead stock: the fact collapses to distinct partkeys before
+    the catalog join; kept/total ride ONE aggregation."""
+    p = plans["q286_dead_stock_report"]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+
+
+def test_q287_dormancy_shares_custkey_family(plans):
+    """q287 dormancy: the lag window and the rollup share the custkey
+    partitioning; only the single-row horizon crosses."""
+    p = plans["q287_dormancy_gaps"]
+    assert "Window" in p
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 1, "expected only the lag sort"
+
+
+def test_q288_abc_boundaries_stay_integer(plans):
+    """q288 ABC: one part rollup, cumulative windows, and integer
+    boundary arithmetic — no joins, no Python."""
+    p = plans["q288_abc_classification"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert "EvalPython" not in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
