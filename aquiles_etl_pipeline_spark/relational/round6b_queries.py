@@ -3604,7 +3604,8 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alone).  Quantile lookup is the distinct-value-grain trick "
         "again: cumulative counts per variant, and the target rank "
         "selects the unique value row with f_prev < r <= f via a "
-        "broadcast 18-row range join (allowlisted NLJ shape).  "
+        "broadcast HASH join on variant (18 target rows) with the "
+        "rank range as a residual condition — no nested loop.  "
         "Physical: one (variant, value) rollup, cumulative windows "
         "per variant, a 9-row decile pivot.",
     tags=("experimentation", "events", "distribution", "stats"),
@@ -3845,7 +3846,6 @@ def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d"),
     )
     horizon = o.agg(F.max("d").alias("dmax"))
-    w = Window.partitionBy("o_custkey").orderBy("d")
     gaps = o.select(
         "o_custkey",
         F.expr("datediff(d, lag(d) OVER (PARTITION BY o_custkey ORDER BY d))")
@@ -3900,10 +3900,9 @@ def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_parts,
            round(CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE) / 100, 6)
              AS revenue,
-           round(CASE WHEN MAX(1) = 1 THEN
-                 CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE)
+           round(CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE)
                  / CAST((SELECT CAST(SUM(rev_c) AS BIGINT) FROM per_part)
-                        AS DOUBLE) END, 9) AS revenue_share
+                        AS DOUBLE), 9) AS revenue_share
     FROM cls GROUP BY 1
     """,
     doc="ABC inventory classification: parts ranked by revenue, class "

@@ -1576,6 +1576,16 @@ def test_q286_dead_stock_single_agg_after_distinct(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+    # the distinct-partkey reduction must exist (keys = [l_partkey]
+    # alone): joining the raw fact and deduplicating after would drop
+    # this aggregate and ship every order line through the join
+    assert re.search(r"Keys \[1\]: \[l_partkey#\d+", p), (
+        "lineitem must collapse to distinct partkeys before the join"
+    )
+    read = [l for l in p.splitlines() if "ReadSchema" in l and "l_partkey" in l]
+    assert read and all("struct<l_partkey:bigint>" in l for l in read), (
+        "the fact scan must read ONLY the part key"
+    )
 
 
 def test_q287_dormancy_shares_custkey_family(plans):
