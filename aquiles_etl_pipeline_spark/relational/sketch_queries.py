@@ -392,11 +392,14 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-             AS intercept,
-           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+           ROUND(CASE WHEN n * sxx - sx * sx > 0 THEN
+                 (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0 THEN
+                 (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                 END, 6) AS intercept,
+           ROUND(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+                 ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
     FROM s
     """,
     doc="Distributed OLS via sufficient statistics "
@@ -557,8 +560,9 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           ROUND((n * sxy - sx * sy)
-                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           ROUND(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+                 (n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
              AS spearman_rho
     FROM s
     """,
@@ -606,7 +610,11 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         g,
         F.col("n").cast("long").alias("n"),
-        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("spearman_rho"),
+        # an all-tied group zeroes a rank variance: NULL rho, not an
+        # ANSI division error (the round-6 guard rule)
+        F.round(
+            F.when(var_x * var_y > 0, cov_n / F.sqrt(var_x * var_y)), 6
+        ).alias("spearman_rho"),
     )
 
 

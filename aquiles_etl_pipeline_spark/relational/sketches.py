@@ -323,7 +323,10 @@ def linear_fit(
     cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = cov_n / var_x
+    # zero x-variance (all x equal) leaves the slope undefined and
+    # zero y-variance leaves r2 undefined: NULL, not an ANSI division
+    # error (the round-6 guard rule; DuckDB would emit inf/nan)
+    slope = F.when(var_x > 0, cov_n / var_x)
 
     # the conditional raise lives inside EVERY output column (with
     # genuinely distinct branches): a consumer that projects any
@@ -342,7 +345,11 @@ def linear_fit(
         guarded(
             F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
         ).alias("intercept"),
-        guarded(F.round((cov_n * cov_n) / (var_x * var_y), 6)).alias("r2"),
+        guarded(
+            F.round(
+                F.when(var_x * var_y > 0, (cov_n * cov_n) / (var_x * var_y)), 6
+            )
+        ).alias("r2"),
     )
 
 

@@ -304,20 +304,29 @@ def test_linear_fit_matches_closed_form(spark, pts):
     from aquiles_etl_pipeline_spark.relational.sketches import linear_fit
 
     xs = [x for x, _ in pts]
-    # skip degenerate zero-variance x draws (slope undefined: 0/0)
-    if len(set(xs)) < 2:
-        return
+    ys = [y for _, y in pts]
     df = spark.createDataFrame([(x, y, "g") for x, y in pts], "x int, y int, g string")
     row = linear_fit(df, "x", "y", "g").collect()[0]
+    assert row["n"] == len(pts)
+    if len(set(xs)) < 2:
+        # zero x-variance: slope/intercept/r2 are NULL, never an ANSI
+        # division error
+        assert row["slope"] is None and row["intercept"] is None
+        assert row["r2"] is None
+        return
     n = float(len(pts))
-    sx, sy = float(sum(xs)), float(sum(y for _, y in pts))
-    sxx = float(sum(x * x for x, _ in pts))
-    syy = float(sum(y * y for _, y in pts))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxx = float(sum(x * x for x in xs))
+    syy = float(sum(y * y for y in ys))
     sxy = float(sum(x * y for x, y in pts))
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    assert row["n"] == len(pts)
-    assert row["slope"] == round(slope, 6)
-    assert row["intercept"] == round((sy - slope * sx) / n, 6)
+    # tolerance, not round-equality: Python round() is banker's while
+    # the engine rounds HALF_UP — exact .5 boundaries legitimately
+    # differ in the last printed digit
+    assert abs(row["slope"] - slope) < 1.1e-6
+    assert abs(row["intercept"] - (sy - slope * sx) / n) < 1.1e-6
+    if len(set(ys)) < 2:
+        assert row["r2"] is None, "zero y-variance must NULL r2"
 
 
 def test_zorder_bits_bounds_rejected(spark):
