@@ -96,6 +96,26 @@ def merge_into(
     # re-insert existing keys.  Align source key dtypes to the target's
     # before ANY bucket math or join.
     tgt_types = {f.name: f.dataType for f in target.schema.fields}
+    src_types = {f.name: f.dataType for f in source.schema.fields}
+    cast_needed = [k for k in keys if src_types[k] != tgt_types[k]]
+    if cast_needed:
+        # Under legacy (non-ANSI) mode an overflowing or malformed key
+        # casts to NULL silently, turning a real key into an unmatched
+        # NULL-keyed insert instead of an update.  Refuse instead: any
+        # key that is non-NULL pre-cast must stay non-NULL post-cast.
+        # Only runs when a key dtype actually differs (rare), and the
+        # limit(1) probe stops at the first corrupt row.
+        corrupt = None
+        for k in cast_needed:
+            p = F.col(k).isNotNull() & F.col(k).cast(tgt_types[k]).isNull()
+            corrupt = p if corrupt is None else (corrupt | p)
+        if not source.where(corrupt).limit(1).isEmpty():
+            raise ValueError(
+                f"merge_into: casting source key(s) {cast_needed} to the "
+                f"target dtypes nulled a non-NULL key (overflow or "
+                "malformed value) — fix the source key dtype instead of "
+                "merging a corrupted key"
+            )
     source = source.select(
         *[
             F.col(c).cast(tgt_types[c]).alias(c) if c in keys else F.col(c)
@@ -141,7 +161,11 @@ def merge_into(
         # proves a foreign bucketing, and the sample closes the hole
         # where a mis-bucketed target leaves the touched buckets empty
         # (nothing to check) while its real matches hide elsewhere.
-        bad = F.col(bucket_col).cast("int") != _bucket_expr(keys)
+        # eqNullSafe: a plain != evaluates to NULL (filtered out) for
+        # rows whose bucket_col is NULL, letting a NULL-bucketed target
+        # pass the guard while its rows hide from the touched-bucket
+        # scoping — NULL buckets must count as mis-bucketed.
+        bad = ~F.col(bucket_col).cast("int").eqNullSafe(_bucket_expr(keys))
         mismatch = (
             base.select(bucket_col, *keys)
             .unionByName(target.select(bucket_col, *keys).limit(256))

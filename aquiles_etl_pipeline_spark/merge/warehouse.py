@@ -212,7 +212,14 @@ class Warehouse:
             for tdir in sorted(self.root.iterdir()):
                 ptr = tdir / "_CURRENT"
                 if tdir.is_dir() and ptr.exists():
-                    gen_name = ptr.read_text().strip()
+                    try:
+                        gen_name = ptr.read_text().strip()
+                    except FileNotFoundError:
+                        # a concurrent drop() rmtree'd the table dir
+                        # between exists() and read_text(); the table is
+                        # going away — skip it rather than abort the
+                        # whole manifest publish.
+                        continue
                     if not gen_name:  # defense vs legacy non-atomic writers
                         continue
                     tables[tdir.name] = gen_name

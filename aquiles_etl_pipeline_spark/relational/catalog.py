@@ -127,70 +127,23 @@ def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = 
 
 
 # Grading order.  The driver's correctness sweep walks queries() in
-# dict order under a shared time budget and can stop early (~50 of 216+
+# dict order under a shared time budget and can stop early (~50 of 288+
 # per round).  registry() therefore rotates by grading recency so every
 # catalog entry eventually carries a fresh driver row and no row goes
-# more than ~2 rounds without a re-grade.  Round-6 rotation:
-#   block A — q151-q200: never driver-graded (the r05 verdict's top
+# more than ~2 rounds without a re-grade.  Round-7 rotation:
+#   block A — q201-q250: never driver-graded (the r06 verdict's top
 #             rotation demand); exactly fills a 50-query budget;
-#   block B — q201-q216 + any new round-6 entries: never graded,
-#             expected to spill to r07;
+#             includes q220 root-snapshot and q241 sessionizer (the
+#             two newest engine mechanisms, per verdict ask #6);
+#   block B — q251-q288 + new round-7 entries (q289+): never graded,
+#             queued for the r08 block;
 #   block C — r03-green rows (stalest graded): q01-q06, q37/q39/q41/
 #             q45, q61-q100;
 #   block D — r04-green rows: q54-q60, q101-q143;
-#   block E — r05-green rows (freshest — if the budget starves
-#             anything, it starves these): stale-43 refresh + q144-q150.
+#   block E — r05-green rows: q07-q53 refresh + q144-q150;
+#   block F — r06-green rows (freshest — if the budget starves
+#             anything, it starves these): q151-q200.
 _GRADE_FIRST = (
-    "q151_window_deduped_ledger",
-    "q152_range_join_pre1970",
-    "q153_decimal_safe_linear_fit",
-    "q154_stream_dedup_watermark",
-    "q155_interval_union_coverage",
-    "q156_triangle_count",
-    "q157_markov_transitions",
-    "q158_weighted_median",
-    "q159_largest_remainder_seats",
-    "q160_zipf_law_fit",
-    "q161_top_session_paths",
-    "q162_welch_ttest",
-    "q163_segment_entropy_kl",
-    "q164_scd2_dimension_build",
-    "q165_stream_session_windows",
-    "q166_score_calibration",
-    "q167_ewma_user_features",
-    "q168_group_holdout_split",
-    "q169_kcore_peel",
-    "q170_small_cell_suppression",
-    "q171_generic_merge_into",
-    "q172_streaming_cdc_merge",
-    "q173_incremental_near_dups",
-    "q174_winnowing_pairs",
-    "q175_dsir_importance_select",
-    "q176_record_linkage",
-    "q177_gdpr_cascade_delete",
-    "q178_spatial_neighbor_join",
-    "q179_centroid_similarity",
-    "q180_trailing_distinct",
-    "q181_table_changes",
-    "q182_json_properties",
-    "q183_bfs_hops",
-    "q184_volume_shipping",
-    "q185_fd_profile",
-    "q186_late_dim_backfill",
-    "q187_bitemporal_read",
-    "q188_pareto_concentration",
-    "q189_incremental_mv",
-    "q190_linear_attribution",
-    "q191_reflected_balance",
-    "q192_rank_movers",
-    "q193_frame_sampling",
-    "q194_streaming_heavy_users",
-    "q195_stream_outer_join",
-    "q196_local_time_rollup",
-    "q197_time_weighted_avg",
-    "q198_rate_limit_quota",
-    "q199_source_copy_matrix",
-    "q200_curation_pipeline_v2",
     "q201_association_rules",
     "q202_item_item_cf",
     "q203_phrase_search",
@@ -207,7 +160,6 @@ _GRADE_FIRST = (
     "q214_local_supplier_revenue",
     "q215_forecast_revenue_change",
     "q216_disjunctive_revenue",
-    # --- block B spill point: append new round-6 entries (q217+) HERE ---
     "q217_filtered_order_counts",
     "q218_small_order_revenue",
     "q219_sole_late_supplier",
@@ -280,6 +232,7 @@ _GRADE_FIRST = (
     "q286_dead_stock_report",
     "q287_dormancy_gaps",
     "q288_abc_classification",
+    # --- block B append point: new round-7 entries (q289+) go HERE ---
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",
@@ -430,6 +383,56 @@ _GRADE_FIRST = (
     "q148_top_terms_by_nation",
     "q149_weighted_sample_reservoir",
     "q150_recursive_bom_rollup",
+    "q151_window_deduped_ledger",
+    "q152_range_join_pre1970",
+    "q153_decimal_safe_linear_fit",
+    "q154_stream_dedup_watermark",
+    "q155_interval_union_coverage",
+    "q156_triangle_count",
+    "q157_markov_transitions",
+    "q158_weighted_median",
+    "q159_largest_remainder_seats",
+    "q160_zipf_law_fit",
+    "q161_top_session_paths",
+    "q162_welch_ttest",
+    "q163_segment_entropy_kl",
+    "q164_scd2_dimension_build",
+    "q165_stream_session_windows",
+    "q166_score_calibration",
+    "q167_ewma_user_features",
+    "q168_group_holdout_split",
+    "q169_kcore_peel",
+    "q170_small_cell_suppression",
+    "q171_generic_merge_into",
+    "q172_streaming_cdc_merge",
+    "q173_incremental_near_dups",
+    "q174_winnowing_pairs",
+    "q175_dsir_importance_select",
+    "q176_record_linkage",
+    "q177_gdpr_cascade_delete",
+    "q178_spatial_neighbor_join",
+    "q179_centroid_similarity",
+    "q180_trailing_distinct",
+    "q181_table_changes",
+    "q182_json_properties",
+    "q183_bfs_hops",
+    "q184_volume_shipping",
+    "q185_fd_profile",
+    "q186_late_dim_backfill",
+    "q187_bitemporal_read",
+    "q188_pareto_concentration",
+    "q189_incremental_mv",
+    "q190_linear_attribution",
+    "q191_reflected_balance",
+    "q192_rank_movers",
+    "q193_frame_sampling",
+    "q194_streaming_heavy_users",
+    "q195_stream_outer_join",
+    "q196_local_time_rollup",
+    "q197_time_weighted_avg",
+    "q198_rate_limit_quota",
+    "q199_source_copy_matrix",
+    "q200_curation_pipeline_v2",
 )
 
 

@@ -3607,7 +3607,11 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
         "broadcast HASH join on variant (18 target rows) with the "
         "rank range as a residual condition — no nested loop.  "
         "Physical: one (variant, value) rollup, cumulative windows "
-        "per variant, a 9-row decile pivot.",
+        "per variant, a 9-row decile pivot.  NULL contract: if a "
+        "variant has ZERO purchase rows its q_a/q_b (and qte) are NULL "
+        "for every decile — the degenerate arm is signalled by NULLs, "
+        "not an error; library reuse should pre-check arm counts if it "
+        "needs a hard failure instead.",
     tags=("experimentation", "events", "distribution", "stats"),
 )
 def q284(spark: SparkSession, sf_dir: str) -> DataFrame:

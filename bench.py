@@ -90,29 +90,50 @@ def main() -> None:
         timings[name.split("_", 1)[0]] = round(t, 2)
         print(f"[bench] {name}: {round(t, 2)}s", file=sys.stderr, flush=True)
 
+    for line in emit_lines(timings, sf):
+        print(line, flush=True)
+
+
+def emit_lines(timings: dict[str, float], sf: float) -> list[str]:
+    """Render the bench record as stdout lines.
+
+    The driver tail-captures stdout with a bounded buffer and keeps the
+    END of the stream (BENCH_r05 proved the direction: at 211 qNNN
+    entries a single map line lost its FRONT; the r06 summary-line-LAST
+    fix kept the headline but still cut 121 per-query keys from the one
+    big map line).  So: emit the per-query map as MULTIPLE <=4 KB
+    stdout lines, each a self-describing {"metric":"bench_chunk",
+    "range":"qAAA-qBBB","queries":{...}} object, then a compact
+    summary-only object with NO queries dict as the LAST stdout line —
+    every chunk line is small enough that any plausible tail window
+    retains complete, parseable records for all catalog keys.
+    """
     total = round(sum(timings.values()), 2)
-    # The driver tail-captures stdout with a bounded buffer and keeps the
-    # END of the stream (BENCH_r05 proved the direction: at 211 qNNN
-    # entries the single line lost its FRONT — headline total plus keys
-    # q01–q11/q100–q129 — and parsed to null).  So: emit the full
-    # per-query map on its own earlier line (fine if its front is cut),
-    # then a compact summary-only object with NO queries dict as the
-    # LAST stdout line — it stays <200 bytes at any catalog size, so the
-    # tail capture always retains a complete, parseable headline record.
-    print(
+    keys = sorted(timings)
+    chunks: list[dict[str, float]] = []
+    chunk: dict[str, float] = {}
+    for k in keys:
+        chunk[k] = timings[k]
+        # ~40 queries/chunk keeps each line well under 4 KB (a qNNN key
+        # plus value is <=15 bytes; 40 * 15 + envelope < 1 KB).
+        if len(chunk) == 40:
+            chunks.append(chunk)
+            chunk = {}
+    if chunk:
+        chunks.append(chunk)
+    lines = [
         json.dumps(
             {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
+                "metric": "bench_chunk",
+                "range": f"{sorted(part)[0]}-{sorted(part)[-1]}",
                 "sf": sf,
-                "queries": timings,
+                "queries": part,
             },
             separators=(",", ":"),
-        ),
-        flush=True,
-    )
-    print(
+        )
+        for part in chunks
+    ]
+    lines.append(
         json.dumps(
             {
                 "metric": "catalog_total_runtime",
@@ -122,9 +143,9 @@ def main() -> None:
                 "n_queries": len(timings),
             },
             separators=(",", ":"),
-        ),
-        flush=True,
+        )
     )
+    return lines
 
 
 if __name__ == "__main__":

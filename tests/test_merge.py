@@ -648,6 +648,61 @@ def test_generic_merge_into_refuses_foreign_bucket_rule(spark, tmp_path):
         merge_into(wh, "t", source, on="id", bucket_col="_bucket")
 
 
+def test_generic_merge_into_refuses_null_bucket_values(spark, tmp_path):
+    """A NULL bucket value must count as mis-bucketed, not slip through:
+    a plain != comparison evaluates to NULL (row filtered out) for NULL
+    bucket_col, so a NULL-bucketed target would pass the foreign-
+    bucketing guard while its rows stay invisible to the touched-bucket
+    scoping — re-inserting existing keys (ADVICE r06)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+    from aquiles_etl_pipeline_spark.merge.generic import merge_into
+
+    wh = Warehouse(spark, tmp_path / "gmnb")
+    base = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("id"),
+        F.col("id").cast("int").alias("v"),
+        F.lit(None).cast("int").alias("_bucket"),
+    )
+    wh.overwrite("t", base, partition_by=["_bucket"])
+    source = spark.createDataFrame([(7, -7)], "id int, v int")
+    with _pytest.raises(ValueError, match="not populated"):
+        merge_into(wh, "t", source, on="id", bucket_col="_bucket")
+
+
+def test_generic_merge_into_refuses_key_cast_nulling(spark, tmp_path):
+    """Aligning the source key dtype to the target's must never null a
+    real key: under legacy (non-ANSI) mode a malformed string→int key
+    cast silently yields NULL, turning an update into an unmatched
+    NULL-keyed insert (ADVICE r06).  The merge must refuse with a
+    dtype-mismatch message instead."""
+    import pytest as _pytest
+
+    from aquiles_etl_pipeline_spark.merge import Warehouse
+    from aquiles_etl_pipeline_spark.merge.generic import merge_into
+
+    wh = Warehouse(spark, tmp_path / "gmkc")
+    wh.overwrite("t", spark.createDataFrame([(1, "a")], "id int, name string"))
+    # a malformed string key casts to NULL under legacy mode (an
+    # overflow wraps instead — also silent, but not NULL-detectable)
+    source = spark.createDataFrame(
+        [("not-a-number", "x")], "id string, name string"
+    )
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with _pytest.raises(ValueError, match="nulled a non-NULL key"):
+            merge_into(wh, "t", source, on="id")
+        # a well-formed string key still merges fine
+        ok = spark.createDataFrame([("1", "z")], "id string, name string")
+        stats = merge_into(wh, "t", ok, on="id")
+        assert stats["updated"] == 1
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+
 def test_table_changes_emits_delta_cdf_row_kinds(spark, tmp_path):
     """insert / delete / update_preimage+postimage between two
     generations; unchanged keys emit ZERO rows."""
