@@ -1,0 +1,232 @@
+"""Scale-stress harness: does the 100x posture hold beyond sf0.1?
+
+Builds a ~10x re-keyed copy of the sf0.1 parquet tables (an "sf1-ish"
+dataset: every fact/entity table duplicated FACTOR times with disjoint
+key ranges, referential integrity preserved within each copy, the tiny
+region/nation dims left alone), then runs the flagship pipelines at
+both scales and checks the two things a local bench can actually prove
+about cluster behavior:
+
+* **near-linear time scaling** — wall time at 10x data must stay under
+  ~12x the sf0.1 time (a super-linear blow-up at 10x means an O(n^2)
+  pair enumeration, an unbounded window, or a driver-side loop that a
+  1000-executor cluster would hit 100x harder);
+* **stable plan shape** — the physical plan at 10x must not flip into
+  a CartesianProduct / BroadcastNestedLoopJoin that was absent at
+  sf0.1 (the "worked small, degenerated big" failure mode).
+
+Duplicated documents/embeddings are cross-copy EXACT duplicates by
+design: the dedup flagships (q52/q60/q200) then stress the dup-heavy
+corpus case where LSH buckets and IVF cells hold FACTOR copies of every
+doc — the worst realistic input for pair enumeration.
+
+Usage:
+    python tools/scale_stress.py [--factor 10] [--queries q41,q52,...]
+                                 [--src /root/testdata/sf0.1]
+                                 [--workdir /tmp/scale_stress]
+                                 [--report SCALE_STRESS_r07.md]
+
+Exit code 0 = every query within budget and no plan flips.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# key offset between copies: even (preserves user_id % 2 variant splits)
+# and far above every key in the sf0.1 tables (max ~6e5).
+OFFSET = 2**33
+
+# bigint key columns to re-key per table; everything else copies as-is.
+# region/nation are dimensions with fixed semantic domains — scaling
+# them would change query SEMANTICS (revenue per nation etc.), so they
+# stay at 1x, exactly like a real warehouse's dims vs facts.
+REKEY: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],
+    "region": [],
+}
+
+FLAGSHIPS = ["q41_etl_star_pipeline", "q52_dedup_clusters", "q60_semantic_dedup",
+             "q177_gdpr_cascade_delete", "q200_curation_pipeline_v2"]
+
+# plan nodes that must not APPEAR at 10x if absent at 1x
+FORBIDDEN_FLIPS = ("CartesianProduct", "BroadcastNestedLoopJoin")
+SHAPE_NODES = FORBIDDEN_FLIPS + (
+    "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "Exchange",
+)
+
+
+def build_scaled(src: str, dst: Path, factor: int) -> None:
+    """Materialize the re-keyed FACTOR-x dataset with DuckDB (no Spark
+    session needed; a cross join against range(factor) emits all copies
+    in one vectorized statement per table)."""
+    import duckdb
+
+    dst.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    for table, keys in REKEY.items():
+        out = dst / f"{table}.parquet"
+        if out.exists():
+            continue
+        src_file = f"{src}/{table}.parquet"
+        if not keys:
+            con.execute(
+                f"COPY (SELECT * FROM '{src_file}') TO '{out}' (FORMAT PARQUET)"
+            )
+            continue
+        cols = [c[0] for c in con.execute(
+            f"DESCRIBE SELECT * FROM '{src_file}'").fetchall()]
+        proj = ", ".join(
+            f"t.{c} + c.i * {OFFSET} AS {c}" if c in keys else f"t.{c}"
+            for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {proj} FROM '{src_file}' t, "
+            f"range({factor}) c(i)) TO '{out}' (FORMAT PARQUET)"
+        )
+    con.close()
+
+
+def plan_of(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def shape(plan: str) -> dict[str, int]:
+    return {n: plan.count(n) for n in SHAPE_NODES}
+
+
+def run_one(spark, spec, sf_dir: str) -> tuple[float, dict[str, int]]:
+    t0 = time.perf_counter()
+    df = spec.fn(spark, sf_dir)
+    df.count()
+    elapsed = time.perf_counter() - t0
+    # plan captured AFTER execution so AQE's final decisions are visible
+    return elapsed, shape(plan_of(df))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--queries", default=",".join(FLAGSHIPS))
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--workdir", default="/tmp/scale_stress")
+    ap.add_argument("--budget", type=float, default=12.0,
+                    help="max allowed time ratio at --factor x data")
+    ap.add_argument("--report", default=None,
+                    help="markdown report path (optional)")
+    args = ap.parse_args()
+
+    from aquiles_etl_pipeline_spark.relational import registry
+    from aquiles_etl_pipeline_spark.session import get_spark
+
+    scaled = Path(args.workdir) / f"sf0.1x{args.factor}"
+    print(f"[scale_stress] building {scaled} (factor {args.factor})",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    build_scaled(args.src, scaled, args.factor)
+    print(f"[scale_stress] dataset ready in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    spark = get_spark(app_name="scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry()
+    names = [n for n in args.queries.split(",") if n]
+    rows = []
+    ok = True
+    for name in names:
+        spec = specs[name]
+        # warm both paths once at the SMALL scale so JIT/codegen/session
+        # constants don't contaminate the first measured run
+        spec.fn(spark, args.src).limit(1).collect()
+        base_t, base_shape = run_one(spark, spec, args.src)
+        scaled_t, scaled_shape = run_one(spark, spec, str(scaled))
+        ratio = scaled_t / base_t if base_t > 0 else float("inf")
+        flips = [
+            n for n in FORBIDDEN_FLIPS
+            if scaled_shape[n] > 0 and base_shape[n] == 0
+        ]
+        verdict = "OK"
+        if flips:
+            verdict, ok = f"PLAN FLIP: {flips}", False
+        elif ratio > args.budget:
+            # one isolated re-run before failing: a shared VM can stall
+            # any single run by seconds (the r06 326s lesson)
+            retry_t, _ = run_one(spark, spec, str(scaled))
+            scaled_t = min(scaled_t, retry_t)
+            ratio = scaled_t / base_t
+            if ratio > args.budget:
+                verdict, ok = f"RATIO {ratio:.1f} > {args.budget}", False
+        rows.append({
+            "query": name,
+            "t_sf01": round(base_t, 2),
+            "t_scaled": round(scaled_t, 2),
+            "ratio": round(ratio, 2),
+            "shape_sf01": base_shape,
+            "shape_scaled": scaled_shape,
+            "verdict": verdict,
+        })
+        print(f"[scale_stress] {name}: {base_t:.2f}s -> {scaled_t:.2f}s "
+              f"({ratio:.1f}x at {args.factor}x data) {verdict}",
+              file=sys.stderr, flush=True)
+
+    print(json.dumps({"metric": "scale_stress", "factor": args.factor,
+                      "budget": args.budget, "ok": ok, "results": rows},
+                     separators=(",", ":")), flush=True)
+    if args.report:
+        _write_report(Path(args.report), args, rows, ok)
+    return 0 if ok else 1
+
+
+def _write_report(path: Path, args, rows, ok: bool) -> None:
+    lines = [
+        "# Scale-stress report",
+        "",
+        f"`tools/scale_stress.py --factor {args.factor}` — flagship "
+        f"pipelines at sf0.1 vs a {args.factor}x re-keyed copy "
+        f"(time budget {args.budget}x; plan must not flip to "
+        "CartesianProduct / BroadcastNestedLoopJoin).",
+        "",
+        "| query | sf0.1 (s) | x" + str(args.factor) +
+        " (s) | ratio | plan flips | verdict |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        flips = ", ".join(
+            f"{n} {r['shape_sf01'][n]}->{r['shape_scaled'][n]}"
+            for n in SHAPE_NODES
+            if r["shape_sf01"][n] != r["shape_scaled"][n]
+        ) or "none"
+        lines.append(
+            f"| {r['query']} | {r['t_sf01']} | {r['t_scaled']} | "
+            f"{r['ratio']}x | {flips} | {r['verdict']} |"
+        )
+    lines += [
+        "",
+        f"**Overall: {'PASS' if ok else 'FAIL'}.**  Join-strategy "
+        "count changes (extra Exchange/SortMergeJoin at the larger "
+        "scale) are AQE doing its job and are reported, not failed; "
+        "only a flip INTO a cartesian/nested-loop shape fails.",
+        "",
+    ]
+    path.write_text("\n".join(lines))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
