@@ -233,6 +233,12 @@ _GRADE_FIRST = (
     "q287_dormancy_gaps",
     "q288_abc_classification",
     # --- block B append point: new round-7 entries (q289+) go HERE ---
+    "q289_gopher_quality_filters",
+    "q290_ngram_novelty",
+    "q291_source_bigram_jaccard",
+    "q292_fdr_bh_selection",
+    "q293_theil_sen_slope",
+    "q294_prefix_dup_groups",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -183,6 +183,12 @@ def test_no_accidental_cartesian_products(plans):
         # q287 dormancy: the corpus horizon (max day) joins in as a
         # broadcast single-row aggregate (1 x N) — q92's shape again
         "q287_dormancy_gaps",
+        # q293 Theil-Sen: the day<day slope pairing is a broadcast
+        # range NLJ over the calendar-bounded day frame (<=366 rows,
+        # <=67k pairs regardless of fact volume) — q283's shape; the
+        # median's n_pairs scalar also crosses as a single-row
+        # aggregate (q130's shape)
+        "q293_theil_sen_slope",
     }
     for name, p in plans.items():
         if name in allowed:
@@ -1603,5 +1609,58 @@ def test_q288_abc_boundaries_stay_integer(plans):
     p = plans["q288_abc_classification"]
     assert "Join" not in p
     assert "Window" in p
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q289_gopher_rules_stay_jvm_side(plans):
+    """q289 Gopher battery: the token-array rules evaluate as native
+    higher-order functions — no Python stage, one doc scan, one
+    source-grain aggregation."""
+    p = plans["q289_gopher_quality_filters"]
+    assert "EvalPython" not in p, "rule battery fell out of the JVM into Python"
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q290_novelty_is_postings_join(plans):
+    """q290 novelty: the train-membership check is a hash join on gram
+    (postings grain) — never a nested loop or corpus self-join."""
+    p = plans["q290_ngram_novelty"]
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q291_jaccard_pairs_top_k_sets(plans):
+    """q291 bigram Jaccard: the pair join is an equi-join on gram over
+    the top-K sets, and the per-source sizes broadcast in."""
+    p = plans["q291_source_bigram_jaccard"]
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p, "size lookups must broadcast"
+
+
+def test_q292_bh_windows_over_cell_frame(plans):
+    """q292 BH selection: one customer scan, cell-grain rollup, window
+    passes — no joins at all."""
+    p = plans["q292_fdr_bh_selection"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q293_theil_sen_pairs_are_day_grain(plans):
+    """q293 Theil-Sen: the slope pairing is a broadcast range NLJ over
+    the calendar-bounded (<=366 row) day frame — q283's shape."""
+    p = plans["q293_theil_sen_slope"]
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p, "day pairing must be a broadcast NLJ"
+
+
+def test_q294_prefix_dedup_single_agg(plans):
+    """q294 prefix dedup: key extraction is per-row projection work and
+    the grouping is ONE hash aggregation — no joins, no Python."""
+    p = plans["q294_prefix_dup_groups"]
+    assert "Join" not in p
     assert "EvalPython" not in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
