@@ -239,6 +239,12 @@ _GRADE_FIRST = (
     "q292_fdr_bh_selection",
     "q293_theil_sen_slope",
     "q294_prefix_dup_groups",
+    "q295_matryoshka_truncation",
+    "q296_k_anonymity_profile",
+    "q297_decayed_part_popularity",
+    "q298_conversion_latency_deciles",
+    "q299_subject_access_export",
+    "q300_token_budget_waterfill",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

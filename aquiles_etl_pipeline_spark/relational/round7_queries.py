@@ -633,3 +633,550 @@ def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sources",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q295: Matryoshka truncation quality per label
+# ---------------------------------------------------------------------------
+
+@register(
+    "q295_matryoshka_truncation",
+    sql="""
+    WITH per_vec AS (
+      SELECT label,
+             list_dot_product(embedding, embedding) AS f,
+             list_dot_product(embedding[1:32], embedding[1:32]) AS h
+      FROM embeddings
+    ),
+    micro AS (
+      SELECT label,
+             CASE WHEN f > 0
+                  THEN CAST(round(sqrt(h / f) * 1000000) AS BIGINT) END AS r_micro
+      FROM per_vec
+    )
+    SELECT label,
+           CAST(COUNT(r_micro) AS BIGINT) AS n_vecs,
+           CASE WHEN COUNT(r_micro) > 0
+                THEN round(CAST(SUM(r_micro) AS DOUBLE)
+                           / CAST(COUNT(r_micro) AS DOUBLE) / 1000000, 6)
+           END AS avg_retained_cos
+    FROM micro GROUP BY label
+    """,
+    doc="Matryoshka truncation audit (Kusupati et al. 2022): for each "
+        "embedding, the cosine between the full 64-dim vector and its "
+        "zero-padded first-32-dim truncation equals norm(head)/norm("
+        "full) — reported as the per-label average, the go/no-go "
+        "metric for serving half-dimension vectors from an MRL-trained "
+        "index.  Per-vector ratios are integer-micro-rounded BEFORE the "
+        "cross-row average (the q271 discipline: unordered double sums "
+        "never cross rows); within-vector dot products fold "
+        "sequentially in both engines (q20's parity pattern).  "
+        "Physical: embarrassingly parallel per-row array folds (native "
+        "HOFs after a fan-out repartition — interpreted HOFs off the "
+        "single-file partition), one label-grain rollup of two integer "
+        "sums.",
+    tags=("embeddings", "llmdata", "similarity"),
+)
+def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    sq_sum = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_vec = e.repartition(par).select(
+        "label",
+        sq_sum(F.col("embedding")).alias("f"),
+        sq_sum(F.slice(F.col("embedding"), 1, 32)).alias("h"),
+    )
+    micro = per_vec.select(
+        "label",
+        F.when(
+            F.col("f") > 0,
+            F.round(F.sqrt(F.col("h") / F.col("f")) * 1000000).cast("bigint"),
+        ).alias("r_micro"),
+    )
+    n = F.count("r_micro").cast("bigint")
+    return micro.groupBy("label").agg(
+        n.alias("n_vecs"),
+        F.when(
+            n > 0,
+            F.round(
+                F.sum("r_micro").cast("double") / n.cast("double") / 1000000, 6
+            ),
+        ).alias("avg_retained_cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q296: k-anonymity / l-diversity profile of customer quasi-identifiers
+# ---------------------------------------------------------------------------
+
+@register(
+    "q296_k_anonymity_profile",
+    sql="""
+    WITH qi AS (
+      SELECT c_custkey,
+             c_nationkey AS nationkey,
+             c_mktsegment AS segment,
+             (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 200000
+               AS bal_band
+      FROM customer
+    ),
+    sens AS (
+      SELECT o_custkey, o_orderpriority FROM orders
+    ),
+    classes AS (
+      SELECT q.nationkey, q.segment, q.bal_band,
+             CAST(COUNT(DISTINCT q.c_custkey) AS BIGINT) AS k_size,
+             CAST(COUNT(DISTINCT s.o_orderpriority) AS BIGINT) AS l_div
+      FROM qi q LEFT JOIN sens s ON s.o_custkey = q.c_custkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT nationkey, segment, bal_band, k_size, l_div,
+           (k_size < 5 OR l_div < 2) AS suppressed,
+           CAST(MIN(k_size) OVER () AS BIGINT) AS k_min
+    FROM classes
+    """,
+    doc="k-anonymity / l-diversity release audit (Sweeney 2002; "
+        "Machanavajjhala 2007): quasi-identifier classes over "
+        "(nation, market segment, $2000 balance band — integer band "
+        "arithmetic on shifted cents so negative balances floor "
+        "identically in both engines), k = members per class, l = "
+        "distinct order priorities (the sensitive attribute) observed "
+        "for the class via a key join to orders, and the suppression "
+        "verdict (k < 5 or l < 2) a small-cell release would apply "
+        "(q170's suppression rule, upgraded to class grain).  "
+        "Physical: one customer scan projected to QI grain, one "
+        "broadcast-sized key join to orders for the sensitive "
+        "attribute, one class-grain rollup carrying two COUNT "
+        "DISTINCTs, and a single-pass window for the global k_min; "
+        "~1000 classes regardless of fact volume.",
+    tags=("governance", "customer", "orders", "agg"),
+)
+def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    qi = c.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "(CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) div 200000"
+        ).alias("bal_band"),
+    )
+    sens = o.select("o_custkey", "o_orderpriority")
+    classes = (
+        qi.join(sens, qi["c_custkey"] == sens["o_custkey"], "left")
+        .groupBy("nationkey", "segment", "bal_band")
+        .agg(
+            F.countDistinct("c_custkey").cast("bigint").alias("k_size"),
+            F.countDistinct("o_orderpriority").cast("bigint").alias("l_div"),
+        )
+    )
+    return classes.select(
+        "nationkey",
+        "segment",
+        "bal_band",
+        "k_size",
+        "l_div",
+        ((F.col("k_size") < 5) | (F.col("l_div") < 2)).alias("suppressed"),
+        F.min("k_size").over(Window.partitionBy()).cast("bigint").alias("k_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q297: exponentially decayed part popularity (integer half-life weights)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q297_decayed_part_popularity",
+    sql="""
+    WITH horizon AS (
+      SELECT MAX(CAST(l_shipdate AS DATE)) AS maxd FROM lineitem
+    ),
+    weighted AS (
+      SELECT l_partkey,
+             CAST(round(l_quantity) AS BIGINT) AS units,
+             CAST(1 << (16 - LEAST(CAST(date_diff('day', CAST(l_shipdate AS DATE),
+                                                  h.maxd) AS BIGINT) // 7, 16))
+                  AS BIGINT) AS w
+      FROM lineitem, horizon h
+    ),
+    scored AS (
+      SELECT l_partkey AS partkey,
+             CAST(SUM(units * w) AS BIGINT) AS score_i,
+             CAST(SUM(units) AS BIGINT) AS raw_units
+      FROM weighted GROUP BY 1
+    )
+    SELECT s.partkey, p.p_name,
+           round(CAST(s.score_i AS DOUBLE) / 65536, 6) AS decayed_units,
+           s.raw_units
+    FROM scored s JOIN part p ON p.p_partkey = s.partkey
+    ORDER BY s.score_i DESC, s.partkey LIMIT 20
+    """,
+    doc="Recency-decayed part popularity: each lineitem contributes "
+        "units * 2^(16 - min(weeks_ago, 16)) — a one-week half-life "
+        "with a weight-1 floor after 16 weeks — so the whole decay "
+        "accumulates as EXACT integer arithmetic (bit-shift weights, "
+        "BIGINT sums; the single /65536 to fractional units happens at "
+        "output).  The classic float trap (sum of exp(-t/tau) doubles "
+        "is partial-agg-order dependent) never appears.  Top 20 by "
+        "(score, partkey).  Physical: the corpus horizon is a "
+        "broadcast single-row aggregate (q42's shape, allowlisted), "
+        "one partkey-grain rollup, TakeOrdered(20), and the name "
+        "lookup joins the 20-row result against part (broadcast) — "
+        "never the fact table.",
+    tags=("orders", "timeseries", "topk", "agg"),
+)
+def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    horizon = li.agg(F.max(F.col("l_shipdate").cast("date")).alias("maxd"))
+    w = F.expr(
+        "CAST(shiftleft(1, CAST(16 - least("
+        "datediff(maxd, CAST(l_shipdate AS DATE)) div 7, 16) AS INT)) AS BIGINT)"
+    )
+    weighted = li.crossJoin(F.broadcast(horizon)).select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("bigint").alias("units"),
+        w.alias("w"),
+    )
+    scored = weighted.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("units") * F.col("w")).cast("bigint").alias("score_i"),
+        F.sum("units").cast("bigint").alias("raw_units"),
+    )
+    top = scored.orderBy(F.desc("score_i"), F.asc("partkey")).limit(20)
+    return (
+        F.broadcast(top)
+        .join(p, top["partkey"] == p["p_partkey"])
+        .select(
+            "partkey",
+            "p_name",
+            F.round(F.col("score_i").cast("double") / 65536, 6).alias(
+                "decayed_units"
+            ),
+            "raw_units",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q298: view -> purchase conversion latency deciles
+# ---------------------------------------------------------------------------
+
+@register(
+    "q298_conversion_latency_deciles",
+    sql="""
+    WITH fv AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS first_view
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id,
+             CAST((epoch_us(MIN(ts)) - epoch_us(MIN(first_view))) // 1000000
+                  AS BIGINT) AS latency_s
+      FROM fv
+      WHERE event_type = 'purchase' AND first_view IS NOT NULL
+            AND ts > first_view
+      GROUP BY user_id
+    ),
+    g AS (
+      SELECT latency_s, CAST(COUNT(*) AS BIGINT) AS cnt FROM conv GROUP BY 1
+    ),
+    c AS (
+      SELECT latency_s, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY latency_s
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM g
+    ),
+    t AS (
+      SELECT d, CAST((d * (SELECT MIN(n) FROM c) + 9) // 10 AS BIGINT) AS r
+      FROM (SELECT unnest(range(1, 10)) AS d)
+    )
+    SELECT t.d AS decile, CAST(MIN(c.n) AS BIGINT) AS n_users,
+           CAST(MIN(c.latency_s) AS BIGINT) AS latency_s
+    FROM t JOIN c ON c.f >= t.r AND c.f - c.cnt < t.r
+    GROUP BY t.d
+    """,
+    doc="View-to-purchase conversion latency deciles: per user, the "
+        "first 'view' timestamp (one window pass) and the first "
+        "'purchase' strictly after it; latency in whole seconds "
+        "(integer micros division).  Deciles via the distinct-value-"
+        "grain rank lookup (q284's machinery without the variant "
+        "split): cumulative counts over DISTINCT latency values, "
+        "type-1 quantile rank r = ceil(d*N/10) selected by f_prev < r "
+        "<= f — never a fact-grain sort.  Physical: one user-grain "
+        "window + rollup (the only fact-sized shuffle), a distinct-"
+        "value cumulative frame, and a 9-row broadcast target join "
+        "with the rank range as residual.",
+    tags=("events", "funnel", "distribution", "window"),
+)
+def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    fv = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu).alias(
+            "first_view"
+        ),
+    )
+    conv = (
+        fv.where(
+            (F.col("event_type") == "purchase")
+            & F.col("first_view").isNotNull()
+            & (F.col("ts") > F.col("first_view"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST((unix_micros(MIN(ts)) - unix_micros(MIN(first_view)))"
+                " div 1000000 AS BIGINT)"
+            ).alias("latency_s")
+        )
+    )
+    g = conv.groupBy("latency_s").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    c = g.select(
+        "latency_s",
+        "cnt",
+        F.sum("cnt")
+        .over(Window.orderBy("latency_s").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("f"),
+        F.sum("cnt").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    targets = (
+        c.select("n")
+        .limit(1)
+        .select(F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d"), "n")
+        .select("d", F.expr("CAST((d * n + 9) div 10 AS BIGINT)").alias("r"))
+    )
+    return (
+        c.join(
+            F.broadcast(targets),
+            (F.col("f") >= F.col("r")) & (F.col("f") - F.col("cnt") < F.col("r")),
+        )
+        .groupBy(F.col("d").alias("decile"))
+        .agg(
+            F.min("n").cast("bigint").alias("n_users"),
+            F.min("latency_s").cast("bigint").alias("latency_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q299: GDPR Art. 15 subject-access export manifest
+# ---------------------------------------------------------------------------
+
+@register(
+    "q299_subject_access_export",
+    sql="""
+    WITH subjects AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey % 97 = 0
+    ),
+    o AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_c,
+             CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_order,
+             CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_order
+      FROM orders
+      WHERE o_custkey % 97 = 0
+      GROUP BY 1
+    ),
+    l AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_lineitems
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey % 97 = 0
+      GROUP BY 1
+    )
+    SELECT s.c_custkey AS custkey, s.c_name AS name,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(l.n_lineitems, 0) AS BIGINT) AS n_lineitems,
+           round(CAST(coalesce(o.spend_c, 0) AS DOUBLE) / 100, 2) AS total_spend,
+           o.first_order, o.last_order
+    FROM subjects s
+    LEFT JOIN o ON o.o_custkey = s.c_custkey
+    LEFT JOIN l ON l.o_custkey = s.c_custkey
+    """,
+    doc="GDPR Article 15 subject-access export manifest (the read-side "
+        "twin of q177's erasure cascade): for each requesting subject "
+        "(custkey % 97 = 0), the artifact inventory an export bundle "
+        "needs — order count, lineitem count, exact total spend "
+        "(cents), first/last order dates; subjects with no data still "
+        "get a manifest row (LEFT joins, zero-filled).  Physical: the "
+        "subject predicate pushes to both fact scans (modulo filter at "
+        "the parquet reader), lineitems reach custkey grain through "
+        "one orderkey join of pre-filtered orders, and the final "
+        "assembly joins three subject-grain frames — at 100 TB the "
+        "export never scans more than the subjects' own rows post-"
+        "pushdown.",
+    tags=("governance", "customer", "orders", "lineitem"),
+)
+def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    subjects = c.where(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+    so = o.where(F.col("o_custkey") % 97 == 0)
+    o_agg = so.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("spend_c"),
+        # dates emit as strings: the gate's canon renders Spark date
+        # objects and DuckDB datetime64 differently (round5d q196 rule)
+        F.min(F.col("o_orderdate").cast("date")).cast("string").alias(
+            "first_order"
+        ),
+        F.max(F.col("o_orderdate").cast("date")).cast("string").alias(
+            "last_order"
+        ),
+    )
+    l_agg = (
+        li.join(
+            F.broadcast(so.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitems"))
+    )
+    return (
+        subjects.join(o_agg, subjects["custkey"] == o_agg["o_custkey"], "left")
+        .drop("o_custkey")
+        .join(l_agg, subjects["custkey"] == l_agg["o_custkey"], "left")
+        .drop("o_custkey")
+        .select(
+            "custkey",
+            "name",
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce("n_lineitems", F.lit(0))
+            .cast("bigint")
+            .alias("n_lineitems"),
+            F.round(
+                F.coalesce("spend_c", F.lit(0)).cast("double") / 100, 2
+            ).alias("total_spend"),
+            "first_order",
+            "last_order",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q300: token-budget waterfilling allocation across sources
+# ---------------------------------------------------------------------------
+
+@register(
+    "q300_token_budget_waterfill",
+    sql="""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS tokens
+      FROM documents GROUP BY 1
+    ),
+    ranked AS (
+      SELECT source, tokens,
+             CAST(row_number() OVER (ORDER BY tokens, source) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m,
+             CAST(coalesce(SUM(tokens) OVER (ORDER BY tokens, source
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) AS BIGINT)
+               AS prefix_prev,
+             CAST(SUM(tokens) OVER () AS BIGINT) // 2 AS budget
+      FROM avail
+    ),
+    cand AS (
+      SELECT *,
+             CAST(budget - prefix_prev AS DOUBLE)
+               / CAST(m - rn + 1 AS DOUBLE) AS t_cand
+      FROM ranked
+    ),
+    pick AS (
+      SELECT *,
+             MIN(CASE WHEN t_cand <= CAST(tokens AS DOUBLE)
+                      THEN rn END) OVER () AS rn_star
+      FROM cand
+    ),
+    lvl AS (
+      SELECT *,
+             MAX(CASE WHEN rn = rn_star THEN t_cand END) OVER () AS t_star
+      FROM pick
+    )
+    SELECT source, tokens,
+           round(CASE WHEN rn < rn_star THEN CAST(tokens AS DOUBLE)
+                      ELSE t_star END, 4) AS allocation,
+           (rn < rn_star) AS saturated,
+           budget
+    FROM lvl
+    """,
+    doc="Token-budget waterfilling across sources (the mixture-"
+        "allocation step a pretraining data plan runs after q107's "
+        "weights): given per-source token inventories and a total "
+        "budget of half the corpus, find the unique water level t with "
+        "sum(min(avail_s, t)) = budget — sources below t contribute "
+        "everything (saturated), the rest contribute exactly t.  "
+        "Closed form by sorting: with sources ordered by inventory, "
+        "the level sits in the first segment where (budget - "
+        "prefix)/(remaining) <= avail, so the whole solve is one sort "
+        "+ prefix-sum window over the source frame — no iteration, no "
+        "driver loop.  Physical: one corpus-token count (source-grain "
+        "shuffle), then window passes over the ~20-row source frame; "
+        "the allocation math costs nothing at any scale.",
+    tags=("llmdata", "documents", "sampling", "window"),
+)
+def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum(F.size(_words())).cast("bigint").alias("tokens")
+    )
+    ws = Window.orderBy("tokens", "source")
+    wall = Window.partitionBy()
+    ranked = avail.select(
+        "source",
+        "tokens",
+        F.row_number().over(ws).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("m"),
+        F.coalesce(
+            F.sum("tokens").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("prefix_prev"),
+        F.expr("CAST(SUM(tokens) OVER () AS BIGINT) div 2").alias("budget"),
+    )
+    cand = ranked.withColumn(
+        "t_cand",
+        (F.col("budget") - F.col("prefix_prev")).cast("double")
+        / (F.col("m") - F.col("rn") + 1).cast("double"),
+    )
+    pick = cand.withColumn(
+        "rn_star",
+        F.min(
+            F.when(F.col("t_cand") <= F.col("tokens").cast("double"), F.col("rn"))
+        ).over(wall),
+    )
+    lvl = pick.withColumn(
+        "t_star",
+        F.max(F.when(F.col("rn") == F.col("rn_star"), F.col("t_cand"))).over(wall),
+    )
+    return lvl.select(
+        "source",
+        "tokens",
+        F.round(
+            F.when(F.col("rn") < F.col("rn_star"), F.col("tokens").cast("double"))
+            .otherwise(F.col("t_star")),
+            4,
+        ).alias("allocation"),
+        (F.col("rn") < F.col("rn_star")).alias("saturated"),
+        "budget",
+    )

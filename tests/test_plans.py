@@ -189,6 +189,15 @@ def test_no_accidental_cartesian_products(plans):
         # median's n_pairs scalar also crosses as a single-row
         # aggregate (q130's shape)
         "q293_theil_sen_slope",
+        # q297 decayed popularity: the corpus horizon (max shipdate)
+        # joins in as a broadcast single-row aggregate (1 x N) — q42's
+        # shape again
+        "q297_decayed_part_popularity",
+        # q298 latency deciles: the 9-row decile-target frame joins the
+        # distinct-value cumulative frame on a pure rank-range residual
+        # (f_prev < r <= f) — a deliberate broadcast NLJ whose left
+        # side is distinct-latency grain, not fact grain
+        "q298_conversion_latency_deciles",
     }
     for name, p in plans.items():
         if name in allowed:
@@ -1661,6 +1670,61 @@ def test_q294_prefix_dedup_single_agg(plans):
     """q294 prefix dedup: key extraction is per-row projection work and
     the grouping is ONE hash aggregation — no joins, no Python."""
     p = plans["q294_prefix_dup_groups"]
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q295_matryoshka_folds_stay_jvm_side(plans):
+    """q295 Matryoshka: the per-vector dot products fold as native
+    HOFs after the fan-out repartition — no Python stage, no joins."""
+    p = plans["q295_matryoshka_truncation"]
+    assert "EvalPython" not in p
+    assert "Join" not in p
+    assert "RoundRobinPartitioning" in p, (
+        "interpreted HOFs must fan out off the single-file partition"
+    )
+
+
+def test_q296_k_anonymity_single_fact_join(plans):
+    """q296 k-anonymity: one equi key join to orders for the sensitive
+    attribute; the class rollup carries both COUNT DISTINCTs."""
+    p = plans["q296_k_anonymity_profile"]
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+
+
+def test_q297_decay_weights_are_integer_shifts(plans):
+    """q297 decayed popularity: the horizon crosses as a single-row
+    broadcast; the rollup is partkey-grain; the part-name lookup joins
+    the 20-row top frame, never the fact."""
+    p = plans["q297_decayed_part_popularity"]
+    assert "BroadcastHashJoin" in p, "part-name lookup must broadcast the top-20"
+    assert "TakeOrderedAndProject" in p, "top-20 must be TakeOrdered, not full sort"
+
+
+def test_q298_deciles_run_at_distinct_value_grain(plans):
+    """q298 latency deciles: Window over the distinct-latency frame,
+    and the decile lookup joins a 9-row broadcast target frame."""
+    p = plans["q298_conversion_latency_deciles"]
+    assert "Window" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q299_subject_predicate_pushes_down(plans):
+    """q299 SAR export: the subject modulo predicate must reach both
+    fact scans as a pushed filter, and assembly joins stay equi."""
+    p = plans["q299_subject_access_export"]
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("% 97") >= 2, "subject predicate not visible near the scans"
+
+
+def test_q300_waterfill_is_join_free(plans):
+    """q300 waterfilling: the closed-form solve is window passes over
+    the source frame — no joins, no Python, one scan."""
+    p = plans["q300_token_budget_waterfill"]
     assert "Join" not in p
     assert "EvalPython" not in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
