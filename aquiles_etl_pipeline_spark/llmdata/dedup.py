@@ -644,11 +644,26 @@ def connected_components_star(
     dst_col: str = "id_b",
     id_col: str = "doc_id",
     max_iter: int = 25,
+    driver_cc_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contractions (Kiveris et al., "Connected Components in MapReduce
     and Beyond", SoCC 2014) — the edge-CONTRACTING alternative to
     ``connected_components``'s label propagation.
+
+    Small-graph fast path: once the (deduped, oriented) edge set is
+    materialized, its size is known exactly; at or below
+    ``driver_cc_max_edges`` the components come from a driver-side
+    union-find (union-by-min, path compression) instead of the
+    distributed rounds.  Same runtime-strategy reasoning as AQE's
+    broadcast switch: each contraction round costs a fixed 2 Spark
+    jobs x ~6 shuffle stages of pure scheduling — seconds of overhead
+    to move kilobytes — while a million-edge union-find is
+    milliseconds on the driver and its label table re-enters the plan
+    as an ordinary (broadcastable) join side.  Above the bound the
+    distributed contraction runs unchanged; results are identical by
+    construction (union-by-min keeps each set's root at its minimum
+    id) and property-tested against the distributed path.
 
     Why it wins on dedup graphs: near-duplicate clusters are
     near-CLIQUES (k docs from one template mine ~k^2/2 pairs).  Label
@@ -690,7 +705,42 @@ def connected_components_star(
             F.greatest("_a", "_b").alias("_u"), F.least("_a", "_b").alias("_v")
         ).dropDuplicates()
     )
-    converged = e.isEmpty()  # all singletons: terminal before any round
+    # the checkpoint above already materialized e, so this count reads
+    # cached blocks — it replaces (and subsumes) the isEmpty probe
+    n_edges = e.count()
+    if 0 < n_edges <= driver_cc_max_edges:
+        from pyspark.sql.types import StructField, StructType
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in e.collect():
+            ra, rb = find(row["_u"]), find(row["_v"])
+            if ra != rb:
+                # union-by-min: the smaller id stays root, so every
+                # final root IS its component's minimum id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels = sorted((n, find(n)) for n in parent.keys() | set(parent.values()))
+        dt = e.schema["_u"].dataType
+        lab_df = spark.createDataFrame(
+            labels,
+            StructType([StructField("_n", dt), StructField("_comp", dt)]),
+        )
+        _release(e_ids)
+        return (
+            nodes.select(F.col(id_col).alias("_n"))
+            .join(lab_df, "_n", "left")
+            .select("_n", F.coalesce("_comp", F.col("_n")).alias("_comp"))
+        )
+    converged = n_edges == 0  # all singletons: terminal before any round
     for _ in range(0 if converged else max_iter):
         # large star: every v > u re-points at u's neighborhood min
         sym = e.union(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
@@ -774,18 +824,47 @@ def dedup_clusters(
     per-cluster step that turns pairwise dedup verdicts into an actual
     training-set filter.  Singleton documents are their own canonical.
 
-    Output: (id, component_id, cluster_size, is_canonical).  Scale:
-    pair mining is prefix-filter-bounded; components use the large-star/
-    small-star contraction (near-dup clusters are near-cliques, which
-    contract to stars in one round, so the loop's shuffles shrink
-    geometrically instead of re-joining the full k^2 edge set); the
-    size join is label-keyed and AQE-broadcastable when clusters are
-    few.
+    Output: (id, component_id, cluster_size, is_canonical).
+
+    Scale: EXACT-duplicate collapse runs first — docs with identical
+    token SETS have identical set-Jaccard neighborhoods, so each
+    identical-set group enters pair mining as ONE representative (the
+    group's min id) and expands back afterwards.  This is lossless for
+    the result (the group min is also each expanded component's
+    candidate min, so component ids, sizes, and canonicals are
+    unchanged — property-tested) and removes the k^2/2 intra-group
+    pairs plus the k1*k2 cross-group pair multiplicity BEFORE they are
+    ever materialized: on a dup-heavy corpus the mined edge set shrinks
+    by orders of magnitude, which is the difference between a CC input
+    that fits a round and one that doesn't at 100 TB.  Mining on the
+    representatives stays prefix-filter-bounded; components use the
+    large-star/small-star contraction (near-dup clusters are
+    near-cliques, which contract to stars in one round, so the loop's
+    shuffles shrink geometrically instead of re-joining the full k^2
+    edge set); the size join is label-keyed and AQE-broadcastable when
+    clusters are few.
     """
+    # identical-token-set signature: tokens are whitespace-split so they
+    # never contain the join separator; sha2 keeps the shuffled key
+    # fixed-width even for long vocabularies
+    sig = F.sha2(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col)))), 256
+    )
+    m = df.select(F.col(id_col), sig.alias("_sig"))
+    reps = m.groupBy("_sig").agg(F.min(id_col).alias("_rep"))
+    mapping = m.join(reps, "_sig").select(F.col(id_col).alias("_doc"), "_rep")
+    rep_rows = df.join(
+        reps.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
     edges = ngram_jaccard_pairs(
-        df, text_col=text_col, id_col=id_col, threshold=threshold
+        rep_rows, text_col=text_col, id_col=id_col, threshold=threshold
     ).select("id_a", "id_b")
-    labels = connected_components_star(edges, df.select(id_col), id_col=id_col)
+    rep_labels = connected_components_star(
+        edges, rep_rows.select(id_col), id_col=id_col
+    )
+    labels = mapping.join(
+        rep_labels, mapping["_rep"] == rep_labels["_n"]
+    ).select(F.col("_doc").alias("_n"), "_comp")
     sizes = labels.groupBy("_comp").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "_comp").select(
         F.col("_n").alias(id_col),

@@ -624,12 +624,25 @@ def bigram_lm_nll(
         grams = F.transform(
             idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))
         )
-        return df.select(F.col(id_col), F.explode(grams).alias("_bg"))
+        # fan out FIRST: the gram transform is an interpreted HOF (no
+        # codegen), and corpus parquet often arrives as one file — one
+        # task would run the whole kernel serially otherwise
+        par = df.sparkSession.sparkContext.defaultParallelism
+        return df.repartition(par).select(
+            F.col(id_col), F.explode(grams).alias("_bg")
+        )
 
     tr = bigrams(train)
     c2 = tr.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c2"))
-    ctx = tr.select(F.split("_bg", " ")[0].alias("_w1")).groupBy("_w1").agg(
-        F.count(F.lit(1)).alias("_c1")
+    # context counts c(w1 ·) re-aggregate the BIGRAM-COUNT table, not
+    # the corpus: c(w1 ·) = sum of c(w1 w2) over w2, so deriving ctx
+    # from c2 is exactly equal and skips a second run of the (costly,
+    # interpreted-HOF) gram kernel over every train doc — the table is
+    # bigram-type grain, orders of magnitude smaller than the stream
+    ctx = (
+        c2.select(F.split("_bg", " ")[0].alias("_w1"), "_c2")
+        .groupBy("_w1")
+        .agg(F.sum("_c2").cast("bigint").alias("_c1"))
     )
     v = (
         train.select(F.explode(tokens(text_col)).alias("_t"))

@@ -212,6 +212,13 @@ def prepare_product_source(wh: Warehouse, batch_guid: str) -> tuple[DataFrame, l
         .drop("_rn")
         .persist()
     )
+    # bootstrap fast path: an EMPTY product table has no partitions to
+    # scope the read to or carry forward, so the touched-bucket driver
+    # round-trip buys nothing — skip the whole pre-flight job (src0's
+    # persist then materializes inside the write job instead; net one
+    # fewer job on the first batch, the shape q41 pays every run)
+    if wh.is_empty("product"):
+        return src0, []
     # collect_set aggregation, not distinct().collect(): the partial
     # aggregate dedupes map-side and the driver round-trip is one
     # single-reduce job over #buckets values — no batch-wide distinct
@@ -402,12 +409,17 @@ def merge_provider_products(
     )
 
     # same collect_set fold as prepare_product_source: one single-reduce
-    # job that doubles as src's persist materialization
-    touched = sorted(
-        src.agg(
-            F.collect_set(_bucket_of("ProductId", "ProviderId")).alias("_bs")
-        ).first()["_bs"]
-    )
+    # job that doubles as src's persist materialization.  Bootstrap fast
+    # path (see prepare_product_source): an empty target needs no
+    # touched set — skip the pre-flight job.
+    if wh.is_empty("provider_product"):
+        touched: list[int] = []
+    else:
+        touched = sorted(
+            src.agg(
+                F.collect_set(_bucket_of("ProductId", "ProviderId")).alias("_bs")
+            ).first()["_bs"]
+        )
     pp = wh.read("provider_product")
     base = pp.where(F.col("_bucket").isin(touched))
     matched = base.alias("t").join(

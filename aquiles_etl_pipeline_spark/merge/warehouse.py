@@ -282,6 +282,14 @@ class Warehouse:
         if not self.exists(name):
             self._write_empty(name, schema)
 
+    def is_empty(self, name: str) -> bool:
+        """Driver-side emptiness probe (no Spark job): the table is
+        absent or its current generation is the empty-schema marker.
+        Lets merges skip their touched-partition pre-flight on the
+        bootstrap batch, where there is nothing to scope or carry."""
+        cur = self._current(name) if self.exists(name) else None
+        return cur is None or (cur / _EMPTY_MARKER).exists()
+
     def seed_rows(self, name: str, schema: StructType, rows: list[tuple]) -> None:
         """Seed a tiny lookup table with a DRIVER-SIDE pyarrow parquet
         write — no Spark job, preserving the zero-job bootstrap

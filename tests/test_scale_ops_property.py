@@ -512,7 +512,10 @@ def test_column_stats_profile_sketch_edge_domains(spark):
     chain_len=st.integers(min_value=0, max_value=12),
 )
 def test_star_cc_equals_label_propagation(spark, edges, chain_len):
-    """Large-star/small-star contraction must produce IDENTICAL
+    """BOTH of connected_components_star's strategies — the driver
+    union-find fast path (default on small edge sets) and the
+    distributed large-star/small-star contraction (forced with
+    driver_cc_max_edges=0) — must produce IDENTICAL
     (node, component-min) labels to the min-label propagation on any
     random graph, including self-loops, duplicate/reversed edges, a
     high-diameter chain, and isolated nodes."""
@@ -529,7 +532,12 @@ def test_star_cc_equals_label_propagation(spark, edges, chain_len):
     b = sorted(
         (r["_n"], r["_comp"]) for r in connected_components_star(E, N).collect()
     )
+    c = sorted(
+        (r["_n"], r["_comp"])
+        for r in connected_components_star(E, N, driver_cc_max_edges=0).collect()
+    )
     assert a == b
+    assert a == c
 
 
 def test_star_cc_refuses_unconverged_exit(spark):
@@ -545,7 +553,11 @@ def test_star_cc_refuses_unconverged_exit(spark):
     E = spark.createDataFrame(chain, "id_a long, id_b long")
     N = spark.createDataFrame([(n,) for n in range(41)], "doc_id long")
     with _pytest.raises(RuntimeError, match="did not reach the terminal state"):
-        connected_components_star(E, N, max_iter=1).collect()
+        # driver_cc_max_edges=0 forces the distributed rounds — the
+        # driver union-find fast path has no iteration limit to exhaust
+        connected_components_star(
+            E, N, max_iter=1, driver_cc_max_edges=0
+        ).collect()
     # an edge-free graph is terminal before any round — no raise
     empty = spark.createDataFrame([], "id_a long, id_b long")
     out = connected_components_star(empty, N, max_iter=1)
