@@ -245,6 +245,12 @@ _GRADE_FIRST = (
     "q298_conversion_latency_deciles",
     "q299_subject_access_export",
     "q300_token_budget_waterfill",
+    "q301_quantile_normalization",
+    "q302_char_entropy_proxy",
+    "q303_power_analysis",
+    "q304_gini_split_finder",
+    "q305_cross_shopping_breadth",
+    "q306_lognormal_length_fit",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -31,6 +31,11 @@ def _words(text_col: str = "text") -> F.Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+def _cents(col: str) -> F.Column:
+    """NULL-safe exact cents of a double money column."""
+    return F.round(F.coalesce(F.col(col), F.lit(0.0)) * 100).cast("bigint")
+
+
 # ---------------------------------------------------------------------------
 # q289: Gopher-style quality-rule battery per source
 # ---------------------------------------------------------------------------
@@ -1179,4 +1184,513 @@ def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("allocation"),
         (F.col("rn") < F.col("rn_star")).alias("saturated"),
         "budget",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q301: quantile normalization of per-source doc lengths
+# ---------------------------------------------------------------------------
+
+@register(
+    "q301_quantile_normalization",
+    sql="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, n_chars,
+             ((2 * r - 1) * n + 2 * ns - 1) // (2 * ns) AS k
+      FROM ranked
+    ),
+    pooled AS (
+      SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS k,
+             n_chars AS v
+      FROM documents
+    )
+    SELECT keyed.doc_id, keyed.source, keyed.n_chars,
+           CAST(pooled.v AS BIGINT) AS norm_chars
+    FROM keyed JOIN pooled USING (k)
+    """,
+    doc="Quantile normalization of per-source document lengths onto "
+        "the pooled length distribution (the distribution-alignment "
+        "step that makes per-source length-bucket sampling comparable "
+        "across sources): doc at within-source rank r of n_s maps to "
+        "percentile (2r-1)/(2n_s), realized as the pooled order "
+        "statistic at rank k = ceil(p*N) — ALL index arithmetic stays "
+        "integer (k = ((2r-1)N + 2n_s - 1) div 2n_s), and the lookup "
+        "is an EQUI join on k, never a range probe.  Physical: two "
+        "rank windows (per-source, pooled) + one integer-key join.  "
+        "The pooled global row_number is a single-partition sort "
+        "locally; at 100 TB it becomes the two-phase range-partitioned "
+        "rank (range-repartition by value, per-partition row_number, "
+        "offset by per-partition counts — q53's numbering machinery); "
+        "the operator's join shape is unchanged by that swap.",
+    tags=("llmdata", "documents", "distribution", "window"),
+)
+def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("ns"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    keyed = ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("((2 * r - 1) * n + 2 * ns - 1) div (2 * ns)").alias("k"),
+    )
+    pooled = d.select(
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .cast("bigint")
+        .alias("k"),
+        F.col("n_chars").alias("v"),
+    )
+    return keyed.join(pooled, "k").select(
+        "doc_id", "source", "n_chars", F.col("v").cast("bigint").alias("norm_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q302: character-entropy compression proxy per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "q302_char_entropy_proxy",
+    sql="""
+    WITH chars AS (
+      SELECT source, substr(text, i, 1) AS ch
+      FROM (SELECT source, text, unnest(range(1, length(text) + 1)) AS i
+            FROM documents WHERE length(text) > 0)
+    ),
+    counts AS (
+      SELECT source, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM chars GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT source, c,
+             c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)
+               AS c_ln_c_micros
+      FROM counts
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+             CAST(SUM(c_ln_c_micros) AS BIGINT) AS sum_micros
+      FROM terms GROUP BY 1
+    )
+    SELECT source, n_chars, n_distinct_chars,
+           round((CAST(n_chars AS DOUBLE)
+                  * CAST(CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000)
+                              AS BIGINT) AS DOUBLE)
+                  - CAST(sum_micros AS DOUBLE))
+                 / CAST(n_chars AS DOUBLE) / 1000000
+                 / 0.6931471805599453, 6) AS entropy_bits
+    FROM agg
+    """,
+    doc="Per-source character-entropy compression proxy (low-entropy "
+        "sources are template/boilerplate-heavy and compress away — a "
+        "standard cheap quality screen before expensive dedup): H = "
+        "(N ln N - sum c ln c)/N in bits from exact per-char counts.  "
+        "Every ln term is integer-micro-rounded BEFORE the cross-row "
+        "sum (the micros-ln rule: unordered double sums never cross "
+        "rows) and the two final divisions are single shared-tree "
+        "expressions.  Physical: a char-grain explode (corpus bytes -> "
+        "rows, embarrassingly parallel), one (source, char)-grain "
+        "count shuffle, one source rollup; alphabet size bounds the "
+        "aggregate state at ~alphabet x sources rows.",
+    tags=("llmdata", "documents", "quality", "agg"),
+)
+def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    par = spark.sparkContext.defaultParallelism
+    chars = d.repartition(par).select(
+        "source",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        "text",
+    ).select("source", F.expr("substring(text, i, 1)").alias("ch"))
+    counts = chars.groupBy("source", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    terms = counts.select(
+        "source",
+        "c",
+        (
+            F.col("c")
+            * F.round(F.log(F.col("c").cast("double")) * 1000000).cast("bigint")
+        ).alias("c_ln_c_micros"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        F.sum("c_ln_c_micros").cast("bigint").alias("sum_micros"),
+    )
+    n = F.col("n_chars").cast("double")
+    ln_n_micros = F.round(F.log(n) * 1000000).cast("bigint").cast("double")
+    return agg.select(
+        "source",
+        "n_chars",
+        "n_distinct_chars",
+        F.round(
+            (n * ln_n_micros - F.col("sum_micros").cast("double"))
+            / n
+            / 1000000
+            / F.lit(0.6931471805599453),
+            6,
+        ).alias("entropy_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q303: experiment power analysis per event type
+# ---------------------------------------------------------------------------
+
+@register(
+    "q303_power_analysis",
+    sql="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+                  AS BIGINT) AS sx,
+             CAST(SUM(CAST(CAST(round(coalesce(value, 0) * 100) AS DECIMAL(18,0))
+                           * CAST(round(coalesce(value, 0) * 100) AS DECIMAL(18,0))
+                           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100, 6) AS mean_value,
+           round(CASE WHEN n > 1 THEN
+                 (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000 END,
+                 6) AS variance,
+           CAST(ceil(CASE WHEN n > 1 AND sx > 0 THEN
+                2 * ((1.959963985 + 0.8416212336)
+                     * (1.959963985 + 0.8416212336))
+                  * ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                  / ((0.05 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (0.05 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                END) AS BIGINT) AS n_per_arm_required
+    FROM m
+    """,
+    doc="Experiment power analysis per event type (the planning step "
+        "BEFORE q248/q279's readouts): from exact integer moments "
+        "(cents sums, DECIMAL(18) squares so the 36-digit products "
+        "stay exact), the two-sample-z sample size per arm to detect "
+        "a 5% relative lift of the mean at alpha=0.05 / power 0.80: "
+        "n = 2 (z_a + z_b)^2 sigma^2 / delta^2 with the z constants "
+        "as shared literals.  Degenerate guards: variance needs n>1, "
+        "the relative delta needs a positive mean — both CASE-guarded "
+        "identically in BOTH engines (ANSI rule), yielding NULL for "
+        "the un-plannable arm.  Physical: one fact scan, one 5-row "
+        "rollup; the formula evaluates on the rollup frame for free.",
+    tags=("experimentation", "events", "stats", "agg"),
+)
+def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cents = _cents("value")
+    d18 = cents.cast("decimal(18,0)")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("sx"),
+        F.sum((d18 * d18).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    var_c2 = (nd * sxxd - sxd * sxd) / (nd * (F.col("n") - 1).cast("double"))
+    delta_c = F.lit(0.05) * sxd / nd
+    zsum2 = F.lit((1.959963985 + 0.8416212336) * (1.959963985 + 0.8416212336))
+    return m.select(
+        "event_type",
+        "n",
+        F.round(sxd / nd / 100, 6).alias("mean_value"),
+        F.round(F.when(F.col("n") > 1, var_c2 / 10000), 6).alias("variance"),
+        F.ceil(
+            F.when(
+                (F.col("n") > 1) & (F.col("sx") > 0),
+                F.lit(2) * zsum2 * var_c2 / (delta_c * delta_c),
+            )
+        )
+        .cast("bigint")
+        .alias("n_per_arm_required"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q304: decision-stump split finder by weighted Gini impurity
+# ---------------------------------------------------------------------------
+
+@register(
+    "q304_gini_split_finder",
+    sql="""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_ret
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT qty,
+             CAST(SUM(n_all) OVER (ORDER BY qty
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+             CAST(SUM(n_ret) OVER (ORDER BY qty
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rl,
+             CAST(SUM(n_all) OVER () AS BIGINT) AS n,
+             CAST(SUM(n_ret) OVER () AS BIGINT) AS r
+      FROM g
+    ),
+    scored AS (
+      SELECT qty AS threshold, nl AS n_left, n - nl AS n_right,
+             CASE WHEN nl > 0 AND n - nl > 0 THEN
+               (CAST(nl AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - (CAST(rl AS DOUBLE) / CAST(nl AS DOUBLE))
+                          * (CAST(rl AS DOUBLE) / CAST(nl AS DOUBLE))
+                        - (CAST(nl - rl AS DOUBLE) / CAST(nl AS DOUBLE))
+                          * (CAST(nl - rl AS DOUBLE) / CAST(nl AS DOUBLE)))
+               + (CAST(n - nl AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - (CAST(r - rl AS DOUBLE) / CAST(n - nl AS DOUBLE))
+                          * (CAST(r - rl AS DOUBLE) / CAST(n - nl AS DOUBLE))
+                        - (CAST((n - nl) - (r - rl) AS DOUBLE)
+                           / CAST(n - nl AS DOUBLE))
+                          * (CAST((n - nl) - (r - rl) AS DOUBLE)
+                             / CAST(n - nl AS DOUBLE)))
+             END AS gini
+      FROM c
+    ),
+    flagged AS (
+      SELECT *, MIN(gini) OVER () AS best FROM scored
+    ),
+    tied AS (
+      SELECT *, MIN(CASE WHEN gini = best THEN threshold END) OVER () AS best_t
+      FROM flagged
+    )
+    SELECT threshold, n_left, n_right, round(gini, 9) AS gini,
+           CASE WHEN gini IS NULL THEN FALSE
+                ELSE gini = best AND threshold = best_t END AS is_best
+    FROM tied
+    """,
+    doc="Decision-stump split finder (the in-database CART node "
+        "primitive): for every candidate threshold t on l_quantity, "
+        "the weighted Gini impurity of splitting lineitems into qty<=t "
+        "vs qty>t for predicting l_returnflag='R'.  Class counts "
+        "cumulate at DISTINCT-VALUE grain (50 quantity values, never a "
+        "fact-grain sort); each impurity is one shared-tree double "
+        "expression over those exact integers; splits with an empty "
+        "side are CASE-guarded to NULL in both engines (ANSI rule) and "
+        "excluded from the argmin; is_best breaks impurity ties at the "
+        "smallest threshold.  Physical: one fact scan -> value-grain "
+        "rollup, cumulative windows over the 50-row frame, argmin via "
+        "window min — the full stump costs one shuffle.",
+    tags=("stats", "lineitem", "window", "distribution"),
+)
+def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_quantity").cast("bigint").alias("qty")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1))
+        .cast("bigint")
+        .alias("n_ret"),
+    )
+    wcum = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = g.select(
+        "qty",
+        F.sum("n_all").over(wcum).cast("bigint").alias("nl"),
+        F.sum("n_ret").over(wcum).cast("bigint").alias("rl"),
+        F.sum("n_all").over(wall).cast("bigint").alias("n"),
+        F.sum("n_ret").over(wall).cast("bigint").alias("r"),
+    )
+    nl, rl = F.col("nl"), F.col("rl")
+    n, r = F.col("n"), F.col("r")
+    nr = n - nl
+    rr = r - rl
+    pl = rl.cast("double") / nl.cast("double")
+    ql = (nl - rl).cast("double") / nl.cast("double")
+    pr = rr.cast("double") / nr.cast("double")
+    qr = (nr - rr).cast("double") / nr.cast("double")
+    gini = F.when(
+        (nl > 0) & (nr > 0),
+        (nl.cast("double") / n.cast("double")) * (F.lit(1.0) - pl * pl - ql * ql)
+        + (nr.cast("double") / n.cast("double")) * (F.lit(1.0) - pr * pr - qr * qr),
+    )
+    scored = c.select(
+        F.col("qty").alias("threshold"),
+        nl.alias("n_left"),
+        nr.cast("bigint").alias("n_right"),
+        gini.alias("gini0"),
+    )
+    best = F.min("gini0").over(wall)
+    best_t = F.min(F.when(F.col("gini0") == best, F.col("threshold"))).over(wall)
+    return scored.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        F.round(F.col("gini0"), 9).alias("gini"),
+        F.when(F.col("gini0").isNull(), F.lit(False))
+        .otherwise((F.col("gini0") == best) & (F.col("threshold") == best_t))
+        .alias("is_best"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q305: cross-shopping brand breadth by market segment
+# ---------------------------------------------------------------------------
+
+@register(
+    "q305_cross_shopping_breadth",
+    sql="""
+    WITH purchases AS (
+      SELECT DISTINCT o.o_custkey AS custkey, p.p_brand AS brand
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    breadth AS (
+      SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_brands
+      FROM purchases GROUP BY 1
+    )
+    SELECT c.c_mktsegment AS segment,
+           LEAST(b.n_brands, 8) AS brand_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(b.n_brands) AS BIGINT) AS total_brand_links
+    FROM breadth b JOIN customer c ON c.c_custkey = b.custkey
+    GROUP BY 1, 2
+    """,
+    doc="Cross-shopping breadth: how many distinct brands each "
+        "customer has purchased, histogrammed per market segment "
+        "(bucket capped at 8+ so the output grain is fixed) — the "
+        "assortment-penetration view a category manager reads next to "
+        "q277's assortment overlap.  Physical: the only fact-sized "
+        "work is lineitem -> (custkey, brand) DISTINCT, reached "
+        "through one orderkey join (orders projected to two columns) "
+        "and a BROADCAST part lookup for the brand; breadth and the "
+        "histogram are dimension-grain rollups after that.",
+    tags=("relational", "customer", "orders", "agg"),
+)
+def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    purchases = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(F.col("o_custkey").alias("custkey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    breadth = purchases.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brands")
+    )
+    return (
+        breadth.join(c, breadth["custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.least(F.col("n_brands"), F.lit(8)).alias("brand_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("n_brands").cast("bigint").alias("total_brand_links"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q306: log-normal fit of doc lengths per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "q306_lognormal_length_fit",
+    sql="""
+    WITH t AS (
+      SELECT source,
+             CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)
+               AS ln_micros
+      FROM documents WHERE n_chars > 0
+    ),
+    m AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ln_micros) AS BIGINT) AS s1,
+             CAST(SUM(CAST(CAST(ln_micros AS DECIMAL(18,0))
+                           * CAST(ln_micros AS DECIMAL(18,0))
+                           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+      FROM t GROUP BY 1
+    )
+    SELECT source, n,
+           round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000, 6) AS mu_ln,
+           round(CASE WHEN n > 1 THEN
+                 sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 1000000
+                 END, 6) AS sigma_ln,
+           round(CASE WHEN n > 1 THEN
+                 exp(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000
+                     + ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                       / 2000000000000) END, 6) AS fitted_mean_chars
+    FROM m
+    """,
+    doc="Log-normal fit of per-source document lengths (the standard "
+        "length model for sampling-budget design; mu/sigma of ln "
+        "length plus the implied fitted mean exp(mu + sigma^2/2)): "
+        "each ln(length) is integer-micro-rounded BEFORE the cross-row "
+        "sums (micros-ln rule), second moments ride DECIMAL(18) "
+        "operands so the 36-digit squares stay exact, and mu/sigma/"
+        "mean are single shared-tree double expressions over those "
+        "exact sums with the n>1 variance guard CASE'd in both "
+        "engines.  Physical: one scan, one source-grain rollup of "
+        "three integer sums.",
+    tags=("llmdata", "documents", "distribution", "stats"),
+)
+def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    ln_micros = F.round(
+        F.log(F.col("n_chars").cast("double")) * 1000000
+    ).cast("bigint")
+    t = d.select("source", ln_micros.alias("ln_micros"))
+    d18 = F.col("ln_micros").cast("decimal(18,0)")
+    m = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ln_micros").cast("bigint").alias("s1"),
+        F.sum((d18 * d18).cast("decimal(38,0)")).cast("decimal(38,0)").alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    var_micros2 = (nd * s2d - s1d * s1d) / (nd * (F.col("n") - 1).cast("double"))
+    return m.select(
+        "source",
+        "n",
+        F.round(s1d / nd / 1000000, 6).alias("mu_ln"),
+        F.round(
+            F.when(F.col("n") > 1, F.sqrt(var_micros2) / 1000000), 6
+        ).alias("sigma_ln"),
+        F.round(
+            F.when(
+                F.col("n") > 1,
+                F.exp(s1d / nd / 1000000 + var_micros2 / F.lit(2000000000000.0)),
+            ),
+            6,
+        ).alias("fitted_mean_chars"),
     )

@@ -1728,3 +1728,55 @@ def test_q300_waterfill_is_join_free(plans):
     assert "Join" not in p
     assert "EvalPython" not in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q301_quantile_norm_joins_on_integer_rank(plans):
+    """q301 quantile normalization: the pooled lookup is an EQUI join
+    on the integer rank k — never a range probe."""
+    p = plans["q301_quantile_normalization"]
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_q302_entropy_alphabet_grain(plans):
+    """q302 char entropy: char-grain explode fans out, counts collapse
+    to (source, char) grain, no joins, no Python."""
+    p = plans["q302_char_entropy_proxy"]
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "RoundRobinPartitioning" in p, "char explode must fan out"
+
+
+def test_q303_power_single_rollup(plans):
+    """q303 power analysis: one fact scan, one 5-row rollup, formula
+    on the rollup frame — no joins, no windows."""
+    p = plans["q303_power_analysis"]
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q304_gini_runs_at_distinct_value_grain(plans):
+    """q304 split finder: value-grain rollup then windows over the
+    50-row frame — no joins, one scan."""
+    p = plans["q304_gini_split_finder"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q305_brand_lookup_broadcasts(plans):
+    """q305 cross-shopping: part lookup broadcasts; no cartesian."""
+    p = plans["q305_cross_shopping_breadth"]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q306_lognormal_single_rollup(plans):
+    """q306 log-normal fit: micro-ln projection + one source rollup —
+    no joins, no Python, one scan."""
+    p = plans["q306_lognormal_length_fit"]
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
