@@ -251,6 +251,9 @@ _GRADE_FIRST = (
     "q304_gini_split_finder",
     "q305_cross_shopping_breadth",
     "q306_lognormal_length_fit",
+    "q307_simpsons_paradox",
+    "q308_burrows_delta",
+    "q309_dedup_threshold_sweep",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -1694,3 +1694,366 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fitted_mean_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q307: Simpson's-paradox detector over discount->quantity slopes
+# ---------------------------------------------------------------------------
+
+@register(
+    "q307_simpsons_paradox",
+    sql="""
+    WITH f AS (
+      SELECT p.p_brand AS brand, s.s_nationkey AS nationkey,
+             CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+             CAST(round(l.l_quantity) AS BIGINT) AS y
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ),
+    g AS (
+      SELECT brand, nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM f GROUP BY 1, 2
+    ),
+    signs AS (
+      SELECT brand, nationkey, n, sx, sy, sxy,
+             CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                  WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS g_sign
+      FROM g
+    ),
+    pooled AS (
+      SELECT brand,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN g_sign = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN g_sign = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+             CAST(SUM(n) AS BIGINT) AS np,
+             CAST(SUM(sx) AS BIGINT) AS sxp,
+             CAST(SUM(sy) AS BIGINT) AS syp,
+             CAST(SUM(sxy) AS BIGINT) AS sxyp
+      FROM signs GROUP BY 1
+    )
+    SELECT brand, n_groups, n_pos, n_neg,
+           CASE WHEN np * sxyp - sxp * syp > 0 THEN 1
+                WHEN np * sxyp - sxp * syp < 0 THEN -1 ELSE 0 END AS pooled_sign,
+           ((np * sxyp - sxp * syp > 0 AND n_pos = 0 AND n_neg > 0)
+            OR (np * sxyp - sxp * syp < 0 AND n_neg = 0 AND n_pos > 0))
+             AS paradox
+    FROM pooled
+    """,
+    doc="Simpson's-paradox detector: per brand, the SIGN of the "
+        "discount -> quantity association pooled across supplier "
+        "nations vs within each nation; a brand is flagged when the "
+        "pooled slope direction strictly reverses EVERY non-flat "
+        "within-nation direction — the aggregation-bias screen that "
+        "must run before any q139-style pooled regression is trusted.  "
+        "Association signs come from the covariance NUMERATOR "
+        "n*Sxy - Sx*Sy over exact integer sums (discount cents, whole "
+        "units), so the whole detector is INTEGER arithmetic end to "
+        "end — no doubles anywhere, hence nothing to guard or round.  "
+        "Physical: one fact scan with two broadcast dim lookups, a "
+        "(brand, nation)-grain rollup, and a brand-grain re-rollup "
+        "(moments of the union are sums of group moments — q248's "
+        "rule), so the pooled pass is free.",
+    tags=("stats", "lineitem", "experimentation", "agg"),
+)
+def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    f = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("s_nationkey").alias("nationkey"),
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+            F.round(F.col("l_quantity")).cast("bigint").alias("y"),
+        )
+    )
+    g = f.groupBy("brand", "nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    signs = g.select(
+        "brand",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        F.when(num > 0, 1).when(num < 0, -1).otherwise(0).alias("g_sign"),
+    )
+    pooled = signs.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("g_sign") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("g_sign") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.sum("n").cast("bigint").alias("np"),
+        F.sum("sx").cast("bigint").alias("sxp"),
+        F.sum("sy").cast("bigint").alias("syp"),
+        F.sum("sxy").cast("bigint").alias("sxyp"),
+    )
+    pnum = F.col("np") * F.col("sxyp") - F.col("sxp") * F.col("syp")
+    return pooled.select(
+        "brand",
+        "n_groups",
+        "n_pos",
+        "n_neg",
+        F.when(pnum > 0, 1).when(pnum < 0, -1).otherwise(0).alias("pooled_sign"),
+        (
+            ((pnum > 0) & (F.col("n_pos") == 0) & (F.col("n_neg") > 0))
+            | ((pnum < 0) & (F.col("n_neg") == 0) & (F.col("n_pos") > 0))
+        ).alias("paradox"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q308: Burrows' delta stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+@register(
+    "q308_burrows_delta",
+    sql="""
+    WITH toks AS (
+      SELECT source, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t FROM toks GROUP BY 1),
+    wcounts AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+    ),
+    topw AS (
+      SELECT tok FROM (
+        SELECT tok, SUM(c) AS tc,
+               row_number() OVER (ORDER BY SUM(c) DESC, tok) AS rk
+        FROM wcounts GROUP BY tok
+      ) WHERE rk <= 50
+    ),
+    scaffold AS (SELECT s.source, s.t, w.tok FROM totals s CROSS JOIN topw w),
+    freqs AS (
+      SELECT sc.source, sc.tok,
+             (coalesce(wc.c, 0) * 1000000000) // sc.t AS f_ppb
+      FROM scaffold sc
+      LEFT JOIN wcounts wc ON wc.source = sc.source AND wc.tok = sc.tok
+    ),
+    stats AS (
+      SELECT tok,
+             CAST(COUNT(*) AS BIGINT) AS ns,
+             CAST(SUM(f_ppb) AS BIGINT) AS s1,
+             CAST(SUM(CAST(CAST(f_ppb AS DECIMAL(18,0))
+                           * CAST(f_ppb AS DECIMAL(18,0))
+                           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+      FROM freqs GROUP BY 1
+    ),
+    z AS (
+      SELECT f.source, f.tok,
+             CASE WHEN st.ns * st.s2 - CAST(st.s1 AS DECIMAL(38,0))
+                                       * CAST(st.s1 AS DECIMAL(38,0)) > 0
+                  THEN (CAST(f.f_ppb AS DOUBLE)
+                        - CAST(st.s1 AS DOUBLE) / CAST(st.ns AS DOUBLE))
+                       / sqrt((CAST(st.ns AS DOUBLE) * CAST(st.s2 AS DOUBLE)
+                               - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE))
+                              / (CAST(st.ns AS DOUBLE) * CAST(st.ns AS DOUBLE)))
+             END AS z
+      FROM freqs f JOIN stats st USING (tok)
+    ),
+    pair_terms AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(round(abs(a.z - b.z) * 1000000) AS BIGINT) AS dz_micros
+      FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+      WHERE a.z IS NOT NULL AND b.z IS NOT NULL
+    )
+    SELECT src_a, src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           round(CAST(SUM(dz_micros) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000, 6) AS delta
+    FROM pair_terms GROUP BY 1, 2
+    """,
+    doc="Burrows' delta stylometric distance between sources (Burrows "
+        "2002, the standard authorship-attribution measure — here the "
+        "source-style drift screen): over the corpus top-50 words, "
+        "each source's relative frequency integerizes to parts-per-"
+        "billion via INTEGER division (truncation identical in both "
+        "engines), per-word population z-scores across sources come "
+        "from exact ppb moments (DECIMAL(18) squares), and delta(a,b) "
+        "= mean |z_a - z_b| with each term micro-rounded BEFORE the "
+        "cross-word sum (micros rule).  Zero-variance words are "
+        "CASE'd to NULL and excluded symmetrically.  Physical: token-"
+        "grain counts once, a deliberate |sources| x 50 scaffold cross "
+        "join (dims-only, allowlisted) to densify missing words with "
+        "zeros, and the pair join runs on the 1000-row z frame.",
+    tags=("llmdata", "documents", "stats", "similarity"),
+)
+def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = d.repartition(par).select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    totals = toks.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    wcounts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    topw = (
+        wcounts.groupBy("tok")
+        .agg(F.sum("c").alias("tc"))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("tc"), F.asc("tok")))
+        )
+        .where(F.col("rk") <= 50)
+        .select("tok")
+    )
+    scaffold = totals.crossJoin(F.broadcast(topw))
+    freqs = scaffold.join(wcounts, ["source", "tok"], "left").select(
+        "source",
+        "tok",
+        F.expr("(coalesce(c, 0) * 1000000000) div t").alias("f_ppb"),
+    )
+    d18 = F.col("f_ppb").cast("decimal(18,0)")
+    stats = freqs.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum("f_ppb").cast("bigint").alias("s1"),
+        F.sum((d18 * d18).cast("decimal(38,0)")).cast("decimal(38,0)").alias("s2"),
+    )
+    nsd = F.col("ns").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    var_num = (
+        F.col("ns").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
+    )
+    z = freqs.join(F.broadcast(stats), "tok").select(
+        "source",
+        "tok",
+        F.when(
+            var_num > 0,
+            (F.col("f_ppb").cast("double") - s1d / nsd)
+            / F.sqrt((nsd * s2d - s1d * s1d) / (nsd * nsd)),
+        ).alias("z"),
+    )
+    a = z.alias("a")
+    b = z.alias("b")
+    pair_terms = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .where(F.col("a.z").isNotNull() & F.col("b.z").isNotNull())
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.round(F.abs(F.col("a.z") - F.col("b.z")) * 1000000)
+            .cast("bigint")
+            .alias("dz_micros"),
+        )
+    )
+    return pair_terms.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.round(
+            F.sum("dz_micros").cast("double") / F.count(F.lit(1)).cast("double")
+            / 1000000,
+            6,
+        ).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q309: dedup threshold sensitivity sweep
+# ---------------------------------------------------------------------------
+
+@register(
+    "q309_dedup_threshold_sweep",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(string_split_regex(lower(trim(text)),
+                                                     '\\s+'))) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    st AS (SELECT t.doc_id, t.tok, s.n_tok FROM toks t JOIN sizes s USING (doc_id)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM st a JOIN st b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+       AND least(a.n_tok, b.n_tok) >= 0.7 * greatest(a.n_tok, b.n_tok) - 1e-9
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= 0.7
+    ),
+    sweep AS (
+      SELECT t.thr, p.id_a, p.id_b
+      FROM pairs p
+      JOIN (SELECT UNNEST([0.7, 0.8, 0.9]) AS thr) t ON p.j >= t.thr
+    ),
+    docs_hit AS (
+      SELECT thr, id_a AS doc_id FROM sweep
+      UNION SELECT thr, id_b FROM sweep
+    )
+    SELECT s.thr AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(d.nd) AS BIGINT) AS n_docs_in_pairs
+    FROM sweep s
+    JOIN (SELECT thr, COUNT(DISTINCT doc_id) AS nd
+          FROM docs_hit GROUP BY 1) d ON d.thr = s.thr
+    GROUP BY 1
+    """,
+    doc="Dedup threshold sensitivity sweep: exact token-set Jaccard "
+        "pairs mined ONCE at the loosest threshold (0.7), then the "
+        "pair counts and affected-document counts a dedup policy "
+        "review needs at 0.7 / 0.8 / 0.9 — the curve that tells you "
+        "how much corpus each threshold would remove BEFORE running "
+        "the removal.  Physical: one prefix/size-filtered postings "
+        "mining pass (q24's machinery; never re-mined per threshold), "
+        "a 3-row threshold scaffold joined on the jaccard residual, "
+        "and two tiny rollups; output is 3 rows regardless of scale.",
+    tags=("llmdata", "dedup", "documents", "distribution"),
+)
+def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.7).select(
+        "id_a", "id_b", F.col("jaccard").alias("j")
+    )
+    thr = spark.createDataFrame([(0.7,), (0.8,), (0.9,)], "thr double")
+    sweep = pairs.join(F.broadcast(thr), F.col("j") >= F.col("thr")).select(
+        "thr", "id_a", "id_b"
+    )
+    docs_hit = (
+        sweep.select("thr", F.col("id_a").alias("doc_id"))
+        .union(sweep.select("thr", F.col("id_b").alias("doc_id")))
+        .distinct()
+        .groupBy("thr")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("nd"))
+    )
+    return (
+        sweep.groupBy(F.col("thr").alias("threshold"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .join(
+            F.broadcast(docs_hit),
+            F.col("threshold") == F.col("thr"),
+        )
+        .select(
+            "threshold",
+            "n_pairs",
+            F.col("nd").alias("n_docs_in_pairs"),
+        )
+    )

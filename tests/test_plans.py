@@ -198,6 +198,15 @@ def test_no_accidental_cartesian_products(plans):
         # (f_prev < r <= f) — a deliberate broadcast NLJ whose left
         # side is distinct-latency grain, not fact grain
         "q298_conversion_latency_deciles",
+        # q308 Burrows delta: the |sources| x top-50-words scaffold is
+        # a deliberate dims-only cross join (q147's shape) so missing
+        # words densify to zero frequency
+        "q308_burrows_delta",
+        # q309 threshold sweep: the mined pair set joins a broadcast
+        # 3-row threshold frame on the jaccard residual (q298's
+        # shape), and the underlying tiny-vocab miner is q24's bitmap
+        # popcount NLJ
+        "q309_dedup_threshold_sweep",
     }
     for name, p in plans.items():
         if name in allowed:
@@ -1780,3 +1789,35 @@ def test_q306_lognormal_single_rollup(plans):
     assert "Join" not in p
     assert "EvalPython" not in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q307_simpsons_is_pure_integer_rollup(plans):
+    """q307 Simpson detector: two broadcast dim lookups, then
+    (brand, nation) and brand rollups — integer arithmetic end to end,
+    no windows, no Python."""
+    p = plans["q307_simpsons_paradox"]
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 2
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "Window" not in p
+
+
+def test_q308_delta_pairs_on_z_frame(plans):
+    """q308 Burrows delta: the pair join is an equi join on tok over
+    the |sources| x 50 z frame; token counting fans out."""
+    p = plans["q308_burrows_delta"]
+    assert "RoundRobinPartitioning" in p, "token explode must fan out"
+    assert "Window" in p  # top-50 rank
+
+
+def test_q309_sweep_mines_once(plans):
+    """q309 threshold sweep: exactly one pass of the pair miner —
+    thresholds join as a scaffold, never re-mine."""
+    p = plans["q309_dedup_threshold_sweep"]
+    # one miner pass = a bounded number of documents scans: the miner
+    # reads docs for tokens + sizes, and the pairs/docs_hit union
+    # duplicates that lineage once (2x3 = 6); three separate mining
+    # passes per threshold would land ~18
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 8
+    assert "CartesianProduct" not in p
