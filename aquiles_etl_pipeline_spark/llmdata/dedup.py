@@ -730,8 +730,13 @@ def connected_components_star(
                 parent[hi] = lo
         labels = sorted((n, find(n)) for n in parent.keys() | set(parent.values()))
         dt = e.schema["_u"].dataType
+        # route through pandas: createDataFrame(list-of-tuples) pickles
+        # per row (seconds at ~2M labels), while the pandas path rides
+        # Arrow — keeping the fast path fast near the edge bound
+        import pandas as pd
+
         lab_df = spark.createDataFrame(
-            labels,
+            pd.DataFrame(labels, columns=["_n", "_comp"]),
             StructType([StructField("_n", dt), StructField("_comp", dt)]),
         )
         _release(e_ids)
@@ -846,10 +851,16 @@ def dedup_clusters(
     """
     # identical-token-set signature: tokens are whitespace-split so they
     # never contain the join separator; sha2 keeps the shuffled key
-    # fixed-width even for long vocabularies
-    sig = F.sha2(
-        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col)))), 256
-    )
+    # fixed-width even for long vocabularies.  NULL-text docs must NOT
+    # collapse: concat_ws(NULL) is '' (never NULL), which would merge
+    # them with empty-text docs and each other, while pair mining emits
+    # no rows for a NULL token array — so they stay singletons with a
+    # per-doc signature, matching the pre-collapse semantics exactly.
+    toks = tokens(text_col)
+    sig = F.when(
+        toks.isNotNull(),
+        F.sha2(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))), 256),
+    ).otherwise(F.concat(F.lit("null-text:"), F.col(id_col).cast("string")))
     m = df.select(F.col(id_col), sig.alias("_sig"))
     reps = m.groupBy("_sig").agg(F.min(id_col).alias("_rep"))
     mapping = m.join(reps, "_sig").select(F.col(id_col).alias("_doc"), "_rep")

@@ -103,11 +103,15 @@ def merge_into(
         # casts to NULL silently, turning a real key into an unmatched
         # NULL-keyed insert instead of an update.  Refuse instead: any
         # key that is non-NULL pre-cast must stay non-NULL post-cast.
-        # Only runs when a key dtype actually differs (rare), and the
+        # try_cast, not cast: under the default ANSI mode a plain cast
+        # THROWS inside this probe (raw SparkException) before the
+        # curated error below could fire; try_cast yields NULL in both
+        # modes, so the probe detects the corruption uniformly.  Only
+        # runs when a key dtype actually differs (rare), and the
         # limit(1) probe stops at the first corrupt row.
         corrupt = None
         for k in cast_needed:
-            p = F.col(k).isNotNull() & F.col(k).cast(tgt_types[k]).isNull()
+            p = F.col(k).isNotNull() & F.col(k).try_cast(tgt_types[k]).isNull()
             corrupt = p if corrupt is None else (corrupt | p)
         if not source.where(corrupt).limit(1).isEmpty():
             raise ValueError(
@@ -164,12 +168,22 @@ def merge_into(
         # eqNullSafe: a plain != evaluates to NULL (filtered out) for
         # rows whose bucket_col is NULL, letting a NULL-bucketed target
         # pass the guard while its rows hide from the touched-bucket
-        # scoping — NULL buckets must count as mis-bucketed.
+        # scoping — NULL buckets must count as mis-bucketed.  NULL rows
+        # never reach `base` either (isin drops them), so they get
+        # their own EXACT probe leg: an IS NULL limit(1) scan whose
+        # predicate pushes to the parquet reader (row groups with zero
+        # nulls skip on footer stats) — without it, NULL-bucketed rows
+        # beyond the 256-row sample were invisible to the guard.
         bad = ~F.col(bucket_col).cast("int").eqNullSafe(_bucket_expr(keys))
         mismatch = (
             base.select(bucket_col, *keys)
             .unionByName(target.select(bucket_col, *keys).limit(256))
             .where(bad)
+            .unionByName(
+                target.where(F.col(bucket_col).isNull())
+                .select(bucket_col, *keys)
+                .limit(1)
+            )
             .limit(1)
         )
         if not mismatch.isEmpty():

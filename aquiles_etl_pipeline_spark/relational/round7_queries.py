@@ -1047,9 +1047,12 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_order"
         ),
     )
+    # no broadcast hint: `so` is fact-derived (1/97 of orders), so it
+    # grows with scale — AQE picks broadcast when it fits and falls
+    # back to a shuffle join when it doesn't
     l_agg = (
         li.join(
-            F.broadcast(so.select("o_orderkey", "o_custkey")),
+            so.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_custkey")
@@ -2040,7 +2043,6 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_hit = (
         sweep.select("thr", F.col("id_a").alias("doc_id"))
         .union(sweep.select("thr", F.col("id_b").alias("doc_id")))
-        .distinct()
         .groupBy("thr")
         .agg(F.countDistinct("doc_id").cast("bigint").alias("nd"))
     )

@@ -529,6 +529,30 @@ def test_dedup_clusters_canonical_election(spark):
     assert rows[9]["component_id"] == 9 and rows[9]["cluster_size"] == 1
 
 
+def test_dedup_clusters_null_text_stays_singleton(spark):
+    """NULL-text docs must remain SINGLETON clusters: the exact-set
+    collapse signature would otherwise render concat_ws(NULL) as ''
+    and merge them with empty-text docs and each other, while pair
+    mining (a NULL token array explodes to no rows) never connects
+    them — the review-found conflation regression."""
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),                 # NULL twin of 1 — must NOT merge
+            (3, ""),
+            (4, ""),                   # empty-text docs DO pair (J=1 on {''})
+            (5, "alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.dedup_clusters(df, threshold=0.9).collect()}
+    assert rows[1]["component_id"] == 1 and rows[1]["cluster_size"] == 1
+    assert rows[2]["component_id"] == 2 and rows[2]["cluster_size"] == 1
+    assert rows[3]["component_id"] == 3 and rows[4]["component_id"] == 3
+    assert rows[4]["cluster_size"] == 2
+    assert rows[5]["cluster_size"] == 1
+
+
 def test_stratified_sample_rates_and_nesting(spark, docs):
     """Rate accuracy (hash-uniform buckets) and the nested-sample
     property: the kept set at a lower rate is a subset of the kept set

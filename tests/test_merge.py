@@ -690,6 +690,11 @@ def test_generic_merge_into_refuses_key_cast_nulling(spark, tmp_path):
     source = spark.createDataFrame(
         [("not-a-number", "x")], "id string, name string"
     )
+    # the try_cast probe must raise the CURATED error under BOTH modes:
+    # under default ANSI a plain cast would blow up with a raw
+    # SparkException inside the probe job before the ValueError fired
+    with _pytest.raises(ValueError, match="nulled a non-NULL key"):
+        merge_into(wh, "t", source, on="id")
     ansi = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try:

@@ -115,7 +115,12 @@ def shape(plan: str) -> dict[str, int]:
 def run_one(spark, spec, sf_dir: str) -> tuple[float, dict[str, int]]:
     t0 = time.perf_counter()
     df = spec.fn(spark, sf_dir)
-    df.count()
+    # collect() (not count()) so DF's OWN QueryExecution runs — count()
+    # spawns a separate QE, leaving df's plan un-executed and its
+    # explainString stuck at the pre-AQE initial plan
+    # (isFinalPlan=false); flagship results are small (readbacks /
+    # aggregates), so the transfer cost is noise
+    df.collect()
     elapsed = time.perf_counter() - t0
     # plan captured AFTER execution so AQE's final decisions are visible
     return elapsed, shape(plan_of(df))
@@ -170,7 +175,7 @@ def main() -> int:
             # any single run by seconds (the r06 326s lesson)
             retry_t, _ = run_one(spark, spec, str(scaled))
             scaled_t = min(scaled_t, retry_t)
-            ratio = scaled_t / base_t
+            ratio = scaled_t / base_t if base_t > 0 else float("inf")
             if ratio > args.budget:
                 verdict, ok = f"RATIO {ratio:.1f} > {args.budget}", False
         rows.append({
