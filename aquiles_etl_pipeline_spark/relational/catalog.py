@@ -254,6 +254,9 @@ _GRADE_FIRST = (
     "q307_simpsons_paradox",
     "q308_burrows_delta",
     "q309_dedup_threshold_sweep",
+    "q310_holm_bonferroni",
+    "q311_cluster_size_histogram",
+    "q312_generalization_ladder",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

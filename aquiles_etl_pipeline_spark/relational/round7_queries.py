@@ -2059,3 +2059,259 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nd").alias("n_docs_in_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q310: Holm-Bonferroni step-down selection (FWER twin of q292)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q310_holm_bonferroni",
+    sql="""
+    WITH cells AS (
+      SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS BIGINT) AS neg_cnt
+      FROM customer GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT nationkey, segment, n_cust, neg_cnt,
+             CAST(SUM(n_cust) OVER () AS BIGINT) AS n_all,
+             CAST(SUM(neg_cnt) OVER () AS BIGINT) AS k_all
+      FROM cells
+    ),
+    scored AS (
+      SELECT nationkey, segment, n_cust, neg_cnt,
+             1.0 / (1.0 +
+               ((CAST(neg_cnt * n_all - n_cust * k_all AS DOUBLE)
+                 / CAST(n_all AS DOUBLE))
+                * (CAST(neg_cnt * n_all - n_cust * k_all AS DOUBLE)
+                   / CAST(n_all AS DOUBLE)))
+               / CAST(n_cust AS DOUBLE)) AS p
+      FROM tot
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY p, nationkey, segment) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM scored
+    ),
+    cut AS (
+      SELECT *,
+             coalesce(MIN(CASE WHEN p > 0.1 / CAST(m - rk + 1 AS DOUBLE)
+                               THEN rk END) OVER (), m + 1) AS first_fail
+      FROM ranked
+    )
+    SELECT nationkey, segment, n_cust, neg_cnt,
+           round(p, 9) AS p_score, rk, (rk < first_fail) AS rejected
+    FROM cut
+    """,
+    doc="Holm-Bonferroni step-DOWN selection (Holm 1979) over the same "
+        "deterministic cell scores as q292's BH step-up — the family-"
+        "wise-error twin that stops at the FIRST failure: sort p "
+        "ascending, reject while p_i <= alpha/(m - i + 1), halt at the "
+        "first i violating it (everything after stays retained even if "
+        "individually small).  Running q292 and q310 on the same score "
+        "frame is the standard FDR-vs-FWER sensitivity read.  Ties "
+        "break (p, nationkey, segment) as in q292.  Physical: one "
+        "customer scan, cell rollup, three window passes over the "
+        "125-row frame; the step-down halt is a window MIN over the "
+        "failure ranks — no iteration.",
+    tags=("experimentation", "customer", "stats", "window"),
+)
+def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.count(F.when(F.col("c_acctbal") < 0, 1)).cast("bigint").alias("neg_cnt"),
+    )
+    wall = Window.partitionBy()
+    tot = cells.select(
+        "nationkey",
+        "segment",
+        "n_cust",
+        "neg_cnt",
+        F.sum("n_cust").over(wall).cast("bigint").alias("n_all"),
+        F.sum("neg_cnt").over(wall).cast("bigint").alias("k_all"),
+    )
+    dd = (
+        (F.col("neg_cnt") * F.col("n_all") - F.col("n_cust") * F.col("k_all"))
+        .cast("double")
+        / F.col("n_all").cast("double")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + (dd * dd) / F.col("n_cust").cast("double"))
+    scored = tot.select("nationkey", "segment", "n_cust", "neg_cnt", p.alias("p"))
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy("p", "nationkey", "segment"))
+        .cast("bigint")
+        .alias("rk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("m"),
+    )
+    fail = F.col("p") > F.lit(0.1) / (F.col("m") - F.col("rk") + 1).cast("double")
+    cut = ranked.select(
+        "*",
+        F.coalesce(
+            F.min(F.when(fail, F.col("rk"))).over(wall), F.col("m") + 1
+        ).alias("first_fail"),
+    )
+    return cut.select(
+        "nationkey",
+        "segment",
+        "n_cust",
+        "neg_cnt",
+        F.round(F.col("p"), 9).alias("p_score"),
+        "rk",
+        (F.col("rk") < F.col("first_fail")).alias("rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q311: dedup cluster-size histogram + removal accounting
+# ---------------------------------------------------------------------------
+
+@register(
+    "q311_cluster_size_histogram",
+    sql="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(string_split_regex(lower(trim(text)),
+                                                     '\\s+'))) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    st AS (SELECT t.doc_id, t.tok, s.n_tok FROM toks t JOIN sizes s USING (doc_id)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM st a JOIN st b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+       AND least(a.n_tok, b.n_tok) >= 0.95 * greatest(a.n_tok, b.n_tok) - 1e-9
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= 0.95
+    ),
+    enodes AS (SELECT DISTINCT s AS n FROM
+               (SELECT id_a AS s FROM edges UNION SELECT id_b FROM edges)),
+    reach(n, comp) AS (
+      SELECT n, n FROM enodes
+      UNION
+      SELECT e.d, r.comp FROM reach r
+      JOIN (SELECT greatest(id_a, id_b) AS d, least(id_a, id_b) AS s FROM edges
+            UNION SELECT least(id_a, id_b), greatest(id_a, id_b) FROM edges) e
+        ON e.s = r.n AND r.comp < e.d
+    ),
+    cc AS (
+      SELECT n AS doc_id, MIN(comp) AS comp FROM reach GROUP BY n
+      UNION ALL
+      SELECT d.doc_id, d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN (SELECT n FROM enodes)
+    ),
+    csizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS k FROM cc GROUP BY 1)
+    SELECT LEAST(k, 10) AS cluster_size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(k) AS BIGINT) AS n_docs,
+           CAST(SUM(k - 1) AS BIGINT) AS n_removed_if_deduped
+    FROM csizes GROUP BY 1
+    """,
+    doc="Near-dup cluster-size histogram with removal accounting: the "
+        "q52 clustering (exact 0.95 token-set Jaccard -> connected "
+        "components) rolled up to the distribution a dedup policy "
+        "review reads — clusters per size bucket (capped 10+), docs "
+        "covered, and docs removed under keep-one-per-cluster.  The "
+        "histogram quantifies the dup mass BEFORE any removal runs "
+        "(q309 answers threshold choice; this answers blast radius at "
+        "the chosen one).  Physical: identical machinery to q52 "
+        "(collapse + mining + CC with the small-graph fast path), then "
+        "two component-grain rollups; output <= 10 rows at any scale.  "
+        "Oracle: DuckDB recursive-CTE min-label closure over the same "
+        "symmetric edge orientation.",
+    tags=("llmdata", "dedup", "documents", "distribution"),
+)
+def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata.dedup import dedup_clusters
+
+    d = load(spark, sf_dir, "documents")
+    clusters = dedup_clusters(d, threshold=0.95)
+    csizes = clusters.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    return csizes.groupBy(
+        F.least(F.col("k"), F.lit(10)).alias("cluster_size_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("k").cast("bigint").alias("n_docs"),
+        F.sum(F.col("k") - 1).cast("bigint").alias("n_removed_if_deduped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q312: k-anonymity generalization ladder
+# ---------------------------------------------------------------------------
+
+@register(
+    "q312_generalization_ladder",
+    sql="""
+    WITH widths AS (SELECT UNNEST([200000, 1000000, 5000000]) AS w),
+    classes AS (
+      SELECT wd.w,
+             c.c_nationkey AS nationkey, c.c_mktsegment AS segment,
+             (CAST(round(c.c_acctbal * 100) AS BIGINT) + 10000000) // wd.w
+               AS band,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM customer c CROSS JOIN widths wd
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT w AS band_width_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN k >= 5 THEN k ELSE 0 END) AS BIGINT)
+             AS n_customers_safe,
+           CAST(SUM(k) AS BIGINT) AS n_customers,
+           round(CAST(SUM(CASE WHEN k >= 5 THEN k ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(k) AS DOUBLE), 6) AS pct_safe
+    FROM classes GROUP BY 1
+    """,
+    doc="k-anonymity generalization ladder (the q296 profile's policy "
+        "knob): the balance-band quasi-identifier is generalized "
+        "through three widths ($2k / $10k / $50k, integer band "
+        "arithmetic on shifted cents) and each rung reports how much "
+        "of the population lands in releasable classes (k >= 5) — the "
+        "utility-vs-privacy curve a release review walks DOWN until "
+        "pct_safe clears policy.  One customer scan fanned out "
+        "through a 3-row width scaffold (broadcast; each fact row "
+        "emits 3 class rows — the grouping-sets shape, not a re-scan "
+        "per rung); class and rung rollups are dimension-grain.",
+    tags=("governance", "customer", "distribution", "agg"),
+)
+def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    widths = spark.createDataFrame([(200000,), (1000000,), (5000000,)], "w long")
+    classes = (
+        c.crossJoin(F.broadcast(widths))
+        .groupBy(
+            "w",
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.expr(
+                "(CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) div w"
+            ).alias("band"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    safe = F.sum(F.when(F.col("k") >= 5, F.col("k")).otherwise(0)).cast("bigint")
+    return classes.groupBy(F.col("w").alias("band_width_cents")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        safe.alias("n_customers_safe"),
+        F.sum("k").cast("bigint").alias("n_customers"),
+        F.round(
+            safe.cast("double") / F.sum("k").cast("double"), 6
+        ).alias("pct_safe"),
+    )

@@ -207,6 +207,13 @@ def test_no_accidental_cartesian_products(plans):
         # shape), and the underlying tiny-vocab miner is q24's bitmap
         # popcount NLJ
         "q309_dedup_threshold_sweep",
+        # q311 cluster histogram: q52's machinery (bitmap miner NLJ)
+        # under a size rollup
+        "q311_cluster_size_histogram",
+        # q312 generalization ladder: the 3-row width scaffold fans
+        # every fact row out through a broadcast cross (the
+        # grouping-sets shape — deliberate)
+        "q312_generalization_ladder",
     }
     for name, p in plans.items():
         if name in allowed:
@@ -1821,3 +1828,21 @@ def test_q309_sweep_mines_once(plans):
     # passes per threshold would land ~18
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 8
     assert "CartesianProduct" not in p
+
+
+def test_q310_holm_windows_over_cell_frame(plans):
+    """q310 Holm step-down: one customer scan, cell rollup, window
+    passes — no joins, mirroring q292's shape."""
+    p = plans["q310_holm_bonferroni"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q312_ladder_is_one_fanout_not_three_scans(plans):
+    """q312 generalization ladder: the width scaffold fans the single
+    customer scan out (grouping-sets shape) — one customer scan, not
+    one per rung."""
+    p = plans["q312_generalization_ladder"]
+    # the 3-row width scaffold is a LocalTableScan, so parquet scans = 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
