@@ -257,6 +257,7 @@ _GRADE_FIRST = (
     "q310_holm_bonferroni",
     "q311_cluster_size_histogram",
     "q312_generalization_ladder",
+    "q313_stream_chained_windows",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

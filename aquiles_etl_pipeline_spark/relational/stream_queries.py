@@ -1207,3 +1207,122 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _memoized(spark, sf_dir, "q241", build)
+
+
+# ---------------------------------------------------------------------------
+# q313: chained window-on-window streaming aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q313_stream_chained_windows",
+    sql="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS w30_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="CHAINED streaming window aggregation (two stateful operators "
+        "in ONE query, Spark 3.4+ SPARK-40925): 5-minute tumbling "
+        "counts/sums roll up into 30-minute windows inside the same "
+        "streaming plan — the pre-aggregation cascade a high-volume "
+        "metrics pipeline uses so the wide window's state holds 6 "
+        "partial rows instead of every event.  Events land time-split "
+        "in two checkpointed AvailableNow drains (30-minute windows "
+        "straddling the cut can only complete through state RESTORED "
+        "at BOTH window levels), then a far-future sentinel advances "
+        "the watermark so append mode emits every finalized window "
+        "exactly once (q165's flush discipline).  The emitted set must "
+        "equal the batch 30-minute rollup — counts compose as sums and "
+        "DECIMAL sums re-aggregate exactly, so the chain is "
+        "semantically invisible.  Sums stay decimal-exact inside both "
+        "streaming operators; event time lands as integer micros.",
+    tags=("streaming", "window", "watermark", "events"),
+)
+def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        import tempfile
+        from pathlib import Path
+
+        from pyspark.sql import functions as F
+
+        from .catalog import DEC, emit
+
+        root = Path(tempfile.mkdtemp(prefix="q313_chain_"))
+        land = root / "land"
+        land.mkdir()
+        out = str(root / "out")
+        e = load(spark, sf_dir, "events").select(
+            "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+        )
+        lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
+        cut = lo + (hi - lo) // 2
+        sentinel = spark.createDataFrame(
+            [(int(-1), hi + 10 * 3_600_000_000, "zz_sentinel", 0.0)],
+            "event_id long, ts_us long, event_type string, value double",
+        )
+
+        def drain() -> None:
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts_us long, event_type string, value double"
+                )
+                .option("maxFilesPerTrigger", 1_000_000)
+                .json(str(land))
+                .select(
+                    F.timestamp_micros("ts_us").alias("ts"),
+                    "event_type",
+                    "value",
+                )
+            )
+            w5 = (
+                stream.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "5 minutes"), "event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n5"),
+                    F.sum(F.col("value").cast(DEC)).cast(DEC).alias("v5"),
+                )
+            )
+            w30 = (
+                w5.groupBy(F.window(F.col("window"), "30 minutes"), "event_type")
+                .agg(
+                    F.sum("n5").alias("n_events"),
+                    F.sum("v5").cast(DEC).alias("sum_value_dec"),
+                )
+                .select(
+                    F.col("window.start").alias("w30_start"),
+                    "event_type",
+                    "n_events",
+                    "sum_value_dec",
+                )
+            )
+            (
+                w30.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", str(root / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        _land_wave(root, land, e.where(F.col("ts_us") < cut), "a")
+        drain()
+        _land_wave(root, land, e.where(F.col("ts_us") >= cut), "b")
+        drain()
+        _land_wave(root, land, sentinel, "c")
+        drain()
+        return (
+            spark.read.parquet(out)
+            .where(F.col("event_type") != "zz_sentinel")
+            .select(
+                "w30_start",
+                "event_type",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                emit(F.col("sum_value_dec")).alias("sum_value"),
+            )
+        )
+
+    return _memoized(spark, sf_dir, "q313", build)
