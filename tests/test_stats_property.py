@@ -330,3 +330,279 @@ def test_bigram_queries_tolerate_sub2_token_docs(spark, tmp_path_factory):
         got = sorted(map(tuple, spec.fn(spark, str(d)).collect()))
         want = sorted(map(tuple, con.execute(spec.sql).fetchall()))
         assert len(got) == len(want), f"{name}: {len(got)} != {len(want)} rows"
+
+
+# ---------------------------------------------------------------------------
+# round-7 kernels
+# ---------------------------------------------------------------------------
+
+def _documents_dir(tmpdir, rows):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    d = tmpdir / "sf"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def _customer_dir(tmpdir, rows):
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        rows, columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                       "c_mktsegment"],
+    )
+    pdf["c_custkey"] = pdf["c_custkey"].astype("int64")
+    pdf["c_nationkey"] = pdf["c_nationkey"].astype(np.int32)
+    pdf["c_acctbal"] = pdf["c_acctbal"].astype("float64")
+    d = tmpdir / "sf"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "customer.parquet", index=False)
+    return str(d)
+
+
+def _lineitem_dir(tmpdir, rows):
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        rows,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    for c in ("l_orderkey", "l_partkey", "l_suppkey"):
+        pdf[c] = pdf[c].astype("int64")
+    pdf["l_linenumber"] = pdf["l_linenumber"].astype(np.int32)
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        pdf[c] = pdf[c].astype("float64")
+    pdf["l_shipdate"] = pdf["l_shipdate"].astype("datetime64[us]")
+    d = tmpdir / "sf"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "lineitem.parquet", index=False)
+    return str(d)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    days=st.lists(st.integers(min_value=0, max_value=20), min_size=2, max_size=25),
+    cents=st.lists(st.integers(min_value=0, max_value=500), min_size=2, max_size=25),
+)
+def test_theil_sen_matches_bruteforce_median_of_slopes(
+    spark, tmp_path_factory, days, cents
+):
+    n = min(len(days), len(cents))
+    days, cents = days[:n], cents[:n]
+    days[1] = days[0] + 1  # guarantee >= 2 distinct days
+    rows = [
+        (i, 1, "O", c / 100.0, pd.Timestamp("1996-01-01") + pd.Timedelta(days=d),
+         "1-URGENT")
+        for i, (d, c) in enumerate(zip(days, cents))
+    ]
+    sf = _orders_dir(tmp_path_factory.mktemp("ts"), rows)
+    got = registry()["q293_theil_sen_slope"].fn(spark, sf).collect()[0]
+    daily = {}
+    for d, c in zip(days, cents):
+        daily[d] = daily.get(d, 0) + c
+    ds = sorted(daily)
+    slopes = sorted(
+        (daily[d2] - daily[d1]) / (d2 - d1)
+        for i, d1 in enumerate(ds)
+        for d2 in ds[i + 1:]
+    )
+    p = len(slopes)
+    want = (slopes[(p - 1) // 2] + slopes[p // 2]) / 2
+    assert got["n_days"] == len(ds) and got["n_pairs"] == p
+    assert abs(got["slope_dollars_per_day"] - round(want / 100, 6)) < 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=40), min_size=2, max_size=12),
+)
+def test_waterfill_matches_iterative_reference(spark, tmp_path_factory, toks):
+    rows = [
+        (i, " ".join(["w"] * k), "en", f"s{i:02d}", 5 * k)
+        for i, k in enumerate(toks)
+    ]
+    sf = _documents_dir(tmp_path_factory.mktemp("wf"), rows)
+    got = {
+        r["source"]: r
+        for r in registry()["q300_token_budget_waterfill"].fn(spark, sf).collect()
+    }
+    avail = {f"s{i:02d}": k for i, k in enumerate(toks)}
+    total = sum(avail.values())
+    budget = total // 2
+    # iterative reference: saturate smallest inventories first
+    items = sorted(avail.items(), key=lambda kv: (kv[1], kv[0]))
+    remaining, level = budget, None
+    for i, (_, a) in enumerate(items):
+        t_cand = remaining / (len(items) - i)
+        if t_cand <= a:
+            level = t_cand
+            break
+        remaining -= a
+    assert level is not None  # budget < total, so the level always lands
+    for s, a in avail.items():
+        want_alloc = a if a < level else level
+        assert abs(got[s]["allocation"] - round(want_alloc, 4)) < 1e-9, (
+            s, a, level, got[s]["allocation"]
+        )
+        assert got[s]["saturated"] == (a < level)
+        assert got[s]["budget"] == budget
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # nationkey
+            st.booleans(),                           # segment A/B
+            st.integers(min_value=-5, max_value=5),  # balance dollars
+        ),
+        min_size=4,
+        max_size=60,
+    ),
+)
+def test_bh_and_holm_match_direct_stepwise_reference(
+    spark, tmp_path_factory, cells
+):
+    rows = [
+        (i, f"c{i}", nk, float(bal), "SEGA" if seg else "SEGB")
+        for i, (nk, seg, bal) in enumerate(cells)
+    ]
+    sf = _customer_dir(tmp_path_factory.mktemp("bh"), rows)
+    # direct python replication of the score + both stepwise procedures
+    from collections import defaultdict
+
+    counts = defaultdict(lambda: [0, 0])
+    for nk, seg, bal in cells:
+        key = (nk, "SEGA" if seg else "SEGB")
+        counts[key][0] += 1
+        counts[key][1] += 1 if bal < 0 else 0
+    n_all = sum(v[0] for v in counts.values())
+    k_all = sum(v[1] for v in counts.values())
+    scored = []
+    for (nk, seg), (n_c, neg) in counts.items():
+        dd = float(neg * n_all - n_c * k_all) / float(n_all)
+        scored.append((1.0 / (1.0 + (dd * dd) / float(n_c)), nk, seg))
+    scored.sort()
+    m = len(scored)
+    khat = max(
+        (i + 1 for i, (p, _, _) in enumerate(scored) if p <= (i + 1) * 0.1 / m),
+        default=0,
+    )
+    bh_rej = {(nk, seg) for i, (p, nk, seg) in enumerate(scored) if i + 1 <= khat}
+    first_fail = next(
+        (i + 1 for i, (p, _, _) in enumerate(scored) if p > 0.1 / (m - i)),
+        m + 1,
+    )
+    holm_rej = {
+        (nk, seg) for i, (p, nk, seg) in enumerate(scored) if i + 1 < first_fail
+    }
+    got_bh = {
+        (r["nationkey"], r["segment"])
+        for r in registry()["q292_fdr_bh_selection"].fn(spark, sf).collect()
+        if r["rejected"]
+    }
+    got_holm = {
+        (r["nationkey"], r["segment"])
+        for r in registry()["q310_holm_bonferroni"].fn(spark, sf).collect()
+        if r["rejected"]
+    }
+    assert got_bh == bh_rej
+    assert got_holm == holm_rej
+    # Holm (FWER) can never reject MORE than BH (FDR) at the same alpha
+    assert holm_rej <= bh_rej
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lens=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1),   # source a/b
+                  st.integers(min_value=1, max_value=30)), # n_chars
+        min_size=2,
+        max_size=40,
+    ),
+)
+def test_quantile_normalization_matches_direct_lookup(
+    spark, tmp_path_factory, lens
+):
+    rows = [
+        (i, "t", "en", f"s{s}", n) for i, (s, n) in enumerate(lens)
+    ]
+    sf = _documents_dir(tmp_path_factory.mktemp("qn"), rows)
+    got = {
+        r["doc_id"]: r["norm_chars"]
+        for r in registry()["q301_quantile_normalization"].fn(spark, sf).collect()
+    }
+    from collections import defaultdict
+
+    n_total = len(rows)
+    pooled = sorted((n, i) for i, (s, n) in enumerate(lens))
+    by_source = defaultdict(list)
+    for i, (s, n) in enumerate(lens):
+        by_source[s].append((n, i))
+    want = {}
+    for s, docs in by_source.items():
+        docs.sort()
+        ns = len(docs)
+        for r0, (n, i) in enumerate(docs, start=1):
+            k = ((2 * r0 - 1) * n_total + 2 * ns - 1) // (2 * ns)
+            want[i] = pooled[k - 1][0]
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    items=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=8),  # quantity
+                  st.booleans()),                         # returned
+        min_size=2,
+        max_size=60,
+    ),
+)
+def test_gini_split_matches_direct_impurity_scan(spark, tmp_path_factory, items):
+    rows = [
+        (i, 1, 1, 1, float(q), 1.0, 0.0, 0.0, "R" if ret else "N", "O",
+         pd.Timestamp("1996-06-01"))
+        for i, (q, ret) in enumerate(items)
+    ]
+    sf = _lineitem_dir(tmp_path_factory.mktemp("gini"), rows)
+    got = {
+        r["threshold"]: r
+        for r in registry()["q304_gini_split_finder"].fn(spark, sf).collect()
+    }
+    from collections import Counter
+
+    n_all = Counter()
+    n_ret = Counter()
+    for q, ret in items:
+        n_all[q] += 1
+        n_ret[q] += 1 if ret else 0
+    qs = sorted(n_all)
+    n = sum(n_all.values())
+    r = sum(n_ret.values())
+    nl = rl = 0
+    want = {}
+    for q in qs:
+        nl += n_all[q]
+        rl += n_ret[q]
+        nr, rr = n - nl, r - rl
+        if nl > 0 and nr > 0:
+            pl, ql_ = rl / nl, (nl - rl) / nl
+            pr, qr_ = rr / nr, (nr - rr) / nr
+            g = (nl / n) * (1.0 - pl * pl - ql_ * ql_) + (nr / n) * (
+                1.0 - pr * pr - qr_ * qr_
+            )
+        else:
+            g = None
+        want[q] = g
+    valid = {q: g for q, g in want.items() if g is not None}
+    best_t = min(valid, key=lambda q: (valid[q], q)) if valid else None
+    for q in qs:
+        if want[q] is None:
+            assert got[q]["gini"] is None and not got[q]["is_best"]
+        else:
+            assert abs(got[q]["gini"] - round(want[q], 9)) < 1e-8
+            assert got[q]["is_best"] == (q == best_t)
