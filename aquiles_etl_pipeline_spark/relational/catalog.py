@@ -258,6 +258,14 @@ _GRADE_FIRST = (
     "q311_cluster_size_histogram",
     "q312_generalization_ladder",
     "q313_stream_chained_windows",
+    "q314_ranking_metric_eval",
+    "q315_pca_power_iteration",
+    "q316_readability_grade",
+    "q317_encoding_anomaly_audit",
+    "q318_langid_kappa_f1",
+    "q319_pr_curve_average_precision",
+    "q320_loo_source_influence",
+    "q321_shapley_attribution",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -1,0 +1,1039 @@
+"""Round-7b catalog entries (q314+): model/ranking evaluation and
+linear-algebra-at-scale operators a training-data platform needs that no
+earlier entry covers — ranking-metric evaluation (NDCG@k / MRR),
+integer-exact PCA power iteration over the embedding corpus, readability
+scoring, encoding-anomaly auditing, chance-corrected classifier
+agreement (Cohen's kappa), average-precision threshold sweeps,
+leave-one-source-out influence on a regression fit, and exact Shapley
+channel attribution.
+
+Shared numeric discipline (see round6b/round7_queries): every cross-row
+accumulation happens on EXACT integers — counts, cents, or per-value
+transcendentals micro-rounded to BIGINT *before* any sum — so Spark's
+partial-aggregation order vs DuckDB's single-threaded order cannot
+produce last-ulp drift.  Ratios stay as cross-multiplied integers until
+the final emitted expression, which is written with the identical
+operation tree on both sides.  Every reachable zero denominator is
+CASE-guarded in BOTH engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import DEC, emit, load, register
+
+
+# ---------------------------------------------------------------------------
+# q314: ranking-metric evaluation — NDCG@5 + MRR per user cohort
+# ---------------------------------------------------------------------------
+
+@register(
+    "q314_ranking_metric_eval",
+    sql="""
+    WITH per AS (
+      SELECT user_id, event_type,
+             COUNT(*) AS cnt,
+             CAST(round(SUM(CAST(value AS DECIMAL(18,2))) * 100) AS BIGINT) AS relc
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, relc,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS prank,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY relc DESC, event_type) AS irank
+      FROM per
+    ),
+    u AS (
+      SELECT user_id,
+             SUM(CASE WHEN prank <= 5 THEN CAST(round(
+                   relc / log2(CAST(prank + 1 AS DOUBLE)) * 1000000)
+                   AS BIGINT) ELSE 0 END) AS dcg_m,
+             SUM(CASE WHEN irank <= 5 THEN CAST(round(
+                   relc / log2(CAST(irank + 1 AS DOUBLE)) * 1000000)
+                   AS BIGINT) ELSE 0 END) AS idcg_m,
+             SUM(CASE WHEN irank = 1 THEN CAST(round(
+                   1000000.0 / prank) AS BIGINT) ELSE 0 END) AS mrr_m
+      FROM r GROUP BY user_id
+    ),
+    n AS (
+      SELECT user_id,
+             CASE WHEN idcg_m > 0 THEN CAST(round(
+               CAST(dcg_m AS DOUBLE) / CAST(idcg_m AS DOUBLE) * 1000000)
+               AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ndcg_m,
+             mrr_m
+      FROM u
+    )
+    SELECT user_id % 8 AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(ndcg_m) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_ndcg5,
+           CAST(SUM(mrr_m) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_mrr
+    FROM n GROUP BY 1
+    """,
+    doc="Ranking-metric evaluation harness: each user is a 'query', the "
+        "items are their event types, the model ranking is by event "
+        "count (ties by type) and the gold relevance is exact value "
+        "cents; NDCG@5 and MRR per 8-way user cohort.  Numeric "
+        "discipline: each DCG term relc/log2(rank+1) is a per-value "
+        "transcendental micro-rounded to BIGINT before the per-user "
+        "sum, and per-user NDCG/MRR are micro-ints before the cohort "
+        "average — no cross-row float accumulation anywhere.  Physical: "
+        "one (user,type)-grain shuffle, two window ranks over <=5-row "
+        "partitions, one user-grain and one cohort-grain aggregate; at "
+        "100 TB every stage is key-partitioned with map-side partials "
+        "and the widest state is items-per-user.",
+    tags=("llmdata", "ranking", "events", "window", "agg"),
+)
+def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(F.col("value").cast(DEC)) * 100).cast("bigint").alias("relc"),
+    )
+    wp = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    wi = Window.partitionBy("user_id").orderBy(F.desc("relc"), F.asc("event_type"))
+    r = per.select(
+        "user_id",
+        "relc",
+        F.row_number().over(wp).alias("prank"),
+        F.row_number().over(wi).alias("irank"),
+    )
+    micro = lambda rank: F.round(  # noqa: E731
+        F.col("relc") / F.log2((rank + 1).cast("double")) * 1000000
+    ).cast("bigint")
+    u = r.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("prank") <= 5, micro(F.col("prank"))).otherwise(F.lit(0))
+        ).alias("dcg_m"),
+        F.sum(
+            F.when(F.col("irank") <= 5, micro(F.col("irank"))).otherwise(F.lit(0))
+        ).alias("idcg_m"),
+        F.sum(
+            F.when(
+                F.col("irank") == 1,
+                F.round(F.lit(1000000.0) / F.col("prank")).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("mrr_m"),
+    )
+    n = u.select(
+        "user_id",
+        F.when(
+            F.col("idcg_m") > 0,
+            F.round(
+                F.col("dcg_m").cast("double")
+                / F.col("idcg_m").cast("double")
+                * 1000000
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("ndcg_m"),
+        "mrr_m",
+    )
+    return n.groupBy((F.col("user_id") % 8).alias("cohort")).agg(
+        F.count("*").alias("n_users"),
+        emit(
+            F.sum("ndcg_m").cast("double") / (F.count("*") * F.lit(1000000.0))
+        ).alias("avg_ndcg5"),
+        emit(
+            F.sum("mrr_m").cast("double") / (F.count("*") * F.lit(1000000.0))
+        ).alias("avg_mrr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q315: integer-exact PCA power iteration over the embedding corpus
+# ---------------------------------------------------------------------------
+
+_Q315_ITER_SQL = """
+    w{k} AS (
+      SELECT g.i AS i, SUM(g.g * v{p}.v) AS w
+      FROM g JOIN v{p} ON g.j = v{p}.i GROUP BY g.i
+    ),
+    m{k} AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(w)) // 1024) AS s
+             FROM w{k}),
+    v{k} AS (
+      SELECT i,
+             CASE WHEN w < 0 THEN -((-w) // s) ELSE w // s END AS v
+      FROM w{k}, m{k}
+    )"""
+
+
+@register(
+    "q315_pca_power_iteration",
+    sql="""
+    WITH ex AS (
+      SELECT vec_id, CAST(t.i AS INT) AS i,
+             CAST(round(CAST(list_extract(embedding, CAST(t.i AS INT))
+                             AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings, range(1, 65) t(i)
+    ),
+    g AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS g
+      FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2
+    ),
+    w1 AS (SELECT i, SUM(g) AS w FROM g GROUP BY i),
+    m1 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(w)) // 1024) AS s
+           FROM w1),
+    v1 AS (
+      SELECT i, CASE WHEN w < 0 THEN -((-w) // s) ELSE w // s END AS v
+      FROM w1, m1
+    ),""" + _Q315_ITER_SQL.format(k=2, p=1) + "," + _Q315_ITER_SQL.format(
+        k=3, p=2
+    ) + "," + _Q315_ITER_SQL.format(k=4, p=3) + """,
+    dots AS (
+      SELECT SUM(v4.v * v3.v) AS dn, SUM(v3.v * v3.v) AS dd
+      FROM v3 JOIN v4 ON v3.i = v4.i
+    ),
+    mx AS (SELECT max(abs(v)) AS ma FROM v3)
+    SELECT v3.i AS dim_idx,
+           CASE WHEN mx.ma > 0
+                THEN CAST(v3.v AS DOUBLE) / CAST(mx.ma AS DOUBLE)
+                ELSE 0.0 END AS loading,
+           CASE WHEN dots.dd > 0
+                THEN CAST(dots.dn AS DOUBLE) / CAST(dots.dd AS DOUBLE)
+                     * CAST(m4.s AS DOUBLE)
+                ELSE 0.0 END AS eig_estimate
+    FROM v3, mx, dots, m4
+    """,
+    doc="Top principal direction of the embedding corpus via an "
+        "INTEGER-EXACT power-iteration sketch: elements quantized to "
+        "milli-units (BIGINT), the 64x64 gram matrix accumulated as "
+        "exact integer outer-product sums (the one data-sized job — "
+        "map-side partial aggregation, one 4096-key shuffle), then "
+        "three unrolled matvec iterations from the all-ones vector, "
+        "each rescaled by truncating integer division so every "
+        "intermediate stays a BIGINT — power iteration with zero float "
+        "accumulation, hence bit-identical across engines and "
+        "run-to-run.  The eigenvalue is a Rayleigh estimate from two "
+        "exact integer dot products times the final rescale factor.  "
+        "Loadings are emitted normalized to max-abs 1.  At 100 TB the "
+        "iterations touch only dim-grain (64-row) frames; the milli "
+        "quantization bounds gram cells at ~1e6 per row, so BIGINT "
+        "holds to ~1e12 rows (scale the quantization step with corpus "
+        "size beyond that).",
+    tags=("llmdata", "embeddings", "linalg", "agg"),
+)
+def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * 1000).cast("bigint").alias("q"),
+    )
+    gram = (
+        ex.alias("a")
+        .join(ex.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("g"))
+    )
+
+    def rescale(w: DataFrame) -> tuple[DataFrame, DataFrame]:
+        m = w.agg(
+            F.greatest(
+                F.lit(1).cast("bigint"), F.expr("max(abs(w)) div 1024")
+            ).alias("s")
+        )
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "i",
+                F.when(
+                    F.col("w") < 0, -F.expr("(-w) div s")
+                ).otherwise(F.expr("w div s")).alias("v"),
+            )
+        )
+        return v, m
+
+    w = gram.groupBy("i").agg(F.sum("g").alias("w"))
+    v, _ = rescale(w)
+    for _ in range(2):
+        w = (
+            gram.join(
+                v.select(F.col("i").alias("j"), F.col("v").alias("vj")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("vj")).alias("w"))
+        )
+        v, _ = rescale(w)
+    v3 = v
+    w4 = (
+        gram.join(
+            v3.select(F.col("i").alias("j"), F.col("v").alias("vj")), "j"
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("g") * F.col("vj")).alias("w"))
+    )
+    v4, m4 = rescale(w4)
+    dots = (
+        v3.alias("a")
+        .join(v4.alias("b"), "i")
+        .agg(
+            F.sum(F.col("b.v") * F.col("a.v")).alias("dn"),
+            F.sum(F.col("a.v") * F.col("a.v")).alias("dd"),
+        )
+    )
+    mx = v3.agg(F.max(F.abs(F.col("v"))).alias("ma"))
+    return (
+        v3.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(dots))
+        .crossJoin(F.broadcast(m4))
+        .select(
+            F.col("i").alias("dim_idx"),
+            F.when(
+                F.col("ma") > 0,
+                F.col("v").cast("double") / F.col("ma").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("loading"),
+            F.when(
+                F.col("dd") > 0,
+                F.col("dn").cast("double")
+                / F.col("dd").cast("double")
+                * F.col("s").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("eig_estimate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q316: Flesch-Kincaid readability per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "q316_readability_grade",
+    sql="""
+    WITH d AS (
+      SELECT source,
+             len(string_split_regex(trim(text), '\\s+')) AS n,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sents,
+             list_sum(list_transform(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))
+             )) AS syl
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    f AS (
+      SELECT source, n, sents, syl,
+             CAST(round((0.39 * (CAST(n AS DOUBLE) / sents)
+                         + 11.8 * (CAST(syl AS DOUBLE) / n)
+                         - 15.59) * 1000000) AS BIGINT) AS fk_m,
+             CAST(round(CAST(n AS DOUBLE) / sents * 1000000) AS BIGINT)
+               AS wps_m,
+             CAST(round(CAST(syl AS DOUBLE) / n * 1000000) AS BIGINT)
+               AS spw_m
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(fk_m) AS DOUBLE) / (COUNT(*) * 1000000.0)
+             AS avg_fk_grade,
+           CAST(SUM(wps_m) AS DOUBLE) / (COUNT(*) * 1000000.0)
+             AS avg_words_per_sentence,
+           CAST(SUM(spw_m) AS DOUBLE) / (COUNT(*) * 1000000.0)
+             AS avg_syllables_per_word
+    FROM f GROUP BY source
+    """,
+    doc="Flesch-Kincaid grade level per source with a deterministic "
+        "vowel-group syllable heuristic (each word contributes "
+        "max(1, count of [aeiouy]+ runs)) — the standard public "
+        "readability formula 0.39*(words/sentences) + "
+        "11.8*(syllables/word) - 15.59.  Counts are exact integers via "
+        "native higher-order array functions (no Python); the per-doc "
+        "grade is micro-rounded to BIGINT before the source average so "
+        "the aggregation is order-independent.  Physical: one doc scan "
+        "+ one 20-group shuffle; embarrassingly parallel at 100 TB.",
+    tags=("llmdata", "quality", "documents", "agg"),
+)
+def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"),
+            F.greatest(
+                F.lit(1), F.regexp_count(F.col("text"), F.lit("[.!?]+"))
+            ).alias("sents"),
+            F.aggregate(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                F.lit(0).cast("bigint"),
+                lambda acc, w: acc
+                + F.greatest(
+                    F.lit(1), F.regexp_count(w, F.lit("[aeiouy]+"))
+                ).cast("bigint"),
+            ).alias("syl"),
+        )
+    )
+    f = d.select(
+        "source",
+        F.round(
+            (
+                F.lit(0.39) * (F.col("n").cast("double") / F.col("sents"))
+                + F.lit(11.8) * (F.col("syl").cast("double") / F.col("n"))
+                - F.lit(15.59)
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("fk_m"),
+        F.round(F.col("n").cast("double") / F.col("sents") * 1000000)
+        .cast("bigint")
+        .alias("wps_m"),
+        F.round(F.col("syl").cast("double") / F.col("n") * 1000000)
+        .cast("bigint")
+        .alias("spw_m"),
+    )
+    return f.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        emit(F.sum("fk_m").cast("double") / (F.count("*") * F.lit(1000000.0))).alias(
+            "avg_fk_grade"
+        ),
+        emit(
+            F.sum("wps_m").cast("double") / (F.count("*") * F.lit(1000000.0))
+        ).alias("avg_words_per_sentence"),
+        emit(
+            F.sum("spw_m").cast("double") / (F.count("*") * F.lit(1000000.0))
+        ).alias("avg_syllables_per_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q317: encoding-anomaly audit per source
+# ---------------------------------------------------------------------------
+
+_REPL = "�"
+_ZW = "[​‌‍﻿]"
+_CTRL = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+@register(
+    "q317_encoding_anomaly_audit",
+    sql=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN contains(text, '{_REPL}') THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_replacement,
+           CAST(SUM(len(regexp_extract_all(text, 'Ã|Â'))) AS BIGINT)
+             AS mojibake_hits,
+           CAST(SUM(len(regexp_extract_all(text, '{_CTRL}'))) AS BIGINT)
+             AS control_char_hits,
+           CAST(SUM(len(regexp_extract_all(text, '{_ZW}'))) AS BIGINT)
+             AS zero_width_hits,
+           CAST(SUM(CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS non_ascii_docs
+    FROM documents GROUP BY source
+    """,
+    doc="Corpus-hygiene encoding audit per source: U+FFFD replacement-"
+        "character docs, 'Ã'/'Â' mojibake (UTF-8 read as Latin-1) "
+        "occurrences, C0 control characters, zero-width/BOM "
+        "characters, and non-ASCII doc counts.  All counters are exact "
+        "integers from native regexp_count — one scan, one 20-group "
+        "shuffle of six BIGINT partials; trivially parallel at 100 TB "
+        "(this is the filter battery run before tokenizer training).",
+    tags=("llmdata", "quality", "documents", "agg"),
+)
+def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("text").contains(_REPL), 1).otherwise(0)
+        ).alias("docs_with_replacement"),
+        F.sum(F.regexp_count(F.col("text"), F.lit("Ã|Â")).cast("bigint")).alias(
+            "mojibake_hits"
+        ),
+        F.sum(F.regexp_count(F.col("text"), F.lit(_CTRL)).cast("bigint")).alias(
+            "control_char_hits"
+        ),
+        F.sum(F.regexp_count(F.col("text"), F.lit(_ZW)).cast("bigint")).alias(
+            "zero_width_hits"
+        ),
+        F.sum(
+            F.when(F.col("text").rlike("[^\\x00-\\x7F]"), 1).otherwise(0)
+        ).alias("non_ascii_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q318: Cohen's kappa + per-class F1 of the stopword language ID
+# ---------------------------------------------------------------------------
+
+_STOPS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "para"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "les", "pour"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "von"],
+}
+
+
+def _q318_sql() -> str:
+    score = ",\n        ".join(
+        f"CAST(len(list_intersect(toks, {words!r})) AS DOUBLE) / 10 AS s_{c}"
+        for c, words in _STOPS.items()
+    ).replace("'", "'").replace("[", "[").replace("]", "]")
+    # DuckDB list literals use ['a','b'] syntax — repr() of a Python list
+    # of strings renders exactly that.
+    return f"""
+    WITH t AS (
+      SELECT lang,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+'))
+               AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT lang,
+        {score}
+      FROM t
+    ),
+    p AS (
+      SELECT lang,
+             CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                  ELSE 'de' END AS pred
+      FROM s
+    ),
+    conf AS (SELECT lang, pred, COUNT(*) AS c FROM p GROUP BY 1, 2),
+    rm AS (SELECT lang AS cls, SUM(c) AS rm FROM conf GROUP BY 1),
+    cm AS (SELECT pred AS cls, SUM(c) AS cm FROM conf GROUP BY 1),
+    cls AS (
+      SELECT coalesce(rm.cls, cm.cls) AS cls,
+             coalesce(rm.rm, 0) AS rm, coalesce(cm.cm, 0) AS cm
+      FROM rm FULL OUTER JOIN cm ON rm.cls = cm.cls
+    ),
+    tots AS (
+      SELECT SUM(rm) AS n,
+             SUM(CASE WHEN cls IS NOT NULL THEN rm * cm ELSE 0 END) AS s
+      FROM cls
+    ),
+    diag AS (
+      SELECT cls.cls AS cls, cls.rm, cls.cm,
+             coalesce((SELECT SUM(c) FROM conf
+                       WHERE conf.lang = cls.cls
+                         AND conf.pred = cls.cls), 0) AS tp
+      FROM cls
+    ),
+    d AS (SELECT SUM(tp) AS dsum FROM diag)
+    SELECT diag.cls AS cls,
+           CAST(diag.tp AS BIGINT) AS tp,
+           CAST(diag.cm - diag.tp AS BIGINT) AS fp,
+           CAST(diag.rm - diag.tp AS BIGINT) AS fn,
+           CASE WHEN diag.cm > 0
+                THEN CAST(diag.tp AS DOUBLE) / CAST(diag.cm AS DOUBLE)
+                ELSE 0.0 END AS precision,
+           CASE WHEN diag.rm > 0
+                THEN CAST(diag.tp AS DOUBLE) / CAST(diag.rm AS DOUBLE)
+                ELSE 0.0 END AS recall,
+           CASE WHEN 2 * diag.tp + (diag.cm - diag.tp)
+                     + (diag.rm - diag.tp) > 0
+                THEN CAST(2 * diag.tp AS DOUBLE)
+                     / CAST(2 * diag.tp + (diag.cm - diag.tp)
+                            + (diag.rm - diag.tp) AS DOUBLE)
+                ELSE 0.0 END AS f1,
+           CASE WHEN tots.n * tots.n - tots.s > 0
+                THEN CAST(tots.n * d.dsum - tots.s AS DOUBLE)
+                     / CAST(tots.n * tots.n - tots.s AS DOUBLE)
+                ELSE 0.0 END AS kappa
+    FROM diag, tots, d
+    """
+
+
+@register(
+    "q318_langid_kappa_f1",
+    sql=_q318_sql(),
+    doc="Chance-corrected agreement of the q27 stopword language-ID "
+        "classifier against the labeled lang column: Cohen's kappa "
+        "computed ENTIRELY in exact integer marginals — kappa = "
+        "(n*diag - sum(rowmarg*colmarg)) / (n^2 - sum(rowmarg*colmarg)) "
+        "with one final double division — plus per-class TP/FP/FN and "
+        "precision/recall/F1 over the union of actual and predicted "
+        "classes (so the 'und' abstain class is first-class).  "
+        "Physical: one doc scan to confusion grain (<=36 cells), then "
+        "dim-grain arithmetic; the full-outer class union and totals "
+        "are single-digit-row broadcasts at any corpus size.",
+    tags=("llmdata", "quality", "eval", "documents", "agg"),
+)
+def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    t = d.select("lang", toks.alias("toks"))
+    s = t.select(
+        "lang",
+        *[
+            (
+                F.size(
+                    F.array_intersect(
+                        F.col("toks"), F.array(*[F.lit(w) for w in words])
+                    )
+                ).cast("double")
+                / 10
+            ).alias(f"s_{c}")
+            for c, words in _STOPS.items()
+        ],
+    )
+    best = F.greatest("s_en", "s_es", "s_fr", "s_de")
+    p = s.select(
+        "lang",
+        F.when(best <= 0, "und")
+        .when(F.col("s_en") == best, "en")
+        .when(F.col("s_es") == best, "es")
+        .when(F.col("s_fr") == best, "fr")
+        .otherwise("de")
+        .alias("pred"),
+    )
+    conf = p.groupBy("lang", "pred").agg(F.count("*").alias("c"))
+    rm = conf.groupBy(F.col("lang").alias("cls")).agg(F.sum("c").alias("rm"))
+    cm = conf.groupBy(F.col("pred").alias("cls")).agg(F.sum("c").alias("cm"))
+    cls = (
+        rm.join(cm, "cls", "full_outer")
+        .select(
+            "cls",
+            F.coalesce("rm", F.lit(0)).alias("rm"),
+            F.coalesce("cm", F.lit(0)).alias("cm"),
+        )
+    )
+    tots = cls.agg(
+        F.sum("rm").alias("n"), F.sum(F.col("rm") * F.col("cm")).alias("s")
+    )
+    tp = conf.where(F.col("lang") == F.col("pred")).select(
+        F.col("lang").alias("cls"), F.col("c").alias("tp")
+    )
+    diag = cls.join(tp, "cls", "left").select(
+        "cls", "rm", "cm", F.coalesce("tp", F.lit(0)).alias("tp")
+    )
+    dsum = diag.agg(F.sum("tp").alias("dsum"))
+    fp = F.col("cm") - F.col("tp")
+    fn = F.col("rm") - F.col("tp")
+    return (
+        diag.crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(dsum))
+        .select(
+            "cls",
+            F.col("tp").cast("bigint").alias("tp"),
+            fp.cast("bigint").alias("fp"),
+            fn.cast("bigint").alias("fn"),
+            F.when(
+                F.col("cm") > 0,
+                F.col("tp").cast("double") / F.col("cm").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("precision"),
+            F.when(
+                F.col("rm") > 0,
+                F.col("tp").cast("double") / F.col("rm").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
+            F.when(
+                (2 * F.col("tp") + fp + fn) > 0,
+                (2 * F.col("tp")).cast("double")
+                / (2 * F.col("tp") + fp + fn).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("f1"),
+            F.when(
+                (F.col("n") * F.col("n") - F.col("s")) > 0,
+                (F.col("n") * F.col("dsum") - F.col("s")).cast("double")
+                / (F.col("n") * F.col("n") - F.col("s")).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("kappa"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q319: precision/recall threshold sweep + average precision
+# ---------------------------------------------------------------------------
+
+@register(
+    "q319_pr_curve_average_precision",
+    sql="""
+    WITH scored AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                     * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                AS BIGINT) AS score,
+             CASE WHEN label <= 1 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    blocks AS (
+      SELECT score, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) AS BIGINT) AS tot
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score, pos,
+             SUM(pos) OVER (ORDER BY score DESC) AS tp,
+             SUM(tot) OVER (ORDER BY score DESC) AS n_ge
+      FROM blocks
+    ),
+    tot AS (SELECT CAST(SUM(y) AS BIGINT) AS p FROM scored),
+    ap AS (
+      SELECT SUM(pos * CAST(round(CAST(tp AS DOUBLE)
+                                  / CAST(n_ge AS DOUBLE) * 1000000)
+                            AS BIGINT)) AS ap_num
+      FROM cum
+    )
+    SELECT cum.score AS score_milli_sq,
+           CAST(cum.tp AS BIGINT) AS tp,
+           CAST(cum.n_ge - cum.tp AS BIGINT) AS fp,
+           CAST(tot.p - cum.tp AS BIGINT) AS fn,
+           CAST(cum.tp AS DOUBLE) / CAST(cum.n_ge AS DOUBLE) AS precision,
+           CASE WHEN tot.p > 0
+                THEN CAST(cum.tp AS DOUBLE) / CAST(tot.p AS DOUBLE)
+                ELSE 0.0 END AS recall,
+           CAST(2 * cum.tp AS DOUBLE) / CAST(cum.n_ge + tot.p AS DOUBLE)
+             AS f1,
+           CASE WHEN tot.p > 0
+                THEN CAST(ap.ap_num AS DOUBLE) / (tot.p * 1000000.0)
+                ELSE 0.0 END AS average_precision
+    FROM cum, tot, ap
+    """,
+    doc="Classifier-evaluation sweep: binary relevance (label <= 1) "
+        "scored by the exact integer milli-quantized squared L2 norm "
+        "of the embedding (monotone in the norm, so ranking-"
+        "equivalent and BIGINT-exact).  One row per distinct score "
+        "threshold with cumulative TP/FP/FN, precision, recall and F1 "
+        "(F1 = 2TP/(N_ge + P), an exact integer rational), plus "
+        "step-interpolated average precision (sklearn's AP definition "
+        "sum(dTP * precision)/P) with each block precision micro-"
+        "rounded before the exact integer sum.  Physical: one "
+        "embedding scan, a distinct-score-grain aggregate, one "
+        "ordered-window pass at that grain — never a fact-grain sort; "
+        "the totals are broadcast single rows.",
+    tags=("llmdata", "eval", "embeddings", "window", "agg"),
+)
+def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc
+            + F.round(x.cast("double") * 1000).cast("bigint")
+            * F.round(x.cast("double") * 1000).cast("bigint"),
+        ).alias("score"),
+        F.when(F.col("label") <= 1, 1).otherwise(0).alias("y"),
+    )
+    blocks = scored.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.count("*").cast("bigint").alias("tot"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = blocks.select(
+        "score",
+        "pos",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("tot").over(w).alias("n_ge"),
+    )
+    tot = scored.agg(F.sum("y").cast("bigint").alias("p"))
+    ap = cum.agg(
+        F.sum(
+            F.col("pos")
+            * F.round(
+                F.col("tp").cast("double") / F.col("n_ge").cast("double") * 1000000
+            ).cast("bigint")
+        ).alias("ap_num")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ap))
+        .select(
+            F.col("score").alias("score_milli_sq"),
+            F.col("tp").cast("bigint").alias("tp"),
+            (F.col("n_ge") - F.col("tp")).cast("bigint").alias("fp"),
+            (F.col("p") - F.col("tp")).cast("bigint").alias("fn"),
+            emit(F.col("tp").cast("double") / F.col("n_ge").cast("double")).alias(
+                "precision"
+            ),
+            F.when(
+                F.col("p") > 0,
+                F.col("tp").cast("double") / F.col("p").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
+            emit(
+                (2 * F.col("tp")).cast("double")
+                / (F.col("n_ge") + F.col("p")).cast("double")
+            ).alias("f1"),
+            F.when(
+                F.col("p") > 0,
+                F.col("ap_num").cast("double") / (F.col("p") * F.lit(1000000.0)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("average_precision"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q320: leave-one-source-out influence on a regression slope
+# ---------------------------------------------------------------------------
+
+@register(
+    "q320_loo_source_influence",
+    sql="""
+    WITH d AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS x,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM d GROUP BY source
+    ),
+    t AS (
+      SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+             SUM(sxx) AS sxx, SUM(sxy) AS sxy
+      FROM s
+    )
+    SELECT s.source,
+           s.n AS n_docs,
+           CASE WHEN t.n * t.sxx - t.sx * t.sx > 0
+                THEN CAST(t.n * t.sxy - t.sx * t.sy AS DOUBLE)
+                     / CAST(t.n * t.sxx - t.sx * t.sx AS DOUBLE)
+                ELSE 0.0 END AS slope_all,
+           CASE WHEN (t.n - s.n) * (t.sxx - s.sxx)
+                     - (t.sx - s.sx) * (t.sx - s.sx) > 0
+                THEN CAST((t.n - s.n) * (t.sxy - s.sxy)
+                          - (t.sx - s.sx) * (t.sy - s.sy) AS DOUBLE)
+                     / CAST((t.n - s.n) * (t.sxx - s.sxx)
+                            - (t.sx - s.sx) * (t.sx - s.sx) AS DOUBLE)
+                ELSE 0.0 END AS slope_loo
+    FROM s, t
+    """,
+    doc="Leave-one-source-out influence analysis on the OLS slope of "
+        "chars-vs-words across the corpus: the slope refit excluding "
+        "each source comes for FREE from exact integer sufficient "
+        "statistics (n, Sx, Sy, Sxx, Sxy at source grain; totals minus "
+        "the source's block) — no per-source refit pass, the "
+        "data-ablation pattern for spotting sources that distort a "
+        "fitted relationship.  Physical: one doc scan to 20 source-"
+        "grain rows of five BIGINT sums, one broadcast single-row "
+        "total; O(sources) downstream regardless of corpus size.  "
+        "Emit both slope_all (constant) and slope_loo so the consumer "
+        "diffs them; the difference is deliberately NOT pre-computed "
+        "as a float subtraction of two near-equal numbers here.",
+    tags=("llmdata", "eval", "documents", "regression", "agg"),
+)
+def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("bigint")
+            .alias("x"),
+            F.col("n_chars").cast("bigint").alias("y"),
+        )
+    )
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    t = s.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    j = s.crossJoin(F.broadcast(t))
+    den_all = F.col("tn") * F.col("tsxx") - F.col("tsx") * F.col("tsx")
+    num_all = F.col("tn") * F.col("tsxy") - F.col("tsx") * F.col("tsy")
+    ln = F.col("tn") - F.col("n")
+    lsx = F.col("tsx") - F.col("sx")
+    lsy = F.col("tsy") - F.col("sy")
+    lsxx = F.col("tsxx") - F.col("sxx")
+    lsxy = F.col("tsxy") - F.col("sxy")
+    den_loo = ln * lsxx - lsx * lsx
+    num_loo = ln * lsxy - lsx * lsy
+    return j.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.when(den_all > 0, num_all.cast("double") / den_all.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("slope_all"),
+        F.when(den_loo > 0, num_loo.cast("double") / den_loo.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("slope_loo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q321: exact Shapley channel attribution over the touchpoint lattice
+# ---------------------------------------------------------------------------
+
+_Q321_CHANNELS = (("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+
+
+def _q321_sql() -> str:
+    flags = ",\n             ".join(
+        f"MAX(CASE WHEN event_type = '{c}' THEN {b} ELSE 0 END) AS b_{c}"
+        for c, b in _Q321_CHANNELS
+    )
+    chan_rows = ", ".join(f"('{c}', {b})" for c, b in _Q321_CHANNELS)
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             {flags},
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ),
+    mg AS (
+      SELECT b_click + b_error + b_signup + b_view AS mask,
+             CAST(SUM(conv) AS BIGINT) AS conv
+      FROM u GROUP BY 1
+    ),
+    subsets AS (SELECT CAST(t.s AS BIGINT) AS s FROM range(0, 16) t(s)),
+    v AS (
+      SELECT subsets.s AS s, coalesce(SUM(mg.conv), 0) AS v
+      FROM subsets LEFT JOIN mg
+        ON (mg.mask // 1) % 2 <= (subsets.s // 1) % 2
+       AND (mg.mask // 2) % 2 <= (subsets.s // 2) % 2
+       AND (mg.mask // 4) % 2 <= (subsets.s // 4) % 2
+       AND (mg.mask // 8) % 2 <= (subsets.s // 8) % 2
+      GROUP BY subsets.s
+    ),
+    ch AS (SELECT * FROM (VALUES {chan_rows}) AS c(channel, bit)),
+    terms AS (
+      SELECT ch.channel,
+             ((a.s // 1) % 2 + (a.s // 2) % 2
+              + (a.s // 4) % 2 + (a.s // 8) % 2) AS k,
+             b.v - a.v AS dv
+      FROM ch
+      JOIN v a ON (a.s // ch.bit) % 2 = 0
+      JOIN v b ON b.s = a.s + ch.bit
+    ),
+    phi AS (
+      SELECT channel,
+             SUM(CASE k WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+                        ELSE 6 END * dv) AS phi24
+      FROM terms GROUP BY channel
+    ),
+    tot AS (SELECT SUM(conv) AS total_conv FROM mg)
+    SELECT phi.channel,
+           CAST(phi.phi24 AS DOUBLE) / 24.0 AS shapley_conversions,
+           CASE WHEN tot.total_conv > 0
+                THEN CAST(phi.phi24 AS DOUBLE) / (24.0 * tot.total_conv)
+                ELSE 0.0 END AS shapley_share,
+           CAST(tot.total_conv AS BIGINT) AS total_conversions
+    FROM phi, tot
+    """
+
+
+@register(
+    "q321_shapley_attribution",
+    sql=_q321_sql(),
+    doc="EXACT Shapley-value channel attribution (Shapley 1953; the "
+        "data-driven attribution model): characteristic function "
+        "v(S) = conversions among users whose touched-channel set is "
+        "contained in S, evaluated on the full 2^4 subset lattice, "
+        "phi_c = sum over S not containing c of k!(n-1-k)!/n! * "
+        "(v(S+c) - v(S)) computed as EXACT integers scaled by 4!=24 "
+        "(weights {{6,2,2,6}}/24), one double division at emission.  "
+        "Physical: the only data-sized jobs are the user-grain "
+        "aggregate and its collapse to <=16 mask-grain rows; the "
+        "lattice joins are 16-row frames (a deliberate containment "
+        "theta-join, allowlisted) — at 100 TB the lattice work is "
+        "constant and the fact scan is one pass.  n channels grows "
+        "the lattice 2^n, so this exact form is for small channel "
+        "sets (the industry norm <= ~10).",
+    tags=("llmdata", "attribution", "events", "agg"),
+)
+def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.when(F.col("event_type") == c, F.lit(b)).otherwise(0)
+            ).alias(f"b_{c}")
+            for c, b in _Q321_CHANNELS
+        ],
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    mg = u.groupBy(
+        (
+            F.col("b_click") + F.col("b_error") + F.col("b_signup") + F.col("b_view")
+        ).alias("mask")
+    ).agg(F.sum("conv").cast("bigint").alias("conv"))
+    subsets = spark.range(0, 16).select(F.col("id").alias("s"))
+    contained = (
+        ((F.col("mask") / 1).cast("bigint") % 2 <= (F.col("s") / 1).cast("bigint") % 2)
+        & ((F.col("mask") / 2).cast("bigint") % 2 <= (F.col("s") / 2).cast("bigint") % 2)
+        & ((F.col("mask") / 4).cast("bigint") % 2 <= (F.col("s") / 4).cast("bigint") % 2)
+        & ((F.col("mask") / 8).cast("bigint") % 2 <= (F.col("s") / 8).cast("bigint") % 2)
+    )
+    v = (
+        subsets.join(F.broadcast(mg), contained, "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv"), F.lit(0)).alias("v"))
+    )
+    ch = spark.createDataFrame(list(_Q321_CHANNELS), ["channel", "bit"])
+    a = v.select(F.col("s").alias("sa"), F.col("v").alias("va"))
+    b = v.select(F.col("s").alias("sb"), F.col("v").alias("vb"))
+    terms = (
+        ch.join(
+            F.broadcast(a),
+            (F.col("sa") / F.col("bit")).cast("bigint") % 2 == 0,
+        )
+        .join(F.broadcast(b), F.col("sb") == F.col("sa") + F.col("bit"))
+        .select(
+            "channel",
+            (
+                (F.col("sa") / 1).cast("bigint") % 2
+                + (F.col("sa") / 2).cast("bigint") % 2
+                + (F.col("sa") / 4).cast("bigint") % 2
+                + (F.col("sa") / 8).cast("bigint") % 2
+            ).alias("k"),
+            (F.col("vb") - F.col("va")).alias("dv"),
+        )
+    )
+    phi = terms.groupBy("channel").agg(
+        F.sum(
+            F.when(F.col("k") == 0, 6)
+            .when(F.col("k") == 1, 2)
+            .when(F.col("k") == 2, 2)
+            .otherwise(6)
+            * F.col("dv")
+        ).alias("phi24")
+    )
+    tot = mg.agg(F.sum("conv").alias("total_conv"))
+    return phi.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        emit(F.col("phi24").cast("double") / F.lit(24.0)).alias(
+            "shapley_conversions"
+        ),
+        F.when(
+            F.col("total_conv") > 0,
+            F.col("phi24").cast("double") / (F.lit(24.0) * F.col("total_conv")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("shapley_share"),
+        F.col("total_conv").cast("bigint").alias("total_conversions"),
+    )

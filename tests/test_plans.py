@@ -214,6 +214,26 @@ def test_no_accidental_cartesian_products(plans):
         # every fact row out through a broadcast cross (the
         # grouping-sets shape — deliberate)
         "q312_generalization_ladder",
+        # q315 power iteration: the per-iteration rescale divisor and
+        # the final (max-abs, dot-products, scale) legs are broadcast
+        # single-row aggregates crossed onto the 64-row dim frame —
+        # q130's shape; the data-sized gram job is a plain equi-join
+        "q315_pca_power_iteration",
+        # q318 kappa: the (n, sum rm*cm) totals and diagonal-sum rows
+        # cross onto the <=6-row class frame — q130's shape
+        "q318_langid_kappa_f1",
+        # q319 PR sweep: the positives total and the AP numerator are
+        # broadcast single-row aggregates crossed onto the
+        # distinct-score-grain curve — q42's shape
+        "q319_pr_curve_average_precision",
+        # q320 LOO influence: the global sufficient-statistics row
+        # crosses onto the 20-row source frame — q130's shape
+        "q320_loo_source_influence",
+        # q321 Shapley: the 16-subset lattice joins the <=16 mask-grain
+        # rows on a bit-containment theta condition (a deliberate
+        # constant-size NLJ — the subset-lattice scaffold), and the
+        # conversions total crosses as a single row
+        "q321_shapley_attribution",
     }
     for name, p in plans.items():
         if name in allowed:
