@@ -934,7 +934,7 @@ def _q321_sql() -> str:
                         ELSE 6 END * dv) AS phi24
       FROM terms GROUP BY channel
     ),
-    tot AS (SELECT SUM(conv) AS total_conv FROM mg)
+    tot AS (SELECT coalesce(SUM(conv), 0) AS total_conv FROM mg)
     SELECT phi.channel,
            CAST(phi.phi24 AS DOUBLE) / 24.0 AS shapley_conversions,
            CASE WHEN tot.total_conv > 0
@@ -1023,7 +1023,7 @@ def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("dv")
         ).alias("phi24")
     )
-    tot = mg.agg(F.sum("conv").alias("total_conv"))
+    tot = mg.agg(F.coalesce(F.sum("conv"), F.lit(0)).alias("total_conv"))
     return phi.crossJoin(F.broadcast(tot)).select(
         "channel",
         emit(F.col("phi24").cast("double") / F.lit(24.0)).alias(

@@ -1,0 +1,409 @@
+"""Brute-force property tests for the round-7b evaluation kernels:
+each query's distributed formulation (block-cumulative average
+precision, integer-marginal Cohen's kappa, micro-rounded NDCG/MRR,
+sufficient-statistics LOO slopes, lattice Shapley values, and the
+integer-exact power iteration) must equal a naive pure-Python
+recomputation on adversarial random inputs — dense ties included,
+because ties are where ranking metrics and tie-block PR curves are
+easiest to get wrong.
+
+The power-iteration and Shapley tests assert EXACT equality against a
+straight-line integer reference (both formulations are integer-exact by
+construction); the float-emitting metrics allow only the micro-rounding
+tolerance (<=1e-4 absolute).
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from aquiles_etl_pipeline_spark.relational import registry
+
+CENTS = st.integers(min_value=0, max_value=300)
+ETYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events_dir(tmpdir, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tmpdir / "sf"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+def _docs_dir(tmpdir, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tmpdir / "sf"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def _emb_dir(tmpdir, rows):
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    d = tmpdir / "sf"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "embeddings.parquet", index=False)
+    return str(d)
+
+
+# ---------------------------------------------------------------------------
+# q314 NDCG@5 / MRR
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # user
+            st.integers(min_value=0, max_value=4),   # event type idx
+            CENTS,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_ndcg_mrr_matches_bruteforce(spark, tmp_path_factory, data):
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, t0, u, ETYPES[e], c / 100.0, None) for i, (u, e, c) in enumerate(data)
+    ]
+    sf = _events_dir(tmp_path_factory.mktemp("ndcg"), rows)
+    got = {
+        r["cohort"]: r
+        for r in registry()["q314_ranking_metric_eval"].fn(spark, sf).collect()
+    }
+
+    # pure-python reference with the same micro-rounding
+    per: dict[tuple[int, str], list[int]] = {}
+    for u, e, c in data:
+        k = (u, ETYPES[e])
+        per.setdefault(k, []).append(c)
+    users: dict[int, list[tuple[str, int, int]]] = {}
+    for (u, e), cs in per.items():
+        users.setdefault(u, []).append((e, len(cs), sum(cs)))
+    want: dict[int, list[tuple[int, int]]] = {}
+    for u, items in users.items():
+        pred = sorted(items, key=lambda t: (-t[1], t[0]))
+        ideal = sorted(items, key=lambda t: (-t[2], t[0]))
+        dcg = sum(
+            round(rel / math.log2(r + 2) * 1e6)
+            for r, (_, _, rel) in enumerate(pred[:5])
+        )
+        idcg = sum(
+            round(rel / math.log2(r + 2) * 1e6)
+            for r, (_, _, rel) in enumerate(ideal[:5])
+        )
+        ndcg_m = round(dcg / idcg * 1e6) if idcg > 0 else 0
+        top = ideal[0][0]
+        prank = next(r + 1 for r, (e, _, _) in enumerate(pred) if e == top)
+        mrr_m = round(1e6 / prank)
+        want.setdefault(u % 8, []).append((ndcg_m, mrr_m))
+    assert set(got) == set(want)
+    for coh, pairs in want.items():
+        n = len(pairs)
+        assert got[coh]["n_users"] == n
+        assert abs(
+            got[coh]["avg_ndcg5"] - sum(p[0] for p in pairs) / (n * 1e6)
+        ) < 1e-4
+        assert abs(
+            got[coh]["avg_mrr"] - sum(p[1] for p in pairs) / (n * 1e6)
+        ) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# q318 Cohen's kappa over the stopword classifier
+# ---------------------------------------------------------------------------
+
+_VOCAB = ["the", "a", "of", "la", "de", "en", "le", "et", "der", "und",
+          "zu", "xyz", "foo"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=12),
+            st.sampled_from(["en", "es", "fr", "de", "zh"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_kappa_matches_direct_confusion(spark, tmp_path_factory, docs):
+    rows = [
+        (i, " ".join(ws), lang, "s0", len(" ".join(ws)))
+        for i, (ws, lang) in enumerate(docs)
+    ]
+    sf = _docs_dir(tmp_path_factory.mktemp("kap"), rows)
+    got = {
+        r["cls"]: r for r in registry()["q318_langid_kappa_f1"].fn(spark, sf).collect()
+    }
+
+    stops = {
+        "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
+        "es": {"el", "la", "de", "y", "que", "en", "un", "una", "los", "para"},
+        "fr": {"le", "la", "de", "et", "que", "en", "un", "une", "les", "pour"},
+        "de": {"der", "die", "das", "und", "zu", "in", "ist", "ein", "eine",
+               "von"},
+    }
+
+    def predict(ws):
+        toks = set(ws)
+        s = {c: len(toks & v) for c, v in stops.items()}
+        best = max(s.values())
+        if best <= 0:
+            return "und"
+        for c in ("en", "es", "fr", "de"):
+            if s[c] == best:
+                return c
+
+    conf: dict[tuple[str, str], int] = {}
+    for ws, lang in docs:
+        conf[(lang, predict(ws))] = conf.get((lang, predict(ws)), 0) + 1
+    classes = {c for pair in conf for c in pair}
+    rm = {c: sum(v for (a, _), v in conf.items() if a == c) for c in classes}
+    cm = {c: sum(v for (_, p), v in conf.items() if p == c) for c in classes}
+    n = sum(conf.values())
+    dsum = sum(conf.get((c, c), 0) for c in classes)
+    s = sum(rm[c] * cm[c] for c in classes)
+    want_kappa = (n * dsum - s) / (n * n - s) if n * n - s > 0 else 0.0
+    assert set(got) == classes
+    for c in classes:
+        tp = conf.get((c, c), 0)
+        assert got[c]["tp"] == tp
+        assert got[c]["fp"] == cm[c] - tp
+        assert got[c]["fn"] == rm[c] - tp
+        assert abs(got[c]["kappa"] - want_kappa) < 1e-12
+        denom = 2 * tp + (cm[c] - tp) + (rm[c] - tp)
+        want_f1 = 2 * tp / denom if denom > 0 else 0.0
+        assert abs(got[c]["f1"] - want_f1) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q319 average precision over tie blocks
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.lists(st.integers(min_value=-4, max_value=4), min_size=2,
+                     max_size=2),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_average_precision_matches_bruteforce(spark, tmp_path_factory, data):
+    # tiny integer/100 grid forces dense score ties
+    rows = [
+        (i, [k / 100.0 for k in ks], lab) for i, (ks, lab) in enumerate(data)
+    ]
+    sf = _emb_dir(tmp_path_factory.mktemp("ap"), rows)
+    out = registry()["q319_pr_curve_average_precision"].fn(spark, sf).collect()
+
+    scored = [
+        (sum(round(k / 100.0 * 1000) ** 2 for k in ks), 1 if lab <= 1 else 0)
+        for ks, lab in data
+    ]
+    p_tot = sum(y for _, y in scored)
+    blocks: dict[int, list[int]] = {}
+    for s_val, y in scored:
+        blocks.setdefault(s_val, []).append(y)
+    tp = n_ge = 0
+    ap_num = 0
+    curve = {}
+    for s_val in sorted(blocks, reverse=True):
+        pos = sum(blocks[s_val])
+        tp += pos
+        n_ge += len(blocks[s_val])
+        ap_num += pos * round(tp / n_ge * 1e6)
+        curve[s_val] = (tp, n_ge)
+    want_ap = ap_num / (p_tot * 1e6) if p_tot > 0 else 0.0
+    assert len(out) == len(blocks)
+    for r in out:
+        tp_b, n_b = curve[r["score_milli_sq"]]
+        assert r["tp"] == tp_b
+        assert r["fp"] == n_b - tp_b
+        assert r["fn"] == p_tot - tp_b
+        assert abs(r["precision"] - tp_b / n_b) < 1e-12
+        assert abs(r["f1"] - 2 * tp_b / (n_b + p_tot)) < 1e-12
+        assert abs(r["average_precision"] - want_ap) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q320 leave-one-source-out slope
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # source idx
+            st.integers(min_value=1, max_value=20),    # word count
+            st.integers(min_value=0, max_value=400),   # n_chars
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_loo_slope_matches_sufficient_stats(spark, tmp_path_factory, docs):
+    rows = [
+        (i, " ".join(["w"] * w), "en", f"s{s}", y)
+        for i, (s, w, y) in enumerate(docs)
+    ]
+    sf = _docs_dir(tmp_path_factory.mktemp("loo"), rows)
+    got = {
+        r["source"]: r
+        for r in registry()["q320_loo_source_influence"].fn(spark, sf).collect()
+    }
+
+    def slope(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        den = n * sxx - sx * sx
+        return (n * sxy - sx * sy) / den if den > 0 else 0.0
+
+    pts = [(w, y) for _, w, y in docs]
+    want_all = slope(pts)
+    for src in {f"s{s}" for s, _, _ in docs}:
+        rest = [(w, y) for s, w, y in docs if f"s{s}" != src]
+        assert abs(got[src]["slope_all"] - want_all) < 1e-12
+        assert abs(got[src]["slope_loo"] - slope(rest)) < 1e-12
+        assert got[src]["n_docs"] == sum(1 for s, _, _ in docs if f"s{s}" == src)
+
+
+# ---------------------------------------------------------------------------
+# q321 Shapley: exact equality with the permutation definition
+# ---------------------------------------------------------------------------
+
+_CH = ["click", "error", "signup", "view"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    users=st.lists(
+        st.tuples(
+            st.sets(st.sampled_from(_CH), max_size=4),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_shapley_matches_permutation_average(spark, tmp_path_factory, users):
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for u, (chs, conv) in enumerate(users):
+        for c in chs:
+            rows.append((eid, t0, u, c, 1.0, None))
+            eid += 1
+        if conv:
+            rows.append((eid, t0, u, "purchase", 1.0, None))
+            eid += 1
+    # a user with no events at all disappears — that matches the query
+    sf = _events_dir(tmp_path_factory.mktemp("shap"), rows)
+    out = {
+        r["channel"]: r
+        for r in registry()["q321_shapley_attribution"].fn(spark, sf).collect()
+    }
+
+    touched = [
+        (frozenset(chs), conv)
+        for (chs, conv) in users
+        if chs or conv  # users with zero rows are invisible to the engine
+    ]
+
+    def v(S: frozenset) -> int:
+        return sum(1 for m, conv in touched if conv and m <= S)
+
+    total_conv = sum(1 for _, conv in touched if conv)
+    want = {c: 0.0 for c in _CH}
+    perms = list(itertools.permutations(_CH))
+    for perm in perms:
+        pre: set[str] = set()
+        for c in perm:
+            want[c] += v(frozenset(pre | {c})) - v(frozenset(pre))
+            pre.add(c)
+    for c in _CH:
+        want[c] /= len(perms)
+        assert abs(out[c]["shapley_conversions"] - want[c]) < 1e-9, (
+            c, out[c]["shapley_conversions"], want[c]
+        )
+        assert out[c]["total_conversions"] == total_conv
+    # efficiency axiom: the credits sum to v(full) - v(empty)
+    got_sum = sum(out[c]["shapley_conversions"] for c in _CH)
+    assert abs(got_sum - (v(frozenset(_CH)) - v(frozenset()))) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q315 power iteration: exact equality with a straight-line integer ref
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=-60, max_value=60), min_size=4,
+                 max_size=4),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_power_iteration_matches_integer_reference(
+    spark, tmp_path_factory, vecs
+):
+    rows = [(i, [k / 100.0 for k in ks], 0) for i, (ks) in enumerate(vecs)]
+    sf = _emb_dir(tmp_path_factory.mktemp("pca"), rows)
+    out = {
+        r["dim_idx"]: r
+        for r in registry()["q315_pca_power_iteration"].fn(spark, sf).collect()
+    }
+
+    d = 4
+    q = [[round((k / 100.0) * 1000) for k in ks] for ks in vecs]
+    gram = [
+        [sum(row[i] * row[j] for row in q) for j in range(d)] for i in range(d)
+    ]
+
+    def tdiv(a: int, s: int) -> int:  # trunc toward zero, like Spark's div
+        return -((-a) // s) if a < 0 else a // s
+
+    def rescale(w):
+        s = max(1, max(abs(x) for x in w) // 1024)
+        return [tdiv(x, s) for x in w], s
+
+    v = [sum(gram[i]) for i in range(d)]
+    v, _ = rescale(v)
+    for _ in range(2):
+        v = [sum(gram[i][j] * v[j] for j in range(d)) for i in range(d)]
+        v, _ = rescale(v)
+    v3 = v
+    w4 = [sum(gram[i][j] * v3[j] for j in range(d)) for i in range(d)]
+    v4, s4 = rescale(w4)
+    dn = sum(a * b for a, b in zip(v4, v3))
+    dd = sum(a * a for a in v3)
+    ma = max(abs(x) for x in v3)
+    want_eig = (dn / dd) * s4 if dd > 0 else 0.0
+    assert set(out) == set(range(1, d + 1))
+    for i in range(d):
+        want_loading = v3[i] / ma if ma > 0 else 0.0
+        assert out[i + 1]["loading"] == pytest.approx(want_loading, abs=0.0), (
+            i, out[i + 1]["loading"], want_loading
+        )
+        assert out[i + 1]["eig_estimate"] == pytest.approx(want_eig, abs=0.0)
