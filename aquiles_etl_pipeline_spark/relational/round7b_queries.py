@@ -210,96 +210,94 @@ _Q315_ITER_SQL = """
         "run-to-run.  The eigenvalue is a Rayleigh estimate from two "
         "exact integer dot products times the final rescale factor.  "
         "Loadings are emitted normalized to max-abs 1.  At 100 TB the "
-        "iterations touch only dim-grain (64-row) frames; the milli "
-        "quantization bounds gram cells at ~1e6 per row, so BIGINT "
-        "holds to ~1e12 rows (scale the quantization step with corpus "
-        "size beyond that).",
+        "gram aggregation is the only data-sized job; the iterations "
+        "run driver-side over the DIMENSION-bounded d^2 matrix (the "
+        "MLlib small-d eigensolve pattern — 4096 integers, never "
+        "corpus-sized), because distributing 64-row matvecs is pure "
+        "scheduler overhead.  The milli quantization bounds gram "
+        "cells at ~1e6 per row, so BIGINT holds to ~1e12 rows (scale "
+        "the quantization step with corpus size beyond that).",
     tags=("llmdata", "embeddings", "linalg", "agg"),
 )
 def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     emb = load(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "x")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).alias("i"),
-        F.round(F.col("x").cast("double") * 1000).cast("bigint").alias("q"),
-    )
-    gram = (
-        ex.alias("a")
-        .join(ex.alias("b"), "vec_id")
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("g"))
-    )
 
-    def rescale(w: DataFrame) -> tuple[DataFrame, DataFrame]:
-        m = w.agg(
-            F.greatest(
-                F.lit(1).cast("bigint"), F.expr("max(abs(w)) div 1024")
-            ).alias("s")
-        )
-        v = (
-            w.crossJoin(F.broadcast(m))
-            .select(
-                "i",
-                F.when(
-                    F.col("w") < 0, -F.expr("(-w) div s")
-                ).otherwise(F.expr("w div s")).alias("v"),
+    # The gram aggregation is the ONLY data-sized job, and it runs as a
+    # vectorized Arrow-batched partial: each batch quantizes to exact
+    # milli-int64 and emits its d x d outer-product sum Q.T @ Q (one
+    # BLAS call), so the shuffle carries d^2 rows PER BATCH instead of
+    # d^2 rows per input row (the explode+self-join formulation is 64x
+    # the data volume and a full join).  Quantization is half-away-
+    # from-zero to match round() in Spark SQL and DuckDB exactly.
+    def gram_partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            x = x * 1000.0
+            q = np.where(
+                x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
+            ).astype(np.int64)
+            g = q.T @ q
+            d_ = g.shape[0]
+            ii, jj = np.indices((d_, d_))
+            yield pd.DataFrame(
+                {
+                    "i": (ii + 1).ravel().astype(np.int32),
+                    "j": (jj + 1).ravel().astype(np.int32),
+                    "g": g.ravel(),
+                }
             )
-        )
-        return v, m
 
-    w = gram.groupBy("i").agg(F.sum("g").alias("w"))
-    v, _ = rescale(w)
+    # The collect is DIMENSION-bounded (d^2 = 4096 rows regardless of
+    # corpus size), and the power iteration is O(d^2) exact-integer
+    # arithmetic — driver-side by design, the small-d eigensolve
+    # pattern (Spark MLlib computeSVD does the same); running 64-row
+    # matvec iterates as distributed jobs is pure scheduler overhead.
+    gram_rows = (
+        emb.select("embedding")
+        .mapInPandas(gram_partial, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    d = max((r["i"] for r in gram_rows), default=0)
+    gram = [[0] * d for _ in range(d)]
+    for r in gram_rows:
+        gram[r["i"] - 1][r["j"] - 1] = r["g"]
+
+    def tdiv(a: int, s: int) -> int:  # trunc toward zero == Spark's div
+        return -((-a) // s) if a < 0 else a // s
+
+    def rescale(w: list[int]) -> tuple[list[int], int]:
+        s = max(1, max(abs(x) for x in w) // 1024)
+        return [tdiv(x, s) for x in w], s
+
+    out_schema = "dim_idx int, loading double, eig_estimate double"
+    if d == 0:
+        return spark.createDataFrame([], out_schema)
+    v = [sum(gram[i]) for i in range(d)]
+    v, _ = rescale(v)
     for _ in range(2):
-        w = (
-            gram.join(
-                v.select(F.col("i").alias("j"), F.col("v").alias("vj")), "j"
-            )
-            .groupBy("i")
-            .agg(F.sum(F.col("g") * F.col("vj")).alias("w"))
+        v, _ = rescale(
+            [sum(gram[i][j] * v[j] for j in range(d)) for i in range(d)]
         )
-        v, _ = rescale(w)
     v3 = v
-    w4 = (
-        gram.join(
-            v3.select(F.col("i").alias("j"), F.col("v").alias("vj")), "j"
-        )
-        .groupBy("i")
-        .agg(F.sum(F.col("g") * F.col("vj")).alias("w"))
+    v4, s4 = rescale(
+        [sum(gram[i][j] * v3[j] for j in range(d)) for i in range(d)]
     )
-    v4, m4 = rescale(w4)
-    dots = (
-        v3.alias("a")
-        .join(v4.alias("b"), "i")
-        .agg(
-            F.sum(F.col("b.v") * F.col("a.v")).alias("dn"),
-            F.sum(F.col("a.v") * F.col("a.v")).alias("dd"),
-        )
-    )
-    mx = v3.agg(F.max(F.abs(F.col("v"))).alias("ma"))
-    return (
-        v3.crossJoin(F.broadcast(mx))
-        .crossJoin(F.broadcast(dots))
-        .crossJoin(F.broadcast(m4))
-        .select(
-            F.col("i").alias("dim_idx"),
-            F.when(
-                F.col("ma") > 0,
-                F.col("v").cast("double") / F.col("ma").cast("double"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("loading"),
-            F.when(
-                F.col("dd") > 0,
-                F.col("dn").cast("double")
-                / F.col("dd").cast("double")
-                * F.col("s").cast("double"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("eig_estimate"),
-        )
-    )
+    dn = sum(a * b for a, b in zip(v4, v3))
+    dd = sum(a * a for a in v3)
+    ma = max(abs(x) for x in v3)
+    eig = float(dn) / float(dd) * float(s4) if dd > 0 else 0.0
+    rows = [
+        (i + 1, float(v3[i]) / float(ma) if ma > 0 else 0.0, eig)
+        for i in range(d)
+    ]
+    return spark.createDataFrame(rows, out_schema)
 
 
 # ---------------------------------------------------------------------------

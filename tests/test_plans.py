@@ -214,11 +214,6 @@ def test_no_accidental_cartesian_products(plans):
         # every fact row out through a broadcast cross (the
         # grouping-sets shape — deliberate)
         "q312_generalization_ladder",
-        # q315 power iteration: the per-iteration rescale divisor and
-        # the final (max-abs, dot-products, scale) legs are broadcast
-        # single-row aggregates crossed onto the 64-row dim frame —
-        # q130's shape; the data-sized gram job is a plain equi-join
-        "q315_pca_power_iteration",
         # q318 kappa: the (n, sum rm*cm) totals and diagonal-sum rows
         # cross onto the <=6-row class frame — q130's shape
         "q318_langid_kappa_f1",
