@@ -161,14 +161,72 @@ _Q315_ITER_SQL = """
     )"""
 
 
+def q315_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of q315: the d^2-row exact-integer gram
+    aggregate, exposed pre-collect so plan tests can inspect the real
+    job (q315 itself collects, which hides this sub-plan from any
+    post-hoc explain)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    # The gram aggregation is the ONLY data-sized job, and it runs as a
+    # vectorized Arrow-batched partial: each batch quantizes to exact
+    # milli-int64 and emits its d x d outer-product sum Q.T @ Q (one
+    # BLAS call), so the shuffle carries d^2 rows PER BATCH instead of
+    # d^2 rows per input row (the explode+self-join formulation is 64x
+    # the data volume and a full join).  Quantization is half-away-
+    # from-zero on the exact fractional part — NOT floor(x+0.5), which
+    # misrounds boundary doubles like 0.49999999999999994 (x+0.5
+    # rounds UP to 1.0 in IEEE64) — matching round() in Spark SQL and
+    # DuckDB on every representable value.
+    def gram_partial(batches):
+        for pdf in batches:
+            vecs = [v for v in pdf["embedding"].to_numpy() if v is not None]
+            if not vecs:
+                continue
+            x = np.stack(vecs).astype(np.float64) * 1000.0
+            t = np.trunc(x)  # |x| < 2^52, so frac = x - t is EXACT
+            frac = x - t
+            q = (
+                t
+                + np.where(frac >= 0.5, 1.0, 0.0)
+                - np.where(frac <= -0.5, 1.0, 0.0)
+            ).astype(np.int64)
+            g = q.T @ q
+            d_ = g.shape[0]
+            ii, jj = np.indices((d_, d_))
+            yield pd.DataFrame(
+                {
+                    "i": (ii + 1).ravel().astype(np.int32),
+                    "j": (jj + 1).ravel().astype(np.int32),
+                    "g": g.ravel(),
+                }
+            )
+
+    return (
+        emb.select("embedding")
+        .mapInPandas(gram_partial, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+    )
+
+
+
 @register(
     "q315_pca_power_iteration",
     sql="""
     WITH ex AS (
-      SELECT vec_id, CAST(t.i AS INT) AS i,
-             CAST(round(CAST(list_extract(embedding, CAST(t.i AS INT))
-                             AS DOUBLE) * 1000) AS BIGINT) AS q
-      FROM embeddings, range(1, 65) t(i)
+      SELECT vec_id, CAST(u.i AS INT) AS i,
+             CAST(round(CAST(u.x AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM (
+        SELECT vec_id,
+               unnest(embedding) AS x,
+               unnest(range(1, 1 + len(embedding))) AS i
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+      ) u
     ),
     g AS (
       SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS g
@@ -220,50 +278,12 @@ _Q315_ITER_SQL = """
     tags=("llmdata", "embeddings", "linalg", "agg"),
 )
 def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    emb = load(spark, sf_dir, "embeddings")
-
-    # The gram aggregation is the ONLY data-sized job, and it runs as a
-    # vectorized Arrow-batched partial: each batch quantizes to exact
-    # milli-int64 and emits its d x d outer-product sum Q.T @ Q (one
-    # BLAS call), so the shuffle carries d^2 rows PER BATCH instead of
-    # d^2 rows per input row (the explode+self-join formulation is 64x
-    # the data volume and a full join).  Quantization is half-away-
-    # from-zero to match round() in Spark SQL and DuckDB exactly.
-    def gram_partial(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            x = x * 1000.0
-            q = np.where(
-                x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
-            ).astype(np.int64)
-            g = q.T @ q
-            d_ = g.shape[0]
-            ii, jj = np.indices((d_, d_))
-            yield pd.DataFrame(
-                {
-                    "i": (ii + 1).ravel().astype(np.int32),
-                    "j": (jj + 1).ravel().astype(np.int32),
-                    "g": g.ravel(),
-                }
-            )
-
     # The collect is DIMENSION-bounded (d^2 = 4096 rows regardless of
     # corpus size), and the power iteration is O(d^2) exact-integer
     # arithmetic — driver-side by design, the small-d eigensolve
     # pattern (Spark MLlib computeSVD does the same); running 64-row
     # matvec iterates as distributed jobs is pure scheduler overhead.
-    gram_rows = (
-        emb.select("embedding")
-        .mapInPandas(gram_partial, "i int, j int, g long")
-        .groupBy("i", "j")
-        .agg(F.sum("g").alias("g"))
-        .collect()
-    )
+    gram_rows = q315_gram(spark, sf_dir).collect()
     d = max((r["i"] for r in gram_rows), default=0)
     gram = [[0] * d for _ in range(d)]
     for r in gram_rows:
@@ -309,10 +329,10 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH d AS (
       SELECT source,
-             len(string_split_regex(trim(text), '\\s+')) AS n,
+             len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n,
              greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sents,
              list_sum(list_transform(
-               string_split_regex(lower(trim(text)), '\\s+'),
+               string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))
              )) AS syl
       FROM documents WHERE length(trim(text)) > 0
@@ -355,12 +375,12 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length(F.trim(F.col("text"))) > 0)
         .select(
             "source",
-            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"),
+            F.size(F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")).alias("n"),
             F.greatest(
                 F.lit(1), F.regexp_count(F.col("text"), F.lit("[.!?]+"))
             ).alias("sents"),
             F.aggregate(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0b\f\r]+"),
                 F.lit(0).cast("bigint"),
                 lambda acc, w: acc
                 + F.greatest(
@@ -472,16 +492,16 @@ _STOPS = {
 
 
 def _q318_sql() -> str:
+    # DuckDB list literals use ['a','b'] syntax — repr() of a Python list
+    # of strings renders exactly that.
     score = ",\n        ".join(
         f"CAST(len(list_intersect(toks, {words!r})) AS DOUBLE) / 10 AS s_{c}"
         for c, words in _STOPS.items()
-    ).replace("'", "'").replace("[", "[").replace("]", "]")
-    # DuckDB list literals use ['a','b'] syntax — repr() of a Python list
-    # of strings renders exactly that.
+    )
     return f"""
     WITH t AS (
       SELECT lang,
-             list_distinct(string_split_regex(lower(trim(text)), '\\s+'))
+             list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'))
                AS toks
       FROM documents
     ),
@@ -556,12 +576,15 @@ def _q318_sql() -> str:
         "classes (so the 'und' abstain class is first-class).  "
         "Physical: one doc scan to confusion grain (<=36 cells), then "
         "dim-grain arithmetic; the full-outer class union and totals "
-        "are single-digit-row broadcasts at any corpus size.",
+        "are single-digit-row broadcasts at any corpus size.  BIGINT "
+        "bound: the kappa denominator computes n*n, exact to n ~ 3e9 "
+        "docs (DuckDB promotes to HUGEINT; Spark would wrap) — past "
+        "that, compute kappa on a decimal(38,0) cast of the marginals.",
     tags=("llmdata", "quality", "eval", "documents", "agg"),
 )
 def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0b\f\r]+"))
     t = d.select("lang", toks.alias("toks"))
     s = t.select(
         "lang",
@@ -786,7 +809,7 @@ def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH d AS (
       SELECT source,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT)
                AS x,
              CAST(n_chars AS BIGINT) AS y
       FROM documents WHERE length(trim(text)) > 0
@@ -829,7 +852,12 @@ def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total; O(sources) downstream regardless of corpus size.  "
         "Emit both slope_all (constant) and slope_loo so the consumer "
         "diffs them; the difference is deliberately NOT pre-computed "
-        "as a float subtraction of two near-equal numbers here.",
+        "as a float subtraction of two near-equal numbers here.  "
+        "BIGINT bound: the n*Sxx / Sx*Sx cross products are exact "
+        "while n * x_max^2 < 2^63 (~1e9 docs at 1e5-char pages; "
+        "DuckDB's HUGEINT promotion would mask a Spark wrap past "
+        "that) — cast the sufficient statistics to decimal(38,0) "
+        "beyond it.",
     tags=("llmdata", "eval", "documents", "regression", "agg"),
 )
 def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -838,7 +866,7 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length(F.trim(F.col("text"))) > 0)
         .select(
             "source",
-            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            F.size(F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+"))
             .cast("bigint")
             .alias("x"),
             F.col("n_chars").cast("bigint").alias("y"),

@@ -237,6 +237,25 @@ def test_no_accidental_cartesian_products(plans):
         assert "BroadcastNestedLoopJoin" not in p, f"{name} plans a nested-loop join"
 
 
+def test_q315_gram_subplan(spark):
+    """q315 collects its dimension-bounded gram inside fn, so the
+    catalog-wide plan sweep only ever sees the final LocalRelation —
+    pin the REAL distributed sub-plan here: one Arrow-batched
+    MapInPandas partial feeding one d^2-key aggregate Exchange, and no
+    join of any kind (the explode+self-join formulation this replaced
+    would show one)."""
+    import re
+
+    from aquiles_etl_pipeline_spark.relational.round7b_queries import q315_gram
+
+    p = plan_of(q315_gram(spark, SF))
+    assert "MapInPandas" in p, "gram partial must be the Arrow-batched path"
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, (
+        "gram must shuffle exactly once (the d^2-key combine)"
+    )
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
 def test_stratified_sample_is_shuffle_free(plans):
     """q51 is a pure filter+projection — a sampling primitive that
     plans ANY Exchange or Python node would not be a 'just a scan' at
