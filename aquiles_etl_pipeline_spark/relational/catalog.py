@@ -266,6 +266,10 @@ _GRADE_FIRST = (
     "q319_pr_curve_average_precision",
     "q320_loo_source_influence",
     "q321_shapley_attribution",
+    "q322_weighted_priority_sample",
+    "q323_ldiversity_tcloseness",
+    "q324_loo_target_encoding",
+    "q325_forecast_backtest",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -1063,3 +1063,534 @@ def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shapley_share"),
         F.col("total_conv").cast("bigint").alias("total_conversions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q322: deterministic weighted priority sample (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q322_weighted_priority_sample",
+    sql="""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             greatest(CAST(1 AS BIGINT), CAST(n_chars AS BIGINT)) AS w,
+             ln((CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT AS DOUBLE) + 1.0) / 1152921504606846976.0)
+               AS lnu
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, w,
+             CAST(round(lnu / CAST(w AS DOUBLE) * 1000000000) AS BIGINT)
+               AS priority_nano
+      FROM keyed
+      ORDER BY priority_nano DESC, doc_id
+      LIMIT 100
+    )
+    SELECT doc_id, source, w, priority_nano FROM ranked
+    """,
+    doc="Deterministic weighted sampling WITHOUT replacement "
+        "(Efraimidis-Spirakis 2006 A-ES: key = u^(1/w), equivalently "
+        "ln(u)/w, top-k by key): the uniform u derives from the top 60 "
+        "bits of sha256(doc_id) — the catalog's reproducible hash "
+        "family — shifted by +1 so u in (0,1] and ln(u) is finite.  "
+        "Every doc's priority is a pure per-row expression nano-"
+        "rounded to BIGINT before ordering (libm ln() differs by an "
+        "ulp between engines — measured here — so raw ln-derived "
+        "doubles are NOT portable sort keys), making the selected set "
+        "bit-reproducible run-to-run and engine-to-engine — the "
+        "property a training-data subsample MUST have for "
+        "provenance.  Physical: one scan + TakeOrdered "
+        "top-100 (ORDER BY + LIMIT never global-sorts in Spark); at "
+        "100 TB this is a single pass with per-partition heaps, and "
+        "re-drawing with a different seed is just salting the hash "
+        "input.",
+    tags=("llmdata", "sampling", "documents"),
+)
+def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 15), 16, 10
+    ).cast("long")
+    w = F.greatest(F.lit(1).cast("bigint"), F.col("n_chars").cast("bigint"))
+    lnu = F.log(
+        (h.cast("double") + F.lit(1.0)) / F.lit(1152921504606846976.0)
+    )
+    keyed = d.select(
+        "doc_id",
+        "source",
+        w.alias("w"),
+        F.round(lnu / w.cast("double") * 1000000000)
+        .cast("bigint")
+        .alias("priority_nano"),
+    )
+    return keyed.orderBy(F.desc("priority_nano"), F.asc("doc_id")).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# q323: l-diversity + t-closeness release audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "q323_ldiversity_tcloseness",
+    sql="""
+    WITH rows_ AS (
+      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS b
+      FROM documents
+    ),
+    gb AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS g FROM rows_ GROUP BY b
+    ),
+    gbo AS (
+      SELECT b, g,
+             SUM(g) OVER (ORDER BY b) AS cum_g,
+             row_number() OVER (ORDER BY b) AS rn,
+             COUNT(*) OVER () AS nb,
+             (SELECT SUM(g) FROM gb) AS n_total
+      FROM gb
+    ),
+    cls AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n FROM rows_
+      GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT lang, source, b, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(*) AS BIGINT)
+               * CAST(round(ln(CAST(COUNT(*) AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS clnc
+      FROM rows_ GROUP BY 1, 2, 3
+    ),
+    dense AS (
+      SELECT cls.lang, cls.source, cls.n,
+             gbo.b, gbo.cum_g, gbo.rn, gbo.nb, gbo.n_total,
+             coalesce(cb.c, 0) AS c
+      FROM cls CROSS JOIN gbo
+      LEFT JOIN cb ON cb.lang = cls.lang AND cb.source = cls.source
+                  AND cb.b = gbo.b
+    ),
+    cum AS (
+      SELECT lang, source, n, rn, nb, n_total,
+             SUM(c) OVER (PARTITION BY lang, source ORDER BY b) AS cum_c,
+             cum_g
+      FROM dense
+    ),
+    emd AS (
+      SELECT lang, source,
+             SUM(CASE WHEN rn < nb
+                      THEN abs(cum_c * n_total - cum_g * n) ELSE 0 END)
+               AS emd_num,
+             max(n) AS n, max(nb) AS nb, max(n_total) AS n_total
+      FROM cum GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS l_distinct,
+             SUM(clnc) AS sum_clnc
+      FROM cb GROUP BY 1, 2
+    )
+    SELECT emd.lang, emd.source,
+           CAST(emd.n AS BIGINT) AS n_rows,
+           ent.l_distinct,
+           (CAST(emd.n AS DOUBLE)
+              * CAST(round(ln(CAST(emd.n AS DOUBLE)) * 1000000) AS BIGINT)
+            - CAST(ent.sum_clnc AS DOUBLE))
+             / (CAST(emd.n AS DOUBLE) * 1000000.0) AS entropy_l,
+           CASE WHEN emd.nb > 1
+                THEN CAST(emd.emd_num AS DOUBLE)
+                     / (CAST(emd.n AS DOUBLE) * CAST(emd.n_total AS DOUBLE)
+                        * (emd.nb - 1))
+                ELSE 0.0 END AS t_closeness
+    FROM emd JOIN ent ON emd.lang = ent.lang AND emd.source = ent.source
+    """,
+    doc="Privacy release audit beyond q296's k-anonymity: for each "
+        "quasi-identifier class (lang, source), l-diversity (distinct "
+        "sensitive length-buckets and Shannon entropy of their "
+        "distribution — the q302 exact-integer entropy kernel: each "
+        "c*ln(c) micro-rounded BEFORE the sum) and t-closeness (EMD "
+        "between the class's sensitive distribution and the corpus "
+        "distribution over ORDERED buckets: the cumulative-difference "
+        "sum, computed as exact cross-multiplied integers "
+        "|cum_c*N - cum_g*n| with one terminal division).  Physical: "
+        "one scan to (class, bucket) grain, a dims-only class x "
+        "bucket scaffold (deliberate, allowlisted) so missing buckets "
+        "densify to zero, window cums at scaffold grain; at 100 TB "
+        "everything after the first aggregate is dimension-sized.",
+    tags=("llmdata", "privacy", "documents", "window", "agg"),
+)
+def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr("CAST(n_chars div 100 AS BIGINT)").alias("b")
+    )
+    gb = d.groupBy("b").agg(F.count("*").alias("g"))
+    n_total = gb.agg(F.sum("g").alias("n_total"))
+    wob = Window.orderBy("b")
+    gbo = (
+        gb.select(
+            "b",
+            "g",
+            F.sum("g").over(wob).alias("cum_g"),
+            F.row_number().over(wob).alias("rn"),
+            F.count("*").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("nb"),
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    cls = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    cb = d.groupBy("lang", "source", "b").agg(
+        F.count("*").alias("c"),
+        (
+            F.count("*")
+            * F.round(F.log(F.count("*").cast("double")) * 1000000).cast(
+                "bigint"
+            )
+        ).alias("clnc"),
+    )
+    dense = (
+        cls.crossJoin(F.broadcast(gbo))
+        .join(cb, ["lang", "source", "b"], "left")
+        .select(
+            "lang",
+            "source",
+            "n",
+            "b",
+            "cum_g",
+            "rn",
+            "nb",
+            "n_total",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    wcls = Window.partitionBy("lang", "source").orderBy("b")
+    cum = dense.select(
+        "lang",
+        "source",
+        "n",
+        "rn",
+        "nb",
+        "n_total",
+        F.sum("c").over(wcls).alias("cum_c"),
+        "cum_g",
+    )
+    emd = cum.groupBy("lang", "source").agg(
+        F.sum(
+            F.when(
+                F.col("rn") < F.col("nb"),
+                F.abs(
+                    F.col("cum_c") * F.col("n_total")
+                    - F.col("cum_g") * F.col("n")
+                ),
+            ).otherwise(F.lit(0))
+        ).alias("emd_num"),
+        F.max("n").alias("n"),
+        F.max("nb").alias("nb"),
+        F.max("n_total").alias("n_total"),
+    )
+    ent = cb.groupBy("lang", "source").agg(
+        F.count("*").alias("l_distinct"), F.sum("clnc").alias("sum_clnc")
+    )
+    return emd.join(ent, ["lang", "source"]).select(
+        "lang",
+        "source",
+        F.col("n").cast("bigint").alias("n_rows"),
+        "l_distinct",
+        emit(
+            (
+                F.col("n").cast("double")
+                * F.round(F.log(F.col("n").cast("double")) * 1000000).cast(
+                    "bigint"
+                )
+                - F.col("sum_clnc").cast("double")
+            )
+            / (F.col("n").cast("double") * F.lit(1000000.0))
+        ).alias("entropy_l"),
+        F.when(
+            F.col("nb") > 1,
+            F.col("emd_num").cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("n_total").cast("double")
+                * (F.col("nb") - 1)
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("t_closeness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q324: leave-one-out target encoding audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "q324_loo_target_encoding",
+    sql="""
+    WITH f AS (
+      SELECT o_orderpriority AS category,
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS y
+      FROM orders
+    ),
+    cat AS (
+      SELECT category, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS s
+      FROM f GROUP BY category
+    ),
+    g AS (SELECT SUM(n) AS gn, SUM(s) AS gs FROM cat),
+    enc AS (
+      SELECT f.category,
+             CAST(round(
+               ((CAST(cat.s - f.y AS DOUBLE)
+                 + 10.0 * (CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE)))
+                / (CAST(cat.n AS DOUBLE) - 1.0 + 10.0)) * 1000
+             ) AS BIGINT) AS loo_m
+      FROM f JOIN cat ON f.category = cat.category CROSS JOIN g
+    )
+    SELECT cat.category,
+           cat.n AS n_rows,
+           CAST(cat.s AS DOUBLE) / CAST(cat.n AS DOUBLE) AS naive_enc_cents,
+           CAST(SUM(enc.loo_m) AS DOUBLE) / (cat.n * 1000.0)
+             AS avg_loo_enc_cents,
+           CAST(MIN(enc.loo_m) AS DOUBLE) / 1000.0 AS min_loo_enc_cents,
+           CAST(MAX(enc.loo_m) AS DOUBLE) / 1000.0 AS max_loo_enc_cents
+    FROM enc JOIN cat ON enc.category = cat.category CROSS JOIN g
+    GROUP BY cat.category, cat.n, cat.s
+    """,
+    doc="Leave-one-out target encoding with additive smoothing (the "
+        "standard leakage-safe categorical feature: enc_i = "
+        "(sum_cat - y_i + m*prior)/(n_cat - 1 + m), m=10, prior = "
+        "global mean) audited at category grain: naive vs average LOO "
+        "encoding plus the min/max spread.  Target is exact integer "
+        "cents; the per-row encoding is one double expression with "
+        "the identical op tree in both engines, milli-rounded to "
+        "BIGINT before the category rollup.  The smoothing term makes "
+        "the denominator >= m, so no zero-division exists even for "
+        "singleton categories.  Physical: category aggregates "
+        "broadcast back onto the fact scan (equi-join, never NLJ), "
+        "the global prior is a single broadcast row; one fact pass + "
+        "one category-grain rollup at any scale.",
+    tags=("llmdata", "features", "orders", "agg"),
+)
+def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        F.round(F.col("o_totalprice").cast(DEC) * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    cat = f.groupBy("category").agg(
+        F.count("*").alias("n"), F.sum("y").alias("s")
+    )
+    g = cat.agg(F.sum("n").alias("gn"), F.sum("s").alias("gs"))
+    enc = (
+        f.join(F.broadcast(cat), "category")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "category",
+            F.round(
+                (
+                    (
+                        (F.col("s") - F.col("y")).cast("double")
+                        + F.lit(10.0)
+                        * (F.col("gs").cast("double") / F.col("gn").cast("double"))
+                    )
+                    / (F.col("n").cast("double") - F.lit(1.0) + F.lit(10.0))
+                )
+                * 1000
+            )
+            .cast("bigint")
+            .alias("loo_m"),
+        )
+    )
+    return (
+        enc.groupBy("category")
+        .agg(
+            F.sum("loo_m").alias("sum_loo"),
+            F.min("loo_m").alias("min_loo"),
+            F.max("loo_m").alias("max_loo"),
+        )
+        .join(F.broadcast(cat), "category")
+        .select(
+            "category",
+            F.col("n").alias("n_rows"),
+            emit(F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "naive_enc_cents"
+            ),
+            emit(
+                F.col("sum_loo").cast("double") / (F.col("n") * F.lit(1000.0))
+            ).alias("avg_loo_enc_cents"),
+            emit(F.col("min_loo").cast("double") / F.lit(1000.0)).alias(
+                "min_loo_enc_cents"
+            ),
+            emit(F.col("max_loo").cast("double") / F.lit(1000.0)).alias(
+                "max_loo_enc_cents"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q325: forecast backtest metrics (sMAPE / MASE / bias)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q325_forecast_backtest",
+    sql="""
+    WITH daily AS (
+      SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS d,
+             CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    horizon AS (SELECT max(d) AS max_d FROM daily),
+    pairs AS (
+      SELECT a.grp, a.d, a.rev AS actual, l.rev AS fc,
+             CASE WHEN a.d > max_d - 28 THEN 1 ELSE 0 END AS is_test
+      FROM daily a
+      JOIN daily l ON l.grp = a.grp AND l.d = a.d - 7
+      CROSS JOIN horizon
+    ),
+    m AS (
+      SELECT grp,
+             CAST(SUM(CASE WHEN is_test = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test,
+             SUM(CASE WHEN is_test = 1 THEN abs(actual - fc) ELSE 0 END)
+               AS sae_test,
+             SUM(CASE WHEN is_test = 1 THEN actual - fc ELSE 0 END)
+               AS se_test,
+             SUM(CASE WHEN is_test = 1 THEN CAST(round(
+                   CASE WHEN actual + fc > 0
+                        THEN 2.0 * CAST(abs(actual - fc) AS DOUBLE)
+                             / CAST(actual + fc AS DOUBLE)
+                        ELSE 0.0 END * 1000000) AS BIGINT)
+                 ELSE 0 END) AS smape_m,
+             CAST(SUM(CASE WHEN is_test = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_in,
+             SUM(CASE WHEN is_test = 0 THEN abs(actual - fc) ELSE 0 END)
+               AS sae_in
+      FROM pairs GROUP BY grp
+    )
+    SELECT grp,
+           n_test,
+           CASE WHEN n_test > 0
+                THEN CAST(smape_m AS DOUBLE) / (n_test * 1000000.0)
+                ELSE 0.0 END AS smape,
+           CASE WHEN sae_in > 0 AND n_test > 0 AND n_in > 0
+                THEN (CAST(sae_test AS DOUBLE) * CAST(n_in AS DOUBLE))
+                     / (CAST(n_test AS DOUBLE) * CAST(sae_in AS DOUBLE))
+                ELSE 0.0 END AS mase,
+           CASE WHEN n_test > 0
+                THEN CAST(se_test AS DOUBLE) / CAST(n_test AS DOUBLE)
+                ELSE 0.0 END AS bias_cents
+    FROM m
+    """,
+    doc="Forecast backtest harness: a seasonal-naive weekly forecast "
+        "(rev[d-7]) evaluated on the trailing 28-day holdout per order "
+        "priority — sMAPE (per-day term micro-rounded before the "
+        "sum; 0 when actual+forecast is 0), MASE (the scale-free "
+        "Hyndman-Koehler metric: test MAE over in-sample seasonal-"
+        "naive MAE, computed as ONE division of exact integer "
+        "cross-products sae_test*n_in / n_test*sae_in), and signed "
+        "bias in cents.  Days without a d-7 counterpart drop from "
+        "both numerator and denominator symmetrically (sparse-series "
+        "contract, documented).  Physical: one (grp, day)-grain "
+        "rollup, an aggregate-grain self-join on the 7-day shift "
+        "(never a fact self-join), the horizon as one broadcast row; "
+        "at 100 TB the fact scan is the only data-sized job.",
+    tags=("timeseries", "forecast", "orders", "agg"),
+)
+def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    horizon = daily.agg(F.max("d").alias("max_d"))
+    lag = daily.select(
+        F.col("grp").alias("lgrp"),
+        F.col("d").alias("ld"),
+        F.col("rev").alias("fc"),
+    )
+    pairs = (
+        daily.join(
+            lag,
+            (F.col("lgrp") == F.col("grp"))
+            & (F.col("ld") == F.date_sub(F.col("d"), 7)),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "grp",
+            F.col("rev").alias("actual"),
+            "fc",
+            F.when(F.col("d") > F.date_sub(F.col("max_d"), 28), 1)
+            .otherwise(0)
+            .alias("is_test"),
+        )
+    )
+    smape_term = F.round(
+        F.when(
+            (F.col("actual") + F.col("fc")) > 0,
+            F.lit(2.0)
+            * F.abs(F.col("actual") - F.col("fc")).cast("double")
+            / (F.col("actual") + F.col("fc")).cast("double"),
+        ).otherwise(F.lit(0.0))
+        * 1000000
+    ).cast("bigint")
+    m = pairs.groupBy("grp").agg(
+        F.sum(F.when(F.col("is_test") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
+        F.sum(
+            F.when(
+                F.col("is_test") == 1, F.abs(F.col("actual") - F.col("fc"))
+            ).otherwise(F.lit(0))
+        ).alias("sae_test"),
+        F.sum(
+            F.when(
+                F.col("is_test") == 1, F.col("actual") - F.col("fc")
+            ).otherwise(F.lit(0))
+        ).alias("se_test"),
+        F.sum(
+            F.when(F.col("is_test") == 1, smape_term).otherwise(F.lit(0))
+        ).alias("smape_m"),
+        F.sum(F.when(F.col("is_test") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_in"),
+        F.sum(
+            F.when(
+                F.col("is_test") == 0, F.abs(F.col("actual") - F.col("fc"))
+            ).otherwise(F.lit(0))
+        ).alias("sae_in"),
+    )
+    return m.select(
+        "grp",
+        "n_test",
+        F.when(
+            F.col("n_test") > 0,
+            F.col("smape_m").cast("double") / (F.col("n_test") * F.lit(1000000.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("smape"),
+        F.when(
+            (F.col("sae_in") > 0) & (F.col("n_test") > 0) & (F.col("n_in") > 0),
+            (F.col("sae_test").cast("double") * F.col("n_in").cast("double"))
+            / (F.col("n_test").cast("double") * F.col("sae_in").cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mase"),
+        F.when(
+            F.col("n_test") > 0,
+            F.col("se_test").cast("double") / F.col("n_test").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("bias_cents"),
+    )

@@ -229,6 +229,16 @@ def test_no_accidental_cartesian_products(plans):
         # constant-size NLJ — the subset-lattice scaffold), and the
         # conversions total crosses as a single row
         "q321_shapley_attribution",
+        # q323 l-diversity/t-closeness: the class x bucket scaffold is
+        # a deliberate dims-only cross (q308's shape) so missing
+        # buckets densify to zero, plus the corpus-total single row
+        "q323_ldiversity_tcloseness",
+        # q324 LOO encoding: the global prior joins in as a broadcast
+        # single-row aggregate (1 x N) — q42's shape
+        "q324_loo_target_encoding",
+        # q325 forecast backtest: the horizon (max day) joins in as a
+        # broadcast single-row aggregate (1 x N) — q42's shape
+        "q325_forecast_backtest",
     }
     for name, p in plans.items():
         if name in allowed:

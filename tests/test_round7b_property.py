@@ -407,3 +407,231 @@ def test_power_iteration_matches_integer_reference(
             i, out[i + 1]["loading"], want_loading
         )
         assert out[i + 1]["eig_estimate"] == pytest.approx(want_eig, abs=0.0)
+
+
+# ---------------------------------------------------------------------------
+# q322 A-ES weighted sample: exact selection equality with a hashlib ref
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.integers(min_value=0, max_value=5000),  # n_chars (0 tests the w>=1 guard)
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_weighted_sample_matches_hashlib_reference(
+    spark, tmp_path_factory, docs
+):
+    import hashlib
+
+    rows = [(i, "t", "en", "s0", n) for i, n in enumerate(docs)]
+    sf = _docs_dir(tmp_path_factory.mktemp("aes"), rows)
+    out = registry()["q322_weighted_priority_sample"].fn(spark, sf).collect()
+
+    def prio(doc_id: int, n: int) -> int:
+        h = int(
+            hashlib.sha256(str(doc_id).encode()).hexdigest()[:15], 16
+        )
+        u = (h + 1.0) / 1152921504606846976.0
+        return round(math.log(u) / float(max(1, n)) * 1e9)
+
+    ref = sorted(
+        ((prio(i, n), i, n) for i, n in enumerate(docs)),
+        key=lambda t: (-t[0], t[1]),
+    )[:100]
+    assert [r["doc_id"] for r in out] == [i for _, i, _ in ref]
+    assert [r["priority_nano"] for r in out] == [p for p, _, _ in ref]
+    assert [r["w"] for r in out] == [max(1, n) for _, _, n in ref]
+
+
+# ---------------------------------------------------------------------------
+# q323 l-diversity / t-closeness vs direct recomputation
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # lang idx
+            st.integers(min_value=0, max_value=2),    # source idx
+            st.integers(min_value=0, max_value=599),  # n_chars
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_ldiversity_tcloseness_matches_bruteforce(
+    spark, tmp_path_factory, docs
+):
+    langs = ["en", "es", "fr"]
+    rows = [
+        (i, "t", langs[la], f"s{s}", n) for i, (la, s, n) in enumerate(docs)
+    ]
+    sf = _docs_dir(tmp_path_factory.mktemp("ldiv"), rows)
+    out = {
+        (r["lang"], r["source"]): r
+        for r in registry()["q323_ldiversity_tcloseness"].fn(spark, sf).collect()
+    }
+
+    buckets = sorted({n // 100 for _, _, n in docs})
+    nb = len(buckets)
+    n_total = len(docs)
+    g = {b: sum(1 for _, _, n in docs if n // 100 == b) for b in buckets}
+    classes = {(langs[la], f"s{s}") for la, s, _ in docs}
+    assert set(out) == classes
+    for lang, src in classes:
+        vals = [
+            n // 100
+            for la, s, n in docs
+            if langs[la] == lang and f"s{s}" == src
+        ]
+        n = len(vals)
+        cnt = {b: vals.count(b) for b in set(vals)}
+        # entropy with the same micro-rounding
+        s_clnc = sum(c * round(math.log(c) * 1e6) for c in cnt.values())
+        want_ent = (n * round(math.log(n) * 1e6) - s_clnc) / (n * 1e6)
+        # EMD over ordered buckets, exact cross-multiplied integers
+        cum_c = cum_g = 0
+        emd_num = 0
+        for rn, b in enumerate(buckets, start=1):
+            cum_c += cnt.get(b, 0)
+            cum_g += g[b]
+            if rn < nb:
+                emd_num += abs(cum_c * n_total - cum_g * n)
+        want_t = (
+            emd_num / (n * n_total * (nb - 1)) if nb > 1 else 0.0
+        )
+        r = out[(lang, src)]
+        assert r["n_rows"] == n
+        assert r["l_distinct"] == len(cnt)
+        assert abs(r["entropy_l"] - want_ent) < 1e-12
+        assert abs(r["t_closeness"] - want_t) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q325 forecast backtest vs direct recomputation
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=59),   # day offset
+            st.integers(min_value=0, max_value=500),  # cents
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_forecast_backtest_matches_bruteforce(spark, tmp_path_factory, days):
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, 1, "O", c / 100.0, t0 + pd.Timedelta(days=d), "1-URGENT")
+        for i, (d, c) in enumerate(days)
+    ]
+    sf = _orders_dir_(tmp_path_factory.mktemp("fc"), rows)
+    out = registry()["q325_forecast_backtest"].fn(spark, sf).collect()
+
+    daily: dict[int, int] = {}
+    for d, c in days:
+        daily[d] = daily.get(d, 0) + c
+    max_d = max(daily)
+    pairs = [
+        (d, daily[d], daily[d - 7], d > max_d - 28)
+        for d in daily
+        if d - 7 in daily
+    ]
+    if not pairs:
+        # sparse-series contract: a group with zero d-7 counterparts
+        # emits no row at all
+        assert out == []
+        return
+    assert len(out) == 1
+    r = out[0]
+    test = [(a, f) for _, a, f, t in pairs if t]
+    ins = [(a, f) for _, a, f, t in pairs if not t]
+    assert r["n_test"] == len(test)
+    if test:
+        smape = sum(
+            round((2.0 * abs(a - f) / (a + f) if a + f > 0 else 0.0) * 1e6)
+            for a, f in test
+        ) / (len(test) * 1e6)
+        assert abs(r["smape"] - smape) < 1e-12
+        sae_t = sum(abs(a - f) for a, f in test)
+        sae_i = sum(abs(a - f) for a, f in ins)
+        want_mase = (
+            (sae_t * len(ins)) / (len(test) * sae_i)
+            if sae_i > 0 and ins
+            else 0.0
+        )
+        assert abs(r["mase"] - want_mase) < 1e-12
+        assert abs(
+            r["bias_cents"] - sum(a - f for a, f in test) / len(test)
+        ) < 1e-12
+    else:
+        assert r["smape"] == 0.0 and r["mase"] == 0.0
+
+
+def _orders_dir_(tmpdir, rows):
+    pdf = pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    d = tmpdir / "sf"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "orders.parquet", index=False)
+    return str(d)
+
+
+# ---------------------------------------------------------------------------
+# q324 LOO target encoding vs direct per-row recomputation
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows_in=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # category idx
+            st.integers(min_value=0, max_value=900),  # cents
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_loo_target_encoding_matches_bruteforce(
+    spark, tmp_path_factory, rows_in
+):
+    cats = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, 1, "O", c / 100.0, t0, cats[k]) for i, (k, c) in enumerate(rows_in)
+    ]
+    sf = _orders_dir_(tmp_path_factory.mktemp("loo2"), rows)
+    out = {
+        r["category"]: r
+        for r in registry()["q324_loo_target_encoding"].fn(spark, sf).collect()
+    }
+
+    ys: dict[str, list[int]] = {}
+    for k, c in rows_in:
+        ys.setdefault(cats[k], []).append(c)
+    gn = len(rows_in)
+    gs = sum(c for _, c in rows_in)
+    prior = gs / gn
+    assert set(out) == set(ys)
+    for cat, vals in ys.items():
+        n, s = len(vals), sum(vals)
+        loo = [
+            round(((s - y) + 10.0 * prior) / (n - 1.0 + 10.0) * 1000)
+            for y in vals
+        ]
+        r = out[cat]
+        assert r["n_rows"] == n
+        assert abs(r["naive_enc_cents"] - s / n) < 1e-12
+        assert abs(r["avg_loo_enc_cents"] - sum(loo) / (n * 1e3)) < 1e-12
+        assert abs(r["min_loo_enc_cents"] - min(loo) / 1e3) < 1e-12
+        assert abs(r["max_loo_enc_cents"] - max(loo) / 1e3) < 1e-12
