@@ -161,15 +161,56 @@ _Q315_ITER_SQL = """
     )"""
 
 
-def q315_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The distributed half of q315: the d^2-row exact-integer gram
-    aggregate, exposed pre-collect so plan tests can inspect the real
-    job (q315 itself collects, which hides this sub-plan from any
-    post-hoc explain)."""
+_PCA_SQL = (
+"""
+    WITH ex AS (
+      SELECT vec_id, CAST(u.i AS INT) AS i,
+             CAST(round(CAST(u.x AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM (
+        SELECT vec_id,
+               unnest(embedding) AS x,
+               unnest(range(1, 1 + len(embedding))) AS i
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+      ) u
+    ),
+    g AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS g
+      FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2
+    ),
+    w1 AS (SELECT i, SUM(g) AS w FROM g GROUP BY i),
+    m1 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(w)) // 1024) AS s
+           FROM w1),
+    v1 AS (
+      SELECT i, CASE WHEN w < 0 THEN -((-w) // s) ELSE w // s END AS v
+      FROM w1, m1
+    ),""" + _Q315_ITER_SQL.format(k=2, p=1) + "," + _Q315_ITER_SQL.format(
+        k=3, p=2
+    ) + "," + _Q315_ITER_SQL.format(k=4, p=3) + """,
+    dots AS (
+      SELECT SUM(v4.v * v3.v) AS dn, SUM(v3.v * v3.v) AS dd
+      FROM v3 JOIN v4 ON v3.i = v4.i
+    ),
+    mx AS (SELECT max(abs(v)) AS ma FROM v3)
+    SELECT v3.i AS dim_idx,
+           CASE WHEN mx.ma > 0
+                THEN CAST(v3.v AS DOUBLE) / CAST(mx.ma AS DOUBLE)
+                ELSE 0.0 END AS loading,
+           CASE WHEN dots.dd > 0
+                THEN CAST(dots.dn AS DOUBLE) / CAST(dots.dd AS DOUBLE)
+                     * CAST(m4.s AS DOUBLE)
+                ELSE 0.0 END AS eig_estimate
+    FROM v3, mx, dots, m4
+    """
+)
+
+
+def gram_of(emb: DataFrame) -> DataFrame:
+    """Exact-integer gram aggregate of any frame with an ``embedding``
+    array column — the shared kernel of q315 (batch) and q326
+    (streaming micro-batch partials)."""
     import numpy as np
     import pandas as pd
-
-    emb = load(spark, sf_dir, "embeddings")
 
     # The gram aggregation is the ONLY data-sized job, and it runs as a
     # vectorized Arrow-batched partial: each batch quantizes to exact
@@ -213,77 +254,18 @@ def q315_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q315_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of q315: the d^2-row exact-integer gram
+    aggregate, exposed pre-collect so plan tests can inspect the real
+    job (q315 itself collects, which hides this sub-plan from any
+    post-hoc explain)."""
+    return gram_of(load(spark, sf_dir, "embeddings"))
 
-@register(
-    "q315_pca_power_iteration",
-    sql="""
-    WITH ex AS (
-      SELECT vec_id, CAST(u.i AS INT) AS i,
-             CAST(round(CAST(u.x AS DOUBLE) * 1000) AS BIGINT) AS q
-      FROM (
-        SELECT vec_id,
-               unnest(embedding) AS x,
-               unnest(range(1, 1 + len(embedding))) AS i
-        FROM embeddings
-        WHERE embedding IS NOT NULL
-      ) u
-    ),
-    g AS (
-      SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS g
-      FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2
-    ),
-    w1 AS (SELECT i, SUM(g) AS w FROM g GROUP BY i),
-    m1 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(w)) // 1024) AS s
-           FROM w1),
-    v1 AS (
-      SELECT i, CASE WHEN w < 0 THEN -((-w) // s) ELSE w // s END AS v
-      FROM w1, m1
-    ),""" + _Q315_ITER_SQL.format(k=2, p=1) + "," + _Q315_ITER_SQL.format(
-        k=3, p=2
-    ) + "," + _Q315_ITER_SQL.format(k=4, p=3) + """,
-    dots AS (
-      SELECT SUM(v4.v * v3.v) AS dn, SUM(v3.v * v3.v) AS dd
-      FROM v3 JOIN v4 ON v3.i = v4.i
-    ),
-    mx AS (SELECT max(abs(v)) AS ma FROM v3)
-    SELECT v3.i AS dim_idx,
-           CASE WHEN mx.ma > 0
-                THEN CAST(v3.v AS DOUBLE) / CAST(mx.ma AS DOUBLE)
-                ELSE 0.0 END AS loading,
-           CASE WHEN dots.dd > 0
-                THEN CAST(dots.dn AS DOUBLE) / CAST(dots.dd AS DOUBLE)
-                     * CAST(m4.s AS DOUBLE)
-                ELSE 0.0 END AS eig_estimate
-    FROM v3, mx, dots, m4
-    """,
-    doc="Top principal direction of the embedding corpus via an "
-        "INTEGER-EXACT power-iteration sketch: elements quantized to "
-        "milli-units (BIGINT), the 64x64 gram matrix accumulated as "
-        "exact integer outer-product sums (the one data-sized job — "
-        "map-side partial aggregation, one 4096-key shuffle), then "
-        "three unrolled matvec iterations from the all-ones vector, "
-        "each rescaled by truncating integer division so every "
-        "intermediate stays a BIGINT — power iteration with zero float "
-        "accumulation, hence bit-identical across engines and "
-        "run-to-run.  The eigenvalue is a Rayleigh estimate from two "
-        "exact integer dot products times the final rescale factor.  "
-        "Loadings are emitted normalized to max-abs 1.  At 100 TB the "
-        "gram aggregation is the only data-sized job; the iterations "
-        "run driver-side over the DIMENSION-bounded d^2 matrix (the "
-        "MLlib small-d eigensolve pattern — 4096 integers, never "
-        "corpus-sized), because distributing 64-row matvecs is pure "
-        "scheduler overhead.  The milli quantization bounds gram "
-        "cells at ~1e6 per row, so BIGINT holds to ~1e12 rows (scale "
-        "the quantization step with corpus size beyond that).",
-    tags=("llmdata", "embeddings", "linalg", "agg"),
-)
-def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The collect is DIMENSION-bounded (d^2 = 4096 rows regardless of
-    # corpus size), and the power iteration is O(d^2) exact-integer
-    # arithmetic — driver-side by design, the small-d eigensolve
-    # pattern (Spark MLlib computeSVD does the same); running 64-row
-    # matvec iterates as distributed jobs is pure scheduler overhead.
-    gram_rows = q315_gram(spark, sf_dir).collect()
+
+def _solve_power_iteration(spark: SparkSession, gram_rows) -> DataFrame:
+    """Driver-side exact-integer power iteration over collected
+    (i, j, g) gram cells — DIMENSION-bounded input (d^2 rows), shared
+    by q315 and q326."""
     d = max((r["i"] for r in gram_rows), default=0)
     gram = [[0] * d for _ in range(d)]
     for r in gram_rows:
@@ -318,6 +300,40 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(d)
     ]
     return spark.createDataFrame(rows, out_schema)
+
+
+
+@register(
+    "q315_pca_power_iteration",
+    sql=_PCA_SQL,
+    doc="Top principal direction of the embedding corpus via an "
+        "INTEGER-EXACT power-iteration sketch: elements quantized to "
+        "milli-units (BIGINT), the 64x64 gram matrix accumulated as "
+        "exact integer outer-product sums (the one data-sized job — "
+        "map-side partial aggregation, one 4096-key shuffle), then "
+        "three unrolled matvec iterations from the all-ones vector, "
+        "each rescaled by truncating integer division so every "
+        "intermediate stays a BIGINT — power iteration with zero float "
+        "accumulation, hence bit-identical across engines and "
+        "run-to-run.  The eigenvalue is a Rayleigh estimate from two "
+        "exact integer dot products times the final rescale factor.  "
+        "Loadings are emitted normalized to max-abs 1.  At 100 TB the "
+        "gram aggregation is the only data-sized job; the iterations "
+        "run driver-side over the DIMENSION-bounded d^2 matrix (the "
+        "MLlib small-d eigensolve pattern — 4096 integers, never "
+        "corpus-sized), because distributing 64-row matvecs is pure "
+        "scheduler overhead.  The milli quantization bounds gram "
+        "cells at ~1e6 per row, so BIGINT holds to ~1e12 rows (scale "
+        "the quantization step with corpus size beyond that).",
+    tags=("llmdata", "embeddings", "linalg", "agg"),
+)
+def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The collect is DIMENSION-bounded (d^2 = 4096 rows regardless of
+    # corpus size), and the power iteration is O(d^2) exact-integer
+    # arithmetic — driver-side by design, the small-d eigensolve
+    # pattern (Spark MLlib computeSVD does the same); running 64-row
+    # matvec iterates as distributed jobs is pure scheduler overhead.
+    return _solve_power_iteration(spark, q315_gram(spark, sf_dir).collect())
 
 
 # ---------------------------------------------------------------------------
@@ -1594,3 +1610,79 @@ def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("bias_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q326: streaming incremental gram maintenance -> same PCA answer
+# ---------------------------------------------------------------------------
+
+@register(
+    "q326_stream_gram_pca",
+    sql=_PCA_SQL,
+    doc="Streaming continuous maintenance of the q315 gram matrix: the "
+        "embedding corpus lands as parquet in two waves, two "
+        "checkpointed Trigger.AvailableNow drains compute each micro-"
+        "batch's exact-integer gram partial (the shared gram_of "
+        "kernel) and additive-merge it into a warehouse rollup keyed "
+        "(i, j) with the batch-id idempotence stamp (q102's exactly-"
+        "once discipline: a redelivered batch id <= the generation-"
+        "stamped last id is skipped) — then the driver-side eigensolve "
+        "runs on the STORED gram.  Because the gram is a sum of "
+        "per-row integer outer products, streaming accumulation is "
+        "EXACTLY the batch answer (integer addition is associative), "
+        "so the oracle is q315's SQL verbatim — continuous PCA whose "
+        "per-trigger cost is O(batch + d^2), never a corpus rescan.  "
+        "At 100 TB this is how an embedding-drift monitor stays "
+        "fresh: the eigensolve reads d^2 stored cells regardless of "
+        "history size.",
+    tags=("streaming", "llmdata", "embeddings", "linalg", "warehouse"),
+)
+def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..merge.incremental import refresh_additive
+    from ..merge.warehouse import Warehouse
+
+    root = Path(tempfile.mkdtemp(prefix="q326_gram_"))
+    land = root / "land"
+    land.mkdir()
+    wh = Warehouse(spark, root / "wh")
+    emb = load(spark, sf_dir, "embeddings")
+
+    def land_wave(df: DataFrame, tag: str) -> None:
+        wave = root / f"wave_{tag}"
+        df.write.parquet(str(wave))
+        for f in wave.glob("part-*.parquet"):
+            shutil.copy(f, land / f"{tag}_{f.name}")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        meta = wh.write_meta("gram") or {}
+        if batch_id <= meta.get("last_batch_id", -1):
+            return  # redelivered after a crash-between-flip-and-commit
+        delta = gram_of(batch_df)
+        if delta.limit(1).isEmpty():
+            return  # empty batch: leave the rollup generation untouched
+        refresh_additive(
+            wh, "gram", delta, ["i", "j"], {"g": "sum"},
+            meta={"last_batch_id": batch_id},
+        )
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(emb.schema)
+            .parquet(str(land))
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", str(root / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land_wave(emb.where(F.col("vec_id") % 2 == 0), "a")
+    drain()
+    land_wave(emb.where(F.col("vec_id") % 2 == 1), "b")
+    drain()
+    gram_rows = wh.read("gram").collect() if wh.exists("gram") else []
+    return _solve_power_iteration(spark, gram_rows)

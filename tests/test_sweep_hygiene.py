@@ -81,6 +81,9 @@ PERSIST_PRONE = [
     # q241 runs four stateful sessionizer drains (event-time-timeout
     # state restored across restarts + two sentinel flush batches)
     "q241_stream_timeout_sessions",
+    # q326 runs two checkpointed gram-rollup drains (foreachBatch ->
+    # refresh_additive warehouse merges)
+    "q326_stream_gram_pca",
 ]
 
 
