@@ -4,8 +4,11 @@ earlier entry covers — ranking-metric evaluation (NDCG@k / MRR),
 integer-exact PCA power iteration over the embedding corpus, readability
 scoring, encoding-anomaly auditing, chance-corrected classifier
 agreement (Cohen's kappa), average-precision threshold sweeps,
-leave-one-source-out influence on a regression fit, and exact Shapley
-channel attribution.
+leave-one-source-out influence on a regression fit, exact Shapley
+channel attribution, deterministic A-ES weighted sampling, l-diversity/
+t-closeness release audits, leave-one-out target encoding, forecast
+backtest metrics (sMAPE/MASE), and streaming incremental PCA (the q315
+gram maintained as a checkpointed continuous aggregate).
 
 Shared numeric discipline (see round6b/round7_queries): every cross-row
 accumulation happens on EXACT integers — counts, cents, or per-value
@@ -1155,8 +1158,15 @@ def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS b
       FROM documents
     ),
+    cb AS (
+      SELECT lang, source, b, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(*) AS BIGINT)
+               * CAST(round(ln(CAST(COUNT(*) AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS clnc
+      FROM rows_ GROUP BY 1, 2, 3
+    ),
     gb AS (
-      SELECT b, CAST(COUNT(*) AS BIGINT) AS g FROM rows_ GROUP BY b
+      SELECT b, CAST(SUM(c) AS BIGINT) AS g FROM cb GROUP BY b
     ),
     gbo AS (
       SELECT b, g,
@@ -1167,15 +1177,8 @@ def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gb
     ),
     cls AS (
-      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n FROM rows_
+      SELECT lang, source, CAST(SUM(c) AS BIGINT) AS n FROM cb
       GROUP BY 1, 2
-    ),
-    cb AS (
-      SELECT lang, source, b, CAST(COUNT(*) AS BIGINT) AS c,
-             CAST(COUNT(*) AS BIGINT)
-               * CAST(round(ln(CAST(COUNT(*) AS DOUBLE)) * 1000000)
-                      AS BIGINT) AS clnc
-      FROM rows_ GROUP BY 1, 2, 3
     ),
     dense AS (
       SELECT cls.lang, cls.source, cls.n,
@@ -1238,7 +1241,16 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "lang", "source", F.expr("CAST(n_chars div 100 AS BIGINT)").alias("b")
     )
-    gb = d.groupBy("b").agg(F.count("*").alias("g"))
+    cb = d.groupBy("lang", "source", "b").agg(
+        F.count("*").alias("c"),
+        (
+            F.count("*")
+            * F.round(F.log(F.count("*").cast("double")) * 1000000).cast(
+                "bigint"
+            )
+        ).alias("clnc"),
+    )
+    gb = cb.groupBy("b").agg(F.sum("c").alias("g"))
     n_total = gb.agg(F.sum("g").alias("n_total"))
     wob = Window.orderBy("b")
     gbo = (
@@ -1255,16 +1267,7 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_total))
     )
-    cls = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
-    cb = d.groupBy("lang", "source", "b").agg(
-        F.count("*").alias("c"),
-        (
-            F.count("*")
-            * F.round(F.log(F.count("*").cast("double")) * 1000000).cast(
-                "bigint"
-            )
-        ).alias("clnc"),
-    )
+    cls = cb.groupBy("lang", "source").agg(F.sum("c").alias("n"))
     dense = (
         cls.crossJoin(F.broadcast(gbo))
         .join(cb, ["lang", "source", "b"], "left")
@@ -1371,7 +1374,7 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS avg_loo_enc_cents,
            CAST(MIN(enc.loo_m) AS DOUBLE) / 1000.0 AS min_loo_enc_cents,
            CAST(MAX(enc.loo_m) AS DOUBLE) / 1000.0 AS max_loo_enc_cents
-    FROM enc JOIN cat ON enc.category = cat.category CROSS JOIN g
+    FROM enc JOIN cat ON enc.category = cat.category
     GROUP BY cat.category, cat.n, cat.s
     """,
     doc="Leave-one-out target encoding with additive smoothing (the "

@@ -23,6 +23,22 @@ import pytest
 from hypothesis import given, settings, strategies as st
 
 from aquiles_etl_pipeline_spark.relational import registry
+from test_stats_property import _orders_dir
+
+
+def _rhalf(x: float) -> int:
+    """Round half away from zero on the EXACT fractional part —
+    matching round() in Spark SQL and DuckDB.  Python's round() is
+    banker's (round-half-even), which diverges on reachable exact-.5
+    rationals like 62.5, and floor(x+0.5) misrounds boundary doubles
+    like 0.49999999999999994."""
+    t = math.trunc(x)
+    f = x - t
+    if f >= 0.5:
+        return t + 1
+    if f <= -0.5:
+        return t - 1
+    return t
 
 CENTS = st.integers(min_value=0, max_value=300)
 ETYPES = ["click", "error", "purchase", "signup", "view"]
@@ -104,10 +120,10 @@ def test_ndcg_mrr_matches_bruteforce(spark, tmp_path_factory, data):
             round(rel / math.log2(r + 2) * 1e6)
             for r, (_, _, rel) in enumerate(ideal[:5])
         )
-        ndcg_m = round(dcg / idcg * 1e6) if idcg > 0 else 0
+        ndcg_m = _rhalf(dcg / idcg * 1e6) if idcg > 0 else 0
         top = ideal[0][0]
         prank = next(r + 1 for r, (e, _, _) in enumerate(pred) if e == top)
-        mrr_m = round(1e6 / prank)
+        mrr_m = _rhalf(1e6 / prank)
         want.setdefault(u % 8, []).append((ndcg_m, mrr_m))
     assert set(got) == set(want)
     for coh, pairs in want.items():
@@ -229,7 +245,7 @@ def test_average_precision_matches_bruteforce(spark, tmp_path_factory, data):
         pos = sum(blocks[s_val])
         tp += pos
         n_ge += len(blocks[s_val])
-        ap_num += pos * round(tp / n_ge * 1e6)
+        ap_num += pos * _rhalf(tp / n_ge * 1e6)
         curve[s_val] = (tp, n_ge)
     want_ap = ap_num / (p_tot * 1e6) if p_tot > 0 else 0.0
     assert len(out) == len(blocks)
@@ -531,7 +547,7 @@ def test_forecast_backtest_matches_bruteforce(spark, tmp_path_factory, days):
         (i, 1, "O", c / 100.0, t0 + pd.Timedelta(days=d), "1-URGENT")
         for i, (d, c) in enumerate(days)
     ]
-    sf = _orders_dir_(tmp_path_factory.mktemp("fc"), rows)
+    sf = _orders_dir(tmp_path_factory.mktemp("fc"), rows)
     out = registry()["q325_forecast_backtest"].fn(spark, sf).collect()
 
     daily: dict[int, int] = {}
@@ -555,7 +571,7 @@ def test_forecast_backtest_matches_bruteforce(spark, tmp_path_factory, days):
     assert r["n_test"] == len(test)
     if test:
         smape = sum(
-            round((2.0 * abs(a - f) / (a + f) if a + f > 0 else 0.0) * 1e6)
+            _rhalf((2.0 * abs(a - f) / (a + f) if a + f > 0 else 0.0) * 1e6)
             for a, f in test
         ) / (len(test) * 1e6)
         assert abs(r["smape"] - smape) < 1e-12
@@ -572,19 +588,6 @@ def test_forecast_backtest_matches_bruteforce(spark, tmp_path_factory, days):
         ) < 1e-12
     else:
         assert r["smape"] == 0.0 and r["mase"] == 0.0
-
-
-def _orders_dir_(tmpdir, rows):
-    pdf = pd.DataFrame(
-        rows,
-        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-                 "o_orderdate", "o_orderpriority"],
-    )
-    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
-    d = tmpdir / "sf"
-    d.mkdir(exist_ok=True)
-    pdf.to_parquet(d / "orders.parquet", index=False)
-    return str(d)
 
 
 # ---------------------------------------------------------------------------
@@ -610,7 +613,7 @@ def test_loo_target_encoding_matches_bruteforce(
     rows = [
         (i, 1, "O", c / 100.0, t0, cats[k]) for i, (k, c) in enumerate(rows_in)
     ]
-    sf = _orders_dir_(tmp_path_factory.mktemp("loo2"), rows)
+    sf = _orders_dir(tmp_path_factory.mktemp("loo2"), rows)
     out = {
         r["category"]: r
         for r in registry()["q324_loo_target_encoding"].fn(spark, sf).collect()
@@ -626,7 +629,7 @@ def test_loo_target_encoding_matches_bruteforce(
     for cat, vals in ys.items():
         n, s = len(vals), sum(vals)
         loo = [
-            round(((s - y) + 10.0 * prior) / (n - 1.0 + 10.0) * 1000)
+            _rhalf(((s - y) + 10.0 * prior) / (n - 1.0 + 10.0) * 1000)
             for y in vals
         ]
         r = out[cat]
