@@ -271,6 +271,7 @@ _GRADE_FIRST = (
     "q324_loo_target_encoding",
     "q325_forecast_backtest",
     "q326_stream_gram_pca",
+    "q327_brier_decomposition",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -1689,3 +1689,126 @@ def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain()
     gram_rows = wh.read("gram").collect() if wh.exists("gram") else []
     return _solve_power_iteration(spark, gram_rows)
+
+
+# ---------------------------------------------------------------------------
+# q327: Brier score with Murphy decomposition
+# ---------------------------------------------------------------------------
+
+@register(
+    "q327_brier_decomposition",
+    sql="""
+    WITH f AS (
+      SELECT least(19, CAST(floor(value / 30.0) AS BIGINT)) AS k,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    b AS (
+      SELECT k,
+             CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(y) AS BIGINT) AS pk
+      FROM f GROUP BY k
+    ),
+    t AS (
+      SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(pk) AS BIGINT) AS p,
+             SUM(pk * (2*k + 1 - 40) * (2*k + 1 - 40)
+                 + (nk - pk) * (2*k + 1) * (2*k + 1)) AS brier_num,
+             SUM(CAST(round(
+               CAST(((2*k + 1) * nk - 40 * pk)
+                    * ((2*k + 1) * nk - 40 * pk) AS DOUBLE)
+               / (1600.0 * nk) * 1000000) AS BIGINT)) AS rel_m
+      FROM b
+    ),
+    r AS (
+      SELECT t.n, t.p, t.brier_num, t.rel_m,
+             SUM(CAST(round(
+               CAST((b.pk * t.n - t.p * b.nk)
+                    * (b.pk * t.n - t.p * b.nk) AS DOUBLE)
+               / (CAST(b.nk AS DOUBLE) * t.n * t.n) * 1000000)
+               AS BIGINT)) AS res_m
+      FROM b, t GROUP BY 1, 2, 3, 4
+    )
+    SELECT n AS n_events,
+           CAST(p AS DOUBLE) / n AS base_rate,
+           CAST(brier_num AS DOUBLE) / (1600.0 * n) AS brier,
+           CAST(rel_m AS DOUBLE) / (n * 1000000.0) AS reliability,
+           CAST(res_m AS DOUBLE) / (n * 1000000.0) AS resolution,
+           CAST(p AS DOUBLE) * (n - p) / (CAST(n AS DOUBLE) * n)
+             AS uncertainty
+    FROM r
+    """,
+    doc="Brier score with the Murphy (1973) decomposition — "
+        "reliability - resolution + uncertainty — for a discrete "
+        "forecast grid (p_k = (2k+1)/40 over 20 value buckets) "
+        "predicting the purchase outcome.  The Brier numerator is "
+        "EXACT integers (per-bin pos*(2k+1-40)^2 + neg*(2k+1)^2 over "
+        "denominator 1600N — no float at all); reliability and "
+        "resolution are per-BIN rationals micro-rounded to BIGINT "
+        "before the <=20-row sum; uncertainty is one exact division.  "
+        "The decomposition identity brier = rel - res + unc holds "
+        "exactly at this grain (forecast constant within bins) and is "
+        "asserted to micro precision in tests.  Physical: one fact "
+        "scan to a 20-bin aggregate; everything downstream is "
+        "bin-grain with single-row totals (broadcast cross).",
+    tags=("llmdata", "eval", "events", "stats", "agg"),
+)
+def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = load(spark, sf_dir, "events").select(
+        F.least(
+            F.lit(19).cast("bigint"),
+            F.floor(F.col("value") / F.lit(30.0)).cast("bigint"),
+        ).alias("k"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = f.groupBy("k").agg(
+        F.count("*").alias("nk"), F.sum("y").cast("bigint").alias("pk")
+    )
+    two_k1 = 2 * F.col("k") + 1
+    rel_num = (two_k1 * F.col("nk") - 40 * F.col("pk"))
+    t = b.agg(
+        F.sum("nk").alias("n"),
+        F.sum("pk").alias("p"),
+        F.sum(
+            F.col("pk") * (two_k1 - 40) * (two_k1 - 40)
+            + (F.col("nk") - F.col("pk")) * two_k1 * two_k1
+        ).alias("brier_num"),
+        F.sum(
+            F.round(
+                (rel_num * rel_num).cast("double")
+                / (F.lit(1600.0) * F.col("nk"))
+                * 1000000
+            ).cast("bigint")
+        ).alias("rel_m"),
+    )
+    res_num = F.col("pk") * F.col("n") - F.col("p") * F.col("nk")
+    r = (
+        b.crossJoin(F.broadcast(t))
+        .groupBy("n", "p", "brier_num", "rel_m")
+        .agg(
+            F.sum(
+                F.round(
+                    (res_num * res_num).cast("double")
+                    / (F.col("nk").cast("double") * F.col("n") * F.col("n"))
+                    * 1000000
+                ).cast("bigint")
+            ).alias("res_m")
+        )
+    )
+    return r.select(
+        F.col("n").alias("n_events"),
+        emit(F.col("p").cast("double") / F.col("n")).alias("base_rate"),
+        emit(F.col("brier_num").cast("double") / (F.lit(1600.0) * F.col("n"))).alias(
+            "brier"
+        ),
+        emit(F.col("rel_m").cast("double") / (F.col("n") * F.lit(1000000.0))).alias(
+            "reliability"
+        ),
+        emit(F.col("res_m").cast("double") / (F.col("n") * F.lit(1000000.0))).alias(
+            "resolution"
+        ),
+        emit(
+            F.col("p").cast("double")
+            * (F.col("n") - F.col("p"))
+            / (F.col("n").cast("double") * F.col("n"))
+        ).alias("uncertainty"),
+    )

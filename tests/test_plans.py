@@ -239,6 +239,9 @@ def test_no_accidental_cartesian_products(plans):
         # q325 forecast backtest: the horizon (max day) joins in as a
         # broadcast single-row aggregate (1 x N) — q42's shape
         "q325_forecast_backtest",
+        # q327 Brier decomposition: the (n, p, brier, rel) totals row
+        # crosses onto the 20-bin frame — q130's shape
+        "q327_brier_decomposition",
     }
     for name, p in plans.items():
         if name in allowed:

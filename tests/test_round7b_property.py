@@ -638,3 +638,58 @@ def test_loo_target_encoding_matches_bruteforce(
         assert abs(r["avg_loo_enc_cents"] - sum(loo) / (n * 1e3)) < 1e-12
         assert abs(r["min_loo_enc_cents"] - min(loo) / 1e3) < 1e-12
         assert abs(r["max_loo_enc_cents"] - max(loo) / 1e3) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q327 Brier decomposition vs direct recomputation + Murphy identity
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=600),  # cents -> value
+            st.booleans(),                             # purchase?
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_brier_decomposition_matches_bruteforce(spark, tmp_path_factory, evs):
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, t0, 1, "purchase" if y else "click", c / 100.0, None)
+        for i, (c, y) in enumerate(evs)
+    ]
+    sf = _events_dir(tmp_path_factory.mktemp("brier"), rows)
+    r = registry()["q327_brier_decomposition"].fn(spark, sf).collect()[0]
+
+    bins: dict[int, list[int]] = {}
+    for c, y in evs:
+        k = min(19, math.floor((c / 100.0) / 30.0))
+        bins.setdefault(k, []).append(1 if y else 0)
+    n = len(evs)
+    p = sum(1 for _, y in evs if y)
+    brier_num = sum(
+        sum(ys) * (2 * k + 1 - 40) ** 2 + (len(ys) - sum(ys)) * (2 * k + 1) ** 2
+        for k, ys in bins.items()
+    )
+    rel_m = sum(
+        _rhalf(((2 * k + 1) * len(ys) - 40 * sum(ys)) ** 2 / (1600.0 * len(ys)) * 1e6)
+        for k, ys in bins.items()
+    )
+    res_m = sum(
+        _rhalf(
+            (sum(ys) * n - p * len(ys)) ** 2 / (len(ys) * float(n) * n) * 1e6
+        )
+        for k, ys in bins.items()
+    )
+    assert r["n_events"] == n
+    assert abs(r["brier"] - brier_num / (1600.0 * n)) < 1e-12
+    assert abs(r["reliability"] - rel_m / (n * 1e6)) < 1e-12
+    assert abs(r["resolution"] - res_m / (n * 1e6)) < 1e-12
+    assert abs(r["uncertainty"] - p * (n - p) / (float(n) * n)) < 1e-12
+    # Murphy identity (exact at forecast grain, up to the micro rounding)
+    assert abs(
+        r["brier"] - (r["reliability"] - r["resolution"] + r["uncertainty"])
+    ) < 2e-5
