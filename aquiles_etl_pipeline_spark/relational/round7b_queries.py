@@ -7,8 +7,9 @@ agreement (Cohen's kappa), average-precision threshold sweeps,
 leave-one-source-out influence on a regression fit, exact Shapley
 channel attribution, deterministic A-ES weighted sampling, l-diversity/
 t-closeness release audits, leave-one-out target encoding, forecast
-backtest metrics (sMAPE/MASE), and streaming incremental PCA (the q315
-gram maintained as a checkpointed continuous aggregate).
+backtest metrics (sMAPE/MASE), streaming incremental PCA (the q315
+gram maintained as a checkpointed continuous aggregate), and the Brier
+score with its Murphy decomposition.
 
 Shared numeric discipline (see round6b/round7_queries): every cross-row
 accumulation happens on EXACT integers — counts, cents, or per-value
