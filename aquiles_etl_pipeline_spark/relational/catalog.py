@@ -130,70 +130,23 @@ def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = 
 # dict order under a shared time budget and can stop early (~50 of 288+
 # per round).  registry() therefore rotates by grading recency so every
 # catalog entry eventually carries a fresh driver row and no row goes
-# more than ~2 rounds without a re-grade.  Round-7 rotation:
-#   block A — q201-q250: never driver-graded (the r06 verdict's top
-#             rotation demand); exactly fills a 50-query budget;
-#             includes q220 root-snapshot and q241 sessionizer (the
-#             two newest engine mechanisms, per verdict ask #6);
-#   block B — q251-q288 + new round-7 entries (q289+): never graded,
-#             queued for the r08 block;
+# more than ~2 rounds without a re-grade.  Round-8 rotation (the r07
+# verdict's ask #1):
+#   block A — q251-q300: never driver-graded; exactly fills a 50-query
+#             budget; includes q264/q269/q274/q281/q284/q288 (the
+#             windowFunnel, Kneser-Ney, Wasserstein, ANOVA, QTE, ABC
+#             carriers the verdict named) — cumulative ever-green
+#             becomes 300/327 when this block lands;
+#   block B — q301-q327 + new round-8 entries (q328+): never graded,
+#             queued for the r09 block;
 #   block C — r03-green rows (stalest graded): q01-q06, q37/q39/q41/
 #             q45, q61-q100;
 #   block D — r04-green rows: q54-q60, q101-q143;
 #   block E — r05-green rows: q07-q53 refresh + q144-q150;
-#   block F — r06-green rows (freshest — if the budget starves
-#             anything, it starves these): q151-q200.
+#   block F — r06-green rows: q151-q200;
+#   block G — r07-green rows (freshest — if the budget starves
+#             anything, it starves these): q201-q250.
 _GRADE_FIRST = (
-    "q201_association_rules",
-    "q202_item_item_cf",
-    "q203_phrase_search",
-    "q204_ohlc_bars",
-    "q205_completeness_profile",
-    "q206_multi_table_txn",
-    "q207_promo_revenue_share",
-    "q208_priority_late_ship",
-    "q209_bigram_lm_nll",
-    "q210_growth_accounting",
-    "q211_txn_snapshot_read",
-    "q212_shipping_priority",
-    "q213_returned_item_ranking",
-    "q214_local_supplier_revenue",
-    "q215_forecast_revenue_change",
-    "q216_disjunctive_revenue",
-    "q217_filtered_order_counts",
-    "q218_small_order_revenue",
-    "q219_sole_late_supplier",
-    "q220_root_snapshot_read",
-    "q221_trimmed_mean_values",
-    "q222_inclusion_profile",
-    "q223_lexical_diversity",
-    "q224_hard_negative_mining",
-    "q225_etl_quarantine_report",
-    "q226_psi_length_drift",
-    "q227_benford_first_digit",
-    "q228_fifo_return_matching",
-    "q229_nearest_click_align",
-    "q230_revenue_share_hierarchy",
-    "q231_retention_survival",
-    "q232_order_fill_timeline",
-    "q233_shared_run_explanations",
-    "q234_cheapest_regional_supplier",
-    "q235_important_part_values",
-    "q236_top_quarter_supplier",
-    "q237_supplier_diversity",
-    "q238_large_quantity_orders",
-    "q239_dominant_part_suppliers",
-    "q240_wealthy_inactive_customers",
-    "q241_stream_timeout_sessions",
-    "q242_shipping_class_service",
-    "q243_product_profit",
-    "q244_nation_market_share",
-    "q245_position_attribution",
-    "q246_bpe_merge_pairs",
-    "q247_rendezvous_rebalance",
-    "q248_cuped_adjustment",
-    "q249_acf_daily_revenue",
-    "q250_segment_priority_mi",
     "q251_sax_symbol_runs",
     "q252_rrf_part_fusion",
     "q253_gini_acctbal_by_nation",
@@ -232,7 +185,6 @@ _GRADE_FIRST = (
     "q286_dead_stock_report",
     "q287_dormancy_gaps",
     "q288_abc_classification",
-    # --- block B append point: new round-7 entries (q289+) go HERE ---
     "q289_gopher_quality_filters",
     "q290_ngram_novelty",
     "q291_source_bigram_jaccard",
@@ -272,6 +224,7 @@ _GRADE_FIRST = (
     "q325_forecast_backtest",
     "q326_stream_gram_pca",
     "q327_brier_decomposition",
+    # --- block B append point: new round-8 entries (q328+) go HERE ---
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",
@@ -472,6 +425,56 @@ _GRADE_FIRST = (
     "q198_rate_limit_quota",
     "q199_source_copy_matrix",
     "q200_curation_pipeline_v2",
+    "q201_association_rules",
+    "q202_item_item_cf",
+    "q203_phrase_search",
+    "q204_ohlc_bars",
+    "q205_completeness_profile",
+    "q206_multi_table_txn",
+    "q207_promo_revenue_share",
+    "q208_priority_late_ship",
+    "q209_bigram_lm_nll",
+    "q210_growth_accounting",
+    "q211_txn_snapshot_read",
+    "q212_shipping_priority",
+    "q213_returned_item_ranking",
+    "q214_local_supplier_revenue",
+    "q215_forecast_revenue_change",
+    "q216_disjunctive_revenue",
+    "q217_filtered_order_counts",
+    "q218_small_order_revenue",
+    "q219_sole_late_supplier",
+    "q220_root_snapshot_read",
+    "q221_trimmed_mean_values",
+    "q222_inclusion_profile",
+    "q223_lexical_diversity",
+    "q224_hard_negative_mining",
+    "q225_etl_quarantine_report",
+    "q226_psi_length_drift",
+    "q227_benford_first_digit",
+    "q228_fifo_return_matching",
+    "q229_nearest_click_align",
+    "q230_revenue_share_hierarchy",
+    "q231_retention_survival",
+    "q232_order_fill_timeline",
+    "q233_shared_run_explanations",
+    "q234_cheapest_regional_supplier",
+    "q235_important_part_values",
+    "q236_top_quarter_supplier",
+    "q237_supplier_diversity",
+    "q238_large_quantity_orders",
+    "q239_dominant_part_suppliers",
+    "q240_wealthy_inactive_customers",
+    "q241_stream_timeout_sessions",
+    "q242_shipping_class_service",
+    "q243_product_profit",
+    "q244_nation_market_share",
+    "q245_position_attribution",
+    "q246_bpe_merge_pairs",
+    "q247_rendezvous_rebalance",
+    "q248_cuped_adjustment",
+    "q249_acf_daily_revenue",
+    "q250_segment_priority_mi",
 )
 
 

@@ -491,7 +491,9 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         "formulation, which never enters codegen), run once per "
         "doc-id slice so neither branch recomputes the other's grams; "
         "its whitespace class [ \\t\\n\\x0b\\f\\r] is exactly Java's "
-        "\\s, keeping parity with the expression path (regression-"
+        "\\s, its edge trim is strip(' ') == SQL trim() (spaces only, "
+        "NOT Python's Unicode strip), and NULL texts emit no rows — "
+        "all three engine-identical with the SQL twin (regression-"
         "diffed: zero row differences).",
     tags=("sampling", "dedup", "documents"),
 )
@@ -509,7 +511,12 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, grams, ngrams = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                t = ws.split(text.lower().strip())
+                if text is None:
+                    continue  # match the expression path: split(NULL) -> no rows
+                # strip(' ') == SQL trim() (spaces only); bare .strip()
+                # would also eat U+00A0/U+0085/U+2000.. that the corpus
+                # design explicitly features (q317) and trim() keeps.
+                t = ws.split(text.lower().strip(" "))
                 g = list(
                     dict.fromkeys(
                         " ".join(t[i : i + n])

@@ -1156,7 +1156,7 @@ def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q323_ldiversity_tcloseness",
     sql="""
     WITH rows_ AS (
-      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS b
+      SELECT lang, source, CAST(greatest(0, n_chars) // 100 AS BIGINT) AS b
       FROM documents
     ),
     cb AS (
@@ -1239,8 +1239,15 @@ def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llmdata", "privacy", "documents", "window", "agg"),
 )
 def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # greatest(0, ·) clamps BEFORE the integer division so the bucket
+    # function is engine-identical for ALL inputs: Spark `div` truncates
+    # toward zero while DuckDB `//` floors, and the two differ on
+    # negative n_chars (latent — fixtures are non-negative, but the
+    # clamp removes the divergence instead of relying on that).
     d = load(spark, sf_dir, "documents").select(
-        "lang", "source", F.expr("CAST(n_chars div 100 AS BIGINT)").alias("b")
+        "lang",
+        "source",
+        F.expr("CAST(greatest(0, n_chars) div 100 AS BIGINT)").alias("b"),
     )
     cb = d.groupBy("lang", "source", "b").agg(
         F.count("*").alias("c"),
@@ -1665,9 +1672,16 @@ def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta = wh.write_meta("gram") or {}
         if batch_id <= meta.get("last_batch_id", -1):
             return  # redelivered after a crash-between-flip-and-commit
-        delta = gram_of(batch_df)
-        if delta.limit(1).isEmpty():
+        # Emptiness is probed on the RAW micro-batch (a 1-row file-source
+        # scan), not on the aggregated delta — gram_of is the data-sized
+        # mapInPandas+aggregate kernel, and probing ITS emptiness ran it
+        # once for the probe and again inside refresh_additive (2x the
+        # batch cost per micro-batch).  gram_of(nonempty) is always
+        # nonempty (every vector contributes its diagonal), so the two
+        # probes are equivalent.
+        if batch_df.limit(1).isEmpty():
             return  # empty batch: leave the rollup generation untouched
+        delta = gram_of(batch_df)
         refresh_additive(
             wh, "gram", delta, ["i", "j"], {"g": "sum"},
             meta={"last_batch_id": batch_id},
@@ -1715,16 +1729,16 @@ def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(pk * (2*k + 1 - 40) * (2*k + 1 - 40)
                  + (nk - pk) * (2*k + 1) * (2*k + 1)) AS brier_num,
              SUM(CAST(round(
-               CAST(((2*k + 1) * nk - 40 * pk)
-                    * ((2*k + 1) * nk - 40 * pk) AS DOUBLE)
+               CAST(((2*k + 1) * nk - 40 * pk) AS DOUBLE)
+                    * CAST(((2*k + 1) * nk - 40 * pk) AS DOUBLE)
                / (1600.0 * nk) * 1000000) AS BIGINT)) AS rel_m
       FROM b
     ),
     r AS (
       SELECT t.n, t.p, t.brier_num, t.rel_m,
              SUM(CAST(round(
-               CAST((b.pk * t.n - t.p * b.nk)
-                    * (b.pk * t.n - t.p * b.nk) AS DOUBLE)
+               CAST((b.pk * t.n - t.p * b.nk) AS DOUBLE)
+                    * CAST((b.pk * t.n - t.p * b.nk) AS DOUBLE)
                / (CAST(b.nk AS DOUBLE) * t.n * t.n) * 1000000)
                AS BIGINT)) AS res_m
       FROM b, t GROUP BY 1, 2, 3, 4
@@ -1746,6 +1760,13 @@ def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
         "denominator 1600N — no float at all); reliability and "
         "resolution are per-BIN rationals micro-rounded to BIGINT "
         "before the <=20-row sum; uncertainty is one exact division.  "
+        "Overflow bound: the rel/res linear terms are computed in "
+        "exact int64 (|res_num| <= nk*n < n^2, safe to n ~ 3e9 "
+        "events), then cast to double BEFORE squaring — the int64 -> "
+        "double cast is exact below 2^53 and IEEE multiplication is "
+        "engine-identical, so Spark and DuckDB agree at any realistic "
+        "scale and nothing ever squares in BIGINT (which wrapped "
+        "silently past |x| ~ 3e9 under Spark non-ANSI).  "
         "The decomposition identity brier = rel - res + unc holds "
         "exactly at this grain (forecast constant within bins) and is "
         "asserted to micro precision in tests.  Physical: one fact "
@@ -1775,7 +1796,7 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("brier_num"),
         F.sum(
             F.round(
-                (rel_num * rel_num).cast("double")
+                (rel_num.cast("double") * rel_num.cast("double"))
                 / (F.lit(1600.0) * F.col("nk"))
                 * 1000000
             ).cast("bigint")
@@ -1788,7 +1809,7 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.round(
-                    (res_num * res_num).cast("double")
+                    (res_num.cast("double") * res_num.cast("double"))
                     / (F.col("nk").cast("double") * F.col("n") * F.col("n"))
                     * 1000000
                 ).cast("bigint")

@@ -90,6 +90,23 @@ def main() -> None:
         timings[name.split("_", 1)[0]] = round(t, 2)
         print(f"[bench] {name}: {round(t, 2)}s", file=sys.stderr, flush=True)
 
+    # Full per-query record as a COMMITTED FILE: the driver's stdout tail
+    # window (~2,000 bytes) can never hold 327 qNNN keys even chunked
+    # (144/327 survived in r07), so the durable round-over-round diff
+    # source is this file in the repo working tree — the chunked stdout
+    # below stays as a fallback for drivers that only read stdout.
+    detail = {
+        "metric": "catalog_total_runtime",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": {k: timings[k] for k in sorted(timings)},
+    }
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1, sort_keys=True) + "\n")
+    print(f"[bench] wrote {detail_path}", file=sys.stderr, flush=True)
+
     for line in emit_lines(timings, sf):
         print(line, flush=True)
 
