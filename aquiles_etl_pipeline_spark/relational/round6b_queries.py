@@ -2100,10 +2100,13 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(n_oov_ctx), not silently smoothed.  Every count is integer; "
         "each per-bigram ln scales to integer micros before the "
         "unordered sums (q209/q257 recipe).  Physical shape: fan-out "
-        "before gram building; train tables aggregate at bigram/w1/w2 "
-        "grain and join the test stream at those grains (plain "
-        "shuffle joins, vocab unbounded); the 2-scalar totals row "
-        "broadcasts (allowlisted q42 shape).",
+        "before gram building; ONE corpus pass aggregates to the "
+        "bigram-type table (localCheckpointed — its four consumers "
+        "would otherwise re-run the corpus explode four times), from "
+        "which the w1/w2/total statistics derive at type grain; the "
+        "test stream joins at those grains (plain shuffle joins, "
+        "vocab unbounded); the 2-scalar totals row broadcasts "
+        "(allowlisted q42 shape).",
     tags=("text", "documents", "llmdata", "lm"),
 )
 def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2127,15 +2130,37 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("doc_id") % 2 == 0)
     test = docs.where(F.col("doc_id") % 2 == 1)
     tr = bigrams(train, keep_lang=False)
-    c2 = tr.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
-    ctx = tr.select(F.split("bg", " ")[0].alias("w1"), "bg").groupBy("w1").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c1"),
-        F.countDistinct("bg").cast("bigint").alias("n1fwd"),
+    # ONE corpus-sized explode+groupBy builds the bigram-TYPE table;
+    # every other train statistic derives from it at type grain:
+    # c1 = SUM(c2) over w1 (token occurrences == bigram occurrences led
+    # by w1), n1fwd/n1bwd = plain COUNT(*) over w1/w2 (the table is
+    # already distinct-bg grain, so COUNT == COUNT(DISTINCT bg)), and
+    # n_bi = COUNT(*).  The previous formulation referenced the raw
+    # explode from four consumers, so Spark re-ran the corpus explode
+    # four times per job — at 100 TB that is four corpus passes where
+    # one suffices.  localCheckpoint pins the type table (orders of
+    # magnitude smaller than the corpus) for its four consumers; the
+    # ContextCleaner drains it when the Python ref drops (the
+    # PERSIST_PRONE hygiene test covers this query).
+    c2 = (
+        tr.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+        .select(
+            "bg",
+            "c2",
+            F.split("bg", " ")[0].alias("w1"),
+            F.split("bg", " ")[1].alias("w2"),
+        )
+        .localCheckpoint()
     )
-    cont = tr.select(F.split("bg", " ")[1].alias("w2"), "bg").groupBy("w2").agg(
-        F.countDistinct("bg").cast("bigint").alias("n1bwd")
+    ctx = c2.groupBy("w1").agg(
+        F.sum("c2").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1fwd"),
     )
-    n_bi = tr.agg(F.countDistinct("bg").cast("bigint").alias("n_bi"))
+    cont = c2.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1bwd")
+    )
+    n_bi = c2.agg(F.count(F.lit(1)).cast("bigint").alias("n_bi"))
     v = (
         fan_out(train)
         .select(F.explode(toks).alias("tok"))
@@ -2161,7 +2186,7 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        te.join(c2, "bg", "left")
+        te.join(c2.select("bg", "c2"), "bg", "left")
         .join(ctx, "w1", "left")
         .join(cont, "w2", "left")
         .crossJoin(F.broadcast(tot))

@@ -75,6 +75,9 @@ PERSIST_PRONE = [
     # q200 localCheckpoints the near-dup survivor corpus at the
     # dedup->decontamination release boundary (two consumers)
     "q200_curation_pipeline_v2",
+    # q269 localCheckpoints the bigram-type table (four consumers:
+    # ctx/cont/n_bi derivations + the test-stream join)
+    "q269_kneser_ney_bigram",
     # q195 runs four outer-join drains (dual-side join state + the
     # sentinel watermark-flush batches)
     "q195_stream_outer_join",
