@@ -504,17 +504,73 @@ def semantic_dedup(
 
     Output: (id, component_id, cluster_size, is_canonical).
 
-    Scale: pair mining shuffles band keys (never vectors, see
-    embedding_near_dup_pairs); the component loop shuffles (node,
-    label) pairs and converges in O(log diameter) rounds; the size
-    join is label-keyed and AQE-broadcastable when clusters are few.
+    Scale: EXACT-duplicate collapse runs first (the dedup_clusters
+    lesson applied to embedding space): identical vectors have
+    identical cosine neighborhoods, so each identical-vector group
+    enters LSH pair mining as ONE representative (the group min id)
+    and expands back through the id->rep mapping AFTER components
+    resolve.  On a dup-heavy corpus this removes the quadratic
+    in-bucket candidate blowup (a group of g identical vectors lands
+    in the same bucket in EVERY band, costing O(g^2) candidate pairs
+    x bands) before it is ever materialized.  Losslessness is exact,
+    not assumed: a group only collapses when its computed self-cosine
+    clears ``threshold`` (true for every nonzero vector at practical
+    thresholds; zero/NaN/NULL vectors fail the check and stay
+    singletons, matching pairwise semantics where their cosine is
+    never >= threshold).  Because members of a collapsed group share
+    identical neighborhoods, component membership and the min-id
+    canonical are unchanged by the collapse (rep = group min, so the
+    component min over reps IS the min over expanded members).
+    Remaining shape: pair mining shuffles band keys (never vectors,
+    see embedding_near_dup_pairs); the component loop shuffles (node,
+    label) pairs over REP grain and converges in O(log diameter)
+    rounds; the size join is label-keyed and AQE-broadcastable when
+    clusters are few.
     """
     from .dedup import connected_components
 
+    m = df.select(F.col(id_col).alias("_node"), F.col(vec_col).alias("_v"))
+    groups = (
+        m.groupBy("_v")
+        .agg(F.min("_node").alias("_rep"), F.count(F.lit(1)).alias("_g"))
+        .where(
+            F.col("_v").isNotNull()
+            & (F.col("_g") >= 2)
+            # lazy CaseWhen: the cosine division only evaluates on
+            # nonzero-norm groups (ANSI mode errors on 0/0, and a zero
+            # vector's self-cosine is undefined -> ineligible anyway)
+            & (
+                F.when(
+                    _norm(F.col("_v")) > 0,
+                    cosine_sim(F.col("_v"), F.col("_v")),
+                )
+                >= F.lit(threshold)
+            )
+        )
+        .select("_v", "_rep")
+    )
+    # NULL-vector rows never match the array-equality join (SQL NULL
+    # keys), so they coalesce to self-reps — per-row identity, exactly
+    # the pre-collapse behavior.
+    mapping = m.join(groups, "_v", "left").select(
+        "_node", F.coalesce("_rep", F.col("_node")).alias("_rep")
+    )
+    rep_rows = df.join(
+        mapping.where(F.col("_node") == F.col("_rep")).select(
+            F.col("_node").alias(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
     pairs = embedding_near_dup_pairs(
-        df, threshold=threshold, vec_col=vec_col, id_col=id_col, dim=dim
+        rep_rows, threshold=threshold, vec_col=vec_col, id_col=id_col, dim=dim
     ).select("id_a", "id_b")
-    labels = connected_components(pairs, df.select(id_col), id_col=id_col)
+    rep_labels = connected_components(
+        pairs, rep_rows.select(id_col), id_col=id_col
+    )
+    labels = mapping.join(
+        rep_labels, mapping["_rep"] == rep_labels["_n"]
+    ).select(F.col("_node").alias("_n"), "_comp")
     sizes = labels.groupBy("_comp").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "_comp").select(
         F.col("_n").alias(id_col),

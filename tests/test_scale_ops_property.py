@@ -771,3 +771,79 @@ def test_position_attribution_exact_u_split(spark):
     }
     total = sum(v for _, v in got.values())
     assert round(total, 6) == round(10.01 - 5.55 + 0.03 + 7.77, 6)
+
+
+# families of exact-scaled duplicate vectors: (basis index, positive
+# scale, copy count).  Scaled copies of the same basis vector have
+# cosine EXACTLY 1 and identical LSH hyperplane signs (sign(dot(p, c*v))
+# == sign(dot(p, v)) for c > 0), so mining recall on these pairs is
+# exactly 1.0 and brute-force equality is deterministic; distinct basis
+# vectors have cosine 0, safely under any practical threshold.
+FAMILIES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),   # basis index (dim 8)
+        st.integers(min_value=1, max_value=5),   # positive scale
+        st.integers(min_value=1, max_value=4),   # copies
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(families=FAMILIES, n_zero=st.integers(min_value=0, max_value=2))
+def test_semantic_dedup_collapse_equals_bruteforce_cc(spark, families, n_zero):
+    """The exact-duplicate collapse changes the PLAN, never the answer:
+    semantic_dedup must equal a brute-force all-pairs-cosine union-find
+    on corpora with dense exact/scaled duplicates plus zero vectors
+    (whose self-cosine is undefined -> they must stay singletons, the
+    case a naive 'identical vectors are always near-dups' collapse
+    gets wrong)."""
+    from aquiles_etl_pipeline_spark.llmdata.similarity import semantic_dedup
+
+    dim = 8
+    vecs: list[list[float]] = []
+    for basis, scale, copies in families:
+        v = [0.0] * dim
+        v[basis] = float(scale)
+        vecs.extend([list(v)] * copies)
+    vecs.extend([[0.0] * dim] * n_zero)
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    # brute-force oracle: all-pairs cosine >= 0.9 -> union-find
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den if den else None
+
+    parent = list(range(len(vecs)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            c = cos(vecs[i], vecs[j])
+            if c is not None and c >= 0.9:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    comp = {i: find(i) for i in range(len(vecs))}
+    size: dict[int, int] = {}
+    for c in comp.values():
+        size[c] = size.get(c, 0) + 1
+    want = {
+        i: (comp[i], size[comp[i]], i == comp[i]) for i in range(len(vecs))
+    }
+
+    got = {
+        r["vec_id"]: (r["component_id"], r["cluster_size"], r["is_canonical"])
+        for r in semantic_dedup(df, threshold=0.9, dim=dim).collect()
+    }
+    assert got == want
