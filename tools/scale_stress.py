@@ -157,9 +157,14 @@ def main() -> int:
     ok = True
     for name in names:
         spec = specs[name]
-        # warm both paths once at the SMALL scale so JIT/codegen/session
-        # constants don't contaminate the first measured run
-        spec.fn(spark, args.src).limit(1).collect()
+        # warm once at the TINY scale so JIT/codegen/session constants
+        # don't contaminate the first measured run.  Warming at args.src
+        # (the old behavior) silently corrupted the ratio for memoized
+        # streaming queries: their per-(session, sf_dir) result cache
+        # made base_t a ~0.2s cache hit while scaled_t was a full
+        # multi-drain build, so ratios read as 60x or 0.2x noise.
+        # sf0.001 shares no memo key with either measured dir.
+        spec.fn(spark, "/root/testdata/sf0.001").limit(1).collect()
         base_t, base_shape = run_one(spark, spec, args.src)
         scaled_t, scaled_shape = run_one(spark, spec, str(scaled))
         ratio = scaled_t / base_t if base_t > 0 else float("inf")
