@@ -225,6 +225,10 @@ _GRADE_FIRST = (
     "q326_stream_gram_pca",
     "q327_brier_decomposition",
     # --- block B append point: new round-8 entries (q328+) go HERE ---
+    "q328_adamic_adar_links",
+    "q329_blocklist_phrase_audit",
+    "q330_did_estimator",
+    "q331_cluster_jackknife_se",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",
