@@ -229,6 +229,10 @@ _GRADE_FIRST = (
     "q329_blocklist_phrase_audit",
     "q330_did_estimator",
     "q331_cluster_jackknife_se",
+    "q332_absorbing_markov_conversion",
+    "q333_tfidf_cosine_topk",
+    "q334_rank_biased_overlap",
+    "q335_propensity_strata_att",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

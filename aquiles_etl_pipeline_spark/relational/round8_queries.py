@@ -508,3 +508,463 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
         emit(mean - F.lit(1.959964) * se).alias("ci_lo"),
         emit(mean + F.lit(1.959964) * se).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q332: absorbing-chain conversion probability (K-step matrix powers)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q332_absorbing_markov_conversion",
+    sql="""
+    WITH states AS (SELECT DISTINCT event_type AS s FROM events),
+    seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS s, nxt AS t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    rt AS (SELECT s, CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY 1),
+    m AS (
+      SELECT c.s, c.t, CAST((c.c * 1000000) // rt.tot AS BIGINT) AS t_m
+      FROM c JOIN rt USING (s)
+    ),
+    p0 AS (
+      SELECT s, CAST(CASE WHEN s = 'purchase' THEN 1000000 ELSE 0 END
+                     AS BIGINT) AS p_m
+      FROM states
+    ),
+    p1 AS (
+      SELECT st.s, CAST(CASE WHEN st.s = 'purchase' THEN 1000000
+                  ELSE COALESCE(x.v, 0) END AS BIGINT) AS p_m
+      FROM states st LEFT JOIN (
+        SELECT m.s, CAST(SUM((m.t_m * p.p_m) // 1000000) AS BIGINT) AS v
+        FROM m JOIN p0 p ON p.s = m.t GROUP BY 1) x ON x.s = st.s
+    ),
+    p2 AS (
+      SELECT st.s, CAST(CASE WHEN st.s = 'purchase' THEN 1000000
+                  ELSE COALESCE(x.v, 0) END AS BIGINT) AS p_m
+      FROM states st LEFT JOIN (
+        SELECT m.s, CAST(SUM((m.t_m * p.p_m) // 1000000) AS BIGINT) AS v
+        FROM m JOIN p1 p ON p.s = m.t GROUP BY 1) x ON x.s = st.s
+    ),
+    p3 AS (
+      SELECT st.s, CAST(CASE WHEN st.s = 'purchase' THEN 1000000
+                  ELSE COALESCE(x.v, 0) END AS BIGINT) AS p_m
+      FROM states st LEFT JOIN (
+        SELECT m.s, CAST(SUM((m.t_m * p.p_m) // 1000000) AS BIGINT) AS v
+        FROM m JOIN p2 p ON p.s = m.t GROUP BY 1) x ON x.s = st.s
+    ),
+    p4 AS (
+      SELECT st.s, CAST(CASE WHEN st.s = 'purchase' THEN 1000000
+                  ELSE COALESCE(x.v, 0) END AS BIGINT) AS p_m
+      FROM states st LEFT JOIN (
+        SELECT m.s, CAST(SUM((m.t_m * p.p_m) // 1000000) AS BIGINT) AS v
+        FROM m JOIN p3 p ON p.s = m.t GROUP BY 1) x ON x.s = st.s
+    )
+    SELECT p4.s AS event_type,
+           CAST(p2.p_m AS DOUBLE) / 1e6 AS p_convert_2,
+           CAST(p4.p_m AS DOUBLE) / 1e6 AS p_convert_4
+    FROM p4 JOIN p2 ON p2.s = p4.s
+    """,
+    doc="Absorbing-chain conversion probability: with 'purchase' as the "
+        "absorbing state, the probability that a user starting from "
+        "each event type reaches purchase within 2 and 4 steps — "
+        "p_k = T p_{k-1} with p(purchase) pinned to 1, the matrix-power "
+        "extension of q157's one-step transition matrix.  Transition "
+        "probabilities are integer micros via exact floor division "
+        "(c * 1e6 // row_total, the q134 PageRank recurrence recipe); "
+        "each iteration's products floor-divide back to micros before "
+        "the <= |states| sum, so all four unrolled iterations are "
+        "integer-exact and engine-identical (// == Spark div on "
+        "non-negative operands).  Physical: one fact window + one "
+        "aggregate build the |states|^2 matrix, localCheckpointed — "
+        "four chained iterations would otherwise re-run the corpus "
+        "window four times; everything after is <= 5-row joins in one "
+        "lazy plan.",
+    tags=("events", "graph", "stats", "window"),
+)
+def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("s"), F.lead("event_type").over(w).alias("t")
+    ).where(F.col("t").isNotNull())
+    c = seq.groupBy("s", "t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rt = c.groupBy("s").agg(F.sum("c").cast("bigint").alias("tot"))
+    # the matrix and state list feed four chained iterations each —
+    # localCheckpoint the <= |states|^2 frames so the corpus window
+    # runs once, not four times (PERSIST_PRONE covers the drain)
+    m = (
+        c.join(rt, "s")
+        .select("s", "t", F.expr("CAST((c * 1000000) div tot AS BIGINT)").alias("t_m"))
+        .localCheckpoint()
+    )
+    states = (
+        e.select(F.col("event_type").alias("s")).distinct().localCheckpoint()
+    )
+    p = states.select(
+        "s",
+        F.when(F.col("s") == "purchase", F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("p_m"),
+    )
+    snapshots = {}
+    for k in (1, 2, 3, 4):
+        x = (
+            m.join(p.select(F.col("s").alias("t"), "p_m"), "t")
+            .groupBy("s")
+            .agg(
+                F.sum(F.expr("CAST((t_m * p_m) div 1000000 AS BIGINT)"))
+                .cast("bigint")
+                .alias("v")
+            )
+        )
+        p = states.join(x, "s", "left").select(
+            "s",
+            F.when(F.col("s") == "purchase", F.lit(1000000))
+            .otherwise(F.coalesce(F.col("v"), F.lit(0)))
+            .cast("bigint")
+            .alias("p_m"),
+        )
+        if k in (2, 4):
+            snapshots[k] = p
+    p2 = snapshots[2].select(F.col("s"), F.col("p_m").alias("m2"))
+    p4 = snapshots[4].select(F.col("s"), F.col("p_m").alias("m4"))
+    return p4.join(p2, "s").select(
+        F.col("s").alias("event_type"),
+        emit(F.col("m2").cast("double") / F.lit(1e6)).alias("p_convert_2"),
+        emit(F.col("m4").cast("double") / F.lit(1e6)).alias("p_convert_4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q333: sparse tf-idf cosine top-k via the inverted index
+# ---------------------------------------------------------------------------
+
+@register(
+    "q333_tfidf_cosine_topk",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.c * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) * 1e6)
+                         AS BIGINT) AS w
+      FROM tf JOIN dfreq USING (tok), n
+      WHERE dfreq.df BETWEEN 2 AND 50
+    ),
+    ss AS (
+      SELECT doc_id,
+             SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS ss
+      FROM w GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(COUNT(*) AS BIGINT) AS n_shared,
+             SUM(CAST(a.w AS DECIMAL(38,0)) * CAST(b.w AS DECIMAL(38,0))) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT da, db, n_shared,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE)))
+               AS cosine
+      FROM dots JOIN ss sa ON sa.doc_id = dots.da
+                JOIN ss sb ON sb.doc_id = dots.db
+    )
+    SELECT da AS doc_a, db AS doc_b, n_shared AS n_shared_terms, cosine
+    FROM scored
+    ORDER BY cosine DESC, da, db
+    LIMIT 30
+    """,
+    doc="Sparse tf-idf cosine top-k document pairs via the inverted "
+        "index — the lexical complement of the embedding-space q20/q33: "
+        "tf exact integer counts, idf = ln(N/df) micro-rounded to "
+        "BIGINT per TERM (before any weight product), weights "
+        "w = tf * idf_m exact integers, dot products and norms "
+        "accumulated as DECIMAL(38,0) (w reaches ~1.4e9, so int64 "
+        "squares would overflow), ONE final double cosine with the "
+        "identical op tree both engines.  Scale: the postings join "
+        "never touches text — df caps (2 <= df <= 50) prune stopwords "
+        "BEFORE the pair join, bounding per-token fanout at C(50,2) "
+        "exactly like a prefix-filtered similarity join; norms join "
+        "back at doc grain.  TakeOrdered top-30 on (cosine, da, db) — "
+        "cosine doubles are bit-identical across engines because every "
+        "input is exact.",
+    tags=("llmdata", "text", "documents", "similarity"),
+)
+def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import fan_out
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    tf = (
+        fan_out(d.select("doc_id", "text"))
+        .select("doc_id", toks)
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = (
+        tf.join(dfreq.where((F.col("df") >= 2) & (F.col("df") <= 50)), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("c")
+                * F.round(
+                    F.log(F.col("n_docs").cast("double") / F.col("df")) * 1e6
+                ).cast("bigint")
+            ).alias("w"),
+        )
+    )
+    wd = F.col("w").cast("decimal(38,0)")
+    ss = w.groupBy("doc_id").agg(F.sum(wd * wd).alias("ss"))
+    a = w.select(F.col("doc_id").alias("da"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("db"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(
+                F.col("wa").cast("decimal(38,0)") * F.col("wb").cast("decimal(38,0)")
+            ).alias("dot"),
+        )
+    )
+    sa = ss.select(F.col("doc_id").alias("da"), F.col("ss").alias("ssa"))
+    sb = ss.select(F.col("doc_id").alias("db"), F.col("ss").alias("ssb"))
+    scored = dots.join(sa, "da").join(sb, "db").select(
+        "da",
+        "db",
+        "n_shared",
+        (
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("ssa").cast("double")) * F.sqrt(F.col("ssb").cast("double")))
+        ).alias("cosine"),
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), "da", "db")
+        .limit(30)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("n_shared").alias("n_shared_terms"),
+            emit(F.col("cosine")).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q334: rank-biased overlap between two part rankings
+# ---------------------------------------------------------------------------
+
+@register(
+    "q334_rank_biased_overlap",
+    sql="""
+    WITH agg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS rev_c,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS qty_c
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_partkey,
+             row_number() OVER (ORDER BY rev_c DESC, l_partkey) AS ra,
+             row_number() OVER (ORDER BY qty_c DESC, l_partkey) AS rb
+      FROM agg
+    ),
+    mx AS (
+      SELECT greatest(ra, rb) AS maxr, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ranked WHERE ra <= 20 AND rb <= 20 GROUP BY 1
+    ),
+    spine AS (SELECT unnest(generate_series(1, 20)) AS d),
+    ov AS (
+      SELECT spine.d,
+             CAST(COALESCE(SUM(mx.cnt), 0) AS BIGINT) AS overlap
+      FROM spine LEFT JOIN mx ON mx.maxr <= spine.d
+      GROUP BY 1
+    ),
+    terms AS (
+      SELECT d, overlap,
+             CAST(round(pow(0.9, d - 1) / d * 1e9) AS BIGINT) AS term_n
+      FROM ov
+    )
+    SELECT 20 AS depth,
+           (SELECT overlap FROM ov WHERE d = 20) AS overlap_at_k,
+           0.1 * CAST(SUM(overlap * term_n) AS DOUBLE) / 1e9 AS rbo
+    FROM terms
+    """,
+    doc="Rank-biased overlap (Webber et al. 2010) at depth 20, p = 0.9, "
+        "between the revenue ranking and the quantity ranking of parts "
+        "— the top-weighted rank-agreement diagnostic that, unlike "
+        "Kendall/Spearman (q142/q283), weights disagreement at rank 1 "
+        "more than at rank 20.  RBO = (1-p) sum_d p^(d-1) |A_d ∩ B_d|/d "
+        "with the intersection-at-depth computed from greatest(ra, rb) "
+        "counts (a part is inside both depth-d prefixes iff its max "
+        "rank <= d) — no per-depth set intersection.  p^(d-1)/d is "
+        "nano-rounded to BIGINT per depth BEFORE the overlap-weighted "
+        "sum; overlaps are exact integers.  Physical: one fact "
+        "aggregate to part grain, two rank windows over that grain, "
+        "then 20-row spine math; at 100 TB only the first aggregate "
+        "touches the fact.",
+    tags=("lineitem", "ranking", "stats", "window"),
+)
+def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC) * 100).cast("bigint").alias("rev_c"),
+        F.sum(F.col("l_quantity").cast(DEC) * 100).cast("bigint").alias("qty_c"),
+    )
+    ranked = agg.select(
+        "l_partkey",
+        F.row_number().over(Window.orderBy(F.desc("rev_c"), "l_partkey")).alias("ra"),
+        F.row_number().over(Window.orderBy(F.desc("qty_c"), "l_partkey")).alias("rb"),
+    )
+    mx = (
+        ranked.where((F.col("ra") <= 20) & (F.col("rb") <= 20))
+        .groupBy(F.greatest("ra", "rb").alias("maxr"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    spine = spark.range(1, 21).select(F.col("id").cast("int").alias("d"))
+    ov = (
+        spine.join(F.broadcast(mx), F.col("maxr") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("overlap"))
+    )
+    terms = ov.select(
+        "d",
+        "overlap",
+        F.round(F.pow(F.lit(0.9), F.col("d") - 1) / F.col("d") * 1e9)
+        .cast("bigint")
+        .alias("term_n"),
+    )
+    ov20 = ov.where(F.col("d") == 20).select(F.col("overlap").alias("overlap_at_k"))
+    return (
+        terms.agg(
+            F.sum(F.col("overlap") * F.col("term_n")).cast("bigint").alias("wsum")
+        )
+        .crossJoin(F.broadcast(ov20))
+        .select(
+            F.lit(20).cast("int").alias("depth"),
+            "overlap_at_k",
+            emit(F.lit(0.1) * F.col("wsum").cast("double") / F.lit(1e9)).alias("rbo"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q335: propensity-stratified ATT
+# ---------------------------------------------------------------------------
+
+@register(
+    "q335_propensity_strata_att",
+    sql="""
+    WITH f AS (
+      SELECT c_mktsegment AS stratum,
+             c_custkey % 3 = 0 AS treat,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM customer
+    ),
+    cells AS (
+      SELECT stratum,
+             CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(SUM(CASE WHEN treat THEN cents ELSE 0 END) AS BIGINT) AS s_t,
+             CAST(SUM(CASE WHEN NOT treat THEN cents ELSE 0 END) AS BIGINT) AS s_c
+      FROM f GROUP BY 1
+    ),
+    strata AS (
+      SELECT stratum, n_t, n_c,
+             CAST(s_t AS DOUBLE) / (100.0 * n_t) AS mean_t,
+             CAST(s_c AS DOUBLE) / (100.0 * n_c) AS mean_c,
+             CAST(n_t AS DOUBLE) / (n_t + n_c) AS propensity,
+             CAST(round((CAST(s_t AS DOUBLE) / (100.0 * n_t)
+                         - CAST(s_c AS DOUBLE) / (100.0 * n_c)) * 1e6)
+                  AS BIGINT) AS diff_m
+      FROM cells WHERE n_t > 0 AND n_c > 0
+    )
+    SELECT stratum,
+           n_t AS n_treat, n_c AS n_ctrl,
+           mean_t AS mean_treat, mean_c AS mean_ctrl,
+           propensity,
+           CAST(diff_m AS DOUBLE) / 1e6 AS diff,
+           CAST(SUM(n_t * diff_m) OVER () AS DOUBLE)
+             / (CAST(SUM(n_t) OVER () AS DOUBLE) * 1e6) AS att
+    FROM strata
+    """,
+    doc="Propensity-stratified average treatment effect on the treated "
+        "(ATT): customers stratify by market segment, treat = custkey "
+        "% 3 (a deterministic synthetic assignment), outcome = account "
+        "balance; within-stratum mean differences weight by treated "
+        "count — the standard subclassification estimator "
+        "(Rosenbaum & Rubin 1984) that removes confounding carried by "
+        "the stratum.  Per-stratum diffs micro-round to BIGINT before "
+        "the treated-weighted sum, so the ATT numerator is an exact "
+        "integer; strata missing either arm drop (documented, both "
+        "engines).  Per-stratum propensity n_t/(n_t+n_c) is the "
+        "diagnostic column.  Physical: ONE customer scan to stratum "
+        "grain, window totals over <= |segments| rows.",
+    tags=("customer", "experimentation", "stats", "agg"),
+)
+def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("stratum"),
+        (F.col("c_custkey") % 3 == 0).alias("treat"),
+        (F.col("c_acctbal").cast(DEC) * 100).cast("bigint").alias("cents"),
+    )
+    t = F.col("treat")
+    cells = c.groupBy("stratum").agg(
+        F.sum(F.when(t, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(t, F.col("cents")).otherwise(0)).cast("bigint").alias("s_t"),
+        F.sum(F.when(~t, F.col("cents")).otherwise(0)).cast("bigint").alias("s_c"),
+    )
+    mean_t = F.col("s_t").cast("double") / (F.lit(100.0) * F.col("n_t"))
+    mean_c = F.col("s_c").cast("double") / (F.lit(100.0) * F.col("n_c"))
+    strata = cells.where((F.col("n_t") > 0) & (F.col("n_c") > 0)).select(
+        "stratum",
+        "n_t",
+        "n_c",
+        mean_t.alias("mean_t"),
+        mean_c.alias("mean_c"),
+        (F.col("n_t").cast("double") / (F.col("n_t") + F.col("n_c"))).alias(
+            "propensity"
+        ),
+        F.round((mean_t - mean_c) * 1e6).cast("bigint").alias("diff_m"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return strata.select(
+        "stratum",
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_ctrl"),
+        emit(F.col("mean_t")).alias("mean_treat"),
+        emit(F.col("mean_c")).alias("mean_ctrl"),
+        emit(F.col("propensity")).alias("propensity"),
+        emit(F.col("diff_m").cast("double") / F.lit(1e6)).alias("diff"),
+        emit(
+            F.sum(F.col("n_t") * F.col("diff_m")).over(wall).cast("double")
+            / (F.sum("n_t").over(wall).cast("double") * F.lit(1e6))
+        ).alias("att"),
+    )

@@ -78,6 +78,9 @@ PERSIST_PRONE = [
     # q269 localCheckpoints the bigram-type table (four consumers:
     # ctx/cont/n_bi derivations + the test-stream join)
     "q269_kneser_ney_bigram",
+    # q332 localCheckpoints the transition matrix + state list (four
+    # chained matrix-power iterations each)
+    "q332_absorbing_markov_conversion",
     # q195 runs four outer-join drains (dual-side join state + the
     # sentinel watermark-flush batches)
     "q195_stream_outer_join",
