@@ -233,6 +233,10 @@ _GRADE_FIRST = (
     "q333_tfidf_cosine_topk",
     "q334_rank_biased_overlap",
     "q335_propensity_strata_att",
+    "q336_negative_sampling_table",
+    "q337_conformal_interval",
+    "q338_qq_quantile_points",
+    "q339_stream_histogram_parity",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

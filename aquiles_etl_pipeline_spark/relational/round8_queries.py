@@ -968,3 +968,461 @@ def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("n_t").over(wall).cast("double") * F.lit(1e6))
         ).alias("att"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q336: word2vec-style negative-sampling table (unigram^0.75)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q336_negative_sampling_table",
+    sql="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1
+    ),
+    pm AS (
+      SELECT tok, c, CAST(round(pow(CAST(c AS DOUBLE), 0.75) * 1e6) AS BIGINT)
+               AS p_m
+      FROM cnt
+    ),
+    tot AS (SELECT CAST(SUM(p_m) AS BIGINT) AS t FROM pm),
+    fl AS (
+      SELECT tok, c, p_m,
+             CAST((p_m * 1048576) // t AS BIGINT) AS f,
+             CAST(p_m * 1048576 - ((p_m * 1048576) // t) * t AS BIGINT) AS rem,
+             t
+      FROM pm, tot
+    ),
+    lr AS (
+      SELECT tok, c, f, rem,
+             row_number() OVER (ORDER BY rem DESC, c DESC, tok) AS rn,
+             1048576 - SUM(f) OVER () AS leftover
+      FROM fl
+    ),
+    alloc AS (
+      SELECT tok, c,
+             f + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS n_buckets
+      FROM lr
+    ),
+    cum AS (
+      SELECT tok, c, n_buckets,
+             CAST(COALESCE(SUM(n_buckets) OVER (
+               ORDER BY c DESC, tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS bucket_start
+      FROM alloc
+    )
+    SELECT tok AS token, c AS n_occurrences,
+           CAST(n_buckets AS BIGINT) AS n_buckets, bucket_start,
+           CAST(n_buckets AS DOUBLE) / 1048576 AS sample_prob
+    FROM cum
+    ORDER BY c DESC, tok
+    LIMIT 50
+    """,
+    doc="word2vec-style negative-sampling table (Mikolov et al. 2013): "
+        "P(w) proportional to count^0.75, materialized as exact integer "
+        "bucket ranges over a 2^20-slot table via largest-remainder "
+        "(Hamilton) apportionment — the q159 machinery repurposed — so "
+        "the allocated buckets sum to EXACTLY 2^20 and a uniform "
+        "integer draw in [0, 2^20) maps to a token by range lookup.  "
+        "count^0.75 is micro-rounded to BIGINT per token BEFORE "
+        "normalization; quotas use exact integer floor division with "
+        "exact integer remainders (the p_m * 2^20 product is bounded "
+        "by ~2e15 here; past ~8e12 micro-weight — count ~ 8e8 per "
+        "token — widen to DECIMAL as q318/q320 prescribe).  Top-50 "
+        "rows shown; allocation runs over the FULL vocabulary.  "
+        "Physical: one corpus explode to vocab grain, then vocab-grain "
+        "windows (one ordering shared by rank and prefix-sum).",
+    tags=("llmdata", "text", "documents", "sampling"),
+)
+def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import fan_out
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    cnt = (
+        fan_out(d.select("text"))
+        .select(toks)
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pm = cnt.select(
+        "tok",
+        "c",
+        F.round(F.pow(F.col("c").cast("double"), F.lit(0.75)) * 1e6)
+        .cast("bigint")
+        .alias("p_m"),
+    )
+    tot = pm.agg(F.sum("p_m").cast("bigint").alias("t"))
+    fl = pm.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "c",
+        F.expr("CAST((p_m * 1048576) div t AS BIGINT)").alias("f"),
+        F.expr(
+            "CAST(p_m * 1048576 - ((p_m * 1048576) div t) * t AS BIGINT)"
+        ).alias("rem"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lr = fl.select(
+        "tok",
+        "c",
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.desc("c"), "tok"))
+        .alias("rn"),
+        (F.lit(1048576) - F.sum("f").over(wall)).alias("leftover"),
+    )
+    alloc = lr.select(
+        "tok",
+        "c",
+        (F.col("f") + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)).alias(
+            "n_buckets"
+        ),
+    )
+    wcum = Window.orderBy(F.desc("c"), "tok").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = alloc.select(
+        "tok",
+        "c",
+        "n_buckets",
+        F.coalesce(F.sum("n_buckets").over(wcum), F.lit(0))
+        .cast("bigint")
+        .alias("bucket_start"),
+    )
+    return (
+        cum.orderBy(F.desc("c"), "tok")
+        .limit(50)
+        .select(
+            F.col("tok").alias("token"),
+            F.col("c").alias("n_occurrences"),
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            "bucket_start",
+            emit(F.col("n_buckets").cast("double") / F.lit(1048576)).alias(
+                "sample_prob"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q337: split-conformal prediction intervals + empirical coverage
+# ---------------------------------------------------------------------------
+
+@register(
+    "q337_conformal_interval",
+    sql="""
+    WITH f AS (
+      SELECT event_type, event_id % 2 = 0 AS calib,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    cal AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM f WHERE calib
+    ),
+    med AS (
+      SELECT event_type, cents AS med_c, n AS n_calib
+      FROM cal WHERE rn = (n + 1) // 2
+    ),
+    res AS (
+      SELECT cal.event_type, abs(cal.cents - med.med_c) AS r,
+             row_number() OVER (PARTITION BY cal.event_type
+                                ORDER BY abs(cal.cents - med.med_c)) AS rn,
+             med.n_calib
+      FROM cal JOIN med USING (event_type)
+    ),
+    qh AS (
+      SELECT event_type, r AS q_c, n_calib
+      FROM res
+      WHERE rn = least(n_calib, (9 * (n_calib + 1) + 9) // 10)
+    ),
+    test AS (
+      SELECT f.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN abs(f.cents - med.med_c) <= qh.q_c
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM f JOIN med USING (event_type) JOIN qh USING (event_type)
+      WHERE NOT calib
+      GROUP BY 1
+    )
+    SELECT test.event_type,
+           CAST(med.n_calib AS BIGINT) AS n_calib, test.n_test,
+           CAST(med.med_c AS DOUBLE) / 100.0 AS median,
+           CAST(qh.q_c AS DOUBLE) / 100.0 AS q_hat,
+           CAST(test.n_covered AS DOUBLE) / test.n_test AS coverage
+    FROM test JOIN med USING (event_type) JOIN qh USING (event_type)
+    """,
+    doc="Split-conformal prediction interval with empirical holdout "
+        "coverage (Vovk et al.; the distribution-free uncertainty "
+        "wrapper a forecast service ships): calibration split = even "
+        "event_ids, point predictor = per-type lower median, conformal "
+        "radius q_hat = ceil(0.9 (n+1))-th order statistic of absolute "
+        "calibration residuals (guaranteeing >= 90% marginal coverage), "
+        "then the EMPIRICAL coverage of median ± q_hat measured on the "
+        "odd-id holdout.  Every selection is an exact integer-cents "
+        "order statistic (lower median rank (n+1)//2, conformal rank "
+        "via the exact identity ceil(9m/10) = (9m+9)//10, // == Spark "
+        "div on non-negative) — no interpolation, no floats until the "
+        "final emitted columns.  Physical: two rank windows per type "
+        "grain over the calibration half, one aggregate over the "
+        "holdout; type-grain tables broadcast back.",
+    tags=("events", "ml-stats", "experimentation", "window"),
+)
+def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 2 == 0).alias("calib"),
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("cents"),
+    )
+    wt = Window.partitionBy("event_type")
+    cal = e.where("calib").select(
+        "event_type",
+        "cents",
+        F.row_number().over(wt.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med = cal.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("cents").alias("med_c"), F.col("n").alias("n_calib")
+    )
+    res = (
+        cal.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("cents") - F.col("med_c")).alias("r"),
+            "n_calib",
+        )
+        .select(
+            "event_type",
+            "r",
+            F.row_number().over(wt.orderBy("r")).alias("rn"),
+            "n_calib",
+        )
+    )
+    qh = res.where(
+        F.col("rn")
+        == F.least(
+            F.col("n_calib"), F.expr("(9 * (n_calib + 1) + 9) div 10")
+        )
+    ).select("event_type", F.col("r").alias("q_c"))
+    test = (
+        e.where(~F.col("calib"))
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(qh), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("med_c")) <= F.col("q_c"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        test.join(med, "event_type")
+        .join(qh, "event_type")
+        .select(
+            "event_type",
+            F.col("n_calib").cast("bigint").alias("n_calib"),
+            "n_test",
+            emit(F.col("med_c").cast("double") / F.lit(100.0)).alias("median"),
+            emit(F.col("q_c").cast("double") / F.lit(100.0)).alias("q_hat"),
+            emit(F.col("n_covered").cast("double") / F.col("n_test")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q338: exact q-q quantile points between two customer segments
+# ---------------------------------------------------------------------------
+
+@register(
+    "q338_qq_quantile_points",
+    sql="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    r AS (
+      SELECT seg, cents,
+             row_number() OVER (PARTITION BY seg ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY seg) AS n
+      FROM j
+    ),
+    spine AS (SELECT unnest(generate_series(1, 19)) * 5 AS prob),
+    pick AS (
+      SELECT spine.prob, r.seg, r.cents
+      FROM spine JOIN r ON r.rn = 1 + (spine.prob * (r.n - 1)) // 100
+    )
+    SELECT a.prob,
+           CAST(a.cents AS DOUBLE) / 100.0 AS q_building,
+           CAST(b.cents AS DOUBLE) / 100.0 AS q_machinery,
+           CAST(a.cents - b.cents AS DOUBLE) / 100.0 AS diff
+    FROM (SELECT prob, cents FROM pick WHERE seg = 'BUILDING') a
+    JOIN (SELECT prob, cents FROM pick WHERE seg = 'MACHINERY') b
+      USING (prob)
+    """,
+    doc="Exact q-q plot points between two customer segments' order "
+        "values: the 5%..95% quantiles (19 points) of each segment "
+        "side by side with their differences — the distribution-shift "
+        "diagnostic behind 'did MACHINERY orders get bigger or just "
+        "more numerous'.  Quantiles are LOWER order statistics at the "
+        "exact integer index 1 + (p*(n-1))//100 selected by rank — no "
+        "interpolation, so integer-cents selection is engine-identical "
+        "by construction (type-7 interpolated quantiles would put a "
+        "float multiply inside the selection).  Physical: one join + "
+        "one rank window per segment partition; the 19-row spine joins "
+        "against rank matches (rank predicate pushes into the window "
+        "output), everything after the window is spine-sized.",
+    tags=("orders", "customer", "stats", "window"),
+)
+def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (
+        o.join(
+            F.broadcast(
+                c.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            ),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("o_totalprice").cast(DEC) * 100).cast("bigint").alias("cents"),
+        )
+    )
+    ws = Window.partitionBy("seg")
+    r = j.select(
+        "seg",
+        "cents",
+        F.row_number().over(ws.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    spine = spark.range(1, 20).select((F.col("id") * 5).cast("int").alias("prob"))
+    pick = spine.join(
+        r,
+        F.col("rn") == 1 + F.expr("CAST((prob * (n - 1)) div 100 AS BIGINT)"),
+    ).select("prob", "seg", "cents")
+    a = pick.where(F.col("seg") == "BUILDING").select(
+        "prob", F.col("cents").alias("ca")
+    )
+    b = pick.where(F.col("seg") == "MACHINERY").select(
+        "prob", F.col("cents").alias("cb")
+    )
+    return a.join(b, "prob").select(
+        "prob",
+        emit(F.col("ca").cast("double") / F.lit(100.0)).alias("q_building"),
+        emit(F.col("cb").cast("double") / F.lit(100.0)).alias("q_machinery"),
+        emit((F.col("ca") - F.col("cb")).cast("double") / F.lit(100.0)).alias(
+            "diff"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q339: streaming additive-histogram parity
+# ---------------------------------------------------------------------------
+
+@register(
+    "q339_stream_histogram_parity",
+    sql="""
+    WITH b AS (
+      SELECT least(19, CAST(floor(value / 25.0) AS BIGINT)) AS bin
+      FROM events
+    ),
+    h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1)
+    SELECT bin, cnt,
+           CAST(cnt AS DOUBLE) / SUM(cnt) OVER () AS density
+    FROM h
+    """,
+    doc="Streaming continuous equi-width histogram under the "
+        "correctness gate: events land as parquet in two waves, two "
+        "checkpointed AvailableNow drains fold each micro-batch's "
+        "per-bin counts into a warehouse rollup via additive merge "
+        "(refresh_additive — counts form a commutative monoid, so the "
+        "streaming answer is EXACTLY the batch histogram, the oracle), "
+        "with batch-id idempotence against redelivery.  Completes the "
+        "continuous-aggregate parity family (q102 corpus stats, q138 "
+        "bitmap distincts, q326 gram matrix) with the profile/monitor "
+        "histogram every ingest pipeline maintains.  Per-trigger cost "
+        "is O(batch + bins), never a history rescan; the readback is "
+        "bins-sized.",
+    tags=("streaming", "warehouse", "events", "sketch"),
+)
+def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..merge.incremental import refresh_additive
+    from ..merge.warehouse import Warehouse
+
+    root = Path(tempfile.mkdtemp(prefix="q339_hist_"))
+    land = root / "land"
+    land.mkdir()
+    wh = Warehouse(spark, str(root / "wh"))
+    e = load(spark, sf_dir, "events").select("event_id", "value")
+
+    def land_wave(df: DataFrame, tag: str) -> None:
+        wave = root / f"wave_{tag}"
+        df.write.parquet(str(wave))
+        for f in wave.glob("part-*.parquet"):
+            shutil.copy(f, land / f"{tag}_{f.name}")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        meta = wh.write_meta("hist") or {}
+        if batch_id <= meta.get("last_batch_id", -1):
+            return  # redelivered after a crash-between-flip-and-commit
+        if batch_df.limit(1).isEmpty():
+            return
+        delta = batch_df.groupBy(
+            F.least(
+                F.lit(19).cast("bigint"),
+                F.floor(F.col("value") / F.lit(25.0)).cast("bigint"),
+            ).alias("bin")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        refresh_additive(
+            wh, "hist", delta, ["bin"], {"cnt": "sum"},
+            meta={"last_batch_id": batch_id},
+        )
+
+    def drain() -> None:
+        (
+            spark.readStream.schema(e.schema)
+            .parquet(str(land))
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", str(root / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    land_wave(e.where(F.col("event_id") % 2 == 0), "a")
+    drain()
+    land_wave(e.where(F.col("event_id") % 2 == 1), "b")
+    drain()
+    h = wh.read("hist").select("bin", F.col("cnt").cast("bigint").alias("cnt"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return h.select(
+        "bin",
+        "cnt",
+        emit(F.col("cnt").cast("double") / F.sum("cnt").over(wall)).alias(
+            "density"
+        ),
+    )

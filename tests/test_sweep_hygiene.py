@@ -81,6 +81,9 @@ PERSIST_PRONE = [
     # q332 localCheckpoints the transition matrix + state list (four
     # chained matrix-power iterations each)
     "q332_absorbing_markov_conversion",
+    # q339 runs two checkpointed histogram-rollup drains (foreachBatch
+    # -> refresh_additive warehouse merges)
+    "q339_stream_histogram_parity",
     # q195 runs four outer-join drains (dual-side join state + the
     # sentinel watermark-flush batches)
     "q195_stream_outer_join",
