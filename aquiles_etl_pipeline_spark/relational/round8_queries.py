@@ -282,14 +282,19 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_tp AS n_treat_pre, n_tq AS n_treat_post,
            n_cp AS n_ctrl_pre,  n_cq AS n_ctrl_post,
-           CAST(s_tp AS DOUBLE) / (100.0 * n_tp) AS mean_treat_pre,
-           CAST(s_tq AS DOUBLE) / (100.0 * n_tq) AS mean_treat_post,
-           CAST(s_cp AS DOUBLE) / (100.0 * n_cp) AS mean_ctrl_pre,
-           CAST(s_cq AS DOUBLE) / (100.0 * n_cq) AS mean_ctrl_post,
-           (CAST(s_tq AS DOUBLE) / (100.0 * n_tq)
-            - CAST(s_tp AS DOUBLE) / (100.0 * n_tp))
-           - (CAST(s_cq AS DOUBLE) / (100.0 * n_cq)
-              - CAST(s_cp AS DOUBLE) / (100.0 * n_cp)) AS did,
+           CASE WHEN n_tp > 0
+                THEN CAST(s_tp AS DOUBLE) / (100.0 * n_tp) END AS mean_treat_pre,
+           CASE WHEN n_tq > 0
+                THEN CAST(s_tq AS DOUBLE) / (100.0 * n_tq) END AS mean_treat_post,
+           CASE WHEN n_cp > 0
+                THEN CAST(s_cp AS DOUBLE) / (100.0 * n_cp) END AS mean_ctrl_pre,
+           CASE WHEN n_cq > 0
+                THEN CAST(s_cq AS DOUBLE) / (100.0 * n_cq) END AS mean_ctrl_post,
+           CASE WHEN n_tp > 0 AND n_tq > 0 AND n_cp > 0 AND n_cq > 0 THEN
+             (CAST(s_tq AS DOUBLE) / (100.0 * n_tq)
+              - CAST(s_tp AS DOUBLE) / (100.0 * n_tp))
+             - (CAST(s_cq AS DOUBLE) / (100.0 * n_cq)
+                - CAST(s_cp AS DOUBLE) / (100.0 * n_cp)) END AS did,
            CASE WHEN n_tp > 1 AND n_tq > 1 AND n_cp > 1 AND n_cq > 1 THEN
              sqrt(
                (CAST(q_tp AS DOUBLE) - CAST(s_tp AS DOUBLE) * s_tp / n_tp)
@@ -343,7 +348,12 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = f.agg(*aggs)
 
     def mean(k: str) -> F.Column:
-        return F.col(f"s_{k}").cast("double") / (F.lit(100.0) * F.col(f"n_{k}"))
+        # lazy CASE: empty cells must yield NULL means, not an ANSI
+        # divide-by-zero (property-test-found edge)
+        return F.when(
+            F.col(f"n_{k}") > 0,
+            F.col(f"s_{k}").cast("double") / (F.lit(100.0) * F.col(f"n_{k}")),
+        )
 
     def varterm(k: str) -> F.Column:
         n, s, q = F.col(f"n_{k}"), F.col(f"s_{k}"), F.col(f"q_{k}")
@@ -364,7 +374,13 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
         emit(mean("tq")).alias("mean_treat_post"),
         emit(mean("cp")).alias("mean_ctrl_pre"),
         emit(mean("cq")).alias("mean_ctrl_post"),
-        emit((mean("tq") - mean("tp")) - (mean("cq") - mean("cp"))).alias("did"),
+        emit(
+            F.when(
+                (F.col("n_tp") > 0) & (F.col("n_tq") > 0)
+                & (F.col("n_cp") > 0) & (F.col("n_cq") > 0),
+                (mean("tq") - mean("tp")) - (mean("cq") - mean("cp")),
+            )
+        ).alias("did"),
         emit(
             F.when(
                 guard,
@@ -403,8 +419,9 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     th AS (
       SELECT bk.b,
-             CAST(round(CAST(tot.s - bk.s_i AS DOUBLE) * 10000.0
-                        / (tot.n - bk.n_i)) AS BIGINT) AS theta_m,
+             CASE WHEN tot.n > bk.n_i THEN
+               CAST(round(CAST(tot.s - bk.s_i AS DOUBLE) * 10000.0
+                          / (tot.n - bk.n_i)) AS BIGINT) END AS theta_m,
              tot.nb, tot.n, tot.s
       FROM bk, tot
     ),
@@ -465,14 +482,19 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_i").cast("bigint").alias("n"),
         F.sum("s_i").cast("bigint").alias("s"),
     )
+    # lazy CASE: the leave-one-out mean is undefined when a single
+    # cluster holds every row (n == n_i) — ANSI would otherwise raise
+    # on the division; a NULL theta propagates to a NULL jackknife SE
+    # on both engines (property-test-found edge)
     th = bk.crossJoin(F.broadcast(tot)).select(
-        F.round(
-            (F.col("s") - F.col("s_i")).cast("double")
-            * F.lit(10000.0)
-            / (F.col("n") - F.col("n_i"))
-        )
-        .cast("bigint")
-        .alias("theta_m"),
+        F.when(
+            F.col("n") > F.col("n_i"),
+            F.round(
+                (F.col("s") - F.col("s_i")).cast("double")
+                * F.lit(10000.0)
+                / (F.col("n") - F.col("n_i"))
+            ).cast("bigint"),
+        ).alias("theta_m"),
         "nb",
         "n",
         "s",

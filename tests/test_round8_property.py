@@ -1,0 +1,430 @@
+"""Brute-force property tests for the round-8 kernels: each query's
+distributed formulation (in-basket Adamic-Adar pair expansion, jackknife
+cluster SEs from cross-multiplied integers, floor-division matrix
+powers, greatest-rank RBO intersection counting, largest-remainder
+sampling tables, exact-order-statistic conformal radii and q-q points,
+and the DiD cell algebra) must equal a naive pure-Python recomputation
+on adversarial random inputs — duplicate values and ties included,
+because order statistics and rank windows are easiest to get wrong
+there.
+
+Integer-exact formulations assert EXACT equality; float-emitting
+outputs allow only micro/nano-rounding tolerance.  q336 constrains
+counts to perfect 4th powers so count^0.75 is an exact integer in IEEE
+double on every libm — the allocation itself is then exact end-to-end
+and asserted with ==.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from aquiles_etl_pipeline_spark.relational import registry
+from test_round7b_property import _docs_dir, _events_dir, _rhalf
+from test_stats_property import _orders_dir
+
+ETYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _lineitem_dir(tmpdir, rows):
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
+    pdf["l_shipdate"] = pdf["l_shipdate"].astype("datetime64[us]")
+    d = tmpdir / "sf"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(d / "lineitem.parquet", index=False)
+    return d
+
+
+def _customer_dir(d, rows):
+    pdf = pd.DataFrame(
+        rows,
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    pdf.to_parquet(d / "customer.parquet", index=False)
+    return str(d)
+
+
+# ---------------------------------------------------------------------------
+# q328 Adamic-Adar link prediction
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    baskets=st.lists(
+        st.sets(st.integers(min_value=1, max_value=8), min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_adamic_adar_matches_bruteforce(spark, tmp_path_factory, baskets):
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (o + 1, p, 1, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0)
+        for o, parts in enumerate(baskets)
+        for i, p in enumerate(sorted(parts))
+    ]
+    sf = str(_lineitem_dir(tmp_path_factory.mktemp("aa"), rows))
+    got = {
+        (r["part_a"], r["part_b"]): r
+        for r in registry()["q328_adamic_adar_links"].fn(spark, sf).collect()
+    }
+
+    kept = [sorted(b) for b in baskets if 2 <= len(b) <= 16]
+    deg: dict[int, int] = {}
+    for b in kept:
+        for p in b:
+            deg[p] = deg.get(p, 0) + 1
+    pairs: dict[tuple[int, int], list[int]] = {}
+    for b in kept:
+        aa_m = _rhalf(1e6 / math.log(len(b)))
+        for i, pa in enumerate(b):
+            for pb in b[i + 1:]:
+                pairs.setdefault((pa, pb), []).append(aa_m)
+    want = {
+        k: (len(v), sum(v))
+        for k, v in pairs.items()
+        if len(v) >= 2
+    }
+    top = sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))[:30]
+    assert set(got) == {k for k, _ in top}
+    for (pa, pb), (common, aa_sum) in top:
+        r = got[(pa, pb)]
+        assert r["common_orders"] == common
+        assert abs(r["adamic_adar"] - aa_sum / 1e6) < 1e-9
+        exp_j = common / (deg[pa] + deg[pb] - common)
+        assert abs(r["jaccard"] - exp_j) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q331 delete-one-cluster jackknife SE
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),      # custkey
+            st.integers(min_value=0, max_value=50000),   # cents
+        ),
+        min_size=20,
+        max_size=80,
+    )
+)
+def test_cluster_jackknife_matches_bruteforce(spark, tmp_path_factory, data):
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i + 1, ck, "O", c / 100.0, t0, "1-URGENT")
+        for i, (ck, c) in enumerate(data)
+    ]
+    sf = _orders_dir(tmp_path_factory.mktemp("jk"), rows)
+    row = registry()["q331_cluster_jackknife_se"].fn(spark, sf).collect()[0]
+
+    buckets: dict[int, list[int]] = {}
+    for ck, c in data:
+        b = int(hashlib.md5(str(ck).encode()).hexdigest()[:8], 16) % 16
+        buckets.setdefault(b, []).append(c)
+    nb = len(buckets)
+    n = sum(len(v) for v in buckets.values())
+    s = sum(sum(v) for v in buckets.values())
+    thetas = [
+        _rhalf((s - sum(v)) * 10000.0 / (n - len(v)))
+        for v in buckets.values()
+        if n > len(v)
+    ]
+    assert row["n_orders"] == n
+    assert row["n_clusters"] == nb
+    assert abs(row["grand_mean"] - s / (100.0 * n)) < 1e-9
+    if len(thetas) == nb:  # every leave-one-out defined
+        t_sum = sum(thetas)
+        dev2 = sum((nb * t - t_sum) ** 2 for t in thetas)
+        se = math.sqrt((nb - 1) * float(dev2) / (float(nb) * nb * nb)) / 1e6
+        assert abs(row["jack_se"] - se) < max(1e-9, 1e-9 * se)
+
+
+# ---------------------------------------------------------------------------
+# q332 absorbing-chain matrix powers
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    seqs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=10),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_absorbing_markov_matches_bruteforce(spark, tmp_path_factory, seqs):
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for u, seq in enumerate(seqs):
+        for step, e in enumerate(seq):
+            rows.append(
+                (eid, t0 + pd.Timedelta(seconds=step), u, ETYPES[e], 0.0, None)
+            )
+            eid += 1
+    sf = _events_dir(tmp_path_factory.mktemp("mk"), rows)
+    got = {
+        r["event_type"]: r
+        for r in registry()["q332_absorbing_markov_conversion"].fn(spark, sf).collect()
+    }
+
+    states = sorted({ETYPES[e] for seq in seqs for e in seq})
+    cnt: dict[tuple[str, str], int] = {}
+    for seq in seqs:
+        for a, b in zip(seq, seq[1:]):
+            cnt[(ETYPES[a], ETYPES[b])] = cnt.get((ETYPES[a], ETYPES[b]), 0) + 1
+    tot: dict[str, int] = {}
+    for (a, _), c in cnt.items():
+        tot[a] = tot.get(a, 0) + c
+    t_m = {k: (c * 1000000) // tot[k[0]] for k, c in cnt.items()}
+    p = {s: (1000000 if s == "purchase" else 0) for s in states}
+    snaps = {}
+    for k in range(1, 5):
+        nxt = {}
+        for s in states:
+            if s == "purchase":
+                nxt[s] = 1000000
+            else:
+                nxt[s] = sum(
+                    (t_m[(s, t)] * p[t]) // 1000000
+                    for t in states
+                    if (s, t) in t_m
+                )
+        p = nxt
+        if k in (2, 4):
+            snaps[k] = dict(p)
+    assert set(got) == set(states)
+    for s in states:
+        assert abs(got[s]["p_convert_2"] - snaps[2][s] / 1e6) < 1e-12
+        assert abs(got[s]["p_convert_4"] - snaps[4][s] / 1e6) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q334 rank-biased overlap vs the set-intersection definition
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=90000),  # revenue cents
+            st.integers(min_value=0, max_value=9000),   # quantity cents
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t,
+    )
+)
+def test_rbo_matches_set_intersection_definition(spark, tmp_path_factory, parts):
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i + 1, i + 1, 1, 1, q / 100.0, r / 100.0, 0.0, 0.0, "N", "O", t0)
+        for i, (r, q) in enumerate(parts)
+    ]
+    sf = str(_lineitem_dir(tmp_path_factory.mktemp("rbo"), rows))
+    row = registry()["q334_rank_biased_overlap"].fn(spark, sf).collect()[0]
+
+    # the REAL definition: prefix sets of the two rankings
+    keys = list(range(1, len(parts) + 1))
+    ra = sorted(keys, key=lambda k: (-parts[k - 1][0], k))
+    rb = sorted(keys, key=lambda k: (-parts[k - 1][1], k))
+    wsum = 0
+    for d in range(1, 21):
+        overlap = len(set(ra[:d]) & set(rb[:d]))
+        wsum += overlap * _rhalf(0.9 ** (d - 1) / d * 1e9)
+    assert abs(row["rbo"] - 0.1 * wsum / 1e9) < 1e-9
+    assert row["overlap_at_k"] == len(set(ra[:20]) & set(rb[:20]))
+
+
+# ---------------------------------------------------------------------------
+# q336 largest-remainder sampling table
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+        st.integers(min_value=1, max_value=5),  # k -> count = k^4
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_negative_sampling_table_exact(spark, tmp_path_factory, counts):
+    # counts are perfect 4th powers so count^0.75 = k^3 is EXACT in
+    # IEEE double on every libm — the allocation is then integer-exact
+    # end-to-end and asserted with ==.
+    text = " ".join(tok for tok, k in sorted(counts.items()) for _ in range(k**4))
+    sf = _docs_dir(
+        tmp_path_factory.mktemp("neg"), [(0, text, "en", "src0", len(text))]
+    )
+    got = {
+        r["token"]: r
+        for r in registry()["q336_negative_sampling_table"].fn(spark, sf).collect()
+    }
+
+    c = {tok: k**4 for tok, k in counts.items()}
+    p_m = {tok: _rhalf((k**3) * 1e6) for tok, k in counts.items()}
+    t = sum(p_m.values())
+    f = {tok: (p_m[tok] * 1048576) // t for tok in c}
+    rem = {tok: p_m[tok] * 1048576 - f[tok] * t for tok in c}
+    leftover = 1048576 - sum(f.values())
+    order = sorted(c, key=lambda tok: (-rem[tok], -c[tok], tok))
+    buckets = dict(f)
+    for tok in order[:leftover]:
+        buckets[tok] += 1
+    assert sum(buckets.values()) == 1048576
+    out_order = sorted(c, key=lambda tok: (-c[tok], tok))
+    start = 0
+    for tok in out_order:
+        assert got[tok]["n_occurrences"] == c[tok]
+        assert got[tok]["n_buckets"] == buckets[tok]
+        assert got[tok]["bucket_start"] == start
+        start += buckets[tok]
+
+
+# ---------------------------------------------------------------------------
+# q337 split-conformal radius + coverage
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),     # event type idx
+            st.integers(min_value=0, max_value=400),   # cents
+        ),
+        min_size=4,
+        max_size=80,
+    )
+)
+def test_conformal_matches_bruteforce(spark, tmp_path_factory, data):
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, t0, 1, ETYPES[e], c / 100.0, None) for i, (e, c) in enumerate(data)
+    ]
+    sf = _events_dir(tmp_path_factory.mktemp("conf"), rows)
+    got = {
+        r["event_type"]: r
+        for r in registry()["q337_conformal_interval"].fn(spark, sf).collect()
+    }
+
+    cal: dict[str, list[int]] = {}
+    tst: dict[str, list[int]] = {}
+    for i, (e, c) in enumerate(data):
+        (cal if i % 2 == 0 else tst).setdefault(ETYPES[e], []).append(c)
+    for et, cs in cal.items():
+        if et not in tst:
+            continue  # no holdout rows -> inner join drops the type
+        n = len(cs)
+        med = sorted(cs)[(n + 1) // 2 - 1]
+        res = sorted(abs(x - med) for x in cs)
+        k = min(n, (9 * (n + 1) + 9) // 10)
+        q = res[k - 1]
+        cov = sum(1 for x in tst[et] if abs(x - med) <= q) / len(tst[et])
+        r = got[et]
+        assert r["n_calib"] == n
+        assert r["n_test"] == len(tst[et])
+        assert abs(r["median"] - med / 100.0) < 1e-9
+        assert abs(r["q_hat"] - q / 100.0) < 1e-9
+        assert abs(r["coverage"] - cov) < 1e-12
+    assert set(got) == {et for et in cal if et in tst}
+
+
+# ---------------------------------------------------------------------------
+# q338 exact q-q points
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    aa=st.lists(st.integers(min_value=0, max_value=90000), min_size=1, max_size=50),
+    bb=st.lists(st.integers(min_value=0, max_value=90000), min_size=1, max_size=50),
+)
+def test_qq_points_match_order_statistics(spark, tmp_path_factory, aa, bb):
+    t0 = pd.Timestamp("2024-01-01")
+    d = _lineitem_dir(tmp_path_factory.mktemp("qq"), [])
+    custs = [(1, "a", 0, 0.0, "BUILDING"), (2, "b", 0, 0.0, "MACHINERY")]
+    orows = [
+        (i + 1, 1 if side == 0 else 2, "O", c / 100.0, t0, "1-URGENT")
+        for i, (side, c) in enumerate(
+            [(0, c) for c in aa] + [(1, c) for c in bb]
+        )
+    ]
+    _orders_dir(d.parent, orows)
+    sf = _customer_dir(d.parent / "sf", custs)
+    got = {
+        r["prob"]: r for r in registry()["q338_qq_quantile_points"].fn(spark, sf).collect()
+    }
+
+    sa, sb = sorted(aa), sorted(bb)
+    for p in range(5, 100, 5):
+        qa = sa[(p * (len(sa) - 1)) // 100]
+        qb = sb[(p * (len(sb) - 1)) // 100]
+        r = got[p]
+        assert abs(r["q_building"] - qa / 100.0) < 1e-9
+        assert abs(r["q_machinery"] - qb / 100.0) < 1e-9
+        assert abs(r["diff"] - (qa - qb) / 100.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q330 DiD cell algebra
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),    # user
+            st.booleans(),                            # post period
+            st.integers(min_value=0, max_value=400),  # cents
+        ),
+        min_size=8,
+        max_size=60,
+    )
+)
+def test_did_matches_bruteforce(spark, tmp_path_factory, data):
+    pre = pd.Timestamp("2024-01-05")
+    post = pd.Timestamp("2024-01-20")
+    rows = [
+        (i, post if is_post else pre, u, "purchase", c / 100.0, None)
+        for i, (u, is_post, c) in enumerate(data)
+    ]
+    sf = _events_dir(tmp_path_factory.mktemp("did"), rows)
+    row = registry()["q330_did_estimator"].fn(spark, sf).collect()[0]
+
+    cells: dict[tuple[bool, bool], list[int]] = {}
+    for u, is_post, c in data:
+        cells.setdefault((u % 2 == 1, is_post), []).append(c)
+
+    def m(k):
+        v = cells.get(k, [])
+        return sum(v) / (100.0 * len(v)) if v else None
+
+    keys = [(True, False), (True, True), (False, False), (False, True)]
+    names = ["n_treat_pre", "n_treat_post", "n_ctrl_pre", "n_ctrl_post"]
+    for k, nm in zip(keys, names):
+        assert row[nm] == len(cells.get(k, []))
+    if all(m(k) is not None for k in keys):
+        did = (m((True, True)) - m((True, False))) - (
+            m((False, True)) - m((False, False))
+        )
+        assert abs(row["did"] - did) < 1e-9
+    if all(len(cells.get(k, [])) > 1 for k in keys):
+        var_n = 0.0
+        for k in keys:
+            v = cells[k]
+            n, s = len(v), sum(v)
+            ssq = sum(x * x for x in v)
+            var_n += (ssq - s * s / n) / (n - 1) / n
+        assert abs(row["se_did"] - math.sqrt(var_n) / 100.0) < 1e-9
