@@ -80,7 +80,10 @@ from .catalog import DEC, emit, load, register
         "each basket's sorted part array (codegen transform/slice, "
         "the fact never self-joins); degrees and Jaccard are computed "
         "on the same filtered graph so the metrics are "
-        "self-consistent.  TakeOrdered top-30 on a unique "
+        "self-consistent.  Physical: ONE distinct + ONE groupBy build "
+        "the basket table (degree = size(parts), so no degree join), "
+        "localCheckpointed for its two consumers (part-degree explode "
+        "+ pair expansion).  TakeOrdered top-30 on a unique "
         "(aa_sum, pa, pb) key keeps the cut deterministic.",
     tags=("graph", "recsys", "lineitem"),
 )
@@ -89,22 +92,28 @@ def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select(
         F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part")
     ).distinct()
-    deg = op.groupBy("ord").agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
-    kept = (
-        op.join(deg, "ord")
-        .where((F.col("dc") >= 2) & (F.col("dc") <= 16))
+    # basket-direct: the degree IS size(parts), so no separate deg
+    # frame and no op-deg join — ONE distinct + ONE groupBy build the
+    # basket table, localCheckpointed because both the part-degree
+    # explode and the pair expansion consume it (two consumers would
+    # otherwise re-run the corpus distinct+collect twice; the
+    # PERSIST_PRONE hygiene test covers the drain)
+    baskets = (
+        op.groupBy("ord")
+        .agg(F.sort_array(F.collect_set("part")).alias("parts"))
+        .where((F.size("parts") >= 2) & (F.size("parts") <= 16))
         .select(
-            "ord",
-            "part",
-            F.round(F.lit(1e6) / F.log(F.col("dc").cast("double")))
+            "parts",
+            F.round(F.lit(1e6) / F.log(F.size("parts").cast("double")))
             .cast("bigint")
             .alias("aa_m"),
         )
+        .localCheckpoint()
     )
-    pd_ = kept.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("dp"))
-    baskets = kept.groupBy("ord").agg(
-        F.sort_array(F.collect_set("part")).alias("parts"),
-        F.min("aa_m").alias("aa_m"),
+    pd_ = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dp"))
     )
     pair_arr = F.flatten(
         F.transform(
@@ -735,15 +744,23 @@ def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     toks = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    # tf feeds both the document-frequency aggregate and the weight
+    # join — checkpoint it so the corpus tokenize+explode runs exactly
+    # once (token-grain materialization beats a second corpus pass)
     tf = (
         fan_out(d.select("doc_id", "text"))
         .select("doc_id", toks)
         .where(F.col("tok") != "")
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # the weighted postings feed THREE consumers (norms + both pair
+    # sides) — localCheckpoint them so the corpus explode+groupBy runs
+    # once, not three times; postings are df-capped, orders smaller
+    # than the corpus (PERSIST_PRONE covers the drain)
     w = (
         tf.join(dfreq.where((F.col("df") >= 2) & (F.col("df") <= 50)), "tok")
         .crossJoin(F.broadcast(n))
@@ -757,6 +774,7 @@ def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint")
             ).alias("w"),
         )
+        .localCheckpoint()
     )
     wd = F.col("w").cast("decimal(38,0)")
     ss = w.groupBy("doc_id").agg(F.sum(wd * wd).alias("ss"))

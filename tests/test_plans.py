@@ -242,6 +242,21 @@ def test_no_accidental_cartesian_products(plans):
         # q327 Brier decomposition: the (n, p, brier, rel) totals row
         # crosses onto the 20-bin frame — q130's shape
         "q327_brier_decomposition",
+        # q331 jackknife: the (nb, n, s) totals row crosses onto the
+        # 16-cluster frame, and the theta-sum row crosses back for the
+        # deviation pass — two q130-shape single-row crosses
+        "q331_cluster_jackknife_se",
+        # q334 RBO: the 20-row depth spine left-joins maxr counts on a
+        # <= range residual (a deliberate constant-size NLJ — q298's
+        # shape), and the overlap@20 row crosses as a single row
+        "q334_rank_biased_overlap",
+        # q336 negative sampling: the micro-weight total crosses onto
+        # the vocab frame as a single-row aggregate — q42's shape
+        "q336_negative_sampling_table",
+        # q338 q-q points: the 19-row probability spine joins the rank
+        # frame on the order-statistic index residual
+        # (rn = 1 + (p(n-1)) div 100) — q298's shape
+        "q338_qq_quantile_points",
     }
     for name, p in plans.items():
         if name in allowed:

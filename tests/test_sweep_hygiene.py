@@ -84,6 +84,12 @@ PERSIST_PRONE = [
     # q339 runs two checkpointed histogram-rollup drains (foreachBatch
     # -> refresh_additive warehouse merges)
     "q339_stream_histogram_parity",
+    # q328 localCheckpoints the basket table (part-degree explode +
+    # pair expansion both consume it)
+    "q328_adamic_adar_links",
+    # q333 localCheckpoints tf (df aggregate + weight join) and the
+    # weighted postings (norms + both pair sides)
+    "q333_tfidf_cosine_topk",
     # q195 runs four outer-join drains (dual-side join state + the
     # sentinel watermark-flush batches)
     "q195_stream_outer_join",
