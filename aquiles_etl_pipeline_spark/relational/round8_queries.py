@@ -696,7 +696,7 @@ def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
              tf.c * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) * 1e6)
                          AS BIGINT) AS w
       FROM tf JOIN dfreq USING (tok), n
-      WHERE dfreq.df BETWEEN 2 AND 50
+      WHERE dfreq.df BETWEEN 2 AND 50 AND dfreq.df < n.n_docs
     ),
     ss AS (
       SELECT doc_id,
@@ -761,9 +761,14 @@ def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides) — localCheckpoint them so the corpus explode+groupBy runs
     # once, not three times; postings are df-capped, orders smaller
     # than the corpus (PERSIST_PRONE covers the drain)
+    # df < N drops corpus-universal tokens (idf exactly 0): besides
+    # being standard tf-idf practice, it guarantees every kept weight
+    # is > 0, so norms are positive and the cosine can never hit the
+    # engine-divergent NaN 0/0 path on degenerate corpora
     w = (
         tf.join(dfreq.where((F.col("df") >= 2) & (F.col("df") <= 50)), "tok")
         .crossJoin(F.broadcast(n))
+        .where(F.col("df") < F.col("n_docs"))
         .select(
             "doc_id",
             "tok",
