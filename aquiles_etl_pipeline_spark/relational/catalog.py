@@ -237,6 +237,10 @@ _GRADE_FIRST = (
     "q337_conformal_interval",
     "q338_qq_quantile_points",
     "q339_stream_histogram_parity",
+    "q340_umass_topic_coherence",
+    "q341_rake_keyphrases",
+    "q342_mmr_diverse_topk",
+    "q343_ips_offpolicy_eval",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

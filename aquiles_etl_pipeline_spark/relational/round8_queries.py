@@ -1471,3 +1471,652 @@ def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
             "density"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q340: UMass topic coherence of each source's top terms
+# ---------------------------------------------------------------------------
+
+@register(
+    "q340_umass_topic_coherence",
+    sql="""
+    WITH pres AS (
+      SELECT DISTINCT source, doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    p2 AS (SELECT source, doc_id, tok FROM pres WHERE tok <> ''),
+    dfreq AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS d
+      FROM p2 GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT source, tok, d,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY d DESC, tok) AS rnk
+      FROM dfreq
+    ),
+    t10 AS (SELECT source, tok, d, rnk FROM top WHERE rnk <= 10),
+    co AS (
+      SELECT a.source, a.tok AS te, b.tok AS tl,
+             a.d AS de, CAST(COUNT(*) AS BIGINT) AS dj
+      FROM (SELECT p2.source, p2.doc_id, p2.tok, t10.rnk, t10.d
+            FROM p2 JOIN t10 USING (source, tok)) a
+      JOIN (SELECT p2.source, p2.doc_id, p2.tok, t10.rnk
+            FROM p2 JOIN t10 USING (source, tok)) b
+        ON a.source = b.source AND a.doc_id = b.doc_id AND a.rnk < b.rnk
+      GROUP BY 1, 2, 3, 4
+    ),
+    terms AS (
+      SELECT source,
+             CAST(round(ln((CAST(dj AS DOUBLE) + 1.0) / de) * 1e6) AS BIGINT)
+               AS term_m
+      FROM co
+    ),
+    tsum AS (
+      SELECT source, CAST(SUM(term_m) AS BIGINT) AS s FROM terms GROUP BY 1
+    ),
+    nt AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms FROM t10 GROUP BY 1
+    )
+    SELECT nt.source, nt.n_terms,
+           CAST(COALESCE(tsum.s, 0) AS DOUBLE) / 1e6 AS coherence
+    FROM nt LEFT JOIN tsum USING (source)
+    """,
+    doc="UMass topic coherence (Mimno et al. 2011) of each source's "
+        "top-10 document-frequency terms, treating a source as a "
+        "'topic': sum over rank-ordered term pairs (earlier e, later "
+        "l) of ln((D(e,l) + 1) / D(e)) with D = within-source document "
+        "co-occurrence counts — the intrinsic topic-quality metric "
+        "that, unlike q272's adjacency PMI, scores DOCUMENT-level "
+        "co-occurrence of the representative terms.  Per-pair log "
+        "terms micro-round to BIGINT before the <= C(10,2) per-source "
+        "sum; co-occurrence counts are exact integers from a "
+        "presence-grain self-join restricted to the 10 terms (fanout "
+        "<= 10 presence rows per doc, never the raw token stream).  "
+        "Sources with no co-occurring pairs report coherence 0 over "
+        "their n_terms.  Physical: one corpus pass to presence grain, "
+        "term ranks at (source, token) grain, the pair join runs on "
+        "the top-term-filtered presence table only.",
+    tags=("llmdata", "text", "documents", "stats"),
+)
+def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import fan_out
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    # presence grain feeds the doc-frequency ranks AND both sides of
+    # the co-occurrence join — checkpoint so the corpus explode runs
+    # once (PERSIST_PRONE covers the drain)
+    p2 = (
+        fan_out(d.select("source", "doc_id", "text"))
+        .select("source", "doc_id", toks)
+        .where(F.col("tok") != "")
+        .distinct()
+        .localCheckpoint()
+    )
+    dfreq = p2.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    t10 = (
+        dfreq.select(
+            "source",
+            "tok",
+            "d",
+            F.row_number()
+            .over(Window.partitionBy("source").orderBy(F.desc("d"), "tok"))
+            .alias("rnk"),
+        )
+        .where(F.col("rnk") <= 10)
+    )
+    filt = p2.join(F.broadcast(t10), ["source", "tok"])
+    a = filt.select(
+        "source", "doc_id",
+        F.col("tok").alias("te"), F.col("rnk").alias("re"), F.col("d").alias("de"),
+    )
+    b = filt.select(
+        "source", "doc_id", F.col("tok").alias("tl"), F.col("rnk").alias("rl")
+    )
+    co = (
+        a.join(b, ["source", "doc_id"])
+        .where(F.col("re") < F.col("rl"))
+        .groupBy("source", "te", "tl", "de")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dj"))
+    )
+    terms = co.select(
+        "source",
+        F.round(
+            F.log((F.col("dj").cast("double") + 1.0) / F.col("de")) * 1e6
+        )
+        .cast("bigint")
+        .alias("term_m"),
+    )
+    tsum = terms.groupBy("source").agg(F.sum("term_m").cast("bigint").alias("s"))
+    nt = t10.groupBy("source").agg(
+        F.countDistinct("tok").cast("bigint").alias("n_terms")
+    )
+    return nt.join(tsum, "source", "left").select(
+        "source",
+        "n_terms",
+        emit(F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(1e6)).alias(
+            "coherence"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q341: RAKE keyphrase extraction via gaps-and-islands
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = ("the", "a", "table", "data", "value", "row")
+
+
+@register(
+    "q341_rake_keyphrases",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents),
+           unnest(generate_series(1, len(t))) AS u(i)
+      WHERE t[i] <> ''
+    ),
+    isl AS (
+      SELECT doc_id, pos, tok,
+             tok IN {_RAKE_STOPS} AS stop,
+             SUM(CASE WHEN tok IN {_RAKE_STOPS} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM tok
+    ),
+    phr AS (
+      SELECT doc_id, island,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM isl WHERE NOT stop
+      GROUP BY 1, 2
+      HAVING COUNT(*) BETWEEN 1 AND 4
+    ),
+    wrd AS (
+      SELECT unnest(string_split(phrase, ' ')) AS w, plen
+      FROM phr
+    ),
+    ws AS (
+      SELECT w,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS degree,
+             CAST(round(CAST(SUM(plen) AS DOUBLE) / COUNT(*) * 1e6)
+                  AS BIGINT) AS score_m
+      FROM wrd GROUP BY 1
+    ),
+    ps AS (
+      SELECT p.phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(MIN(x.s) AS BIGINT) AS score_m
+      FROM phr p JOIN (
+        SELECT phrase, CAST(SUM(ws.score_m) AS BIGINT) AS s
+        FROM (SELECT DISTINCT phrase FROM phr) q,
+             unnest(string_split(q.phrase, ' ')) AS u(w)
+        JOIN ws ON ws.w = u.w
+        GROUP BY phrase) x ON x.phrase = p.phrase
+      GROUP BY 1
+    )
+    SELECT phrase, n_occurrences,
+           CAST(score_m AS DOUBLE) / 1e6 AS rake_score
+    FROM ps
+    ORDER BY score_m DESC, phrase
+    LIMIT 20
+    """,
+    doc="RAKE keyphrase extraction (Rose et al. 2010): candidate "
+        "phrases are maximal stopword-free token runs — computed as "
+        "gaps-and-islands (running stopword count per doc = island id, "
+        "ONE window) rather than a regex split, so there is no "
+        "Java-vs-RE2 dialect in the loop; runs of 1..4 words are "
+        "scored by sum over member words of degree(w)/freq(w), where "
+        "degree counts phrase-length-weighted occurrences (the "
+        "co-occurrence-within-phrase definition).  Per-word scores "
+        "micro-round to BIGINT before the per-phrase sums; top-20 "
+        "phrases by (score, phrase) is a deterministic TakeOrdered "
+        "cut.  The stoplist is a corpus-specific literal shared by "
+        "both engines.  Physical: one corpus pass to positioned "
+        "tokens, one per-doc window, word/phrase-grain aggregates "
+        "after; the phrase table is localCheckpointed for its three "
+        "consumers (word explode, score join, occurrence counts).",
+    tags=("llmdata", "text", "documents", "window"),
+)
+def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import fan_out
+
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        fan_out(d.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "pos", "tok"
+            ),
+        )
+        .where(F.col("tok") != "")
+    )
+    stop = F.col("tok").isin(*_RAKE_STOPS)
+    isl = tok.select(
+        "doc_id",
+        "pos",
+        "tok",
+        stop.alias("stop"),
+        F.sum(F.when(stop, 1).otherwise(0))
+        .over(Window.partitionBy("doc_id").orderBy("pos"))
+        .alias("island"),
+    )
+    phr = (
+        isl.where(~F.col("stop"))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list(F.struct("pos", "tok"))).tok, " ").alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+        )
+        .where((F.col("plen") >= 1) & (F.col("plen") <= 4))
+        .localCheckpoint()
+    )
+    wrd = phr.select(F.explode(F.split("phrase", " ")).alias("w"), "plen")
+    ws = wrd.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+        F.round(F.sum("plen").cast("double") / F.count(F.lit(1)) * 1e6)
+        .cast("bigint")
+        .alias("score_m"),
+    )
+    uniq = phr.select("phrase").distinct()
+    pscore = (
+        uniq.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(ws, "w")
+        .groupBy("phrase")
+        .agg(F.sum("score_m").cast("bigint").alias("s"))
+    )
+    ps = (
+        phr.groupBy("phrase")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .join(pscore, "phrase")
+    )
+    return (
+        ps.orderBy(F.desc("s"), "phrase")
+        .limit(20)
+        .select(
+            "phrase",
+            "n_occurrences",
+            emit(F.col("s").cast("double") / F.lit(1e6)).alias("rake_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q343: IPS / SNIPS off-policy evaluation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q343_ips_offpolicy_eval",
+    sql="""
+    WITH f AS (
+      SELECT user_id % 4 AS cohort, event_type AS action,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN (user_id % 4) % 2 = 0 THEN 'click' ELSE 'view' END
+               AS target
+      FROM events
+    ),
+    coh AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_c FROM f GROUP BY 1
+    ),
+    mat AS (
+      SELECT cohort,
+             CAST(COUNT(*) AS BIGINT) AS n_m,
+             CAST(SUM(cents) AS BIGINT) AS s_m
+      FROM f WHERE action = target GROUP BY 1
+    ),
+    per AS (
+      SELECT coh.cohort, coh.n_c, mat.n_m, mat.s_m,
+             CAST(round(CAST(mat.s_m AS DOUBLE) * coh.n_c / mat.n_m * 10000.0)
+                  AS BIGINT) AS wr_m,
+             CAST(round(CAST(mat.n_m AS DOUBLE) * coh.n_c / mat.n_m * 1e6)
+                  AS BIGINT) AS w_m,
+             CAST(round(CAST(mat.n_m AS DOUBLE) * coh.n_c * coh.n_c
+                        / (CAST(mat.n_m AS DOUBLE) * mat.n_m) * 1e6)
+                  AS BIGINT) AS w2_m
+      FROM coh JOIN mat USING (cohort)
+    ),
+    tot AS (
+      SELECT CAST((SELECT SUM(n_c) FROM coh) AS BIGINT) AS n,
+             CAST(SUM(n_m) AS BIGINT) AS n_matched,
+             CAST(SUM(wr_m) AS BIGINT) AS wr,
+             CAST(SUM(w_m) AS BIGINT) AS w,
+             CAST(SUM(w2_m) AS BIGINT) AS w2
+      FROM per
+    )
+    SELECT n AS n_rows, n_matched,
+           CAST(wr AS DOUBLE) / (n * 1e6) AS ips,
+           CASE WHEN w > 0 THEN CAST(wr AS DOUBLE) / w END AS snips,
+           CASE WHEN w2 > 0
+                THEN CAST(w AS DOUBLE) * w / (w2 * 1e6) END AS ess
+    FROM tot
+    """,
+    doc="Off-policy evaluation of a deterministic target policy from "
+        "logged feedback: IPS and self-normalized IPS (SNIPS) "
+        "estimates of the reward the policy pi(cohort) = click/view "
+        "WOULD have collected, with behavior propensities estimated "
+        "from the log itself (b(a|c) = n(c,a)/n(c)) — the standard "
+        "counterfactual-evaluation harness for recommender/bandit "
+        "policies (Horvitz-Thompson; SNIPS per Swaminathan & Joachims "
+        "2015), plus the effective sample size (sum w)^2 / sum w^2 "
+        "that tells you whether the estimate is trustworthy.  Because "
+        "the weight is constant within a (cohort, matched-action) "
+        "cell, all sums collapse to cohort grain: per-cohort "
+        "weighted-reward / weight / weight-squared terms are "
+        "micro-rounded rationals of exact integer counts and cents "
+        "sums, summed over <= 4 cohorts.  Physical: ONE fact scan to "
+        "cohort grain, then single-row math (q137's "
+        "conditional-aggregate shape; zero joins at fact grain).  "
+        "IPS is per-row-mean over ALL logged rows (unmatched rows "
+        "contribute zero), SNIPS normalizes by realized weight mass.",
+    tags=("events", "experimentation", "ml-stats", "agg"),
+)
+def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    f = e.select(
+        (F.col("user_id") % 4).alias("cohort"),
+        F.col("event_type").alias("action"),
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("cents"),
+        F.when((F.col("user_id") % 4) % 2 == 0, "click")
+        .otherwise("view")
+        .alias("target"),
+    )
+    coh = f.groupBy("cohort").agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+    mat = (
+        f.where(F.col("action") == F.col("target"))
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_m"),
+            F.sum("cents").cast("bigint").alias("s_m"),
+        )
+    )
+    per = coh.join(mat, "cohort").select(
+        "n_c",
+        "n_m",
+        F.round(
+            F.col("s_m").cast("double") * F.col("n_c") / F.col("n_m") * 10000.0
+        )
+        .cast("bigint")
+        .alias("wr_m"),
+        F.round(
+            F.col("n_m").cast("double") * F.col("n_c") / F.col("n_m") * 1e6
+        )
+        .cast("bigint")
+        .alias("w_m"),
+        F.round(
+            F.col("n_m").cast("double")
+            * F.col("n_c")
+            * F.col("n_c")
+            / (F.col("n_m").cast("double") * F.col("n_m"))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("w2_m"),
+    )
+    n_total = coh.agg(F.sum("n_c").cast("bigint").alias("n"))
+    tot = per.agg(
+        F.sum("n_m").cast("bigint").alias("n_matched"),
+        F.sum("wr_m").cast("bigint").alias("wr"),
+        F.sum("w_m").cast("bigint").alias("w"),
+        F.sum("w2_m").cast("bigint").alias("w2"),
+    ).crossJoin(F.broadcast(n_total))
+    return tot.select(
+        F.col("n").alias("n_rows"),
+        "n_matched",
+        emit(F.col("wr").cast("double") / (F.col("n") * F.lit(1e6))).alias("ips"),
+        emit(
+            F.when(F.col("w") > 0, F.col("wr").cast("double") / F.col("w"))
+        ).alias("snips"),
+        emit(
+            F.when(
+                F.col("w2") > 0,
+                F.col("w").cast("double") * F.col("w") / (F.col("w2") * F.lit(1e6)),
+            )
+        ).alias("ess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q342: maximal-marginal-relevance diversified top-k selection
+# ---------------------------------------------------------------------------
+
+@register(
+    "q342_mmr_diverse_topk",
+    sql="""
+    WITH cand AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents ORDER BY n_chars DESC, doc_id LIMIT 8
+    ),
+    mx AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS maxc FROM cand),
+    rel AS (
+      SELECT doc_id, CAST((n_chars * 1000000) // maxc AS BIGINT) AS rel_m
+      FROM cand, mx
+    ),
+    bg AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS g
+      FROM (SELECT d.doc_id,
+                   string_split_regex(lower(trim(d.text)), '\\s+') AS t
+            FROM documents d
+            WHERE d.doc_id IN (SELECT doc_id FROM cand)),
+           unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb FROM bg GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS i
+      FROM bg a JOIN bg b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    simm AS (
+      SELECT x.doc_id AS da, y.doc_id AS db,
+             CASE WHEN COALESCE(sa.nb, 0) + COALESCE(sb.nb, 0)
+                       - COALESCE(i.i, 0) > 0
+                  THEN CAST((COALESCE(i.i, 0) * 1000000)
+                            // (COALESCE(sa.nb, 0) + COALESCE(sb.nb, 0)
+                                - COALESCE(i.i, 0)) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS sim_m
+      FROM cand x JOIN cand y ON x.doc_id <> y.doc_id
+      LEFT JOIN sizes sa ON sa.doc_id = x.doc_id
+      LEFT JOIN sizes sb ON sb.doc_id = y.doc_id
+      LEFT JOIN inter i ON i.da = x.doc_id AND i.db = y.doc_id
+    ),
+    sel1 AS (
+      SELECT doc_id, rel_m, CAST(0 AS BIGINT) AS ms_m
+      FROM rel ORDER BY rel_m DESC, doc_id LIMIT 1
+    ),
+    c2 AS (
+      SELECT r.doc_id, r.rel_m,
+             CAST(COALESCE(MAX(sm.sim_m), 0) AS BIGINT) AS ms_m
+      FROM rel r LEFT JOIN simm sm
+        ON sm.da = r.doc_id AND sm.db IN (SELECT doc_id FROM sel1)
+      WHERE r.doc_id NOT IN (SELECT doc_id FROM sel1)
+      GROUP BY 1, 2
+    ),
+    sel2 AS (
+      SELECT doc_id, rel_m, ms_m FROM c2
+      ORDER BY 7 * rel_m - 3 * ms_m DESC, doc_id LIMIT 1
+    ),
+    c3 AS (
+      SELECT r.doc_id, r.rel_m,
+             CAST(COALESCE(MAX(sm.sim_m), 0) AS BIGINT) AS ms_m
+      FROM rel r LEFT JOIN simm sm
+        ON sm.da = r.doc_id AND sm.db IN (SELECT doc_id FROM sel1
+                                          UNION ALL SELECT doc_id FROM sel2)
+      WHERE r.doc_id NOT IN (SELECT doc_id FROM sel1
+                             UNION ALL SELECT doc_id FROM sel2)
+      GROUP BY 1, 2
+    ),
+    sel3 AS (
+      SELECT doc_id, rel_m, ms_m FROM c3
+      ORDER BY 7 * rel_m - 3 * ms_m DESC, doc_id LIMIT 1
+    ),
+    c4 AS (
+      SELECT r.doc_id, r.rel_m,
+             CAST(COALESCE(MAX(sm.sim_m), 0) AS BIGINT) AS ms_m
+      FROM rel r LEFT JOIN simm sm
+        ON sm.da = r.doc_id AND sm.db IN (SELECT doc_id FROM sel1
+                                          UNION ALL SELECT doc_id FROM sel2
+                                          UNION ALL SELECT doc_id FROM sel3)
+      WHERE r.doc_id NOT IN (SELECT doc_id FROM sel1
+                             UNION ALL SELECT doc_id FROM sel2
+                             UNION ALL SELECT doc_id FROM sel3)
+      GROUP BY 1, 2
+    ),
+    sel4 AS (
+      SELECT doc_id, rel_m, ms_m FROM c4
+      ORDER BY 7 * rel_m - 3 * ms_m DESC, doc_id LIMIT 1
+    )
+    SELECT step, doc_id,
+           CAST(rel_m AS DOUBLE) / 1e6 AS relevance,
+           CAST(ms_m AS DOUBLE) / 1e6 AS max_sim,
+           CAST(7 * rel_m - 3 * ms_m AS DOUBLE) / 1e7 AS mmr
+    FROM (
+      SELECT 1 AS step, * FROM sel1
+      UNION ALL SELECT 2, * FROM sel2
+      UNION ALL SELECT 3, * FROM sel3
+      UNION ALL SELECT 4, * FROM sel4
+    )
+    """,
+    doc="Maximal-marginal-relevance diversified top-k (Carbonell & "
+        "Goldstein 1998): from the 8 highest-relevance candidate "
+        "documents (relevance = n_chars normalized to [0,1] by exact "
+        "integer floor division), greedily select 4 maximizing "
+        "0.7*rel - 0.3*max-similarity-to-already-selected, with "
+        "similarity = exact bigram-set Jaccard (floor micros).  The "
+        "argmax key 7*rel_m - 3*ms_m stays an exact integer (x10 "
+        "scale), so every greedy step's winner — including ties, "
+        "broken by doc_id — is engine-identical; the three unrolled "
+        "selection rounds are constant-size (<= 8-row) joins.  "
+        "Physical: candidate top-k is one TakeOrdered over the "
+        "documents scan; bigram building touches only the 8 "
+        "candidates (semi-join pushed before the explode); the "
+        "similarity matrix (<= 56 rows) and relevance frame "
+        "localCheckpoint because four greedy rounds reuse them.",
+    tags=("llmdata", "ranking", "documents", "similarity"),
+)
+def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cand = (
+        d.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(8)
+        .localCheckpoint()
+    )
+    mx = cand.agg(F.max("n_chars").alias("maxc"))
+    rel = (
+        cand.crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            F.expr("CAST((n_chars * 1000000) div maxc AS BIGINT)").alias("rel_m"),
+        )
+        .localCheckpoint()
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    # the checkpointed cand keeps the parquet relation's expr IDs, so a
+    # bare semi-join on "doc_id" self-conflicts — alias the probe key
+    bg = (
+        d.join(
+            cand.select(F.col("doc_id").alias("cid")),
+            F.col("doc_id") == F.col("cid"),
+            "left_semi",
+        )
+        .select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    sizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    ba = bg.select(F.col("doc_id").alias("da"), "g")
+    bb = bg.select(F.col("doc_id").alias("db"), "g")
+    inter = (
+        ba.join(bb, "g")
+        .where(F.col("da") != F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    x = cand.select(F.col("doc_id").alias("da"))
+    y = cand.select(F.col("doc_id").alias("db"))
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("nb").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("nb").alias("nbb"))
+    un = (
+        F.coalesce(F.col("na"), F.lit(0))
+        + F.coalesce(F.col("nbb"), F.lit(0))
+        - F.coalesce(F.col("i"), F.lit(0))
+    )
+    simm = (
+        x.join(y, F.col("da") != F.col("db"))
+        .join(sa, "da", "left")
+        .join(sb, "db", "left")
+        .join(inter, ["da", "db"], "left")
+        .select(
+            "da",
+            "db",
+            F.when(
+                un > 0,
+                F.expr(
+                    "CAST((COALESCE(i, 0) * 1000000) div "
+                    "(COALESCE(na, 0) + COALESCE(nbb, 0) - COALESCE(i, 0)) "
+                    "AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("sim_m"),
+        )
+        .localCheckpoint()
+    )
+    sel = (
+        rel.orderBy(F.desc("rel_m"), "doc_id")
+        .limit(1)
+        .select("doc_id", "rel_m", F.lit(0).cast("bigint").alias("ms_m"))
+    )
+    steps = [sel.withColumn("step", F.lit(1))]
+    for k in (2, 3, 4):
+        chosen = steps[0].select("doc_id")
+        for s in steps[1:]:
+            chosen = chosen.unionByName(s.select("doc_id"))
+        ms = (
+            simm.join(chosen.select(F.col("doc_id").alias("db")), "db")
+            .groupBy("da")
+            .agg(F.max("sim_m").alias("ms"))
+        )
+        cands = (
+            rel.join(chosen, "doc_id", "left_anti")
+            .join(ms.select(F.col("da").alias("doc_id"), "ms"), "doc_id", "left")
+            .select(
+                "doc_id",
+                "rel_m",
+                F.coalesce(F.col("ms"), F.lit(0)).cast("bigint").alias("ms_m"),
+            )
+        )
+        pick = (
+            cands.orderBy(
+                F.desc(7 * F.col("rel_m") - 3 * F.col("ms_m")), "doc_id"
+            )
+            .limit(1)
+            .withColumn("step", F.lit(k))
+        )
+        steps.append(pick)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        F.col("step").cast("int").alias("step"),
+        "doc_id",
+        emit(F.col("rel_m").cast("double") / F.lit(1e6)).alias("relevance"),
+        emit(F.col("ms_m").cast("double") / F.lit(1e6)).alias("max_sim"),
+        emit(
+            (7 * F.col("rel_m") - 3 * F.col("ms_m")).cast("double") / F.lit(1e7)
+        ).alias("mmr"),
+    )

@@ -257,6 +257,9 @@ def test_no_accidental_cartesian_products(plans):
         # frame on the order-statistic index residual
         # (rn = 1 + (p(n-1)) div 100) — q298's shape
         "q338_qq_quantile_points",
+        # q343 IPS: the total-rows scalar crosses onto the <= 4-cohort
+        # totals row as a single-row aggregate — q42's shape
+        "q343_ips_offpolicy_eval",
     }
     for name, p in plans.items():
         if name in allowed:

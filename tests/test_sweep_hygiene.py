@@ -90,6 +90,15 @@ PERSIST_PRONE = [
     # q333 localCheckpoints tf (df aggregate + weight join) and the
     # weighted postings (norms + both pair sides)
     "q333_tfidf_cosine_topk",
+    # q340 localCheckpoints the presence table (term ranks + both
+    # co-occurrence join sides)
+    "q340_umass_topic_coherence",
+    # q341 localCheckpoints the phrase table (word explode, score
+    # join, occurrence counts)
+    "q341_rake_keyphrases",
+    # q342 localCheckpoints the candidate/relevance/similarity frames
+    # (four greedy rounds reuse them)
+    "q342_mmr_diverse_topk",
     # q195 runs four outer-join drains (dual-side join state + the
     # sentinel watermark-flush batches)
     "q195_stream_outer_join",
