@@ -1785,10 +1785,10 @@ def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (
       SELECT CAST((SELECT SUM(n_c) FROM coh) AS BIGINT) AS n,
-             CAST(SUM(n_m) AS BIGINT) AS n_matched,
-             CAST(SUM(wr_m) AS BIGINT) AS wr,
-             CAST(SUM(w_m) AS BIGINT) AS w,
-             CAST(SUM(w2_m) AS BIGINT) AS w2
+             CAST(COALESCE(SUM(n_m), 0) AS BIGINT) AS n_matched,
+             CAST(COALESCE(SUM(wr_m), 0) AS BIGINT) AS wr,
+             CAST(COALESCE(SUM(w_m), 0) AS BIGINT) AS w,
+             CAST(COALESCE(SUM(w2_m), 0) AS BIGINT) AS w2
       FROM per
     )
     SELECT n AS n_rows, n_matched,
@@ -1861,11 +1861,13 @@ def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w2_m"),
     )
     n_total = coh.agg(F.sum("n_c").cast("bigint").alias("n"))
+    # an all-unmatched log is a defined answer (n_matched 0, ips 0.0,
+    # snips/ess NULL), not a NULL row — coalesce the empty-sum NULLs
     tot = per.agg(
-        F.sum("n_m").cast("bigint").alias("n_matched"),
-        F.sum("wr_m").cast("bigint").alias("wr"),
-        F.sum("w_m").cast("bigint").alias("w"),
-        F.sum("w2_m").cast("bigint").alias("w2"),
+        F.coalesce(F.sum("n_m"), F.lit(0)).cast("bigint").alias("n_matched"),
+        F.coalesce(F.sum("wr_m"), F.lit(0)).cast("bigint").alias("wr"),
+        F.coalesce(F.sum("w_m"), F.lit(0)).cast("bigint").alias("w"),
+        F.coalesce(F.sum("w2_m"), F.lit(0)).cast("bigint").alias("w2"),
     ).crossJoin(F.broadcast(n_total))
     return tot.select(
         F.col("n").alias("n_rows"),
@@ -1896,7 +1898,10 @@ def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mx AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS maxc FROM cand),
     rel AS (
-      SELECT doc_id, CAST((n_chars * 1000000) // maxc AS BIGINT) AS rel_m
+      SELECT doc_id,
+             CASE WHEN maxc > 0
+                  THEN CAST((n_chars * 1000000) // maxc AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS rel_m
       FROM cand, mx
     ),
     bg AS (
@@ -2010,11 +2015,16 @@ def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     mx = cand.agg(F.max("n_chars").alias("maxc"))
+    # maxc = 0 (an all-empty-text candidate pool) must yield zero
+    # relevance, not an ANSI divide-by-zero (property-test-found edge)
     rel = (
         cand.crossJoin(F.broadcast(mx))
         .select(
             "doc_id",
-            F.expr("CAST((n_chars * 1000000) div maxc AS BIGINT)").alias("rel_m"),
+            F.expr(
+                "CASE WHEN maxc > 0 THEN CAST((n_chars * 1000000) div maxc"
+                " AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            ).alias("rel_m"),
         )
         .localCheckpoint()
     )

@@ -428,3 +428,212 @@ def test_did_matches_bruteforce(spark, tmp_path_factory, data):
             ssq = sum(x * x for x in v)
             var_n += (ssq - s * s / n) / (n - 1) / n
         assert abs(row["se_did"] - math.sqrt(var_n) / 100.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q340 UMass coherence
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["w0", "w1", "w2", "w3", "w4", "w5"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_umass_coherence_matches_bruteforce(spark, tmp_path_factory, docs):
+    rows = [
+        (i, " ".join(toks), "en", "src0", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    sf = _docs_dir(tmp_path_factory.mktemp("um"), rows)
+    row = registry()["q340_umass_topic_coherence"].fn(spark, sf).collect()[0]
+
+    presence: dict[str, set[int]] = {}
+    for i, toks in enumerate(docs):
+        for t in set(toks):
+            presence.setdefault(t, set()).add(i)
+    ranked = sorted(presence, key=lambda t: (-len(presence[t]), t))[:10]
+    total = 0
+    for i, te in enumerate(ranked):
+        for tl in ranked[i + 1:]:
+            dj = len(presence[te] & presence[tl])
+            if dj > 0:
+                total += _rhalf(math.log((dj + 1.0) / len(presence[te])) * 1e6)
+    assert row["source"] == "src0"
+    assert row["n_terms"] == len(ranked)
+    assert abs(row["coherence"] - total / 1e6) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q341 RAKE keyphrases
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["the", "a", "fast", "scan", "merge", "big"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_rake_matches_bruteforce(spark, tmp_path_factory, docs):
+    stops = {"the", "a", "table", "data", "value", "row"}
+    rows = [
+        (i, " ".join(toks), "en", "src0", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    sf = _docs_dir(tmp_path_factory.mktemp("rake"), rows)
+    got = {
+        r["phrase"]: r
+        for r in registry()["q341_rake_keyphrases"].fn(spark, sf).collect()
+    }
+
+    phrases: list[list[str]] = []
+    for toks in docs:
+        run: list[str] = []
+        for t in toks + ["the"]:  # sentinel flush
+            if t in stops:
+                if 1 <= len(run) <= 4:
+                    phrases.append(run)
+                run = []
+            else:
+                run.append(t)
+    freq: dict[str, int] = {}
+    degree: dict[str, int] = {}
+    for ph in phrases:
+        for w in ph:
+            freq[w] = freq.get(w, 0) + 1
+            degree[w] = degree.get(w, 0) + len(ph)
+    score_m = {w: _rhalf(degree[w] / freq[w] * 1e6) for w in freq}
+    pstat: dict[str, tuple[int, int]] = {}
+    for ph in phrases:
+        key = " ".join(ph)
+        s = sum(score_m[w] for w in ph)
+        n, _ = pstat.get(key, (0, s))
+        pstat[key] = (n + 1, s)
+    top = sorted(pstat.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    assert set(got) == {k for k, _ in top}
+    for phrase, (n, s) in top:
+        assert got[phrase]["n_occurrences"] == n
+        assert abs(got[phrase]["rake_score"] - s / 1e6) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q342 MMR greedy selection
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["fast", "scan", "merge", "big", "slow", "key"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_mmr_matches_greedy_reference(spark, tmp_path_factory, docs):
+    texts = [" ".join(toks) for toks in docs]
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    sf = _docs_dir(tmp_path_factory.mktemp("mmr"), rows)
+    got = {
+        r["step"]: r for r in registry()["q342_mmr_diverse_topk"].fn(spark, sf).collect()
+    }
+
+    cand = sorted(range(len(texts)), key=lambda i: (-len(texts[i]), i))[:8]
+    maxc = max(len(texts[i]) for i in cand)
+    rel = {
+        i: (len(texts[i]) * 1000000) // maxc if maxc > 0 else 0 for i in cand
+    }
+
+    def bigrams(i):
+        t = [x for x in texts[i].lower().strip(" ").split() if x]
+        return {" ".join(t[j : j + 2]) for j in range(len(t) - 1)} if len(t) >= 2 else set()
+
+    bs = {i: bigrams(i) for i in cand}
+
+    def sim(a, b):
+        u = len(bs[a] | bs[b])
+        return (len(bs[a] & bs[b]) * 1000000) // u if u > 0 else 0
+
+    selected: list[int] = []
+    want = {}
+    for step in range(1, min(4, len(cand)) + 1):
+        remaining = [i for i in cand if i not in selected]
+        scored = []
+        for i in remaining:
+            ms = max((sim(i, s) for s in selected), default=0)
+            scored.append((7 * rel[i] - 3 * ms, -i, i, ms))
+        scored.sort(reverse=True)
+        _, _, pick, ms = scored[0]
+        selected.append(pick)
+        want[step] = (pick, rel[pick], ms)
+    assert set(got) == set(want)
+    for step, (pick, r, ms) in want.items():
+        assert got[step]["doc_id"] == pick
+        assert abs(got[step]["relevance"] - r / 1e6) < 1e-9
+        assert abs(got[step]["max_sim"] - ms / 1e6) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q343 IPS / SNIPS
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),   # user -> cohort u%4
+            st.integers(min_value=0, max_value=4),    # event type idx
+            st.integers(min_value=0, max_value=400),  # cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_ips_snips_match_bruteforce(spark, tmp_path_factory, data):
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, t0, u, ETYPES[e], c / 100.0, None) for i, (u, e, c) in enumerate(data)
+    ]
+    sf = _events_dir(tmp_path_factory.mktemp("ips"), rows)
+    row = registry()["q343_ips_offpolicy_eval"].fn(spark, sf).collect()[0]
+
+    n_c: dict[int, int] = {}
+    n_m: dict[int, int] = {}
+    s_m: dict[int, int] = {}
+    for u, e, c in data:
+        coh = u % 4
+        n_c[coh] = n_c.get(coh, 0) + 1
+        target = "click" if coh % 2 == 0 else "view"
+        if ETYPES[e] == target:
+            n_m[coh] = n_m.get(coh, 0) + 1
+            s_m[coh] = s_m.get(coh, 0) + c
+    wr = sum(
+        _rhalf(s_m[c] * n_c[c] / n_m[c] * 10000.0) for c in n_m
+    )
+    w = sum(_rhalf(n_m[c] * n_c[c] / n_m[c] * 1e6) for c in n_m)
+    w2 = sum(
+        _rhalf(n_m[c] * n_c[c] * n_c[c] / (n_m[c] * n_m[c]) * 1e6) for c in n_m
+    )
+    n = sum(n_c.values())
+    assert row["n_rows"] == n
+    assert row["n_matched"] == sum(n_m.values())
+    assert abs(row["ips"] - wr / (n * 1e6)) < 1e-9
+    if w > 0:
+        assert abs(row["snips"] - wr / w) < 1e-9
+        assert abs(row["ess"] - w * w / (w2 * 1e6)) < 1e-9
+    else:
+        assert row["snips"] is None and row["ess"] is None
