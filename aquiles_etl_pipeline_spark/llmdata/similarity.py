@@ -529,6 +529,33 @@ def semantic_dedup(
     """
     from .dedup import connected_components
 
+    # data-adaptive fork: with NO duplicate vector anywhere (the common
+    # shape of an already-deduplicated corpus) the collapse machinery
+    # is pure overhead — a vector-keyed shuffle plus three joins for an
+    # identity mapping.  The probe is ONE map-side-combining aggregate
+    # (count vs distinct xxhash64 of the vector bytes): identical
+    # vectors always share a hash, so n == d proves no-dups exactly;
+    # a hash collision can only send us down the collapse path, whose
+    # real array-equality groupBy is collision-free — never wrong,
+    # merely slower.  On dup-heavy corpora the collapse removes the
+    # quadratic in-bucket blowup, which is the trade that matters at
+    # 100 TB.
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.xxhash64(F.col(vec_col))).alias("d"),
+    ).first()
+    if stats["n"] == stats["d"]:
+        pairs = embedding_near_dup_pairs(
+            df, threshold=threshold, vec_col=vec_col, id_col=id_col, dim=dim
+        ).select("id_a", "id_b")
+        labels = connected_components(pairs, df.select(id_col), id_col=id_col)
+        sizes = labels.groupBy("_comp").agg(F.count("*").alias("cluster_size"))
+        return labels.join(sizes, "_comp").select(
+            F.col("_n").alias(id_col),
+            F.col("_comp").alias("component_id"),
+            "cluster_size",
+            (F.col("_n") == F.col("_comp")).alias("is_canonical"),
+        )
     m = df.select(F.col(id_col).alias("_node"), F.col(vec_col).alias("_v"))
     groups = (
         m.groupBy("_v")
@@ -551,17 +578,24 @@ def semantic_dedup(
     )
     # NULL-vector rows never match the array-equality join (SQL NULL
     # keys), so they coalesce to self-reps — per-row identity, exactly
-    # the pre-collapse behavior.
-    mapping = m.join(groups, "_v", "left").select(
-        "_node", F.coalesce("_rep", F.col("_node")).alias("_rep")
+    # the pre-collapse behavior.  mapping feeds THREE consumers (the
+    # rep filter, the expansion join, and through rep_rows the miner's
+    # three internal rescans) — localCheckpoint it and the rep-filtered
+    # vector rows so the vector groupBy and the semi-join run once,
+    # not per consumer (the miner's documented materialize-upstream
+    # contract; PERSIST_PRONE covers the drain).
+    mapping = (
+        m.join(groups, "_v", "left")
+        .select("_node", F.coalesce("_rep", F.col("_node")).alias("_rep"))
+        .localCheckpoint()
     )
     rep_rows = df.join(
         mapping.where(F.col("_node") == F.col("_rep")).select(
-            F.col("_node").alias(id_col)
+            F.col("_node").alias("_rid")
         ),
-        id_col,
+        F.col(id_col) == F.col("_rid"),
         "left_semi",
-    )
+    ).localCheckpoint()
     pairs = embedding_near_dup_pairs(
         rep_rows, threshold=threshold, vec_col=vec_col, id_col=id_col, dim=dim
     ).select("id_a", "id_b")

@@ -2130,3 +2130,482 @@ def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
             (7 * F.col("rel_m") - 3 * F.col("ms_m")).cast("double") / F.lit(1e7)
         ).alias("mmr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q344: winsorized mean / sd per group
+# ---------------------------------------------------------------------------
+
+@register(
+    "q344_winsorized_stats",
+    sql="""
+    WITH f AS (
+      SELECT c_mktsegment AS seg,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM customer
+    ),
+    r AS (
+      SELECT seg, cents,
+             row_number() OVER (PARTITION BY seg ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY seg) AS n
+      FROM f
+    ),
+    cuts AS (
+      SELECT lo.seg, lo.cents AS lo_c, hi.cents AS hi_c, lo.n
+      FROM (SELECT seg, cents, n FROM r
+            WHERE rn = 1 + (10 * (n - 1)) // 100) lo
+      JOIN (SELECT seg, cents FROM r
+            WHERE rn = 1 + (90 * (n - 1)) // 100) hi USING (seg)
+    ),
+    wz AS (
+      SELECT f.seg, cuts.lo_c, cuts.hi_c, cuts.n,
+             least(greatest(f.cents, cuts.lo_c), cuts.hi_c) AS wc
+      FROM f JOIN cuts USING (seg)
+    ),
+    agg AS (
+      SELECT seg, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(lo_c) AS BIGINT) AS lo_c,
+             CAST(MAX(hi_c) AS BIGINT) AS hi_c,
+             CAST(SUM(wc) AS BIGINT) AS s,
+             SUM(CAST(wc AS DECIMAL(38,0)) * CAST(wc AS DECIMAL(38,0))) AS q
+      FROM wz GROUP BY seg
+    )
+    SELECT seg AS segment, n,
+           CAST(lo_c AS DOUBLE) / 100.0 AS lo_cut,
+           CAST(hi_c AS DOUBLE) / 100.0 AS hi_cut,
+           CAST(s AS DOUBLE) / (100.0 * n) AS win_mean,
+           CASE WHEN n > 1 THEN
+             sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+               / 100.0 END AS win_sd
+    FROM agg
+    """,
+    doc="Winsorized mean and standard deviation per customer segment: "
+        "balances CLAMP to the exact p10/p90 lower order statistics "
+        "(index 1 + (p(n-1)) div 100, the q338 selection — no "
+        "interpolation) before the moments — the outlier-robust "
+        "location/scale pair that, unlike q221's trimmed mean (which "
+        "DROPS tails), keeps n constant and so composes with "
+        "downstream SE math.  Clamped values are exact integer cents; "
+        "the sd comes from exact BIGINT/DECIMAL(38,0) sufficient "
+        "statistics with one final double expression, CASE-guarded "
+        "for n = 1.  Physical: one rank window per segment, cut "
+        "points join back at segment grain (broadcast), one aggregate "
+        "— the fact shuffles once on the segment key.",
+    tags=("customer", "stats", "agg", "window"),
+)
+def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal").cast(DEC) * 100).cast("bigint").alias("cents"),
+    )
+    ws = Window.partitionBy("seg")
+    r = f.select(
+        "seg",
+        "cents",
+        F.row_number().over(ws.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    lo = r.where(F.col("rn") == 1 + F.expr("(10 * (n - 1)) div 100")).select(
+        "seg", F.col("cents").alias("lo_c"), "n"
+    )
+    hi = r.where(F.col("rn") == 1 + F.expr("(90 * (n - 1)) div 100")).select(
+        "seg", F.col("cents").alias("hi_c")
+    )
+    cuts = lo.join(hi, "seg")
+    wz = f.join(F.broadcast(cuts), "seg").select(
+        "seg",
+        "lo_c",
+        "hi_c",
+        "n",
+        F.least(F.greatest(F.col("cents"), F.col("lo_c")), F.col("hi_c")).alias(
+            "wc"
+        ),
+    )
+    wd = F.col("wc").cast("decimal(38,0)")
+    agg = wz.groupBy("seg").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("lo_c").cast("bigint").alias("lo_c"),
+        F.max("hi_c").cast("bigint").alias("hi_c"),
+        F.sum("wc").cast("bigint").alias("s"),
+        F.sum(wd * wd).alias("q"),
+    )
+    return agg.select(
+        F.col("seg").alias("segment"),
+        "n",
+        emit(F.col("lo_c").cast("double") / F.lit(100.0)).alias("lo_cut"),
+        emit(F.col("hi_c").cast("double") / F.lit(100.0)).alias("hi_cut"),
+        emit(F.col("s").cast("double") / (F.lit(100.0) * F.col("n"))).alias(
+            "win_mean"
+        ),
+        emit(
+            F.when(
+                F.col("n") > 1,
+                F.sqrt(
+                    (
+                        F.col("q").cast("double")
+                        - F.col("s").cast("double") * F.col("s") / F.col("n")
+                    )
+                    / (F.col("n") - 1)
+                )
+                / F.lit(100.0),
+            )
+        ).alias("win_sd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q345: Mann-Whitney U with tie correction
+# ---------------------------------------------------------------------------
+
+@register(
+    "q345_mann_whitney_u",
+    sql="""
+    WITH f AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS grp,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT cents,
+             CAST(SUM(grp) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM f GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents, c1, t,
+             CAST(COALESCE(SUM(t) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+      FROM v
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(t - c1) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (2 * cb + t + 1)) AS BIGINT) AS two_r1,
+             SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie3
+      FROM cum
+    )
+    SELECT n1, n2,
+           (CAST(two_r1 AS DOUBLE) - n1 * (CAST(n1 AS DOUBLE) + 1)) / 2.0
+             - CAST(n1 AS DOUBLE) * n2 / 2.0 AS u_centered,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+                     AND CAST(n1 AS DOUBLE) * n2 / 12.0
+                         * ((n1 + n2 + 1)
+                            - CAST(tie3 AS DOUBLE)
+                              / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))) > 0
+             THEN ((CAST(two_r1 AS DOUBLE) - n1 * (CAST(n1 AS DOUBLE) + 1)) / 2.0
+                   - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                  / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                         * ((n1 + n2 + 1)
+                            - CAST(tie3 AS DOUBLE)
+                              / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))
+             END AS z
+    FROM tot
+    """,
+    doc="Mann-Whitney U (Wilcoxon rank-sum) with the tie-corrected "
+        "normal approximation — the nonparametric two-sample location "
+        "test that complements Welch's t (q162, means) and KS (q267, "
+        "distributions): U compares purchase values of odd- vs "
+        "even-user groups through tie-averaged ranks.  Everything "
+        "reduces EXACTLY at distinct-value grain: doubled rank sums "
+        "2*R1 = sum c1*(2*cum_before + t + 1) stay integers under "
+        "ties, the tie-correction term sum(t^3 - t) accumulates in "
+        "DECIMAL(38,0), and U/z emerge in one final double expression "
+        "(identical op tree both engines; degenerate variance "
+        "CASE-guarded).  Physical: one fact pass to distinct-value "
+        "grain, one ordered prefix-sum window over that grain, one "
+        "4-column reduce — the classic rank test without ever "
+        "materializing per-row ranks.",
+    tags=("events", "stats", "experimentation", "window"),
+)
+def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("grp"),
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("cents"),
+    )
+    v = f.groupBy("cents").agg(
+        F.sum("grp").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = v.select(
+        "cents",
+        "c1",
+        "t",
+        F.coalesce(F.sum("t").over(wc), F.lit(0)).cast("bigint").alias("cb"),
+    )
+    td = F.col("t").cast("decimal(38,0)")
+    tot = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("c1")).cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cb") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("two_r1"),
+        F.sum(td * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u_centered = (
+        (F.col("two_r1").cast("double") - F.col("n1") * (n1d + 1)) / F.lit(2.0)
+        - n1d * F.col("n2") / F.lit(2.0)
+    )
+    var = (
+        n1d
+        * F.col("n2")
+        / F.lit(12.0)
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("tie3").cast("double")
+            / ((F.col("n1") + F.col("n2")).cast("double") * (F.col("n1") + F.col("n2") - 1))
+        )
+    )
+    return tot.select(
+        "n1",
+        "n2",
+        emit(u_centered).alias("u_centered"),
+        emit(
+            F.when(
+                (F.col("n1") > 0)
+                & (F.col("n2") > 0)
+                & (F.col("n1") + F.col("n2") > 1)
+                & (var > 0),
+                u_centered / F.sqrt(var),
+            )
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q346: McNemar's test for paired classifiers
+# ---------------------------------------------------------------------------
+
+@register(
+    "q346_mcnemar_paired",
+    sql="""
+    WITH f AS (
+      SELECT (CASE WHEN n_chars % 2 = 0 THEN 'en' ELSE 'zh' END = lang)
+               AS a_ok,
+             (CASE WHEN doc_id % 3 = 0 THEN 'en' ELSE 'zh' END = lang)
+               AS b_ok
+      FROM documents
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n11,
+             CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n10,
+             CAST(SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n01,
+             CAST(SUM(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00
+      FROM f
+    )
+    SELECT n11, n10, n01, n00,
+           CASE WHEN n10 + n01 > 0
+                THEN CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)
+                END AS chi2,
+           CASE WHEN n10 + n01 > 0
+                THEN CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1)
+                          AS DOUBLE) / (n10 + n01) END AS chi2_cc
+    FROM cells
+    """,
+    doc="McNemar's test for PAIRED classifier comparison: two "
+        "deterministic language-ID rules score every document against "
+        "the lang label, and the test asks whether their disagreement "
+        "is asymmetric (one strictly better) — the right test when "
+        "both models score the SAME examples, where q140's independent "
+        "chi-square is wrong.  Reports the full 2x2 concordance "
+        "(n11/n10/n01/n00), the McNemar statistic (n10-n01)^2/"
+        "(n10+n01), and the Edwards continuity-corrected variant — "
+        "all from exact integer cells in ONE conditional-aggregate "
+        "fact pass (the q137 shape, zero joins), CASE-guarded for "
+        "zero discordance.  The per-document squared terms are "
+        "bounded by n^2 < 2^63 up to ~3e9 docs; past that widen to "
+        "DECIMAL as q318/q320 prescribe.",
+    tags=("documents", "ml-stats", "experimentation", "agg"),
+)
+def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    a_ok = (
+        F.when(F.col("n_chars") % 2 == 0, "en").otherwise("zh") == F.col("lang")
+    )
+    b_ok = F.when(F.col("doc_id") % 3 == 0, "en").otherwise("zh") == F.col("lang")
+    cells = d.select(a_ok.alias("a_ok"), b_ok.alias("b_ok")).agg(
+        F.sum(F.when(F.col("a_ok") & F.col("b_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when(F.col("a_ok") & ~F.col("b_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a_ok") & F.col("b_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when(~F.col("a_ok") & ~F.col("b_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    disc = F.col("n10") + F.col("n01")
+    diff = F.col("n10") - F.col("n01")
+    return cells.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        emit(F.when(disc > 0, (diff * diff).cast("double") / disc)).alias("chi2"),
+        emit(
+            F.when(
+                disc > 0,
+                ((F.abs(diff) - 1) * (F.abs(diff) - 1)).cast("double") / disc,
+            )
+        ).alias("chi2_cc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q347: randomization inference (Fisherian permutation p-value)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q347_randomization_inference",
+    sql="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS treat,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    obs AS (
+      SELECT CAST(round((CAST(SUM(CASE WHEN treat = 1 THEN cents END) AS DOUBLE)
+                   / SUM(CASE WHEN treat = 1 THEN 1 END)
+                   - CAST(SUM(CASE WHEN treat = 0 THEN cents END) AS DOUBLE)
+                     / SUM(CASE WHEN treat = 0 THEN 1 END)) * 10000.0)
+                  AS BIGINT) AS obs_m
+      FROM f
+    ),
+    fan AS (
+      SELECT b.b, f.cents,
+             CAST(('0x' || substr(md5(CAST(f.user_id AS VARCHAR) || ':'
+                                      || CAST(b.b AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS pt
+      FROM f, (SELECT unnest(generate_series(0, 63)) AS b) b
+    ),
+    per AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN pt = 1 THEN cents END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN pt = 1 THEN 1 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN pt = 0 THEN cents END) AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN pt = 0 THEN 1 END) AS BIGINT) AS c0
+      FROM fan GROUP BY b
+    ),
+    nulls AS (
+      SELECT b, CAST(round((CAST(s1 AS DOUBLE) / c1
+                            - CAST(s0 AS DOUBLE) / c0) * 10000.0)
+                     AS BIGINT) AS null_m
+      FROM per WHERE c1 > 0 AND c0 > 0
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nulls) AS n_draws,
+           CAST(obs_m AS DOUBLE) / 1000000.0 AS observed_diff,
+           CAST(1 + (SELECT COUNT(*) FROM nulls
+                     WHERE abs(null_m) >= abs(obs_m)) AS DOUBLE)
+             / (1 + (SELECT COUNT(*) FROM nulls)) AS p_value
+    FROM obs
+    """,
+    doc="Randomization inference (Fisher's exact approach to "
+        "experiment analysis): the p-value of the observed "
+        "treat-minus-control purchase-value difference against the "
+        "null distribution generated by 64 DETERMINISTIC "
+        "pseudo-assignments (md5(user:b) parity — rerun/partition/"
+        "engine-stable, the q149/q322 recipe), p = (1 + #{|null| >= "
+        "|obs|}) / (1 + B).  This is the design-based alternative to "
+        "q330's model SEs: no variance formula, no normality, exact "
+        "under the sharp null.  Mean diffs are rounded to ten-"
+        "thousandths-of-a-cent BIGINTs BEFORE the |null| >= |obs| "
+        "comparison, so the accept/reject decision per draw is "
+        "engine-identical.  Physical: the fact fans out x64 against a "
+        "broadcast draw spine (one conditional-aggregate pass at "
+        "(draw) grain — at 100 TB sample the fact first or lower B; "
+        "the fan-out is the documented cost of design-based "
+        "inference), plus one single-row observed leg.",
+    tags=("events", "experimentation", "stats", "agg"),
+)
+def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        (F.col("user_id") % 2).cast("bigint").alias("treat"),
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("cents"),
+    )
+    obs = f.agg(
+        F.round(
+            (
+                F.sum(F.when(F.col("treat") == 1, F.col("cents"))).cast("double")
+                / F.sum(F.when(F.col("treat") == 1, 1))
+                - F.sum(F.when(F.col("treat") == 0, F.col("cents"))).cast(
+                    "double"
+                )
+                / F.sum(F.when(F.col("treat") == 0, 1))
+            )
+            * F.lit(10000.0)
+        )
+        .cast("bigint")
+        .alias("obs_m")
+    )
+    spine = spark.range(0, 64).select(F.col("id").cast("bigint").alias("b"))
+    pt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    fan = f.crossJoin(F.broadcast(spine)).select("b", "cents", pt.alias("pt"))
+    per = fan.groupBy("b").agg(
+        F.sum(F.when(F.col("pt") == 1, F.col("cents"))).cast("bigint").alias("s1"),
+        F.sum(F.when(F.col("pt") == 1, 1)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("pt") == 0, F.col("cents"))).cast("bigint").alias("s0"),
+        F.sum(F.when(F.col("pt") == 0, 1)).cast("bigint").alias("c0"),
+    )
+    nulls = per.where((F.col("c1") > 0) & (F.col("c0") > 0)).select(
+        F.round(
+            (
+                F.col("s1").cast("double") / F.col("c1")
+                - F.col("s0").cast("double") / F.col("c0")
+            )
+            * F.lit(10000.0)
+        )
+        .cast("bigint")
+        .alias("null_m")
+    )
+    ncmp = nulls.crossJoin(F.broadcast(obs)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_draws"),
+        F.sum(
+            F.when(F.abs(F.col("null_m")) >= F.abs(F.col("obs_m")), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_ge"),
+    )
+    return ncmp.crossJoin(F.broadcast(obs)).select(
+        "n_draws",
+        emit(F.col("obs_m").cast("double") / F.lit(1000000.0)).alias(
+            "observed_diff"
+        ),
+        emit(
+            (1 + F.col("n_ge")).cast("double") / (1 + F.col("n_draws"))
+        ).alias("p_value"),
+    )
