@@ -241,6 +241,10 @@ _GRADE_FIRST = (
     "q341_rake_keyphrases",
     "q342_mmr_diverse_topk",
     "q343_ips_offpolicy_eval",
+    "q344_winsorized_stats",
+    "q345_mann_whitney_u",
+    "q346_mcnemar_paired",
+    "q347_randomization_inference",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -260,6 +260,11 @@ def test_no_accidental_cartesian_products(plans):
         # q343 IPS: the total-rows scalar crosses onto the <= 4-cohort
         # totals row as a single-row aggregate — q42's shape
         "q343_ips_offpolicy_eval",
+        # q347 randomization inference: the fact fans out against the
+        # broadcast 64-row draw spine (the deliberate, documented cost
+        # of design-based inference — q312's fan-out shape), and the
+        # observed-diff single row crosses twice (q42's shape)
+        "q347_randomization_inference",
     }
     for name, p in plans.items():
         if name in allowed:
