@@ -637,3 +637,198 @@ def test_ips_snips_match_bruteforce(spark, tmp_path_factory, data):
         assert abs(row["ess"] - w * w / (w2 * 1e6)) < 1e-9
     else:
         assert row["snips"] is None and row["ess"] is None
+
+
+# ---------------------------------------------------------------------------
+# q344 winsorized stats
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["BUILDING", "MACHINERY"]),
+            st.integers(min_value=-40000, max_value=40000),  # cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_winsorized_stats_match_bruteforce(spark, tmp_path_factory, data):
+    rows = [
+        (i + 1, f"c{i}", 0, c / 100.0, seg) for i, (seg, c) in enumerate(data)
+    ]
+    d = tmp_path_factory.mktemp("win") / "sf"
+    d.mkdir(exist_ok=True)
+    sf = _customer_dir(d, rows)
+    got = {
+        r["segment"]: r
+        for r in registry()["q344_winsorized_stats"].fn(spark, sf).collect()
+    }
+
+    groups: dict[str, list[int]] = {}
+    for seg, c in data:
+        groups.setdefault(seg, []).append(c)
+    for seg, cs in groups.items():
+        cs = sorted(cs)
+        n = len(cs)
+        lo = cs[(10 * (n - 1)) // 100]
+        hi = cs[(90 * (n - 1)) // 100]
+        wc = [min(max(c, lo), hi) for c in cs]
+        s, q = sum(wc), sum(x * x for x in wc)
+        r = got[seg]
+        assert r["n"] == n
+        assert abs(r["lo_cut"] - lo / 100.0) < 1e-9
+        assert abs(r["hi_cut"] - hi / 100.0) < 1e-9
+        assert abs(r["win_mean"] - s / (100.0 * n)) < 1e-9
+        if n > 1:
+            sd = math.sqrt((q - s * s / n) / (n - 1)) / 100.0
+            assert abs(r["win_sd"] - sd) < max(1e-9, 1e-9 * sd)
+        else:
+            assert r["win_sd"] is None
+
+
+# ---------------------------------------------------------------------------
+# q345 Mann-Whitney U (tie-corrected) vs per-row rank reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.booleans(),                            # group 1?
+            st.integers(min_value=0, max_value=20),   # cents (dense ties)
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_mann_whitney_matches_rank_reference(spark, tmp_path_factory, data):
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, t0, (1 if g else 2), "purchase", c / 100.0, None)
+        for i, (g, c) in enumerate(data)
+    ]
+    sf = _events_dir(tmp_path_factory.mktemp("mwu"), rows)
+    row = registry()["q345_mann_whitney_u"].fn(spark, sf).collect()[0]
+
+    # literal tie-averaged per-row ranks
+    vals = sorted(c for _, c in data)
+    rank_of: dict[int, float] = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        rank_of[vals[i]] = avg
+        i = j
+    g1 = [c for g, c in data if g]
+    g2 = [c for g, c in data if not g]
+    n1, n2, n = len(g1), len(g2), len(data)
+    r1 = sum(rank_of[c] for c in g1)
+    u_centered = (r1 - n1 * (n1 + 1) / 2.0) - n1 * n2 / 2.0
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["u_centered"] - u_centered) < 1e-9
+    ties: dict[int, int] = {}
+    for c in vals:
+        ties[c] = ties.get(c, 0) + 1
+    tie3 = sum(t**3 - t for t in ties.values())
+    if n1 > 0 and n2 > 0 and n > 1:
+        var = n1 * n2 / 12.0 * ((n + 1) - tie3 / (n * (n - 1)))
+        if var > 0:
+            assert abs(row["z"] - u_centered / math.sqrt(var)) < 1e-9
+        else:
+            assert row["z"] is None
+    else:
+        assert row["z"] is None
+
+
+# ---------------------------------------------------------------------------
+# q346 McNemar cells
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # doc_id offset
+            st.sampled_from(["en", "zh"]),
+            st.integers(min_value=0, max_value=99),  # n_chars
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_mcnemar_matches_bruteforce(spark, tmp_path_factory, docs):
+    rows = [(i, "x", lang, "src0", nc) for i, lang, nc in docs]
+    sf = _docs_dir(tmp_path_factory.mktemp("mcn"), rows)
+    row = registry()["q346_mcnemar_paired"].fn(spark, sf).collect()[0]
+
+    cells = {"11": 0, "10": 0, "01": 0, "00": 0}
+    for i, lang, nc in docs:
+        a = ("en" if nc % 2 == 0 else "zh") == lang
+        b = ("en" if i % 3 == 0 else "zh") == lang
+        cells[f"{int(a)}{int(b)}"] += 1
+    assert row["n11"] == cells["11"]
+    assert row["n10"] == cells["10"]
+    assert row["n01"] == cells["01"]
+    assert row["n00"] == cells["00"]
+    disc = cells["10"] + cells["01"]
+    if disc > 0:
+        diff = cells["10"] - cells["01"]
+        assert abs(row["chi2"] - diff * diff / disc) < 1e-9
+        assert abs(row["chi2_cc"] - (abs(diff) - 1) ** 2 / disc) < 1e-9
+    else:
+        assert row["chi2"] is None and row["chi2_cc"] is None
+
+
+# ---------------------------------------------------------------------------
+# q347 randomization inference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=4, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),    # user
+            st.integers(min_value=0, max_value=400),  # cents
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_randomization_inference_matches_bruteforce(
+    spark, tmp_path_factory, data
+):
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, t0, u, "purchase", c / 100.0, None) for i, (u, c) in enumerate(data)
+    ]
+    sf = _events_dir(tmp_path_factory.mktemp("ri"), rows)
+    row = registry()["q347_randomization_inference"].fn(spark, sf).collect()[0]
+
+    t = [c for u, c in data if u % 2 == 1]
+    c_ = [c for u, c in data if u % 2 == 0]
+    obs_m = (
+        _rhalf((sum(t) / len(t) - sum(c_) / len(c_)) * 10000.0)
+        if t and c_
+        else None
+    )
+    nulls = []
+    for b in range(64):
+        s1 = n1 = s0 = n0 = 0
+        for u, c in data:
+            h = int(hashlib.md5(f"{u}:{b}".encode()).hexdigest()[:8], 16) % 2
+            if h == 1:
+                s1 += c; n1 += 1
+            else:
+                s0 += c; n0 += 1
+        if n1 > 0 and n0 > 0:
+            nulls.append(_rhalf((s1 / n1 - s0 / n0) * 10000.0))
+    assert row["n_draws"] == len(nulls)
+    if obs_m is not None:
+        assert abs(row["observed_diff"] - obs_m / 1e6) < 1e-9
+        n_ge = sum(1 for x in nulls if abs(x) >= abs(obs_m))
+        assert abs(row["p_value"] - (1 + n_ge) / (1 + len(nulls))) < 1e-12
