@@ -1997,13 +1997,15 @@ def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
         "similarity = exact bigram-set Jaccard (floor micros).  The "
         "argmax key 7*rel_m - 3*ms_m stays an exact integer (x10 "
         "scale), so every greedy step's winner — including ties, "
-        "broken by doc_id — is engine-identical; the three unrolled "
-        "selection rounds are constant-size (<= 8-row) joins.  "
-        "Physical: candidate top-k is one TakeOrdered over the "
-        "documents scan; bigram building touches only the 8 "
-        "candidates (semi-join pushed before the explode); the "
-        "similarity matrix (<= 56 rows) and relevance frame "
-        "localCheckpoint because four greedy rounds reuse them.",
+        "broken by doc_id — is engine-identical.  Physical: candidate "
+        "top-k is one TakeOrdered over the documents scan "
+        "(localCheckpointed — relevance, bigram build, and both "
+        "matrix axes consume it); bigram building touches only the 8 "
+        "candidates (semi-join pushed before the explode); the greedy "
+        "rounds run DRIVER-SIDE over the collected <= 8-row relevance "
+        "frame and <= 56-row similarity matrix (the q315 dimension-"
+        "bounded-driver-math precedent) — constant-size exact-integer "
+        "work that would otherwise cost ~10 scheduler round-trips.",
     tags=("llmdata", "ranking", "documents", "similarity"),
 )
 def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2017,16 +2019,12 @@ def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = cand.agg(F.max("n_chars").alias("maxc"))
     # maxc = 0 (an all-empty-text candidate pool) must yield zero
     # relevance, not an ANSI divide-by-zero (property-test-found edge)
-    rel = (
-        cand.crossJoin(F.broadcast(mx))
-        .select(
-            "doc_id",
-            F.expr(
-                "CASE WHEN maxc > 0 THEN CAST((n_chars * 1000000) div maxc"
-                " AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-            ).alias("rel_m"),
-        )
-        .localCheckpoint()
+    rel = cand.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN maxc > 0 THEN CAST((n_chars * 1000000) div maxc"
+            " AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        ).alias("rel_m"),
     )
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     grams = F.when(
@@ -2084,45 +2082,32 @@ def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0).cast("bigint"))
             .alias("sim_m"),
         )
-        .localCheckpoint()
     )
-    sel = (
-        rel.orderBy(F.desc("rel_m"), "doc_id")
-        .limit(1)
-        .select("doc_id", "rel_m", F.lit(0).cast("bigint").alias("ms_m"))
+    # the greedy selection runs DRIVER-SIDE over the collected <= 8-row
+    # relevance frame and <= 56-row similarity matrix — the q315
+    # dimension-bounded-driver-math precedent: three rounds of
+    # 8-row Spark jobs cost ~10 scheduler round-trips for work a
+    # Python loop does in microseconds on constant-size exact integers.
+    rel_rows = {r["doc_id"]: r["rel_m"] for r in rel.collect()}
+    sim_rows = {(r["da"], r["db"]): r["sim_m"] for r in simm.collect()}
+    selected: list[tuple[int, int, int, int]] = []  # (step, doc, rel_m, ms_m)
+    chosen: list[int] = []
+    for step in range(1, min(4, len(rel_rows)) + 1):
+        best = None
+        for doc, rm in rel_rows.items():
+            if doc in chosen:
+                continue
+            ms = max((sim_rows.get((doc, s), 0) for s in chosen), default=0)
+            key = (7 * rm - 3 * ms, -doc)
+            if best is None or key > best[0]:
+                best = (key, doc, rm, ms)
+        selected.append((step, best[1], best[2], best[3]))
+        chosen.append(best[1])
+    out = spark.createDataFrame(
+        selected, "step int, doc_id bigint, rel_m bigint, ms_m bigint"
     )
-    steps = [sel.withColumn("step", F.lit(1))]
-    for k in (2, 3, 4):
-        chosen = steps[0].select("doc_id")
-        for s in steps[1:]:
-            chosen = chosen.unionByName(s.select("doc_id"))
-        ms = (
-            simm.join(chosen.select(F.col("doc_id").alias("db")), "db")
-            .groupBy("da")
-            .agg(F.max("sim_m").alias("ms"))
-        )
-        cands = (
-            rel.join(chosen, "doc_id", "left_anti")
-            .join(ms.select(F.col("da").alias("doc_id"), "ms"), "doc_id", "left")
-            .select(
-                "doc_id",
-                "rel_m",
-                F.coalesce(F.col("ms"), F.lit(0)).cast("bigint").alias("ms_m"),
-            )
-        )
-        pick = (
-            cands.orderBy(
-                F.desc(7 * F.col("rel_m") - 3 * F.col("ms_m")), "doc_id"
-            )
-            .limit(1)
-            .withColumn("step", F.lit(k))
-        )
-        steps.append(pick)
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
     return out.select(
-        F.col("step").cast("int").alias("step"),
+        "step",
         "doc_id",
         emit(F.col("rel_m").cast("double") / F.lit(1e6)).alias("relevance"),
         emit(F.col("ms_m").cast("double") / F.lit(1e6)).alias("max_sim"),
