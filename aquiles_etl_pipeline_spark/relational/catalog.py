@@ -245,6 +245,9 @@ _GRADE_FIRST = (
     "q345_mann_whitney_u",
     "q346_mcnemar_paired",
     "q347_randomization_inference",
+    "q348_calibration_ece",
+    "q349_session_gap_sensitivity",
+    "q350_bleu_pairs",
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -2594,3 +2594,357 @@ def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1 + F.col("n_ge")).cast("double") / (1 + F.col("n_draws"))
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q348: expected calibration error over the forecast grid
+# ---------------------------------------------------------------------------
+
+@register(
+    "q348_calibration_ece",
+    sql="""
+    WITH f AS (
+      SELECT least(19, CAST(floor(value / 30.0) AS BIGINT)) AS k,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    b AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS nk, CAST(SUM(y) AS BIGINT) AS pk
+      FROM f GROUP BY k
+    ),
+    t AS (SELECT CAST(SUM(nk) AS BIGINT) AS n FROM b),
+    terms AS (
+      SELECT b.k, b.nk, b.pk, t.n,
+             abs(40 * b.pk - (2 * b.k + 1) * b.nk) AS gap_num
+      FROM b, t
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(gap_num) AS BIGINT) AS DOUBLE)
+             / (40.0 * MAX(n)) AS ece,
+           CAST(MAX(CAST(round(CAST(gap_num AS DOUBLE) / (40.0 * nk) * 1e6)
+                         AS BIGINT)) AS DOUBLE) / 1e6 AS mce
+    FROM terms
+    """,
+    doc="Expected and maximum calibration error over q327's discrete "
+        "forecast grid (p_k = (2k+1)/40 over 20 value buckets "
+        "predicting the purchase outcome): ECE = sum_k n_k/N * "
+        "|acc_k - conf_k|, MCE = max_k |acc_k - conf_k| — the "
+        "reliability-diagram summary numbers every model eval reports "
+        "next to the Brier score.  The per-bin gap |acc - conf| = "
+        "|40 p_k - (2k+1) n_k| / (40 n_k) has an EXACT integer "
+        "numerator, and because the ECE weights are n_k/N the n_k "
+        "denominators cancel: ECE = sum|40 p_k - (2k+1) n_k| / (40 N) "
+        "is ONE exact integer sum over <= 20 bins with a single "
+        "terminal division — zero per-bin rounding at all; MCE "
+        "micro-rounds each bin's gap before the max.  Physical: one "
+        "fact scan to 20-bin grain (q327's shape), single-row totals "
+        "cross.",
+    tags=("events", "eval", "ml-stats", "agg"),
+)
+def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = load(spark, sf_dir, "events").select(
+        F.least(
+            F.lit(19).cast("bigint"),
+            F.floor(F.col("value") / F.lit(30.0)).cast("bigint"),
+        ).alias("k"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = f.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.sum("y").cast("bigint").alias("pk"),
+    )
+    t = b.agg(F.sum("nk").cast("bigint").alias("n"))
+    terms = b.crossJoin(F.broadcast(t)).select(
+        "nk",
+        "n",
+        F.abs(40 * F.col("pk") - (2 * F.col("k") + 1) * F.col("nk")).alias(
+            "gap_num"
+        ),
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        emit(
+            F.sum("gap_num").cast("bigint").cast("double")
+            / (F.lit(40.0) * F.max("n"))
+        ).alias("ece"),
+        emit(
+            F.max(
+                F.round(
+                    F.col("gap_num").cast("double") / (F.lit(40.0) * F.col("nk")) * 1e6
+                ).cast("bigint")
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("mce"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q349: sessionization gap-threshold sensitivity
+# ---------------------------------------------------------------------------
+
+@register(
+    "q349_session_gap_sensitivity",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL THEN NULL
+                  ELSE CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) END
+               AS gap_us
+      FROM seq
+    ),
+    thresholds AS (
+      SELECT unnest([900, 1800, 3600]) AS gap_s
+    ),
+    per AS (
+      SELECT t.gap_s,
+             CAST(COUNT(DISTINCT g.user_id) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN g.gap_us IS NULL
+                            OR g.gap_us > CAST(t.gap_s AS BIGINT) * 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM gaps g, thresholds t
+      GROUP BY 1
+    )
+    SELECT gap_s AS gap_seconds, n_users, n_sessions,
+           CAST(n_events AS DOUBLE) / n_sessions AS events_per_session
+    FROM per
+    """,
+    doc="Sessionization sensitivity audit: session counts and mean "
+        "session length at three inactivity thresholds (15/30/60 min) "
+        "in ONE pass — the parameter-sensitivity report that justifies "
+        "(or indicts) the 30-minute default every funnel/retention "
+        "query (q12/q32/q80/q161) inherits.  A session starts where "
+        "the gap to the previous event exceeds the threshold (or at "
+        "the user's first event), so n_sessions = count of "
+        "session-starts — a pure conditional sum over the SAME lag "
+        "window output for all three thresholds: the fact is scanned "
+        "and lag-windowed ONCE, then the gap-grain rows fan out x3 "
+        "against the threshold spine (integer-microsecond "
+        "comparisons, no re-windowing).  events_per_session divides "
+        "exact integers once per output row.",
+    tags=("events", "sessions", "window", "agg"),
+)
+def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        F.when(
+            F.lag("ts").over(w).isNotNull(),
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)),
+        ).alias("gap_us"),
+    )
+    spine = spark.createDataFrame(
+        [(900,), (1800,), (3600,)], "gap_s int"
+    )
+    per = (
+        gaps.crossJoin(F.broadcast(spine))
+        .groupBy("gap_s")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(
+                F.when(
+                    F.col("gap_us").isNull()
+                    | (F.col("gap_us") > F.col("gap_s").cast("bigint") * 1000000),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_sessions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    return per.select(
+        F.col("gap_s").alias("gap_seconds"),
+        "n_users",
+        "n_sessions",
+        emit(F.col("n_events").cast("double") / F.col("n_sessions")).alias(
+            "events_per_session"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q350: BLEU-2 scoring of paired documents
+# ---------------------------------------------------------------------------
+
+@register(
+    "q350_bleu_pairs",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE doc_id < 30
+    ),
+    uni AS (
+      SELECT doc_id, unnest(t) AS g, 1 AS n FROM toks
+      UNION ALL
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g, 2 AS n
+      FROM (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+           unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    cnt AS (
+      SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM uni GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+      SELECT c.doc_id AS cand, c.doc_id % 10 AS ref FROM
+        (SELECT DISTINCT doc_id FROM toks WHERE doc_id >= 10) c
+    ),
+    clip AS (
+      SELECT p.cand, cc.n,
+             CAST(SUM(least(cc.c, COALESCE(rc.c, 0))) AS BIGINT) AS match_c,
+             CAST(SUM(cc.c) AS BIGINT) AS total_c
+      FROM pairs p
+      JOIN cnt cc ON cc.doc_id = p.cand
+      LEFT JOIN cnt rc ON rc.doc_id = p.ref AND rc.n = cc.n AND rc.g = cc.g
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT cand,
+             MAX(CASE WHEN n = 1 THEN match_c END) AS m1,
+             MAX(CASE WHEN n = 1 THEN total_c END) AS t1,
+             MAX(CASE WHEN n = 2 THEN match_c END) AS m2,
+             MAX(CASE WHEN n = 2 THEN total_c END) AS t2
+      FROM clip GROUP BY 1
+    ),
+    lens AS (
+      SELECT doc_id, CAST(len(list_filter(t, x -> x <> '')) AS BIGINT) AS lc
+      FROM toks
+    ),
+    scored AS (
+      SELECT w.cand, w.m1, w.t1, COALESCE(w.m2, 0) AS m2,
+             COALESCE(w.t2, 0) AS t2,
+             cl.lc AS len_cand, rl.lc AS len_ref,
+             CASE WHEN w.m1 > 0 AND COALESCE(w.m2, 0) > 0 THEN
+               CAST(round(
+                 exp(0.5 * (ln(CAST(w.m1 AS DOUBLE) / w.t1)
+                            + ln(CAST(w.m2 AS DOUBLE) / w.t2)))
+                 * CASE WHEN cl.lc >= rl.lc THEN 1.0
+                        ELSE exp(1.0 - CAST(rl.lc AS DOUBLE) / cl.lc) END
+                 * 1e6) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS bleu_m
+      FROM wide w
+      JOIN lens cl ON cl.doc_id = w.cand
+      JOIN lens rl ON rl.doc_id = w.cand % 10
+    )
+    SELECT cand AS doc_id, len_cand, len_ref,
+           CAST(m1 AS DOUBLE) / t1 AS p1,
+           CASE WHEN t2 > 0 THEN CAST(m2 AS DOUBLE) / t2 END AS p2,
+           CAST(bleu_m AS DOUBLE) / 1e6 AS bleu2
+    FROM scored
+    """,
+    doc="BLEU-2 scoring of paired documents (Papineni et al. 2002): "
+        "each candidate doc (10..29) scores against its reference "
+        "(doc_id % 10) with CLIPPED modified n-gram precision — "
+        "match = sum over candidate n-gram types of min(cand count, "
+        "ref count), the clipping that stops 'the the the' gaming — "
+        "geometric mean of 1-gram and 2-gram precisions times the "
+        "brevity penalty exp(1 - ref_len/cand_len) when the candidate "
+        "is shorter.  Counts are exact integers at (doc, n, gram) "
+        "grain; the transcendental combine micro-rounds per PAIR "
+        "(bounded output grain, no cross-row sum of floats).  Zero "
+        "matches at either order -> BLEU 0 (log-undefined case "
+        "CASE-guarded identically both sides).  Physical: one "
+        "tokenize pass over the bounded eval slice builds both gram "
+        "orders in one frame; the clip join runs at gram-type grain "
+        "keyed (doc, n, gram).",
+    tags=("llmdata", "eval", "documents", "text"),
+)
+def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..partitioning import fan_out
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = fan_out(d.select("doc_id", toks.alias("t")))
+    uni = base.select(
+        "doc_id", F.explode("t").alias("g"), F.lit(1).alias("n")
+    )
+    bi = (
+        base.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 2)),
+                )
+            ).alias("g"),
+            F.lit(2).alias("n"),
+        )
+    )
+    cnt = (
+        uni.unionByName(bi)
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    cand = cnt.where(F.col("doc_id") >= 10).select(
+        F.col("doc_id").alias("cand"), "n", "g", F.col("c").alias("cc")
+    )
+    ref = cnt.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("ref"), "n", "g", F.col("c").alias("rc")
+    )
+    clip = (
+        cand.withColumn("ref", F.col("cand") % 10)
+        .join(ref, ["ref", "n", "g"], "left")
+        .groupBy("cand", "n")
+        .agg(
+            F.sum(F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0))))
+            .cast("bigint")
+            .alias("match_c"),
+            F.sum("cc").cast("bigint").alias("total_c"),
+        )
+    )
+    wide = clip.groupBy("cand").agg(
+        F.max(F.when(F.col("n") == 1, F.col("match_c"))).alias("m1"),
+        F.max(F.when(F.col("n") == 1, F.col("total_c"))).alias("t1"),
+        F.max(F.when(F.col("n") == 2, F.col("match_c"))).alias("m2"),
+        F.max(F.when(F.col("n") == 2, F.col("total_c"))).alias("t2"),
+    )
+    lens = base.select(
+        "doc_id",
+        F.size(F.filter("t", lambda x: x != "")).cast("bigint").alias("lc"),
+    )
+    cl = lens.select(F.col("doc_id").alias("cand"), F.col("lc").alias("len_cand"))
+    rl = lens.select(F.col("doc_id").alias("_r"), F.col("lc").alias("len_ref"))
+    m2z = F.coalesce(F.col("m2"), F.lit(0))
+    t2z = F.coalesce(F.col("t2"), F.lit(0))
+    bp = F.when(
+        F.col("len_cand") >= F.col("len_ref"), F.lit(1.0)
+    ).otherwise(
+        F.exp(F.lit(1.0) - F.col("len_ref").cast("double") / F.col("len_cand"))
+    )
+    bleu_m = F.when(
+        (F.col("m1") > 0) & (m2z > 0),
+        F.round(
+            F.exp(
+                F.lit(0.5)
+                * (
+                    F.log(F.col("m1").cast("double") / F.col("t1"))
+                    + F.log(m2z.cast("double") / t2z)
+                )
+            )
+            * bp
+            * F.lit(1e6)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        wide.join(cl, "cand")
+        .join(rl, F.col("cand") % 10 == F.col("_r"))
+        .select(
+            F.col("cand").alias("doc_id"),
+            "len_cand",
+            "len_ref",
+            emit(F.col("m1").cast("double") / F.col("t1")).alias("p1"),
+            emit(
+                F.when(t2z > 0, m2z.cast("double") / t2z)
+            ).alias("p2"),
+            emit(bleu_m.cast("double") / F.lit(1e6)).alias("bleu2"),
+        )
+    )

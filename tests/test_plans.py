@@ -265,6 +265,13 @@ def test_no_accidental_cartesian_products(plans):
         # of design-based inference — q312's fan-out shape), and the
         # observed-diff single row crosses twice (q42's shape)
         "q347_randomization_inference",
+        # q348 ECE: the event total crosses onto the 20-bin frame as a
+        # single-row aggregate — q327/q130's shape
+        "q348_calibration_ece",
+        # q349 gap sensitivity: the lag-window output fans out against
+        # the broadcast 3-row threshold spine (one window, three
+        # thresholds — q312's fan-out shape at x3)
+        "q349_session_gap_sensitivity",
     }
     for name, p in plans.items():
         if name in allowed:

@@ -96,9 +96,13 @@ PERSIST_PRONE = [
     # q341 localCheckpoints the phrase table (word explode, score
     # join, occurrence counts)
     "q341_rake_keyphrases",
-    # q342 localCheckpoints the candidate/relevance/similarity frames
-    # (four greedy rounds reuse them)
+    # q342 localCheckpoints the candidate frame (relevance, bigram
+    # build, and both similarity-matrix axes consume it); the greedy
+    # rounds themselves run driver-side
     "q342_mmr_diverse_topk",
+    # q350 localCheckpoints the (doc, n, gram) count table (candidate
+    # and reference legs of the clip join both consume it)
+    "q350_bleu_pairs",
     # q195 runs four outer-join drains (dual-side join state + the
     # sentinel watermark-flush batches)
     "q195_stream_outer_join",
