@@ -1,14 +1,19 @@
-"""Round-8 catalog entries (q328+): link analysis, corpus governance,
-and experiment-depth operators a training-data platform needs that no
-earlier entry covers — common-neighbor / Adamic-Adar link prediction
-over the co-purchase graph, multi-phrase blocklist auditing (the safety
-filter pass), difference-in-differences with cell-variance standard
-errors, delete-one-cluster jackknife SEs for cluster-sampled means,
+"""Round-8 catalog entries (q328-q350): link analysis, corpus
+governance, and experiment/eval-depth operators a training-data
+platform needs that no earlier entry covers — common-neighbor /
+Adamic-Adar link prediction over the co-purchase graph, multi-phrase
+blocklist auditing (the safety filter pass), difference-in-differences
+with cell-variance standard errors, delete-one-cluster jackknife SEs,
 absorbing-chain conversion probabilities, sparse tf-idf cosine top-k
 via an inverted index, rank-biased overlap between rankings,
 propensity-stratified ATT, a word2vec-style negative-sampling table,
-split-conformal prediction intervals, exact q-q quantile points, and a
-streaming additive-histogram parity drain.
+split-conformal prediction intervals, exact q-q quantile points, a
+streaming additive-histogram parity drain, UMass topic coherence, RAKE
+keyphrase extraction (gaps-and-islands, regex-free), MMR diversified
+top-k, IPS/SNIPS off-policy evaluation, winsorized moments,
+Mann-Whitney U with tie correction, McNemar's paired-classifier test,
+Fisherian randomization inference, calibration ECE/MCE, sessionization
+gap sensitivity, and BLEU-2 paired-document scoring.
 
 Shared numeric discipline (see round6b/round7/round7b_queries): every
 cross-row accumulation happens on EXACT integers — counts, cents, or
@@ -464,7 +469,10 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clusters is the deterministic, randomization-free alternative "
         "to a cluster bootstrap).  theta_i = mean excluding cluster i, "
         "computed from per-cluster (sum cents, n) EXACT integers and "
-        "micro-rounded to BIGINT; deviations use the cross-multiplied "
+        "micro-rounded to BIGINT (the (S - s_i) * 1e4 double product "
+        "is exact below 2^53 — cents totals to ~9e11; past that drop "
+        "the 1e4 scale or widen to DECIMAL); deviations use the "
+        "cross-multiplied "
         "form B*theta_i - sum(theta) so the squared sum is exact "
         "DECIMAL(38,0); SE = sqrt((B-1)/B * sum dev^2 / B^2) emerges "
         "in one final double expression, identical both engines "
@@ -2294,7 +2302,9 @@ def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
         "even-user groups through tie-averaged ranks.  Everything "
         "reduces EXACTLY at distinct-value grain: doubled rank sums "
         "2*R1 = sum c1*(2*cum_before + t + 1) stay integers under "
-        "ties, the tie-correction term sum(t^3 - t) accumulates in "
+        "ties (bound: 2*R1 <= N(N+1), exact int64 to N ~ 3e9 rows — "
+        "past that widen to DECIMAL as q318/q320 prescribe), the "
+        "tie-correction term sum(t^3 - t) accumulates in "
         "DECIMAL(38,0), and U/z emerge in one final double expression "
         "(identical op tree both engines; degenerate variance "
         "CASE-guarded).  Physical: one fact pass to distinct-value "
@@ -2575,6 +2585,8 @@ def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("null_m")
     )
+    # obs_m rides the same aggregate (constant within the cross), so
+    # the observed leg's fact scan runs once, not once per consumer
     ncmp = nulls.crossJoin(F.broadcast(obs)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_draws"),
         F.sum(
@@ -2584,8 +2596,9 @@ def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_ge"),
+        F.max("obs_m").alias("obs_m"),
     )
-    return ncmp.crossJoin(F.broadcast(obs)).select(
+    return ncmp.select(
         "n_draws",
         emit(F.col("obs_m").cast("double") / F.lit(1000000.0)).alias(
             "observed_diff"
