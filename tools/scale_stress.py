@@ -60,8 +60,18 @@ REKEY: dict[str, list[str]] = {
     "region": [],
 }
 
-FLAGSHIPS = ["q41_etl_star_pipeline", "q52_dedup_clusters", "q60_semantic_dedup",
-             "q177_gdpr_cascade_delete", "q200_curation_pipeline_v2"]
+FLAGSHIPS = [
+    # batch pipelines
+    "q41_etl_star_pipeline", "q52_dedup_clusters", "q60_semantic_dedup",
+    "q177_gdpr_cascade_delete", "q200_curation_pipeline_v2",
+    # streaming flagships (r08: drain cost must track batch size, not
+    # history — the incremental-maintenance claim)
+    "q102_streaming_rollup_parity", "q138_streaming_bitmap_dau",
+    "q172_streaming_cdc_merge", "q326_stream_gram_pca",
+    # round-8 wing corpus-scale entries
+    "q328_adamic_adar_links", "q333_tfidf_cosine_topk",
+    "q340_umass_topic_coherence", "q347_randomization_inference",
+]
 
 # plan nodes that must not APPEAR at 10x if absent at 1x
 FORBIDDEN_FLIPS = ("CartesianProduct", "BroadcastNestedLoopJoin")
