@@ -549,19 +549,20 @@ def semantic_dedup(
             df, threshold=threshold, vec_col=vec_col, id_col=id_col, dim=dim
         ).select("id_a", "id_b")
         labels = connected_components(pairs, df.select(id_col), id_col=id_col)
-        sizes = labels.groupBy("_comp").agg(F.count("*").alias("cluster_size"))
-        return labels.join(sizes, "_comp").select(
-            F.col("_n").alias(id_col),
-            F.col("_comp").alias("component_id"),
-            "cluster_size",
-            (F.col("_n") == F.col("_comp")).alias("is_canonical"),
-        )
+        return _label_output(labels, id_col)
     m = df.select(F.col(id_col).alias("_node"), F.col(vec_col).alias("_v"))
     groups = (
         m.groupBy("_v")
         .agg(F.min("_node").alias("_rep"), F.count(F.lit(1)).alias("_g"))
         .where(
             F.col("_v").isNotNull()
+            # NaN-bearing vectors must stay singletons: Spark's total
+            # ordering makes NaN >= threshold (and NaN > 0) TRUE, so
+            # without this guard identical NaN vectors would collapse
+            # into one cluster that the pairwise miner (whose Arrow
+            # NaN cosine nulls out of the >= filter) would never form
+            # (review-found regression)
+            & ~F.exists("_v", lambda x: F.isnan(x.cast("double")))
             & (F.col("_g") >= 2)
             # lazy CaseWhen: the cosine division only evaluates on
             # nonzero-norm groups (ANSI mode errors on 0/0, and a zero
@@ -605,6 +606,14 @@ def semantic_dedup(
     labels = mapping.join(
         rep_labels, mapping["_rep"] == rep_labels["_n"]
     ).select(F.col("_node").alias("_n"), "_comp")
+    return _label_output(labels, id_col)
+
+
+def _label_output(labels, id_col: str):
+    """Shared semantic_dedup output assembly: cluster sizes + min-id
+    canonical election over a (_n, _comp) labels frame — one place for
+    the output contract regardless of which dedup branch produced the
+    labels."""
     sizes = labels.groupBy("_comp").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "_comp").select(
         F.col("_n").alias(id_col),

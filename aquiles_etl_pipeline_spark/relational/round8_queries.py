@@ -1507,19 +1507,24 @@ def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
     t10 AS (SELECT source, tok, d, rnk FROM top WHERE rnk <= 10),
     co AS (
       SELECT a.source, a.tok AS te, b.tok AS tl,
-             a.d AS de, CAST(COUNT(*) AS BIGINT) AS dj
-      FROM (SELECT p2.source, p2.doc_id, p2.tok, t10.rnk, t10.d
+             CAST(COUNT(*) AS BIGINT) AS dj
+      FROM (SELECT p2.source, p2.doc_id, p2.tok, t10.rnk
             FROM p2 JOIN t10 USING (source, tok)) a
       JOIN (SELECT p2.source, p2.doc_id, p2.tok, t10.rnk
             FROM p2 JOIN t10 USING (source, tok)) b
         ON a.source = b.source AND a.doc_id = b.doc_id AND a.rnk < b.rnk
-      GROUP BY 1, 2, 3, 4
+      GROUP BY 1, 2, 3
+    ),
+    allp AS (
+      SELECT e.source, e.tok AS te, l.tok AS tl, e.d AS de
+      FROM t10 e JOIN t10 l ON e.source = l.source AND e.rnk < l.rnk
     ),
     terms AS (
-      SELECT source,
-             CAST(round(ln((CAST(dj AS DOUBLE) + 1.0) / de) * 1e6) AS BIGINT)
-               AS term_m
-      FROM co
+      SELECT allp.source,
+             CAST(round(ln((CAST(COALESCE(co.dj, 0) AS DOUBLE) + 1.0)
+                           / allp.de) * 1e6) AS BIGINT) AS term_m
+      FROM allp LEFT JOIN co ON co.source = allp.source
+                            AND co.te = allp.te AND co.tl = allp.tl
     ),
     tsum AS (
       SELECT source, CAST(SUM(term_m) AS BIGINT) AS s FROM terms GROUP BY 1
@@ -1537,15 +1542,17 @@ def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l) of ln((D(e,l) + 1) / D(e)) with D = within-source document "
         "co-occurrence counts — the intrinsic topic-quality metric "
         "that, unlike q272's adjacency PMI, scores DOCUMENT-level "
-        "co-occurrence of the representative terms.  Per-pair log "
-        "terms micro-round to BIGINT before the <= C(10,2) per-source "
-        "sum; co-occurrence counts are exact integers from a "
-        "presence-grain self-join restricted to the 10 terms (fanout "
-        "<= 10 presence rows per doc, never the raw token stream).  "
-        "Sources with no co-occurring pairs report coherence 0 over "
-        "their n_terms.  Physical: one corpus pass to presence grain, "
-        "term ranks at (source, token) grain, the pair join runs on "
-        "the top-term-filtered presence table only.",
+        "co-occurrence of the representative terms.  The pair set is "
+        "the DENSE rank-ordered scaffold over the top terms — a pair "
+        "that never co-occurs contributes ln(1/D(e)), the penalty the "
+        "+1 smoothing exists for — with observed co-counts left-"
+        "joined in.  Per-pair log terms micro-round to BIGINT before "
+        "the <= C(10,2) per-source sum; co-occurrence counts are "
+        "exact integers from a presence-grain self-join restricted to "
+        "the 10 terms (fanout <= 10 presence rows per doc, never the "
+        "raw token stream).  Physical: one corpus pass to presence "
+        "grain, term ranks at (source, token) grain, the pair join "
+        "runs on the top-term-filtered presence table only.",
     tags=("llmdata", "text", "documents", "stats"),
 )
 def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1588,13 +1595,28 @@ def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
     co = (
         a.join(b, ["source", "doc_id"])
         .where(F.col("re") < F.col("rl"))
-        .groupBy("source", "te", "tl", "de")
+        .groupBy("source", "te", "tl")
         .agg(F.count(F.lit(1)).cast("bigint").alias("dj"))
     )
-    terms = co.select(
+    # DENSE pair scaffold over the top terms: a pair that never
+    # co-occurs contributes ln(1/D(e)) — the +1 smoothing exists
+    # precisely so D(e,l)=0 pairs PENALIZE coherence; an inner-join
+    # shape silently scored maximally-incoherent topics as 0
+    # (review-found metric inversion).  <= C(10,2) rows per source.
+    e_ = t10.select(
+        "source", F.col("tok").alias("te"), F.col("rnk").alias("re"),
+        F.col("d").alias("de"),
+    )
+    l_ = t10.select("source", F.col("tok").alias("tl"), F.col("rnk").alias("rl"))
+    allp = e_.join(l_, "source").where(F.col("re") < F.col("rl"))
+    terms = allp.join(co, ["source", "te", "tl"], "left").select(
         "source",
         F.round(
-            F.log((F.col("dj").cast("double") + 1.0) / F.col("de")) * 1e6
+            F.log(
+                (F.coalesce(F.col("dj"), F.lit(0)).cast("double") + 1.0)
+                / F.col("de")
+            )
+            * 1e6
         )
         .cast("bigint")
         .alias("term_m"),
@@ -1901,8 +1923,8 @@ def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q342_mmr_diverse_topk",
     sql="""
     WITH cand AS (
-      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
-      FROM documents ORDER BY n_chars DESC, doc_id LIMIT 8
+      SELECT doc_id, CAST(greatest(0, n_chars) AS BIGINT) AS n_chars
+      FROM documents ORDER BY greatest(0, n_chars) DESC, doc_id LIMIT 8
     ),
     mx AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS maxc FROM cand),
     rel AS (
@@ -2018,8 +2040,14 @@ def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # greatest(0, ·) clamps BEFORE the relevance floor division (the
+    # q323 lesson: Spark div truncates, DuckDB // floors — they differ
+    # on negatives; latent here but removed rather than relied on)
     cand = (
-        d.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+        d.select(
+            "doc_id",
+            F.greatest(F.lit(0), F.col("n_chars")).cast("bigint").alias("n_chars"),
+        )
         .orderBy(F.desc("n_chars"), "doc_id")
         .limit(8)
         .localCheckpoint()

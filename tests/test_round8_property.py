@@ -462,9 +462,10 @@ def test_umass_coherence_matches_bruteforce(spark, tmp_path_factory, docs):
     total = 0
     for i, te in enumerate(ranked):
         for tl in ranked[i + 1:]:
+            # DENSE pairs: dj = 0 contributes ln(1/D(e)) — the
+            # smoothing penalty (review-found inversion when dropped)
             dj = len(presence[te] & presence[tl])
-            if dj > 0:
-                total += _rhalf(math.log((dj + 1.0) / len(presence[te])) * 1e6)
+            total += _rhalf(math.log((dj + 1.0) / len(presence[te])) * 1e6)
     assert row["source"] == "src0"
     assert row["n_terms"] == len(ranked)
     assert abs(row["coherence"] - total / 1e6) < 1e-9

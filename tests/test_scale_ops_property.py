@@ -847,3 +847,30 @@ def test_semantic_dedup_collapse_equals_bruteforce_cc(spark, families, n_zero):
         for r in semantic_dedup(df, threshold=0.9, dim=dim).collect()
     }
     assert got == want
+
+
+def test_semantic_dedup_nan_vectors_stay_singletons(spark):
+    """Identical NaN-bearing vectors must NOT collapse into a cluster:
+    Spark's total ordering makes NaN >= threshold TRUE, so the collapse
+    eligibility check needs the explicit no-NaN-element guard — the
+    pairwise miner's Arrow cosine nulls NaN out of the >= filter, and
+    the collapse must match that behavior exactly (review-found
+    regression)."""
+    from aquiles_etl_pipeline_spark.llmdata.similarity import semantic_dedup
+
+    nan = float("nan")
+    rows = [
+        (1, [nan, 1.0, 0.0, 0.0]),
+        (2, [nan, 1.0, 0.0, 0.0]),  # identical NaN vector -> dup hash
+        (3, [0.0, 5.0, 0.0, 0.0]),
+        (4, [0.0, 10.0, 0.0, 0.0]),  # scaled copy of 3: cosine 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["component_id"], r["cluster_size"], r["is_canonical"])
+        for r in semantic_dedup(df, threshold=0.9, dim=4).collect()
+    }
+    assert got[1] == (1, 1, True)   # NaN rows: singletons
+    assert got[2] == (2, 1, True)
+    assert got[3] == (3, 2, True)   # real near-dups still cluster
+    assert got[4] == (3, 2, False)

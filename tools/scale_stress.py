@@ -173,8 +173,17 @@ def main() -> int:
         # streaming queries: their per-(session, sf_dir) result cache
         # made base_t a ~0.2s cache hit while scaled_t was a full
         # multi-drain build, so ratios read as 60x or 0.2x noise.
-        # sf0.001 shares no memo key with either measured dir.
-        spec.fn(spark, "/root/testdata/sf0.001").limit(1).collect()
+        # The warm dir is derived as args.src's sf0.001 SIBLING (not a
+        # hardcoded path, so --src works from any testdata root); when
+        # no sibling exists fall back to args.src — accepting the memo
+        # distortion beats crashing before the first measurement.
+        warm = Path(args.src).parent / "sf0.001"
+        warm_dir = str(warm) if warm.is_dir() else args.src
+        if warm_dir == args.src and name == names[0]:
+            print("[scale_stress] WARNING: no sf0.001 sibling; warming at "
+                  "--src (memoized streaming base times will read low)",
+                  file=sys.stderr, flush=True)
+        spec.fn(spark, warm_dir).limit(1).collect()
         base_t, base_shape = run_one(spark, spec, args.src)
         scaled_t, scaled_shape = run_one(spark, spec, str(scaled))
         ratio = scaled_t / base_t if base_t > 0 else float("inf")
