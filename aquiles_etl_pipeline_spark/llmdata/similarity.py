@@ -529,6 +529,14 @@ def semantic_dedup(
     """
     from .dedup import connected_components
 
+    # materialize the projected (id, vec) frame ONCE before the probe:
+    # the probe (which makes this function eager anyway), the exact-dup
+    # group collapse, and the pair miner's internal rescans all read
+    # this checkpoint instead of each re-executing the caller's
+    # upstream plan — on the no-dup fast path that turns probe+miner
+    # from two upstream scans into one (review-found rescan)
+    df = df.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+
     # data-adaptive fork: with NO duplicate vector anywhere (the common
     # shape of an already-deduplicated corpus) the collapse machinery
     # is pure overhead — a vector-keyed shuffle plus three joins for an

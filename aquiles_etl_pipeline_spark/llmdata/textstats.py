@@ -626,9 +626,12 @@ def bigram_lm_nll(
         )
         # fan out FIRST: the gram transform is an interpreted HOF (no
         # codegen), and corpus parquet often arrives as one file — one
-        # task would run the whole kernel serially otherwise
-        par = df.sparkSession.sparkContext.defaultParallelism
-        return df.repartition(par).select(
+        # task would run the whole kernel serially otherwise.  fan_out
+        # is conditional: a well-partitioned 100 TB scan passes through
+        # unshuffled (the postings-kernel discipline).
+        from ..partitioning import fan_out
+
+        return fan_out(df).select(
             F.col(id_col), F.explode(grams).alias("_bg")
         )
 

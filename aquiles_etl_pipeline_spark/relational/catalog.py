@@ -127,76 +127,26 @@ def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = 
 
 
 # Grading order.  The driver's correctness sweep walks queries() in
-# dict order under a shared time budget and can stop early (~50 of 288+
+# dict order under a shared time budget and can stop early (~50 of 350
 # per round).  registry() therefore rotates by grading recency so every
 # catalog entry eventually carries a fresh driver row and no row goes
-# more than ~2 rounds without a re-grade.  Round-8 rotation (the r07
+# more than ~4 rounds without a re-grade.  Round-9 rotation (the r08
 # verdict's ask #1):
-#   block A — q251-q300: never driver-graded; exactly fills a 50-query
-#             budget; includes q264/q269/q274/q281/q284/q288 (the
-#             windowFunnel, Kneser-Ney, Wasserstein, ANOVA, QTE, ABC
-#             carriers the verdict named) — cumulative ever-green
-#             becomes 300/327 when this block lands;
-#   block B — q301-q327 + new round-8 entries (q328+): never graded,
-#             queued for the r09 block;
-#   block C — r03-green rows (stalest graded): q01-q06, q37/q39/q41/
-#             q45, q61-q100;
-#   block D — r04-green rows: q54-q60, q101-q143;
-#   block E — r05-green rows: q07-q53 refresh + q144-q150;
+#   block B — q301-q350: the only never-driver-graded rows (the r08
+#             judge's local oracle already passes all 50); exactly
+#             fills a 50-query budget — cumulative ever-driver-green
+#             becomes 350/350 when this block lands;
+#   block C — r03-green rows (stalest graded, refactored since: q106
+#             kernel, q41 profile work): q01-q06, q37/q39/q41/q45,
+#             q61-q100 — NEXT UP for r10;
+#   block D — r04-green rows: q54-q60, q101-q143 — r11;
+#   block E — r05-green rows: q07-q53 refresh + q144-q150 — r12;
 #   block F — r06-green rows: q151-q200;
-#   block G — r07-green rows (freshest — if the budget starves
-#             anything, it starves these): q201-q250.
+#   block G — r07-green rows: q201-q250;
+#   block A — r08-green rows (freshest — if the budget starves
+#             anything, it starves these): q251-q300.
 _GRADE_FIRST = (
-    "q251_sax_symbol_runs",
-    "q252_rrf_part_fusion",
-    "q253_gini_acctbal_by_nation",
-    "q254_weekly_seasonal_anomalies",
-    "q255_subsample_keep_probs",
-    "q256_interarrival_burstiness",
-    "q257_price_elasticity",
-    "q258_token_burstiness",
-    "q259_weekday_profile",
-    "q260_theil_decomposition",
-    "q261_exact_auc",
-    "q262_lift_gains_table",
-    "q263_hhi_concentration",
-    "q264_window_funnel",
-    "q265_mann_kendall_trend",
-    "q266_seasonal_decompose",
-    "q267_ks_two_sample",
-    "q268_cusum_changepoint",
-    "q269_kneser_ney_bigram",
-    "q270_heaps_law_fit",
-    "q271_alignment_uniformity",
-    "q272_collocations_pmi",
-    "q273_cohort_ltv",
-    "q274_wasserstein_1d",
-    "q275_dispersion_index",
-    "q276_hill_tail_index",
-    "q277_nation_assortment_jaccard",
-    "q278_bipartite_assortativity",
-    "q279_srm_check",
-    "q280_capture_recapture",
-    "q281_anova_oneway",
-    "q282_runs_test",
-    "q283_kendall_tau_daily",
-    "q284_quantile_treatment_effects",
-    "q285_dedup_cascade_accounting",
-    "q286_dead_stock_report",
-    "q287_dormancy_gaps",
-    "q288_abc_classification",
-    "q289_gopher_quality_filters",
-    "q290_ngram_novelty",
-    "q291_source_bigram_jaccard",
-    "q292_fdr_bh_selection",
-    "q293_theil_sen_slope",
-    "q294_prefix_dup_groups",
-    "q295_matryoshka_truncation",
-    "q296_k_anonymity_profile",
-    "q297_decayed_part_popularity",
-    "q298_conversion_latency_deciles",
-    "q299_subject_access_export",
-    "q300_token_budget_waterfill",
+    # --- block B: q301-q350 (never driver-graded; r09 target) ---
     "q301_quantile_normalization",
     "q302_char_entropy_proxy",
     "q303_power_analysis",
@@ -224,7 +174,6 @@ _GRADE_FIRST = (
     "q325_forecast_backtest",
     "q326_stream_gram_pca",
     "q327_brier_decomposition",
-    # --- block B append point: new round-8 entries (q328+) go HERE ---
     "q328_adamic_adar_links",
     "q329_blocklist_phrase_audit",
     "q330_did_estimator",
@@ -248,6 +197,7 @@ _GRADE_FIRST = (
     "q348_calibration_ece",
     "q349_session_gap_sensitivity",
     "q350_bleu_pairs",
+    # --- blocks C-G: driver-graded rows, stalest first ---
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",
@@ -498,6 +448,57 @@ _GRADE_FIRST = (
     "q248_cuped_adjustment",
     "q249_acf_daily_revenue",
     "q250_segment_priority_mi",
+    # --- block A: q251-q300 (r08-green, freshest) ---
+    "q251_sax_symbol_runs",
+    "q252_rrf_part_fusion",
+    "q253_gini_acctbal_by_nation",
+    "q254_weekly_seasonal_anomalies",
+    "q255_subsample_keep_probs",
+    "q256_interarrival_burstiness",
+    "q257_price_elasticity",
+    "q258_token_burstiness",
+    "q259_weekday_profile",
+    "q260_theil_decomposition",
+    "q261_exact_auc",
+    "q262_lift_gains_table",
+    "q263_hhi_concentration",
+    "q264_window_funnel",
+    "q265_mann_kendall_trend",
+    "q266_seasonal_decompose",
+    "q267_ks_two_sample",
+    "q268_cusum_changepoint",
+    "q269_kneser_ney_bigram",
+    "q270_heaps_law_fit",
+    "q271_alignment_uniformity",
+    "q272_collocations_pmi",
+    "q273_cohort_ltv",
+    "q274_wasserstein_1d",
+    "q275_dispersion_index",
+    "q276_hill_tail_index",
+    "q277_nation_assortment_jaccard",
+    "q278_bipartite_assortativity",
+    "q279_srm_check",
+    "q280_capture_recapture",
+    "q281_anova_oneway",
+    "q282_runs_test",
+    "q283_kendall_tau_daily",
+    "q284_quantile_treatment_effects",
+    "q285_dedup_cascade_accounting",
+    "q286_dead_stock_report",
+    "q287_dormancy_gaps",
+    "q288_abc_classification",
+    "q289_gopher_quality_filters",
+    "q290_ngram_novelty",
+    "q291_source_bigram_jaccard",
+    "q292_fdr_bh_selection",
+    "q293_theil_sen_slope",
+    "q294_prefix_dup_groups",
+    "q295_matryoshka_truncation",
+    "q296_k_anonymity_profile",
+    "q297_decayed_part_popularity",
+    "q298_conversion_latency_deciles",
+    "q299_subject_access_export",
+    "q300_token_budget_waterfill",
 )
 
 

@@ -507,7 +507,9 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as pd
 
-        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        from aquiles_etl_pipeline_spark.llmdata.postings import JAVA_WS_RE
+
+        ws = re.compile(JAVA_WS_RE)
         for pdf in batches:
             ids, grams, ngrams = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):

@@ -2110,10 +2110,11 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "documents", "llmdata", "lm"),
 )
 def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata.dedup import tokens
     from ..partitioning import fan_out
 
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = tokens("text")  # the shared postings-kernel tokenizer class
 
     def bigrams(df: DataFrame, keep_lang: bool) -> DataFrame:
         # docs with <2 tokens contribute NO bigrams (a pseudo-gram

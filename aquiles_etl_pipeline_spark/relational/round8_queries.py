@@ -288,10 +288,10 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(SUM(CASE WHEN treat AND post THEN cents ELSE 0 END) AS BIGINT)     AS s_tq,
         CAST(SUM(CASE WHEN NOT treat AND NOT post THEN cents ELSE 0 END) AS BIGINT) AS s_cp,
         CAST(SUM(CASE WHEN NOT treat AND post THEN cents ELSE 0 END) AS BIGINT) AS s_cq,
-        SUM(CASE WHEN treat AND NOT post THEN CAST(cents * cents AS DECIMAL(38,0)) ELSE 0 END) AS q_tp,
-        SUM(CASE WHEN treat AND post THEN CAST(cents * cents AS DECIMAL(38,0)) ELSE 0 END)     AS q_tq,
-        SUM(CASE WHEN NOT treat AND NOT post THEN CAST(cents * cents AS DECIMAL(38,0)) ELSE 0 END) AS q_cp,
-        SUM(CASE WHEN NOT treat AND post THEN CAST(cents * cents AS DECIMAL(38,0)) ELSE 0 END) AS q_cq
+        SUM(CASE WHEN treat AND NOT post THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS q_tp,
+        SUM(CASE WHEN treat AND post THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE 0 END)     AS q_tq,
+        SUM(CASE WHEN NOT treat AND NOT post THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS q_cp,
+        SUM(CASE WHEN NOT treat AND post THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS q_cq
       FROM f
     )
     SELECT n_tp AS n_treat_pre, n_tq AS n_treat_post,
@@ -329,8 +329,8 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
         "standard large-sample SE sqrt(sum of cell var/n) from "
         "Var = (ssq - s^2/n)/(n-1).  All four cells' sufficient "
         "statistics (n, sum cents BIGINT, sum cents^2 DECIMAL(38,0) — "
-        "cents^2 <= 2.4e9 per row, so the per-row product is exact "
-        "int64 and the sum is exact decimal at any corpus size) come "
+        "cents is cast to decimal BEFORE squaring, so the per-row "
+        "product and the sum are exact at any value scale) come "
         "from ONE conditional-aggregate pass over the fact (the q137 "
         "shape: no joins, no second scan); the estimator and SE are "
         "single-row double expressions with the identical op tree on "
@@ -354,9 +354,15 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(f"n_{k}"),
             F.sum(F.when(c, F.col("cents")).otherwise(0)).cast("bigint").alias(f"s_{k}"),
+            # cast to decimal BEFORE squaring (the q333 discipline) so the
+            # per-row product is exact at any value scale instead of
+            # silently wrapping in BIGINT past |cents| ~ 3.0e9
             F.sum(
-                F.when(c, (F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
-                .otherwise(F.lit(0).cast("decimal(38,0)"))
+                F.when(
+                    c,
+                    F.col("cents").cast("decimal(38,0)")
+                    * F.col("cents").cast("decimal(38,0)"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
             ).alias(f"q_{k}"),
         ]
     cells = f.agg(*aggs)
@@ -748,47 +754,17 @@ def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llmdata", "text", "documents", "similarity"),
 )
 def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..partitioning import fan_out
+    from ..llmdata.postings import weighted_postings
 
     d = load(spark, sf_dir, "documents")
-    toks = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
-    # tf feeds both the document-frequency aggregate and the weight
-    # join — checkpoint it so the corpus tokenize+explode runs exactly
-    # once (token-grain materialization beats a second corpus pass)
-    tf = (
-        fan_out(d.select("doc_id", "text"))
-        .select("doc_id", toks)
-        .where(F.col("tok") != "")
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint()
-    )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     # the weighted postings feed THREE consumers (norms + both pair
-    # sides) — localCheckpoint them so the corpus explode+groupBy runs
-    # once, not three times; postings are df-capped, orders smaller
-    # than the corpus (PERSIST_PRONE covers the drain)
-    # df < N drops corpus-universal tokens (idf exactly 0): besides
-    # being standard tf-idf practice, it guarantees every kept weight
-    # is > 0, so norms are positive and the cosine can never hit the
-    # engine-divergent NaN 0/0 path on degenerate corpora
-    w = (
-        tf.join(dfreq.where((F.col("df") >= 2) & (F.col("df") <= 50)), "tok")
-        .crossJoin(F.broadcast(n))
-        .where(F.col("df") < F.col("n_docs"))
-        .select(
-            "doc_id",
-            "tok",
-            (
-                F.col("c")
-                * F.round(
-                    F.log(F.col("n_docs").cast("double") / F.col("df")) * 1e6
-                ).cast("bigint")
-            ).alias("w"),
-        )
-        .localCheckpoint()
-    )
+    # sides) — localCheckpoint them so the df-cap join runs once, not
+    # three times; postings are df-capped, orders smaller than the
+    # corpus (PERSIST_PRONE covers the drain).  The tokenize -> tf ->
+    # df-band -> micro-idf front-end is the shared postings kernel
+    # (df in [2, 50], df < N — see weighted_postings for the exactness
+    # and fan-out-bound arguments).
+    w = weighted_postings(d, min_df=2, max_df=50).localCheckpoint()
     wd = F.col("w").cast("decimal(38,0)")
     ss = w.groupBy("doc_id").agg(F.sum(wd * wd).alias("ss"))
     a = w.select(F.col("doc_id").alias("da"), "tok", F.col("w").alias("wa"))
@@ -1556,23 +1532,16 @@ def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llmdata", "text", "documents", "stats"),
 )
 def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..partitioning import fan_out
+    from ..llmdata.postings import doc_frequencies, presence_rows
 
     d = load(spark, sf_dir, "documents")
-    toks = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
     # presence grain feeds the doc-frequency ranks AND both sides of
     # the co-occurrence join — checkpoint so the corpus explode runs
-    # once (PERSIST_PRONE covers the drain)
-    p2 = (
-        fan_out(d.select("source", "doc_id", "text"))
-        .select("source", "doc_id", toks)
-        .where(F.col("tok") != "")
-        .distinct()
-        .localCheckpoint()
-    )
-    dfreq = p2.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
+    # once (PERSIST_PRONE covers the drain); tokenization/presence and
+    # per-source document frequencies come from the shared postings
+    # kernel
+    p2 = presence_rows(d, "source", "doc_id").localCheckpoint()
+    dfreq = doc_frequencies(p2, group_cols=("source",), out_col="d")
     t10 = (
         dfreq.select(
             "source",
@@ -1715,19 +1684,13 @@ _RAKE_STOPS = ("the", "a", "table", "data", "value", "row")
     tags=("llmdata", "text", "documents", "window"),
 )
 def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..partitioning import fan_out
+    from ..llmdata.postings import positional_token_rows
 
     d = load(spark, sf_dir, "documents")
-    tok = (
-        fan_out(d.select("doc_id", "text"))
-        .select(
-            "doc_id",
-            F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
-                "pos", "tok"
-            ),
-        )
-        .where(F.col("tok") != "")
-    )
+    # positions come from the shared postings kernel's posexplode
+    # (assigned BEFORE the empty-token drop, so the stopword-island
+    # window sees the same gap structure as the SQL twin)
+    tok = positional_token_rows(d, "doc_id")
     stop = F.col("tok").isin(*_RAKE_STOPS)
     isl = tok.select(
         "doc_id",
@@ -2613,10 +2576,17 @@ def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("null_m")
     )
-    # obs_m rides the same aggregate (constant within the cross), so
-    # the observed leg's fact scan runs once, not once per consumer
-    ncmp = nulls.crossJoin(F.broadcast(obs)).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_draws"),
+    # obs_m rides the same aggregate (constant within the join), so
+    # the observed leg's fact scan runs once, not once per consumer.
+    # LEFT join from the single-row obs onto the <=64-row broadcast
+    # null-distribution: when every draw degenerates (empty nulls —
+    # e.g. zero purchases, or a single-user log where each md5 parity
+    # leaves an empty arm) the obs row survives with null_m NULL, so
+    # count("null_m") = 0 and the NULL comparison falls to otherwise(0),
+    # yielding p_value = (1+0)/(1+0) = 1.0 exactly like the SQL twin
+    # (a crossJoin would emit zero rows and NULL the p-value).
+    ncmp = obs.join(F.broadcast(nulls), F.lit(True), "left").agg(
+        F.count("null_m").cast("bigint").alias("n_draws"),
         F.sum(
             F.when(F.abs(F.col("null_m")) >= F.abs(F.col("obs_m")), 1).otherwise(
                 0

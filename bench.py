@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import platform
 import sys
 import time
 from pathlib import Path
@@ -95,12 +96,18 @@ def main() -> None:
     # (144/327 survived in r07), so the durable round-over-round diff
     # source is this file in the repo working tree — the chunked stdout
     # below stays as a fallback for drivers that only read stdout.
+    # host/cpus provenance: the committed builder run and the driver's
+    # refresh come from DIFFERENT machines (r08: 342.8 s builder vs
+    # 277.6 s driver for identical queries, zero per-query regressions)
+    # — tagging the record keeps future diffs comparing like machines.
     detail = {
         "metric": "catalog_total_runtime",
         "value": round(sum(timings.values()), 2),
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "host": platform.node() or "unknown",
+        "cpus": os.cpu_count(),
         "queries": {k: timings[k] for k in sorted(timings)},
     }
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"

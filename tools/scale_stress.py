@@ -80,14 +80,46 @@ SHAPE_NODES = FORBIDDEN_FLIPS + (
 )
 
 
-def build_scaled(src: str, dst: Path, factor: int) -> None:
+# adversarial-skew overrides (--skew): FOREIGN-key columns only — a
+# deterministic 30% of each table's rows point at ONE whale key drawn
+# from the BASE key range (min of the referenced dim, present in copy
+# 0), so referential integrity holds while the join/degree distribution
+# becomes the one-hot-key worst case every crawl corpus eventually
+# grows (a null-ish user, a default provider).  PRIMARY keys are never
+# whaled: collapsing them would change table semantics (dup pks,
+# multi-match MERGE), not just the distribution.  Mapping: table ->
+# (fk_col, table whose min key is the whale, pk col used to pick the
+# deterministic 30%).
+SKEW_FK: dict[str, list[tuple[str, str, str]]] = {
+    "events": [("user_id", "customer.c_custkey", "event_id")],
+    "orders": [("o_custkey", "customer.c_custkey", "o_orderkey")],
+    "lineitem": [
+        ("l_partkey", "part.p_partkey", "l_orderkey"),
+        ("l_suppkey", "supplier.s_suppkey", "l_orderkey"),
+    ],
+}
+SKEW_PCT = 30
+
+
+def build_scaled(src: str, dst: Path, factor: int, skew: bool = False) -> None:
     """Materialize the re-keyed FACTOR-x dataset with DuckDB (no Spark
     session needed; a cross join against range(factor) emits all copies
-    in one vectorized statement per table)."""
+    in one vectorized statement per table).  With ``skew``, FK columns
+    additionally collapse onto a whale key for SKEW_PCT% of rows (see
+    SKEW_FK)."""
     import duckdb
 
     dst.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
+    whales: dict[str, int] = {}
+    if skew:
+        for refs in SKEW_FK.values():
+            for _fk, ref, _pk in refs:
+                if ref not in whales:
+                    rt, rc = ref.split(".")
+                    whales[ref] = con.execute(
+                        f"SELECT MIN({rc}) FROM '{src}/{rt}.parquet'"
+                    ).fetchone()[0]
     for table, keys in REKEY.items():
         out = dst / f"{table}.parquet"
         if out.exists():
@@ -100,10 +132,25 @@ def build_scaled(src: str, dst: Path, factor: int) -> None:
             continue
         cols = [c[0] for c in con.execute(
             f"DESCRIBE SELECT * FROM '{src_file}'").fetchall()]
-        proj = ", ".join(
-            f"t.{c} + c.i * {OFFSET} AS {c}" if c in keys else f"t.{c}"
-            for c in cols
-        )
+        skew_cols = {
+            fk: (whales[ref], pk)
+            for fk, ref, pk in SKEW_FK.get(table, [])
+        } if skew else {}
+
+        def render(c: str) -> str:
+            rekeyed = f"t.{c} + c.i * {OFFSET}" if c in keys else f"t.{c}"
+            if c in skew_cols:
+                whale, pk = skew_cols[c]
+                # hash(pk) picks the same 30% of rows in every copy —
+                # deterministic, rerun-stable, independent of the fk
+                # value being overridden
+                return (
+                    f"CASE WHEN hash(t.{pk}) % 10 < {SKEW_PCT // 10} "
+                    f"THEN CAST({whale} AS BIGINT) ELSE {rekeyed} END AS {c}"
+                )
+            return f"{rekeyed} AS {c}"
+
+        proj = ", ".join(render(c) for c in cols)
         con.execute(
             f"COPY (SELECT {proj} FROM '{src_file}' t, "
             f"range({factor}) c(i)) TO '{out}' (FORMAT PARQUET)"
@@ -146,16 +193,22 @@ def main() -> int:
                     help="max allowed time ratio at --factor x data")
     ap.add_argument("--report", default=None,
                     help="markdown report path (optional)")
+    ap.add_argument("--skew", action="store_true",
+                    help="adversarial FK skew: 30%% of events/orders/"
+                         "lineitem rows point at one whale key (see "
+                         "SKEW_FK); primary keys stay unique")
     args = ap.parse_args()
 
     from aquiles_etl_pipeline_spark.relational import registry
     from aquiles_etl_pipeline_spark.session import get_spark
 
-    scaled = Path(args.workdir) / f"sf0.1x{args.factor}"
-    print(f"[scale_stress] building {scaled} (factor {args.factor})",
+    suffix = "skew" if args.skew else ""
+    scaled = Path(args.workdir) / f"sf0.1x{args.factor}{suffix}"
+    print(f"[scale_stress] building {scaled} (factor {args.factor}"
+          f"{', skewed FKs' if args.skew else ''})",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    build_scaled(args.src, scaled, args.factor)
+    build_scaled(args.src, scaled, args.factor, skew=args.skew)
     print(f"[scale_stress] dataset ready in {time.perf_counter()-t0:.1f}s",
           file=sys.stderr, flush=True)
 
@@ -179,10 +232,20 @@ def main() -> int:
         # distortion beats crashing before the first measurement.
         warm = Path(args.src).parent / "sf0.001"
         warm_dir = str(warm) if warm.is_dir() else args.src
-        if warm_dir == args.src and name == names[0]:
-            print("[scale_stress] WARNING: no sf0.001 sibling; warming at "
-                  "--src (memoized streaming base times will read low)",
-                  file=sys.stderr, flush=True)
+        if name == names[0] and Path(warm_dir).resolve() == Path(args.src).resolve():
+            # two distinct ways to end up warming at --src, each with
+            # its own memo-distortion story (review-found: the old
+            # `warm_dir == args.src` string compare mislabeled the
+            # src-IS-sf0.001 case as a missing sibling)
+            if not warm.is_dir():
+                print("[scale_stress] WARNING: no sf0.001 sibling; warming "
+                      "at --src (memoized streaming base times will read "
+                      "low)", file=sys.stderr, flush=True)
+            else:
+                print("[scale_stress] WARNING: --src IS the sf0.001 warm "
+                      "dir; the warm pass primes per-(session, sf_dir) "
+                      "memo caches at --src, so memoized streaming base "
+                      "times will read low", file=sys.stderr, flush=True)
         spec.fn(spark, warm_dir).limit(1).collect()
         base_t, base_shape = run_one(spark, spec, args.src)
         scaled_t, scaled_shape = run_one(spark, spec, str(scaled))
@@ -224,11 +287,18 @@ def main() -> int:
 
 
 def _write_report(path: Path, args, rows, ok: bool) -> None:
+    skew_note = (
+        f" with ADVERSARIAL FK SKEW ({SKEW_PCT}% of events.user_id / "
+        "orders.o_custkey / lineitem.l_partkey+l_suppkey rows collapsed "
+        "onto one whale key each)"
+        if getattr(args, "skew", False) else ""
+    )
     lines = [
         "# Scale-stress report",
         "",
-        f"`tools/scale_stress.py --factor {args.factor}` — flagship "
-        f"pipelines at sf0.1 vs a {args.factor}x re-keyed copy "
+        f"`tools/scale_stress.py --factor {args.factor}"
+        f"{' --skew' if getattr(args, 'skew', False) else ''}` — flagship "
+        f"pipelines at sf0.1 vs a {args.factor}x re-keyed copy{skew_note} "
         f"(time budget {args.budget}x; plan must not flip to "
         "CartesianProduct / BroadcastNestedLoopJoin).",
         "",
