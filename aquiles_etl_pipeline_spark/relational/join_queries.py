@@ -357,7 +357,8 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ps
     )
     SELECT r.l_partkey, r.l_suppkey, s.s_name,
-           ROUND(total_price / total_qty, 4) AS unit_price
+           CAST(CAST(round(total_price / total_qty * 10000.0) AS BIGINT)
+                AS DOUBLE) / 1e4 AS unit_price
     FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
     WHERE rn = 1 AND r.l_partkey % 10 = 0
     """,
@@ -388,7 +389,16 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") == 1) & (F.col("l_partkey") % 10 == 0))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
-            "l_partkey", "l_suppkey", "s_name", F.round(unit, 4).alias("unit_price")
+            "l_partkey",
+            "l_suppkey",
+            "s_name",
+            # round to integer 1e-4 units first (engine-identical on
+            # the same double), then divide — round(x, 4) flips at
+            # half boundaries between the engines (sf0.1 sweep)
+            (
+                F.round(unit * F.lit(10000.0)).cast("bigint").cast("double")
+                / F.lit(1e4)
+            ).alias("unit_price"),
         )
     )
 

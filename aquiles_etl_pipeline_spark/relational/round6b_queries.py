@@ -7,7 +7,7 @@ subsampling probabilities.
 
 Shared numeric discipline (the q78 pattern): all corpus statistics
 accumulate as EXACT integers — cents via ``round(x*100)`` pinned to
-BIGINT, squared/cross products through DECIMAL(18,0) operands so the
+BIGINT, squared/cross products through DECIMAL(19,0) operands so the
 product width (36) stays inside both engines' DECIMAL(38) — and the
 single conversion to double happens at the final expression, written
 with the identical operation tree in the Spark code and the DuckDB
@@ -25,7 +25,12 @@ from pyspark.sql.window import Window
 
 from .catalog import load, register
 
-_D18 = "decimal(18,0)"
+# decimal(19,0), NOT (18,0): DuckDB computes a DECIMAL(18)xDECIMAL(18)
+# product in int64 and raises Out of Range once the product passes
+# 1e18 (q249 hit it at sf0.1: daily revenue ~1.6e9 cents squared);
+# width 19 forces int128 there, while Spark caps 19+19+1 -> 38 with
+# scale 0 — exact in both engines at any aggregate scale
+_D18 = "decimal(19,0)"
 _D38 = "decimal(38,0)"
 
 
@@ -56,11 +61,11 @@ def _cents(col: str) -> F.Column:
              CAST(COUNT(*) AS BIGINT) AS n_users,
              CAST(SUM(pre_c) AS BIGINT) AS vpre_c,
              CAST(SUM(post_c) AS BIGINT) AS vpost_c,
-             CAST(SUM(CAST(CAST(pre_c AS DECIMAL(18,0))
-                           * CAST(pre_c AS DECIMAL(18,0))
+             CAST(SUM(CAST(CAST(pre_c AS DECIMAL(19,0))
+                           * CAST(pre_c AS DECIMAL(19,0))
                            AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS vxx,
-             CAST(SUM(CAST(CAST(pre_c AS DECIMAL(18,0))
-                           * CAST(post_c AS DECIMAL(18,0))
+             CAST(SUM(CAST(CAST(pre_c AS DECIMAL(19,0))
+                           * CAST(post_c AS DECIMAL(19,0))
                            AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS vxy
       FROM per_user GROUP BY 1
     ),
@@ -93,7 +98,7 @@ def _cents(col: str) -> F.Column:
         "/ var(pre) is fit on the pooled population and each variant's "
         "post-period mean is adjusted by theta * (pre_mean_v - "
         "pre_grand_mean).  All moments accumulate as exact integers "
-        "(cents in BIGINT, cross-products through DECIMAL(18,0) "
+        "(cents in BIGINT, cross-products through DECIMAL(19,0) "
         "operands so the 36-digit product stays exact in both "
         "engines); theta and the adjusted means are single double "
         "expressions over those exact sums, written with the identical "
@@ -191,16 +196,16 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS DOUBLE) AS n,
              CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
              CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
-             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
-                                * CAST(x AS DECIMAL(18,0))
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,0))
+                                * CAST(x AS DECIMAL(19,0))
                                 AS DECIMAL(38,0))) AS DECIMAL(38,0))
                   AS DOUBLE) AS sxx,
-             CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(18,0))
-                                * CAST(y AS DECIMAL(18,0))
+             CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(19,0))
+                                * CAST(y AS DECIMAL(19,0))
                                 AS DECIMAL(38,0))) AS DECIMAL(38,0))
                   AS DOUBLE) AS syy,
-             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
-                                * CAST(y AS DECIMAL(18,0))
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,0))
+                                * CAST(y AS DECIMAL(19,0))
                                 AS DECIMAL(38,0))) AS DECIMAL(38,0))
                   AS DOUBLE) AS sxy,
              CAST(COUNT(*) AS BIGINT) AS n_pairs
@@ -219,7 +224,7 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         "on day = day - k, not a row-offset window, so missing days "
         "cannot silently shift the alignment (the classic lag-window "
         "bug on sparse series).  Revenue accumulates as exact cents; "
-        "the five moments per lag go through DECIMAL(18,0) products "
+        "the five moments per lag go through DECIMAL(19,0) products "
         "(width 36, exact in both engines) and r is one double "
         "expression with IEEE sqrt.  Physical shape: the fact scan "
         "collapses to day grain FIRST (the only fact-sized shuffle); "
@@ -547,8 +552,8 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_nationkey,
              CAST(COUNT(*) AS BIGINT) AS n_customers,
              CAST(CAST(SUM(bal_c) AS BIGINT) AS DOUBLE) AS sx,
-             CAST(CAST(SUM(CAST(CAST(i AS DECIMAL(18,0))
-                                * CAST(bal_c AS DECIMAL(18,0))
+             CAST(CAST(SUM(CAST(CAST(i AS DECIMAL(19,0))
+                                * CAST(bal_c AS DECIMAL(19,0))
                                 AS DECIMAL(38,0))) AS DECIMAL(38,0))
                   AS DOUBLE) AS six,
              CAST(COUNT(*) AS DOUBLE) AS nd
@@ -564,7 +569,7 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(n+1)*sum(x)) / (n*sum(x)) over the ascending-sorted "
         "balances (custkey tiebreak -> deterministic ranks).  The "
         "inequality metric every marketplace health dashboard "
-        "carries.  Rank-value products go through DECIMAL(18,0) "
+        "carries.  Rank-value products go through DECIMAL(19,0) "
         "operands (exact in both engines); the Gini is one double "
         "expression, NULL when a nation's balances sum to zero.  "
         "Physical shape: one nationkey-partitioned sort window (the "
@@ -637,8 +642,8 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
              CAST(CAST(SUM(resid_c) AS BIGINT) AS DOUBLE) AS s1,
-             CAST(CAST(SUM(CAST(CAST(resid_c AS DECIMAL(18,0))
-                                * CAST(resid_c AS DECIMAL(18,0))
+             CAST(CAST(SUM(CAST(CAST(resid_c AS DECIMAL(19,0))
+                                * CAST(resid_c AS DECIMAL(19,0))
                                 AS DECIMAL(38,0))) AS DECIMAL(38,0))
                   AS DOUBLE) AS s2
       FROM resid
@@ -805,8 +810,8 @@ def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g WHERE gap_us IS NOT NULL GROUP BY 1
     )
     SELECT user_id, n_gaps,
-           round(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1e6, 6)
-             AS mean_gap_s,
+           CAST(CAST(round(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                     AS BIGINT) AS DOUBLE) / 1e6 AS mean_gap_s,
            round(CASE WHEN n_gaps > 1 AND s1 > 0 THEN
                  sqrt((CAST(s2 AS DOUBLE)
                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
@@ -850,7 +855,14 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "user_id",
         "n_gaps",
-        F.round(s1d / nd / F.lit(1e6), 6).alias("mean_gap_s"),
+        # integer-micros discipline: ONE round-to-integer of the same
+        # double (engine-identical), then an exact /1e6 — round(x, 6)
+        # diverges at half boundaries because DuckDB multiplies by 1e6
+        # before rounding while Spark scales the exact binary value
+        # (sf0.1 sweep found a 1-ulp mean_gap_s flip)
+        (F.round(s1d / nd).cast("bigint").cast("double") / F.lit(1e6)).alias(
+            "mean_gap_s"
+        ),
         F.round(
             F.when(
                 (F.col("n_gaps") > 1) & (F.col("s1") > 0),
@@ -884,12 +896,12 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS DOUBLE) AS n,
              CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
              CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
-             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
-                                * CAST(x AS DECIMAL(18,0))
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,0))
+                                * CAST(x AS DECIMAL(19,0))
                                 AS DECIMAL(38,0))) AS DECIMAL(38,0))
                   AS DOUBLE) AS sxx,
-             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
-                                * CAST(y AS DECIMAL(18,0))
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,0))
+                                * CAST(y AS DECIMAL(19,0))
                                 AS DECIMAL(38,0))) AS DECIMAL(38,0))
                   AS DOUBLE) AS sxy
       FROM li GROUP BY 1
@@ -1101,8 +1113,8 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_nationkey,
              CAST(COUNT(*) AS BIGINT) AS n_customers,
              CAST(SUM(x) AS BIGINT) AS sx_c,
-             CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
-                           * CAST(lx AS DECIMAL(18,0))
+             CAST(SUM(CAST(CAST(x AS DECIMAL(19,0))
+                           * CAST(lx AS DECIMAL(19,0))
                            AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxl
       FROM c GROUP BY 1
     ),
@@ -1132,7 +1144,7 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Theil is the decomposition-of-inequality standard.  "
         "sum(x*ln x) is an UNORDERED sum of ln terms, so ln scales to "
         "integer micros first (the q209/q257 recipe) and the product "
-        "x*lx accumulates exactly through DECIMAL(18,0) operands; "
+        "x*lx accumulates exactly through DECIMAL(19,0) operands; "
         "every remaining ln runs on identical double ratios.  "
         "Physical: one nationkey-grain aggregation (no sort, unlike "
         "q253's rank-based Gini), windows over the 25-row frame, "
@@ -1750,20 +1762,21 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     seas AS (
       SELECT dow,
-             CAST(SUM(CAST(CAST(rev_c AS DECIMAL(18,0)) * 1000000
+             CAST(SUM(CAST(CAST(rev_c AS DECIMAL(19,0)) * 1000000
                            AS DECIMAL(38,0)) - tm)
                   AS DECIMAL(38,0)) AS dsum,
              CAST(COUNT(*) AS BIGINT) AS dcnt
       FROM det GROUP BY 1
     )
     SELECT CAST(day AS VARCHAR) AS day, rev_c,
-           round(CAST(tm AS DOUBLE) / 1e6 / 100, 6) AS trend,
-           round(CAST(dsum AS DOUBLE) / CAST(dcnt AS DOUBLE) / 1e6 / 100,
-                 6) AS seasonal,
-           round((CAST(CAST(CAST(rev_c AS DECIMAL(18,0)) * 1000000
-                            AS DECIMAL(38,0)) - tm AS DOUBLE)
-                  - CAST(dsum AS DOUBLE) / CAST(dcnt AS DOUBLE))
-                 / 1e6 / 100, 6) AS remainder
+           CAST(CAST(round(CAST(tm AS DOUBLE) / 100.0) AS BIGINT)
+                AS DOUBLE) / 1e6 AS trend,
+           CAST(CAST(round(CAST(dsum AS DOUBLE) / CAST(dcnt AS DOUBLE)
+                           / 100.0) AS BIGINT) AS DOUBLE) / 1e6 AS seasonal,
+           CAST(CAST(round((CAST(CAST(CAST(rev_c AS DECIMAL(19,0)) * 1000000
+                                      AS DECIMAL(38,0)) - tm AS DOUBLE)
+                            - CAST(dsum AS DOUBLE) / CAST(dcnt AS DOUBLE))
+                           / 100.0) AS BIGINT) AS DOUBLE) / 1e6 AS remainder
     FROM det JOIN seas USING (dow)
     """,
     doc="Additive seasonal decomposition of the daily revenue series "
@@ -1818,15 +1831,23 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("dcnt"),
     )
     smean = F.col("dsum").cast("double") / F.col("dcnt").cast("double")
+
+    # integer-micros discipline: round to integer micro-dollars FIRST
+    # (one round-to-integer of an identically-computed double is
+    # engine-identical), then divide — round(x, 6) flips at half
+    # boundaries between the engines (sf0.1 sweep found a 1-ulp
+    # remainder flip)
+    def micro_dollars(x: F.Column) -> F.Column:
+        return F.round(x / F.lit(100.0)).cast("bigint").cast("double") / F.lit(
+            1e6
+        )
+
     return det.join(F.broadcast(seas), "dow").select(
         F.col("day").cast("string").alias("day"),
         "rev_c",
-        F.round(F.col("tm").cast("double") / F.lit(1e6) / 100, 6).alias("trend"),
-        F.round(smean / F.lit(1e6) / 100, 6).alias("seasonal"),
-        F.round(
-            (detr.cast("double") - smean) / F.lit(1e6) / 100,
-            6,
-        ).alias("remainder"),
+        micro_dollars(F.col("tm").cast("double")).alias("trend"),
+        micro_dollars(smean).alias("seasonal"),
+        micro_dollars(detr.cast("double") - smean).alias("remainder"),
     )
 
 
@@ -2259,12 +2280,12 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS DOUBLE) AS n,
              CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
              CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
-             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
-                                * CAST(x AS DECIMAL(18,0))
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,0))
+                                * CAST(x AS DECIMAL(19,0))
                                 AS DECIMAL(38,0))) AS DECIMAL(38,0))
                   AS DOUBLE) AS sxx,
-             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
-                                * CAST(y AS DECIMAL(18,0))
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,0))
+                                * CAST(y AS DECIMAL(19,0))
                                 AS DECIMAL(38,0))) AS DECIMAL(38,0))
                   AS DOUBLE) AS sxy
       FROM pts GROUP BY 1
@@ -2799,8 +2820,8 @@ def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n_days,
              CAST(COUNT(*) AS DOUBLE) AS nd,
              CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS s1,
-             CAST(CAST(SUM(CAST(CAST(n AS DECIMAL(18,0))
-                                * CAST(n AS DECIMAL(18,0))
+             CAST(CAST(SUM(CAST(CAST(n AS DECIMAL(19,0))
+                                * CAST(n AS DECIMAL(19,0))
                                 AS DECIMAL(38,0))) AS DECIMAL(38,0))
                   AS DOUBLE) AS s2
       FROM d GROUP BY 1
@@ -3057,16 +3078,16 @@ def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS DOUBLE) AS n,
              CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
              CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
-             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
-                                * CAST(x AS DECIMAL(18,0))
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,0))
+                                * CAST(x AS DECIMAL(19,0))
                                 AS DECIMAL(38,0))) AS DECIMAL(38,0))
                   AS DOUBLE) AS sxx,
-             CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(18,0))
-                                * CAST(y AS DECIMAL(18,0))
+             CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(19,0))
+                                * CAST(y AS DECIMAL(19,0))
                                 AS DECIMAL(38,0))) AS DECIMAL(38,0))
                   AS DOUBLE) AS syy,
-             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
-                                * CAST(y AS DECIMAL(18,0))
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,0))
+                                * CAST(y AS DECIMAL(19,0))
                                 AS DECIMAL(38,0))) AS DECIMAL(38,0))
                   AS DOUBLE) AS sxy
       FROM j
@@ -3142,12 +3163,12 @@ def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n0, n1,
            round(CASE WHEN n0 + n1 > 0 THEN
-                 CAST(CAST(n0 - n1 AS DECIMAL(18,0))
-                      * CAST(n0 - n1 AS DECIMAL(18,0)) AS DOUBLE)
+                 CAST(CAST(n0 - n1 AS DECIMAL(19,0))
+                      * CAST(n0 - n1 AS DECIMAL(19,0)) AS DOUBLE)
                  / CAST(n0 + n1 AS DOUBLE) END, 6) AS chi2,
            CASE WHEN n0 + n1 > 0 THEN
-                CAST(CAST(n0 - n1 AS DECIMAL(18,0))
-                     * CAST(n0 - n1 AS DECIMAL(18,0)) AS DOUBLE)
+                CAST(CAST(n0 - n1 AS DECIMAL(19,0))
+                     * CAST(n0 - n1 AS DECIMAL(19,0)) AS DOUBLE)
                 / CAST(n0 + n1 AS DOUBLE) > 3.841 END AS srm_flag
     FROM v
     """,
