@@ -197,6 +197,18 @@ _GRADE_FIRST = (
     "q348_calibration_ece",
     "q349_session_gap_sensitivity",
     "q350_bleu_pairs",
+    # --- round-9 wing (q351+): never graded, queued right behind
+    #     block B so r10 grades them together with block C ---
+    "q351_join_skew_advisor",
+    "q352_local_clustering_coefficient",
+    "q353_nelson_aalen_hazard",
+    "q354_good_turing_smoothing",
+    "q355_chao1_richness",
+    "q356_rule_interest_measures",
+    "q357_uncertainty_coefficient",
+    "q358_sprt_conversion",
+    "q359_krippendorff_alpha",
+    "q360_poisson_bootstrap_ci",
     # --- blocks C-G: driver-graded rows, stalest first ---
     "q01_pricing_summary",
     "q02_regional_revenue",
