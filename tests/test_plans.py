@@ -272,6 +272,26 @@ def test_no_accidental_cartesian_products(plans):
         # the broadcast 3-row threshold spine (one window, three
         # thresholds — q312's fan-out shape at x3)
         "q349_session_gap_sensitivity",
+        # q351 skew advisor: the two-number census aggregate crosses
+        # onto the key-grain frame (q42's single-row-aggregate shape)
+        "q351_join_skew_advisor",
+        # q353 Nelson-Aalen: the corpus horizon (max ts) crosses onto
+        # the user-grain frame as a single-row aggregate — q92's shape
+        "q353_nelson_aalen_hazard",
+        # q354 Good-Turing: token total + N_1 cross onto the <=10-row
+        # grid as broadcast single-row aggregates — q42's shape
+        "q354_good_turing_smoothing",
+        # q356 rule measures: the basket count crosses onto the pair
+        # frame as a single-row aggregate — q42's shape
+        "q356_rule_interest_measures",
+        # q357 uncertainty coefficient: tot/hx/hy/mi single-row
+        # aggregates cross-assemble the one-row output — q42's shape
+        "q357_uncertainty_coefficient",
+        # q360 Poisson bootstrap: the fact fans out against the
+        # broadcast 32-row draw spine (q347's documented fan-out), and
+        # the lo/hi order-statistic single rows left-join onto the
+        # observed leg (the q347 empty-draws lesson)
+        "q360_poisson_bootstrap_ci",
     }
     for name, p in plans.items():
         if name in allowed:

@@ -112,6 +112,17 @@ PERSIST_PRONE = [
     # q326 runs two checkpointed gram-rollup drains (foreachBatch ->
     # refresh_additive warehouse merges)
     "q326_stream_gram_pca",
+    # q352 localCheckpoints the edge frame (degree rollup + three
+    # triangle-join legs)
+    "q352_local_clustering_coefficient",
+    # q354 localCheckpoints the counts-of-counts frame (grid, r+1
+    # self-join, N_1 aggregate)
+    "q354_good_turing_smoothing",
+    # q356 localCheckpoints the eligible-basket table (basket count,
+    # degree rollup, both pair legs)
+    "q356_rule_interest_measures",
+    # q357 localCheckpoints the 25-cell frame (tot/xm/ym/mi + count)
+    "q357_uncertainty_coefficient",
 ]
 
 
