@@ -93,10 +93,10 @@ from .catalog import DEC, emit, load, register
     tags=("graph", "recsys", "lineitem"),
 )
 def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .baskets import distinct_order_parts
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.select(
-        F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part")
-    ).distinct()
+    op = distinct_order_parts(li)
     # basket-direct: the degree IS size(parts), so no separate deg
     # frame and no op-deg join — ONE distinct + ONE groupBy build the
     # basket table, localCheckpointed because both the part-degree

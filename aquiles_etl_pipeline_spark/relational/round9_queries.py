@@ -186,14 +186,10 @@ def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "lineitem", "stats"),
 )
 def q352(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .baskets import capped_basket_parts
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.select(
-        F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part")
-    ).distinct()
-    bs = op.groupBy("ord").agg(F.count(F.lit(1)).alias("sz"))
-    bp = op.join(
-        bs.where((F.col("sz") >= 2) & (F.col("sz") <= 16)).select("ord"), "ord"
-    )
+    bp = capped_basket_parts(li)
     a = bp.select("ord", F.col("part").alias("pa"))
     b = bp.select("ord", F.col("part").alias("pb"))
     # edges feed the degree rollup AND both triangle-join legs —
@@ -617,15 +613,11 @@ def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("basket", "rules", "lineitem", "stats"),
 )
 def q356(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .baskets import capped_basket_parts
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.select(
-        F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part")
-    ).distinct()
-    bs = op.groupBy("ord").agg(F.count(F.lit(1)).alias("sz"))
     # bp feeds the basket count, the degree rollup, and both pair legs
-    bp = op.join(
-        bs.where((F.col("sz") >= 2) & (F.col("sz") <= 16)).select("ord"), "ord"
-    ).localCheckpoint()
+    bp = capped_basket_parts(li).localCheckpoint()
     nb = bp.agg(F.countDistinct("ord").cast("bigint").alias("n"))
     dg = bp.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     a = bp.select("ord", F.col("part").alias("pa"))
