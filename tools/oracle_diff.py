@@ -81,8 +81,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --report PATH: append a one-line machine-readable summary to PATH
+    # (used for committed sweep records like ORACLE_SF01.md's data)
+    args = list(sys.argv[1:])
+    report = None
+    if "--report" in args:
+        i = args.index("--report")
+        report = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from aquiles_etl_pipeline_spark.relational import registry
     from aquiles_etl_pipeline_spark.session import get_spark
@@ -135,6 +143,26 @@ def main() -> int:
             print(f"{name}: OK ({len(got)} rows)")
 
     print(f"\n{'FAIL ' + str(len(failures)) if failures else 'ALL OK'}")
+    if report:
+        import json
+        from pathlib import Path
+
+        n_run = sum(
+            1 for n, s in specs.items()
+            if (not only or n in only) and s.sql is not None
+        )
+        line = json.dumps(
+            {
+                "metric": "oracle_diff",
+                "sf_dir": sf_dir,
+                "n_run": n_run,
+                "n_fail": len(failures),
+                "failures": sorted(failures),
+            },
+            separators=(",", ":"),
+        )
+        with Path(report).open("a") as fh:
+            fh.write(line + "\n")
     return 1 if failures else 0
 
 
