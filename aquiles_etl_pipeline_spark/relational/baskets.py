@@ -46,3 +46,39 @@ def capped_basket_parts(
         ).select("ord"),
         "ord",
     )
+
+
+def capped_baskets(
+    li: DataFrame, min_size: int = 2, max_size: int = 16
+) -> DataFrame:
+    """``(ord, parts)`` basket rows — the sorted DISTINCT part array per
+    eligible order.  ONE distinct + ONE groupBy build the table (no
+    self-join); consumers explode :func:`pair_array` for pairs and
+    ``explode(parts)`` for degrees, so the corpus shuffles once on the
+    order key instead of twice through a pair self-join."""
+    op = distinct_order_parts(li)
+    return (
+        op.groupBy("ord")
+        .agg(F.sort_array(F.collect_set("part")).alias("parts"))
+        .where(
+            (F.size("parts") >= min_size) & (F.size("parts") <= max_size)
+        )
+    )
+
+
+def pair_array(parts: F.Column | str = "parts") -> F.Column:
+    """All ordered (pa < pb) pairs of a sorted basket array as an
+    ``array<struct<pa, pb>>`` — the in-row pair expansion (a codegen
+    transform/slice, no join) whose size is bounded by C(max_size, 2)
+    per basket.  Explode it next to whatever per-basket payload the
+    query carries."""
+    col = F.col(parts) if isinstance(parts, str) else parts
+    return F.flatten(
+        F.transform(
+            col,
+            lambda x, i: F.transform(
+                F.slice(col, i + F.lit(2), F.size(col)),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )

@@ -93,20 +93,17 @@ from .catalog import DEC, emit, load, register
     tags=("graph", "recsys", "lineitem"),
 )
 def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .baskets import distinct_order_parts
+    from .baskets import capped_baskets, pair_array
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = distinct_order_parts(li)
     # basket-direct: the degree IS size(parts), so no separate deg
-    # frame and no op-deg join — ONE distinct + ONE groupBy build the
-    # basket table, localCheckpointed because both the part-degree
-    # explode and the pair expansion consume it (two consumers would
-    # otherwise re-run the corpus distinct+collect twice; the
-    # PERSIST_PRONE hygiene test covers the drain)
+    # frame and no op-deg join — the shared capped-basket kernel's ONE
+    # distinct + ONE groupBy build the table, localCheckpointed because
+    # both the part-degree explode and the pair expansion consume it
+    # (two consumers would otherwise re-run the corpus distinct+collect
+    # twice; the PERSIST_PRONE hygiene test covers the drain)
     baskets = (
-        op.groupBy("ord")
-        .agg(F.sort_array(F.collect_set("part")).alias("parts"))
-        .where((F.size("parts") >= 2) & (F.size("parts") <= 16))
+        capped_baskets(li)
         .select(
             "parts",
             F.round(F.lit(1e6) / F.log(F.size("parts").cast("double")))
@@ -120,17 +117,8 @@ def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part")
         .agg(F.count(F.lit(1)).cast("bigint").alias("dp"))
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("parts"),
-            lambda x, i: F.transform(
-                F.slice(F.col("parts"), i + F.lit(2), F.size(F.col("parts"))),
-                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
-            ),
-        )
-    )
     pairs = (
-        baskets.select(F.explode(pair_arr).alias("p"), "aa_m")
+        baskets.select(F.explode(pair_array("parts")).alias("p"), "aa_m")
         .select("p.pa", "p.pb", "aa_m")
         .groupBy("pa", "pb")
         .agg(

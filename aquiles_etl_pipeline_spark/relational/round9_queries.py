@@ -186,17 +186,17 @@ def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "lineitem", "stats"),
 )
 def q352(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .baskets import capped_basket_parts
+    from .baskets import capped_baskets, pair_array
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    bp = capped_basket_parts(li)
-    a = bp.select("ord", F.col("part").alias("pa"))
-    b = bp.select("ord", F.col("part").alias("pb"))
-    # edges feed the degree rollup AND both triangle-join legs —
-    # localCheckpoint so the basket pair expansion runs once
+    # in-row pair expansion over the shared capped-basket kernel (one
+    # corpus shuffle; the SQL twin states the equivalent self-join) —
+    # edges feed the degree rollup AND three triangle-join legs, so
+    # localCheckpoint the edge frame
     e = (
-        a.join(b, "ord")
-        .where(F.col("pa") < F.col("pb"))
+        capped_baskets(li)
+        .select(F.explode(pair_array("parts")).alias("p"))
+        .select("p.pa", "p.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
         .where(F.col("common") >= 2)
@@ -613,18 +613,22 @@ def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("basket", "rules", "lineitem", "stats"),
 )
 def q356(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .baskets import capped_basket_parts
+    from .baskets import capped_baskets, pair_array
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # bp feeds the basket count, the degree rollup, and both pair legs
-    bp = capped_basket_parts(li).localCheckpoint()
-    nb = bp.agg(F.countDistinct("ord").cast("bigint").alias("n"))
-    dg = bp.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    a = bp.select("ord", F.col("part").alias("pa"))
-    b = bp.select("ord", F.col("part").alias("pb"))
+    # the shared capped-basket kernel feeds the basket count, the
+    # degree rollup, and the in-row pair expansion (one corpus shuffle;
+    # the SQL twin states the equivalent self-join)
+    baskets = capped_baskets(li).localCheckpoint()
+    nb = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dg = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
     pr = (
-        a.join(b, "ord")
-        .where(F.col("pa") < F.col("pb"))
+        baskets.select(F.explode(pair_array("parts")).alias("p"))
+        .select("p.pa", "p.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
         .where(F.col("common") >= 2)
