@@ -82,10 +82,14 @@ from .catalog import DEC, emit, load, register
     tags=("scale", "orders", "skew", "advisor"),
 )
 def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the key-grain census feeds both the two-number totals aggregate
+    # and the per-key report — localCheckpoint it so the FACT scans
+    # once (key grain is |customers|, orders smaller than the fact)
     k = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
     )
     t = k.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),

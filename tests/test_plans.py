@@ -1949,3 +1949,83 @@ def test_q312_ladder_is_one_fanout_not_three_scans(plans):
     p = plans["q312_generalization_ladder"]
     # the 3-row width scaffold is a LocalTableScan, so parquet scans = 1
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q351_advisor_broadcasts_census_and_takes_ordered(plans):
+    """q351 skew advisor: one orders scan to key grain, the two-number
+    census crosses back as a broadcast single-row aggregate, and the
+    top-20 is a TakeOrdered — never a full sort of the key frame."""
+    p = plans["q351_join_skew_advisor"]
+    # the key-grain census is checkpointed, so the final plan reads the
+    # materialized frame (both consumers) and the fact scan ran once at
+    # checkpoint build — zero parquet scans HERE is the proof
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0
+    assert "ExistingRDD" in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q352_lcc_triangles_join_edges_not_facts(plans):
+    """q352 LCC: pairs come from the in-row basket expansion (no
+    basket self-join), so lineitem scans exactly once into the edge
+    build; the triangle joins run over the checkpointed edge frame."""
+    p = plans["q352_local_clustering_coefficient"]
+    # the edge frame is checkpointed: the fact scan ran once at
+    # checkpoint build; the degree rollup and all three triangle legs
+    # read the materialized frame — zero parquet scans in this plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0
+    assert "ExistingRDD" in p, (
+        "edge frame must be the materialized checkpoint, not a re-derivation"
+    )
+
+
+def test_q353_nelson_aalen_windows_over_day_frame(plans):
+    """q353 Nelson-Aalen: user-grain reductions, then windows over the
+    day-lag frame — the cumulative hazard must never window the fact."""
+    p = plans["q353_nelson_aalen_hazard"]
+    assert "Window" in p
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q356_rules_expand_pairs_in_row(plans):
+    """q356 interest measures: pair expansion is the in-row transform
+    over the checkpointed basket table — no basket self-join, one
+    lineitem scan."""
+    p = plans["q356_rule_interest_measures"]
+    # the basket table is checkpointed: the fact scan ran once at
+    # checkpoint build; count/degrees/pairs all read the materialized
+    # frame — zero parquet scans in this plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0
+    assert "ExistingRDD" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q358_sprt_single_fact_rollup(plans):
+    """q358 SPRT: one events scan to (cohort, day) grain; the LLR
+    cumsum and decision aggregate run over that tiny frame."""
+    p = plans["q358_sprt_conversion"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q359_krippendorff_is_one_scan_no_joins(plans):
+    """q359 alpha: the q137 conditional-aggregate shape — one document
+    scan, zero joins, pure codegen."""
+    p = plans["q359_krippendorff_alpha"]
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q360_bootstrap_fans_out_against_broadcast_spine(plans):
+    """q360 Poisson bootstrap: the purchase leg fans out against the
+    broadcast 32-row spine; the md5 uniform must be evaluated in its
+    own projection (not inlined twice into the aggregate)."""
+    p = plans["q360_poisson_bootstrap_ci"]
+    assert "BroadcastNestedLoopJoin" in p, "draw spine must broadcast"
+    assert "EvalPython" not in p
+    assert p.count("md5") <= 2, (
+        "md5 draw-uniform must not be duplicated per aggregate leg"
+    )

@@ -112,6 +112,8 @@ PERSIST_PRONE = [
     # q326 runs two checkpointed gram-rollup drains (foreachBatch ->
     # refresh_additive warehouse merges)
     "q326_stream_gram_pca",
+    # q351 localCheckpoints the key-grain census (totals + report)
+    "q351_join_skew_advisor",
     # q352 localCheckpoints the edge frame (degree rollup + three
     # triangle-join legs)
     "q352_local_clustering_coefficient",
