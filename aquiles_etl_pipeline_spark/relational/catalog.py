@@ -209,6 +209,12 @@ _GRADE_FIRST = (
     "q358_sprt_conversion",
     "q359_krippendorff_alpha",
     "q360_poisson_bootstrap_ci",
+    "q361_stream_sprt_monitor",
+    "q362_feature_hash_collisions",
+    "q363_compaction_planner",
+    "q364_kendall_w_concordance",
+    "q365_effect_sizes",
+    "q366_page_hinkley_drift",
     # --- blocks C-G: driver-graded rows, stalest first ---
     "q01_pricing_summary",
     "q02_regional_revenue",

@@ -901,52 +901,9 @@ def q358(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("conv"),
         )
     )
-    w = Window.partitionBy("cohort").orderBy("day")
-    cum = daily.select(
-        "cohort",
-        "day",
-        F.sum("conv").over(w).cast("bigint").alias("cc"),
-        F.sum("trials").over(w).cast("bigint").alias("ct"),
-    )
-
-    def mconst(expr: str) -> F.Column:
-        # identical micro-rounding expression to the SQL twin, so the
-        # constant is byte-identical across engines
-        return F.round(F.log(F.expr(expr)) * F.lit(1e6)).cast("bigint")
-
-    llr = cum.select(
-        "cohort",
-        "day",
-        (
-            F.col("cc") * mconst("0.08 / 0.05")
-            + (F.col("ct") - F.col("cc")) * mconst("0.92 / 0.95")
-        ).alias("llr_m"),
-    )
-    dec = llr.groupBy("cohort").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        F.min(
-            F.when(F.col("llr_m") >= mconst("0.8 / 0.05"), F.col("day"))
-        ).alias("d1"),
-        F.min(
-            F.when(F.col("llr_m") <= mconst("0.2 / 0.95"), F.col("day"))
-        ).alias("d0"),
-        F.expr("max_by(llr_m, day)").alias("final_m"),
-    )
-    h1 = F.col("d1").isNotNull() & (
-        F.col("d0").isNull() | (F.col("d1") <= F.col("d0"))
-    )
-    return dec.select(
-        "cohort",
-        "n_days",
-        F.when(h1, F.col("d1")).otherwise(F.col("d0")).cast("string").alias(
-            "cross_day"
-        ),
-        F.when(h1, F.lit("accept_h1"))
-        .when(F.col("d0").isNotNull(), F.lit("accept_h0"))
-        .otherwise(F.lit("continue"))
-        .alias("decision"),
-        emit(F.col("final_m").cast("double") / F.lit(1e6)).alias("final_llr"),
-    ).orderBy("cohort")
+    # decision math shared with the streaming monitor q361 (defined
+    # below) so batch and streaming SPRT stay identical by construction
+    return _sprt_readback(spark, daily)
 
 
 # ---------------------------------------------------------------------------
@@ -1210,4 +1167,689 @@ def q360(spark: SparkSession, sf_dir: str) -> DataFrame:
             emit(F.col("lo_m").cast("double") / F.lit(1e6)).alias("ci_lo"),
             emit(F.col("hi_m").cast("double") / F.lit(1e6)).alias("ci_hi"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q361: streaming SPRT monitor — additive day-grain rollup parity
+# ---------------------------------------------------------------------------
+
+_SPRT_SQL = """
+    WITH daily AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS trials,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, day,
+             CAST(SUM(conv) OVER w AS BIGINT) AS cc,
+             CAST(SUM(trials) OVER w AS BIGINT) AS ct
+      FROM daily
+      WINDOW w AS (PARTITION BY cohort ORDER BY day)
+    ),
+    llr AS (
+      SELECT cohort, day,
+             cc * CAST(round(ln(0.08 / 0.05) * 1e6) AS BIGINT)
+               + (ct - cc) * CAST(round(ln(0.92 / 0.95) * 1e6) AS BIGINT)
+               AS llr_m
+      FROM cum
+    ),
+    dec AS (
+      SELECT cohort,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             MIN(CASE WHEN llr_m >= CAST(round(ln(0.8 / 0.05) * 1e6)
+                                         AS BIGINT)
+                      THEN day END) AS d1,
+             MIN(CASE WHEN llr_m <= CAST(round(ln(0.2 / 0.95) * 1e6)
+                                         AS BIGINT)
+                      THEN day END) AS d0,
+             max_by(llr_m, day) AS final_m
+      FROM llr GROUP BY 1
+    )
+    SELECT cohort, n_days,
+           CAST(CASE WHEN d1 IS NOT NULL AND (d0 IS NULL OR d1 <= d0)
+                     THEN d1 ELSE d0 END AS VARCHAR) AS cross_day,
+           CASE WHEN d1 IS NOT NULL AND (d0 IS NULL OR d1 <= d0)
+                THEN 'accept_h1'
+                WHEN d0 IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           CAST(final_m AS DOUBLE) / 1e6 AS final_llr
+    FROM dec ORDER BY cohort
+    """
+
+
+def _sprt_readback(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """The SPRT decision math over a (cohort, day, trials, conv) frame
+    — shared by the batch q358 and the streaming q361 readback so the
+    two entries stay decision-identical by construction."""
+    w = Window.partitionBy("cohort").orderBy("day")
+    cum = daily.select(
+        "cohort",
+        "day",
+        F.sum("conv").over(w).cast("bigint").alias("cc"),
+        F.sum("trials").over(w).cast("bigint").alias("ct"),
+    )
+
+    def mconst(expr: str) -> F.Column:
+        return F.round(F.log(F.expr(expr)) * F.lit(1e6)).cast("bigint")
+
+    llr = cum.select(
+        "cohort",
+        "day",
+        (
+            F.col("cc") * mconst("0.08 / 0.05")
+            + (F.col("ct") - F.col("cc")) * mconst("0.92 / 0.95")
+        ).alias("llr_m"),
+    )
+    dec = llr.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.min(
+            F.when(F.col("llr_m") >= mconst("0.8 / 0.05"), F.col("day"))
+        ).alias("d1"),
+        F.min(
+            F.when(F.col("llr_m") <= mconst("0.2 / 0.95"), F.col("day"))
+        ).alias("d0"),
+        F.expr("max_by(llr_m, day)").alias("final_m"),
+    )
+    h1 = F.col("d1").isNotNull() & (
+        F.col("d0").isNull() | (F.col("d1") <= F.col("d0"))
+    )
+    return dec.select(
+        "cohort",
+        "n_days",
+        F.when(h1, F.col("d1")).otherwise(F.col("d0")).cast("string").alias(
+            "cross_day"
+        ),
+        F.when(h1, F.lit("accept_h1"))
+        .when(F.col("d0").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        emit(F.col("final_m").cast("double") / F.lit(1e6)).alias("final_llr"),
+    ).orderBy("cohort")
+
+
+@register(
+    "q361_stream_sprt_monitor",
+    sql=_SPRT_SQL,
+    doc="Streaming SPRT experiment monitor under the correctness gate: "
+        "events land as parquet in two waves; two checkpointed "
+        "AvailableNow drains fold each micro-batch's (cohort, day) "
+        "trial/conversion counts into a warehouse rollup via additive "
+        "merge (refresh_additive, batch-id idempotent against "
+        "redelivery), and the readback runs q358's exact SPRT decision "
+        "math over the accumulated day frame — the always-valid "
+        "monitor a platform actually operates: per-trigger cost is "
+        "O(batch + cohorts x days), never a history rescan, and the "
+        "decision is EXACTLY the batch SPRT (the oracle is q358's "
+        "SQL verbatim; the readback shares q358's code).  Joins the "
+        "continuous-aggregate parity family (q102 corpus stats, q138 "
+        "bitmap DAU, q326 gram matrix, q339 histogram).",
+    tags=("streaming", "experimentation", "warehouse", "events"),
+)
+def q361(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..merge.incremental import refresh_additive
+    from ..merge.warehouse import Warehouse
+
+    root = Path(tempfile.mkdtemp(prefix="q361_sprt_"))
+    land = root / "land"
+    land.mkdir()
+    wh = Warehouse(spark, str(root / "wh"))
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+
+    def land_wave(df: DataFrame, tag: str) -> None:
+        wave = root / f"wave_{tag}"
+        df.write.parquet(str(wave))
+        for f in wave.glob("part-*.parquet"):
+            shutil.copy(f, land / f"{tag}_{f.name}")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        meta = wh.write_meta("sprt_daily") or {}
+        if batch_id <= meta.get("last_batch_id", -1):
+            return
+        if batch_df.limit(1).isEmpty():
+            return
+        delta = batch_df.groupBy(
+            (F.col("user_id") % 2).cast("bigint").alias("cohort"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("trials"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("conv"),
+        )
+        refresh_additive(
+            wh, "sprt_daily", delta, ["cohort", "day"],
+            {"trials": "sum", "conv": "sum"},
+            meta={"last_batch_id": batch_id},
+        )
+
+    def drain() -> None:
+        (
+            spark.readStream.schema(e.schema)
+            .parquet(str(land))
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", str(root / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    land_wave(e.where(F.col("event_id") % 2 == 0), "a")
+    drain()
+    land_wave(e.where(F.col("event_id") % 2 == 1), "b")
+    drain()
+    daily = wh.read("sprt_daily").select(
+        "cohort",
+        "day",
+        F.col("trials").cast("bigint").alias("trials"),
+        F.col("conv").cast("bigint").alias("conv"),
+    )
+    return _sprt_readback(spark, daily)
+
+
+# ---------------------------------------------------------------------------
+# q362: feature-hashing collision audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "q362_feature_hash_collisions",
+    sql="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    cf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1
+    ),
+    h AS (
+      SELECT tok, c,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024
+               AS bucket
+      FROM cf
+    ),
+    bk AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             MIN(tok) AS example_term
+      FROM h GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_types) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS used,
+             CAST(SUM(CASE WHEN n_types >= 2 THEN n_types ELSE 0 END)
+                  AS BIGINT) AS collided
+      FROM bk
+    )
+    SELECT bk.bucket, bk.n_types, bk.n_tokens, bk.example_term,
+           tot.v AS vocab_size, tot.used AS buckets_used,
+           CAST(tot.collided AS DOUBLE) / CAST(tot.v AS DOUBLE)
+             AS collision_rate
+    FROM bk, tot
+    ORDER BY bk.n_types DESC, bk.bucket
+    LIMIT 10
+    """,
+    doc="Feature-hashing collision audit: the corpus vocabulary hashed "
+        "into 1024 buckets (portable md5-prefix hash — Spark xxhash64 "
+        "and DuckDB hash() differ, md5 is byte-identical), reporting "
+        "the 10 most collided buckets (type count, token mass, example "
+        "term) plus the corpus-level collision rate (share of types "
+        "sharing a bucket) — the number that says whether a hashed "
+        "feature space is big enough before training on it (Weinberger "
+        "2009's hashing trick, audited).  Exact integer counts; one "
+        "double division.  Physical: one corpus tokenize -> vocab "
+        "rollup, bucket rollup at 1024-row grain, totals cross back — "
+        "nothing above vocabulary grain ever shuffles.",
+    tags=("llmdata", "text", "documents", "ml-ops"),
+)
+def q362(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata.postings import token_rows
+
+    d = load(spark, sf_dir, "documents")
+    cf = (
+        token_rows(d, text_col="text")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    h = cf.select(
+        "tok",
+        "c",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+            % 1024
+        ).alias("bucket"),
+    )
+    bk = h.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.min("tok").alias("example_term"),
+    )
+    tot = bk.agg(
+        F.sum("n_types").cast("bigint").alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("used"),
+        F.sum(F.when(F.col("n_types") >= 2, F.col("n_types")).otherwise(0))
+        .cast("bigint")
+        .alias("collided"),
+    )
+    return (
+        bk.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_types",
+            "n_tokens",
+            "example_term",
+            F.col("v").alias("vocab_size"),
+            F.col("used").alias("buckets_used"),
+            emit(
+                F.col("collided").cast("double") / F.col("v").cast("double")
+            ).alias("collision_rate"),
+        )
+        .orderBy(F.desc("n_types"), "bucket")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q363: small-file compaction planner
+# ---------------------------------------------------------------------------
+
+@register(
+    "q363_compaction_planner",
+    sql="""
+    WITH f AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, bytes,
+             (CAST(SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              - bytes) // 65536 AS bucket
+      FROM f
+    )
+    SELECT source, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bytes,
+           CAST(SUM(bytes) AS DOUBLE) / 65536.0 AS fill
+    FROM packed
+    GROUP BY 1, 2
+    ORDER BY source, bucket
+    LIMIT 50
+    """,
+    doc="Small-file compaction planner: documents stand in for data "
+        "files (n_chars = bytes); within each source, files pack "
+        "greedily in doc_id order into ~64 KiB output groups by "
+        "START-OFFSET division (bucket = running-total-before div "
+        "target — the deterministic one-pass packing every table "
+        "maintenance service runs before an OPTIMIZE/rewrite; q53 "
+        "packs token sequences with the same arithmetic).  Output: "
+        "the first 50 (source, bucket) groups with file count, byte "
+        "total, and fill ratio.  Exact integer cumulative sums; "
+        "bucket ids from integer division.  Physical: one scan, one "
+        "per-source running-sum window (sources partition the sort), "
+        "one rollup at group grain.",
+    tags=("warehouse", "ops", "documents", "window"),
+)
+def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("bytes")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = f.select(
+        "source",
+        "bytes",
+        F.expr(
+            "(CAST(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+            " - bytes) div 65536"
+        ).alias("bucket"),
+    )
+    return (
+        packed.groupBy("source", F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bytes"),
+        )
+        .select(
+            "source",
+            "bucket",
+            "n_files",
+            "bytes",
+            emit(F.col("bytes").cast("double") / F.lit(65536.0)).alias("fill"),
+        )
+        .orderBy("source", "bucket")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q364: Kendall's W concordance across three part rankings, per brand
+# ---------------------------------------------------------------------------
+
+@register(
+    "q364_kendall_w_concordance",
+    sql="""
+    WITH r AS (
+      SELECT p_brand AS brand,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice, p_partkey) AS r1,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_size, p_partkey) AS r2,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_name, p_partkey) AS r3,
+             COUNT(*) OVER (PARTITION BY p_brand) AS nb
+      FROM part
+    ),
+    s AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(2 * (r1 + r2 + r3) - 3 * (nb + 1)
+                           AS DECIMAL(19,0))
+                      * CAST(2 * (r1 + r2 + r3) - 3 * (nb + 1)
+                             AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS s4
+      FROM r GROUP BY brand
+    )
+    SELECT brand, n,
+           CASE WHEN n > 1 THEN
+             CAST(s4 AS DOUBLE)
+               / (3.0 * CAST(CAST(n AS DECIMAL(38,0)) * n * n - n AS DOUBLE))
+           END AS w
+    FROM s
+    ORDER BY brand
+    """,
+    doc="Kendall's coefficient of concordance W across three judges "
+        "(retailprice, size, name rankings of each brand's parts): "
+        "W = 12 S / (m^2 (n^3 - n)) with S the squared deviation of "
+        "rank sums — 'do the three orderings agree at all' before "
+        "trusting any rank fusion of them (the diagnostic q252's RRF "
+        "skips).  Ranks are tie-free by construction (partkey "
+        "tiebreak), so no tie correction is owed; deviations are "
+        "DOUBLED to stay integers (2R - 3(n+1)), squared in "
+        "DECIMAL(19,0) and summed as DECIMAL(38,0) = exactly 4S, so "
+        "W = S4 / (3 (n^3-n)) is one double division of exact "
+        "integers (n^3 via decimal, exact at any dimension size).  "
+        "Physical: three rank windows PER BRAND (the global-sort "
+        "trap deliberately avoided — ranking partitions by the "
+        "analysis grain), one brand rollup.",
+    tags=("stats", "part", "window", "ranking"),
+)
+def q364(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    wb = Window.partitionBy("p_brand")
+    r = p.select(
+        F.col("p_brand").alias("brand"),
+        F.row_number().over(wb.orderBy("p_retailprice", "p_partkey")).alias("r1"),
+        F.row_number().over(wb.orderBy("p_size", "p_partkey")).alias("r2"),
+        F.row_number().over(wb.orderBy("p_name", "p_partkey")).alias("r3"),
+        F.count(F.lit(1)).over(wb).alias("nb"),
+    )
+    dev = (
+        2 * (F.col("r1") + F.col("r2") + F.col("r3")) - 3 * (F.col("nb") + 1)
+    ).cast("decimal(19,0)")
+    s = r.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dev * dev).cast("decimal(38,0)").alias("s4"),
+    )
+    n38 = F.col("n").cast("decimal(38,0)")
+    return s.select(
+        "brand",
+        "n",
+        emit(
+            F.when(
+                F.col("n") > 1,
+                F.col("s4").cast("double")
+                / (
+                    F.lit(3.0)
+                    * (n38 * F.col("n") * F.col("n") - F.col("n")).cast("double")
+                ),
+            )
+        ).alias("w"),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# q365: effect sizes (Cohen's d / Hedges' g / Glass's delta)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q365_effect_sizes",
+    sql="""
+    WITH f AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN treat = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN treat = 0 THEN cents ELSE 0 END) AS BIGINT) AS s0,
+        SUM(CASE WHEN treat = 1 THEN CAST(cents AS DECIMAL(38,0))
+                                      * CAST(cents AS DECIMAL(38,0))
+                 ELSE 0 END) AS q1,
+        SUM(CASE WHEN treat = 0 THEN CAST(cents AS DECIMAL(38,0))
+                                      * CAST(cents AS DECIMAL(38,0))
+                 ELSE 0 END) AS q0
+      FROM f
+    ),
+    m AS (
+      SELECT n1, n0,
+             CAST(s1 AS DOUBLE) / n1 AS m1,
+             CAST(s0 AS DOUBLE) / n0 AS m0,
+             (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)
+               AS v1,
+             (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)
+               AS v0
+      FROM cells WHERE n1 > 1 AND n0 > 1
+    )
+    SELECT n1 AS n_treat, n0 AS n_ctrl,
+           (m1 - m0) / 100.0 AS mean_diff,
+           CASE WHEN (n1 - 1) * v1 + (n0 - 1) * v0 > 0 THEN
+             (m1 - m0) / sqrt(((n1 - 1) * v1 + (n0 - 1) * v0)
+                              / (n1 + n0 - 2)) END AS cohens_d,
+           CASE WHEN (n1 - 1) * v1 + (n0 - 1) * v0 > 0 THEN
+             (m1 - m0) / sqrt(((n1 - 1) * v1 + (n0 - 1) * v0)
+                              / (n1 + n0 - 2))
+               * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0)) END AS hedges_g,
+           CASE WHEN v0 > 0 THEN (m1 - m0) / sqrt(v0) END AS glass_delta
+    FROM m
+    """,
+    doc="Standardized effect sizes for the purchase-value treatment "
+        "split: Cohen's d (pooled-sd), Hedges' g (small-sample "
+        "bias-corrected, the meta-analysis standard), and Glass's "
+        "delta (control-sd only, for heteroscedastic treatments) — "
+        "the practical-significance numbers q162's Welch t-test "
+        "doesn't report.  Sufficient statistics are exact (counts, "
+        "cent sums BIGINT, squared cents in DECIMAL(38,0) — cast "
+        "before squaring, the q330 discipline); each estimate is one "
+        "double expression with the identical op tree both engines.  "
+        "Emits zero rows when either arm has < 2 observations "
+        "(variance undefined) — symmetric in both engines.  "
+        "Physical: ONE conditional-aggregate fact pass (q137 shape).",
+    tags=("experimentation", "events", "stats", "agg"),
+)
+def q365(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        (F.col("user_id") % 2).cast("bigint").alias("treat"),
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("cents"),
+    )
+    cd = F.col("cents").cast("decimal(38,0)")
+    cells = f.agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("treat") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("treat") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+        F.sum(F.when(F.col("treat") == 1, cd * cd).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("q1"),
+        F.sum(F.when(F.col("treat") == 0, cd * cd).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("q0"),
+    )
+    m = cells.where((F.col("n1") > 1) & (F.col("n0") > 1)).select(
+        "n1",
+        "n0",
+        (F.col("s1").cast("double") / F.col("n1")).alias("m1"),
+        (F.col("s0").cast("double") / F.col("n0")).alias("m0"),
+        (
+            (F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+            / (F.col("n1") - 1)
+        ).alias("v1"),
+        (
+            (F.col("q0").cast("double") - F.col("s0").cast("double") * F.col("s0") / F.col("n0"))
+            / (F.col("n0") - 1)
+        ).alias("v0"),
+    )
+    diff = F.col("m1") - F.col("m0")
+    ssq = (F.col("n1") - 1) * F.col("v1") + (F.col("n0") - 1) * F.col("v0")
+    pooled = F.sqrt(ssq / (F.col("n1") + F.col("n0") - 2))
+    # lazy CASE: constant arms make the pooled/control variance exactly
+    # zero — NULL, not an ANSI divide-by-zero (property-test-found edge)
+    return m.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_ctrl"),
+        emit(diff / F.lit(100.0)).alias("mean_diff"),
+        emit(F.when(ssq > 0, diff / pooled)).alias("cohens_d"),
+        emit(
+            F.when(
+                ssq > 0,
+                diff
+                / pooled
+                * (
+                    F.lit(1.0)
+                    - F.lit(3.0)
+                    / (F.lit(4.0) * (F.col("n1") + F.col("n0")) - F.lit(9.0))
+                ),
+            )
+        ).alias("hedges_g"),
+        emit(F.when(F.col("v0") > 0, diff / F.sqrt(F.col("v0")))).alias(
+            "glass_delta"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q366: Page-Hinkley drift detection over daily revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "q366_page_hinkley_drift",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(round(coalesce(o_totalprice, 0) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    rm AS (
+      SELECT day, rev_c,
+             CAST(round(CAST(SUM(rev_c) OVER w AS DOUBLE) * 1e6
+                        / CAST(COUNT(*) OVER w AS DOUBLE)) AS BIGINT) AS rm_m
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    ph AS (
+      SELECT day, rev_c,
+             CAST(SUM(rev_c * CAST(1000000 AS BIGINT) - rm_m)
+                  OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS m_t
+      FROM rm
+    ),
+    stat AS (
+      SELECT day, rev_c, m_t,
+             CAST(MIN(m_t) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS min_m
+      FROM ph
+    ),
+    mx AS (
+      SELECT day, m_t - min_m AS s,
+             CAST(MAX(m_t - min_m) OVER () AS BIGINT) AS best
+      FROM stat
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MIN(CASE WHEN s = best THEN day END) AS VARCHAR) AS drift_day,
+           CAST(MAX(best) AS DOUBLE) / 1e8 AS ph_stat_dollars
+    FROM mx
+    """,
+    doc="Page-Hinkley drift detection over the daily revenue series: "
+        "the PH statistic PH_t = m_t - min_{s<=t} m_s with m_t the "
+        "running sum of deviations from the RUNNING mean (delta = 0), "
+        "reporting the day of maximal drift evidence and its "
+        "magnitude — the sequential mean-shift detector (Page 1954, "
+        "Hinkley 1971) that q268's CUSUM (global-mean) family "
+        "complements for ONLINE monitoring, where only the running "
+        "mean is available.  Per-day running means are micro-rounded "
+        "to BIGINT before the deviation sum, so m_t, its running "
+        "min, and the PH statistic are exact integers; the drift day "
+        "is the EARLIEST argmax (explicit window-max + conditional "
+        "min — max_by's tie choice would be engine-arbitrary).  "
+        "Physical: one fact rollup to "
+        "day grain, three cumulative windows over the calendar "
+        "frame, a single-row summary.",
+    tags=("timeseries", "orders", "drift", "window"),
+)
+def q366(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .round6b_queries import _cents
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day"))
+        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev_c"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rm = daily.select(
+        "day",
+        "rev_c",
+        F.round(
+            F.sum("rev_c").over(w).cast("double")
+            * F.lit(1e6)
+            / F.count(F.lit(1)).over(w).cast("double")
+        )
+        .cast("bigint")
+        .alias("rm_m"),
+    )
+    ph = rm.select(
+        "day",
+        "rev_c",
+        F.sum(F.col("rev_c") * F.lit(1000000).cast("bigint") - F.col("rm_m"))
+        .over(w)
+        .cast("bigint")
+        .alias("m_t"),
+    )
+    stat = ph.select(
+        "day",
+        "m_t",
+        F.min("m_t").over(w).cast("bigint").alias("min_m"),
+    )
+    # argmax with an explicit EARLIEST-day tie-break (max_by's tie
+    # choice is engine-arbitrary): window max, then conditional min
+    mx = stat.select(
+        "day",
+        (F.col("m_t") - F.col("min_m")).alias("s"),
+        F.max(F.col("m_t") - F.col("min_m"))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("best"),
+    )
+    return mx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.min(F.when(F.col("s") == F.col("best"), F.col("day")))
+        .cast("string")
+        .alias("drift_day"),
+        emit(F.max("best").cast("double") / F.lit(1e8)).alias("ph_stat_dollars"),
     )

@@ -292,6 +292,9 @@ def test_no_accidental_cartesian_products(plans):
         # the lo/hi order-statistic single rows left-join onto the
         # observed leg (the q347 empty-draws lesson)
         "q360_poisson_bootstrap_ci",
+        # q362 hash collisions: the vocab totals cross onto the
+        # 1024-bucket frame as a single-row aggregate — q42's shape
+        "q362_feature_hash_collisions",
     }
     for name, p in plans.items():
         if name in allowed:
@@ -2029,3 +2032,38 @@ def test_q360_bootstrap_fans_out_against_broadcast_spine(plans):
     assert p.count("md5") <= 2, (
         "md5 draw-uniform must not be duplicated per aggregate leg"
     )
+
+
+def test_q363_compaction_is_one_scan_one_window(plans):
+    """q363 compaction planner: one documents scan, one per-source
+    running-sum window, group rollup — no joins."""
+    p = plans["q363_compaction_planner"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q364_kendall_w_ranks_partition_by_brand(plans):
+    """q364 Kendall W: the three rank windows partition by brand (the
+    analysis grain) — never a global total-order sort of the dim."""
+    p = plans["q364_kendall_w_concordance"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q365_effect_sizes_single_conditional_pass(plans):
+    """q365 effect sizes: the q137 shape — one fact scan, one
+    conditional aggregate, zero joins."""
+    p = plans["q365_effect_sizes"]
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q366_page_hinkley_windows_day_frame(plans):
+    """q366 Page-Hinkley: one fact rollup to day grain, cumulative
+    windows over the calendar frame, no joins."""
+    p = plans["q366_page_hinkley_drift"]
+    assert "Join" not in p
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1

@@ -428,3 +428,184 @@ def test_poisson_bootstrap_empty_input_keeps_row(spark, tmp_path_factory):
     assert len(got) == 1
     assert got[0]["point_mean"] is None
     assert got[0]["ci_lo"] is None and got[0]["ci_hi"] is None
+
+
+# ---------------------------------------------------------------------------
+# q362 feature-hash collisions
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(WORD, min_size=1, max_size=8), min_size=1, max_size=12
+    )
+)
+def test_hash_collisions_match_bruteforce(spark, tmp_path_factory, docs):
+    rows = [
+        (i, " ".join(ws), "en", "w", len(" ".join(ws)))
+        for i, ws in enumerate(docs)
+    ]
+    sf = _docs_dir(tmp_path_factory.mktemp("fh"), rows)
+    got = registry()["q362_feature_hash_collisions"].fn(spark, sf).collect()
+    cf = Counter(w for ws in docs for w in ws)
+    bk: dict[int, list[str]] = {}
+    for tok in cf:
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 1024
+        bk.setdefault(b, []).append(tok)
+    v = len(cf)
+    collided = sum(len(ts) for ts in bk.values() if len(ts) >= 2)
+    want = sorted(
+        ((b, ts) for b, ts in bk.items()),
+        key=lambda x: (-len(x[1]), x[0]),
+    )[:10]
+    assert [(r["bucket"], r["n_types"]) for r in got] == [
+        (b, len(ts)) for b, ts in want
+    ]
+    for r, (b, ts) in zip(got, want):
+        assert r["example_term"] == min(ts)
+        assert r["n_tokens"] == sum(cf[t] for t in ts)
+        assert r["vocab_size"] == v
+        assert r["collision_rate"] == pytest.approx(collided / v, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# q363 compaction planner
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=200000),
+                   min_size=1, max_size=30)
+)
+def test_compaction_matches_greedy_packing(spark, tmp_path_factory, sizes):
+    rows = [(i, "t", "en", "w", s) for i, s in enumerate(sizes)]
+    sf = _docs_dir(tmp_path_factory.mktemp("cp"), rows)
+    got = [
+        (r["bucket"], r["n_files"], r["bytes"])
+        for r in registry()["q363_compaction_planner"].fn(spark, sf).collect()
+    ]
+    buckets: dict[int, list[int]] = {}
+    cum = 0
+    for s in sizes:  # doc_id order
+        buckets.setdefault(cum // 65536, []).append(s)
+        cum += s
+    want = [
+        (b, len(v), sum(v)) for b, v in sorted(buckets.items())
+    ][:50]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q364 Kendall's W
+# ---------------------------------------------------------------------------
+
+def test_kendall_w_perfect_and_reversed_agreement(spark, tmp_path_factory):
+    import pandas as pd_
+
+    # brand A: price, size, and name all rank parts IDENTICALLY -> W = 1.
+    # brand B: two judges agree, the third is exactly reversed.
+    rows = []
+    for i in range(6):
+        rows.append((i, f"n{i}", "A", f"t{i}", 10.0 + i, 1 + i))
+    for i in range(6):
+        rows.append((100 + i, f"n{i}", "B", f"t{i}", 10.0 + i, 6 - i))
+    pdf = pd_.DataFrame(
+        rows,
+        columns=["p_partkey", "p_name", "p_brand", "p_type",
+                 "p_retailprice", "p_size"],
+    )
+    d = tmp_path_factory.mktemp("kw") / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "part.parquet", index=False)
+    got = {
+        r["brand"]: r
+        for r in registry()["q364_kendall_w_concordance"].fn(spark, str(d)).collect()
+    }
+    assert got["A"]["w"] == pytest.approx(1.0, abs=1e-12)
+
+    def brute(ranks_lists):
+        n = len(ranks_lists[0])
+        sums = [sum(r[i] for r in ranks_lists) for i in range(n)]
+        mean = 3 * (n + 1) / 2
+        s = sum((x - mean) ** 2 for x in sums)
+        return 12 * s / (9 * (n ** 3 - n))
+
+    r_fwd = list(range(1, 7))
+    r_rev = list(range(6, 0, -1))
+    assert got["B"]["w"] == pytest.approx(brute([r_fwd, r_rev, r_fwd]), abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# q365 effect sizes
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    t=st.lists(st.integers(min_value=0, max_value=20000), min_size=2, max_size=20),
+    c=st.lists(st.integers(min_value=0, max_value=20000), min_size=2, max_size=20),
+)
+def test_effect_sizes_match_bruteforce(spark, tmp_path_factory, t, c):
+    rows, eid = [], 0
+    for v in t:
+        rows.append((eid, T0, 1, "purchase", v / 100.0, None)); eid += 1
+    for v in c:
+        rows.append((eid, T0, 2, "purchase", v / 100.0, None)); eid += 1
+    sf = _events_dir(tmp_path_factory.mktemp("es"), rows)
+    out = registry()["q365_effect_sizes"].fn(spark, sf).collect()
+    n1, n0 = len(t), len(c)
+    m1, m0 = sum(t) / n1, sum(c) / n0
+    v1 = (sum(x * x for x in t) - sum(t) ** 2 / n1) / (n1 - 1)
+    v0 = (sum(x * x for x in c) - sum(c) ** 2 / n0) / (n0 - 1)
+    pooled = (((n1 - 1) * v1 + (n0 - 1) * v0) / (n1 + n0 - 2)) ** 0.5
+    r = out[0]
+    assert (r["n_treat"], r["n_ctrl"]) == (n1, n0)
+    assert r["mean_diff"] == pytest.approx((m1 - m0) / 100.0, abs=1e-9)
+    if pooled > 0:
+        d = (m1 - m0) / pooled
+        assert r["cohens_d"] == pytest.approx(d, rel=1e-9, abs=1e-9)
+        assert r["hedges_g"] == pytest.approx(
+            d * (1 - 3 / (4 * (n1 + n0) - 9)), rel=1e-9, abs=1e-9
+        )
+    else:
+        assert r["cohens_d"] is None and r["hedges_g"] is None
+    if v0 > 0:
+        assert r["glass_delta"] == pytest.approx(
+            (m1 - m0) / v0 ** 0.5, rel=1e-9, abs=1e-9
+        )
+    else:
+        assert r["glass_delta"] is None
+
+
+# ---------------------------------------------------------------------------
+# q366 Page-Hinkley
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    revs=st.lists(st.integers(min_value=0, max_value=500000),
+                  min_size=1, max_size=20)
+)
+def test_page_hinkley_matches_bruteforce(spark, tmp_path_factory, revs):
+    rows = [
+        (i, i, "O", v / 100.0, T0 + pd.Timedelta(days=i), "1-URGENT")
+        for i, v in enumerate(revs)
+    ]
+    sf = _orders_dir(tmp_path_factory.mktemp("ph"), rows)
+    got = registry()["q366_page_hinkley_drift"].fn(spark, sf).collect()[0]
+    m = 0
+    cum = 0
+    ms = []
+    for i, v in enumerate(revs):
+        cum += v
+        rm = _rhalf(cum * 1e6 / (i + 1))
+        m += v * 1000000 - rm
+        ms.append(m)
+    mins, best, best_day = None, None, None
+    for i, mt in enumerate(ms):
+        mins = mt if mins is None else min(mins, mt)
+        s = mt - mins
+        if best is None or s > best:
+            best, best_day = s, (T0 + pd.Timedelta(days=i)).date()
+    assert got["n_days"] == len(revs)
+    assert got["ph_stat_dollars"] == pytest.approx(best / 1e8, abs=1e-9)
+    assert got["drift_day"] == str(best_day)

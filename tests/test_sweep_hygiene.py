@@ -125,6 +125,9 @@ PERSIST_PRONE = [
     "q356_rule_interest_measures",
     # q357 localCheckpoints the 25-cell frame (tot/xm/ym/mi + count)
     "q357_uncertainty_coefficient",
+    # q361 runs two checkpointed SPRT-rollup drains (foreachBatch ->
+    # refresh_additive warehouse merges)
+    "q361_stream_sprt_monitor",
 ]
 
 
