@@ -1765,20 +1765,20 @@ def q365(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ph AS (
       SELECT day, rev_c,
-             CAST(SUM(rev_c * CAST(1000000 AS BIGINT) - rm_m)
+             CAST(SUM(CAST(rev_c AS DECIMAL(19,0)) * 1000000 - rm_m)
                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-                  AS BIGINT) AS m_t
+                  AS DECIMAL(38,0)) AS m_t
       FROM rm
     ),
     stat AS (
       SELECT day, rev_c, m_t,
              CAST(MIN(m_t) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-                  AS BIGINT) AS min_m
+                  AS DECIMAL(38,0)) AS min_m
       FROM ph
     ),
     mx AS (
       SELECT day, m_t - min_m AS s,
-             CAST(MAX(m_t - min_m) OVER () AS BIGINT) AS best
+             CAST(MAX(m_t - min_m) OVER () AS DECIMAL(38,0)) AS best
       FROM stat
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
@@ -1823,18 +1823,21 @@ def q366(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rm_m"),
     )
+    # deviations accumulate in DECIMAL(38,0): daily micro-cents reach
+    # ~1e17 at warehouse scale and a multi-year running sum of them
+    # wraps int64 silently (the q330/q249 widening discipline)
     ph = rm.select(
         "day",
         "rev_c",
-        F.sum(F.col("rev_c") * F.lit(1000000).cast("bigint") - F.col("rm_m"))
+        F.sum(F.col("rev_c").cast("decimal(19,0)") * 1000000 - F.col("rm_m"))
         .over(w)
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("m_t"),
     )
     stat = ph.select(
         "day",
         "m_t",
-        F.min("m_t").over(w).cast("bigint").alias("min_m"),
+        F.min("m_t").over(w).cast("decimal(38,0)").alias("min_m"),
     )
     # argmax with an explicit EARLIEST-day tie-break (max_by's tie
     # choice is engine-arbitrary): window max, then conditional min
@@ -1843,7 +1846,7 @@ def q366(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m_t") - F.col("min_m")).alias("s"),
         F.max(F.col("m_t") - F.col("min_m"))
         .over(Window.partitionBy())
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("best"),
     )
     return mx.agg(
