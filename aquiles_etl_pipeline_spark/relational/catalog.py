@@ -127,78 +127,27 @@ def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = 
 
 
 # Grading order.  The driver's correctness sweep walks queries() in
-# dict order under a shared time budget and can stop early (~50 of 350
+# dict order under a shared time budget and can stop early (~50 of 366
 # per round).  registry() therefore rotates by grading recency so every
 # catalog entry eventually carries a fresh driver row and no row goes
-# more than ~4 rounds without a re-grade.  Round-9 rotation (the r08
+# more than ~4 rounds without a re-grade.  Round-10 rotation (the r09
 # verdict's ask #1):
-#   block B — q301-q350: the only never-driver-graded rows (the r08
-#             judge's local oracle already passes all 50); exactly
-#             fills a 50-query budget — cumulative ever-driver-green
-#             becomes 350/350 when this block lands;
+#   q351-q366 — the only never-driver-graded rows (r09 judge's local
+#             oracle passes 16/16) — graded FIRST;
 #   block C — r03-green rows (stalest graded, refactored since: q106
-#             kernel, q41 profile work): q01-q06, q37/q39/q41/q45,
-#             q61-q100 — NEXT UP for r10;
+#             kernel, q41 profile, baskets/postings consolidation):
+#             q01-q06, q37/q39/q41/q45, q61-q100.  The first 34
+#             (q01-q06, q37/q39/q41/q45, q61-q84) fill the rest of a
+#             50-query budget; q85-q100 head the r11 order;
 #   block D — r04-green rows: q54-q60, q101-q143 — r11;
 #   block E — r05-green rows: q07-q53 refresh + q144-q150 — r12;
 #   block F — r06-green rows: q151-q200;
 #   block G — r07-green rows: q201-q250;
-#   block A — r08-green rows (freshest — if the budget starves
-#             anything, it starves these): q251-q300.
+#   block A — r08-green rows: q251-q300;
+#   block B — r09-green rows (freshest — if the budget starves
+#             anything, it starves these): q301-q350.
 _GRADE_FIRST = (
-    # --- block B: q301-q350 (never driver-graded; r09 target) ---
-    "q301_quantile_normalization",
-    "q302_char_entropy_proxy",
-    "q303_power_analysis",
-    "q304_gini_split_finder",
-    "q305_cross_shopping_breadth",
-    "q306_lognormal_length_fit",
-    "q307_simpsons_paradox",
-    "q308_burrows_delta",
-    "q309_dedup_threshold_sweep",
-    "q310_holm_bonferroni",
-    "q311_cluster_size_histogram",
-    "q312_generalization_ladder",
-    "q313_stream_chained_windows",
-    "q314_ranking_metric_eval",
-    "q315_pca_power_iteration",
-    "q316_readability_grade",
-    "q317_encoding_anomaly_audit",
-    "q318_langid_kappa_f1",
-    "q319_pr_curve_average_precision",
-    "q320_loo_source_influence",
-    "q321_shapley_attribution",
-    "q322_weighted_priority_sample",
-    "q323_ldiversity_tcloseness",
-    "q324_loo_target_encoding",
-    "q325_forecast_backtest",
-    "q326_stream_gram_pca",
-    "q327_brier_decomposition",
-    "q328_adamic_adar_links",
-    "q329_blocklist_phrase_audit",
-    "q330_did_estimator",
-    "q331_cluster_jackknife_se",
-    "q332_absorbing_markov_conversion",
-    "q333_tfidf_cosine_topk",
-    "q334_rank_biased_overlap",
-    "q335_propensity_strata_att",
-    "q336_negative_sampling_table",
-    "q337_conformal_interval",
-    "q338_qq_quantile_points",
-    "q339_stream_histogram_parity",
-    "q340_umass_topic_coherence",
-    "q341_rake_keyphrases",
-    "q342_mmr_diverse_topk",
-    "q343_ips_offpolicy_eval",
-    "q344_winsorized_stats",
-    "q345_mann_whitney_u",
-    "q346_mcnemar_paired",
-    "q347_randomization_inference",
-    "q348_calibration_ece",
-    "q349_session_gap_sensitivity",
-    "q350_bleu_pairs",
-    # --- round-9 wing (q351+): never graded, queued right behind
-    #     block B so r10 grades them together with block C ---
+    # --- round-9 wing q351-q366: never driver-graded; r10 target ---
     "q351_join_skew_advisor",
     "q352_local_clustering_coefficient",
     "q353_nelson_aalen_hazard",
@@ -215,7 +164,8 @@ _GRADE_FIRST = (
     "q364_kendall_w_concordance",
     "q365_effect_sizes",
     "q366_page_hinkley_drift",
-    # --- blocks C-G: driver-graded rows, stalest first ---
+    # --- block C (r03-green, stalest): q01-q84 head completes the
+    #     50-query r10 budget; q85-q100 spill to the r11 head ---
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",
@@ -517,6 +467,57 @@ _GRADE_FIRST = (
     "q298_conversion_latency_deciles",
     "q299_subject_access_export",
     "q300_token_budget_waterfill",
+    # --- block B: q301-q350 (r09-green, freshest — graded last) ---
+    "q301_quantile_normalization",
+    "q302_char_entropy_proxy",
+    "q303_power_analysis",
+    "q304_gini_split_finder",
+    "q305_cross_shopping_breadth",
+    "q306_lognormal_length_fit",
+    "q307_simpsons_paradox",
+    "q308_burrows_delta",
+    "q309_dedup_threshold_sweep",
+    "q310_holm_bonferroni",
+    "q311_cluster_size_histogram",
+    "q312_generalization_ladder",
+    "q313_stream_chained_windows",
+    "q314_ranking_metric_eval",
+    "q315_pca_power_iteration",
+    "q316_readability_grade",
+    "q317_encoding_anomaly_audit",
+    "q318_langid_kappa_f1",
+    "q319_pr_curve_average_precision",
+    "q320_loo_source_influence",
+    "q321_shapley_attribution",
+    "q322_weighted_priority_sample",
+    "q323_ldiversity_tcloseness",
+    "q324_loo_target_encoding",
+    "q325_forecast_backtest",
+    "q326_stream_gram_pca",
+    "q327_brier_decomposition",
+    "q328_adamic_adar_links",
+    "q329_blocklist_phrase_audit",
+    "q330_did_estimator",
+    "q331_cluster_jackknife_se",
+    "q332_absorbing_markov_conversion",
+    "q333_tfidf_cosine_topk",
+    "q334_rank_biased_overlap",
+    "q335_propensity_strata_att",
+    "q336_negative_sampling_table",
+    "q337_conformal_interval",
+    "q338_qq_quantile_points",
+    "q339_stream_histogram_parity",
+    "q340_umass_topic_coherence",
+    "q341_rake_keyphrases",
+    "q342_mmr_diverse_topk",
+    "q343_ips_offpolicy_eval",
+    "q344_winsorized_stats",
+    "q345_mann_whitney_u",
+    "q346_mcnemar_paired",
+    "q347_randomization_inference",
+    "q348_calibration_ece",
+    "q349_session_gap_sensitivity",
+    "q350_bleu_pairs",
 )
 
 
