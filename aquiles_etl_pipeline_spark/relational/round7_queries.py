@@ -507,7 +507,8 @@ def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs
     )
     SELECT MIN(nd) AS n_days, MIN(np) AS n_pairs,
-           round(AVG(slope) / 100, 6) AS slope_dollars_per_day
+           CAST(round(AVG(slope) * 10000.0) AS BIGINT) / 1000000.0
+             AS slope_dollars_per_day
     FROM ranked
     WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
     """,
@@ -574,7 +575,12 @@ def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mid.agg(
         F.min("nd").alias("n_days"),
         F.min("np").alias("n_pairs"),
-        F.round(F.avg("slope") / 100, 6).alias("slope_dollars_per_day"),
+        # integer-units discipline (ORACLE_SF01.md): ONE round to
+        # micro-dollar integers (cents/day * 1e4), then exact divide —
+        # round(x, d>0) is not portable at half boundaries.
+        (F.round(F.avg("slope") * F.lit(10000.0)).cast("bigint") / F.lit(1000000.0))
+        .cast("double")
+        .alias("slope_dollars_per_day"),
     )
 
 

@@ -413,7 +413,12 @@ def test_theil_sen_matches_bruteforce_median_of_slopes(
     p = len(slopes)
     want = (slopes[(p - 1) // 2] + slopes[p // 2]) / 2
     assert got["n_days"] == len(ds) and got["n_pairs"] == p
-    assert abs(got["slope_dollars_per_day"] - round(want / 100, 6)) < 1e-9
+    # _rhalf, not Python's banker's round(): the query rounds the
+    # micro-dollar value half away from zero (Spark/DuckDB round()).
+    # Deferred import: test_round7b_property imports fixtures from here.
+    from test_round7b_property import _rhalf
+
+    assert abs(got["slope_dollars_per_day"] - _rhalf(want * 1e4) / 1e6) < 1e-9
 
 
 @settings(max_examples=6, deadline=None)
