@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..numerics import pround
 from .dedup import tokens
 
 
@@ -486,7 +487,7 @@ def dsir_importance_select(
         per_doc.select(
             id_col,
             "n_tokens",
-            F.round(F.col("_w").cast("double") / F.col("n_tokens") / F.lit(1e6), 6).alias(
+            pround(F.col("_w").cast("double") / F.col("n_tokens") / F.lit(1e6), 6).alias(
                 "avg_logratio"
             ),
         )

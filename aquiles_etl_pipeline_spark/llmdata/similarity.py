@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..numerics import pround
 from ..partitioning import fan_out
 
 
@@ -280,7 +281,7 @@ def knn_join(
         .select(
             F.col("_qid").alias(query_id_col),
             id_col,
-            F.round(cosine_sim_batch(F.col(vec_col), F.col("_qv")), 4).alias("cosine_sim"),
+            pround(cosine_sim_batch(F.col(vec_col), F.col("_qv")), 4).alias("cosine_sim"),
         )
     )
     order = [F.desc("cosine_sim"), F.asc(id_col)]
@@ -477,10 +478,10 @@ def quantize_embeddings_int8(
     )
     return base.select(
         id_col,
-        F.round("_scale", 6).alias("scale"),
+        pround("_scale", 6).alias("scale"),
         "qvec",
         F.when(F.size("_v") == 0, F.lit(0.0))
-        .otherwise(F.round(F.sqrt(err2 / F.size("_v")), 6))
+        .otherwise(pround(F.sqrt(err2 / F.size("_v")), 6))
         .alias("recon_rmse"),
     )
 
@@ -672,7 +673,7 @@ def embedding_decontaminate(
         train.select(id_col, vec_col)
         .join(b, F.lit(True), "left")
         .groupBy(id_col)
-        .agg(F.round(F.max(sim), 4).alias("max_benchmark_cos"))
+        .agg(pround(F.max(sim), 4).alias("max_benchmark_cos"))
         .withColumn(
             "contaminated",
             F.coalesce(F.col("max_benchmark_cos") >= threshold, F.lit(False)),
@@ -804,7 +805,7 @@ def embedding_quality_stats(
             lambda acc, x: acc + x,
         )
     )
-    n6 = F.round(norm, 6).cast("decimal(18,6)")
+    n6 = pround(norm, 6).cast("decimal(18,6)")
     base = df.select(F.col(group_col), n6.alias("_n6"))
     return base.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_vectors"),

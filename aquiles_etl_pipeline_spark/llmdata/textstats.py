@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..numerics import pround
 from ..partitioning import fan_out
 from .dedup import tokens
 
@@ -238,7 +239,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     b = per_doc(bigrams, "bigram")
 
     def frac(num: F.Column, den: F.Column) -> F.Column:
-        return F.round(num.cast("double") / den, 6)
+        return pround(num.cast("double") / den, 6)
 
     return t.join(b, id_col).select(
         id_col,
@@ -327,7 +328,7 @@ def vocab_coverage(
         top.crossJoin(F.broadcast(total))
         .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("tf"), "token")))
         .withColumn("cum_coverage", (F.sum("tf").over(w) / F.col("_total")))
-        .select("token", "tf", "df", "rank", F.round("cum_coverage", 6).alias("cum_coverage"))
+        .select("token", "tf", "df", "rank", pround("cum_coverage", 6).alias("cum_coverage"))
     )
 
 
@@ -369,8 +370,8 @@ def unigram_perplexity(
     return ll.select(
         id_col,
         "n_tokens",
-        F.round(neg_avg, 6).alias("neg_avg_logprob"),
-        F.round(F.exp(neg_avg), 4).alias("perplexity"),
+        pround(neg_avg, 6).alias("neg_avg_logprob"),
+        pround(F.exp(neg_avg), 4).alias("perplexity"),
     )
 
 
@@ -494,7 +495,7 @@ def vocab_drift(
         joined.crossJoin(F.broadcast(tot_a))
         .crossJoin(F.broadcast(tot_b))
         .crossJoin(F.broadcast(vocab))
-        .select("token", "count_a", "count_b", F.round(ratio, 6).alias("log_ratio"))
+        .select("token", "count_a", "count_b", pround(ratio, 6).alias("log_ratio"))
         .orderBy(F.desc(F.abs(F.col("log_ratio"))), F.asc("token"))
         .limit(k)
     )
@@ -588,8 +589,8 @@ def score_calibration_matrix(
     ).otherwise(F.lit(0.0))
     return cells.groupBy(group_col, "global_decile").agg(
         n_docs.cast("long").alias("n_docs"),
-        F.round(gp, 6).alias("avg_group_pct"),
-        F.round(gl - gp, 6).alias("avg_calibration_gap"),
+        pround(gp, 6).alias("avg_group_pct"),
+        pround(gl - gp, 6).alias("avg_calibration_gap"),
     )
 
 
@@ -677,7 +678,5 @@ def bigram_lm_nll(
         # re-aggregate EXACTLY — reconstructing it from the rounded
         # average (avg * n * 1e6) drifts by up to n/2 micros per doc
         F.sum("_micros").cast("bigint").alias("nll_micros"),
-        F.round(
-            F.sum("_micros").cast("double") / F.count(F.lit(1)) / 1e6, 6
-        ).alias("avg_nll"),
+        pround(F.sum("_micros").cast("double") / F.count(F.lit(1)) / 1e6, 6).alias("avg_nll"),
     )

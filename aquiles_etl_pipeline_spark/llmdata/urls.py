@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..numerics import pround
+
 # params dropped during canonicalization: click/campaign trackers that
 # change the URL string but never the content behind it.  The leading
 # separator is CAPTURED and kept (not consumed) so `pref=1` never
@@ -116,7 +118,7 @@ def domain_stats(parsed: DataFrame) -> DataFrame:
     return parsed.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_pages"),
         F.countDistinct("host").alias("n_hosts"),
-        F.round(F.avg(F.col("path_depth").cast("double")), 6).alias("mean_path_depth"),
+        pround(F.avg(F.col("path_depth").cast("double")), 6).alias("mean_path_depth"),
     )
 
 

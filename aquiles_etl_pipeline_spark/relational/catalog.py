@@ -106,6 +106,11 @@ def emit(col: F.Column) -> F.Column:
     return col.cast("double")
 
 
+# Portable fixed-point round — see numerics.pround (re-exported here
+# because every catalog module already imports from catalog).
+from ..numerics import pround  # noqa: E402,F401
+
+
 @dataclass
 class QuerySpec:
     name: str
@@ -1059,10 +1064,9 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     sims AS (
       SELECT e.vec_id, e.label,
-             ROUND(
-               list_dot_product(e.embedding, q.qv) /
+             CAST(ROUND((list_dot_product(e.embedding, q.qv) /
                (sqrt(list_dot_product(e.embedding, e.embedding)) *
-                sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim
+                sqrt(list_dot_product(q.qv, q.qv)))) * 1e4) AS BIGINT) / 1e4 AS cosine_sim
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> 0
     )
@@ -1089,7 +1093,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.where(F.col("vec_id") != 0)
         .crossJoin(qv)
-        .select("vec_id", "label", F.round(sim, 4).alias("cosine_sim"))
+        .select("vec_id", "label", pround(sim, 4).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )

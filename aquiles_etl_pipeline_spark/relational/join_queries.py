@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load, register
+from .catalog import load, register, pround
 from .joins import asof_join, interval_count_join
 
 
@@ -72,9 +72,9 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q40_event_value_percentiles",
     sql="""
     SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 6) AS p50,
-           ROUND(quantile_cont(value, 0.95), 6) AS p95,
-           ROUND(quantile_cont(value, 0.99), 6) AS p99
+           CAST(ROUND((quantile_cont(value, 0.5)) * 1e6) AS BIGINT) / 1e6 AS p50,
+           CAST(ROUND((quantile_cont(value, 0.95)) * 1e6) AS BIGINT) / 1e6 AS p95,
+           CAST(ROUND((quantile_cont(value, 0.99)) * 1e6) AS BIGINT) / 1e6 AS p99
     FROM events
     GROUP BY event_type
     """,
@@ -86,7 +86,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    pct = lambda p, a: F.round(F.expr(f"percentile(value, {p})"), 6).alias(a)
+    pct = lambda p, a: pround(F.expr(f"percentile(value, {p})"), 6).alias(a)
     return ev.groupBy("event_type").agg(
         pct(0.5, "p50"), pct(0.95, "p95"), pct(0.99, "p99")
     )
@@ -157,7 +157,7 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q68_approx_percentile_sketch",
     sql="""
     SELECT event_type,
-           ROUND(quantile_cont(value, 0.95), 6) AS exact_p95,
+           CAST(ROUND((quantile_cont(value, 0.95)) * 1e6) AS BIGINT) / 1e6 AS exact_p95,
            TRUE AS approx_within_rank_band
     FROM events
     GROUP BY event_type
@@ -177,7 +177,7 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     pcts = F.expr("percentile(value, array(0.935D, 0.95D, 0.965D))")
     ap = F.expr("approx_percentile(value, 0.95D, 10000)")
     return ev.groupBy("event_type").agg(
-        F.round(F.element_at(pcts, 2), 6).alias("exact_p95"),
+        pround(F.element_at(pcts, 2), 6).alias("exact_p95"),
         (
             (ap >= F.element_at(pcts, 1)) & (ap <= F.element_at(pcts, 3))
         ).alias("approx_within_rank_band"),
@@ -261,8 +261,8 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT month, revenue,
            LAG(revenue, 12) OVER (ORDER BY month) AS revenue_prev_year,
-           ROUND((revenue - LAG(revenue, 12) OVER (ORDER BY month))
-                 / LAG(revenue, 12) OVER (ORDER BY month) * 100, 4) AS yoy_pct
+           CAST(ROUND(((revenue - LAG(revenue, 12) OVER (ORDER BY month))
+                 / LAG(revenue, 12) OVER (ORDER BY month) * 100) * 1e4) AS BIGINT) / 1e4 AS yoy_pct
     FROM m
     """,
     doc="Monthly revenue with year-over-year deltas: decimal-exact "
@@ -294,7 +294,7 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         "revenue",
         prev.alias("revenue_prev_year"),
-        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("yoy_pct"),
+        pround((F.col("revenue") - prev) / prev * 100, 4).alias("yoy_pct"),
     )
 
 
@@ -472,10 +472,10 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_orderpriority,
            COUNT(*) AS n_lineitems,
-           ROUND(AVG(CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE)), 6)
+           CAST(ROUND((AVG(CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE))) * 1e6) AS BIGINT) / 1e6
              AS avg_latency_days,
-           ROUND(quantile_cont(CAST(date_diff('day', o_orderdate, l_shipdate)
-                                    AS DOUBLE), 0.9), 6) AS p90_latency_days
+           CAST(ROUND((quantile_cont(CAST(date_diff('day', o_orderdate, l_shipdate)
+                                    AS DOUBLE), 0.9)) * 1e6) AS BIGINT) / 1e6 AS p90_latency_days
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -496,8 +496,8 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
-            F.round(F.avg(lat), 6).alias("avg_latency_days"),
-            F.round(F.expr(
+            pround(F.avg(lat), 6).alias("avg_latency_days"),
+            pround(F.expr(
                 "percentile(double(datediff(l_shipdate, o_orderdate)), 0.9)"
             ), 6).alias("p90_latency_days"),
         )
@@ -519,7 +519,7 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                    AS DECIMAL(18,2)) AS DOUBLE) AS t FROM orders)
     SELECT n_name, revenue,
-           ROUND(revenue / t * 100, 6) AS market_share_pct
+           CAST(ROUND((revenue / t * 100) * 1e6) AS BIGINT) / 1e6 AS market_share_pct
     FROM rev, tot
     """,
     doc="Nation market share: decimal-exact revenue per nation over "
@@ -549,5 +549,5 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.crossJoin(F.broadcast(tot)).select(
         "n_name",
         "revenue",
-        F.round(F.col("revenue") / F.col("_t") * 100, 6).alias("market_share_pct"),
+        pround(F.col("revenue") / F.col("_t") * 100, 6).alias("market_share_pct"),
     )

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llmdata import dedup, sampling, similarity, textstats, urls
-from .catalog import load, register
+from .catalog import load, register, pround
 
 
 @register(
@@ -259,7 +259,7 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE vec_id < 20
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
+           CAST(ROUND((list_cosine_similarity(a.v, b.v)) * 1e4) AS BIGINT) / 1e4 AS cosine_sim
     FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.v, b.v) >= 0.9
     """,
@@ -282,7 +282,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")).unionByName(planted)
     return similarity.embedding_near_dup_pairs(aug, threshold=0.9, dim=64).select(
-        "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim")
+        "id_a", "id_b", pround("cosine_sim", 4).alias("cosine_sim")
     )
 
 
@@ -290,8 +290,8 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q33_cosine_pairs_exact",
     sql="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim
+           CAST(ROUND((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))) * 1e4) AS BIGINT) / 1e4 AS cosine_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.3
@@ -304,7 +304,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return similarity.exact_cosine_pairs(e, threshold=0.3).select(
-        "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim")
+        "id_a", "id_b", pround("cosine_sim", 4).alias("cosine_sim")
     )
 
 
@@ -314,7 +314,7 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
     sims AS (
       SELECT e.vec_id,
-             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cosine_sim
+             CAST(ROUND((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)) * 1e4) AS BIGINT) / 1e4 AS cosine_sim
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> 0
     )
@@ -336,7 +336,7 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("vec_id") != 0), qv, k=None, n_cells=16, n_probe=16
     )
     return (
-        scored.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+        scored.select("vec_id", pround("cosine_sim", 4).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )
@@ -429,11 +429,11 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
          c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings WHERE vec_id >= 8)
     SELECT query_id, vec_id,
-           ROUND(list_cosine_similarity(v, qv), 4) AS cosine_sim
+           CAST(ROUND((list_cosine_similarity(v, qv)) * 1e4) AS BIGINT) / 1e4 AS cosine_sim
     FROM c CROSS JOIN q
     QUALIFY row_number() OVER (
       PARTITION BY query_id
-      ORDER BY ROUND(list_cosine_similarity(v, qv), 4) DESC, vec_id
+      ORDER BY CAST(ROUND((list_cosine_similarity(v, qv)) * 1e4) AS BIGINT) / 1e4 DESC, vec_id
     ) <= 5
     """,
     doc="Batched k-NN join: top-5 corpus neighbors for each of 8 query "
@@ -570,7 +570,7 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
     n AS (SELECT COUNT(*) AS n_docs FROM documents)
     SELECT doc_id, token, term_freq, doc_freq,
-           ROUND(term_freq * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS tfidf
+           CAST(ROUND((term_freq * ln(CAST(n_docs AS DOUBLE) / doc_freq)) * 1e6) AS BIGINT) / 1e6 AS tfidf
     FROM tf JOIN dfreq USING (token), n
     QUALIFY row_number() OVER (
       PARTITION BY doc_id ORDER BY term_freq DESC, doc_freq ASC, token ASC
@@ -611,11 +611,11 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bc GROUP BY 1
     )
     SELECT doc_id, n_tokens, n_distinct_tokens, top_token_freq,
-           ROUND(top_token_freq / CAST(n_tokens AS DOUBLE), 6) AS top_token_frac,
-           ROUND((n_tokens - n_distinct_tokens) / CAST(n_tokens AS DOUBLE), 6) AS dup_token_frac,
+           CAST(ROUND((top_token_freq / CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) / 1e6 AS top_token_frac,
+           CAST(ROUND(((n_tokens - n_distinct_tokens) / CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) / 1e6 AS dup_token_frac,
            n_bigrams, n_distinct_bigrams, top_bigram_freq,
-           ROUND(top_bigram_freq / CAST(n_bigrams AS DOUBLE), 6) AS top_bigram_frac,
-           ROUND((n_bigrams - n_distinct_bigrams) / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac
+           CAST(ROUND((top_bigram_freq / CAST(n_bigrams AS DOUBLE)) * 1e6) AS BIGINT) / 1e6 AS top_bigram_frac,
+           CAST(ROUND(((n_bigrams - n_distinct_bigrams) / CAST(n_bigrams AS DOUBLE)) * 1e6) AS BIGINT) / 1e6 AS dup_bigram_frac
     FROM ts JOIN bs USING (doc_id)
     """,
     doc="Within-document repetition metrics (Gopher repetition filters, "
@@ -783,12 +783,12 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT vec_id,
-           ROUND(scale, 6) AS scale,
+           CAST(ROUND((scale) * 1e6) AS BIGINT) / 1e6 AS scale,
            CASE WHEN len(qvec) = 0 THEN '' ELSE array_to_string(qvec, ',') END AS qvec_csv,
            CASE WHEN len(v) = 0 THEN CAST(0.0 AS DOUBLE)
-                ELSE ROUND(sqrt(list_reduce(list_transform(list_zip(v, qvec),
+                ELSE CAST(ROUND((sqrt(list_reduce(list_transform(list_zip(v, qvec),
                        p -> pow(p[1] - CAST(p[2] AS DOUBLE) * scale, 2)),
-                       (a, b) -> a + b) / len(v)), 6) END AS recon_rmse
+                       (a, b) -> a + b) / len(v))) * 1e6) AS BIGINT) / 1e6 END AS recon_rmse
     FROM q
     """,
     doc="Row-wise absmax int8 embedding quantization + reconstruction "
@@ -934,8 +934,8 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts ORDER BY tf DESC, token LIMIT 100
     )
     SELECT token, tf, df, rank,
-           ROUND(SUM(tf) OVER (ORDER BY tf DESC, token
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t, 6)
+           CAST(ROUND((SUM(tf) OVER (ORDER BY tf DESC, token
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t) * 1e6) AS BIGINT) / 1e6
              AS cum_coverage
     FROM top, total
     """,
@@ -965,8 +965,8 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id
     )
     SELECT doc_id, n_tokens,
-           ROUND(-s / n_tokens, 6) AS neg_avg_logprob,
-           ROUND(exp(-s / n_tokens), 4) AS perplexity
+           CAST(ROUND((-s / n_tokens) * 1e6) AS BIGINT) / 1e6 AS neg_avg_logprob,
+           CAST(ROUND((exp(-s / n_tokens)) * 1e4) AS BIGINT) / 1e4 AS perplexity
     FROM ll
     """,
     doc="Unigram-LM perplexity quality scoring (llmdata.textstats."
@@ -1205,12 +1205,10 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE vec_id % 50 <> 0
     )
     SELECT vec_id,
-           ROUND(MAX(list_dot_product(v, bv)
-                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(bv, bv)))),
-                 4) AS max_benchmark_cos,
-           ROUND(MAX(list_dot_product(v, bv)
-                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(bv, bv)))),
-                 4) >= 0.95 AS contaminated
+           CAST(ROUND((MAX(list_dot_product(v, bv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(bv, bv))))) * 1e4) AS BIGINT) / 1e4 AS max_benchmark_cos,
+           CAST(ROUND((MAX(list_dot_product(v, bv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(bv, bv))))) * 1e4) AS BIGINT) / 1e4 >= 0.95 AS contaminated
     FROM train CROSS JOIN bench
     GROUP BY vec_id
     """,
@@ -1666,8 +1664,8 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH n AS (
       SELECT label,
-             CAST(ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                              CAST(embedding AS DOUBLE[]))), 6)
+             CAST(CAST(ROUND((sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) * 1e6) AS BIGINT) / 1e6
                   AS DECIMAL(18,6)) AS n6
       FROM embeddings
     )
@@ -1892,11 +1890,11 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT COUNT(*) FROM j) AS v
     )
     SELECT token, count_a, count_b,
-           ROUND(ln(CAST(count_a + 1 AS DOUBLE) / (na + v))
-                 - ln(CAST(count_b + 1 AS DOUBLE) / (nb + v)), 6) AS log_ratio
+           CAST(ROUND((ln(CAST(count_a + 1 AS DOUBLE) / (na + v))
+                 - ln(CAST(count_b + 1 AS DOUBLE) / (nb + v))) * 1e6) AS BIGINT) / 1e6 AS log_ratio
     FROM j, tots
-    ORDER BY abs(ROUND(ln(CAST(count_a + 1 AS DOUBLE) / (na + v))
-                 - ln(CAST(count_b + 1 AS DOUBLE) / (nb + v)), 6)) DESC, token
+    ORDER BY abs(CAST(ROUND((ln(CAST(count_a + 1 AS DOUBLE) / (na + v))
+                 - ln(CAST(count_b + 1 AS DOUBLE) / (nb + v))) * 1e6) AS BIGINT) / 1e6) DESC, token
     LIMIT 30
     """,
     doc="Vocabulary drift between corpus slices (llmdata.textstats."
@@ -1938,7 +1936,7 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT domain,
            COUNT(*) AS n_pages,
            COUNT(DISTINCT host) AS n_hosts,
-           ROUND(AVG(CAST(path_depth AS DOUBLE)), 6) AS mean_path_depth
+           CAST(ROUND((AVG(CAST(path_depth AS DOUBLE))) * 1e6) AS BIGINT) / 1e6 AS mean_path_depth
     FROM parts GROUP BY domain
     """,
     doc="Per-registered-domain corpus stats (llmdata.urls."

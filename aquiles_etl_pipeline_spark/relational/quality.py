@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..numerics import pround
+
 
 def expectation_report(
     df: DataFrame, rules: list[tuple[str, Column]]
@@ -54,7 +56,7 @@ def expectation_report(
             "rule",
             F.col("__n").alias("n_rows"),
             "n_violations",
-            F.round(F.col("n_violations") / F.col("__n"), 6).alias("violation_rate"),
+            pround(F.col("n_violations") / F.col("__n"), 6).alias("violation_rate"),
         )
     )
 

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..llmdata import similarity, urls
-from .catalog import load, register
+from .catalog import load, register, pround
 
 
 # ---------------------------------------------------------------------------
@@ -277,7 +277,7 @@ _BM25_K1, _BM25_B = 1.2, 0.75
       CROSS JOIN stats s
       GROUP BY t.doc_id
     )
-    SELECT doc_id, ROUND(score, 4) AS bm25
+    SELECT doc_id, CAST(ROUND((score) * 1e4) AS BIGINT) / 1e4 AS bm25
     FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
     """,
     doc="BM25 full-text retrieval (Robertson/Sparck-Jones weighting, "
@@ -320,7 +320,7 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tfdf.crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(w), 4).alias("bm25"))
+        .agg(pround(F.sum(w), 4).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
@@ -351,12 +351,12 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sims AS (
       SELECT p.pid, d.vec_id,
-             ROUND(list_dot_product(d.v, p.pv)
+             CAST(ROUND((list_dot_product(d.v, p.pv)
                    / (sqrt(list_dot_product(d.v, d.v))
-                      * sqrt(list_dot_product(p.pv, p.pv))), 4) AS s_exact,
-             ROUND(list_dot_product(d.qv, p.pv)
+                      * sqrt(list_dot_product(p.pv, p.pv)))) * 1e4) AS BIGINT) / 1e4 AS s_exact,
+             CAST(ROUND((list_dot_product(d.qv, p.pv)
                    / (sqrt(list_dot_product(d.qv, d.qv))
-                      * sqrt(list_dot_product(p.pv, p.pv))), 4) AS s_quant
+                      * sqrt(list_dot_product(p.pv, p.pv)))) * 1e4) AS BIGINT) / 1e4 AS s_quant
       FROM dq d CROSS JOIN probes p
     ),
     ranked AS (
@@ -417,8 +417,8 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sims = cands.crossJoin(probes).select(
         "pid", "vec_id",
-        F.round(cos(F.col("v"), F.col("pv")), 4).alias("s_exact"),
-        F.round(cos(F.col("qv"), F.col("pv")), 4).alias("s_quant"),
+        pround(cos(F.col("v"), F.col("pv")), 4).alias("s_exact"),
+        pround(cos(F.col("qv"), F.col("pv")), 4).alias("s_quant"),
     )
     # both rankings live on the SAME (pid, vec_id) rows, so the top-10
     # intersection is a conditional count — no self-join, and the
@@ -474,7 +474,7 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            b.bench_doc AS best_bench_doc,
-           ROUND(COALESCE(b.containment, 0.0), 4) AS containment,
+           CAST(ROUND((COALESCE(b.containment, 0.0)) * 1e4) AS BIGINT) / 1e4 AS containment,
            COALESCE(b.containment, 0.0) >= 0.5 AS contaminated
     FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
@@ -559,7 +559,7 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("bench_doc").alias("best_bench_doc"),
-            F.round(F.coalesce("containment", F.lit(0.0)), 4).alias("containment"),
+            pround(F.coalesce("containment", F.lit(0.0)), 4).alias("containment"),
             (F.coalesce("containment", F.lit(0.0)) >= 0.5).alias("contaminated"),
         )
     )
@@ -598,9 +598,9 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_domain
     )
     SELECT domain, n_docs, n_tokens,
-           ROUND(raw_share, 6) AS raw_share,
-           ROUND(LEAST(raw_share, 0.1)
-                 / SUM(LEAST(raw_share, 0.1)) OVER (), 6) AS mix_weight
+           CAST(ROUND((raw_share) * 1e6) AS BIGINT) / 1e6 AS raw_share,
+           CAST(ROUND((LEAST(raw_share, 0.1)
+                 / SUM(LEAST(raw_share, 0.1)) OVER ()) * 1e6) AS BIGINT) / 1e6 AS mix_weight
     FROM shares
     """,
     doc="Per-domain corpus mixture weighting (the Common-Crawl domain "
@@ -636,8 +636,8 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = F.least(F.col("raw_share"), F.lit(0.1))
     return shares.select(
         "domain", "n_docs", "n_tokens",
-        F.round("raw_share", 6).alias("raw_share"),
-        F.round(capped / F.sum(capped).over(w_all), 6).alias("mix_weight"),
+        pround("raw_share", 6).alias("raw_share"),
+        pround(capped / F.sum(capped).over(w_all), 6).alias("mix_weight"),
     )
 
 
@@ -654,8 +654,8 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 8),
     dists AS (
       SELECT a.vec_id, c.cid,
-             ROUND(list_reduce(list_transform(list_zip(a.v, c.cv),
-                     p -> pow(p[1] - p[2], 2)), (x, y) -> x + y), 6) AS d2
+             CAST(ROUND((list_reduce(list_transform(list_zip(a.v, c.cv),
+                     p -> pow(p[1] - p[2], 2)), (x, y) -> x + y)) * 1e6) AS BIGINT) / 1e6 AS d2
       FROM v a CROSS JOIN cents c
     ),
     assigned AS (
@@ -665,8 +665,8 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(cid AS BIGINT) AS cluster_id,
            COUNT(*) AS n_assigned,
-           ROUND(AVG(d2), 4) AS avg_dist2,
-           ROUND(MAX(d2), 4) AS max_dist2
+           CAST(ROUND((AVG(d2)) * 1e4) AS BIGINT) / 1e4 AS avg_dist2,
+           CAST(ROUND((MAX(d2)) * 1e4) AS BIGINT) / 1e4 AS max_dist2
     FROM assigned WHERE rn = 1
     GROUP BY cid
     """,
@@ -707,8 +707,8 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assigned.groupBy(F.col("cid").cast("long").alias("cluster_id")).agg(
         F.count("*").alias("n_assigned"),
-        F.round(F.avg("d2"), 4).alias("avg_dist2"),
-        F.round(F.max("d2"), 4).alias("max_dist2"),
+        pround(F.avg("d2"), 4).alias("avg_dist2"),
+        pround(F.max("d2"), 4).alias("max_dist2"),
     )
 
 

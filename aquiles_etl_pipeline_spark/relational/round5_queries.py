@@ -494,14 +494,14 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT region_key,
            CAST(n AS BIGINT) AS n,
-           ROUND(CASE WHEN n * sxx - sx * sx > 0 THEN
-                 (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
-           ROUND(CASE WHEN n * sxx - sx * sx > 0 THEN
+           CAST(ROUND((CASE WHEN n * sxx - sx * sx > 0 THEN
+                 (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * 1e6) AS BIGINT) / 1e6 AS slope,
+           CAST(ROUND((CASE WHEN n * sxx - sx * sx > 0 THEN
                  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
-                 END, 6) AS intercept,
-           ROUND(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+                 END) * 1e6) AS BIGINT) / 1e6 AS intercept,
+           CAST(ROUND((CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
                  ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END) * 1e6) AS BIGINT) / 1e6 AS r2
     FROM s
     """,
     doc="OLS fit over a JOINED star (order totalprice ~ "

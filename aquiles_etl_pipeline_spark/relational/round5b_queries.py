@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .catalog import load, register
+from .catalog import load, register, pround
 
 
 # ---------------------------------------------------------------------------
@@ -240,8 +240,8 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT from_type, to_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / SUM(COUNT(*)) OVER (PARTITION BY from_type), 6) AS p
+           CAST(ROUND((CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY from_type)) * 1e6) AS BIGINT) / 1e6 AS p
     FROM seq WHERE to_type IS NOT NULL
     GROUP BY from_type, to_type
     """,
@@ -442,8 +442,8 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pts AS (
       SELECT 'all' AS corpus,
-             ROUND(ln(r), 4) AS x,
-             ROUND(ln(c), 4) AS y
+             CAST(ROUND((ln(r)) * 1e4) AS BIGINT) / 1e4 AS x,
+             CAST(ROUND((ln(c)) * 1e4) AS BIGINT) / 1e4 AS y
       FROM rk WHERE r <= 200
     ),
     s AS (
@@ -462,11 +462,11 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT corpus,
            CAST(n AS BIGINT) AS n,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+           CAST(ROUND(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e6) AS BIGINT) / 1e6 AS slope,
+           CAST(ROUND(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) * 1e6) AS BIGINT) / 1e6
              AS intercept,
-           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+           CAST(ROUND((((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1e6) AS BIGINT) / 1e6 AS r2
     FROM s
     """,
     doc="Zipf's-law fit over the corpus vocabulary: token frequencies "
@@ -497,8 +497,8 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = rk.where(F.col("r") <= 200).select(
         F.lit("all").alias("corpus"),
-        F.round(F.log("r"), 4).alias("x"),
-        F.round(F.log("c"), 4).alias("y"),
+        pround(F.log("r"), 4).alias("x"),
+        pround(F.log("c"), 4).alias("y"),
     )
     return linear_fit(pts, "x", "y", "corpus")
 
@@ -632,11 +632,11 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(n_a AS BIGINT) AS n_a,
            CAST(n_b AS BIGINT) AS n_b,
-           ROUND(ma - mb, 6) AS mean_diff,
-           ROUND((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS t_stat,
-           ROUND(((va / n_a + vb / n_b) * (va / n_a + vb / n_b))
+           CAST(ROUND((ma - mb) * 1e6) AS BIGINT) / 1e6 AS mean_diff,
+           CAST(ROUND(((ma - mb) / sqrt(va / n_a + vb / n_b)) * 1e6) AS BIGINT) / 1e6 AS t_stat,
+           CAST(ROUND((((va / n_a + vb / n_b) * (va / n_a + vb / n_b))
                  / ((va / n_a) * (va / n_a) / (n_a - 1)
-                    + (vb / n_b) * (vb / n_b) / (n_b - 1)), 6) AS welch_df
+                    + (vb / n_b) * (vb / n_b) / (n_b - 1))) * 1e6) AS BIGINT) / 1e6 AS welch_df
     FROM p
     """,
     doc="Welch's unequal-variance t-test per event type (variant = "
@@ -707,8 +707,8 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         guarded(F.col("n_a")).cast("long").alias("n_a"),
         guarded(F.col("n_b")).cast("long").alias("n_b"),
-        guarded(F.round(ma - mb, 6)).alias("mean_diff"),
-        guarded(F.round((ma - mb) / F.sqrt(sa + sb), 6)).alias("t_stat"),
+        guarded(pround(ma - mb, 6)).alias("mean_diff"),
+        guarded(pround((ma - mb) / F.sqrt(sa + sb), 6)).alias("t_stat"),
         guarded(
             F.round(
                 ((sa + sb) * (sa + sb))
@@ -739,10 +739,10 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT segment,
            CAST(MIN(n) AS BIGINT) AS n_events,
-           ROUND(ln(MIN(n)) - SUM(c * ln(c)) / MIN(n), 6) AS entropy,
-           ROUND(SUM(c * ln((CAST(c AS DOUBLE) * CAST(bign AS DOUBLE))
+           CAST(ROUND((ln(MIN(n)) - SUM(c * ln(c)) / MIN(n)) * 1e6) AS BIGINT) / 1e6 AS entropy,
+           CAST(ROUND((SUM(c * ln((CAST(c AS DOUBLE) * CAST(bign AS DOUBLE))
                             / (CAST(n AS DOUBLE) * CAST(g AS DOUBLE))))
-                 / MIN(n), 6)
+                 / MIN(n)) * 1e6) AS BIGINT) / 1e6
              AS kl_vs_global
     FROM w GROUP BY segment
     """,
@@ -774,9 +774,7 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return w.groupBy("segment").agg(
         F.min("n").cast("long").alias("n_events"),
-        F.round(
-            F.log(F.min("n")) - F.sum(F.col("c") * F.log("c")) / F.min("n"), 6
-        ).alias("entropy"),
+        pround(F.log(F.min("n")) - F.sum(F.col("c") * F.log("c")) / F.min("n"), 6).alias("entropy"),
         F.round(
             F.sum(
                 F.col("c")

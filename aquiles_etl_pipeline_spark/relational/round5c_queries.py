@@ -58,18 +58,18 @@ from .catalog import load, register
     )
     SELECT source, global_decile,
            CAST(SUM(cs) AS BIGINT) AS n_docs,
-           ROUND(CASE WHEN MIN(ns) > 1
+           CAST(ROUND((CASE WHEN MIN(ns) > 1
              THEN CAST(SUM(CAST(cs AS DECIMAL(19,0)) * cums) AS DOUBLE)
                   / (CAST(MIN(ns) - 1 AS DOUBLE) * CAST(SUM(cs) AS DOUBLE))
-             ELSE 0.0 END, 6) AS avg_group_pct,
-           ROUND(CASE WHEN MIN(n) > 1
+             ELSE 0.0 END) * 1e6) AS BIGINT) / 1e6 AS avg_group_pct,
+           CAST(ROUND((CASE WHEN MIN(n) > 1
              THEN CAST(SUM(CAST(cs AS DECIMAL(19,0)) * cumg) AS DOUBLE)
                   / (CAST(MIN(n) - 1 AS DOUBLE) * CAST(SUM(cs) AS DOUBLE))
              ELSE 0.0 END
              - CASE WHEN MIN(ns) > 1
              THEN CAST(SUM(CAST(cs AS DECIMAL(19,0)) * cums) AS DOUBLE)
                   / (CAST(MIN(ns) - 1 AS DOUBLE) * CAST(SUM(cs) AS DOUBLE))
-             ELSE 0.0 END, 6) AS avg_calibration_gap
+             ELSE 0.0 END) * 1e6) AS BIGINT) / 1e6 AS avg_calibration_gap
     FROM j GROUP BY 1, 2
     """,
     doc="Cross-source quality-score calibration matrix (llmdata."
@@ -135,8 +135,8 @@ _EWMA_NUM, _EWMA_DEN, _EWMA_SM, _EWMA_CNT = _ewma_sql_terms()
     SELECT user_id,
            CAST(n_events AS BIGINT) AS n_events,
            value AS last_value,
-           CASE WHEN cnt > 0 THEN ROUND(num / den, 6) END AS ewma8,
-           CASE WHEN cnt > 0 THEN ROUND(sm / cnt, 6) END AS sma8,
+           CASE WHEN cnt > 0 THEN CAST(ROUND((num / den) * 1e6) AS BIGINT) / 1e6 END AS ewma8,
+           CASE WHEN cnt > 0 THEN CAST(ROUND((sm / cnt) * 1e6) AS BIGINT) / 1e6 END AS sma8,
            CAST(cnt AS INT) AS n_trail
     FROM w WHERE rn = 1
     """,
@@ -198,8 +198,8 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-           ROUND(CAST(SUM(n_chars) AS DOUBLE)
-                 / CAST(SUM(SUM(n_chars)) OVER () AS DOUBLE), 6)
+           CAST(ROUND((CAST(SUM(n_chars) AS DOUBLE)
+                 / CAST(SUM(SUM(n_chars)) OVER () AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
              AS chars_share
     FROM a GROUP BY 1
     """,

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .catalog import load, register
+from .catalog import load, register, pround
 
 
 # ---------------------------------------------------------------------------
@@ -114,7 +114,7 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id
     )
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-           ROUND(CAST(w AS DOUBLE) / n_tokens / 1e6, 6) AS avg_logratio
+           CAST(ROUND((CAST(w AS DOUBLE) / n_tokens / 1e6) * 1e6) AS BIGINT) / 1e6 AS avg_logratio
     FROM per_doc
     ORDER BY avg_logratio DESC, doc_id
     LIMIT 100
@@ -177,7 +177,7 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY jac DESC, left_key) AS rr
       FROM f
     )
-    SELECT left_key, right_key, ROUND(jac, 6) AS jaccard
+    SELECT left_key, right_key, CAST(ROUND((jac) * 1e6) AS BIGINT) / 1e6 AS jaccard
     FROM ranked WHERE rl = 1 AND rr = 1
     """,
     doc="Mutual-best-match record linkage (relational.joins."
@@ -233,7 +233,7 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jac") >= 0.4)
     )
     return mutual_best_match(cand, "left_key", "right_key", "jac").select(
-        "left_key", "right_key", F.round("jac", 6).alias("jaccard")
+        "left_key", "right_key", pround("jac", 6).alias("jaccard")
     )
 
 # ---------------------------------------------------------------------------
@@ -483,9 +483,8 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT ga AS label_a, gb AS label_b,
-           ROUND(CAST(dot AS DOUBLE)
-                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
-                 6) AS centroid_cosine
+           CAST(ROUND((CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))) * 1e6) AS BIGINT) / 1e6 AS centroid_cosine
     FROM pairs
     JOIN norms na ON na.g = pairs.ga
     JOIN norms nb ON nb.g = pairs.gb
@@ -679,7 +678,7 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
-           ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_k,
+           CAST(ROUND((CAST(SUM(k) AS DOUBLE) / COUNT(*)) * 1e6) AS BIGINT) / 1e6 AS avg_k,
            CAST(COUNT(*) FILTER (WHERE k >= 50) AS BIGINT) AS n_high,
            CAST(SUM(CAST(json_extract_string(nested, '$.ids[1]')
                          AS BIGINT)) AS BIGINT) AS sum_second_id
@@ -716,9 +715,7 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("k").alias("n_distinct_k"),
-            F.round(
-                F.sum("k").cast("double") / F.count(F.lit(1)), 6
-            ).alias("avg_k"),
+            pround(F.sum("k").cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
             F.count(F.when(F.col("k") >= 50, 1)).alias("n_high"),
             F.sum("_id1").cast("bigint").alias("sum_second_id"),
         )
@@ -1293,7 +1290,7 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING COUNT(*) > 0
     )
     SELECT touchpoint, n_credits,
-           ROUND(CAST(micros AS DOUBLE) / 1e6, 6) AS attributed_value
+           CAST(ROUND((CAST(micros AS DOUBLE) / 1e6) * 1e6) AS BIGINT) / 1e6 AS attributed_value
     FROM (SELECT * FROM att UNION ALL SELECT * FROM unatt)
     """,
     doc="Linear multi-touch attribution (relational.timeseries."
@@ -1633,7 +1630,7 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
            CAST(span_s AS BIGINT) AS span_s,
            CASE WHEN span_s = 0 THEN NULL
-                ELSE ROUND(CAST(wsum AS DOUBLE) / span_s / 100, 6) END
+                ELSE CAST(ROUND((CAST(wsum AS DOUBLE) / span_s / 100) * 1e6) AS BIGINT) / 1e6 END
              AS twap
     FROM g
     """,
@@ -1672,7 +1669,7 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_s",
         F.when(F.col("span_s") == 0, F.lit(None).cast("double"))
         .otherwise(
-            F.round(F.col("wsum").cast("double") / F.col("span_s") / 100, 6)
+            pround(F.col("wsum").cast("double") / F.col("span_s") / 100, 6)
         )
         .alias("twap"),
     )
@@ -1960,9 +1957,9 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ante, cons,
            CAST(cab AS BIGINT) AS n_both,
-           ROUND(CAST(cab AS DOUBLE) / n, 6) AS support,
-           ROUND(CAST(cab AS DOUBLE) / ca, 6) AS confidence,
-           ROUND(CAST(cab AS DOUBLE) * n / (CAST(ca AS DOUBLE) * cb), 6)
+           CAST(ROUND((CAST(cab AS DOUBLE) / n) * 1e6) AS BIGINT) / 1e6 AS support,
+           CAST(ROUND((CAST(cab AS DOUBLE) / ca) * 1e6) AS BIGINT) / 1e6 AS confidence,
+           CAST(ROUND((CAST(cab AS DOUBLE) * n / (CAST(ca AS DOUBLE) * cb)) * 1e6) AS BIGINT) / 1e6
              AS lift
     FROM rules
     ORDER BY lift DESC, ante, cons
@@ -2006,8 +2003,8 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ante",
             "cons",
             F.col("cab").alias("n_both"),
-            F.round(F.col("cab").cast("double") / F.col("n"), 6).alias("support"),
-            F.round(F.col("cab").cast("double") / F.col("ca"), 6).alias("confidence"),
+            pround(F.col("cab").cast("double") / F.col("n"), 6).alias("support"),
+            pround(F.col("cab").cast("double") / F.col("ca"), 6).alias("confidence"),
             F.round(
                 F.col("cab").cast("double") * F.col("n")
                 / (F.col("ca").cast("double") * F.col("cb")),
@@ -2042,8 +2039,8 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING COUNT(*) >= 3
     )
     SELECT item_a, item_b, CAST(co AS BIGINT) AS n_co_users,
-           ROUND(CAST(co AS DOUBLE)
-                 / sqrt(CAST(ia.n AS DOUBLE) * ib.n), 6) AS cosine
+           CAST(ROUND((CAST(co AS DOUBLE)
+                 / sqrt(CAST(ia.n AS DOUBLE) * ib.n)) * 1e6) AS BIGINT) / 1e6 AS cosine
     FROM pair JOIN item ia ON ia.i = item_a
               JOIN item ib ON ib.i = item_b
     ORDER BY cosine DESC, item_a, item_b
@@ -2287,7 +2284,7 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT table_name, column_name,
            CAST(n_rows AS BIGINT) AS n_rows,
            CAST(n_null AS BIGINT) AS n_null,
-           ROUND(CAST(n_null AS DOUBLE) / n_rows, 6) AS pct_null
+           CAST(ROUND((CAST(n_null AS DOUBLE) / n_rows) * 1e6) AS BIGINT) / 1e6 AS pct_null
     FROM u
     """,
     doc="Column completeness profile (relational.sketches."
@@ -2420,13 +2417,13 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                  * (1 - CAST(l_discount AS DECIMAL(18,4))))
                AS DECIMAL(24,6)) AS DOUBLE) AS total_revenue,
-           ROUND(100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+           CAST(ROUND((100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
                       * (1 - CAST(l_discount AS DECIMAL(18,4)))
                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(24,6)) AS DOUBLE)
                / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                  * (1 - CAST(l_discount AS DECIMAL(18,4))))
-               AS DECIMAL(24,6)) AS DOUBLE), 6) AS promo_pct
+               AS DECIMAL(24,6)) AS DOUBLE)) * 1e6) AS BIGINT) / 1e6 AS promo_pct
     FROM lineitem JOIN part ON p_partkey = l_partkey
     GROUP BY 1
     """,
@@ -2459,9 +2456,7 @@ def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ship_month",
         "promo_revenue",
         "total_revenue",
-        F.round(
-            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6
-        ).alias("promo_pct"),
+        pround(100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6).alias("promo_pct"),
     )
 
 # ---------------------------------------------------------------------------
@@ -2564,7 +2559,7 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(nb) AS BIGINT) AS n_bigrams,
-           ROUND(CAST(SUM(m) AS DOUBLE) / SUM(nb) / 1e6, 6) AS avg_nll
+           CAST(ROUND((CAST(SUM(m) AS DOUBLE) / SUM(nb) / 1e6) * 1e6) AS BIGINT) / 1e6 AS avg_nll
     FROM per_doc GROUP BY 1
     """,
     doc="Held-out bigram-LM scoring per language (llmdata.textstats."
@@ -2590,9 +2585,7 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
-        F.round(
-            F.sum("nll_micros").cast("double") / F.sum("n_bigrams") / 1e6, 6
-        ).alias("avg_nll"),
+        pround(F.sum("nll_micros").cast("double") / F.sum("n_bigrams") / 1e6, 6).alias("avg_nll"),
     )
 
 # ---------------------------------------------------------------------------

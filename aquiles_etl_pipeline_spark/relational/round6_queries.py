@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .catalog import load, register
+from .catalog import load, register, pround
 
 # ---------------------------------------------------------------------------
 # q217: TPC-H Q13-shape — order-count distribution with JOIN-side filter
@@ -296,7 +296,7 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(MIN(n) AS BIGINT) AS n_total,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
-           ROUND(CAST(SUM(cents) AS DOUBLE) / (COUNT(*) * 100), 6)
+           CAST(ROUND((CAST(SUM(cents) AS DOUBLE) / (COUNT(*) * 100)) * 1e6) AS BIGINT) / 1e6
              AS trimmed_mean
     FROM r
     WHERE rn > n // 10 AND rn <= n - n // 10
@@ -334,9 +334,7 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("event_type").agg(
         F.min("n").cast("bigint").alias("n_total"),
         F.count(F.lit(1)).alias("n_kept"),
-        F.round(
-            F.sum("cents").cast("double") / (F.count(F.lit(1)) * 100), 6
-        ).alias("trimmed_mean"),
+        pround(F.sum("cents").cast("double") / (F.count(F.lit(1)) * 100), 6).alias("trimmed_mean"),
     )
 
 # ---------------------------------------------------------------------------
@@ -387,8 +385,8 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT * FROM pair5
     )
     SELECT child_col, parent_col, n_child_distinct, n_orphans,
-           ROUND(CAST(n_child_distinct - n_orphans AS DOUBLE)
-                 / n_child_distinct, 6) AS containment
+           CAST(ROUND((CAST(n_child_distinct - n_orphans AS DOUBLE)
+                 / n_child_distinct) * 1e6) AS BIGINT) / 1e6 AS containment
     FROM u
     """,
     doc="Inclusion-dependency profile — the foreign-key DISCOVERY "
@@ -461,9 +459,9 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(c) AS BIGINT) AS n_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_types,
            CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
-           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio,
-           ROUND(CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE)
-                 / COUNT(*), 6) AS hapax_ratio
+           CAST(ROUND((CAST(COUNT(*) AS DOUBLE) / SUM(c)) * 1e6) AS BIGINT) / 1e6 AS type_token_ratio,
+           CAST(ROUND((CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE)
+                 / COUNT(*)) * 1e6) AS BIGINT) / 1e6 AS hapax_ratio
     FROM tc GROUP BY source
     """,
     doc="Lexical diversity profile per source: type-token ratio and "
@@ -490,7 +488,7 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_types"),
         F.count(F.when(F.col("c") == 1, 1)).alias("n_hapax"),
-        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
+        pround(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
             "type_token_ratio"
         ),
         F.round(
@@ -514,12 +512,12 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings WHERE vec_id >= 8)
     SELECT anchor_id, anchor_label,
            vec_id AS negative_id, label AS negative_label,
-           ROUND(list_cosine_similarity(v, av), 4) AS cosine_sim
+           CAST(ROUND((list_cosine_similarity(v, av)) * 1e4) AS BIGINT) / 1e4 AS cosine_sim
     FROM c CROSS JOIN a
     WHERE label <> anchor_label
     QUALIFY row_number() OVER (
       PARTITION BY anchor_id
-      ORDER BY ROUND(list_cosine_similarity(v, av), 4) DESC, vec_id
+      ORDER BY CAST(ROUND((list_cosine_similarity(v, av)) * 1e4) AS BIGINT) / 1e4 DESC, vec_id
     ) = 1
     """,
     doc="Hard-negative mining for contrastive training: for each "
@@ -552,7 +550,7 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_label",
             F.col("vec_id").alias("negative_id"),
             F.col("label").alias("negative_label"),
-            F.round(cosine_sim_batch(F.col("embedding"), F.col("_av")), 4).alias(
+            pround(cosine_sim_batch(F.col("embedding"), F.col("_av")), 4).alias(
                 "cosine_sim"
             ),
         )
@@ -596,8 +594,8 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority, reason,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / SUM(COUNT(*)) OVER (PARTITION BY o_orderpriority), 6)
+           CAST(ROUND((CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY o_orderpriority)) * 1e6) AS BIGINT) / 1e6
              AS share_of_priority
     FROM flagged GROUP BY 1, 2
     """,
@@ -650,7 +648,7 @@ def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn(
             "share_of_priority",
-            F.round(F.col("n_rows").cast("double") / F.sum("n_rows").over(w), 6),
+            pround(F.col("n_rows").cast("double") / F.sum("n_rows").over(w), 6),
         )
     )
 
@@ -676,11 +674,11 @@ def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT SUM(c_ref) AS t_ref, SUM(c_cur) AS t_cur FROM cells
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_bins_used,
-           ROUND(SUM(
+           CAST(ROUND((SUM(
              (CAST(c_cur AS DOUBLE) / t_cur - CAST(c_ref AS DOUBLE) / t_ref)
              * ln((CAST(c_cur AS DOUBLE) * CAST(t_ref AS DOUBLE))
                   / (CAST(c_ref AS DOUBLE) * CAST(t_cur AS DOUBLE)))
-           ), 6) AS psi
+           )) * 1e6) AS BIGINT) / 1e6 AS psi
     FROM cells, tot
     WHERE c_ref > 0 AND c_cur > 0
     """,
@@ -725,7 +723,7 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("c_ref") > 0) & (F.col("c_cur") > 0))
         .agg(
             F.count(F.lit(1)).alias("n_bins_used"),
-            F.round(F.sum(term), 6).alias("psi"),
+            pround(F.sum(term), 6).alias("psi"),
         )
     )
 
@@ -752,9 +750,9 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT digit,
            CAST(n_obs AS BIGINT) AS n_obs,
-           ROUND(e, 6) AS expected_share,
-           ROUND(CAST(n_obs AS DOUBLE) / n, 6) AS observed_share,
-           ROUND(SUM(pow(n_obs - n * e, 2) / (n * e)) OVER (), 6)
+           CAST(ROUND((e) * 1e6) AS BIGINT) / 1e6 AS expected_share,
+           CAST(ROUND((CAST(n_obs AS DOUBLE) / n) * 1e6) AS BIGINT) / 1e6 AS observed_share,
+           CAST(ROUND((SUM(pow(n_obs - n * e, 2) / (n * e)) OVER ()) * 1e6) AS BIGINT) / 1e6
              AS chi2_total
     FROM w
     """,
@@ -792,11 +790,11 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "digit",
         F.col("n_obs").cast("bigint").alias("n_obs"),
-        F.round("e", 6).alias("expected_share"),
-        F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias(
+        pround("e", 6).alias("expected_share"),
+        pround(F.col("n_obs").cast("double") / F.col("n"), 6).alias(
             "observed_share"
         ),
-        F.round(F.sum(chi).over(wall), 6).alias("chi2_total"),
+        pround(F.sum(chi).over(wall), 6).alias("chi2_total"),
     )
 
 # ---------------------------------------------------------------------------
@@ -943,8 +941,8 @@ def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_errors,
            CAST(COUNT(matched_us) AS BIGINT) AS n_matched,
-           ROUND(CAST(SUM(matched_us) AS DOUBLE)
-                 / COUNT(matched_us) / 1e6, 6) AS avg_match_sec
+           CAST(ROUND((CAST(SUM(matched_us) AS DOUBLE)
+                 / COUNT(matched_us) / 1e6) * 1e6) AS BIGINT) / 1e6 AS avg_match_sec
     FROM pick GROUP BY user_id
     """,
     doc="Nearest-event temporal alignment with a tolerance window: "
@@ -1001,9 +999,7 @@ def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_errors"),
         F.count("matched_us").alias("n_matched"),
-        F.round(
-            F.sum("matched_us").cast("double") / F.count("matched_us") / 1e6, 6
-        ).alias("avg_match_sec"),
+        pround(F.sum("matched_us").cast("double") / F.count("matched_us") / 1e6, 6).alias("avg_match_sec"),
     )
 
 # ---------------------------------------------------------------------------
@@ -1025,11 +1021,11 @@ def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT region, nation,
            CAST(rev AS DOUBLE) AS revenue,
-           ROUND(CAST(rev AS DOUBLE)
-                 / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+           CAST(ROUND((CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
              AS share_of_region,
-           ROUND(CAST(rev AS DOUBLE)
-                 / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS share_of_total
+           CAST(ROUND((CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER () AS DOUBLE)) * 1e6) AS BIGINT) / 1e6 AS share_of_total
     FROM nat
     """,
     doc="Hierarchical ratio-to-parent rollup: nation revenue with its "
@@ -1071,9 +1067,7 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region",
         "nation",
         F.col("rev").cast("double").alias("revenue"),
-        F.round(
-            F.col("rev").cast("double") / F.sum("rev").over(wr).cast("double"), 6
-        ).alias("share_of_region"),
+        pround(F.col("rev").cast("double") / F.sum("rev").over(wr).cast("double"), 6).alias("share_of_region"),
         F.round(
             F.col("rev").cast("double") / F.sum("rev").over(wall).cast("double"),
             6,
@@ -1126,11 +1120,11 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN MAX(CASE WHEN d > 0 AND n_risk = d THEN 1 ELSE 0 END)
                      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
                 THEN 0.0
-                ELSE ROUND(exp(SUM(CASE WHEN d > 0 AND n_risk > d
+                ELSE CAST(ROUND((exp(SUM(CASE WHEN d > 0 AND n_risk > d
                                    THEN ln(CAST(n_risk - d AS DOUBLE)
                                            / CAST(n_risk AS DOUBLE))
                                    ELSE 0.0 END)
-                          OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+                          OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))) * 1e6) AS BIGINT) / 1e6
            END AS survival
     FROM risk WHERE d > 0
     """,
@@ -1204,7 +1198,7 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("d") > 0) & (F.col("n_risk") == F.col("d")), 1).otherwise(0)
     ).over(w_asc)
     survival = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
-        F.round(F.exp(F.sum(ln_term).over(w_asc)), 6)
+        pround(F.exp(F.sum(ln_term).over(w_asc)), 6)
     )
     return risk.select(
         F.col("t").cast("bigint").alias("t_days"),
@@ -1249,7 +1243,7 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'over_90d' END AS half_fill_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(MAX(days_to_full) AS BIGINT) AS max_days_to_full,
-           ROUND(CAST(SUM(days_to_full) AS DOUBLE) / COUNT(*), 6)
+           CAST(ROUND((CAST(SUM(days_to_full) AS DOUBLE) / COUNT(*)) * 1e6) AS BIGINT) / 1e6
              AS avg_days_to_full
     FROM per_order GROUP BY 1
     """,
@@ -1298,9 +1292,7 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_order.groupBy(bucket.alias("half_fill_bucket")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.max("days_to_full").cast("bigint").alias("max_days_to_full"),
-        F.round(
-            F.sum("days_to_full").cast("double") / F.count(F.lit(1)), 6
-        ).alias("avg_days_to_full"),
+        pround(F.sum("days_to_full").cast("double") / F.count(F.lit(1)), 6).alias("avg_days_to_full"),
     )
 
 # ---------------------------------------------------------------------------
@@ -1439,7 +1431,7 @@ def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM offers
     )
     SELECT p_partkey, p_brand, s_suppkey, s_name,
-           ROUND(CAST(price_c AS DOUBLE) / 100, 2) AS best_price
+           CAST(ROUND((CAST(price_c AS DOUBLE) / 100) * 1e2) AS BIGINT) / 1e2 AS best_price
     FROM ranked JOIN part ON p_partkey = l_partkey
     WHERE rn = 1 AND p_size BETWEEN 1 AND 5
     """,
@@ -1480,7 +1472,7 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.join(F.broadcast(p), ranked["l_partkey"] == p["p_partkey"]).select(
         "p_partkey", "p_brand", "s_suppkey", "s_name",
-        F.round(F.col("price_c").cast("double") / 100, 2).alias("best_price"),
+        pround(F.col("price_c").cast("double") / 100, 2).alias("best_price"),
     )
 
 # ---------------------------------------------------------------------------
@@ -1500,8 +1492,8 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, value_c, SUM(value_c) OVER () AS total_c FROM pv
     )
     SELECT l_partkey AS partkey,
-           ROUND(CAST(value_c AS DOUBLE) / 100, 2) AS value,
-           ROUND(CAST(value_c AS DOUBLE) / total_c, 6) AS share
+           CAST(ROUND((CAST(value_c AS DOUBLE) / 100) * 1e2) AS BIGINT) / 1e2 AS value,
+           CAST(ROUND((CAST(value_c AS DOUBLE) / total_c) * 1e6) AS BIGINT) / 1e6 AS share
     FROM w WHERE value_c * 2000 > total_c
     """,
     doc="TPC-H Q11 shape: parts whose total traded value exceeds a "
@@ -1527,10 +1519,8 @@ def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("value_c") * 2000 > F.col("total_c"))
         .select(
             F.col("l_partkey").alias("partkey"),
-            F.round(F.col("value_c").cast("double") / 100, 2).alias("value"),
-            F.round(
-                F.col("value_c").cast("double") / F.col("total_c"), 6
-            ).alias("share"),
+            pround(F.col("value_c").cast("double") / 100, 2).alias("value"),
+            pround(F.col("value_c").cast("double") / F.col("total_c"), 6).alias("share"),
         )
     )
 
@@ -1790,7 +1780,7 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_name AS nation,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(CAST(SUM(bal_c) AS DOUBLE) / 100, 2) AS total_balance
+           CAST(ROUND((CAST(SUM(bal_c) AS DOUBLE) / 100) * 1e2) AS BIGINT) / 1e2 AS total_balance
     FROM inactive JOIN nation ON n_nationkey = c_nationkey
     GROUP BY 1
     """,
@@ -1836,7 +1826,7 @@ def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("bal_c").cast("double") / 100, 2).alias(
+            pround(F.sum("bal_c").cast("double") / 100, 2).alias(
                 "total_balance"
             ),
         )
@@ -2140,7 +2130,7 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING COUNT(*) > 0
     )
     SELECT touchpoint, n_credits,
-           ROUND(CAST(micros AS DOUBLE) / 1e6, 6) AS attributed_value
+           CAST(ROUND((CAST(micros AS DOUBLE) / 1e6) * 1e6) AS BIGINT) / 1e6 AS attributed_value
     FROM (SELECT * FROM att UNION ALL SELECT * FROM unatt)
     """,
     doc="Position-based (U-shaped 40/20/40) multi-touch attribution "

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .catalog import load, register
+from .catalog import load, register, pround
 
 # decimal(19,0), NOT (18,0): DuckDB computes a DECIMAL(18)xDECIMAL(18)
 # product in int64 and raises Out of Range once the product passes
@@ -81,14 +81,13 @@ def _cents(col: str) -> F.Column:
       FROM v
     )
     SELECT variant, n_users,
-           round(spost / CAST(n_users AS DOUBLE) / 100, 6) AS mean_post,
-           round(CASE WHEN n * sxx - sx * sx > 0 THEN
+           CAST(round((spost / CAST(n_users AS DOUBLE) / 100) * 1e6) AS BIGINT) / 1e6 AS mean_post,
+           CAST(round((CASE WHEN n * sxx - sx * sx > 0 THEN
                  (spost / CAST(n_users AS DOUBLE)
                   - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
-                    * (spre / CAST(n_users AS DOUBLE) - sx / n)) / 100 END,
-                 6) AS mean_cuped,
-           round(CASE WHEN n * sxx - sx * sx > 0 THEN
-                 (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS theta
+                    * (spre / CAST(n_users AS DOUBLE) - sx / n)) / 100 END) * 1e6) AS BIGINT) / 1e6 AS mean_cuped,
+           CAST(round((CASE WHEN n * sxx - sx * sx > 0 THEN
+                 (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * 1e6) AS BIGINT) / 1e6 AS theta
     FROM m
     """,
     doc="CUPED variance-reduced A/B readout (Deng et al., WSDM'13): "
@@ -156,7 +155,7 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "variant",
         "n_users",
-        F.round(F.col("spost") / n_d / 100, 6).alias("mean_post"),
+        pround(F.col("spost") / n_d / 100, 6).alias("mean_post"),
         F.round(
             F.when(
                 var_pre > 0,
@@ -168,7 +167,7 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("mean_cuped"),
-        F.round(F.when(var_pre > 0, theta), 6).alias("theta"),
+        pround(F.when(var_pre > 0, theta), 6).alias("theta"),
     )
 
 
@@ -212,10 +211,9 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs GROUP BY 1
     )
     SELECT CAST(lag_k AS BIGINT) AS lag_k, n_pairs,
-           round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+           CAST(round((CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
                  (n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
-                 6) AS acf
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END) * 1e6) AS BIGINT) / 1e6 AS acf
     FROM s
     """,
     doc="Autocorrelation of the daily order-revenue series at lags "
@@ -304,14 +302,12 @@ def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cells
     )
     SELECT segment, priority, n_xy,
-           round(CAST(n_xy AS DOUBLE) / CAST(n_tot AS DOUBLE), 9) AS p_xy,
-           round(ln(CAST(n_xy AS DOUBLE) * CAST(n_tot AS DOUBLE)
-                    / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))),
-                 6) AS pmi,
-           round(CAST(n_xy AS DOUBLE) / CAST(n_tot AS DOUBLE)
+           CAST(round((CAST(n_xy AS DOUBLE) / CAST(n_tot AS DOUBLE)) * 1e9) AS BIGINT) / 1e9 AS p_xy,
+           CAST(round((ln(CAST(n_xy AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                    / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))) * 1e6) AS BIGINT) / 1e6 AS pmi,
+           CAST(round((CAST(n_xy AS DOUBLE) / CAST(n_tot AS DOUBLE)
                  * ln(CAST(n_xy AS DOUBLE) * CAST(n_tot AS DOUBLE)
-                      / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))),
-                 9) AS mi_contrib
+                      / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))) * 1e9) AS BIGINT) / 1e9 AS mi_contrib
     FROM m
     """,
     doc="Mutual-information cell grid between customer market segment "
@@ -355,9 +351,9 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "priority",
         "n_xy",
-        F.round(nd / td, 9).alias("p_xy"),
-        F.round(F.log(ratio), 6).alias("pmi"),
-        F.round(nd / td * F.log(ratio), 9).alias("mi_contrib"),
+        pround(nd / td, 9).alias("p_xy"),
+        pround(F.log(ratio), 6).alias("pmi"),
+        pround(nd / td * F.log(ratio), 9).alias("mi_contrib"),
     )
 
 
@@ -389,8 +385,8 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(day) AS VARCHAR) AS start_day,
            CAST(MAX(day) AS VARCHAR) AS end_day,
            CAST(COUNT(*) AS BIGINT) AS n_days,
-           round(CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE) / 100, 6) AS avg_rev
+           CAST(round((CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 100) * 1e6) AS BIGINT) / 1e6 AS avg_rev
     FROM grp GROUP BY symbol, island
     """,
     doc="SAX-style symbolization of the daily revenue series (Lin et "
@@ -474,8 +470,8 @@ def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey AS partkey, rev_c, qty,
            CAST(r_rev AS BIGINT) AS r_rev,
            CAST(r_qty AS BIGINT) AS r_qty,
-           round(1.0 / CAST(60 + r_rev AS DOUBLE)
-                 + 1.0 / CAST(60 + r_qty AS DOUBLE), 9) AS rrf
+           CAST(round((1.0 / CAST(60 + r_rev AS DOUBLE)
+                 + 1.0 / CAST(60 + r_qty AS DOUBLE)) * 1e9) AS BIGINT) / 1e9 AS rrf
     FROM ranked
     WHERE r_rev <= 100 OR r_qty <= 100
     """,
@@ -560,8 +556,8 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r GROUP BY 1
     )
     SELECT n_name AS nation, n_customers,
-           round(CASE WHEN sx > 0
-                 THEN (2 * six - (nd + 1) * sx) / (nd * sx) END, 6) AS gini
+           CAST(round((CASE WHEN sx > 0
+                 THEN (2 * six - (nd + 1) * sx) / (nd * sx) END) * 1e6) AS BIGINT) / 1e6 AS gini
     FROM g JOIN nation ON c_nationkey = n_nationkey
     """,
     doc="Per-nation Gini coefficient of non-negative customer account "
@@ -649,9 +645,8 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM resid
     )
     SELECT CAST(day AS VARCHAR) AS day, rev_c, resid_c,
-           round(CASE WHEN n > 1 THEN
-                 2.0 * sqrt((s2 - s1 * s1 / n) / (n - 1.0)) END,
-                 6) AS threshold_c,
+           CAST(round((CASE WHEN n > 1 THEN
+                 2.0 * sqrt((s2 - s1 * s1 / n) / (n - 1.0)) END) * 1e6) AS BIGINT) / 1e6 AS threshold_c,
            CASE WHEN n > 1 THEN
                 CAST(abs(CAST(resid_c AS DOUBLE))
                      > 2.0 * sqrt((s2 - s1 * s1 / n) / (n - 1.0))
@@ -709,7 +704,7 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("string").alias("day"),
         "rev_c",
         "resid_c",
-        F.round(thr, 6).alias("threshold_c"),
+        pround(thr, 6).alias("threshold_c"),
         (F.abs(F.col("resid_c").cast("double")) > thr).alias("is_anomaly"),
     )
 
@@ -731,15 +726,15 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total FROM freq)
     SELECT tok, f,
-           round(CAST(f AS DOUBLE) / CAST(total AS DOUBLE), 9) AS p,
-           round(CASE
+           CAST(round((CAST(f AS DOUBLE) / CAST(total AS DOUBLE)) * 1e9) AS BIGINT) / 1e9 AS p,
+           CAST(round((CASE
              WHEN CAST(f AS DOUBLE) / CAST(total AS DOUBLE) > 0.0001
              THEN (sqrt(CAST(f AS DOUBLE) / CAST(total AS DOUBLE) / 0.0001)
                    + 1.0)
                   * (0.0001 / (CAST(f AS DOUBLE) / CAST(total AS DOUBLE)))
-             ELSE 1.0 END, 9) AS keep_prob,
-           round(sqrt(CAST(f AS DOUBLE))
-                 * sqrt(sqrt(CAST(f AS DOUBLE))), 6) AS neg_mass
+             ELSE 1.0 END) * 1e9) AS BIGINT) / 1e9 AS keep_prob,
+           CAST(round((sqrt(CAST(f AS DOUBLE))
+                 * sqrt(sqrt(CAST(f AS DOUBLE)))) * 1e6) AS BIGINT) / 1e6 AS neg_mass
     FROM freq CROSS JOIN tot
     """,
     doc="word2vec corpus-frequency table (Mikolov et al., NIPS'13): "
@@ -776,7 +771,7 @@ def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.crossJoin(F.broadcast(tot)).select(
         "tok",
         "f",
-        F.round(p, 9).alias("p"),
+        pround(p, 9).alias("p"),
         F.round(
             F.when(
                 p > 0.0001,
@@ -784,7 +779,7 @@ def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(1.0)),
             9,
         ).alias("keep_prob"),
-        F.round(F.sqrt(fd) * F.sqrt(F.sqrt(fd)), 6).alias("neg_mass"),
+        pround(F.sqrt(fd) * F.sqrt(F.sqrt(fd)), 6).alias("neg_mass"),
     )
 
 
@@ -812,12 +807,12 @@ def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, n_gaps,
            CAST(CAST(round(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
                      AS BIGINT) AS DOUBLE) / 1e6 AS mean_gap_s,
-           round(CASE WHEN n_gaps > 1 AND s1 > 0 THEN
+           CAST(round((CASE WHEN n_gaps > 1 AND s1 > 0 THEN
                  sqrt((CAST(s2 AS DOUBLE)
                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
                          / CAST(n_gaps AS DOUBLE))
                       / (CAST(n_gaps AS DOUBLE) - 1.0))
-                 / (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) END, 6) AS cv
+                 / (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) END) * 1e6) AS BIGINT) / 1e6 AS cv
     FROM s
     """,
     doc="Per-user inter-arrival burstiness: the coefficient of "
@@ -907,9 +902,8 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM li GROUP BY 1
     )
     SELECT brand, n_lines,
-           round(CASE WHEN n * sxx - sx * sx > 0 THEN
-                 (n * sxy - sx * sy) / (n * sxx - sx * sx) END,
-                 6) AS elasticity
+           CAST(round((CASE WHEN n * sxx - sx * sx > 0 THEN
+                 (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * 1e6) AS BIGINT) / 1e6 AS elasticity
     FROM s
     """,
     doc="Per-brand price elasticity of demand: the OLS slope of "
@@ -981,7 +975,7 @@ def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok WHERE tok <> '' GROUP BY 1
     )
     SELECT tok, cf, df,
-           round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness
+           CAST(round((CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6) AS BIGINT) / 1e6 AS burstiness
     FROM f
     """,
     doc="Token burstiness (Church & Gale, 1995): collection frequency "
@@ -1011,7 +1005,7 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         "cf",
         "df",
-        F.round(F.col("cf").cast("double") / F.col("df").cast("double"), 6).alias(
+        pround(F.col("cf").cast("double") / F.col("df").cast("double"), 6).alias(
             "burstiness"
         ),
     )
@@ -1038,13 +1032,12 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT CAST(dow AS BIGINT) AS dow, n_orders, rev_c,
-           round(CASE WHEN rev_tot > 0 THEN
-                 CAST(rev_c AS DOUBLE) / CAST(rev_tot AS DOUBLE) END, 9)
+           CAST(round((CASE WHEN rev_tot > 0 THEN
+                 CAST(rev_c AS DOUBLE) / CAST(rev_tot AS DOUBLE) END) * 1e9) AS BIGINT) / 1e9
              AS revenue_share,
-           round(CASE WHEN rev_tot > 0 THEN
+           CAST(round((CASE WHEN rev_tot > 0 THEN
                  (CAST(rev_c AS DOUBLE) / CAST(n_orders AS DOUBLE))
-                 / (CAST(rev_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) END,
-                 6) AS aov_index
+                 / (CAST(rev_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) END) * 1e6) AS BIGINT) / 1e6 AS aov_index
     FROM m
     """,
     doc="Weekday seasonality profile: per ISO day-of-week (Mon=1) the "
@@ -1128,10 +1121,10 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     )
     SELECT n_name AS nation, n_customers,
-           round(sx / nd / 100, 6) AS mean_bal,
-           round((sl / 1e6 - ln(sx / nd) * sx) / (nd * (sx / nd)), 9)
+           CAST(round((sx / nd / 100) * 1e6) AS BIGINT) / 1e6 AS mean_bal,
+           CAST(round(((sl / 1e6 - ln(sx / nd) * sx) / (nd * (sx / nd))) * 1e9) AS BIGINT) / 1e9
              AS theil_within,
-           round((sx / sxt) * ln((sx / sxt) / (nd / ntd)), 9)
+           CAST(round(((sx / sxt) * ln((sx / sxt) / (nd / ntd))) * 1e9) AS BIGINT) / 1e9
              AS between_term
     FROM m JOIN nation ON c_nationkey = n_nationkey
     """,
@@ -1187,15 +1180,13 @@ def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             "n_customers",
-            F.round(mu / 100, 6).alias("mean_bal"),
+            pround(mu / 100, 6).alias("mean_bal"),
             F.round(
                 (F.col("sl") / F.lit(1e6) - F.log(mu) * F.col("sx"))
                 / (F.col("nd") * mu),
                 9,
             ).alias("theil_within"),
-            F.round(
-                share * F.log(share / (F.col("nd") / F.col("ntd"))), 9
-            ).alias("between_term"),
+            pround(share * F.log(share / (F.col("nd") / F.col("ntd"))), 9).alias("between_term"),
         )
     )
 
@@ -1232,12 +1223,11 @@ def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT n_pos, n_neg,
-           round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           CAST(round((CASE WHEN n_pos > 0 AND n_neg > 0 THEN
                  (CAST(two_ranksum AS DOUBLE) / 2.0
                   - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0)
                     / 2.0)
-                 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END,
-                 9) AS auc
+                 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END) * 1e9) AS BIGINT) / 1e9 AS auc
     FROM t
     """,
     doc="EXACT ROC-AUC of 'event value predicts purchase' via the "
@@ -1337,17 +1327,16 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c GROUP BY 1
     )
     SELECT decile, n, n_pos,
-           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9)
+           CAST(round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT) / 1e9
              AS response_rate,
-           round(CASE WHEN pos_tot > 0 THEN
+           CAST(round((CASE WHEN pos_tot > 0 THEN
                  (CAST(CAST(SUM(n_pos) OVER (ORDER BY decile
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS DOUBLE)
                   / CAST(CAST(SUM(n) OVER (ORDER BY decile
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS DOUBLE))
-                 / (CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) END,
-                 9) AS cum_lift
+                 / (CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) END) * 1e9) AS BIGINT) / 1e9 AS cum_lift
     FROM d
     """,
     doc="Decile lift / gains table for 'event value predicts "
@@ -1396,7 +1385,7 @@ def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile",
         "n",
         "n_pos",
-        F.round(F.col("n_pos").cast("double") / F.col("n").cast("double"), 9).alias(
+        pround(F.col("n_pos").cast("double") / F.col("n").cast("double"), 9).alias(
             "response_rate"
         ),
         F.round(
@@ -1436,11 +1425,10 @@ def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s GROUP BY 1
     )
     SELECT n_name AS nation, n_suppliers,
-           round(CAST(rev_tot AS DOUBLE) / 100, 6) AS revenue,
-           round(CASE WHEN rev_tot > 0 THEN
+           CAST(round((CAST(rev_tot AS DOUBLE) / 100) * 1e6) AS BIGINT) / 1e6 AS revenue,
+           CAST(round((CASE WHEN rev_tot > 0 THEN
                  CAST(rev_sq AS DOUBLE)
-                 / (CAST(rev_tot AS DOUBLE) * CAST(rev_tot AS DOUBLE)) END,
-                 9) AS hhi
+                 / (CAST(rev_tot AS DOUBLE) * CAST(rev_tot AS DOUBLE)) END) * 1e9) AS BIGINT) / 1e9 AS hhi
     FROM n JOIN nation ON s_nationkey = n_nationkey
     """,
     doc="Herfindahl-Hirschman supplier-concentration index per "
@@ -1479,7 +1467,7 @@ def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             "n_suppliers",
-            F.round(F.col("rev_tot").cast("double") / 100, 6).alias("revenue"),
+            pround(F.col("rev_tot").cast("double") / 100, 6).alias("revenue"),
             F.round(
                 F.when(
                     F.col("rev_tot") > 0,
@@ -1649,7 +1637,7 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
     SELECT n_days, s_stat,
-           round(CASE
+           CAST(round((CASE
              WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
                / sqrt((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
                        * (2.0 * CAST(n_days AS DOUBLE) + 5.0)
@@ -1658,7 +1646,7 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
                / sqrt((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
                        * (2.0 * CAST(n_days AS DOUBLE) + 5.0)
                        - CAST(tie_adj AS DOUBLE)) / 18.0)
-             ELSE 0.0 END, 6) AS z_stat
+             ELSE 0.0 END) * 1e6) AS BIGINT) / 1e6 AS z_stat
     FROM n CROSS JOIN s CROSS JOIN ties
     """,
     doc="Mann-Kendall nonparametric trend test on the daily revenue "
@@ -1883,9 +1871,9 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT n1, n2,
-           round(CASE WHEN n1 > 0 AND n2 > 0 THEN
+           CAST(round((CASE WHEN n1 > 0 AND n2 > 0 THEN
                  CAST(gap AS DOUBLE)
-                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END, 9) AS d_stat,
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END) * 1e9) AS BIGINT) / 1e9 AS d_stat,
            v AS at_value_cents
     FROM d WHERE rn = 1
     """,
@@ -1976,11 +1964,11 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c WHERE t < n
     )
     SELECT CAST(day AS VARCHAR) AS split_day,
-           round(cusum / 100, 6) AS max_cusum,
-           round(CAST(run_sum AS DOUBLE) / CAST(t AS DOUBLE) / 100, 6)
+           CAST(round((cusum / 100) * 1e6) AS BIGINT) / 1e6 AS max_cusum,
+           CAST(round((CAST(run_sum AS DOUBLE) / CAST(t AS DOUBLE) / 100) * 1e6) AS BIGINT) / 1e6
              AS mean_before,
-           round((CAST(s_tot AS DOUBLE) - CAST(run_sum AS DOUBLE))
-                 / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) / 100, 6)
+           CAST(round(((CAST(s_tot AS DOUBLE) - CAST(run_sum AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) / 100) * 1e6) AS BIGINT) / 1e6
              AS mean_after
     FROM k WHERE rn = 1
     """,
@@ -2027,10 +2015,8 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return k.where(F.col("rn") == 1).select(
         F.col("day").cast("string").alias("split_day"),
-        F.round(F.col("cusum") / 100, 6).alias("max_cusum"),
-        F.round(
-            F.col("run_sum").cast("double") / F.col("t").cast("double") / 100, 6
-        ).alias("mean_before"),
+        pround(F.col("cusum") / 100, 6).alias("max_cusum"),
+        pround(F.col("run_sum").cast("double") / F.col("t").cast("double") / 100, 6).alias("mean_before"),
         F.round(
             (F.col("s_tot").cast("double") - F.col("run_sum").cast("double"))
             / (F.col("n").cast("double") - F.col("t").cast("double"))
@@ -2105,9 +2091,9 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(SUM(1 - oov_ctx) AS BIGINT) AS n_scored,
            CAST(SUM(oov_ctx) AS BIGINT) AS n_oov_ctx,
-           round(CASE WHEN SUM(1 - oov_ctx) > 0 THEN
+           CAST(round((CASE WHEN SUM(1 - oov_ctx) > 0 THEN
                  CAST(CAST(SUM(nll_micros) AS BIGINT) AS DOUBLE)
-                 / SUM(1 - oov_ctx) / 1e6 END, 6) AS avg_nll
+                 / SUM(1 - oov_ctx) / 1e6 END) * 1e6) AS BIGINT) / 1e6 AS avg_nll
     FROM scored GROUP BY 1
     """,
     doc="Kneser-Ney smoothed bigram LM scored on the held-out split "
@@ -2291,11 +2277,11 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts GROUP BY 1
     )
     SELECT source, n_docs,
-           round(CASE WHEN n * sxx - sx * sx > 0 THEN
-                 (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS beta,
-           round(CASE WHEN n * sxx - sx * sx > 0 THEN
+           CAST(round((CASE WHEN n * sxx - sx * sx > 0 THEN
+                 (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * 1e6) AS BIGINT) / 1e6 AS beta,
+           CAST(round((CASE WHEN n * sxx - sx * sx > 0 THEN
                  exp(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-                      / n) / 1e6) END, 6) AS k
+                      / n) / 1e6) END) * 1e6) AS BIGINT) / 1e6 AS k
     FROM s
     """,
     doc="Heaps'-law vocabulary-growth fit per source: V(n) = K*n^beta "
@@ -2366,7 +2352,7 @@ def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "source",
         "n_docs",
-        F.round(F.when(var_x > 0, beta), 6).alias("beta"),
+        pround(F.when(var_x > 0, beta), 6).alias("beta"),
         F.round(
             F.when(
                 var_x > 0,
@@ -2413,12 +2399,12 @@ def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM unif
     )
     SELECT n_pos_pairs,
-           round(CASE WHEN n_pos_pairs > 0 THEN
-                 s_align / CAST(n_pos_pairs AS DOUBLE) / 1e6 END, 6)
+           CAST(round((CASE WHEN n_pos_pairs > 0 THEN
+                 s_align / CAST(n_pos_pairs AS DOUBLE) / 1e6 END) * 1e6) AS BIGINT) / 1e6
              AS alignment,
            n_unif_pairs,
-           round(CASE WHEN n_unif_pairs > 0 AND s_unif > 0 THEN
-                 ln(s_unif / CAST(n_unif_pairs AS DOUBLE) / 1e12) END, 6)
+           CAST(round((CASE WHEN n_unif_pairs > 0 AND s_unif > 0 THEN
+                 ln(s_unif / CAST(n_unif_pairs AS DOUBLE) / 1e12) END) * 1e6) AS BIGINT) / 1e6
              AS uniformity
     FROM pa CROSS JOIN ua
     """,
@@ -2533,10 +2519,10 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM trb
     )
     SELECT w1, w2, c2,
-           round(ln(CAST(c2 AS DOUBLE) * CAST(n_tok AS DOUBLE)
+           CAST(round((ln(CAST(c2 AS DOUBLE) * CAST(n_tok AS DOUBLE)
                     * CAST(n_tok AS DOUBLE)
                     / (CAST(m_bi AS DOUBLE) * CAST(a.c1 AS DOUBLE)
-                       * CAST(b.c1 AS DOUBLE))), 6) AS pmi
+                       * CAST(b.c1 AS DOUBLE)))) * 1e6) AS BIGINT) / 1e6 AS pmi
     FROM c2
     JOIN uni a ON a.tok = w1
     JOIN uni b ON b.tok = w2, tot
@@ -2646,10 +2632,10 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM aged GROUP BY 1, 2
     )
     SELECT CAST(r.m0 AS VARCHAR) AS cohort, r.age, r.n_orders,
-           round(CAST(r.rev_c AS DOUBLE) / 100, 6) AS revenue,
-           round(CAST(CAST(SUM(r.rev_c) OVER (PARTITION BY r.m0 ORDER BY r.age
+           CAST(round((CAST(r.rev_c AS DOUBLE) / 100) * 1e6) AS BIGINT) / 1e6 AS revenue,
+           CAST(round((CAST(CAST(SUM(r.rev_c) OVER (PARTITION BY r.m0 ORDER BY r.age
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
-                 / CAST(s.cohort_size AS DOUBLE) / 100, 6) AS cum_ltv
+                 / CAST(s.cohort_size AS DOUBLE) / 100) * 1e6) AS BIGINT) / 1e6 AS cum_ltv
     FROM rolled r JOIN sizes s USING (m0)
     """,
     doc="Cohort LTV curve: customers grouped by first-order month, "
@@ -2697,7 +2683,7 @@ def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m0").cast("string").alias("cohort"),
         "age",
         "n_orders",
-        F.round(F.col("rev_c").cast("double") / 100, 6).alias("revenue"),
+        pround(F.col("rev_c").cast("double") / 100, 6).alias("revenue"),
         F.round(
             F.sum("rev_c").over(w).cast("bigint").cast("double")
             / F.col("cohort_size").cast("double")
@@ -2735,13 +2721,13 @@ def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     )
     SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
-           round(CASE WHEN MAX(n1) > 0 AND MAX(n2) > 0 THEN
+           CAST(round((CASE WHEN MAX(n1) > 0 AND MAX(n2) > 0 THEN
                  CAST(SUM(CAST(abs(f1 * CAST(n2 AS HUGEINT)
                                    - f2 * CAST(n1 AS HUGEINT))
                                * (v_next - v) AS DECIMAL(38,0)))
                       AS DOUBLE)
                  / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)) / 100
-                 END, 6) AS w1_distance
+                 END) * 1e6) AS BIGINT) / 1e6 AS w1_distance
     FROM c WHERE v_next IS NOT NULL
     """,
     doc="Exact 1-D Wasserstein (earth mover's) distance between the "
@@ -2827,10 +2813,9 @@ def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d GROUP BY 1
     )
     SELECT event_type, n_days,
-           round(s1 / nd, 6) AS mean_daily,
-           round(CASE WHEN n_days > 1 AND s1 > 0 THEN
-                 ((s2 - s1 * s1 / nd) / (nd - 1.0)) / (s1 / nd) END,
-                 6) AS dispersion
+           CAST(round((s1 / nd) * 1e6) AS BIGINT) / 1e6 AS mean_daily,
+           CAST(round((CASE WHEN n_days > 1 AND s1 > 0 THEN
+                 ((s2 - s1 * s1 / nd) / (nd - 1.0)) / (s1 / nd) END) * 1e6) AS BIGINT) / 1e6 AS dispersion
     FROM s
     """,
     doc="Index of dispersion (variance-to-mean ratio of daily counts) "
@@ -2863,7 +2848,7 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type",
         "n_days",
-        F.round(F.col("s1") / F.col("nd"), 6).alias("mean_daily"),
+        pround(F.col("s1") / F.col("nd"), 6).alias("mean_daily"),
         F.round(
             F.when(
                 (F.col("n_days") > 1) & (F.col("s1") > 0),
@@ -2902,14 +2887,14 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r WHERE rk <= 201
     )
     SELECT k,
-           round(CASE WHEN l_ref IS NOT NULL AND k > 0
+           CAST(round((CASE WHEN l_ref IS NOT NULL AND k > 0
                       AND CAST(s_top - k * l_ref AS DOUBLE) > 0 THEN
                  CAST(s_top - k * l_ref AS DOUBLE) / CAST(k AS DOUBLE) / 1e6
-                 END, 6) AS hill_h,
-           round(CASE WHEN l_ref IS NOT NULL AND k > 0
+                 END) * 1e6) AS BIGINT) / 1e6 AS hill_h,
+           CAST(round((CASE WHEN l_ref IS NOT NULL AND k > 0
                       AND CAST(s_top - k * l_ref AS DOUBLE) > 0 THEN
                  CAST(k AS DOUBLE) * 1e6 / CAST(s_top - k * l_ref AS DOUBLE)
-                 END, 6) AS alpha
+                 END) * 1e6) AS BIGINT) / 1e6 AS alpha
     FROM s
     """,
     doc="Hill estimator of the order-value tail index over the top "
@@ -2955,12 +2940,8 @@ def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = F.col("l_ref").isNotNull() & (F.col("k") > 0) & (num > 0)
     return s.select(
         "k",
-        F.round(
-            F.when(ok, num / F.col("k").cast("double") / F.lit(1e6)), 6
-        ).alias("hill_h"),
-        F.round(
-            F.when(ok, F.col("k").cast("double") * F.lit(1e6) / num), 6
-        ).alias("alpha"),
+        pround(F.when(ok, num / F.col("k").cast("double") / F.lit(1e6)), 6).alias("hill_h"),
+        pround(F.when(ok, F.col("k").cast("double") * F.lit(1e6) / num), 6).alias("alpha"),
     )
 
 
@@ -2985,8 +2966,8 @@ def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
            sa.sz AS size_a, sb.sz AS size_b, i.n_inter,
-           round(CAST(i.n_inter AS DOUBLE)
-                 / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 6) AS jaccard
+           CAST(round((CAST(i.n_inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)) * 1e6) AS BIGINT) / 1e6 AS jaccard
     FROM inter i
     JOIN sizes sa ON sa.nk = i.nk1
     JOIN sizes sb ON sb.nk = i.nk2
@@ -3093,10 +3074,9 @@ def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j
     )
     SELECT n_edges,
-           round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+           CAST(round((CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
                  (n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
-                 6) AS assortativity
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END) * 1e6) AS BIGINT) / 1e6 AS assortativity
     FROM m
     """,
     doc="Bipartite degree assortativity of the supplier-part graph: "
@@ -3162,10 +3142,10 @@ def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u
     )
     SELECT n0, n1,
-           round(CASE WHEN n0 + n1 > 0 THEN
+           CAST(round((CASE WHEN n0 + n1 > 0 THEN
                  CAST(CAST(n0 - n1 AS DECIMAL(19,0))
                       * CAST(n0 - n1 AS DECIMAL(19,0)) AS DOUBLE)
-                 / CAST(n0 + n1 AS DOUBLE) END, 6) AS chi2,
+                 / CAST(n0 + n1 AS DOUBLE) END) * 1e6) AS BIGINT) / 1e6 AS chi2,
            CASE WHEN n0 + n1 > 0 THEN
                 CAST(CAST(n0 - n1 AS DECIMAL(19,0))
                      * CAST(n0 - n1 AS DECIMAL(19,0)) AS DOUBLE)
@@ -3204,7 +3184,7 @@ def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "n0",
         "n1",
-        F.round(chi2, 6).alias("chi2"),
+        pround(chi2, 6).alias("chi2"),
         (chi2 > 3.841).alias("srm_flag"),
     )
 
@@ -3227,10 +3207,9 @@ def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(SUM(in1) AS BIGINT) AS n1,
            CAST(SUM(in2) AS BIGINT) AS n2,
            CAST(SUM(in1 * in2) AS BIGINT) AS m_both,
-           round((CAST(SUM(in1) AS DOUBLE) + 1.0)
+           CAST(round(((CAST(SUM(in1) AS DOUBLE) + 1.0)
                  * (CAST(SUM(in2) AS DOUBLE) + 1.0)
-                 / (CAST(SUM(in1 * in2) AS DOUBLE) + 1.0) - 1.0,
-                 6) AS n_hat
+                 / (CAST(SUM(in1 * in2) AS DOUBLE) + 1.0) - 1.0) * 1e6) AS BIGINT) / 1e6 AS n_hat
     FROM flags
     """,
     doc="Capture-recapture estimate of the true active population "
@@ -3305,12 +3284,12 @@ def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT k, n,
-           round(CASE WHEN k > 1 AND n > k
+           CAST(round((CASE WHEN k > 1 AND n > k
                       AND (ss - a) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) > 0
                  THEN ((a - s * s / CAST(n AS DOUBLE))
                        / (CAST(k AS DOUBLE) - 1.0))
                       / ((ss - a) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
-                 END, 6) AS f_stat
+                 END) * 1e6) AS BIGINT) / 1e6 AS f_stat
     FROM m
     """,
     doc="One-way ANOVA F statistic for account balance across market "
@@ -3416,7 +3395,7 @@ def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM runs
     )
     SELECT n_up, n_down, n_runs,
-           round(CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down > 1
+           CAST(round((CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down > 1
                       AND (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
                            / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) + 1.0
                            - 1.0)
@@ -3437,7 +3416,7 @@ def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 + 1.0 - 2.0)
                              / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)
                                 - 1.0))
-                 END, 6) AS z_stat
+                 END) * 1e6) AS BIGINT) / 1e6 AS z_stat
     FROM m
     """,
     doc="Wald-Wolfowitz runs test on the daily revenue DIRECTION "
@@ -3536,10 +3515,9 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily a JOIN daily b ON b.day > a.day
     )
     SELECT n0, c AS concordant, d AS discordant,
-           round(CASE WHEN (n0 - tx) * (n0 - ty) > 0 THEN
+           CAST(round((CASE WHEN (n0 - tx) * (n0 - ty) > 0 THEN
                  CAST(c - d AS DOUBLE)
-                 / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) END,
-                 6) AS tau_b
+                 / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) END) * 1e6) AS BIGINT) / 1e6 AS tau_b
     FROM pairs
     """,
     doc="Exact Kendall tau-b between daily revenue and daily order "
@@ -3633,13 +3611,13 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON c.variant = t.variant AND c.f >= t.r AND c.f - c.cnt < t.r
     )
     SELECT decile,
-           round(CAST(MIN(CASE WHEN variant = 0 THEN qv END) AS DOUBLE)
-                 / 100, 6) AS q_a,
-           round(CAST(MIN(CASE WHEN variant = 1 THEN qv END) AS DOUBLE)
-                 / 100, 6) AS q_b,
-           round(CAST(MIN(CASE WHEN variant = 1 THEN qv END)
+           CAST(round((CAST(MIN(CASE WHEN variant = 0 THEN qv END) AS DOUBLE)
+                 / 100) * 1e6) AS BIGINT) / 1e6 AS q_a,
+           CAST(round((CAST(MIN(CASE WHEN variant = 1 THEN qv END) AS DOUBLE)
+                 / 100) * 1e6) AS BIGINT) / 1e6 AS q_b,
+           CAST(round((CAST(MIN(CASE WHEN variant = 1 THEN qv END)
                       - MIN(CASE WHEN variant = 0 THEN qv END) AS DOUBLE)
-                 / 100, 6) AS qte
+                 / 100) * 1e6) AS BIGINT) / 1e6 AS qte
     FROM q GROUP BY 1
     """,
     doc="Quantile treatment effects for the q248 experiment: at each "
@@ -3706,9 +3684,9 @@ def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
     qa = F.min(F.when(F.col("variant") == 0, F.col("qv")))
     qb = F.min(F.when(F.col("variant") == 1, F.col("qv")))
     return q.groupBy("decile").agg(
-        F.round(qa.cast("double") / 100, 6).alias("q_a"),
-        F.round(qb.cast("double") / 100, 6).alias("q_b"),
-        F.round((qb - qa).cast("double") / 100, 6).alias("qte"),
+        pround(qa.cast("double") / 100, 6).alias("q_a"),
+        pround(qb.cast("double") / 100, 6).alias("q_b"),
+        pround((qb - qa).cast("double") / 100, 6).alias("qte"),
     )
 
 
@@ -3812,7 +3790,7 @@ def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT brand,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
            CAST(SUM(dead) AS BIGINT) AS n_dead,
-           round(CAST(SUM(dead) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           CAST(round((CAST(SUM(dead) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
              AS dead_share
     FROM flags GROUP BY 1
     """,
@@ -3839,9 +3817,7 @@ def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.groupBy("brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         F.sum("dead").cast("bigint").alias("n_dead"),
-        F.round(
-            F.sum("dead").cast("double") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("dead_share"),
+        pround(F.sum("dead").cast("double") / F.count(F.lit(1)).cast("double"), 6).alias("dead_share"),
     )
 
 
@@ -3949,11 +3925,11 @@ def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT abc_class,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
-           round(CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE) / 100, 6)
+           CAST(round((CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE) / 100) * 1e6) AS BIGINT) / 1e6
              AS revenue,
-           round(CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE)
+           CAST(round((CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE)
                  / CAST((SELECT CAST(SUM(rev_c) AS BIGINT) FROM per_part)
-                        AS DOUBLE), 9) AS revenue_share
+                        AS DOUBLE)) * 1e9) AS BIGINT) / 1e9 AS revenue_share
     FROM cls GROUP BY 1
     """,
     doc="ABC inventory classification: parts ranked by revenue, class "
@@ -3994,7 +3970,7 @@ def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cls.groupBy("abc_class").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
-        F.round(F.sum("rev_c").cast("bigint").cast("double") / 100, 6).alias(
+        pround(F.sum("rev_c").cast("bigint").cast("double") / 100, 6).alias(
             "revenue"
         ),
         F.round(

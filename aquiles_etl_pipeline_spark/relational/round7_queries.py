@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .catalog import load, register
+from .catalog import load, register, pround
 
 
 def _words(text_col: str = "text") -> F.Column:
@@ -184,8 +184,8 @@ def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(a.grams_total, 0) AS BIGINT) AS grams_total,
            CAST(coalesce(a.grams_unseen, 0) AS BIGINT) AS grams_unseen,
            CASE WHEN coalesce(a.grams_total, 0) > 0
-                THEN round(CAST(a.grams_unseen AS DOUBLE)
-                           / CAST(a.grams_total AS DOUBLE), 6) END AS novelty_rate
+                THEN CAST(round((CAST(a.grams_unseen AS DOUBLE)
+                           / CAST(a.grams_total AS DOUBLE)) * 1e6) AS BIGINT) / 1e6 END AS novelty_rate
     FROM docs d LEFT JOIN agg a USING (source)
     """,
     doc="Train/test n-gram novelty (the memorization-risk profile a "
@@ -245,7 +245,7 @@ def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
         unseen.alias("grams_unseen"),
         F.when(
             total > 0,
-            F.round(unseen.cast("double") / total.cast("double"), 6),
+            pround(unseen.cast("double") / total.cast("double"), 6),
         ).alias("novelty_rate"),
     )
 
@@ -286,8 +286,8 @@ def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT i.src_a, i.src_b, i.inter,
            CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS unions,
-           round(CAST(i.inter AS DOUBLE)
-                 / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+           CAST(round((CAST(i.inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)) * 1e6) AS BIGINT) / 1e6 AS jaccard
     FROM inter i
     JOIN sizes sa ON sa.source = i.src_a
     JOIN sizes sb ON sb.source = i.src_b
@@ -357,7 +357,7 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_b",
             "inter",
             unions.alias("unions"),
-            F.round(F.col("inter").cast("double") / unions.cast("double"), 6).alias(
+            pround(F.col("inter").cast("double") / unions.cast("double"), 6).alias(
                 "jaccard"
             ),
         )
@@ -406,7 +406,7 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     )
     SELECT nationkey, segment, n_cust, neg_cnt,
-           round(p, 9) AS p_score, rk, (rk <= khat) AS rejected
+           CAST(round((p) * 1e9) AS BIGINT) / 1e9 AS p_score, rk, (rk <= khat) AS rejected
     FROM cut
     """,
     doc="Benjamini-Hochberg step-up FDR selection (BH 1995) across the "
@@ -472,7 +472,7 @@ def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "n_cust",
         "neg_cnt",
-        F.round(F.col("p"), 9).alias("p_score"),
+        pround(F.col("p"), 9).alias("p_score"),
         "rk",
         (F.col("rk") <= F.col("khat")).alias("rejected"),
     )
@@ -668,8 +668,8 @@ def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label,
            CAST(COUNT(r_micro) AS BIGINT) AS n_vecs,
            CASE WHEN COUNT(r_micro) > 0
-                THEN round(CAST(SUM(r_micro) AS DOUBLE)
-                           / CAST(COUNT(r_micro) AS DOUBLE) / 1000000, 6)
+                THEN CAST(round((CAST(SUM(r_micro) AS DOUBLE)
+                           / CAST(COUNT(r_micro) AS DOUBLE) / 1000000) * 1e6) AS BIGINT) / 1e6
            END AS avg_retained_cos
     FROM micro GROUP BY label
     """,
@@ -713,9 +713,7 @@ def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_vecs"),
         F.when(
             n > 0,
-            F.round(
-                F.sum("r_micro").cast("double") / n.cast("double") / 1000000, 6
-            ),
+            pround(F.sum("r_micro").cast("double") / n.cast("double") / 1000000, 6),
         ).alias("avg_retained_cos"),
     )
 
@@ -822,7 +820,7 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM weighted GROUP BY 1
     )
     SELECT s.partkey, p.p_name,
-           round(CAST(s.score_i AS DOUBLE) / 65536, 6) AS decayed_units,
+           CAST(round((CAST(s.score_i AS DOUBLE) / 65536) * 1e6) AS BIGINT) / 1e6 AS decayed_units,
            s.raw_units
     FROM scored s JOIN part p ON p.p_partkey = s.partkey
     ORDER BY s.score_i DESC, s.partkey LIMIT 20
@@ -865,7 +863,7 @@ def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "partkey",
             "p_name",
-            F.round(F.col("score_i").cast("double") / 65536, 6).alias(
+            pround(F.col("score_i").cast("double") / 65536, 6).alias(
                 "decayed_units"
             ),
             "raw_units",
@@ -1011,7 +1009,7 @@ def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.c_custkey AS custkey, s.c_name AS name,
            CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
            CAST(coalesce(l.n_lineitems, 0) AS BIGINT) AS n_lineitems,
-           round(CAST(coalesce(o.spend_c, 0) AS DOUBLE) / 100, 2) AS total_spend,
+           CAST(round((CAST(coalesce(o.spend_c, 0) AS DOUBLE) / 100) * 1e2) AS BIGINT) / 1e2 AS total_spend,
            o.first_order, o.last_order
     FROM subjects s
     LEFT JOIN o ON o.o_custkey = s.c_custkey
@@ -1076,9 +1074,7 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_lineitems", F.lit(0))
             .cast("bigint")
             .alias("n_lineitems"),
-            F.round(
-                F.coalesce("spend_c", F.lit(0)).cast("double") / 100, 2
-            ).alias("total_spend"),
+            pround(F.coalesce("spend_c", F.lit(0)).cast("double") / 100, 2).alias("total_spend"),
             "first_order",
             "last_order",
         )
@@ -1127,8 +1123,8 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pick
     )
     SELECT source, tokens,
-           round(CASE WHEN rn < rn_star THEN CAST(tokens AS DOUBLE)
-                      ELSE t_star END, 4) AS allocation,
+           CAST(round((CASE WHEN rn < rn_star THEN CAST(tokens AS DOUBLE)
+                      ELSE t_star END) * 1e4) AS BIGINT) / 1e4 AS allocation,
            (rn < rn_star) AS saturated,
            budget
     FROM lvl
@@ -1305,12 +1301,12 @@ def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM terms GROUP BY 1
     )
     SELECT source, n_chars, n_distinct_chars,
-           round((CAST(n_chars AS DOUBLE)
+           CAST(round(((CAST(n_chars AS DOUBLE)
                   * CAST(CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000)
                               AS BIGINT) AS DOUBLE)
                   - CAST(sum_micros AS DOUBLE))
                  / CAST(n_chars AS DOUBLE) / 1000000
-                 / 0.6931471805599453, 6) AS entropy_bits
+                 / 0.6931471805599453) * 1e6) AS BIGINT) / 1e6 AS entropy_bits
     FROM agg
     """,
     doc="Per-source character-entropy compression proxy (low-entropy "
@@ -1384,12 +1380,11 @@ def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1
     )
     SELECT event_type, n,
-           round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100, 6) AS mean_value,
-           round(CASE WHEN n > 1 THEN
+           CAST(round((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100) * 1e6) AS BIGINT) / 1e6 AS mean_value,
+           CAST(round((CASE WHEN n > 1 THEN
                  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000 END,
-                 6) AS variance,
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000 END) * 1e6) AS BIGINT) / 1e6 AS variance,
            CAST(ceil(CASE WHEN n > 1 AND sx > 0 THEN
                 2 * ((1.959963985 + 0.8416212336)
                      * (1.959963985 + 0.8416212336))
@@ -1432,8 +1427,8 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type",
         "n",
-        F.round(sxd / nd / 100, 6).alias("mean_value"),
-        F.round(F.when(F.col("n") > 1, var_c2 / 10000), 6).alias("variance"),
+        pround(sxd / nd / 100, 6).alias("mean_value"),
+        pround(F.when(F.col("n") > 1, var_c2 / 10000), 6).alias("variance"),
         F.ceil(
             F.when(
                 (F.col("n") > 1) & (F.col("sx") > 0),
@@ -1493,7 +1488,7 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, MIN(CASE WHEN gini = best THEN threshold END) OVER () AS best_t
       FROM flagged
     )
-    SELECT threshold, n_left, n_right, round(gini, 9) AS gini,
+    SELECT threshold, n_left, n_right, CAST(round((gini) * 1e9) AS BIGINT) / 1e9 AS gini,
            CASE WHEN gini IS NULL THEN FALSE
                 ELSE gini = best AND threshold = best_t END AS is_best
     FROM tied
@@ -1554,7 +1549,7 @@ def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold",
         "n_left",
         "n_right",
-        F.round(F.col("gini0"), 9).alias("gini"),
+        pround(F.col("gini0"), 9).alias("gini"),
         F.when(F.col("gini0").isNull(), F.lit(False))
         .otherwise((F.col("gini0") == best) & (F.col("threshold") == best_t))
         .alias("is_best"),
@@ -1646,18 +1641,18 @@ def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t GROUP BY 1
     )
     SELECT source, n,
-           round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000, 6) AS mu_ln,
-           round(CASE WHEN n > 1 THEN
+           CAST(round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000) * 1e6) AS BIGINT) / 1e6 AS mu_ln,
+           CAST(round((CASE WHEN n > 1 THEN
                  sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 1000000
-                 END, 6) AS sigma_ln,
-           round(CASE WHEN n > 1 THEN
+                 END) * 1e6) AS BIGINT) / 1e6 AS sigma_ln,
+           CAST(round((CASE WHEN n > 1 THEN
                  exp(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000
                      + ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
-                       / 2000000000000) END, 6) AS fitted_mean_chars
+                       / 2000000000000) END) * 1e6) AS BIGINT) / 1e6 AS fitted_mean_chars
     FROM m
     """,
     doc="Log-normal fit of per-source document lengths (the standard "
@@ -1691,10 +1686,8 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "source",
         "n",
-        F.round(s1d / nd / 1000000, 6).alias("mu_ln"),
-        F.round(
-            F.when(F.col("n") > 1, F.sqrt(var_micros2) / 1000000), 6
-        ).alias("sigma_ln"),
+        pround(s1d / nd / 1000000, 6).alias("mu_ln"),
+        pround(F.when(F.col("n") > 1, F.sqrt(var_micros2) / 1000000), 6).alias("sigma_ln"),
         F.round(
             F.when(
                 F.col("n") > 1,
@@ -1883,8 +1876,8 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT src_a, src_b,
            CAST(COUNT(*) AS BIGINT) AS n_words,
-           round(CAST(SUM(dz_micros) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE) / 1000000, 6) AS delta
+           CAST(round((CAST(SUM(dz_micros) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000) * 1e6) AS BIGINT) / 1e6 AS delta
     FROM pair_terms GROUP BY 1, 2
     """,
     doc="Burrows' delta stylometric distance between sources (Burrows "
@@ -2109,7 +2102,7 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     )
     SELECT nationkey, segment, n_cust, neg_cnt,
-           round(p, 9) AS p_score, rk, (rk < first_fail) AS rejected
+           CAST(round((p) * 1e9) AS BIGINT) / 1e9 AS p_score, rk, (rk < first_fail) AS rejected
     FROM cut
     """,
     doc="Holm-Bonferroni step-DOWN selection (Holm 1979) over the same "
@@ -2170,7 +2163,7 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "n_cust",
         "neg_cnt",
-        F.round(F.col("p"), 9).alias("p_score"),
+        pround(F.col("p"), 9).alias("p_score"),
         "rk",
         (F.col("rk") < F.col("first_fail")).alias("rejected"),
     )
@@ -2281,8 +2274,8 @@ def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN k >= 5 THEN k ELSE 0 END) AS BIGINT)
              AS n_customers_safe,
            CAST(SUM(k) AS BIGINT) AS n_customers,
-           round(CAST(SUM(CASE WHEN k >= 5 THEN k ELSE 0 END) AS DOUBLE)
-                 / CAST(SUM(k) AS DOUBLE), 6) AS pct_safe
+           CAST(round((CAST(SUM(CASE WHEN k >= 5 THEN k ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(k) AS DOUBLE)) * 1e6) AS BIGINT) / 1e6 AS pct_safe
     FROM classes GROUP BY 1
     """,
     doc="k-anonymity generalization ladder (the q296 profile's policy "
@@ -2317,7 +2310,5 @@ def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_classes"),
         safe.alias("n_customers_safe"),
         F.sum("k").cast("bigint").alias("n_customers"),
-        F.round(
-            safe.cast("double") / F.sum("k").cast("double"), 6
-        ).alias("pct_safe"),
+        pround(safe.cast("double") / F.sum("k").cast("double"), 6).alias("pct_safe"),
     )

@@ -959,12 +959,16 @@ def q358(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    a = (
-        F.when(F.col("n_chars") % 2 == 0, "en").otherwise("zh") == F.col("lang")
-    ).cast("int")
-    b = (
-        F.when(F.col("doc_id") % 3 == 0, "en").otherwise("zh") == F.col("lang")
-    ).cast("int")
+    # F.when(cond, 1).otherwise(0), NOT cond.cast("int"): the equality
+    # is NULL on NULL lang and a bare cast would drop the row from all
+    # four concordance cells while the SQL twin's CASE ... ELSE 0
+    # counts it in n00 (engine-symmetry contract; q346 does the same)
+    a = F.when(
+        F.when(F.col("n_chars") % 2 == 0, "en").otherwise("zh") == F.col("lang"), 1
+    ).otherwise(0)
+    b = F.when(
+        F.when(F.col("doc_id") % 3 == 0, "en").otherwise("zh") == F.col("lang"), 1
+    ).otherwise(0)
     cells = d.select(a.alias("a"), b.alias("b")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
@@ -1345,12 +1349,20 @@ def q361(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain()
     land_wave(e.where(F.col("event_id") % 2 == 1), "b")
     drain()
-    daily = wh.read("sprt_daily").select(
-        "cohort",
-        "day",
-        F.col("trials").cast("bigint").alias("trials"),
-        F.col("conv").cast("bigint").alias("conv"),
-    )
+    if wh.exists("sprt_daily"):
+        daily = wh.read("sprt_daily").select(
+            "cohort",
+            "day",
+            F.col("trials").cast("bigint").alias("trials"),
+            F.col("conv").cast("bigint").alias("conv"),
+        )
+    else:
+        # degenerate corpus: no event ever merged, so the rollup table
+        # was never created — the SQL oracle returns an empty result
+        # set on the same input, so mirror it with an empty frame
+        daily = spark.createDataFrame(
+            [], "cohort bigint, day date, trials bigint, conv bigint"
+        )
     return _sprt_readback(spark, daily)
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import emit, load, register
+from .catalog import emit, load, register, pround
 from . import sketches
 
 
@@ -98,7 +98,7 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks)
     SELECT token,
            COUNT(*) AS cnt,
-           ROUND(COUNT(*) / (SELECT n FROM tot), 6) AS freq
+           CAST(ROUND((COUNT(*) / (SELECT n FROM tot)) * 1e6) AS BIGINT) / 1e6 AS freq
     FROM toks
     GROUP BY token
     HAVING COUNT(*) > (SELECT n FROM tot) / 50
@@ -312,36 +312,36 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'quantity_in_range' AS rule, COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
                          THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
-           ROUND(SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
-                          THEN 0 ELSE 1 END) / COUNT(*), 6) AS violation_rate
+           CAST(ROUND((SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
+                          THEN 0 ELSE 1 END) / COUNT(*)) * 1e6) AS BIGINT) / 1e6 AS violation_rate
     FROM lineitem
     UNION ALL
     SELECT 'discount_in_range', COUNT(*),
            CAST(SUM(CASE WHEN COALESCE(l_discount BETWEEN 0.0 AND 0.1, FALSE)
                          THEN 0 ELSE 1 END) AS BIGINT),
-           ROUND(SUM(CASE WHEN COALESCE(l_discount BETWEEN 0.0 AND 0.1, FALSE)
-                          THEN 0 ELSE 1 END) / COUNT(*), 6)
+           CAST(ROUND((SUM(CASE WHEN COALESCE(l_discount BETWEEN 0.0 AND 0.1, FALSE)
+                          THEN 0 ELSE 1 END) / COUNT(*)) * 1e6) AS BIGINT) / 1e6
     FROM lineitem
     UNION ALL
     SELECT 'tax_non_negative', COUNT(*),
            CAST(SUM(CASE WHEN COALESCE(l_tax >= 0.0, FALSE)
                          THEN 0 ELSE 1 END) AS BIGINT),
-           ROUND(SUM(CASE WHEN COALESCE(l_tax >= 0.0, FALSE)
-                          THEN 0 ELSE 1 END) / COUNT(*), 6)
+           CAST(ROUND((SUM(CASE WHEN COALESCE(l_tax >= 0.0, FALSE)
+                          THEN 0 ELSE 1 END) / COUNT(*)) * 1e6) AS BIGINT) / 1e6
     FROM lineitem
     UNION ALL
     SELECT 'shipdate_present', COUNT(*),
            CAST(SUM(CASE WHEN l_shipdate IS NOT NULL
                          THEN 0 ELSE 1 END) AS BIGINT),
-           ROUND(SUM(CASE WHEN l_shipdate IS NOT NULL
-                          THEN 0 ELSE 1 END) / COUNT(*), 6)
+           CAST(ROUND((SUM(CASE WHEN l_shipdate IS NOT NULL
+                          THEN 0 ELSE 1 END) / COUNT(*)) * 1e6) AS BIGINT) / 1e6
     FROM lineitem
     UNION ALL
     SELECT 'returnflag_valid', COUNT(*),
            CAST(SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE)
                          THEN 0 ELSE 1 END) AS BIGINT),
-           ROUND(SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE)
-                          THEN 0 ELSE 1 END) / COUNT(*), 6)
+           CAST(ROUND((SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE)
+                          THEN 0 ELSE 1 END) / COUNT(*)) * 1e6) AS BIGINT) / 1e6
     FROM lineitem
     """,
     doc="Declarative data-quality expectation suite "
@@ -392,14 +392,14 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           ROUND(CASE WHEN n * sxx - sx * sx > 0 THEN
-                 (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
-           ROUND(CASE WHEN n * sxx - sx * sx > 0 THEN
+           CAST(ROUND((CASE WHEN n * sxx - sx * sx > 0 THEN
+                 (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * 1e6) AS BIGINT) / 1e6 AS slope,
+           CAST(ROUND((CASE WHEN n * sxx - sx * sx > 0 THEN
                  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
-                 END, 6) AS intercept,
-           ROUND(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+                 END) * 1e6) AS BIGINT) / 1e6 AS intercept,
+           CAST(ROUND((CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
                  ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END) * 1e6) AS BIGINT) / 1e6 AS r2
     FROM s
     """,
     doc="Distributed OLS via sufficient statistics "
@@ -442,9 +442,9 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(hr AS INT) AS hr,
            observed,
-           ROUND(row_t * col_t / n, 6) AS expected,
-           ROUND(POWER(observed - row_t * col_t / n, 2)
-                 / (row_t * col_t / n), 6) AS chi2_contrib
+           CAST(ROUND((row_t * col_t / n) * 1e6) AS BIGINT) / 1e6 AS expected,
+           CAST(ROUND((POWER(observed - row_t * col_t / n, 2)
+                 / (row_t * col_t / n)) * 1e6) AS BIGINT) / 1e6 AS chi2_contrib
     FROM tot
     """,
     doc="Chi-square contingency analysis of event_type x hour-of-day: "
@@ -487,10 +487,8 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hr",
         "observed",
-        F.round(expected, 6).alias("expected"),
-        F.round(
-            F.pow(F.col("observed") - expected, F.lit(2)) / expected, 6
-        ).alias("chi2_contrib"),
+        pround(expected, 6).alias("expected"),
+        pround(F.pow(F.col("observed") - expected, F.lit(2)) / expected, 6).alias("chi2_contrib"),
     )
 
 
@@ -560,9 +558,9 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           ROUND(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+           CAST(ROUND((CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
                  (n * sxy - sx * sy)
-                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END) * 1e6) AS BIGINT) / 1e6
              AS spearman_rho
     FROM s
     """,
@@ -612,9 +610,7 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         # an all-tied group zeroes a rank variance: NULL rho, not an
         # ANSI division error (the round-6 guard rule)
-        F.round(
-            F.when(var_x * var_y > 0, cov_n / F.sqrt(var_x * var_y)), 6
-        ).alias("spearman_rho"),
+        pround(F.when(var_x * var_y > 0, cov_n / F.sqrt(var_x * var_y)), 6).alias("spearman_rho"),
     )
 
 
@@ -637,9 +633,9 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT 'user_id' AS key_col,
            n_keys, n_rows, max_cnt,
-           ROUND(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS top1_share,
-           ROUND(2.0 * weighted / (CAST(n_keys AS DOUBLE) * n_rows)
-                 - (n_keys + 1.0) / n_keys, 6) AS gini
+           CAST(ROUND((CAST(max_cnt AS DOUBLE) / n_rows) * 1e6) AS BIGINT) / 1e6 AS top1_share,
+           CAST(ROUND((2.0 * weighted / (CAST(n_keys AS DOUBLE) * n_rows)
+                 - (n_keys + 1.0) / n_keys) * 1e6) AS BIGINT) / 1e6 AS gini
     FROM s
     -- weighted sums as exact DECIMAL (int64 wraps at billions of keys;
     -- DuckDB's DECIMAL(19,0) factor forces the int128 multiply path)
@@ -685,7 +681,7 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys",
         "n_rows",
         "max_cnt",
-        F.round(F.col("max_cnt").cast("double") / F.col("n_rows"), 6).alias(
+        pround(F.col("max_cnt").cast("double") / F.col("n_rows"), 6).alias(
             "top1_share"
         ),
         F.round(

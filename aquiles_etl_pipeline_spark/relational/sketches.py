@@ -26,6 +26,8 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..numerics import pround
+
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
@@ -182,7 +184,7 @@ def heavy_hitters(
         .select(
             token_col,
             "cnt",
-            F.round(F.col("cnt") / F.col("__total"), 6).alias("freq"),
+            pround(F.col("cnt") / F.col("__total"), 6).alias("freq"),
         )
     )
 
@@ -341,14 +343,12 @@ def linear_fit(
     return stats.select(
         group_col,
         guarded(F.col("n")).cast("long").alias("n"),
-        guarded(F.round(slope, 6)).alias("slope"),
+        guarded(pround(slope, 6)).alias("slope"),
         guarded(
-            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+            pround((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
         ).alias("intercept"),
         guarded(
-            F.round(
-                F.when(var_x * var_y > 0, (cov_n * cov_n) / (var_x * var_y)), 6
-            )
+            pround(F.when(var_x * var_y > 0, (cov_n * cov_n) / (var_x * var_y)), 6)
         ).alias("r2"),
     )
 
@@ -748,9 +748,7 @@ def completeness_profile(
         F.col("_p.n_null").alias("n_null"),
         F.when(F.col("n_rows") == 0, F.lit(None).cast("double"))
         .otherwise(
-            F.round(
-                F.col("_p.n_null").cast("double") / F.col("n_rows"), 6
-            )
+            pround(F.col("_p.n_null").cast("double") / F.col("n_rows"), 6)
         )
         .alias("pct_null"),
     )

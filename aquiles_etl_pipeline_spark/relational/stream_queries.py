@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import windows
-from .catalog import load, register
+from .catalog import load, register, pround
 
 
 @register(
@@ -1107,7 +1107,7 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS sum_value
+           CAST(ROUND((CAST(SUM(cents) AS DOUBLE) / 100) * 1e2) AS BIGINT) / 1e2 AS sum_value
     FROM tagged
     GROUP BY user_id, sid
     """,
@@ -1200,7 +1200,7 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.timestamp_micros("start_us").alias("session_start"),
                 F.timestamp_micros("end_us").alias("session_end"),
                 "n_events",
-                F.round(F.col("sum_cents").cast("double") / 100, 2).alias(
+                pround(F.col("sum_cents").cast("double") / 100, 2).alias(
                     "sum_value"
                 ),
             )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import load, register
+from .catalog import load, register, pround
 
 _DEC = "decimal(18,6)"
 
@@ -351,7 +351,7 @@ def rolling_zscore(
         "event_id",
         ts_col,
         value_col,
-        F.round(z, 6).alias("zscore"),
+        pround(z, 6).alias("zscore"),
         F.when(z.isNotNull(), F.abs(z) > z_threshold).alias("is_anomaly"),
     )
 
@@ -372,9 +372,9 @@ def rolling_zscore(
                      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
     )
     SELECT user_id, event_id, ts, value,
-           ROUND(CASE WHEN n > 1 AND (s2 - s1*s1/n)/(n - 1.0) > 0
+           CAST(ROUND((CASE WHEN n > 1 AND (s2 - s1*s1/n)/(n - 1.0) > 0
                  THEN (value - s1/n) / sqrt((s2 - s1*s1/n)/(n - 1.0))
-                 END, 6) AS zscore,
+                 END) * 1e6) AS BIGINT) / 1e6 AS zscore,
            CASE WHEN n > 1 AND (s2 - s1*s1/n)/(n - 1.0) > 0
                 THEN abs((value - s1/n) / sqrt((s2 - s1*s1/n)/(n - 1.0))) > 3.0
                 END AS is_anomaly
@@ -807,8 +807,8 @@ def trailing_ewma(
     # NULL, not a 0/0 artifact
     return df.select(
         "*",
-        F.when(cnt > 0, F.round(num / den, 6)).alias(f"ewma{depth}"),
-        F.when(cnt > 0, F.round(sm / cnt, 6)).alias(f"sma{depth}"),
+        F.when(cnt > 0, pround(num / den, 6)).alias(f"ewma{depth}"),
+        F.when(cnt > 0, pround(sm / cnt, 6)).alias(f"sma{depth}"),
         cnt.alias("n_trail"),
     )
 
@@ -908,7 +908,7 @@ def linear_attribution(
     return attributed.unionByName(unattributed).select(
         "touchpoint",
         "n_credits",
-        F.round(F.col("_micros").cast("double") / 1e6, 6).alias("attributed_value"),
+        pround(F.col("_micros").cast("double") / 1e6, 6).alias("attributed_value"),
     )
 
 
@@ -1019,7 +1019,7 @@ def position_attribution(
     return attributed.unionByName(unattributed).select(
         "touchpoint",
         "n_credits",
-        F.round(F.col("_micros").cast("double") / 1e6, 6).alias("attributed_value"),
+        pround(F.col("_micros").cast("double") / 1e6, 6).alias("attributed_value"),
     )
 
 
