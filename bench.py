@@ -6,6 +6,16 @@ JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
 Each query is forced through a full execution with a cheap count-style
 action (collect on aggregates, count on row-returning queries) so we
 measure scan+shuffle+compute, not driver transfer of big results.
+
+Recheck mode — `python bench.py --recheck q241 q254 ...` (qNNN short
+keys or full names): re-times ONLY the named queries and annotates
+BENCH_DETAIL.json with a top-level "recheck" map {qNNN: sec} plus
+"recheck_host".  This is the mechanical form of the jitter discipline
+(BENCH jitter note / r09 verdict ask #7): a shared VM stalls a random
+~10-query window per full run, so any flagged >1.5x regression gets a
+second, isolated timing before it is believed.  The original "queries"
+map is left untouched — the recheck is evidence alongside the run, not
+a retroactive edit of it.
 """
 
 from __future__ import annotations
@@ -30,6 +40,10 @@ def main() -> None:
     spark = get_spark(app_name="aquiles-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--recheck":
+        recheck(spark, sf_dir, sys.argv[2:])
+        return
+
     # Warm the JVM/codegen paths once so per-query times measure the
     # engine, not first-call JIT + session setup.
     specs = registry()
@@ -52,15 +66,7 @@ def main() -> None:
             specs[name].fn(spark, sf_dir).limit(1).collect()
 
     def run_once(name: str, spec) -> float:
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        # force full computation; result sizes are small (aggregates/top-k)
-        # except row-level queries, where count() still executes the plan.
-        if len(df.columns) <= 2 or name.split("_")[0] in {"q14", "q15", "q16", "q18", "q24"}:
-            df.count()
-        else:
-            df.collect()
-        return time.perf_counter() - t0
+        return _run_once(spark, sf_dir, name, spec)
 
     # Per-query incremental reporting (stderr, so the single-line JSON
     # contract on stdout is untouched) + outlier re-run: a shared VM can
@@ -116,6 +122,62 @@ def main() -> None:
 
     for line in emit_lines(timings, sf):
         print(line, flush=True)
+
+
+def _run_once(spark, sf_dir: str, name: str, spec) -> float:
+    t0 = time.perf_counter()
+    df = spec.fn(spark, sf_dir)
+    # force full computation; result sizes are small (aggregates/top-k)
+    # except row-level queries, where count() still executes the plan.
+    if len(df.columns) <= 2 or name.split("_")[0] in {"q14", "q15", "q16", "q18", "q24"}:
+        df.count()
+    else:
+        df.collect()
+    return time.perf_counter() - t0
+
+
+def recheck(spark, sf_dir: str, requested: list[str]) -> None:
+    """Re-time only the named queries (qNNN short keys or full names)
+    and annotate BENCH_DETAIL.json with {"recheck": {qNNN: sec}}.
+    Each query runs once warm-up + twice timed, keeping the MIN of the
+    timed runs — the isolated-lane number a stall-window flag should be
+    judged against."""
+    from aquiles_etl_pipeline_spark.relational import registry
+
+    specs = registry()
+    by_short = {n.split("_", 1)[0]: n for n in specs}
+    names = []
+    for req in requested:
+        for r in req.split(","):
+            r = r.strip()
+            if not r:
+                continue
+            full = by_short.get(r, r)
+            if full not in specs:
+                print(f"[bench] unknown query: {r}", file=sys.stderr)
+                continue
+            names.append(full)
+    if not names:
+        print("[bench] --recheck: no valid queries given", file=sys.stderr)
+        return
+
+    results: dict[str, float] = {}
+    for name in names:
+        spec = specs[name]
+        _run_once(spark, sf_dir, name, spec)  # warm-up (plan + JIT + cache)
+        t = min(_run_once(spark, sf_dir, name, spec) for _ in range(2))
+        results[name.split("_", 1)[0]] = round(t, 2)
+        print(f"[bench] recheck {name}: {round(t, 2)}s", file=sys.stderr, flush=True)
+
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    if detail_path.exists():
+        detail = json.loads(detail_path.read_text())
+        detail.setdefault("recheck", {}).update(results)
+        detail["recheck_host"] = platform.node() or "unknown"
+        detail_path.write_text(json.dumps(detail, indent=1, sort_keys=True) + "\n")
+        print(f"[bench] annotated {detail_path}", file=sys.stderr, flush=True)
+    print(json.dumps({"metric": "bench_recheck", "queries": results},
+                     separators=(",", ":")), flush=True)
 
 
 def emit_lines(timings: dict[str, float], sf: float) -> list[str]:

@@ -344,8 +344,11 @@ def test_sprt_matches_bruteforce(spark, tmp_path_factory, days):
 @settings(max_examples=5, deadline=None)
 @given(
     docs=st.lists(
+        # None lang included: a NULL-lang row must land in n00 for BOTH
+        # coders (r09 ADVICE — the bare (pred == lang).cast(int) was
+        # NULL-dropping the row from all four cells on the Spark side)
         st.tuples(st.integers(min_value=0, max_value=40),
-                  st.sampled_from(["en", "zh"]),
+                  st.sampled_from(["en", "zh", None]),
                   st.integers(min_value=1, max_value=40)),
         min_size=1,
         max_size=30,
@@ -378,6 +381,52 @@ def test_krippendorff_matches_bruteforce(spark, tmp_path_factory, docs):
         assert got["alpha"] == pytest.approx(1 - do / de, abs=1e-9)
     else:
         assert got["alpha"] is None
+
+
+def test_krippendorff_null_lang_matches_oracle(spark, tmp_path_factory):
+    """Engine symmetry on NULL lang (r09 ADVICE): a NULL-lang row makes
+    both coder predicates NULL; the SQL CASE counts it in n00, so the
+    Spark side must too — and n11+n10+n01+n00 must equal n."""
+    import duckdb
+
+    tmp = tmp_path_factory.mktemp("kanull")
+    d = tmp / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        [(0, "t", "en", "w", 2), (1, "t", None, "w", 3),
+         (2, "t", "zh", "w", 5), (3, "t", None, "w", 4)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(d / "documents.parquet", index=False)
+    spec = registry()["q359_krippendorff_alpha"]
+    got = spec.fn(spark, str(d)).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(spec.sql).fetchone()
+    assert (got["n"], got["n11"], got["n10"], got["n01"], got["n00"]) == want[:5]
+    assert got["n11"] + got["n10"] + got["n01"] + got["n00"] == got["n"]
+
+
+def test_stream_sprt_empty_events_returns_empty(spark, tmp_path_factory):
+    """q361 on a corpus with ZERO events (r09 ADVICE): no batch ever
+    merges, the rollup table is never created, and the readback must
+    return an empty frame like the SQL oracle — not FileNotFoundError."""
+    tmp = tmp_path_factory.mktemp("sprtempty")
+    d = tmp / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": pd.Series(dtype="int64"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "user_id": pd.Series(dtype="int64"),
+            "event_type": pd.Series(dtype="string"),
+            "value": pd.Series(dtype="float64"),
+            "props": pd.Series(dtype="string"),
+        }
+    ).to_parquet(d / "events.parquet", index=False)
+    got = registry()["q361_stream_sprt_monitor"].fn(spark, str(d)).collect()
+    assert got == []
 
 
 # ---------------------------------------------------------------------------

@@ -141,11 +141,15 @@ def build_scaled(src: str, dst: Path, factor: int, skew: bool = False) -> None:
             rekeyed = f"t.{c} + c.i * {OFFSET}" if c in keys else f"t.{c}"
             if c in skew_cols:
                 whale, pk = skew_cols[c]
-                # hash(pk) picks the same 30% of rows in every copy —
-                # deterministic, rerun-stable, independent of the fk
-                # value being overridden
+                # hash(pk || ':fk') picks the same 30% of rows in every
+                # copy — deterministic, rerun-stable, independent of the
+                # fk value being overridden.  The fk name SALTS the
+                # selector so two FKs on one table (lineitem's part +
+                # supplier) whale INDEPENDENT 30% slices instead of
+                # perfectly-correlated ones (whale-supplier rows must
+                # also carry non-whale parts, and vice versa)
                 return (
-                    f"CASE WHEN hash(t.{pk}) % 10 < {SKEW_PCT // 10} "
+                    f"CASE WHEN hash(t.{pk} || ':{c}') % 10 < {SKEW_PCT // 10} "
                     f"THEN CAST({whale} AS BIGINT) ELSE {rekeyed} END AS {c}"
                 )
             return f"{rekeyed} AS {c}"
