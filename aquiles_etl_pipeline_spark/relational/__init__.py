@@ -18,5 +18,6 @@ from . import round7_queries  # noqa: F401 — registers q289+ into the registry
 from . import round7b_queries  # noqa: F401 — registers q314+ into the registry
 from . import round8_queries  # noqa: F401 — registers q328+ into the registry
 from . import round9_queries  # noqa: F401 — registers q351+ into the registry
+from . import round10_queries  # noqa: F401 — registers q367+ into the registry
 
 __all__ = ["QuerySpec", "load", "register", "registry"]

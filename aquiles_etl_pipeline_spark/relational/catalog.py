@@ -169,8 +169,16 @@ _GRADE_FIRST = (
     "q364_kendall_w_concordance",
     "q365_effect_sizes",
     "q366_page_hinkley_drift",
-    # --- block C (r03-green, stalest): q01-q84 head completes the
-    #     50-query r10 budget; q85-q100 spill to the r11 head ---
+    # --- round-10 wing q367-q370: never driver-graded — never-green
+    #     rows outrank stale-green ones (the r09 lesson), so they sit
+    #     ahead of block C; the 4 block-C rows they displace (q81-q84)
+    #     head the r11 order instead ---
+    "q367_histogram_quantile_merge",
+    "q368_hll_register_union",
+    "q369_runtime_regression_advisor",
+    "q370_stream_restart_redelivery",
+    # --- block C (r03-green, stalest): q01-q80 head completes the
+    #     50-query r10 budget; q81-q100 spill to the r11 head ---
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -295,6 +295,16 @@ def test_no_accidental_cartesian_products(plans):
         # q362 hash collisions: the vocab totals cross onto the
         # 1024-bucket frame as a single-row aggregate — q42's shape
         "q362_feature_hash_collisions",
+        # q367 quantile merge: the single-row rank targets broadcast
+        # onto the bin-count histogram (bounded by value-domain/width,
+        # not rows) and the three one-row legs cross-assemble — q42's
+        # degenerate map shape both times
+        "q367_histogram_quantile_merge",
+        # q368 HLL union: the one-row harmonic-sum/empty-count leg
+        # crosses onto the one-row exact-count leg (1 x 1) — q130's
+        # single-row assembly shape; the 64-row register scaffold is
+        # an equi-join, not part of the NLJ
+        "q368_hll_register_union",
     }
     for name, p in plans.items():
         if name in allowed:
@@ -2067,3 +2077,34 @@ def test_q366_page_hinkley_windows_day_frame(plans):
     assert "Join" not in p
     assert "Window" in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_q367_quantile_merge_two_level_aggregate(plans):
+    """q367 mergeable quantiles: the sketch side must be TWO hash
+    aggregations (per-shard partial histogram, then bin merge) with
+    the rank-target single row broadcast onto the bin frame — never a
+    raw-value shuffle on the sketch path."""
+    p = plans["q367_histogram_quantile_merge"]
+    assert "BroadcastNestedLoopJoin" in p, "rank targets must broadcast"
+    assert "EvalPython" not in p
+    assert "HashAggregate" in p
+
+
+def test_q368_hll_registers_join_by_idx(plans):
+    """q368 HLL union: the register scaffold attaches by an idx
+    EQUI-join (broadcast hash), and register math stays integer —
+    no Python, no sort-merge join anywhere."""
+    p = plans["q368_hll_register_union"]
+    assert "BroadcastHashJoin" in p, "scaffold join must broadcast on idx"
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_q369_regression_advisor_day_grain_windows(plans):
+    """q369 runtime advisor: events reduce to day grain FIRST (one
+    fact aggregate), then every window partitions by event_type —
+    never a global total-order sort of the fact."""
+    p = plans["q369_runtime_regression_advisor"]
+    assert "EvalPython" not in p
+    assert "Window" in p
+    assert "CartesianProduct" not in p

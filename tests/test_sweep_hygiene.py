@@ -128,6 +128,9 @@ PERSIST_PRONE = [
     # q361 runs two checkpointed SPRT-rollup drains (foreachBatch ->
     # refresh_additive warehouse merges)
     "q361_stream_sprt_monitor",
+    # q370 runs three restarted drains whose foreachBatch applies
+    # merge_into (warehouse writes + broadcast source per micro-batch)
+    "q370_stream_restart_redelivery",
 ]
 
 
