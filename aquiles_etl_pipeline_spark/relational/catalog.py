@@ -137,13 +137,14 @@ def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = 
 # catalog entry eventually carries a fresh driver row and no row goes
 # more than ~4 rounds without a re-grade.  Round-10 rotation (the r09
 # verdict's ask #1):
-#   q351-q366 — the only never-driver-graded rows (r09 judge's local
-#             oracle passes 16/16) — graded FIRST;
+#   q351-q370 — the never-driver-graded rows (q351-q366: r09 judge's
+#             local oracle passes 16/16; q367-q370: the r10 wing,
+#             builder-verified at sf0.001/0.01/0.1) — graded FIRST;
 #   block C — r03-green rows (stalest graded, refactored since: q106
 #             kernel, q41 profile, baskets/postings consolidation):
-#             q01-q06, q37/q39/q41/q45, q61-q100.  The first 34
-#             (q01-q06, q37/q39/q41/q45, q61-q84) fill the rest of a
-#             50-query budget; q85-q100 head the r11 order;
+#             q01-q06, q37/q39/q41/q45, q61-q100.  The first 30
+#             (q01-q06, q37/q39/q41/q45, q61-q80) fill the rest of a
+#             50-query budget; q81-q100 head the r11 order;
 #   block D — r04-green rows: q54-q60, q101-q143 — r11;
 #   block E — r05-green rows: q07-q53 refresh + q144-q150 — r12;
 #   block F — r06-green rows: q151-q200;
