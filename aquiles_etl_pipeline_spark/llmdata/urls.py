@@ -62,7 +62,11 @@ def canonical_url(url: Column) -> Column:
     head = F.regexp_replace(head, r"^([a-z][a-z0-9+.-]*://)www\.", r"$1")
     head = F.regexp_replace(head, r":(80|443)$", "")
     tail = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    tail = F.regexp_replace(tail, r"^(/.+?)/+(\?|$)", r"$1$2")
+    # strip trailing slash runs from the PATH only ([^?#]): the old
+    # `/.+?` could eat a slash inside the query ('/?/' -> '/?'),
+    # exposing a trailing '?' that only the NEXT pass would strip —
+    # an idempotence break found by hypothesis (r10)
+    tail = F.regexp_replace(tail, r"^(/[^?#]+?)/+(\?|$)", r"$1$2")
     return F.concat(head, tail)
 
 

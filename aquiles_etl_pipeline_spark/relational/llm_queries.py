@@ -1090,7 +1090,7 @@ _SYNTH_URL_SQL = """
                '^([a-z][a-z0-9+.-]*://)www\\.', '\\1'), ':(80|443)$', '')
              || regexp_replace(
                   regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
-                  '^(/.+?)/+(\\?|$)', '\\1\\2') AS url_canonical
+                  '^(/[^?#]+?)/+(\\?|$)', '\\1\\2') AS url_canonical
       FROM c3
     ),
     parts AS (
