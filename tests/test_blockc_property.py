@@ -456,3 +456,59 @@ def test_q70_html_extraction_matches_oracle_on_adversarial_text(
     )
     want = sorted(map(tuple, con.execute(spec.sql).fetchall()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Block-D spillover (r11 rotation head): q110, q143 — the only two
+# block-D carriers without an independent reference test
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=4, deadline=None)
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=3000), min_size=1,
+                max_size=15)
+)
+def test_q110_resize_geometry_matches_integer_reference(
+    spark, tmp_path_factory, ids
+):
+    rows = [(i, "t", "en", "w", 1) for i in sorted(ids)]
+    sf = _docs_dir(tmp_path_factory.mktemp("q110"), rows)
+    got = sorted(
+        map(tuple, registry()["q110_image_resize_geometry"].fn(spark, sf).collect())
+    )
+    want = []
+    for i in sorted(ids):
+        w, h = 16 + i % 480, 16 + (i * 7) % 480
+        m = max(w, h)
+        if m <= 64:
+            tw, th = w, h
+        else:
+            tw, th = max(1, w * 64 // m), max(1, h * 64 // m)
+        want.append((i, w, h, tw, th))
+    assert got == sorted(want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    events=st.lists(st.integers(min_value=0, max_value=6), min_size=1,
+                    max_size=40)
+)
+def test_q143_skew_report_matches_bruteforce(spark, tmp_path_factory, events):
+    rows = [
+        (i, pd.Timestamp("2024-01-01"), u, "view", 1.0, None)
+        for i, u in enumerate(events)
+    ]
+    sf = _events_dir(tmp_path_factory.mktemp("q143"), rows)
+    got = registry()["q143_join_key_skew_report"].fn(spark, sf).collect()[0]
+    cnt = Counter(events)
+    n_rows = len(events)
+    ordered = sorted(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+    weighted = sum((i + 1) * c for i, (_, c) in enumerate(ordered))
+    n_keys = len(cnt)
+    gini = 2.0 * weighted / (n_keys * n_rows) - (n_keys + 1.0) / n_keys
+    assert got["n_keys"] == n_keys and got["n_rows"] == n_rows
+    assert got["max_cnt"] == max(cnt.values())
+    assert got["top1_share"] == pytest.approx(
+        _rhalf(max(cnt.values()) / n_rows * 1e6) / 1e6, abs=2e-6
+    )
+    assert got["gini"] == pytest.approx(_rhalf(gini * 1e6) / 1e6, abs=2e-6)
