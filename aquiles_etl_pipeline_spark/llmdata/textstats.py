@@ -184,11 +184,8 @@ def tf_idf_top_terms(
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.round(
-                F.col("term_freq")
-                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")),
-                6,
-            ),
+            pround(F.col("term_freq")
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")), 6),
         )
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)

@@ -690,14 +690,11 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cid"), F.col("v").alias("cv")
         )
     )
-    d2 = F.round(
-        F.aggregate(
+    d2 = pround(F.aggregate(
             F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        ),
-        6,
-    )
+        ), 6)
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
     assigned = (
         e.crossJoin(cents)

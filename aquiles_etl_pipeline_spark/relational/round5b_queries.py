@@ -273,11 +273,8 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n",
-        F.round(
-            F.col("n").cast("double")
-            / F.sum("n").over(Window.partitionBy("from_type")),
-            6,
-        ).alias("p"),
+        pround(F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("from_type")), 6).alias("p"),
     )
 
 
@@ -710,11 +707,8 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         guarded(pround(ma - mb, 6)).alias("mean_diff"),
         guarded(pround((ma - mb) / F.sqrt(sa + sb), 6)).alias("t_stat"),
         guarded(
-            F.round(
-                ((sa + sb) * (sa + sb))
-                / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)),
-                6,
-            )
+            pround(((sa + sb) * (sa + sb))
+                / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)), 6)
         ).alias("welch_df"),
     )
 
@@ -775,8 +769,7 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.groupBy("segment").agg(
         F.min("n").cast("long").alias("n_events"),
         pround(F.log(F.min("n")) - F.sum(F.col("c") * F.log("c")) / F.min("n"), 6).alias("entropy"),
-        F.round(
-            F.sum(
+        pround(F.sum(
                 F.col("c")
                 # each bigint factor casts to double BEFORE the product
                 # (the q140 rule): a bigint*bigint product wraps int64
@@ -786,9 +779,7 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.col("n").cast("double") * F.col("g").cast("double"))
                 )
             )
-            / F.min("n"),
-            6,
-        ).alias("kl_vs_global"),
+            / F.min("n"), 6).alias("kl_vs_global"),
     )
 
 

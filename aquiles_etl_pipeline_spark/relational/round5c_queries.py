@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .catalog import load, register
+from .catalog import load, register, pround
 
 
 # ---------------------------------------------------------------------------
@@ -235,11 +235,8 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sources",
         "n_docs",
         "sum_chars",
-        F.round(
-            F.col("sum_chars").cast("double")
-            / F.sum("sum_chars").over(Window.partitionBy()).cast("double"),
-            6,
-        ).alias("chars_share"),
+        pround(F.col("sum_chars").cast("double")
+            / F.sum("sum_chars").over(Window.partitionBy()).cast("double"), 6).alias("chars_share"),
     )
 
 

@@ -2005,11 +2005,8 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cab").alias("n_both"),
             pround(F.col("cab").cast("double") / F.col("n"), 6).alias("support"),
             pround(F.col("cab").cast("double") / F.col("ca"), 6).alias("confidence"),
-            F.round(
-                F.col("cab").cast("double") * F.col("n")
-                / (F.col("ca").cast("double") * F.col("cb")),
-                6,
-            ).alias("lift"),
+            pround(F.col("cab").cast("double") * F.col("n")
+                / (F.col("ca").cast("double") * F.col("cb")), 6).alias("lift"),
         )
         .orderBy(F.desc("lift"), F.asc("ante"), F.asc("cons"))
         .limit(30)
@@ -2094,11 +2091,8 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item_a",
             "item_b",
             "n_co_users",
-            F.round(
-                F.col("n_co_users").cast("double")
-                / F.sqrt(F.col("_na").cast("double") * F.col("_nb")),
-                6,
-            ).alias("cosine"),
+            pround(F.col("n_co_users").cast("double")
+                / F.sqrt(F.col("_na").cast("double") * F.col("_nb")), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("item_a"), F.asc("item_b"))
         .limit(30)

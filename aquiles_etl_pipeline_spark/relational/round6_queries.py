@@ -434,11 +434,8 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return u.select(
         "child_col", "parent_col", "n_child_distinct", "n_orphans",
-        F.round(
-            (F.col("n_child_distinct") - F.col("n_orphans")).cast("double")
-            / F.col("n_child_distinct"),
-            6,
-        ).alias("containment"),
+        pround((F.col("n_child_distinct") - F.col("n_orphans")).cast("double")
+            / F.col("n_child_distinct"), 6).alias("containment"),
     )
 
 # ---------------------------------------------------------------------------
@@ -491,11 +488,8 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
             "type_token_ratio"
         ),
-        F.round(
-            F.count(F.when(F.col("c") == 1, 1)).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("hapax_ratio"),
+        pround(F.count(F.when(F.col("c") == 1, 1)).cast("double")
+            / F.count(F.lit(1)), 6).alias("hapax_ratio"),
     )
 
 # ---------------------------------------------------------------------------
@@ -1068,10 +1062,7 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
         F.col("rev").cast("double").alias("revenue"),
         pround(F.col("rev").cast("double") / F.sum("rev").over(wr).cast("double"), 6).alias("share_of_region"),
-        F.round(
-            F.col("rev").cast("double") / F.sum("rev").over(wall).cast("double"),
-            6,
-        ).alias("share_of_total"),
+        pround(F.col("rev").cast("double") / F.sum("rev").over(wall).cast("double"), 6).alias("share_of_total"),
     )
 
 # ---------------------------------------------------------------------------

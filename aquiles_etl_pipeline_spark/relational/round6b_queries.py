@@ -156,17 +156,14 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant",
         "n_users",
         pround(F.col("spost") / n_d / 100, 6).alias("mean_post"),
-        F.round(
-            F.when(
+        pround(F.when(
                 var_pre > 0,
                 (
                     F.col("spost") / n_d
                     - theta * (F.col("spre") / n_d - F.col("sx") / F.col("n"))
                 )
                 / 100,
-            ),
-            6,
-        ).alias("mean_cuped"),
+            ), 6).alias("mean_cuped"),
         pround(F.when(var_pre > 0, theta), 6).alias("theta"),
     )
 
@@ -270,14 +267,11 @@ def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("lag_k").cast("bigint").alias("lag_k"),
         "n_pairs",
-        F.round(
-            F.when(
+        pround(F.when(
                 var_prod > 0,
                 (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
                 / F.sqrt(var_prod),
-            ),
-            6,
-        ).alias("acf"),
+            ), 6).alias("acf"),
     )
 
 
@@ -429,12 +423,9 @@ def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("day").cast("string").alias("start_day"),
             F.max("day").cast("string").alias("end_day"),
             F.count(F.lit(1)).cast("bigint").alias("n_days"),
-            F.round(
-                F.sum("rev_c").cast("bigint").cast("double")
+            pround(F.sum("rev_c").cast("bigint").cast("double")
                 / F.count(F.lit(1)).cast("double")
-                / 100,
-                6,
-            ).alias("avg_rev"),
+                / 100, 6).alias("avg_rev"),
         )
         .select(
             F.col("symbol").cast("bigint").alias("symbol"),
@@ -518,11 +509,8 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty",
         F.col("r_rev").cast("bigint").alias("r_rev"),
         F.col("r_qty").cast("bigint").alias("r_qty"),
-        F.round(
-            F.lit(1.0) / (F.lit(60) + F.col("r_rev")).cast("double")
-            + F.lit(1.0) / (F.lit(60) + F.col("r_qty")).cast("double"),
-            9,
-        ).alias("rrf"),
+        pround(F.lit(1.0) / (F.lit(60) + F.col("r_rev")).cast("double")
+            + F.lit(1.0) / (F.lit(60) + F.col("r_qty")).cast("double"), 9).alias("rrf"),
     )
 
 
@@ -606,14 +594,11 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             "n_customers",
-            F.round(
-                F.when(
+            pround(F.when(
                     F.col("sx") > 0,
                     (2 * F.col("six") - (F.col("nd") + 1) * F.col("sx"))
                     / (F.col("nd") * F.col("sx")),
-                ),
-                6,
-            ).alias("gini"),
+                ), 6).alias("gini"),
         )
     )
 
@@ -772,13 +757,10 @@ def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         "f",
         pround(p, 9).alias("p"),
-        F.round(
-            F.when(
+        pround(F.when(
                 p > 0.0001,
                 (F.sqrt(p / F.lit(0.0001)) + F.lit(1.0)) * (F.lit(0.0001) / p),
-            ).otherwise(F.lit(1.0)),
-            9,
-        ).alias("keep_prob"),
+            ).otherwise(F.lit(1.0)), 9).alias("keep_prob"),
         pround(F.sqrt(fd) * F.sqrt(F.sqrt(fd)), 6).alias("neg_mass"),
     )
 
@@ -858,14 +840,11 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(s1d / nd).cast("bigint").cast("double") / F.lit(1e6)).alias(
             "mean_gap_s"
         ),
-        F.round(
-            F.when(
+        pround(F.when(
                 (F.col("n_gaps") > 1) & (F.col("s1") > 0),
                 F.sqrt((s2d - s1d * s1d / nd) / (nd - F.lit(1.0)))
                 / (s1d / nd),
-            ),
-            6,
-        ).alias("cv"),
+            ), 6).alias("cv"),
     )
 
 
@@ -946,13 +925,10 @@ def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "brand",
         "n_lines",
-        F.round(
-            F.when(
+        pround(F.when(
                 var_x > 0,
                 (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / var_x,
-            ),
-            6,
-        ).alias("elasticity"),
+            ), 6).alias("elasticity"),
     )
 
 
@@ -1073,18 +1049,12 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dow").cast("bigint").alias("dow"),
         "n_orders",
         "rev_c",
-        F.round(
-            F.when(pos, F.col("rev_c").cast("double") / F.col("rev_tot").cast("double")),
-            9,
-        ).alias("revenue_share"),
-        F.round(
-            F.when(
+        pround(F.when(pos, F.col("rev_c").cast("double") / F.col("rev_tot").cast("double")), 9).alias("revenue_share"),
+        pround(F.when(
                 pos,
                 (F.col("rev_c").cast("double") / F.col("n_orders").cast("double"))
                 / (F.col("rev_tot").cast("double") / F.col("n_tot").cast("double")),
-            ),
-            6,
-        ).alias("aov_index"),
+            ), 6).alias("aov_index"),
     )
 
 
@@ -1181,11 +1151,8 @@ def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             "n_customers",
             pround(mu / 100, 6).alias("mean_bal"),
-            F.round(
-                (F.col("sl") / F.lit(1e6) - F.log(mu) * F.col("sx"))
-                / (F.col("nd") * mu),
-                9,
-            ).alias("theil_within"),
+            pround((F.col("sl") / F.lit(1e6) - F.log(mu) * F.col("sx"))
+                / (F.col("nd") * mu), 9).alias("theil_within"),
             pround(share * F.log(share / (F.col("nd") / F.col("ntd"))), 9).alias("between_term"),
         )
     )
@@ -1279,17 +1246,14 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "n_pos",
         "n_neg",
-        F.round(
-            F.when(
+        pround(F.when(
                 (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
                 (
                     F.col("two_ranksum").cast("double") / F.lit(2.0)
                     - npd * (npd + F.lit(1.0)) / F.lit(2.0)
                 )
                 / (npd * F.col("n_neg").cast("double")),
-            ),
-            9,
-        ).alias("auc"),
+            ), 9).alias("auc"),
     )
 
 
@@ -1388,17 +1352,14 @@ def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("n_pos").cast("double") / F.col("n").cast("double"), 9).alias(
             "response_rate"
         ),
-        F.round(
-            F.when(
+        pround(F.when(
                 F.col("pos_tot") > 0,
                 (
                     F.sum("n_pos").over(w_dec).cast("bigint").cast("double")
                     / F.sum("n").over(w_dec).cast("bigint").cast("double")
                 )
                 / (F.col("pos_tot").cast("double") / F.col("n_tot").cast("double")),
-            ),
-            9,
-        ).alias("cum_lift"),
+            ), 9).alias("cum_lift"),
     )
 
 
@@ -1468,17 +1429,14 @@ def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             "n_suppliers",
             pround(F.col("rev_tot").cast("double") / 100, 6).alias("revenue"),
-            F.round(
-                F.when(
+            pround(F.when(
                     F.col("rev_tot") > 0,
                     F.col("rev_sq").cast("double")
                     / (
                         F.col("rev_tot").cast("double")
                         * F.col("rev_tot").cast("double")
                     ),
-                ),
-                9,
-            ).alias("hhi"),
+                ), 9).alias("hhi"),
         )
     )
 
@@ -1709,12 +1667,9 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_days",
             "s_stat",
-            F.round(
-                F.when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / F.sqrt(var))
+            pround(F.when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / F.sqrt(var))
                 .when(F.col("s_stat") < 0, (sd + F.lit(1.0)) / F.sqrt(var))
-                .otherwise(F.lit(0.0)),
-                6,
-            ).alias("z_stat"),
+                .otherwise(F.lit(0.0)), 6).alias("z_stat"),
         )
     )
 
@@ -1919,14 +1874,11 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(F.col("rn") == 1).select(
         "n1",
         "n2",
-        F.round(
-            F.when(
+        pround(F.when(
                 (F.col("n1") > 0) & (F.col("n2") > 0),
                 F.col("gap").cast("double")
                 / (F.col("n1").cast("double") * F.col("n2").cast("double")),
-            ),
-            9,
-        ).alias("d_stat"),
+            ), 9).alias("d_stat"),
         F.col("v").alias("at_value_cents"),
     )
 
@@ -2017,12 +1969,9 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("string").alias("split_day"),
         pround(F.col("cusum") / 100, 6).alias("max_cusum"),
         pround(F.col("run_sum").cast("double") / F.col("t").cast("double") / 100, 6).alias("mean_before"),
-        F.round(
-            (F.col("s_tot").cast("double") - F.col("run_sum").cast("double"))
+        pround((F.col("s_tot").cast("double") - F.col("run_sum").cast("double"))
             / (F.col("n").cast("double") - F.col("t").cast("double"))
-            / 100,
-            6,
-        ).alias("mean_after"),
+            / 100, 6).alias("mean_after"),
     )
 
 
@@ -2210,15 +2159,12 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("lang").agg(
         F.sum(1 - F.col("oov_ctx")).cast("bigint").alias("n_scored"),
         F.sum("oov_ctx").cast("bigint").alias("n_oov_ctx"),
-        F.round(
-            F.when(
+        pround(F.when(
                 F.sum(1 - F.col("oov_ctx")) > 0,
                 F.sum("nll_micros").cast("bigint").cast("double")
                 / F.sum(1 - F.col("oov_ctx"))
                 / 1e6,
-            ),
-            6,
-        ).alias("avg_nll"),
+            ), 6).alias("avg_nll"),
     )
 
 
@@ -2353,13 +2299,10 @@ def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         pround(F.when(var_x > 0, beta), 6).alias("beta"),
-        F.round(
-            F.when(
+        pround(F.when(
                 var_x > 0,
                 F.exp(((F.col("sy") - beta * F.col("sx")) / F.col("n")) / F.lit(1e6)),
-            ),
-            6,
-        ).alias("k"),
+            ), 6).alias("k"),
     )
 
 
@@ -2466,25 +2409,19 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
     # yield NULL metrics, not an ANSI division error / ln(0)
     return pa.crossJoin(F.broadcast(ua)).select(
         "n_pos_pairs",
-        F.round(
-            F.when(
+        pround(F.when(
                 F.col("n_pos_pairs") > 0,
                 F.col("s_align") / F.col("n_pos_pairs").cast("double") / F.lit(1e6),
-            ),
-            6,
-        ).alias("alignment"),
+            ), 6).alias("alignment"),
         "n_unif_pairs",
-        F.round(
-            F.when(
+        pround(F.when(
                 (F.col("n_unif_pairs") > 0) & (F.col("s_unif") > 0),
                 F.log(
                     F.col("s_unif")
                     / F.col("n_unif_pairs").cast("double")
                     / F.lit(1e12)
                 ),
-            ),
-            6,
-        ).alias("uniformity"),
+            ), 6).alias("uniformity"),
     )
 
 
@@ -2581,8 +2518,7 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "c2",
-            F.round(
-                F.log(
+            pround(F.log(
                     F.col("c2").cast("double")
                     * F.col("n_tok").cast("double")
                     * F.col("n_tok").cast("double")
@@ -2591,9 +2527,7 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * F.col("c1a").cast("double")
                         * F.col("c1b").cast("double")
                     )
-                ),
-                6,
-            ).alias("pmi"),
+                ), 6).alias("pmi"),
         )
     )
 
@@ -2684,12 +2618,9 @@ def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
         "age",
         "n_orders",
         pround(F.col("rev_c").cast("double") / 100, 6).alias("revenue"),
-        F.round(
-            F.sum("rev_c").over(w).cast("bigint").cast("double")
+        pround(F.sum("rev_c").over(w).cast("bigint").cast("double")
             / F.col("cohort_size").cast("double")
-            / 100,
-            6,
-        ).alias("cum_ltv"),
+            / 100, 6).alias("cum_ltv"),
     )
 
 
@@ -2776,15 +2707,12 @@ def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n1",
         "n2",
-        F.round(
-            F.when(
+        pround(F.when(
                 (F.col("n1") > 0) & (F.col("n2") > 0),
                 F.col("area").cast("double")
                 / (F.col("n1").cast("double") * F.col("n2").cast("double"))
                 / 100,
-            ),
-            6,
-        ).alias("w1_distance"),
+            ), 6).alias("w1_distance"),
     )
 
 
@@ -2849,17 +2777,14 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_days",
         pround(F.col("s1") / F.col("nd"), 6).alias("mean_daily"),
-        F.round(
-            F.when(
+        pround(F.when(
                 (F.col("n_days") > 1) & (F.col("s1") > 0),
                 (
                     (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nd"))
                     / (F.col("nd") - F.lit(1.0))
                 )
                 / (F.col("s1") / F.col("nd")),
-            ),
-            6,
-        ).alias("dispersion"),
+            ), 6).alias("dispersion"),
     )
 
 
@@ -3027,13 +2952,10 @@ def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size_a",
             "size_b",
             "n_inter",
-            F.round(
-                F.col("n_inter").cast("double")
+            pround(F.col("n_inter").cast("double")
                 / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast(
                     "double"
-                ),
-                6,
-            ).alias("jaccard"),
+                ), 6).alias("jaccard"),
         )
     )
 
@@ -3115,14 +3037,11 @@ def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "n_edges",
-        F.round(
-            F.when(
+        pround(F.when(
                 var_prod > 0,
                 (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
                 / F.sqrt(var_prod),
-            ),
-            6,
-        ).alias("assortativity"),
+            ), 6).alias("assortativity"),
     )
 
 
@@ -3243,13 +3162,10 @@ def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
         "m_both",
-        F.round(
-            (F.col("n1").cast("double") + F.lit(1.0))
+        pround((F.col("n1").cast("double") + F.lit(1.0))
             * (F.col("n2").cast("double") + F.lit(1.0))
             / (F.col("m_both").cast("double") + F.lit(1.0))
-            - F.lit(1.0),
-            6,
-        ).alias("n_hat"),
+            - F.lit(1.0), 6).alias("n_hat"),
     )
 
 
@@ -3343,8 +3259,7 @@ def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "k",
         "n",
-        F.round(
-            F.when(
+        pround(F.when(
                 (F.col("k") > 1) & (F.col("n") > F.col("k")),
                 F.when(
                     ssw_mean > 0,
@@ -3354,9 +3269,7 @@ def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     / ssw_mean,
                 ),
-            ),
-            6,
-        ).alias("f_stat"),
+            ), 6).alias("f_stat"),
     )
 
 
@@ -3473,8 +3386,7 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_up",
         "n_down",
         "n_runs",
-        F.round(
-            F.when(
+        pround(F.when(
                 (F.col("n_up") > 0)
                 & (F.col("n_down") > 0)
                 & (F.col("n_up") + F.col("n_down") > 1),
@@ -3482,9 +3394,7 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
                     var > 0,
                     (F.col("n_runs").cast("double") - mu) / F.sqrt(var),
                 ),
-            ),
-            6,
-        ).alias("z_stat"),
+            ), 6).alias("z_stat"),
     )
 
 
@@ -3567,13 +3477,10 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n0",
         F.col("c").alias("concordant"),
         F.col("d").alias("discordant"),
-        F.round(
-            F.when(
+        pround(F.when(
                 denom > 0,
                 (F.col("c") - F.col("d")).cast("double") / F.sqrt(denom),
-            ),
-            6,
-        ).alias("tau_b"),
+            ), 6).alias("tau_b"),
     )
 
 
@@ -3973,9 +3880,6 @@ def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.sum("rev_c").cast("bigint").cast("double") / 100, 6).alias(
             "revenue"
         ),
-        F.round(
-            F.sum("rev_c").cast("bigint").cast("double")
-            / F.max("tot_c").cast("double"),
-            9,
-        ).alias("revenue_share"),
+        pround(F.sum("rev_c").cast("bigint").cast("double")
+            / F.max("tot_c").cast("double"), 9).alias("revenue_share"),
     )

@@ -1182,11 +1182,8 @@ def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lvl.select(
         "source",
         "tokens",
-        F.round(
-            F.when(F.col("rn") < F.col("rn_star"), F.col("tokens").cast("double"))
-            .otherwise(F.col("t_star")),
-            4,
-        ).alias("allocation"),
+        pround(F.when(F.col("rn") < F.col("rn_star"), F.col("tokens").cast("double"))
+            .otherwise(F.col("t_star")), 4).alias("allocation"),
         (F.col("rn") < F.col("rn_star")).alias("saturated"),
         "budget",
     )
@@ -1352,13 +1349,10 @@ def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         "n_distinct_chars",
-        F.round(
-            (n * ln_n_micros - F.col("sum_micros").cast("double"))
+        pround((n * ln_n_micros - F.col("sum_micros").cast("double"))
             / n
             / 1000000
-            / F.lit(0.6931471805599453),
-            6,
-        ).alias("entropy_bits"),
+            / F.lit(0.6931471805599453), 6).alias("entropy_bits"),
     )
 
 
@@ -1688,13 +1682,10 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         pround(s1d / nd / 1000000, 6).alias("mu_ln"),
         pround(F.when(F.col("n") > 1, F.sqrt(var_micros2) / 1000000), 6).alias("sigma_ln"),
-        F.round(
-            F.when(
+        pround(F.when(
                 F.col("n") > 1,
                 F.exp(s1d / nd / 1000000 + var_micros2 / F.lit(2000000000000.0)),
-            ),
-            6,
-        ).alias("fitted_mean_chars"),
+            ), 6).alias("fitted_mean_chars"),
     )
 
 
@@ -1962,11 +1953,8 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pair_terms.groupBy("src_a", "src_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.round(
-            F.sum("dz_micros").cast("double") / F.count(F.lit(1)).cast("double")
-            / 1000000,
-            6,
-        ).alias("delta"),
+        pround(F.sum("dz_micros").cast("double") / F.count(F.lit(1)).cast("double")
+            / 1000000, 6).alias("delta"),
     )
 
 

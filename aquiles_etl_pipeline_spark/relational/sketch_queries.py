@@ -684,10 +684,7 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("max_cnt").cast("double") / F.col("n_rows"), 6).alias(
             "top1_share"
         ),
-        F.round(
-            F.lit(2.0) * F.col("weighted")
+        pround(F.lit(2.0) * F.col("weighted")
             / (F.col("n_keys").cast("double") * F.col("n_rows"))
-            - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys"),
-            6,
-        ).alias("gini"),
+            - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys"), 6).alias("gini"),
     )

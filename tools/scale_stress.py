@@ -71,6 +71,10 @@ FLAGSHIPS = [
     # round-8 wing corpus-scale entries
     "q328_adamic_adar_links", "q333_tfidf_cosine_topk",
     "q340_umass_topic_coherence", "q347_randomization_inference",
+    # round-10 wing: restart-storm MERGE (drain cost must track batch,
+    # not history) and the mergeable-sketch pair (pure two-level aggs)
+    "q370_stream_restart_redelivery", "q367_histogram_quantile_merge",
+    "q368_hll_register_union",
 ]
 
 # plan nodes that must not APPEAR at 10x if absent at 1x
