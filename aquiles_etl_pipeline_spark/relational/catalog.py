@@ -137,14 +137,14 @@ def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = 
 # catalog entry eventually carries a fresh driver row and no row goes
 # more than ~4 rounds without a re-grade.  Round-10 rotation (the r09
 # verdict's ask #1):
-#   q351-q370 — the never-driver-graded rows (q351-q366: r09 judge's
-#             local oracle passes 16/16; q367-q370: the r10 wing,
+#   q351-q371 — the never-driver-graded rows (q351-q366: r09 judge's
+#             local oracle passes 16/16; q367-q371: the r10 wing,
 #             builder-verified at sf0.001/0.01/0.1) — graded FIRST;
 #   block C — r03-green rows (stalest graded, refactored since: q106
 #             kernel, q41 profile, baskets/postings consolidation):
-#             q01-q06, q37/q39/q41/q45, q61-q100.  The first 30
-#             (q01-q06, q37/q39/q41/q45, q61-q80) fill the rest of a
-#             50-query budget; q81-q100 head the r11 order;
+#             q01-q06, q37/q39/q41/q45, q61-q100.  The first 29
+#             (q01-q06, q37/q39/q41/q45, q61-q79) fill the rest of a
+#             50-query budget; q80-q100 head the r11 order;
 #   block D — r04-green rows: q54-q60, q101-q143 — r11;
 #   block E — r05-green rows: q07-q53 refresh + q144-q150 — r12;
 #   block F — r06-green rows: q151-q200;
@@ -170,16 +170,17 @@ _GRADE_FIRST = (
     "q364_kendall_w_concordance",
     "q365_effect_sizes",
     "q366_page_hinkley_drift",
-    # --- round-10 wing q367-q370: never driver-graded — never-green
+    # --- round-10 wing q367-q371: never driver-graded — never-green
     #     rows outrank stale-green ones (the r09 lesson), so they sit
-    #     ahead of block C; the 4 block-C rows they displace (q81-q84)
+    #     ahead of block C; the 5 block-C rows they displace (q80-q84)
     #     head the r11 order instead ---
     "q367_histogram_quantile_merge",
     "q368_hll_register_union",
     "q369_runtime_regression_advisor",
     "q370_stream_restart_redelivery",
-    # --- block C (r03-green, stalest): q01-q80 head completes the
-    #     50-query r10 budget; q81-q100 spill to the r11 head ---
+    "q371_countmin_heavy_hitters",
+    # --- block C (r03-green, stalest): q01-q79 head completes the
+    #     50-query r10 budget; q80-q100 spill to the r11 head ---
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

@@ -1,4 +1,4 @@
-"""Round-10 catalog entries (q367-q370): mergeable-sketch parity and
+"""Round-10 catalog entries (q367-q371): mergeable-sketch parity and
 operational resilience — the r09 verdict's named catalog gaps.
 
 - q367 mergeable histogram-quantile vs exact: per-shard equi-width
@@ -18,6 +18,10 @@ operational resilience — the r09 verdict's named catalog gaps.
   checkpointed drains, each a FRESH query object restarted from the
   same checkpoint, with one wave's files re-delivered under new names —
   exactly-once by PK MERGE, graded against the batch aggregate.
+- q371 count-min sketch heavy-hitter parity: per-shard (rows x buckets)
+  cell counts merged by ADDITION — the third mergeable-sketch algebra
+  (q367 quantile ADD, q368 distinct MAX, here frequency ADD) — with
+  the one-sided-error certificate asserted per top token.
 
 Shared numeric discipline (see round9_queries): cross-row accumulation
 on exact integers only; fractional outputs via one round-to-integer +
@@ -603,3 +607,131 @@ def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stream_queries import _memoized
 
     return _memoized(spark, sf_dir, "q370", build)
+
+
+# ---------------------------------------------------------------------------
+# q371: count-min sketch heavy-hitter parity (mergeable frequency sketch)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q371_countmin_heavy_hitters",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id % 8 AS shard,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT shard, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    cells AS (  -- per-shard CMS: 2 salted rows x 256 buckets, counts ADD
+      SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS cnt
+      FROM (
+        SELECT shard, 0 AS r,
+               CAST(('0x' || substr(md5('r0:' || tok), 1, 8)) AS BIGINT)
+                 % 256 AS bucket, c
+        FROM tf
+        UNION ALL
+        SELECT shard, 1,
+               CAST(('0x' || substr(md5('r1:' || tok), 1, 8)) AS BIGINT)
+                 % 256, c
+        FROM tf
+      ) GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT tok, CAST(SUM(c) AS BIGINT) AS exact_count
+      FROM tf GROUP BY 1
+    ),
+    total AS (SELECT CAST(SUM(exact_count) AS BIGINT) AS n_tokens FROM exact),
+    top AS (
+      SELECT tok, exact_count,
+             CAST(('0x' || substr(md5('r0:' || tok), 1, 8)) AS BIGINT)
+               % 256 AS b0,
+             CAST(('0x' || substr(md5('r1:' || tok), 1, 8)) AS BIGINT)
+               % 256 AS b1
+      FROM exact ORDER BY exact_count DESC, tok LIMIT 10
+    )
+    SELECT t.tok AS token, t.exact_count,
+           CAST(LEAST(c0.cnt, c1.cnt) AS BIGINT) AS cms_estimate,
+           CAST(LEAST(c0.cnt, c1.cnt) - t.exact_count AS BIGINT)
+             AS overestimate,
+           (LEAST(c0.cnt, c1.cnt) >= t.exact_count) AS never_undercounts,
+           tot.n_tokens
+    FROM top t
+    JOIN cells c0 ON c0.r = 0 AND c0.bucket = t.b0
+    JOIN cells c1 ON c1.r = 1 AND c1.bucket = t.b1
+    CROSS JOIN total tot
+    """,
+    doc="Mergeable-frequency-sketch parity — the third leg of the "
+        "sketch triad (q367 quantiles: bin-count ADD; q368 distinct: "
+        "register MAX; here frequency: cell-count ADD): a "
+        "deterministic count-min sketch (2 md5-salted rows x 256 "
+        "buckets) built per shard and merged by cell addition, the "
+        "algebra that lets 1000 executors ship 512 small ints each "
+        "and answer any token's frequency at merge time.  Point "
+        "estimates (min over rows) for the top-10 exact tokens carry "
+        "the CMS one-sided-error certificate: never_undercounts must "
+        "be TRUE on every row (estimate >= exact by construction; "
+        "the overestimate column shows collision inflation).  All "
+        "counts are exact integers; md5-prefix bucket hashing is the "
+        "engine-portable determinism rule.  Exact side exists to "
+        "grade the sketch.",
+    tags=("documents", "sketch", "frequency", "agg"),
+)
+def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata.dedup import tokens
+
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            (F.col("doc_id") % 8).alias("shard"),
+            F.explode(tokens("text")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("shard", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+    def bucket(salt: str) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("tok"))), 1, 8), 16, 10)
+            .cast("bigint")
+            % 256
+        )
+
+    cells = (
+        tf.select("shard", F.lit(0).alias("r"), bucket("r0").alias("bucket"), "c")
+        .unionByName(
+            tf.select("shard", F.lit(1).alias("r"), bucket("r1").alias("bucket"), "c")
+        )
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+    )
+    exact = tf.groupBy("tok").agg(F.sum("c").cast("bigint").alias("exact_count"))
+    total = exact.agg(F.sum("exact_count").cast("bigint").alias("n_tokens"))
+    top = (
+        exact.orderBy(F.desc("exact_count"), F.asc("tok"))
+        .limit(10)
+        .select("tok", "exact_count", bucket("r0").alias("b0"), bucket("r1").alias("b1"))
+    )
+    c0 = cells.where(F.col("r") == 0).select(
+        F.col("bucket").alias("b0"), F.col("cnt").alias("cnt0")
+    )
+    c1 = cells.where(F.col("r") == 1).select(
+        F.col("bucket").alias("b1"), F.col("cnt").alias("cnt1")
+    )
+    est = F.least(F.col("cnt0"), F.col("cnt1"))
+    return (
+        top.join(F.broadcast(c0), "b0")
+        .join(F.broadcast(c1), "b1")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("tok").alias("token"),
+            "exact_count",
+            est.cast("bigint").alias("cms_estimate"),
+            (est - F.col("exact_count")).cast("bigint").alias("overestimate"),
+            (est >= F.col("exact_count")).alias("never_undercounts"),
+            "n_tokens",
+        )
+    )

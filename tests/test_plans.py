@@ -305,6 +305,11 @@ def test_no_accidental_cartesian_products(plans):
         # single-row assembly shape; the 64-row register scaffold is
         # an equi-join, not part of the NLJ
         "q368_hll_register_union",
+        # q371 count-min: the corpus token total crosses onto the
+        # 10-row top-token frame as a broadcast single-row aggregate
+        # (1 x 10) — q42's degenerate map shape; the sketch-cell
+        # lookups are broadcast equi-joins on bucket
+        "q371_countmin_heavy_hitters",
     }
     for name, p in plans.items():
         if name in allowed:

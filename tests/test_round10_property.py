@@ -190,3 +190,49 @@ def test_q370_empty_events_returns_empty(spark, tmp_path_factory):
     ).to_parquet(d / "events.parquet", index=False)
     got = registry()["q370_stream_restart_redelivery"].fn(spark, str(d)).collect()
     assert got == []
+
+
+# ---------------------------------------------------------------------------
+# q371 count-min heavy hitters
+# ---------------------------------------------------------------------------
+
+WORD10 = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(st.lists(WORD10, min_size=1, max_size=10),
+                  min_size=1, max_size=15)
+)
+def test_q371_cms_matches_python_reference(spark, tmp_path_factory, docs):
+    from test_round7b_property import _docs_dir
+
+    rows = [
+        (i, " ".join(ws), "en", "w", len(" ".join(ws)))
+        for i, ws in enumerate(docs)
+    ]
+    sf = _docs_dir(tmp_path_factory.mktemp("q371"), rows)
+    got = {
+        r["token"]: r
+        for r in registry()["q371_countmin_heavy_hitters"].fn(spark, sf).collect()
+    }
+    cf = Counter(w for ws in docs for w in ws)
+    cells: dict[tuple[int, int], int] = Counter()
+    buckets = {}
+    for tok, c in cf.items():
+        b0 = int(hashlib.md5(f"r0:{tok}".encode()).hexdigest()[:8], 16) % 256
+        b1 = int(hashlib.md5(f"r1:{tok}".encode()).hexdigest()[:8], 16) % 256
+        buckets[tok] = (b0, b1)
+        cells[(0, b0)] += c
+        cells[(1, b1)] += c
+    top = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert set(got) == {t for t, _ in top}
+    for tok, c in top:
+        b0, b1 = buckets[tok]
+        est = min(cells[(0, b0)], cells[(1, b1)])
+        r = got[tok]
+        assert r["exact_count"] == c
+        assert r["cms_estimate"] == est
+        assert r["overestimate"] == est - c
+        assert r["never_undercounts"] is True
+        assert r["n_tokens"] == sum(cf.values())
