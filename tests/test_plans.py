@@ -310,6 +310,10 @@ def test_no_accidental_cartesian_products(plans):
         # (1 x 10) — q42's degenerate map shape; the sketch-cell
         # lookups are broadcast equi-joins on bucket
         "q371_countmin_heavy_hitters",
+        # q377 SLO burn rate: the corpus horizon (max ts) crosses onto
+        # the fact scan as a broadcast single-row aggregate — q353's
+        # shape; everything after is a single conditional aggregation
+        "q377_slo_burn_rate",
     }
     for name, p in plans.items():
         if name in allowed:

@@ -59,6 +59,18 @@ def _docs_dir(tmpdir, rows):
     pdf = pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
     )
+    # pin the real table schema: an all-None string column would
+    # otherwise infer as a null-typed parquet column, which Spark
+    # reads as a non-string type and mis-coerces comparisons against
+    pdf = pdf.astype(
+        {
+            "doc_id": "int64",
+            "text": "string",
+            "lang": "string",
+            "source": "string",
+            "n_chars": "int64",
+        }
+    )
     d = tmpdir / "sf"
     d.mkdir(exist_ok=True)
     pdf.to_parquet(d / "documents.parquet", index=False)
