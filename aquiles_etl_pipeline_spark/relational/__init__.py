@@ -19,6 +19,7 @@ from . import round7b_queries  # noqa: F401 — registers q314+ into the registr
 from . import round8_queries  # noqa: F401 — registers q328+ into the registry
 from . import round9_queries  # noqa: F401 — registers q351+ into the registry
 from . import round10_queries  # noqa: F401 — registers q367+ into the registry
+from . import round10b_queries  # noqa: F401 — registers q372+ into the registry
+from . import round10c_queries  # noqa: F401 — registers q378+ into the registry
 
 __all__ = ["QuerySpec", "load", "register", "registry"]
-from . import round10b_queries  # noqa: F401 — registers q372+ into the registry

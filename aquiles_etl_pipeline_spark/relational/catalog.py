@@ -137,14 +137,14 @@ def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = 
 # catalog entry eventually carries a fresh driver row and no row goes
 # more than ~4 rounds without a re-grade.  Round-10 rotation (the r09
 # verdict's ask #1):
-#   q351-q377 — the never-driver-graded rows (q351-q366: r09 judge's
-#             local oracle passes 16/16; q367-q377: the r10 wings,
+#   q351-q383 — the never-driver-graded rows (q351-q366: r09 judge's
+#             local oracle passes 16/16; q367-q383: the r10 wings,
 #             builder-verified at sf0.001/0.01/0.1) — graded FIRST;
 #   block C — r03-green rows (stalest graded, refactored since: q106
 #             kernel, q41 profile, baskets/postings consolidation):
-#             q01-q06, q37/q39/q41/q45, q61-q100.  The first 23
-#             (q01-q06, q37/q39/q41/q45, q61-q73) fill the rest of a
-#             50-query budget; q74-q100 head the r11 order;
+#             q01-q06, q37/q39/q41/q45, q61-q100.  The first 17
+#             (q01-q06, q37/q39/q41/q45, q61-q67) fill the rest of a
+#             50-query budget; q68-q100 head the r11 order;
 #   block D — r04-green rows: q54-q60, q101-q143 — r11;
 #   block E — r05-green rows: q07-q53 refresh + q144-q150 — r12;
 #   block F — r06-green rows: q151-q200;
@@ -189,9 +189,19 @@ _GRADE_FIRST = (
     "q375_neyman_allocation",
     "q376_leakage_audit",
     "q377_slo_burn_rate",
-    # --- block C (r03-green, stalest): the 23 rows q01-q06,
-    #     q37/q39/q41/q45, q61-q73 complete the 50-query r10 budget;
-    #     q74-q100 spill to the r11 head ---
+    # --- round-10 third wing q378-q383 (planner/warehouse advisors +
+    #     classifier-eval and changepoint depth): never driver-graded,
+    #     same rule; the three wings displace 17 block-C rows total
+    #     (q68-q84), which head the r11 order with q85-q100 ---
+    "q378_join_size_estimator",
+    "q379_order_amount_reconciliation",
+    "q380_repeated_order_audit",
+    "q381_langid_mcc",
+    "q382_cochran_armitage_trend",
+    "q383_binseg_changepoint",
+    # --- block C (r03-green, stalest): the 17 rows q01-q06,
+    #     q37/q39/q41/q45, q61-q67 complete the 50-query r10 budget;
+    #     q68-q100 spill to the r11 head ---
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

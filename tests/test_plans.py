@@ -314,6 +314,12 @@ def test_no_accidental_cartesian_products(plans):
         # the fact scan as a broadcast single-row aggregate — q353's
         # shape; everything after is a single conditional aggregation
         "q377_slo_burn_rate",
+        # q378 join-size estimator: per candidate join, the fact-total
+        # and dim-total single-row aggregates cross onto the one-row
+        # histogram-product aggregate (1 x 1, twice) — q130's
+        # single-row assembly shape; the key-histogram join itself is
+        # an equi-join on k
+        "q378_join_size_estimator",
     }
     for name, p in plans.items():
         if name in allowed:

@@ -75,6 +75,20 @@ FLAGSHIPS = [
     # not history) and the mergeable-sketch pair (pure two-level aggs)
     "q370_stream_restart_redelivery", "q367_histogram_quantile_merge",
     "q368_hll_register_union",
+    # round-10 second wing: the entries with real shuffles — the
+    # shard-local window census (one shuffle+sort over lineitem), the
+    # per-user survival groupBy, and the melt + feature-grain joins
+    # (q373/q375/q377 are single-scan conditional aggs, trivially
+    # scan-bound, not separately stressed)
+    "q372_column_encoding_advisor", "q374_logrank_test",
+    "q376_leakage_audit",
+    # round-10 third wing: the entries whose shuffles carry row-scale
+    # data — the key-histogram census over all four star joins, the
+    # order-grain reconciliation join, and the (custkey, band) audit
+    # groupBy (q381/q382 are single-scan conditional aggs; q383's
+    # windows run over the tiny day spine after the day-grain shuffle)
+    "q378_join_size_estimator", "q379_order_amount_reconciliation",
+    "q380_repeated_order_audit",
 ]
 
 # plan nodes that must not APPEAR at 10x if absent at 1x
