@@ -137,14 +137,14 @@ def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = 
 # catalog entry eventually carries a fresh driver row and no row goes
 # more than ~4 rounds without a re-grade.  Round-10 rotation (the r09
 # verdict's ask #1):
-#   q351-q383 — the never-driver-graded rows (q351-q366: r09 judge's
-#             local oracle passes 16/16; q367-q383: the r10 wings,
+#   q351-q389 — the never-driver-graded rows (q351-q366: r09 judge's
+#             local oracle passes 16/16; q367-q389: the r10 wings,
 #             builder-verified at sf0.001/0.01/0.1) — graded FIRST;
 #   block C — r03-green rows (stalest graded, refactored since: q106
 #             kernel, q41 profile, baskets/postings consolidation):
-#             q01-q06, q37/q39/q41/q45, q61-q100.  The first 17
-#             (q01-q06, q37/q39/q41/q45, q61-q67) fill the rest of a
-#             50-query budget; q68-q100 head the r11 order;
+#             q01-q06, q37/q39/q41/q45, q61-q100.  The first 11
+#             (q01-q06, q37/q39/q41/q45, q61) fill the rest of a
+#             50-query budget; q62-q100 head the r11 order;
 #   block D — r04-green rows: q54-q60, q101-q143 — r11;
 #   block E — r05-green rows: q07-q53 refresh + q144-q150 — r12;
 #   block F — r06-green rows: q151-q200;
@@ -199,9 +199,20 @@ _GRADE_FIRST = (
     "q381_langid_mcc",
     "q382_cochran_armitage_trend",
     "q383_binseg_changepoint",
-    # --- block C (r03-green, stalest): the 17 rows q01-q06,
-    #     q37/q39/q41/q45, q61-q67 complete the 50-query r10 budget;
-    #     q68-q100 spill to the r11 head ---
+    # --- round-10 fourth wing q384-q389 (in-engine model training /
+    #     feature screening + storage-planner and ordinal-dynamics
+    #     depth): never driver-graded, same rule; the four wings
+    #     displace 23 block-C rows total (q62-q84), which head the
+    #     r11 order with q85-q100 ---
+    "q384_nb_lang_classifier",
+    "q385_woe_iv_screening",
+    "q386_zonemap_skip_advisor",
+    "q387_rollup_mv_advisor",
+    "q388_bradley_terry_brands",
+    "q389_permutation_entropy",
+    # --- block C (r03-green, stalest): the 11 rows q01-q06,
+    #     q37/q39/q41/q45, q61 complete the 50-query r10 budget;
+    #     q62-q100 spill to the r11 head ---
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

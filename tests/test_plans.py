@@ -320,6 +320,18 @@ def test_no_accidental_cartesian_products(plans):
         # single-row assembly shape; the key-histogram join itself is
         # an equi-join on k
         "q378_join_size_estimator",
+        # q384 NB scoring: test term-frequency rows fan out against
+        # the broadcast class spine (bounded by LABEL-SPACE size —
+        # q312's fan-out shape) plus the vocab-size single row (q42's
+        # shape); token-count joins are equi-keyed on (lang, tok)
+        "q384_nb_lang_classifier",
+        # q386 zone-map advisor: the shard-census row crosses onto the
+        # selectivity row (1 x 1 — q130's single-row assembly shape)
+        # before unfolding to five literal predicate rows
+        "q386_zonemap_skip_advisor",
+        # q387 MV advisor: the row-total single-row aggregate crosses
+        # onto the six-row candidate frame — q42's shape
+        "q387_rollup_mv_advisor",
     }
     for name, p in plans.items():
         if name in allowed:

@@ -89,6 +89,13 @@ FLAGSHIPS = [
     # windows run over the tiny day spine after the day-grain shuffle)
     "q378_join_size_estimator", "q379_order_amount_reconciliation",
     "q380_repeated_order_audit",
+    # round-10 fourth wing: the in-engine training paths — NB token-
+    # class counting + label-bounded scoring fan-out, and the capped-
+    # basket Bradley-Terry pair mining (whale part = hot basket test);
+    # plus the MV-advisor's six two-phase distincts over lineitem
+    # (q385/q386 are conditional-agg scans, q389 is day-spine-tiny)
+    "q384_nb_lang_classifier", "q387_rollup_mv_advisor",
+    "q388_bradley_terry_brands",
 ]
 
 # plan nodes that must not APPEAR at 10x if absent at 1x
