@@ -22,5 +22,6 @@ from . import round10_queries  # noqa: F401 — registers q367+ into the registr
 from . import round10b_queries  # noqa: F401 — registers q372+ into the registry
 from . import round10c_queries  # noqa: F401 — registers q378+ into the registry
 from . import round10d_queries  # noqa: F401 — registers q384+ into the registry
+from . import round10e_queries  # noqa: F401 — registers q390+ into the registry
 
 __all__ = ["QuerySpec", "load", "register", "registry"]

@@ -137,14 +137,15 @@ def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = 
 # catalog entry eventually carries a fresh driver row and no row goes
 # more than ~4 rounds without a re-grade.  Round-10 rotation (the r09
 # verdict's ask #1):
-#   q351-q389 — the never-driver-graded rows (q351-q366: r09 judge's
-#             local oracle passes 16/16; q367-q389: the r10 wings,
-#             builder-verified at sf0.001/0.01/0.1) — graded FIRST;
+#   q351-q395 — the never-driver-graded rows (q351-q366: r09 judge's
+#             local oracle passes 16/16; q367-q395: the r10 wings,
+#             builder-verified at sf0.001/0.01/0.1) — graded FIRST
+#             (45 of the 50-query budget);
 #   block C — r03-green rows (stalest graded, refactored since: q106
 #             kernel, q41 profile, baskets/postings consolidation):
-#             q01-q06, q37/q39/q41/q45, q61-q100.  The first 11
-#             (q01-q06, q37/q39/q41/q45, q61) fill the rest of a
-#             50-query budget; q62-q100 head the r11 order;
+#             q01-q06, q37/q39/q41/q45, q61-q100.  The first 5
+#             (q01-q05) fill the rest of a 50-query budget; q06,
+#             q37/q39/q41/q45, q61-q100 head the r11 order;
 #   block D — r04-green rows: q54-q60, q101-q143 — r11;
 #   block E — r05-green rows: q07-q53 refresh + q144-q150 — r12;
 #   block F — r06-green rows: q151-q200;
@@ -210,9 +211,20 @@ _GRADE_FIRST = (
     "q387_rollup_mv_advisor",
     "q388_bradley_terry_brands",
     "q389_permutation_entropy",
-    # --- block C (r03-green, stalest): the 11 rows q01-q06,
-    #     q37/q39/q41/q45, q61 complete the 50-query r10 budget;
-    #     q62-q100 spill to the r11 head ---
+    # --- round-10 fifth wing q390-q395 (shuffle-layout advisory,
+    #     survival/distribution/lead-lag depth, NB calibration):
+    #     never driver-graded, same rule; the five wings now fill 45
+    #     of the 50-query budget (q351-q395), displacing all 29
+    #     block-C q61+ rows to the r11 head ---
+    "q390_shuffle_partition_advisor",
+    "q391_kaplan_meier",
+    "q392_cramer_von_mises",
+    "q393_ccf_lead_lag",
+    "q394_covariate_shift_ess",
+    "q395_nb_margin_calibration",
+    # --- block C (r03-green, stalest): the 5 rows q01-q05 complete
+    #     the 50-query r10 budget; q06, q37/q39/q41/q45, q61-q100
+    #     spill to the r11 head ---
     "q01_pricing_summary",
     "q02_regional_revenue",
     "q03_top_customers",

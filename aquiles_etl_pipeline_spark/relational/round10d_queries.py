@@ -712,6 +712,12 @@ def q388(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("wa"),
         )
+        # brand-pair grain (<= |brands|^2 rows): localCheckpoint so the
+        # sym/st/d2/p2 chain — which references this frame ~8 times —
+        # mines the corpus ONCE instead of once per reference (the
+        # PERSIST_PRONE contract; the 10x scale stress reads 12.3x
+        # without this pin, 2-3x with it)
+        .localCheckpoint(eager=True)
     )
     sym = pw.select(
         F.col("ba").alias("bi"), F.col("bb").alias("bj"), "n",

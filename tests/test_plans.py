@@ -332,6 +332,17 @@ def test_no_accidental_cartesian_products(plans):
         # q387 MV advisor: the row-total single-row aggregate crosses
         # onto the six-row candidate frame — q42's shape
         "q387_rollup_mv_advisor",
+        # q391 Kaplan-Meier: the <=2-row cohort frame crosses the
+        # broadcast 4-row horizon spine (dimension-bounded fan-out,
+        # q312's shape) before the day-grain LEFT join
+        "q391_kaplan_meier",
+        # q393 CCF: the day-grain revenue frame fans out against the
+        # broadcast 7-row lag spine (q312's bounded fan-out); the
+        # shifted-day join itself is an equi-join
+        "q393_ccf_lead_lag",
+        # q395 NB calibration: q384's scoring shape — label-space
+        # fan-out plus the vocab-size single row
+        "q395_nb_margin_calibration",
     }
     for name, p in plans.items():
         if name in allowed:

@@ -131,6 +131,9 @@ PERSIST_PRONE = [
     # q370 runs three restarted drains whose foreachBatch applies
     # merge_into (warehouse writes + broadcast source per micro-batch)
     "q370_stream_restart_redelivery",
+    # q388 localCheckpoints the brand-pair frame (sym/st/d2/p2 chain
+    # references it ~8 times)
+    "q388_bradley_terry_brands",
 ]
 
 

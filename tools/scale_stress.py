@@ -96,6 +96,12 @@ FLAGSHIPS = [
     # (q385/q386 are conditional-agg scans, q389 is day-spine-tiny)
     "q384_nb_lang_classifier", "q387_rollup_mv_advisor",
     "q388_bradley_terry_brands",
+    # round-10 fifth wing: the two new row-scale shuffle patterns —
+    # the x3 key-column explode census and the distinct-value-grain
+    # EDF windows (q391/q393/q394 aggregate at user/day/source grain,
+    # shapes already stressed via q374/q383-family; q395 shares
+    # q384's plan)
+    "q390_shuffle_partition_advisor", "q392_cramer_von_mises",
 ]
 
 # plan nodes that must not APPEAR at 10x if absent at 1x
