@@ -323,3 +323,116 @@ def test_q142_spearman_matches_bruteforce(spark, tmp_path_factory, rows):
             assert row["spearman_rho"] == _rp(rho, 6)
         else:
             assert row["spearman_rho"] is None
+
+
+# ---------------------------------------------------------------------------
+# q58 vocab coverage
+# ---------------------------------------------------------------------------
+
+_WORDS_D = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=6
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(rows=st.lists(_WORDS_D, min_size=1, max_size=16))
+def test_q58_vocab_coverage_matches_bruteforce(spark, tmp_path_factory, rows):
+    from test_round7b_property import _docs_dir
+
+    docs = [
+        (i, " ".join(ws), "en", "web", len(" ".join(ws)))
+        for i, ws in enumerate(rows)
+    ]
+    sf = _docs_dir(tmp_path_factory.mktemp("vc"), docs)
+    got = [
+        (r["token"], r["tf"], r["df"], r["rank"], r["cum_coverage"])
+        for r in sorted(
+            registry()["q58_vocab_coverage"].fn(spark, sf).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    tf = Counter(t for ws in rows for t in ws)
+    df = Counter()
+    for ws in rows:
+        for t in set(ws):
+            df[t] += 1
+    total = float(sum(tf.values()))
+    order = sorted(tf, key=lambda t: (-tf[t], t))[:100]
+    want, cum = [], 0
+    for rank, t in enumerate(order, start=1):
+        cum += tf[t]
+        want.append((t, tf[t], df[t], rank, _rp(cum / total, 6)))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q59 unigram perplexity
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=4, deadline=None)
+@given(rows=st.lists(_WORDS_D, min_size=1, max_size=12))
+def test_q59_perplexity_matches_bruteforce(spark, tmp_path_factory, rows):
+    from test_round7b_property import _docs_dir
+
+    docs = [
+        (i, " ".join(ws), "en", "web", len(" ".join(ws)))
+        for i, ws in enumerate(rows)
+    ]
+    sf = _docs_dir(tmp_path_factory.mktemp("ppl"), docs)
+    got = {
+        r["doc_id"]: r
+        for r in registry()["q59_unigram_perplexity"].fn(spark, sf).collect()
+    }
+    tf = Counter(t for ws in rows for t in ws)
+    t = float(sum(tf.values()))
+    for i, ws in enumerate(rows):
+        s = sum(math.log(tf[w] / t) for w in ws)
+        row = got[i]
+        assert row["n_tokens"] == len(ws)
+        assert row["neg_avg_logprob"] == _rp(-s / len(ws), 6)
+        assert row["perplexity"] == _rp(math.exp(-s / len(ws)), 4)
+
+
+# ---------------------------------------------------------------------------
+# q116 activity islands
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # user_id
+            st.integers(min_value=0, max_value=20),  # day offset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_q116_islands_match_bruteforce(spark, tmp_path_factory, rows):
+    ev = [
+        (i + 1, T0 + pd.Timedelta(days=d, hours=3), u, "click", 1.0, "{}")
+        for i, (u, d) in enumerate(rows)
+    ]
+    sf = _events_dir(tmp_path_factory.mktemp("isl"), ev)
+    got = {
+        r["user_id"]: r
+        for r in registry()["q116_activity_islands"].fn(spark, sf).collect()
+    }
+    byu = defaultdict(set)
+    for u, d in rows:
+        byu[u].add(d)
+    assert set(got) == set(byu)
+    for u, days in byu.items():
+        ds = sorted(days)
+        streaks, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        row = got[u]
+        assert row["n_active_days"] == len(ds)
+        assert row["n_islands"] == len(streaks)
+        assert row["longest_streak"] == max(streaks)
