@@ -436,3 +436,145 @@ def test_q116_islands_match_bruteforce(spark, tmp_path_factory, rows):
         assert row["n_active_days"] == len(ds)
         assert row["n_islands"] == len(streaks)
         assert row["longest_streak"] == max(streaks)
+
+
+# ---------------------------------------------------------------------------
+# q113 pareto frontier
+# ---------------------------------------------------------------------------
+
+def _part_dir2(d, rows):
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        rows, columns=["p_partkey", "p_name", "p_brand", "p_type",
+                       "p_size", "p_retailprice"],
+    )
+    pdf["p_partkey"] = pdf["p_partkey"].astype("int64")
+    pdf["p_size"] = pdf["p_size"].astype(np.int32)
+    pdf["p_retailprice"] = pdf["p_retailprice"].astype("float64")
+    pdf.to_parquet(f"{d}/part.parquet", index=False)
+    return d
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),  # price dollars
+            st.integers(min_value=1, max_value=8),  # size
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_q113_skyline_matches_bruteforce(spark, tmp_path_factory, rows):
+    t = tmp_path_factory.mktemp("sky") / "sf"
+    t.mkdir()
+    parts = [
+        (i + 1, f"part#{i}", "B1", "T1", sz, float(pr))
+        for i, (pr, sz) in enumerate(rows)
+    ]
+    sf = str(_part_dir2(t, parts))
+    got = {
+        (r["price"], r["size"]): r["n_parts"]
+        for r in registry()["q113_pareto_frontier_parts"].fn(spark, sf).collect()
+    }
+    pts = {(float(pr), sz) for pr, sz in rows}
+    sky = {
+        (p, s)
+        for p, s in pts
+        if not any(
+            bp <= p and bs >= s and (bp < p or bs > s) for bp, bs in pts
+        )
+    }
+    cnt = Counter((float(pr), sz) for pr, sz in rows)
+    assert got == {k: cnt[k] for k in sky}
+
+
+# ---------------------------------------------------------------------------
+# q115 CDC last-write-wins
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # user_id
+            st.integers(min_value=0, max_value=100),  # hour offset
+            st.sampled_from(["click", "view"]),
+            st.integers(min_value=0, max_value=40),  # value quarters
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_q115_lww_matches_bruteforce(spark, tmp_path_factory, rows):
+    ev = [
+        (i + 1, T0 + pd.Timedelta(hours=h), u, et, q / 4.0, "{}")
+        for i, (u, h, et, q) in enumerate(rows)
+    ]
+    sf = _events_dir(tmp_path_factory.mktemp("lww"), ev)
+    got = {
+        r["user_id"]: r
+        for r in registry()["q115_cdc_latest_events"].fn(spark, sf).collect()
+    }
+    byu = defaultdict(list)
+    for i, (u, h, et, q) in enumerate(rows):
+        byu[u].append((T0 + pd.Timedelta(hours=h), i + 1, et, q / 4.0))
+    assert set(got) == set(byu)
+    for u, evs in byu.items():
+        ts, eid, et, val = max(evs)
+        row = got[u]
+        assert row["n_events"] == len(evs)
+        assert row["last_ts"] == ts.strftime("%Y-%m-%d %H:%M:%S.%f")
+        assert row["last_event_type"] == et
+        assert row["last_value"] == val
+
+
+# ---------------------------------------------------------------------------
+# q123 correlated scalar subquery (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # partkey
+            st.integers(min_value=1, max_value=50),  # quantity (int-exact)
+            st.integers(min_value=100, max_value=100_000),  # price cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_q123_q17_matches_bruteforce(spark, tmp_path_factory, rows):
+    li = [
+        (i + 1, pk, 1, 1, float(q), c / 100.0, 0.0, 0.0, "N", "O", T0)
+        for i, (pk, q, c) in enumerate(rows)
+    ]
+    sf = _lineitem_dir(tmp_path_factory.mktemp("q17"), li)
+    # q123 goes through register_views (the SQL front door), which
+    # needs every table present — link the tiny real ones in
+    import os
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "events", "documents", "embeddings"):
+        dst = f"{sf}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", dst)
+    row = registry()["q123_small_quantity_revenue"].fn(spark, sf).collect()[0]
+    qty = defaultdict(list)
+    for pk, q, _ in rows:
+        qty[pk].append(q)
+    kept = [
+        (q, c)
+        for pk, q, c in rows
+        if q < 0.2 * (sum(qty[pk]) / len(qty[pk]))
+    ]
+    assert row["n_items"] == len(kept)
+    if kept:
+        assert row["avg_yearly"] == float(
+            Decimal(sum(c for _, c in kept)) / 100
+        ) / 7.0
+    else:
+        assert row["avg_yearly"] is None
