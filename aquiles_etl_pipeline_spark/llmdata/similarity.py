@@ -41,11 +41,21 @@ def cosine_sim(a: F.Column, b: F.Column) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def cosine_sim_batch(a: F.Column, b: F.Column) -> F.Column:
+def cosine_sim_batch(a: F.Column, b: F.Column, single_eval: bool = False) -> F.Column:
     """Arrow-batched cosine for row-pair verification: higher-order
     array expressions evaluate interpreted per element, so on hundreds
     of thousands of candidate pairs one numpy batch per Arrow chunk is
-    the 10-100x path."""
+    the 10-100x path.
+
+    ``single_eval=True`` marks the UDF non-deterministic (it is not —
+    this is the documented Spark workaround): when a caller FILTERS on
+    the emitted column and also returns it, the optimizer pushes the
+    filter below the projection and duplicates the ArrowEvalPython
+    node, so every surviving pair pays the cosine twice (the r10 plan
+    audit caught exactly this in the near-dup verifier).  The
+    non-deterministic mark forbids that duplication; the value is
+    unchanged.  Leave it False where the column feeds aggregates or
+    joins, where the mark would block legitimate rewrites."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -56,6 +66,8 @@ def cosine_sim_batch(a: F.Column, b: F.Column) -> F.Column:
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         return pd.Series(num / den)
 
+    if single_eval:
+        _cos = _cos.asNondeterministic()
     return _cos(a, b)
 
 
@@ -429,7 +441,13 @@ def embedding_near_dup_pairs(
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine_sim_batch(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_sim_batch(F.col("va"), F.col("vb"), single_eval=True).alias(
+                "cosine_sim"
+            ),
+        )
         .where(F.col("cosine_sim") >= threshold)
     )
 

@@ -168,7 +168,14 @@ def q372(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias(f"a_{i}")
         )
-    agg = ordered.agg(*aggs)
+    # ONE-row census frame, pinned: the six per-column report rows below
+    # each project from it, and without the pin every union branch
+    # re-ran the whole window + aggregate subtree — the r10 plan audit
+    # showed 6x (Scan -> Exchange -> Sort -> Window -> 2-level
+    # HashAggregate), 18 Exchanges for one logical pass.  localCheckpoint
+    # materializes the single row once; the ContextCleaner drains it
+    # when the result drops (PERSIST_PRONE covers this query).
+    agg = ordered.agg(*aggs).localCheckpoint(eager=True)
     n, starts = F.col("n"), F.col("starts")
     parts = []
     for i, c in enumerate(_Q372_COLS):

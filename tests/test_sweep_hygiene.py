@@ -134,6 +134,9 @@ PERSIST_PRONE = [
     # q388 localCheckpoints the brand-pair frame (sym/st/d2/p2 chain
     # references it ~8 times)
     "q388_bradley_terry_brands",
+    # q372 localCheckpoints the one-row column-census aggregate (six
+    # per-column report projections consume it)
+    "q372_column_encoding_advisor",
 ]
 
 
