@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import stream_batch_confs
 from .catalog import emit, load, pround, register
 
 # ---------------------------------------------------------------------------
@@ -571,13 +572,14 @@ def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream = spark.readStream.schema(
                 "event_id long, event_type string, cents long"
             ).json(str(land))
-            (
-                stream.writeStream.foreachBatch(apply_batch)
-                .option("checkpointLocation", str(root / "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
-            )
+            with stream_batch_confs(spark, land):
+                (
+                    stream.writeStream.foreachBatch(apply_batch)
+                    .option("checkpointLocation", str(root / "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
 
         wave_a = e.where(F.col("event_id") % 3 == 0)
         _land_wave(root, land, wave_a, "a")

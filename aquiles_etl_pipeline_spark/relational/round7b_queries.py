@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import stream_batch_confs
 from .catalog import DEC, emit, load, register
 
 
@@ -1688,15 +1689,16 @@ def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def drain() -> None:
-        q = (
-            spark.readStream.schema(emb.schema)
-            .parquet(str(land))
-            .writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", str(root / "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_batch_confs(spark, land):
+            q = (
+                spark.readStream.schema(emb.schema)
+                .parquet(str(land))
+                .writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", str(root / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     land_wave(emb.where(F.col("vec_id") % 2 == 0), "a")
     drain()

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import stream_batch_confs
 from .catalog import DEC, emit, load, register
 
 
@@ -1420,15 +1421,16 @@ def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def drain() -> None:
-        (
-            spark.readStream.schema(e.schema)
-            .parquet(str(land))
-            .writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", str(root / "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        with stream_batch_confs(spark, land):
+            (
+                spark.readStream.schema(e.schema)
+                .parquet(str(land))
+                .writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", str(root / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
 
     land_wave(e.where(F.col("event_id") % 2 == 0), "a")
     drain()

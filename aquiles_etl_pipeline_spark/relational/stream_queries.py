@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import stream_batch_confs
 from ..streaming import windows
 from .catalog import load, register, pround
 
@@ -197,15 +198,20 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
             def sink(batch_df: DataFrame, batch_id: int) -> None:
                 batch_df.withColumn("_b", F.lit(batch_id)).write.mode("append").parquet(out)
 
-            (
-                user_running_totals(stream)
-                .writeStream.outputMode("update")
-                .foreachBatch(sink)
-                .option("checkpointLocation", str(root / "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
-            )
+            # python_state: per-user applyInPandasWithState work is
+            # per-group Python calls — floor partitions at cores (see
+            # session.stream_batch_confs); key-partitioned state, so
+            # the count never changes results
+            with stream_batch_confs(spark, land, python_state=True):
+                (
+                    user_running_totals(stream)
+                    .writeStream.outputMode("update")
+                    .foreachBatch(sink)
+                    .option("checkpointLocation", str(root / "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
 
         _land_two_waves(e, root, land, drain)
         w = Window.partitionBy("user_id").orderBy(F.desc("_b"))
@@ -270,14 +276,15 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_id long, user_id long, value double"
             ).json(str(land))
             enriched = stream.join(F.broadcast(dim), "user_id")
-            (
-                enriched.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", str(root / "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
-            )
+            with stream_batch_confs(spark, land):
+                (
+                    enriched.writeStream.format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", str(root / "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
 
         _land_two_waves(e, root, land, drain)
         return (
@@ -373,14 +380,15 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(batch_id).alias("_b"),
                 ).write.mode("append").parquet(out)
 
-            (
-                agg.writeStream.outputMode("update")
-                .foreachBatch(sink)
-                .option("checkpointLocation", str(root / "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
-            )
+            with stream_batch_confs(spark, land):
+                (
+                    agg.writeStream.outputMode("update")
+                    .foreachBatch(sink)
+                    .option("checkpointLocation", str(root / "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
 
         _land_two_waves(e, root, land, drain)
         w = Window.partitionBy("window_start").orderBy(F.desc("_b"))
@@ -483,14 +491,15 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("right_event_id").alias("r_event_id"),
                 F.col("right_value").alias("r_value"),
             )
-            (
-                joined.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", str(root / "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
-            )
+            with stream_batch_confs(spark, land_l, land_r):
+                (
+                    joined.writeStream.format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", str(root / "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
 
         half = (F.col("event_id") - F.col("event_id") % 2) / 2
         for tag, parity in (("a", 0), ("b", 1)):
@@ -560,14 +569,15 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
             deduped = stream.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
                 ["event_id"]
             )
-            (
-                deduped.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", str(root / "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
-            )
+            with stream_batch_confs(spark, land):
+                (
+                    deduped.writeStream.format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", str(root / "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
 
         mod = F.col("event_id") % 6
         # wave A: even ids, once
@@ -673,15 +683,16 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             sessions = session_stats(stream, gap="30 minutes", watermark="1 hour")
-            (
-                sessions.writeStream.format("parquet")
-                .outputMode("append")
-                .option("path", out)
-                .option("checkpointLocation", str(root / "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
-            )
+            with stream_batch_confs(spark, land):
+                (
+                    sessions.writeStream.format("parquet")
+                    .outputMode("append")
+                    .option("path", out)
+                    .option("checkpointLocation", str(root / "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
 
         _land_wave(root, land, e.where(F.col("ts_us") < cut), "a")
         drain()
@@ -852,13 +863,14 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .option("maxFilesPerTrigger", 1_000_000)
                 .json(str(land))
             )
-            (
-                stream.writeStream.foreachBatch(apply_batch)
-                .option("checkpointLocation", str(root / "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
-            )
+            with stream_batch_confs(spark, land):
+                (
+                    stream.writeStream.foreachBatch(apply_batch)
+                    .option("checkpointLocation", str(root / "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
 
         _land_wave(root, land, wave_a, "a")
         drain()
@@ -924,15 +936,16 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "append"
                 ).parquet(out)
 
-            (
-                shard_heavy_users(stream)
-                .writeStream.outputMode("update")
-                .foreachBatch(sink)
-                .option("checkpointLocation", str(root / "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
-            )
+            with stream_batch_confs(spark, land, python_state=True):
+                (
+                    shard_heavy_users(stream)
+                    .writeStream.outputMode("update")
+                    .foreachBatch(sink)
+                    .option("checkpointLocation", str(root / "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
 
         _land_two_waves(e, root, land, drain)
         w = Window.partitionBy("shard", "user_id").orderBy(F.desc("_b"))
@@ -1028,14 +1041,15 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("right_event_id").alias("r_event_id"),
                 F.col("right_value").alias("r_value"),
             )
-            (
-                joined.writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", str(root / "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
-            )
+            with stream_batch_confs(spark, land_l, land_r):
+                (
+                    joined.writeStream.format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", str(root / "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
 
         half = (F.col("event_id") - F.col("event_id") % 2) / 2
         for tag, parity in (("a", 0), ("b", 1)):
@@ -1174,15 +1188,19 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withWatermark("ts", "1 hour")
             )
             sessions = session_summaries(stream, gap_minutes=30)
-            (
-                sessions.writeStream.format("parquet")
-                .outputMode("append")
-                .option("path", out)
-                .option("checkpointLocation", str(root / "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
-            )
+            # python_state: ~50k per-user groups -> one pandas call each
+            # per drain; n=1 serializes them on one worker (48.7 s vs
+            # 19.0 s at cores — see session.stream_batch_confs)
+            with stream_batch_confs(spark, land, python_state=True):
+                (
+                    sessions.writeStream.format("parquet")
+                    .outputMode("append")
+                    .option("path", out)
+                    .option("checkpointLocation", str(root / "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
 
         _land_wave(root, land, e.where(F.col("ts_us") < cut), "a")
         drain()
@@ -1298,15 +1316,16 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sum_value_dec",
                 )
             )
-            (
-                w30.writeStream.format("parquet")
-                .outputMode("append")
-                .option("path", out)
-                .option("checkpointLocation", str(root / "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
-            )
+            with stream_batch_confs(spark, land):
+                (
+                    w30.writeStream.format("parquet")
+                    .outputMode("append")
+                    .option("path", out)
+                    .option("checkpointLocation", str(root / "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
 
         _land_wave(root, land, e.where(F.col("ts_us") < cut), "a")
         drain()

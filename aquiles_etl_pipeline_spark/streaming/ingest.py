@@ -104,13 +104,16 @@ def stream_ingest_files(
                 )
             )
 
-    (
-        files.writeStream.foreachBatch(handle_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    from ..session import stream_batch_confs
+
+    with stream_batch_confs(spark, input_dir):
+        (
+            files.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return stats
 
 
@@ -179,11 +182,14 @@ def stream_ingest_directory(
             )
             raise  # let the stream surface the failure (checkpoint will retry)
 
-    (
-        raw.writeStream.foreachBatch(handle_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    from ..session import stream_batch_confs
+
+    with stream_batch_confs(spark, input_dir):
+        (
+            raw.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return stats

@@ -672,3 +672,46 @@ def test_session_kernel_out_of_order_and_null_cents():
     out4 = pd.concat(list(fn((7,), iter([b4]), state)))
     assert len(out4) == 1 and out4.iloc[0]["n_events"] == 2
     assert state.get == (t1, t1, 1, 1)
+
+
+def test_stream_batch_confs_sizing(spark, tmp_path):
+    """stream_batch_confs sizes shuffle/state partitions to the landed
+    input bytes (ceil(bytes/target), floor 1, cap 4x parallelism), floors
+    at defaultParallelism for python_state drains, and restores the
+    session confs on exit."""
+    from aquiles_etl_pipeline_spark.session import stream_batch_confs
+
+    before_n = spark.conf.get("spark.sql.shuffle.partitions")
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    par = spark.sparkContext.defaultParallelism
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.json").write_bytes(b"x" * 1000)
+
+    # tiny input -> 1 partition, AQE off inside the scope
+    with stream_batch_confs(spark, land):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_n
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
+
+    # input-derived count: 3 target-sized chunks -> 3 partitions
+    with stream_batch_confs(spark, land, target_bytes=400):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+
+    # python_state floors at defaultParallelism (per-group Python work
+    # parallelizes across cores; input bytes do not bound it)
+    with stream_batch_confs(spark, land, python_state=True):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(par)
+
+    # cap at 4x parallelism for any backlog size
+    with stream_batch_confs(spark, land, target_bytes=1):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(4 * par)
+
+    # multiple inputs sum their bytes
+    land2 = tmp_path / "land2"
+    land2.mkdir()
+    (land2 / "b.json").write_bytes(b"y" * 1000)
+    with stream_batch_confs(spark, land, land2, target_bytes=1000):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
