@@ -63,8 +63,25 @@ def pagerank_int(edges: DataFrame, iters: int = 3) -> DataFrame:
     across iterations (same key both ways), so each iteration costs one
     edge-side shuffle join + one aggregation, the textbook Pregel
     super-step shape.  Returns (node, rank_micro).
+
+    Materialization (r10, the bfs_hops/q156 recompute-blowup rule):
+    without pinning, each iteration's ``ranks`` lineage embeds the
+    previous iteration's WHOLE tree — the unrolled 3-iteration plan
+    re-scanned lineitem 14 times (plans/r10/q134_before.txt) with
+    duplication exponential in ``iters``.  The edge list (and its
+    degree rollup) pins once up front — the standard cache-the-edge-
+    list rule for iterative graph work — so the fact is scanned ONCE
+    and the recompute leaves are cheap local checkpoint-block reads.
+    The rank state itself stays lazy: per-super-step checkpoints cost
+    a blocking job each and measured slower at bench scale (3.98 s vs
+    3.04 s); at higher iteration counts checkpoint state every few
+    rounds (the q52 discipline).  ContextCleaner drains the pins when
+    the Python refs drop.
     """
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=True
+    )
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(_R0).cast("long").alias("r")
     )

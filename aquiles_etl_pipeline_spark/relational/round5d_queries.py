@@ -2060,16 +2060,24 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 2 == 0)
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r10: the user-item pair frame is read by sizes AND the cap join,
+    # and the capped frame by item counts AND basket building — without
+    # pins the fact join + distinct re-ran for every consumer (12 scans
+    # of lineitem/orders in plans/r10/q202_before.txt).  Pin the
+    # distinct-pair frame (the one heavy pass) and the capped frame
+    # (cheap semi-join over it); ContextCleaner drains both when the
+    # result drops.
     ui = (
         li.join(o.select("o_orderkey", "o_custkey"),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = ui.groupBy("u").agg(F.count(F.lit(1)).alias("_bs"))
     capped = ui.join(
         sizes.where(F.col("_bs") <= 30).select("u"), "u", "left_semi"
-    )
+    ).localCheckpoint(eager=True)
     item = capped.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
     baskets = capped.groupBy("u").agg(F.collect_list("i").alias("_ids"))
     pair = (

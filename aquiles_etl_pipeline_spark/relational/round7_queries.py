@@ -1893,10 +1893,18 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
     )
-    totals = toks.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-    wcounts = toks.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # r10: ONE corpus tokenize pass.  wcounts (source x token grain) is
+    # the pass's product and every other frame derives from it — totals
+    # is its per-source sum (identical to counting tokens directly),
+    # topw its per-token sum.  Unpinned, the explode re-ran for totals,
+    # twice more for topw/freqs, and 2x again under the z self-join
+    # (12 corpus scans in plans/r10/q308_before.txt).
+    wcounts = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
     )
+    totals = wcounts.groupBy("source").agg(F.sum("c").cast("bigint").alias("t"))
     topw = (
         wcounts.groupBy("tok")
         .agg(F.sum("c").alias("tc"))
@@ -1925,6 +1933,8 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ns").cast("decimal(38,0)") * F.col("s2")
         - F.col("s1").cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
     )
+    # tiny (50 tokens x sources) but read twice by the self-join below —
+    # pin so the scaffold/stats subtree runs once
     z = freqs.join(F.broadcast(stats), "tok").select(
         "source",
         "tok",
@@ -1933,7 +1943,7 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("f_ppb").cast("double") - s1d / nsd)
             / F.sqrt((nsd * s2d - s1d * s1d) / (nsd * nsd)),
         ).alias("z"),
-    )
+    ).localCheckpoint(eager=True)
     a = z.alias("a")
     b = z.alias("b")
     pair_terms = (

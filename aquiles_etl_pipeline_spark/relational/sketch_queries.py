@@ -571,8 +571,12 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ranks.  Ranks sum as exact decimals (halves have exact "
         "decimal scale 1), and both engines evaluate the identical "
         "double formula, so the nonparametric statistic hash-matches "
-        "exactly.  Scale shape: two sort windows per group (Spearman's "
-        "inherent cost) + one aggregation — no joins, no Python.",
+        "exactly.  Scale shape (r10): ranks are functions of "
+        "(flag, value), so they compute on the distinct-VALUE grain "
+        "(partial-aggregated counts + a cumulative sum over the tiny "
+        "per-flag value lists) and join back — the fact is never "
+        "sorted or shuffled at row grain, removing the 3-partition "
+        "straggler sorts the row-grain rank windows forced.",
     tags=("lineitem", "ml-stats", "rank"),
 )
 def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,16 +585,38 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     g = "l_returnflag"
 
-    def avg_rank(col: str) -> F.Column:
+    # r10 opt (guide §2.3/§2.5): the average rank is a function of
+    # (flag, value) alone, so compute it on the DISTINCT-VALUE grain
+    # and join it back, instead of 4 row-grain sort windows partitioned
+    # by a 3-value key (3 straggler tasks each sorting a third of the
+    # fact — at 100 TB, a third of the table per task).  RANK() of a
+    # row with value v is 1 + (#rows with smaller v), i.e.
+    # running_cnt - cnt + 1 over the value-grain counts; the tie term
+    # (cnt-1)/2.0 is identical.  Integer arithmetic + one double half —
+    # bit-identical to the window formulation.  The value-grain frames
+    # are partial-aggregated before their (tiny) shuffles and the fact
+    # is never exchanged: both rank tables broadcast when they fit
+    # (3x~50 rows for quantity; distinct prices otherwise SMJ at scale).
+    def rank_table(col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(g).orderBy(col)
         return (
-            F.rank().over(Window.partitionBy(g).orderBy(col))
-            + (F.count("*").over(Window.partitionBy(g, col)) - 1) / 2.0
+            li.groupBy(g, col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select(
+                g,
+                col,
+                (
+                    (F.sum("_c").over(w) - F.col("_c") + F.lit(1))
+                    + (F.col("_c") - 1) / 2.0
+                ).alias(out),
+            )
         )
 
-    ranked = li.select(
-        g,
-        avg_rank("l_quantity").alias("rx"),
-        avg_rank("l_extendedprice").alias("ry"),
+    ranked = (
+        li.select(g, "l_quantity", "l_extendedprice")
+        .join(rank_table("l_quantity", "rx"), [g, "l_quantity"])
+        .join(rank_table("l_extendedprice", "ry"), [g, "l_extendedprice"])
+        .select(g, "rx", "ry")
     )
     xd = F.col("rx").cast("decimal(14,1)")
     yd = F.col("ry").cast("decimal(14,1)")

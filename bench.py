@@ -81,6 +81,7 @@ def main() -> None:
         if len(history) >= 5:
             med = sorted(history)[len(history) // 2]
             if t > 5 * med and t > 2.0:
+                _drop_result_memo(name)  # retry must be a real run
                 retry = run_once(name, spec)
                 print(
                     f"[bench] {name}: {t:.2f}s > 5x median {med:.2f}s; "
@@ -136,6 +137,30 @@ def _run_once(spark, sf_dir: str, name: str, spec) -> float:
     return time.perf_counter() - t0
 
 
+def _drop_result_memo(name: str) -> None:
+    """Measurement-bug fix (r10): the streaming-parity queries memoize
+    their readback frame per (session, sf_dir) — correct for the test
+    suite, but it silently broke every RE-timing in this file: the
+    outlier retry and --recheck re-invoked the same session, hit the
+    memo, and recorded a ~0.05 s cache read as the query's time (the
+    committed r09/r10-baseline records carry such rows, e.g. q144 0.06
+    while its real fresh cost was 62 s — and WHICH rows are affected is
+    a lottery, since the retry only fires when the trailing median is
+    low enough).  Dropping the query's memo entry before a re-timing
+    makes every recorded number a real end-to-end run.  Old records
+    are kept as committed; OPTIMIZATION_r10.md documents the change."""
+    try:
+        from aquiles_etl_pipeline_spark.relational.stream_queries import (
+            _STREAM_RESULT_CACHE,
+        )
+
+        tag = name.split("_", 1)[0]
+        for key in [k for k in _STREAM_RESULT_CACHE if k[2] == tag]:
+            del _STREAM_RESULT_CACHE[key]
+    except Exception:
+        pass
+
+
 def recheck(spark, sf_dir: str, requested: list[str]) -> None:
     """Re-time only the named queries (qNNN short keys or full names)
     and annotate BENCH_DETAIL.json with {"recheck": {qNNN: sec}}.
@@ -165,7 +190,11 @@ def recheck(spark, sf_dir: str, requested: list[str]) -> None:
     for name in names:
         spec = specs[name]
         _run_once(spark, sf_dir, name, spec)  # warm-up (plan + JIT + cache)
-        t = min(_run_once(spark, sf_dir, name, spec) for _ in range(2))
+        ts = []
+        for _ in range(2):
+            _drop_result_memo(name)  # each timed run must be real
+            ts.append(_run_once(spark, sf_dir, name, spec))
+        t = min(ts)
         results[name.split("_", 1)[0]] = round(t, 2)
         print(f"[bench] recheck {name}: {round(t, 2)}s", file=sys.stderr, flush=True)
 

@@ -1142,15 +1142,23 @@ def test_chi_square_marginals_avoid_second_scan(plans):
     assert "EvalPython" not in p
 
 
-def test_spearman_windows_then_single_agg(plans):
-    """q142: two per-group sort windows (Spearman's inherent cost) and
-    ONE aggregation — no joins anywhere, no Python nodes, one scan."""
+def test_spearman_value_grain_ranks_join_back(plans):
+    """q142 (r10 shape): average ranks compute on the distinct-VALUE
+    grain (partial-aggregated counts + tiny per-flag windows) and join
+    back by broadcast — the fact is never sorted or shuffled at row
+    grain (the 3-value partition key made row-grain rank windows a
+    3-straggler sort at any scale).  Lock: two broadcast joins, no
+    Python, at most 3 fact scans (row grain + two count grains), and
+    NO row-grain Window (every Window sits above a HashAggregate)."""
     import re
 
     p = plans["q142_spearman_rank_correlation"]
-    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 2, p
     assert "EvalPython" not in p
-    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3, p
+    # every Sort+Window pair must be fed by an Exchange over an
+    # aggregate (value grain), never directly by the row-grain scan
+    assert "SortMergeJoin" not in p
 
 
 def test_roster_string_agg_broadcasts_dim(plans):
@@ -1965,11 +1973,16 @@ def test_q307_simpsons_is_pure_integer_rollup(plans):
 
 
 def test_q308_delta_pairs_on_z_frame(plans):
-    """q308 Burrows delta: the pair join is an equi join on tok over
-    the |sources| x 50 z frame; token counting fans out."""
+    """q308 Burrows delta (r10 shape): the corpus is tokenized ONCE
+    into the pinned source-token counts (the before-plan re-ran the
+    explode 12x across totals/topw/freqs and the self-join), and the
+    |sources| x 50 z frame is pinned for its two self-join reads — so
+    the final plan is the pair equi-join over checkpoint reads, with
+    no parquet rescans and no cartesian."""
     p = plans["q308_burrows_delta"]
-    assert "RoundRobinPartitioning" in p, "token explode must fan out"
-    assert "Window" in p  # top-50 rank
+    assert "Scan ExistingRDD" in p, "pair join must read the pinned z frame"
+    assert "Scan parquet" not in p, "no corpus rescan above the pins"
+    assert "CartesianProduct" not in p
 
 
 def test_q309_sweep_mines_once(plans):

@@ -134,6 +134,15 @@ PERSIST_PRONE = [
     # q388 localCheckpoints the brand-pair frame (sym/st/d2/p2 chain
     # references it ~8 times)
     "q388_bradley_terry_brands",
+    # q134 localCheckpoints the bipartite edge list + degree rollup
+    # (r10: one fact scan for the 3-iteration PageRank unroll)
+    "q134_supplier_pagerank",
+    # q202 localCheckpoints the distinct user-item pairs + capped frame
+    # (r10: item counts, baskets and pair mining all read them)
+    "q202_item_item_cf",
+    # q308 localCheckpoints the source-token counts + z-score frame
+    # (r10: one corpus tokenize pass; the delta self-join reads z twice)
+    "q308_burrows_delta",
     # q372 localCheckpoints the one-row column-census aggregate (six
     # per-column report projections consume it)
     "q372_column_encoding_advisor",

@@ -61,8 +61,13 @@ def main() -> None:
             df.collect()
         return time.perf_counter() - t0
 
+    from bench import _drop_result_memo
+
     for name in names:
-        ts = [run_once(name) for _ in range(reps)]
+        ts = []
+        for _ in range(reps):
+            _drop_result_memo(name)  # every rep a real run (see bench.py)
+            ts.append(run_once(name))
         print(
             f"{name}: min={min(ts):.2f}s  reps={[round(t, 2) for t in ts]}",
             flush=True,
