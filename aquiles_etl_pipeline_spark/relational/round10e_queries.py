@@ -757,12 +757,20 @@ def q395(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
         .withColumn("n", F.sum("nd").over(wall).cast("bigint"))
     )
+    # r10: ONE corpus tokenize pass — tc (lang x token counts) is the
+    # pass's product, pinned; tot is its per-lang sum and v its
+    # distinct-token count (identical values by construction), so the
+    # explode no longer re-runs for each statistic.
     trt = token_rows(train, "lang")
-    tc = trt.groupBy("lang", "tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    tc = (
+        trt.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    tot = trt.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
-    v = trt.agg(F.count_distinct("tok").cast("bigint").alias("v"))
+    tot = tc.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tc"))
+    v = tc.select("tok").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
     tf = term_frequencies(test, "doc_id").withColumnRenamed("c", "m")
     prior_m = F.round(
         F.log(F.col("nd").cast("double") / F.col("n")) * 1e6

@@ -320,15 +320,30 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog import emit
 
     li = load(spark, sf_dir, "lineitem")
-    wo = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    ).rowsBetween(Window.unboundedPreceding, 0)
+    # r10 opt (q142 rule): the crossing VALUE is decided at the
+    # (flag, price) grain — the row-level (orderkey, linenumber)
+    # tiebreak only orders rows WITHIN one price, and the first row
+    # with 2*cw >= tw always lands in the value group where the
+    # value-grain cumulative weight first crosses, so the emitted
+    # (v, tw) pair is identical.  Aggregate weights per value first
+    # (partial/map-side), then run the cumulative window over the
+    # distinct-price grain: the fact shuffles pre-aggregated narrow
+    # rows instead of full rows, and the 3-partition ordered window
+    # scans distinct values, not the table.
+    g = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("_w")
+    )
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     wt = Window.partitionBy("l_returnflag")
-    w = li.select(
+    w = g.select(
         "l_returnflag",
-        F.col("l_extendedprice").alias("v"),
-        F.sum(F.col("l_quantity").cast("long")).over(wo).alias("cw"),
-        F.sum(F.col("l_quantity").cast("long")).over(wt).alias("tw"),
+        "v",
+        F.sum("_w").over(wo).alias("cw"),
+        F.sum("_w").over(wt).alias("tw"),
     )
     sel = w.where(2 * F.col("cw") >= F.col("tw")).withColumn(
         "rn",

@@ -631,7 +631,15 @@ def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("de")
         .alias("pred"),
     )
-    conf = p.groupBy("lang", "pred").agg(F.count("*").alias("c"))
+    # r10: the confusion matrix (<= |langs|^2 rows) feeds rm/cm/tp and
+    # the diagonal join — unpinned, each consumer re-ran the corpus
+    # tokenize+classify pass (8 scans in plans/r10/q318_before.txt).
+    # One corpus pass, ContextCleaner-drained.
+    conf = (
+        p.groupBy("lang", "pred")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     rm = conf.groupBy(F.col("lang").alias("cls")).agg(F.sum("c").alias("rm"))
     cm = conf.groupBy(F.col("pred").alias("cls")).agg(F.sum("c").alias("cm"))
     cls = (

@@ -1142,6 +1142,21 @@ def test_chi_square_marginals_avoid_second_scan(plans):
     assert "EvalPython" not in p
 
 
+def test_weighted_median_value_grain_window(plans):
+    """q158 (r10 shape): weights aggregate to the (flag, price) grain
+    BEFORE the cumulative window, so the fact shuffles partial
+    aggregates and the 3-partition ordered scan walks distinct values,
+    never table rows.  Lock: exactly one fact scan, no joins, and the
+    first Exchange receives a partial HashAggregate, not raw rows."""
+    import re
+
+    p = plans["q158_weighted_median"]
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Join" not in p
+    # map-side partial aggregation of the weights before the shuffle
+    assert "partial_sum" in p, p
+
+
 def test_spearman_value_grain_ranks_join_back(plans):
     """q142 (r10 shape): average ranks compute on the distinct-VALUE
     grain (partial-aggregated counts + tiny per-flag windows) and join

@@ -143,6 +143,13 @@ PERSIST_PRONE = [
     # q308 localCheckpoints the source-token counts + z-score frame
     # (r10: one corpus tokenize pass; the delta self-join reads z twice)
     "q308_burrows_delta",
+    # q318 localCheckpoints the confusion matrix (r10: rm/cm/tp/diag
+    # all read it; one corpus classify pass)
+    "q318_langid_kappa_f1",
+    # q384/q395 localCheckpoint the lang x token counts (r10: tot and
+    # v derive from it; one corpus tokenize pass)
+    "q384_nb_lang_classifier",
+    "q395_nb_margin_calibration",
     # q372 localCheckpoints the one-row column-census aggregate (six
     # per-column report projections consume it)
     "q372_column_encoding_advisor",
