@@ -169,7 +169,14 @@ def q367(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rn") == F.col("r90"), F.col("cents"))).alias("x90"),
         F.min(F.when(F.col("rn") == F.col("r99"), F.col("cents"))).alias("x99"),
     )
-    one = ranks.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(ex))
+    # ONE-row frame, pinned (the q372 rule): the three union branches
+    # below each project from it, and unpinned each re-ran the whole
+    # ranks/est/ex subtree — 15 events scans in the before-plan
+    one = (
+        ranks.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(ex))
+        .localCheckpoint(eager=True)
+    )
     parts = []
     for q, b, x, r in (
         (50, "b50", "x50", "r50"),

@@ -1031,7 +1031,10 @@ def q377(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias(f"e{hh}")
         )
-    c = joined.agg(*aggs)
+    # ONE-row burn census, pinned (the q372 rule): each per-window
+    # union branch below projects from it — unpinned, every branch
+    # re-ran the events scan + max-ts + window sums
+    c = joined.agg(*aggs).localCheckpoint(eager=True)
     parts = []
     for i, hh in enumerate(_Q377_WINDOWS):
         t, e = F.col(f"t{hh}"), F.col(f"e{hh}")

@@ -150,6 +150,10 @@ PERSIST_PRONE = [
     # v derive from it; one corpus tokenize pass)
     "q384_nb_lang_classifier",
     "q395_nb_margin_calibration",
+    # q367/q377 localCheckpoint their one-row census frames (r10: the
+    # union branches each re-ran the whole subtree unpinned)
+    "q367_histogram_quantile_merge",
+    "q377_slo_burn_rate",
     # q372 localCheckpoints the one-row column-census aggregate (six
     # per-column report projections consume it)
     "q372_column_encoding_advisor",
