@@ -540,7 +540,7 @@ def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from ..merge import Warehouse
         from ..merge.generic import _bucket_expr, merge_into
-        from .stream_queries import _land_wave
+        from .stream_queries import _land_wave, _reland_wave
 
         root = Path(tempfile.mkdtemp(prefix="q370_storm_"))
         land = root / "land"
@@ -588,15 +588,19 @@ def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .awaitTermination()
                 )
 
-        wave_a = e.where(F.col("event_id") % 3 == 0)
-        _land_wave(root, land, wave_a, "a")
+        _land_wave(root, land, e.where(F.col("event_id") % 3 == 0), "a")
         drain()
-        # restart 2: wave A redelivered under NEW file names + wave B
-        _land_wave(root, land, wave_a, "a_redelivered")
+        # restart 2: wave A redelivered under NEW file names + wave B.
+        # Redelivery = copy the already-rendered shard files under fresh
+        # names (exactly what an at-least-once source does: identical
+        # bytes, new paths) — re-rendering the wave through another
+        # Spark job would only burn a scan+write to produce the same
+        # content.
+        _reland_wave(root, land, "a", "a_redelivered")
         _land_wave(root, land, e.where(F.col("event_id") % 3 == 1), "b")
         drain()
         # restart 3: wave C + wave B redelivered
-        _land_wave(root, land, e.where(F.col("event_id") % 3 == 1), "b_redelivered")
+        _reland_wave(root, land, "b", "b_redelivered")
         _land_wave(root, land, e.where(F.col("event_id") % 3 == 2), "c")
         drain()
 

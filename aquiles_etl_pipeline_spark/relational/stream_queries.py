@@ -134,6 +134,42 @@ def _land_wave(root, land, df: DataFrame, tag: str) -> None:
         shutil.copy(f, land / f"{tag}_{f.name}")
 
 
+def _land_sentinel(land, tag: str, rows: list[dict]) -> None:
+    """Land a literal sentinel wave (1-2 rows whose exact values only
+    need to clear a watermark threshold) as ONE JSONL file written
+    directly by the driver — a Spark write job per sentinel (repartition
+    + 4-shard render + copy) is pure scheduler overhead for a single
+    literal row, and one file (vs 4 shards, 3 empty) keeps a per-file-
+    batched drain at exactly one micro-batch per sentinel.  The rename
+    into ``land`` is the same atomic-publish step _land_wave uses."""
+    import json as _json
+
+    tmp = land.parent / f"_sent_{land.name}_{tag}.json"
+    with open(tmp, "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    tmp.rename(land / f"{tag}_sentinel.json")
+
+
+def _ts_json(dt) -> str:
+    """Render a datetime the way Spark's JSON writer does under the UTC
+    session (yyyy-MM-dd'T'HH:mm:ss.SSSZ), so a driver-written sentinel
+    parses identically to a Spark-rendered wave."""
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond // 1000:03d}Z"
+
+
+def _reland_wave(root, land, src_tag: str, new_tag: str) -> None:
+    """Redeliver an already-rendered wave under NEW file names — the
+    at-least-once source behavior (q370): byte-identical file content,
+    fresh names, zero re-render jobs.  Reads the scratch shards
+    _land_wave kept under ``root`` for ``src_tag``."""
+    import shutil
+
+    wave_dir = root / f"wave_{land.name}_{src_tag}"
+    for f in wave_dir.glob("part-*.json"):
+        shutil.copy(f, land / f"{new_tag}_{f.name}")
+
+
 def _land_two_waves(frame: DataFrame, root, land, drain, split_col: str = "event_id") -> None:
     """Write even-id rows, drain, write odd-id rows, drain."""
     from pyspark.sql import functions as F
@@ -665,11 +701,6 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
         cut = lo + (hi - lo) // 2
-        # sentinel: past every real session end + gap + watermark delay
-        sentinel = spark.createDataFrame(
-            [(int(-1), hi + 10 * 3_600_000_000, int(-1), 0.0)],
-            "event_id long, ts_us long, user_id long, value double",
-        )
 
         def drain() -> None:
             stream = (
@@ -698,7 +729,13 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain()
         _land_wave(root, land, e.where(F.col("ts_us") >= cut), "b")
         drain()
-        _land_wave(root, land, sentinel, "c")
+        # sentinel: past every real session end + gap + watermark delay;
+        # a single literal row, driver-written (no Spark render job)
+        _land_sentinel(
+            land, "c",
+            [{"event_id": -1, "ts_us": hi + 10 * 3_600_000_000,
+              "user_id": -1, "value": 0.0}],
+        )
         drain()
         return spark.read.parquet(out).where(F.col("user_id") >= 0)
 
@@ -1015,17 +1052,17 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         max_ts = e.agg(F.max("ts")).collect()[0][0]
 
-        def drain() -> None:
+        def drain(files_per_trigger: int = 1_000_000) -> None:
             ls = (
                 spark.readStream.schema("event_id long, user_id long, ts timestamp")
-                .option("maxFilesPerTrigger", 1_000_000)
+                .option("maxFilesPerTrigger", files_per_trigger)
                 .json(str(land_l))
             )
             rs = (
                 spark.readStream.schema(
                     "event_id long, user_id long, ts timestamp, value double"
                 )
-                .option("maxFilesPerTrigger", 1_000_000)
+                .option("maxFilesPerTrigger", files_per_trigger)
                 .json(str(land_r))
             )
             joined = stream_interval_join(
@@ -1058,34 +1095,30 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
             drain()
         # sentinel waves: far-future rows on BOTH streams advance the
         # min-across-sources watermark past every real left row's
-        # (ts + interval + delay) expiry point; the second drain runs
-        # the flush batch that emits the null-matched leftovers
+        # (ts + interval + delay) expiry point; the second batch runs
+        # the flush that emits the null-matched leftovers.  Both waves
+        # drain in ONE query restart: each sentinel is a single
+        # driver-written file per source and maxFilesPerTrigger=1 keeps
+        # the s1 and s2 waves separate micro-batches (one file from
+        # EACH source per batch), so the watermark advanced by batch 1
+        # is live for batch 2 — per-batch semantics identical to the
+        # former one-drain-per-wave shape, minus one full streaming-
+        # query startup.  Literal driver-written rows (not a
+        # <stream>.limit(1) scaffold) also guarantee a sentinel can
+        # never be silently empty on an empty parity side.
+        from datetime import timedelta
+
         for tag, days in (("s1", 101), ("s2", 102)):
-            # sentinels scaffold from range(1), NOT <stream>.limit(1):
-            # an empty parity side would make a limit(1) sentinel wave
-            # silently empty, the watermark would never advance, and
-            # every unmatched left row would be silently withheld
-            sent_ts = F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")
-            _land_wave(
-                root, land_l,
-                spark.range(1).select(
-                    F.lit(-1).cast("long").alias("event_id"),
-                    F.lit(-1).cast("long").alias("user_id"),
-                    sent_ts.alias("ts"),
-                ),
-                tag,
+            sent_ts = _ts_json(max_ts + timedelta(days=days))
+            _land_sentinel(
+                land_l, tag,
+                [{"event_id": -1, "user_id": -1, "ts": sent_ts}],
             )
-            _land_wave(
-                root, land_r,
-                spark.range(1).select(
-                    F.lit(-2).cast("long").alias("event_id"),
-                    F.lit(-1).cast("long").alias("user_id"),
-                    sent_ts.alias("ts"),
-                    F.lit(0.0).alias("value"),
-                ),
-                tag,
+            _land_sentinel(
+                land_r, tag,
+                [{"event_id": -2, "user_id": -1, "ts": sent_ts, "value": 0.0}],
             )
-            drain()
+        drain(files_per_trigger=1)
         return (
             spark.read.parquet(out)
             .where(F.col("l_event_id") >= 0)
@@ -1166,17 +1199,11 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
         cut = lo + (hi - lo) // 2
         sent = "event_id long, ts_us long, user_id long, cents long"
-        sentinel1 = spark.createDataFrame(
-            [(int(-1), hi + 10 * 3_600_000_000, int(-1), 0)], sent
-        )
-        sentinel2 = spark.createDataFrame(
-            [(int(-2), hi + 20 * 3_600_000_000, int(-2), 0)], sent
-        )
 
-        def drain() -> None:
+        def drain(files_per_trigger: int = 1_000_000) -> None:
             stream = (
                 spark.readStream.schema(sent)
-                .option("maxFilesPerTrigger", 1_000_000)
+                .option("maxFilesPerTrigger", files_per_trigger)
                 .json(str(land))
                 .select(
                     "event_id",
@@ -1206,10 +1233,26 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain()
         _land_wave(root, land, e.where(F.col("ts_us") >= cut), "b")
         drain()
-        _land_wave(root, land, sentinel1, "c")
-        drain()
-        _land_wave(root, land, sentinel2, "d")
-        drain()
+        # Both sentinel waves drain in ONE query restart: each sentinel
+        # is a single driver-written file and maxFilesPerTrigger=1 keeps
+        # them separate micro-batches, so the watermark advanced by the
+        # first sentinel batch is live when the second batch evaluates
+        # timeouts — per-batch semantics identical to the former
+        # one-drain-per-sentinel shape, minus one full streaming-query
+        # startup.  (Batch order between the two far-future sentinels is
+        # irrelevant: either one advances the watermark past every real
+        # session's expiry; emitted closed-session set is the same.)
+        _land_sentinel(
+            land, "c",
+            [{"event_id": -1, "ts_us": hi + 10 * 3_600_000_000,
+              "user_id": -1, "cents": 0}],
+        )
+        _land_sentinel(
+            land, "d",
+            [{"event_id": -2, "ts_us": hi + 20 * 3_600_000_000,
+              "user_id": -2, "cents": 0}],
+        )
+        drain(files_per_trigger=1)
         return (
             spark.read.parquet(out)
             .where(F.col("user_id") >= 0)
@@ -1277,10 +1320,6 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
         cut = lo + (hi - lo) // 2
-        sentinel = spark.createDataFrame(
-            [(int(-1), hi + 10 * 3_600_000_000, "zz_sentinel", 0.0)],
-            "event_id long, ts_us long, event_type string, value double",
-        )
 
         def drain() -> None:
             stream = (
@@ -1331,7 +1370,12 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain()
         _land_wave(root, land, e.where(F.col("ts_us") >= cut), "b")
         drain()
-        _land_wave(root, land, sentinel, "c")
+        # far-future sentinel, driver-written (no Spark render job)
+        _land_sentinel(
+            land, "c",
+            [{"event_id": -1, "ts_us": hi + 10 * 3_600_000_000,
+              "event_type": "zz_sentinel", "value": 0.0}],
+        )
         drain()
         return (
             spark.read.parquet(out)

@@ -2145,15 +2145,20 @@ def test_q366_page_hinkley_windows_day_frame(plans):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
 
 
-def test_q367_quantile_merge_two_level_aggregate(plans):
-    """q367 mergeable quantiles: the sketch side must be TWO hash
-    aggregations (per-shard partial histogram, then bin merge) with
-    the rank-target single row broadcast onto the bin frame — never a
-    raw-value shuffle on the sketch path."""
+def test_q367_quantile_merge_reads_pinned_census(plans):
+    """q367 mergeable quantiles (r10 pin): the ranks/est/ex census
+    collapses to ONE pinned row (localCheckpoint), so the final plan is
+    three union branches projecting from the SAME materialized frame —
+    zero parquet scans here (the sketch's two-level aggregate and the
+    rank-target broadcast ran once, at checkpoint build), no joins, no
+    Python."""
     p = plans["q367_histogram_quantile_merge"]
-    assert "BroadcastNestedLoopJoin" in p, "rank targets must broadcast"
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0, (
+        "union branches must read the pinned census, not re-run the sketch"
+    )
+    assert "ExistingRDD" in p
+    assert "Join" not in p
     assert "EvalPython" not in p
-    assert "HashAggregate" in p
 
 
 def test_q368_hll_registers_join_by_idx(plans):
