@@ -715,3 +715,66 @@ def test_stream_batch_confs_sizing(spark, tmp_path):
     (land2 / "b.json").write_bytes(b"y" * 1000)
     with stream_batch_confs(spark, land, land2, target_bytes=1000):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+
+
+def test_land_sentinel_single_parseable_file(spark, tmp_path):
+    """_land_sentinel writes ONE JSONL file whose rows parse through the
+    same schema-enforced streaming-source read path as a Spark-rendered
+    wave — including the _ts_json timestamp rendering (millisecond
+    ISO-8601 with zone, the JSON writer's own format under UTC)."""
+    from datetime import datetime
+
+    from aquiles_etl_pipeline_spark.relational.stream_queries import (
+        _land_sentinel,
+        _ts_json,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    dt = datetime(2024, 3, 15, 12, 30, 45, 123456)
+    _land_sentinel(
+        land, "s1",
+        [{"event_id": -1, "user_id": -1, "ts": _ts_json(dt), "value": 0.0}],
+    )
+    files = list(land.glob("*.json"))
+    assert len(files) == 1, "a sentinel wave must be exactly one file"
+    assert files[0].name == "s1_sentinel.json"
+    # no scratch temp left beside the land dir
+    assert not list(tmp_path.glob("_sent_*"))
+
+    got = (
+        spark.read.schema("event_id long, user_id long, ts timestamp, value double")
+        .json(str(land))
+        .collect()
+    )
+    assert len(got) == 1
+    row = got[0]
+    assert row.event_id == -1 and row.user_id == -1 and row.value == 0.0
+    # millisecond precision survives the round trip (micros truncate)
+    assert row.ts == datetime(2024, 3, 15, 12, 30, 45, 123000)
+
+
+def test_reland_wave_copies_rendered_shards_under_new_names(spark, tmp_path):
+    """_reland_wave (q370 redelivery) republishes the ALREADY-rendered
+    shard files byte-identically under a fresh tag — no re-render."""
+    from aquiles_etl_pipeline_spark.relational.stream_queries import (
+        _land_wave,
+        _reland_wave,
+    )
+
+    root = tmp_path
+    land = root / "land"
+    land.mkdir()
+    df = spark.range(8).select(
+        F.col("id").alias("event_id"), (F.col("id") * 10).alias("cents")
+    )
+    _land_wave(root, land, df, "a")
+    first = sorted(land.glob("a_*.json"))
+    assert first, "wave a must have landed"
+
+    _reland_wave(root, land, "a", "a_redelivered")
+    second = sorted(land.glob("a_redelivered_*.json"))
+    assert len(second) == len(first)
+    # byte-identical content, new names — exactly at-least-once redelivery
+    assert [f.read_bytes() for f in first] == [f.read_bytes() for f in second]
+    assert {f.name for f in first}.isdisjoint({f.name for f in second})
