@@ -154,7 +154,16 @@ def _land_sentinel(land, tag: str, rows: list[dict]) -> None:
 def _ts_json(dt) -> str:
     """Render a datetime the way Spark's JSON writer does under the UTC
     session (yyyy-MM-dd'T'HH:mm:ss.SSSZ), so a driver-written sentinel
-    parses identically to a Spark-rendered wave."""
+    parses identically to a Spark-rendered wave.
+
+    PySpark ``collect()`` hands back NAIVE datetimes in the *driver
+    OS-local* timezone, so a naive input is first localized and
+    converted to UTC — the rendering is then UTC-correct on any driver,
+    not only one whose OS tz happens to be UTC (r10 ADVICE item)."""
+    from datetime import timezone
+
+    # astimezone() on a naive datetime localizes it as OS-local first
+    dt = dt.astimezone(timezone.utc)
     return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond // 1000:03d}Z"
 
 
@@ -385,7 +394,7 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = str(root / "out")
         e = load(spark, sf_dir, "events").select("event_id", "ts", "value")
 
-        def drain() -> None:
+        def drain(final: bool = False) -> None:
             # pin ONE micro-batch per drain: the oracle models wave B as
             # draining entirely against wave A's restored watermark; if
             # AvailableNow ever split a wave into multiple batches (file
@@ -416,7 +425,16 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(batch_id).alias("_b"),
                 ).write.mode("append").parquet(out)
 
-            with stream_batch_confs(spark, land):
+            # Wave A KEEPS the trailing no-data batch: the advanced
+            # watermark only reaches the offsets log when the NEXT
+            # batch is constructed, so that empty batch is what makes
+            # wave B drain against wave A's restored watermark — the
+            # query's whole semantic (r11 measured: disabling it
+            # everywhere fails the oracle, late rows stop dropping).
+            # The FINAL drain skips it: update-mode eviction emits
+            # nothing (r11 profile: rows=0, state 3->3) and no later
+            # restart needs the persisted watermark.
+            with stream_batch_confs(spark, land, no_data_batches=not final):
                 (
                     agg.writeStream.outputMode("update")
                     .foreachBatch(sink)
@@ -426,7 +444,10 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .awaitTermination()
                 )
 
-        _land_two_waves(e, root, land, drain)
+        _land_wave(root, land, e.where(F.col("event_id") % 2 == 0), "a")
+        drain()
+        _land_wave(root, land, e.where(F.col("event_id") % 2 == 1), "b")
+        drain(final=True)
         w = Window.partitionBy("window_start").orderBy(F.desc("_b"))
         return (
             spark.read.parquet(out)
@@ -527,7 +548,11 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("right_event_id").alias("r_event_id"),
                 F.col("right_value").alias("r_value"),
             )
-            with stream_batch_confs(spark, land_l, land_r):
+            # no_data_batches=False: inner interval join with a 100-day
+            # delay over a 30-day span — the watermark never passes any
+            # buffered row, so the trailing empty batch evicts and emits
+            # nothing (r11 profile: state rows unchanged, zero output)
+            with stream_batch_confs(spark, land_l, land_r, no_data_batches=False):
                 (
                     joined.writeStream.format("parquet")
                     .option("path", out)
@@ -605,7 +630,10 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
             deduped = stream.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
                 ["event_id"]
             )
-            with stream_batch_confs(spark, land):
+            # no_data_batches=False: dedup emits in the data batch; the
+            # 3650-day delay spans the fixture so the trailing empty
+            # batch evicts nothing (r11 profile: state rows unchanged)
+            with stream_batch_confs(spark, land, no_data_batches=False):
                 (
                     deduped.writeStream.format("parquet")
                     .option("path", out)
@@ -702,7 +730,7 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
         cut = lo + (hi - lo) // 2
 
-        def drain() -> None:
+        def drain(final: bool = False) -> None:
             stream = (
                 spark.readStream.schema(
                     "event_id long, ts_us long, user_id long, value double"
@@ -714,7 +742,17 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             sessions = session_stats(stream, gap="30 minutes", watermark="1 hour")
-            with stream_batch_confs(spark, land):
+            # Wave drains skip the trailing empty eviction batch (append
+            # emission is a pure function of the watermark sequence —
+            # sessions the wave's watermark closed are emitted by the
+            # NEXT restart's batch against the restored watermark; no
+            # wave-B event can merge into an evictable session, since
+            # closure requires end + gap < maxA - delay while wave-B
+            # rows sit >= the cut > maxA).  The FINAL drain keeps the
+            # no-data batch: its sentinel batch only advances the
+            # watermark, and the flush that drains the store happens in
+            # the batch after it.
+            with stream_batch_confs(spark, land, no_data_batches=final):
                 (
                     sessions.writeStream.format("parquet")
                     .outputMode("append")
@@ -736,7 +774,7 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
             [{"event_id": -1, "ts_us": hi + 10 * 3_600_000_000,
               "user_id": -1, "value": 0.0}],
         )
-        drain()
+        drain(final=True)
         return spark.read.parquet(out).where(F.col("user_id") >= 0)
 
     return _memoized(spark, sf_dir, "q165", build)
@@ -1078,7 +1116,14 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("right_event_id").alias("r_event_id"),
                 F.col("right_value").alias("r_value"),
             )
-            with stream_batch_confs(spark, land_l, land_r):
+            # no_data_batches=False everywhere: nothing expires under
+            # the 100-day delay during the real waves, and the final
+            # drain's TWO sentinels already run the flush as a data
+            # batch (s1 advances the watermark, s2's batch evicts and
+            # emits the null-matched leftovers) — the trailing empty
+            # batch was measured a no-op (r11 profile: state 4->4,
+            # zero output)
+            with stream_batch_confs(spark, land_l, land_r, no_data_batches=False):
                 (
                     joined.writeStream.format("parquet")
                     .option("path", out)
@@ -1108,6 +1153,12 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
         # never be silently empty on an empty parity side.
         from datetime import timedelta
 
+        if max_ts is None:  # empty events table: nothing to flush
+            raise ValueError(
+                "q195: events table is empty — no max(ts) to anchor the "
+                "watermark-flush sentinels (the streaming-parity fixture "
+                "requires at least one event)"
+            )
         for tag, days in (("s1", 101), ("s2", 102)):
             sent_ts = _ts_json(max_ts + timedelta(days=days))
             _land_sentinel(
@@ -1217,8 +1268,18 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
             sessions = session_summaries(stream, gap_minutes=30)
             # python_state: ~50k per-user groups -> one pandas call each
             # per drain; n=1 serializes them on one worker (48.7 s vs
-            # 19.0 s at cores — see session.stream_batch_confs)
-            with stream_batch_confs(spark, land, python_state=True):
+            # 19.0 s at cores — see session.stream_batch_confs).
+            # no_data_batches=False everywhere: a timeout the wave's
+            # watermark armed fires identically in the NEXT batch
+            # against the restored watermark (groups with new wave-B
+            # data data-close the same session first — any session old
+            # enough to time out under maxA - 1h sits > gap before
+            # every wave-B row, which is >= the cut > maxA); the final
+            # drain's TWO sentinels already run the flush as a data
+            # batch, so its trailing empty batch does nothing.
+            with stream_batch_confs(
+                spark, land, python_state=True, no_data_batches=False
+            ):
                 (
                     sessions.writeStream.format("parquet")
                     .outputMode("append")
@@ -1321,7 +1382,7 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
         cut = lo + (hi - lo) // 2
 
-        def drain() -> None:
+        def drain(final: bool = False) -> None:
             stream = (
                 spark.readStream.schema(
                     "event_id long, ts_us long, event_type string, value double"
@@ -1355,7 +1416,15 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sum_value_dec",
                 )
             )
-            with stream_batch_confs(spark, land):
+            # Wave drains skip the trailing empty eviction batch — the
+            # q165 rule: append emission is a pure function of the
+            # watermark sequence (windows the wave's watermark closed
+            # are emitted by the NEXT restart's batch against the
+            # restored watermark; late rows are dropped by the
+            # watermark filter regardless of state presence).  The
+            # FINAL drain keeps it: the sentinel batch only advances
+            # the watermark, the flush runs in the batch after it.
+            with stream_batch_confs(spark, land, no_data_batches=final):
                 (
                     w30.writeStream.format("parquet")
                     .outputMode("append")
@@ -1376,7 +1445,7 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
             [{"event_id": -1, "ts_us": hi + 10 * 3_600_000_000,
               "event_type": "zz_sentinel", "value": 0.0}],
         )
-        drain()
+        drain(final=True)
         return (
             spark.read.parquet(out)
             .where(F.col("event_type") != "zz_sentinel")

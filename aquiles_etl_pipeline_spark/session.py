@@ -76,6 +76,7 @@ def stream_batch_confs(
     *input_paths,
     target_bytes: int = 64 << 20,
     python_state: bool = False,
+    no_data_batches: bool = True,
 ):
     """Conf scope for a micro-batch stream drain: size shuffle/state
     partitions to the LANDED INPUT, not to the core count.
@@ -111,6 +112,25 @@ def stream_batch_confs(
     it regardless of this scope (Spark reads it back from offsets
     metadata), so growing input across drains never forks state layout.
 
+    ``no_data_batches=False`` — disables
+    ``spark.sql.streaming.noDataMicroBatches.enabled`` for the drain.
+    Spark appends an extra empty "eager state management" micro-batch
+    to a drain whenever the watermark advanced; profiled at r11
+    (tools/profile_drain.py) that batch costs 0.3–2.8 s of pure
+    machinery per drain while its only effect — evicting/emitting
+    state the advanced watermark has passed — either does not apply
+    (nothing expires under the fixture's long delays: q144/q154/q195)
+    or happens identically in the NEXT batch against the restored
+    watermark (update-mode eviction q127, append-mode session/window
+    eviction in a later restart q165/q313/q241: emitted set is a pure
+    function of the watermark sequence, which this flag does not
+    change).  Drains whose FINAL flush is performed by the trailing
+    no-data batch (single-sentinel queries: the sentinel's own batch
+    only advances the watermark; the flush needs one more batch) must
+    keep the default ``True`` for that last drain — the two-sentinel
+    queries (q195/q241) flush in the second sentinel's data batch, so
+    they can turn it off everywhere.
+
     ``python_state=True`` — for drains whose stateful operator is
     ``applyInPandasWithState``: the cost there is NOT state-store
     commits but per-GROUP Python/pandas invocations (one function call
@@ -137,13 +157,13 @@ def stream_batch_confs(
     if python_state:
         n = max(n, spark.sparkContext.defaultParallelism)
     n = min(n, 4 * spark.sparkContext.defaultParallelism)
-    return scoped_confs(
-        spark,
-        {
-            "spark.sql.adaptive.enabled": "false",
-            "spark.sql.shuffle.partitions": str(n),
-        },
-    )
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": str(n),
+    }
+    if not no_data_batches:
+        confs["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+    return scoped_confs(spark, confs)
 
 
 def get_spark(
