@@ -54,7 +54,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     fixed driver-side cost that a 120-entry catalog pays ~300 times.
     Keyed by applicationId (see session.session_key), never id(spark).
     """
-    from ..session import session_key, warm_python_workers
+    from ..session import (
+        session_key,
+        tune_batch_shuffle_partitions,
+        warm_python_workers,
+    )
 
     key = (session_key(spark), sf_dir, name)
     cached = _LOAD_CACHE.get(key)
@@ -65,6 +69,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # daemon in the background on first table load, off the critical
     # path of whichever query first needs an Arrow UDF
     warm_python_workers(spark)
+    # input-derived shuffle sizing, once per (session, dataset dir) —
+    # see session.tune_batch_shuffle_partitions (r11)
+    tune_batch_shuffle_partitions(spark, sf_dir)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # belt-and-braces for sessions not built by session.get_spark:
