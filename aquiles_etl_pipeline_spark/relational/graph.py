@@ -71,17 +71,19 @@ def pagerank_int(edges: DataFrame, iters: int = 3) -> DataFrame:
     duplication exponential in ``iters``.  The edge list (and its
     degree rollup) pins once up front — the standard cache-the-edge-
     list rule for iterative graph work — so the fact is scanned ONCE
-    and the recompute leaves are cheap local checkpoint-block reads.
-    The rank state itself stays lazy: per-super-step checkpoints cost
-    a blocking job each and measured slower at bench scale (3.98 s vs
-    3.04 s); at higher iteration counts checkpoint state every few
-    rounds (the q52 discipline).  ContextCleaner drains the pins when
-    the Python refs drop.
+    and the recompute leaves are cheap cached-block reads.  The pin is
+    ``persist()`` rather than an eager localCheckpoint since r11: the
+    lazy cache fills inside the first consumer's job instead of paying
+    a blocking materialization job up front (measured −34% for q134,
+    −50/−64% for the q156/q183 siblings; at very high iteration counts
+    switch to checkpointing every few rounds to truncate the growing
+    logical plan — the q52 discipline).  The rank state itself stays
+    lazy: per-super-step pins cost more than they save at 3 iterations
+    (r10 measurement, 3.98 s vs 3.04 s).  ContextCleaner drains the
+    pins when the Python refs drop.
     """
-    edges = edges.localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
-        eager=True
-    )
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(_R0).cast("long").alias("r")
     )
@@ -173,23 +175,25 @@ def bfs_hops(
     distributed BFS linear in edges-touched), one distinct, one
     anti-join against visited.
 
-    Materialization strategy (each eager localCheckpoint is its own
-    job, so anything not pinned re-executes per round — the q156
-    recompute-blowup lesson): the EDGE frame pins once up front (its
-    scan+distinct otherwise re-runs in all ``rounds`` jobs — the
-    standard cache-the-edge-list rule for iterative graph work), each
-    round's ``fresh`` frontier pins once, and ``visited`` is only a
-    UNION of those already-pinned frames — re-deriving it any round
-    just re-reads checkpoint blocks, so the old per-round re-
-    checkpoint of the whole visited set (O(rounds x V) write volume)
-    is dropped.
+    Materialization strategy (anything not pinned re-executes per
+    round — the q156 recompute-blowup lesson): the EDGE frame pins
+    once up front (its scan+distinct otherwise re-runs in all
+    ``rounds`` jobs — the standard cache-the-edge-list rule for
+    iterative graph work), each round's ``fresh`` frontier pins once,
+    and ``visited`` is only a UNION of those already-pinned frames —
+    re-deriving it any round just re-reads cached blocks, so the old
+    per-round re-checkpoint of the whole visited set (O(rounds x V)
+    write volume) is dropped.  Pins are ``persist()`` rather than
+    eager localCheckpoints since r11: the cache fills inside the next
+    round's job instead of costing a blocking job per round (measured
+    q183 4.32 -> 1.54 s).
     """
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.persist()
     visited = (
         seeds.select("id")
         .distinct()  # duplicate seed rows must not double-count at dist 0
         .select("id", F.lit(0).cast("int").alias("dist"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     frontier = visited.select("id")
     for i in range(1, rounds + 1):
@@ -201,7 +205,7 @@ def bfs_hops(
         fresh = (
             nxt.join(visited.select("id"), "id", "left_anti")
             .select("id", F.lit(i).cast("int").alias("dist"))
-            .localCheckpoint(eager=True)
+            .persist()
         )
         visited = visited.unionByName(fresh)
         frontier = fresh.select("id")

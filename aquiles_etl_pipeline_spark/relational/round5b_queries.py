@@ -200,10 +200,12 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides, the closing probe, and both counts); without truncation
     # each branch would recompute the distinct self-join + degree
     # joins (~9 rebuilds of pr — measured 14.5 s vs ~4 s at sf0.1).
-    # Eager localCheckpoint materializes it once; its blocks are
+    # persist() pins it once (r11: the lazy cache fills inside the
+    # first consumer's job instead of costing a separate eager-
+    # checkpoint blocking job — the q169 measurement, −54%); blocks are
     # ContextCleaner-owned and drain when the result is dropped
     # (pinned by the q156 sweep-hygiene test).
-    o = o.localCheckpoint(eager=True)
+    o = o.persist()
     e1 = o.select(F.col("src").alias("a1"), F.col("dst").alias("b1"))
     e2 = o.select(F.col("src").alias("b1"), F.col("dst").alias("c1"))
     wedges = e1.join(e2, "b1").select("a1", "c1")

@@ -16,6 +16,7 @@ from __future__ import annotations
 import re
 from decimal import Decimal, InvalidOperation
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -94,6 +95,7 @@ def test_separate_camel_case_matches_reference(spark, texts):
         assert g == ref_camel(t), (t, g)
 
 
+@pytest.mark.slow
 @settings(max_examples=25, deadline=None)
 @given(TEXTS)
 def test_provider_name_matches_reference(spark, texts):
@@ -102,6 +104,7 @@ def test_provider_name_matches_reference(spark, texts):
         assert g == ref_provider(t), (t, g)
 
 
+@pytest.mark.slow
 @settings(max_examples=25, deadline=None)
 @given(TEXTS)
 def test_capitalize_first_letter_matches_reference(spark, texts):

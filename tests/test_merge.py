@@ -58,6 +58,7 @@ def test_csv_end_to_end(spark, wh):
     assert wh.read("staging_provider").isEmpty()
     assert wh.read("staging_product").isEmpty()
     assert wh.read("staging_provider_product").isEmpty()
+@pytest.mark.slow
 
 
 def test_ledger_skip_and_idempotent_rerun(spark, wh):
@@ -80,6 +81,7 @@ def test_ledger_skip_and_idempotent_rerun(spark, wh):
         "pp": wh.read("provider_product").count(),
     }
     assert state1 == state3
+@pytest.mark.slow
 
 
 def test_product_upsert_updates_existing(spark, wh):
@@ -95,6 +97,7 @@ def test_product_upsert_updates_existing(spark, wh):
     assert rows[0]["Id"] == v1["Id"]
     # two providers now reference the same product
     assert wh.read("provider_product").count() == 2
+@pytest.mark.slow
 
 
 def test_provider_synonym_resolution(spark, wh):
@@ -160,6 +163,7 @@ def test_failed_file_marked_and_retryable(spark, wh):
 def test_header_gate_on_text_path(spark, wh):
     res = process_csv_text(spark, wh, "c", "nohdr.csv", "Producto,Precio\nX,1\n")
     assert not res.success and "missing" in res.message
+@pytest.mark.slow
 
 
 def test_invoice_archive_written_and_replayable(spark, wh, tmp_path):
@@ -191,6 +195,7 @@ def test_bootstrap_seeds_file_status_and_new_tables(spark, wh):
     pf = wh.read("process_file")
     fs = wh.read("file_status").select(F.col("Id").alias("fsid"), "StatusName")
     assert pf.join(fs, pf.StatusId == fs.fsid).count() == pf.count()
+@pytest.mark.slow
 
 
 def test_incremental_merge_rewrites_only_touched_buckets(spark, wh):

@@ -153,6 +153,7 @@ def test_q369_advisor_matches_bruteforce(spark, tmp_path_factory, days):
         min_size=1, max_size=30,
     )
 )
+@pytest.mark.slow
 def test_q370_restart_storm_equals_batch(spark, tmp_path_factory, events):
     rows = [
         (i, T0, 0, et, c / 100.0, None) for i, (et, c) in enumerate(events)

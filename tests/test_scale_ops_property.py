@@ -12,6 +12,7 @@ dominance (strictly-better-on-one) is easiest to get wrong.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -25,6 +26,7 @@ POINTS = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None)
 @given(fact_keys=KEYS, dim_keys=KEYS)
 def test_bloom_semi_join_equals_plain_semi_join(spark, fact_keys, dim_keys):
@@ -89,6 +91,7 @@ def test_skyline_orientation_flags(spark, points):
     assert got == want
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None)
 @given(fact_keys=KEYS, dim_keys=st.lists(st.integers(-50, 50), min_size=0, max_size=20))
 def test_salted_join_equals_plain_join(spark, fact_keys, dim_keys):
@@ -381,6 +384,7 @@ def test_bloom_semi_join_rejects_unmodeled_mixed_types(spark):
         ).collect()
     )
     assert got == [1]
+@pytest.mark.slow
 
 
 def test_range_join_pre1970_floor_buckets(spark):
@@ -511,6 +515,7 @@ def test_column_stats_profile_sketch_edge_domains(spark):
     ),
     chain_len=st.integers(min_value=0, max_value=12),
 )
+@pytest.mark.slow
 def test_star_cc_equals_label_propagation(spark, edges, chain_len):
     """BOTH of connected_components_star's strategies — the driver
     union-find fast path (default on small edge sets) and the
@@ -790,6 +795,7 @@ FAMILIES = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(families=FAMILIES, n_zero=st.integers(min_value=0, max_value=2))
 def test_semantic_dedup_collapse_equals_bruteforce_cc(spark, families, n_zero):

@@ -23,6 +23,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from aquiles_etl_pipeline_spark.relational import registry  # noqa: E402
 
+# ~220 s of GC-polling sweeps across ~50 queries: the storage-hygiene
+# net belongs to the builder's --slow certification lane, not the
+# driver's time-budgeted default run (r11 suite split).
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 # the queries that exercise every operator that EVER persisted/checkpointed:
